@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared session tuning for Verify / Bench / tests. */
+object Sessions {
+
+  /** Apply graft's session config to a builder. `cpus` drives both
+    * parallelism and shuffle partitioning (local mode: partitions = cores,
+    * never the 200 default).
+    */
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // testdata events.ts is TIMESTAMP(NANOS): read as BIGINT nanos
+      // (normalized to micros in Registry.t, matching DuckDB's truncation)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // never write deprecated INT96 timestamps
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+}

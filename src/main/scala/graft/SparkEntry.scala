@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pipeline.{CallCenterPipeline, Fixture}
+import graft.sqlapi.AthenaQueries
+import graft.queries.Registry
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+import scala.jdk.CollectionConverters._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship: the full reference pipeline end-to-end — fixture CSV →
+    * validate/split → silver MERGE (initial load + a re-delivery upsert) →
+    * three gold MERGEs → Athena daily-summary query. Exercises every layer
+    * and both MERGE paths (SURVEY.md §7.2).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val root = s"${Registry.scratchRoot}/entry_lake"
+    val p = Paths.get(root)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val paths = CallCenterPipeline.LakePaths(root)
+    val date = LocalDate.of(2026, 8, 12) // injected processing date (determinism, SURVEY.md §7.5.2)
+    val csv1 = Fixture.writeCsv(s"$root/source", "batch1.csv", Fixture.initialBatch)
+    CallCenterPipeline.run(spark, csv1, paths, date)
+    val csv2 = Fixture.writeCsv(s"$root/source", "batch2.csv", Fixture.redelivery)
+    CallCenterPipeline.run(spark, csv2, paths, date)
+    AthenaQueries.registerViews(spark, paths)
+    AthenaQueries.run(spark, "daily_call_summary")
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 + extensions. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Registry.all.map { case (name, q) => name -> q.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the xxhash64-based sketch ops
+    * (rows-only check; covered by scalatest instead).
+    */
+  def oracleSql: Map[String, String] =
+    Registry.all.collect { case (name, q) if q.oracle.isDefined => name -> q.oracle.get }
 }

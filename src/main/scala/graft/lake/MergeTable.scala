@@ -1,0 +1,208 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/** Versioned-snapshot Parquet table with a Delta-style MERGE upsert,
+  * built with zero Delta jars.
+  *
+  * Re-implements the Delta Lake surface the reference uses
+  * (`DeltaTable.isDeltaTable` / `forPath` / `merge.whenMatchedUpdateAll.
+  * whenNotMatchedInsertAll` / `format("delta").mode("overwrite")` at
+  * glue_jobs/01_silver_delta_upsert.py:99-121 and
+  * glue_jobs/02_gold_analytics.py:147-209).
+  *
+  * Layout:
+  * {{{
+  *   <root>/d<version>/[<p>=<v>/...]part-*.parquet   data directories
+  *   <root>/_graft_log/<version>.manifest            newline-separated file list
+  *                                                   (paths relative to <root>)
+  *   <root>/_graft_log/<version>.schema              schema DDL of the snapshot
+  *   <root>/_graft_log/_LATEST                       current version (atomic swap)
+  * }}}
+  *
+  * Scale design (100 TB): MERGE rewrites ONLY the data files that contain a
+  * key matched by the source (same file-pruning idea as Delta's MERGE
+  * rewrite): a left-semi join of target×source marks touched files via
+  * `input_file_name()`; untouched files are carried forward by manifest
+  * reference, never copied. Commits are an atomic one-line `_LATEST` swap,
+  * so readers always see a complete snapshot and re-runs are idempotent.
+  * The collected file list is metadata (~file count strings), never data.
+  */
+final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
+
+  private val logDir: Path = Paths.get(root, "_graft_log")
+  private def latestPath: Path = logDir.resolve("_LATEST")
+
+  /** Reference's `DeltaTable.isDeltaTable` probe (01:99; 02:147,172,197). */
+  def exists: Boolean = Files.exists(latestPath)
+
+  def currentVersion: Long = {
+    require(exists, s"MergeTable at $root does not exist")
+    Files.readString(latestPath).trim.toLong
+  }
+
+  def schemaOf(version: Long): StructType =
+    StructType.fromDDL(Files.readString(logDir.resolve(s"$version.schema")))
+
+  def filesOf(version: Long): Seq[String] = {
+    val p = logDir.resolve(s"$version.manifest")
+    Files.readString(p).split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  def read(spark: SparkSession): DataFrame = readVersion(spark, currentVersion)
+
+  /** Time-travel read of any retained snapshot. Files may span several data
+    * directories (untouched files are carried forward across versions), and
+    * partition-column values live in directory names — so we group by data
+    * dir and read each group with its own `basePath`, which preserves both
+    * partition columns and partition pruning.
+    */
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    val fs = filesOf(version)
+    val schema = schemaOf(version)
+    if (fs.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val byDataDir = fs.groupBy(f => f.takeWhile(_ != '/'))
+      byDataDir.toSeq.sortBy(_._1).map { case (dataDir, rel) =>
+        spark.read
+          .option("basePath", s"$root/$dataDir")
+          .schema(schema) // uniform schema incl. partition cols; skips footer merging
+          .parquet(rel.map(r => s"$root/$r"): _*)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Initial load — reference's `format("delta").mode("overwrite").
+    * partitionBy("year","month").save(path)` branch (01:115-121).
+    */
+  def overwrite(df: DataFrame): Unit = {
+    val v = if (exists) currentVersion + 1 else 0L
+    writeVersion(df, v)
+  }
+
+  /** Delta MERGE semantics (SURVEY.md §2.6): UPDATE-ALL / INSERT-ALL
+    * equi-key upsert — "source wins":
+    *  - target rows matching a source key are replaced by the source row
+    *    (even if that moves them to another partition — quirk §2.6.5);
+    *  - unmatched source rows are inserted;
+    *  - unmatched target rows are untouched (their files are not rewritten);
+    *  - duplicate keys in the source are an error, like Delta
+    *    (§2.6.4), unless `checkUniqueSource=false`.
+    */
+  def merge(spark: SparkSession, source: DataFrame, keys: Seq[String],
+            checkUniqueSource: Boolean = true): Unit = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    if (!exists) { overwrite(source); return }
+
+    val src = source.cache()
+    try {
+      if (checkUniqueSource) {
+        val dup = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+        require(dup == 0L,
+          s"merge source has duplicate keys on (${keys.mkString(",")}) — Delta MERGE would fail (multiple source rows matched one target row)")
+      }
+
+      val v = currentVersion
+      val target = readVersion(spark, v)
+      val srcKeys = src.select(keys.map(col): _*)
+
+      // File pruning: find the data files that contain at least one matched
+      // key. Broadcast the (small) source key set when Catalyst can; only
+      // file *names* are collected — metadata, not data.
+      val touched: Set[String] = target
+        .withColumn("_graft_file", input_file_name())
+        .join(srcKeys, keys, "left_semi")
+        .select("_graft_file").distinct()
+        .collect().map(r => normalize(r.getString(0))).toSet
+
+      val oldFiles = filesOf(v)
+      val (touchedRel, keptRel) =
+        oldFiles.partition(f => touched.exists(t => t.endsWith("/" + f) || t == f))
+
+      // Rewrite = survivors of touched files + all source rows.
+      val survivors =
+        if (touchedRel.isEmpty) None
+        else {
+          val byDataDir = touchedRel.groupBy(f => f.takeWhile(_ != '/'))
+          val tdf = byDataDir.toSeq.sortBy(_._1).map { case (dataDir, rel) =>
+            spark.read
+              .option("basePath", s"$root/$dataDir")
+              .schema(schemaOf(v))
+              .parquet(rel.map(r => s"$root/$r"): _*)
+          }.reduce(_ unionByName _)
+          Some(tdf.join(srcKeys, keys, "left_anti"))
+        }
+      val newData = survivors match {
+        case Some(s) => s.unionByName(src.select(s.columns.map(col): _*))
+        case None    => src
+      }
+
+      val newVersion = v + 1
+      val dataDir = s"d$newVersion"
+      writeData(newData, dataDir)
+      val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
+      commit(newVersion, keptRel ++ newFiles, newData.schema)
+    } finally src.unpersist()
+  }
+
+  /** Delete data directories no longer referenced by the current manifest
+    * (Delta VACUUM analog — keeps only the live snapshot).
+    */
+  def vacuum(): Unit = {
+    if (!exists) return
+    val live = filesOf(currentVersion).map(f => f.takeWhile(_ != '/')).toSet
+    val rootP = Paths.get(root)
+    Files.list(rootP).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d"))
+      .filterNot(p => live.contains(p.getFileName.toString))
+      .foreach(deleteRecursively)
+  }
+
+  // ---- internals ----
+
+  private def writeVersion(df: DataFrame, version: Long): Unit = {
+    val dataDir = s"d$version"
+    writeData(df, dataDir)
+    val files = listParquet(Paths.get(root, dataDir)).map(relativize)
+    commit(version, files, df.schema)
+  }
+
+  private def writeData(df: DataFrame, dataDir: String): Unit = {
+    val w = df.write.mode("overwrite")
+    val pw = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+    pw.parquet(s"$root/$dataDir")
+  }
+
+  /** Atomic commit: manifest + schema written first, then `_LATEST` swapped
+    * via temp-file + ATOMIC_MOVE (the Delta `_delta_log` tip analog).
+    */
+  private def commit(version: Long, files: Seq[String], schema: StructType): Unit = {
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve(s"$version.manifest"), files.mkString("\n"))
+    Files.writeString(logDir.resolve(s"$version.schema"), schema.toDDL)
+    val tmp = logDir.resolve(s"_LATEST.tmp${System.nanoTime()}")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, latestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def listParquet(dir: Path): Seq[String] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+
+  private def relativize(abs: String): String =
+    Paths.get(root).toAbsolutePath.relativize(Paths.get(abs).toAbsolutePath).toString
+
+  private def normalize(fileUri: String): String =
+    if (fileUri.startsWith("file:")) Paths.get(java.net.URI.create(fileUri)).toString else fileUri
+
+  private def deleteRecursively(p: Path): Unit = {
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media (image/audio/video) modeled as opaque
+  * BINARY payloads + typed metadata, processed per-partition in batches.
+  *
+  * The actual codec step is STUBBED (builder contract: media libraries are
+  * not in this container) with a deterministic fake that derives metadata
+  * arithmetically from the payload bytes — but the Spark-side plumbing is
+  * real: binary columns, case-class encoders, `mapPartitions` batch shape,
+  * and explode-based frame sampling, exactly what a real decoder would plug
+  * into (swap `decodeStub` for the codec call).
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class DecodedMeta(
+      doc_id: Long, byte_len: Long, width: Int, height: Int, n_frames: Int)
+
+  /** STUB decode: deterministic fake metadata from payload size/bytes.
+    * A real implementation would parse the container header here.
+    */
+  def decodeStub(r: MediaRow): DecodedMeta = {
+    val len = r.payload.length.toLong
+    DecodedMeta(
+      doc_id = r.doc_id,
+      byte_len = len,
+      width = (len % 640).toInt + 16,
+      height = (len % 480).toInt + 16,
+      n_frames = (len % 24).toInt + 1)
+  }
+
+  /** Batch-decode via mapPartitions: one iterator pass per partition (the
+    * shape a vectorized/batched codec needs), never a per-row UDF call.
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  /** `documents.text` reinterpreted as a binary payload column — the
+    * testdata stand-in for real media bytes.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+  }
+
+  /** Frame sampling: every `step`-th frame index, exploded to one row per
+    * sampled frame (distributed — no driver loop).
+    */
+  def sampleFrames(decoded: DataFrame, step: Int): DataFrame =
+    decoded
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(step))))
+      .select("doc_id", "n_frames", "frame_idx")
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Registry.t
+
+/** Core relational coverage over the TPC-H-ish tables: scans, projections,
+  * filter pushdown, hash aggregation, conditional buckets, broadcast joins,
+  * multi-join chains, top-k (SURVEY.md §2.1/2.2/2.5/2.6/2.7).
+  */
+object CoreQueries {
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // Pricing-summary aggregation (reference's A1/A2 hash-agg family).
+    // sum(l_quantity) is exact (integer-valued doubles); avg = one division.
+    "q1_agg" -> GraftQuery(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          round(sum("l_extendedprice"), 2).as("sum_price")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       sum(l_quantity) AS sum_qty,
+             |       count(*) AS n_rows,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      "hash aggregation with map-side combine; one shuffle on group keys"),
+
+    // Projection + predicate pushdown: both filters and the 3-column read
+    // schema reach the parquet scan (verified via explain: PushedFilters).
+    "q2_filter_project" -> GraftQuery(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem
+             |WHERE l_discount > 0.05 AND l_quantity < 10""".stripMargin),
+      "filter + column pruning pushed to the parquet scan"),
+
+    // Broadcast-dim join: customer is the provably-small side.
+    "q4_join_broadcast" -> GraftQuery(
+      (s, dir) => t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("revenue")),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin),
+      "broadcast hash join — no shuffle of the fact side"),
+
+    // Deep join chain: fact ⋈ fact ⋈ dims; dims broadcast, Catalyst
+    // reorders; filter on o_orderstatus pushes below the joins.
+    "q5_join_deep" -> GraftQuery(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        val c = broadcast(t(s, dir, "customer"))
+        val n = broadcast(t(s, dir, "nation"))
+        val r = broadcast(t(s, dir, "region"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+               count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name, n_name,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |WHERE o_orderstatus = 'F'
+             |GROUP BY r_name, n_name""".stripMargin),
+      "5-table join; one shuffle join (li⋈o), three broadcasts"),
+
+    // Semi/anti join coverage: customers with no 'F' order (NOT EXISTS).
+    "q6_anti_join" -> GraftQuery(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+                .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin),
+      "left-anti join (NOT EXISTS) — the MERGE building block, user-facing"),
+
+    // Distributed top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject
+    // (no full sort). Total order via (o_totalprice DESC, o_orderkey).
+    "q7_topk" -> GraftQuery(
+      (s, dir) => t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin),
+      "top-k via TakeOrderedAndProject; unique tiebreaker for determinism"),
+
+    // Set op + distinct coverage: suppliers' nations UNION customers'
+    // nations (distinct union), EXCEPT nations of region key 0.
+    "q8_set_ops" -> GraftQuery(
+      (s, dir) => {
+        val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val r0 = t(s, dir, "nation").filter(col("n_regionkey") === 0)
+          .select(col("n_nationkey").as("nationkey"))
+        sn.union(cn).distinct().except(r0)
+      },
+      Some("""SELECT s_nationkey AS nationkey FROM supplier
+             |UNION
+             |SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT
+             |SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0""".stripMargin),
+      "UNION distinct + EXCEPT"),
+
+    // Window functions: rank orders within customer by price.
+    "q9_window_rank" -> GraftQuery(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 3""".stripMargin),
+      "window row_number; one shuffle on the partition key"),
+  )
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.Registry.t
+
+/** Deduplication family for a training-data pipeline (builder contract):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash. Exact + Jaccard are
+  * oracle-checked; the hash-sketch variants use Spark's xxhash64 (no DuckDB
+  * equivalent) and are covered by the driver's rows-only check + scalatest.
+  *
+  * Scale notes: exact dedup is one shuffle on the text (or its hash);
+  * MinHash/LSH turns the quadratic all-pairs problem into a band-bucket
+  * join — the candidate join is on (band, signature) keys, never a cross
+  * join, so it scales linearly with near-duplicate density.
+  */
+object DedupQueries {
+
+  /** Distinct 3-word shingles per doc. */
+  private def shingled(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          """transform(sequence(1, size(words) - 2),
+            |  i -> concat_ws(' ', element_at(words, i),
+            |                      element_at(words, i + 1),
+            |                      element_at(words, i + 2)))""".stripMargin))).as("sh"))
+
+  val NumHashes = 16
+  val Bands = 4 // 4 rows per band
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // Exact dedup by canonicalization: min doc_id per identical text.
+    "d1_dedup_exact" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("text")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies")),
+      Some("""SELECT text, min(doc_id) AS canonical_id, count(*) AS n_copies
+             |FROM documents GROUP BY text""".stripMargin),
+      "exact dedup: hash-shuffle groupBy on content"),
+
+    // Exact dedup, filter form: keep one deterministic row per text
+    // (dropDuplicates made deterministic via window row_number).
+    "d2_dedup_keep_first" -> GraftQuery(
+      (s, dir) => {
+        val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "source", "lang")
+      },
+      Some("""SELECT doc_id, source, lang FROM (
+             |  SELECT doc_id, source, lang,
+             |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             |  FROM documents) WHERE rn = 1""".stripMargin),
+      "deterministic keep-first dedup"),
+
+    // Exact n-gram Jaccard near-dup: inverted shingle index self-join →
+    // common-shingle counts → |A∩B| / (|A|+|B|−|A∩B|). Top-20 pairs,
+    // totally ordered. One IEEE division — bit-exact.
+    "d3_ngram_jaccard" -> GraftQuery(
+      (s, dir) => {
+        val sh = shingled(t(s, dir, "documents")).cache()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+        val common = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+        common
+          .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+          .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+          .withColumn("jaccard",
+            col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+          .select("doc_a", "doc_b", "n_common", "jaccard")
+          .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+          .limit(20)
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |           generate_series(1, len(words) - 2),
+             |           i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+             |  WHERE len(words) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+             |common AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, n_common,
+             |       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+             |FROM common
+             |  JOIN sizes sa ON sa.doc_id = doc_a
+             |  JOIN sizes sb ON sb.doc_id = doc_b
+             |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin),
+      "exact n-gram Jaccard via inverted index — no cross join"),
+
+    // MinHash + LSH near-dup candidates. 16 hash functions (seeded
+    // xxhash64), 4 bands × 4 rows: docs sharing any band signature become
+    // candidates; est_jaccard = fraction of agreeing minhashes.
+    // xxhash64 has no DuckDB twin → rows-only check + scalatest.
+    "d4_minhash_lsh" -> GraftQuery(
+      (s, dir) => {
+        val sh = shingled(t(s, dir, "documents"))
+        val hashCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+        val minhashes = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+        val rowsPerBand = NumHashes / Bands
+        val bandCols = (0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+              .as("sig"))
+        }
+        val banded = minhashes
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+          .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+        val cand = banded.alias("x").join(banded.alias("y"),
+            col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val ma = minhashes.toDF(minhashes.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+        val mb = minhashes.toDF(minhashes.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+        val agree = (0 until NumHashes)
+          .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand.join(ma, "doc_a").join(mb, "doc_b")
+          .withColumn("est_jaccard", agree.cast("double") / NumHashes)
+          .select("doc_a", "doc_b", "est_jaccard")
+          .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
+      },
+      None,
+      "MinHash signatures + banded LSH candidate join"),
+
+    // SimHash: 64-bit signature from per-word hash bit votes; near-dups =
+    // signatures within Hamming distance 8. Rows-only (xxhash64-based).
+    "d5_simhash" -> GraftQuery(
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .withColumn("h", xxhash64(col("w")))
+        val bitVotes = (0 until 64).map { b =>
+          sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+        }
+        val votes = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+        val sig = (0 until 64).map { b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
+        }.reduce((a, c) => a.bitwiseOR(c))
+        votes.select(col("doc_id"), sig.as("simhash"))
+      },
+      None,
+      "SimHash 64-bit signatures via bit-vote aggregation"),
+  )
+}

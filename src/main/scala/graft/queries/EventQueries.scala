@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.dq.{Rule, Validator}
+import graft.queries.Registry.t
+
+/** The call-center-shaped operators mapped onto the `events` table
+  * (FIXTURES.md §B: event_type buckets ≈ call_status buckets), plus the
+  * streaming-adjacent batch ops: sessionization, tumbling windows, JSON
+  * extraction.
+  *
+  * Rate columns use `CAST(n*100 AS DOUBLE)/total` — integer math plus ONE
+  * IEEE division, bit-exact across engines (no round-off ambiguity).
+  */
+object EventQueries {
+
+  private val buckets = Seq("signup", "click", "view", "purchase", "error")
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // gold_call_daily_summary analog (reference 02:51-79): conditional
+    // status buckets + rate per day.
+    "e1_daily_summary" -> GraftQuery(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("total_events"),
+          buckets.map(b =>
+            sum(when(col("event_type") === b, 1).otherwise(0)).as(s"${b}_events")): _*)
+        .withColumn("purchase_rate_pct",
+          (col("purchase_events") * 100).cast("double") / col("total_events")),
+      Some(s"""SELECT CAST(ts AS DATE) AS event_date,
+              |       count(*) AS total_events,
+              |       ${buckets.map(b =>
+                 s"sum(CASE WHEN event_type = '$b' THEN 1 ELSE 0 END) AS ${b}_events").mkString(",\n       ")},
+              |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100 AS DOUBLE)
+              |         / count(*) AS purchase_rate_pct
+              |FROM events GROUP BY 1""".stripMargin),
+      "manual-PIVOT conditional aggregation, the reference's signature agg"),
+
+    // gold_agent_performance analog (02:83-111): multi-key grain.
+    "e2_user_daily" -> GraftQuery(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("total_events"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchase_events"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("error_events")),
+      Some("""SELECT user_id, CAST(ts AS DATE) AS event_date,
+             |       count(*) AS total_events,
+             |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_events,
+             |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_events
+             |FROM events GROUP BY user_id, CAST(ts AS DATE)""".stripMargin),
+      "multi-key conditional aggregation"),
+
+    // gold_call_duration_metrics analog (02:116-129): avg/min/max of an
+    // integer measure (value*100 is integral cents) with a >= filter.
+    "e3_value_metrics" -> GraftQuery(
+      (s, dir) => t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .filter(col("cents") >= 0)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(avg("cents").as("avg_value_cents"),
+             min("cents").as("min_value_cents"),
+             max("cents").as("max_value_cents")),
+      Some("""SELECT CAST(ts AS DATE) AS event_date,
+             |       avg(cents) AS avg_value_cents,
+             |       min(cents) AS min_value_cents,
+             |       max(cents) AS max_value_cents
+             |FROM (SELECT ts, CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+             |WHERE cents >= 0
+             |GROUP BY 1""".stripMargin),
+      "avg/min/max over exact integer measure (cents) — deterministic avg"),
+
+    // Athena Q1/Q5 analog: top error-rate days, totally ordered.
+    "e4_failure_days" -> GraftQuery(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("total_events"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("error_events"))
+        .withColumn("error_rate_pct",
+          (col("error_events") * 100).cast("double") / col("total_events"))
+        .orderBy(col("error_rate_pct").desc, col("event_date"))
+        .limit(10),
+      Some("""SELECT * FROM (
+             |  SELECT CAST(ts AS DATE) AS event_date,
+             |         count(*) AS total_events,
+             |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_events,
+             |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100 AS DOUBLE)
+             |           / count(*) AS error_rate_pct
+             |  FROM events GROUP BY 1)
+             |ORDER BY error_rate_pct DESC, event_date LIMIT 10""".stripMargin),
+      "derived-ratio top-k (Athena Q5 shape) with unique tiebreaker"),
+
+    // Athena Q4 analog: top users by purchase rate — ratio of sums
+    // (weighted rate), exact integer math + one division.
+    "e5_top_users" -> GraftQuery(
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("total_events"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchase_events"))
+        .withColumn("purchase_rate_pct",
+          (col("purchase_events") * 100).cast("double") / col("total_events"))
+        .orderBy(col("purchase_rate_pct").desc, col("user_id"))
+        .limit(5),
+      Some("""SELECT * FROM (
+             |  SELECT user_id, count(*) AS total_events,
+             |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_events,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100 AS DOUBLE)
+             |           / count(*) AS purchase_rate_pct
+             |  FROM events GROUP BY user_id)
+             |ORDER BY purchase_rate_pct DESC, user_id LIMIT 5""".stripMargin),
+      "top-k agents analog (Athena Q4)"),
+
+    // The validation algebra (reference 01:48-78) applied to events:
+    // two-stage when-chains folded with null-skipping concat_ws.
+    "e6_validation" -> GraftQuery(
+      (s, dir) => {
+        val rules = Seq(
+          Rule.notNullMatching("user_id", "^[0-9]+$",
+            "user_id must not be NULL", "user_id must be numeric"),
+          Rule.notNullInDomainCI("event_type", Seq("SIGNUP", "CLICK", "VIEW", "PURCHASE"),
+            "event_type must not be NULL", "invalid event_type values"),
+          Rule.notNullMatching("props", "^\\{\"k\": [0-9]+\\}$",
+            "props must not be NULL", "invalid props"),
+        )
+        new Validator(rules).validate(t(s, dir, "events"))
+          .select("event_id", "Reject_reason")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN joined = '' THEN NULL ELSE joined END AS Reject_reason
+             |FROM (
+             |  SELECT event_id, concat_ws(' | ',
+             |    CASE WHEN user_id IS NULL THEN 'user_id must not be NULL'
+             |         WHEN NOT regexp_matches(CAST(user_id AS VARCHAR), '^[0-9]+$')
+             |           THEN 'user_id must be numeric' END,
+             |    CASE WHEN event_type IS NULL THEN 'event_type must not be NULL'
+             |         WHEN upper(event_type) NOT IN ('SIGNUP','CLICK','VIEW','PURCHASE')
+             |           THEN 'invalid event_type values' END,
+             |    CASE WHEN props IS NULL THEN 'props must not be NULL'
+             |         WHEN NOT regexp_matches(props, '^\{"k": [0-9]+\}$')
+             |           THEN 'invalid props' END) AS joined
+             |  FROM events)""".stripMargin),
+      "declarative DQ: per-rule when-chains + ' | '-joined Reject_reason"),
+
+    // Sessionization: 30-min-gap sessions per user via lag + running sum.
+    // Microsecond-exact gaps; unique (ts, event_id) order.
+    "e7_sessionize" -> GraftQuery(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+          .withColumn("is_new",
+            when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+          .withColumn("session_id", sum(col("is_new")).over(wRun))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+               (max(col("us")) - min(col("us"))).as("session_us"))
+      },
+      Some("""SELECT user_id, session_id, count(*) AS n_events,
+             |       max(us) - min(us) AS session_us
+             |FROM (
+             |  SELECT user_id, us,
+             |         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM (
+             |    SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             |           epoch_us(ts) - lag(epoch_us(ts), 1)
+             |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |    FROM events))
+             |GROUP BY user_id, session_id""".stripMargin),
+      "gap-based sessionization: lag + running conditional sum, one shuffle"),
+
+    // Tumbling-window aggregate (batch form of the streaming windowed agg).
+    "e8_hourly_window" -> GraftQuery(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n_events"),
+             round(sum("value"), 2).as("total_value")),
+      Some("""SELECT date_trunc('hour', ts) AS hour_start,
+             |       count(*) AS n_events,
+             |       round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1""".stripMargin),
+      "tumbling 1h window as date_trunc groupBy"),
+
+    // JSON extraction from the props column.
+    "e9_json_extract" -> GraftQuery(
+      (s, dir) => t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum("k").as("sum_k"),
+             max("k").as("max_k")),
+      Some("""SELECT event_type, count(*) AS n_events,
+             |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin),
+      "get_json_object over JSON-in-string column"),
+  )
+}

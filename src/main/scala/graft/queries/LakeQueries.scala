@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.lake.MergeTable
+import graft.queries.Registry.{t, scratchRoot}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** End-to-end MergeTable (Delta-MERGE replacement, SURVEY.md §7.3) exercised
+  * ON DISK inside the correctness gate: build a target snapshot from
+  * `orders`, merge a modified source, read the merged snapshot back. The
+  * oracle expresses the same upsert as anti-join + UNION ALL — checking all
+  * four MERGE clauses (update/insert/keep/partition-move) against DuckDB.
+  */
+object LakeQueries {
+
+  private def cleanDir(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // MERGE upsert: target = 75% of orders; source = even keys with status
+    // rewritten to 'M' (a partition-moving update for matched rows, since
+    // the table is partitioned by o_orderstatus) and price bumped by 1000
+    // (one IEEE add — bit-exact).
+    "m1_merge_upsert" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m1_${math.abs(dir.hashCode)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders.filter(col("o_orderkey") % 4 =!= 3))
+        val source = orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        table.merge(s, source, Seq("o_orderkey"))
+        table.read(s).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 3),
+             |     src AS (SELECT o_orderkey, 'M' AS o_orderstatus,
+             |                    o_totalprice + 1000.0 AS o_totalprice
+             |             FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT o_orderkey, o_orderstatus, o_totalprice FROM tgt
+             |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |UNION ALL
+             |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src""".stripMargin),
+      "Delta-style MERGE on disk: file-pruned rewrite + atomic manifest swap"),
+
+    // MERGE idempotency: applying the same source twice must equal applying
+    // it once (README.md:105-118 re-run semantics). Output = final snapshot
+    // aggregated per status for a compact, order-free compare.
+    "m2_merge_idempotent" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m2_${math.abs(dir.hashCode)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        val source = orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_orderstatus", lit("X"))
+        table.merge(s, source, Seq("o_orderkey"))
+        table.merge(s, source, Seq("o_orderkey")) // re-run: must be a no-op
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS key_sum
+             |FROM (
+             |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+             |           AS o_orderstatus, o_orderkey
+             |  FROM orders)
+             |GROUP BY o_orderstatus""".stripMargin),
+      "MERGE re-run idempotency — the reference's late-data story"),
+  )
+}

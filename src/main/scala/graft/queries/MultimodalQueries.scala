@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.queries.Registry.t
+
+/** Multimodal binary-column operators. The decode stub is deterministic
+  * arithmetic over payload length, so even the mapPartitions path is
+  * oracle-checkable in DuckDB (octet_length-based).
+  */
+object MultimodalQueries {
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // Binary payload metadata: byte length + content hash.
+    "mm1_binary_meta" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("byte_len"),
+          md5(col("text").cast("binary")).as("content_md5")),
+      Some("""SELECT doc_id, CAST(octet_length(text) AS BIGINT) AS byte_len,
+             |       md5(text) AS content_md5
+             |FROM documents""".stripMargin),
+      "opaque binary payload: length + content hash"),
+
+    // mapPartitions batch decode (stubbed codec) → typed metadata rows.
+    "mm2_decode_meta" -> GraftQuery(
+      (s, dir) => Multimodal.decode(Multimodal.mediaFromDocuments(s, dir)).toDF(),
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(text) AS BIGINT) AS byte_len,
+             |       CAST(octet_length(text) % 640 + 16 AS INT) AS width,
+             |       CAST(octet_length(text) % 480 + 16 AS INT) AS height,
+             |       CAST(octet_length(text) % 24 + 1 AS INT) AS n_frames
+             |FROM documents""".stripMargin),
+      "batched per-partition decode plumbing (stub codec)"),
+
+    // Frame sampling: explode every 4th frame index per media row.
+    "mm3_frame_sample" -> GraftQuery(
+      (s, dir) => Multimodal.sampleFrames(
+        Multimodal.decode(Multimodal.mediaFromDocuments(s, dir)).toDF(), step = 4),
+      Some("""SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx FROM (
+             |  SELECT doc_id, n_frames, unnest(range(0, n_frames, 4)) AS f
+             |  FROM (SELECT doc_id, CAST(octet_length(text) % 24 + 1 AS INT) AS n_frames
+             |        FROM documents))""".stripMargin),
+      "distributed frame sampling via explode(sequence)"),
+  )
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** One verifiable query: a Spark implementation plus (when SQL-expressible)
+  * an equivalent DuckDB oracle SQL over the same parquet tables. Column
+  * names/aliases MUST match between the two — the driver's compare sorts
+  * columns by name before hashing (builder contract).
+  *
+  * Determinism rules used throughout (SURVEY.md §5):
+  *  - doubles produced by a SINGLE IEEE op (one division/addition) are
+  *    bit-exact across engines; multi-term double sums are rounded to 2dp;
+  *  - every LIMIT query totally orders its rows (unique tiebreaker);
+  *  - integer-valued doubles (l_quantity) sum exactly — safe unrounded.
+  */
+final case class GraftQuery(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object Registry {
+  /** `<sfDir>/<name>.parquet` reader used by every query.
+    *
+    * `events.ts` is physically TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects. Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.tune]]),
+    * so nanos arrive as BIGINT and are truncated to micros here — exactly
+    * what DuckDB does when it reads the same file (TIMESTAMP_NS → TIMESTAMP).
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None    => df
+    }
+  }
+
+  /** Scratch space for queries that exercise on-disk tables (MergeTable).
+    * Kept inside the repo's target dir — never outside the workspace.
+    */
+  val scratchRoot: String =
+    sys.env.getOrElse("GRAFT_TMP", "/root/repo/target/graft-tmp")
+
+  def all: Map[String, GraftQuery] =
+    CoreQueries.all ++ LakeQueries.all ++ EventQueries.all ++
+      TextQueries.all ++ SimilarityQueries.all ++ DedupQueries.all ++
+      MultimodalQueries.all
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Registry.t
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * quality scoring, tokenization, language-ID heuristic, fingerprinting.
+  * All pure Column algebra (codegen'd) — shuffles only where grouping.
+  */
+object TextQueries {
+
+  // Stopword profiles for the n-gram/stopword language-ID heuristic.
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "un", "une"),
+  )
+
+  private def inList(vals: Seq[String]): String =
+    vals.map(v => s"'$v'").mkString("(", ",", ")")
+
+  val all: Map[String, GraftQuery] = Map(
+
+    // Quality scoring: word/char counts, distinct ratio, stopword ratio.
+    // Ratios are single IEEE divisions over exact ints — bit-stable.
+    "t1_text_quality" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("words")).as("n_words"),
+          length(col("text")).as("n_chars_computed"),
+          size(array_distinct(col("words"))).as("n_distinct_words"),
+          expr(s"size(filter(words, w -> w IN ${inList(profiles.head._2)}))").as("n_stopwords"))
+        .withColumn("distinct_ratio",
+          (col("n_distinct_words") * 100).cast("double") / col("n_words"))
+        .withColumn("stopword_ratio",
+          (col("n_stopwords") * 100).cast("double") / col("n_words")),
+      Some(s"""SELECT doc_id, n_words, n_chars_computed, n_distinct_words, n_stopwords,
+              |       CAST(n_distinct_words * 100 AS DOUBLE) / n_words AS distinct_ratio,
+              |       CAST(n_stopwords * 100 AS DOUBLE) / n_words AS stopword_ratio
+              |FROM (
+              |  SELECT doc_id,
+              |         len(words) AS n_words,
+              |         length(text) AS n_chars_computed,
+              |         len(list_distinct(words)) AS n_distinct_words,
+              |         len(list_filter(words, w -> w IN ${inList(profiles.head._2)})) AS n_stopwords
+              |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))""".stripMargin),
+      "doc quality metrics: length / distinct / stopword ratios"),
+
+    // Token counting: whitespace tokens + a BPE-ish regex tokenizer.
+    "t2_tokenize" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).as("n_re_tokens")),
+      Some("""SELECT doc_id,
+             |       len(string_split(text, ' ')) AS n_ws_tokens,
+             |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_re_tokens
+             |FROM documents""".stripMargin),
+      "whitespace + regex tokenization counts"),
+
+    // Language-ID heuristic: stopword-profile scores + deterministic argmax
+    // (ties resolved by fixed profile order), compared against the label.
+    "t3_lang_id" -> GraftQuery(
+      (s, dir) => {
+        val scored = profiles.foldLeft(
+          t(s, dir, "documents").withColumn("words", split(col("text"), " "))) {
+          case (df, (lang, sw)) =>
+            df.withColumn(s"s_$lang", expr(s"size(filter(words, w -> w IN ${inList(sw)}))"))
+        }
+        val predicted = when(
+            col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")), "en")
+          .when(col("s_es") >= greatest(col("s_de"), col("s_fr")), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr")
+        scored.select(col("doc_id"), col("lang").as("label_lang"),
+          predicted.as("predicted_lang"),
+          (predicted === col("lang")).as("agrees"))
+      },
+      Some(profiles.map { case (lang, sw) =>
+          s"len(list_filter(words, w -> w IN ${inList(sw)})) AS s_$lang"
+        }.mkString(
+          """SELECT doc_id, label_lang, predicted_lang, predicted_lang = label_lang AS agrees
+            |FROM (
+            |  SELECT doc_id, label_lang,
+            |         CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+            |              WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+            |              WHEN s_de >= s_fr THEN 'de'
+            |              ELSE 'fr' END AS predicted_lang
+            |  FROM (
+            |    SELECT doc_id, lang AS label_lang, """.stripMargin,
+          ",\n           ",
+          """
+            |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)))""".stripMargin)),
+      "stopword-profile language ID with deterministic argmax"),
+
+    // Document fingerprinting: full-text md5 plus a winnowing-style shingle
+    // fingerprint (min md5 over 3-word shingles) — both engine-portable.
+    "t4_fingerprint" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 3)
+        .select(
+          col("doc_id"),
+          md5(col("text").cast("binary")).as("doc_md5"),
+          expr("""array_min(transform(sequence(1, size(words) - 2),
+                 |  i -> md5(concat_ws(' ', element_at(words, i),
+                 |                          element_at(words, i + 1),
+                 |                          element_at(words, i + 2)))))""".stripMargin)
+            .as("min_shingle_md5")),
+      Some("""SELECT doc_id,
+             |       md5(text) AS doc_md5,
+             |       list_aggregate(list_transform(generate_series(1, len(words) - 2),
+             |         i -> md5(concat_ws(' ', words[i], words[i+1], words[i+2]))), 'min')
+             |         AS min_shingle_md5
+             |FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+             |WHERE len(words) >= 3""".stripMargin),
+      "md5 + min-shingle-hash document fingerprints"),
+  )
+}
