@@ -29,10 +29,12 @@ object EventQueries {
             sum(when(col("event_type") === b, 1).otherwise(0)).as(s"${b}_events")): _*)
         .withColumn("purchase_rate_pct",
           (col("purchase_events") * 100).cast("double") / col("total_events")),
+      // DuckDB sum(INT) is HUGEINT (int128) — cast every integer sum to
+      // BIGINT or the driver's value compare sees 5.0 vs 5.
       Some(s"""SELECT CAST(ts AS DATE) AS event_date,
               |       count(*) AS total_events,
               |       ${buckets.map(b =>
-                 s"sum(CASE WHEN event_type = '$b' THEN 1 ELSE 0 END) AS ${b}_events").mkString(",\n       ")},
+                 s"CAST(sum(CASE WHEN event_type = '$b' THEN 1 ELSE 0 END) AS BIGINT) AS ${b}_events").mkString(",\n       ")},
               |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100 AS DOUBLE)
               |         / count(*) AS purchase_rate_pct
               |FROM events GROUP BY 1""".stripMargin),
@@ -47,8 +49,8 @@ object EventQueries {
           sum(when(col("event_type") === "error", 1).otherwise(0)).as("error_events")),
       Some("""SELECT user_id, CAST(ts AS DATE) AS event_date,
              |       count(*) AS total_events,
-             |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_events,
-             |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_events
+             |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_events,
+             |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_events
              |FROM events GROUP BY user_id, CAST(ts AS DATE)""".stripMargin),
       "multi-key conditional aggregation"),
 
@@ -84,7 +86,7 @@ object EventQueries {
       Some("""SELECT * FROM (
              |  SELECT CAST(ts AS DATE) AS event_date,
              |         count(*) AS total_events,
-             |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_events,
+             |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_events,
              |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100 AS DOUBLE)
              |           / count(*) AS error_rate_pct
              |  FROM events GROUP BY 1)
@@ -104,7 +106,7 @@ object EventQueries {
         .limit(5),
       Some("""SELECT * FROM (
              |  SELECT user_id, count(*) AS total_events,
-             |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_events,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_events,
              |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100 AS DOUBLE)
              |           / count(*) AS purchase_rate_pct
              |  FROM events GROUP BY user_id)
@@ -162,9 +164,9 @@ object EventQueries {
              |       max(us) - min(us) AS session_us
              |FROM (
              |  SELECT user_id, us,
-             |         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |         CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
              |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              |  FROM (
              |    SELECT user_id, ts, event_id, epoch_us(ts) AS us,
              |           epoch_us(ts) - lag(epoch_us(ts), 1)
@@ -175,8 +177,11 @@ object EventQueries {
 
     // Tumbling-window aggregate (batch form of the streaming windowed agg).
     "e8_hourly_window" -> GraftQuery(
+      // hour_start cast to TIMESTAMP_NTZ: parquet written without the
+      // isAdjustedToUTC flag, matching DuckDB's naive date_trunc result
+      // (session TZ is UTC, so values are identical).
       (s, dir) => t(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"))
         .agg(count(lit(1)).as("n_events"),
              round(sum("value"), 2).as("total_value")),
       Some("""SELECT date_trunc('hour', ts) AS hour_start,
@@ -194,7 +199,7 @@ object EventQueries {
              sum("k").as("sum_k"),
              max("k").as("max_k")),
       Some("""SELECT event_type, count(*) AS n_events,
-             |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type""".stripMargin),
       "get_json_object over JSON-in-string column"),

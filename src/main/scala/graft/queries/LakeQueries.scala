@@ -66,7 +66,7 @@ object LakeQueries {
         table.read(s).groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
       },
-      Some("""SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS key_sum
+      Some("""SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
              |FROM (
              |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
              |           AS o_orderstatus, o_orderkey

@@ -19,7 +19,8 @@ object MultimodalQueries {
           col("doc_id"),
           octet_length(col("text").cast("binary")).cast("long").as("byte_len"),
           md5(col("text").cast("binary")).as("content_md5")),
-      Some("""SELECT doc_id, CAST(octet_length(text) AS BIGINT) AS byte_len,
+      // DuckDB octet_length needs BLOB; encode() is VARCHAR→BLOB (UTF-8).
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
              |       md5(text) AS content_md5
              |FROM documents""".stripMargin),
       "opaque binary payload: length + content hash"),
@@ -28,10 +29,10 @@ object MultimodalQueries {
     "mm2_decode_meta" -> GraftQuery(
       (s, dir) => Multimodal.decode(Multimodal.mediaFromDocuments(s, dir)).toDF(),
       Some("""SELECT doc_id,
-             |       CAST(octet_length(text) AS BIGINT) AS byte_len,
-             |       CAST(octet_length(text) % 640 + 16 AS INT) AS width,
-             |       CAST(octet_length(text) % 480 + 16 AS INT) AS height,
-             |       CAST(octet_length(text) % 24 + 1 AS INT) AS n_frames
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |       CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+             |       CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height,
+             |       CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
              |FROM documents""".stripMargin),
       "batched per-partition decode plumbing (stub codec)"),
 
@@ -41,7 +42,7 @@ object MultimodalQueries {
         Multimodal.decode(Multimodal.mediaFromDocuments(s, dir)).toDF(), step = 4),
       Some("""SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx FROM (
              |  SELECT doc_id, n_frames, unnest(range(0, n_frames, 4)) AS f
-             |  FROM (SELECT doc_id, CAST(octet_length(text) % 24 + 1 AS INT) AS n_frames
+             |  FROM (SELECT doc_id, CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
              |        FROM documents))""".stripMargin),
       "distributed frame sampling via explode(sequence)"),
   )
