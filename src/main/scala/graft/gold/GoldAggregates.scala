@@ -62,14 +62,19 @@ object GoldAggregates {
     * pattern-valid but unparseable time ("99:99:99") yields NULL duration,
     * and a midnight-crossing call yields a negative one — both are dropped
     * from duration metrics ONLY by the `>= 0` filter (Q4/Q5, 02:40-43).
+    *
+    * The reference runs `unix_timestamp(col, "HH:mm:ss")` on Spark 3 with
+    * ANSI off, where an unparseable time returns NULL. Spark 4 defaults to
+    * ANSI mode (it would throw), so the same semantics are expressed via
+    * `try_to_timestamp` — NULL on parse failure, identical epoch values.
     */
   def durationMetrics(silver: DataFrame, callDate: Column): DataFrame = {
     val df3 = silver
       .select("call_id", "call_start_time", "call_end_time", "call_status")
       .withColumn("call_date", callDate)
       .withColumn("duration_sec",
-        unix_timestamp(col("call_end_time"), "HH:mm:ss") -
-          unix_timestamp(col("call_start_time"), "HH:mm:ss"))
+        unix_timestamp(try_to_timestamp(col("call_end_time"), lit("HH:mm:ss"))) -
+          unix_timestamp(try_to_timestamp(col("call_start_time"), lit("HH:mm:ss"))))
       .filter(col("duration_sec") >= 0)
     df3.groupBy("call_date").agg(
       round(avg("duration_sec"), 2).as("avg_call_duration_seconds"),

@@ -57,12 +57,19 @@ object CallCenterPipeline {
       val invalid = validated.filter(col("Reject_reason").isNotNull)
 
       val cleanValid = valid.drop("Reject_reason")
-      // Reference merges the source as-is; a re-delivered file can carry the
-      // same call_id twice — dedupe deterministically (last occurrence wins
-      // is not observable in CSV order, so keep max-by-all-cols stable rule:
-      // Delta would throw; we pre-dedupe exactly duplicated keys only when
-      // rows are identical, else keep one arbitrary-but-deterministic row).
-      silverTable(p).merge(spark, cleanValid.dropDuplicates("call_id"), Seq("call_id"))
+      // Reference merges the source as-is; Delta would throw if a batch
+      // carried the same call_id twice (SURVEY.md §2.6.4). We pre-dedupe
+      // DETERMINISTICALLY: row_number over a total order of every non-key
+      // column, keep rn=1 — identical duplicates collapse to the same row,
+      // and conflicting duplicates always resolve to the same winner
+      // (unlike dropDuplicates, whose pick is partition-order-dependent).
+      val nonKey = cleanValid.columns.filterNot(_ == "call_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("call_id").orderBy(nonKey.map(c => col(c).asc_nulls_first): _*)
+      val deduped = cleanValid
+        .withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") === 1).drop("_graft_rn")
+      silverTable(p).merge(spark, deduped, Seq("call_id"))
 
       invalid.write.mode("append").partitionBy(partCols: _*).parquet(p.exception) // 01:125-129
     } finally validated.unpersist()

@@ -45,5 +45,5 @@ object Registry {
   def all: Map[String, GraftQuery] =
     CoreQueries.all ++ LakeQueries.all ++ EventQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ DedupQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++ PipelineQueries.all
 }
