@@ -1,20 +1,38 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every registry query against SPARK_GRAFT_SF_DIR, each run
+  * SPARK_GRAFT_ITERS times (default 3) reporting the per-query MEDIAN (the
+  * merge-path cost proved run-to-run volatile; medians de-noise it). A query
+  * that throws is printed to stderr and surfaced in the JSON `failed` list —
+  * never silently counted as a fast success. The config actually used
+  * (master / shuffle partitions / iterations) is recorded in the output so
+  * BENCH numbers are attributable to one declared shape.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            if (!failed.contains(name)) failed ::= name
+            None
+        }
+      }.sorted
+      name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"master":"local[$cpus]","shuffle_partitions":$cpus,"failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -32,6 +32,18 @@ import scala.jdk.CollectionConverters._
   * reference, never copied. Commits are an atomic one-line `_LATEST` swap,
   * so readers always see a complete snapshot and re-runs are idempotent.
   * The collected file list is metadata (~file count strings), never data.
+  *
+  * Why the touched-file probe does NOT partition-prune on the source's
+  * partition values: matched target rows may live in ANY partition — the
+  * key join is not partition-aligned, and updates are allowed to MOVE rows
+  * across partitions (the silver re-delivery case: a re-sent call_id
+  * carries the new processing date's year/month while its old row sits in
+  * last month's partition). Restricting the probe to the source's partition
+  * set would miss that old row and duplicate the key. Partition pruning is
+  * only sound when the merge keys functionally determine the partition
+  * values (e.g. gold tables keyed on call_date and partitioned by
+  * year/month derived from it) — callers that know this can pre-filter the
+  * target themselves; the engine stays correct by default.
   */
 final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
 

@@ -38,6 +38,23 @@ object CoreQueries {
              |WHERE l_discount > 0.05 AND l_quantity < 10""".stripMargin),
       "filter + column pruning pushed to the parquet scan"),
 
+    // Distinct aggregation (absent from the reference — §2.5 notes it as an
+    // engine-completeness gap): per-flag distinct supplier/part counts.
+    // Spark plans this as Expand + two-phase agg; one extra shuffle, no
+    // driver-side work.
+    "q3_distinct_agg" -> GraftQuery(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_suppkey").as("n_suppliers"),
+             countDistinct("l_partkey").as("n_parts"),
+             count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag,
+             |       count(DISTINCT l_suppkey) AS n_suppliers,
+             |       count(DISTINCT l_partkey) AS n_parts,
+             |       count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "distinct aggregation via Expand + two-phase hash agg"),
+
     // Broadcast-dim join: customer is the provably-small side.
     "q4_join_broadcast" -> GraftQuery(
       (s, dir) => t(s, dir, "orders")

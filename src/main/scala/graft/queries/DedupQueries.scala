@@ -30,6 +30,11 @@ object DedupQueries {
   val NumHashes = 16
   val Bands = 4 // 4 rows per band
 
+  /** d3: shingles appearing in more documents than this are dropped from
+    * the inverted index (stop-word-shingle join-blowup guard; see d3 doc).
+    */
+  val MaxShingleDf = 100
+
   val all: Map[String, GraftQuery] = Map(
 
     // Exact dedup by canonicalization: min doc_id per identical text.
@@ -60,41 +65,66 @@ object DedupQueries {
     // Exact n-gram Jaccard near-dup: inverted shingle index self-join →
     // common-shingle counts → |A∩B| / (|A|+|B|−|A∩B|). Top-20 pairs,
     // totally ordered. One IEEE division — bit-exact.
+    //
+    // Scale hardening vs the naive self-join form — ONE scan, ONE
+    // posting-list shuffle, ZERO joins: shingles group to posting lists
+    // (collect_list of (doc_id, set-size), the set size carried through the
+    // explode so no second aggregation is needed), singleton shingles are
+    // discarded (the vast majority — they can't produce a pair), lists
+    // longer than MaxShingleDf are dropped (on real corpora stop-word
+    // shingles make pair generation quadratic; the cap bounds it at
+    // MaxShingleDf²/2 pairs per shingle and bounds the collect_list row),
+    // and candidate pairs are generated IN-ROW by a nested explode of each
+    // posting list. Jaccard then counts intersections over the capped
+    // shingle space (a documented underestimate for pairs sharing only hot
+    // shingles; mirrored in the oracle — at test scale max df = 25 so no
+    // shingle is actually dropped).
     "d3_ngram_jaccard" -> GraftQuery(
       (s, dir) => {
-        val sh = shingled(t(s, dir, "documents")).cache()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-        val common = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-        common
-          .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-          .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        val docsSh = t(s, dir, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .filter(size(col("words")) >= 3)
+          .withColumn("shs", array_distinct(expr(
+            """transform(sequence(1, size(words) - 2),
+              |  i -> concat_ws(' ', element_at(words, i),
+              |                      element_at(words, i + 1),
+              |                      element_at(words, i + 2)))""".stripMargin)))
+          .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+        val postings = docsSh.groupBy("sh")
+          .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
+          .filter(size(col("docs")).between(2, MaxShingleDf))
+        postings
+          .select(explode(col("docs")).as("a"), col("docs"))
+          .select(col("a"), explode(col("docs")).as("b"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+          .agg(count(lit(1)).as("n_common"))
           .withColumn("jaccard",
             col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
           .select("doc_a", "doc_b", "n_common", "jaccard")
           .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
           .limit(20)
       },
-      Some("""WITH sh AS (
-             |  SELECT doc_id, unnest(list_distinct(list_transform(
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, list_distinct(list_transform(
              |           generate_series(1, len(words) - 2),
-             |           i -> concat_ws(' ', words[i], words[i+1], words[i+2])))) AS sh
+             |           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shs
              |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
              |  WHERE len(words) >= 3),
-             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+             |sh AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM d),
+             |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > $MaxShingleDf),
+             |idx AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
              |common AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2)
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+             |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4)
              |SELECT doc_a, doc_b, n_common,
-             |       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+             |       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
              |FROM common
-             |  JOIN sizes sa ON sa.doc_id = doc_a
-             |  JOIN sizes sb ON sb.doc_id = doc_b
              |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin),
-      "exact n-gram Jaccard via inverted index — no cross join"),
+      "exact n-gram Jaccard via DF-capped inverted index — no cross join"),
 
     // MinHash + LSH near-dup candidates. 16 hash functions (seeded
     // xxhash64), 4 bands × 4 rows: docs sharing any band signature become
@@ -132,8 +162,12 @@ object DedupQueries {
       None,
       "MinHash signatures + banded LSH candidate join"),
 
-    // SimHash: 64-bit signature from per-word hash bit votes; near-dups =
-    // signatures within Hamming distance 8. Rows-only (xxhash64-based).
+    // SimHash near-dup PAIRS: 64-bit signature from per-word hash bit
+    // votes; candidates via 8 disjoint 8-bit signature bands (pigeonhole:
+    // Hamming ≤ 7 over 8 bands forces ≥1 band equal, so the candidate set
+    // is COMPLETE for the ≤7 threshold — a deterministic guarantee, unlike
+    // probabilistic LSH); exact `bit_count(a ^ b)` re-check filters to the
+    // final pairs. Rows-only (xxhash64-based) + scalatest planted-dup test.
     "d5_simhash" -> GraftQuery(
       (s, dir) => {
         val words = t(s, dir, "documents")
@@ -146,9 +180,25 @@ object DedupQueries {
         val sig = (0 until 64).map { b =>
           when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
         }.reduce((a, c) => a.bitwiseOR(c))
-        votes.select(col("doc_id"), sig.as("simhash"))
+        val sigs = votes.select(col("doc_id"), sig.as("simhash"))
+        val bands = (0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xffL)).as("key")))
+        val banded = sigs.select(col("doc_id"), col("simhash"),
+          explode(array(bands: _*)).as("bk"))
+          .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+        banded.alias("x").join(banded.alias("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sig_a"),
+            col("y.doc_id").as("doc_b"), col("y.simhash").as("sig_b"))
+          .distinct()
+          .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+          .filter(col("hamming") <= 7)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       },
       None,
-      "SimHash 64-bit signatures via bit-vote aggregation"),
+      "SimHash signatures + pigeonhole-complete banded Hamming pairing"),
   )
 }

@@ -14,6 +14,10 @@ import scala.jdk.CollectionConverters._
   */
 object LakeQueries {
 
+  /** Collision-free scratch key from the sf dir path (not hashCode). */
+  private def sanitize(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]+", "_")
+
   private def cleanDir(path: String): Unit = {
     val p = Paths.get(path)
     if (Files.exists(p))
@@ -28,7 +32,7 @@ object LakeQueries {
     // (one IEEE add — bit-exact).
     "m1_merge_upsert" -> GraftQuery(
       (s, dir) => {
-        val root = s"$scratchRoot/m1_${math.abs(dir.hashCode)}"
+        val root = s"$scratchRoot/m1_${sanitize(dir)}"
         cleanDir(root)
         val orders = t(s, dir, "orders")
         val table = new MergeTable(root, Seq("o_orderstatus"))
@@ -54,7 +58,7 @@ object LakeQueries {
     // aggregated per status for a compact, order-free compare.
     "m2_merge_idempotent" -> GraftQuery(
       (s, dir) => {
-        val root = s"$scratchRoot/m2_${math.abs(dir.hashCode)}"
+        val root = s"$scratchRoot/m2_${sanitize(dir)}"
         cleanDir(root)
         val orders = t(s, dir, "orders")
         val table = new MergeTable(root, Seq("o_orderstatus"))

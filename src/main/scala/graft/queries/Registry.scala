@@ -38,9 +38,13 @@ object Registry {
 
   /** Scratch space for queries that exercise on-disk tables (MergeTable).
     * Kept inside the repo's target dir — never outside the workspace.
+    * Suffixed with the JVM's pid: Verify / Bench / test JVMs must never
+    * share mutable lake state (a concurrent run rewriting d0 while another
+    * JVM holds a plan over the old file listing fails the read).
     */
   val scratchRoot: String =
-    sys.env.getOrElse("GRAFT_TMP", "/root/repo/target/graft-tmp")
+    sys.env.getOrElse("GRAFT_TMP", "/root/repo/target/graft-tmp") +
+      s"/p${ProcessHandle.current().pid()}"
 
   def all: Map[String, GraftQuery] =
     CoreQueries.all ++ LakeQueries.all ++ EventQueries.all ++

@@ -1,0 +1,76 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** MergeTable (the Delta-MERGE replacement, SURVEY.md §7.3) semantics:
+  * update/insert/keep clauses, partition-moving updates, duplicate-source
+  * rejection, re-run idempotency — plus a scalacheck property over random
+  * key sets (merged = source ∪ (target ∖ source-keys), source wins).
+  * Gen is sampled with fixed seeds (the scalatest-scalacheck bridge artifact
+  * is not in the offline cache): deterministic, replayable cases.
+  */
+class MergeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: Seq[(Int, String, String)]): DataFrame =
+    rows.toDF("k", "v", "p")
+
+  private def asSet(d: DataFrame): Set[(Int, String, String)] =
+    d.select("k", "v", "p").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+
+  test("merge = update-all + insert-all + keep; updates may move partitions") {
+    val t = new MergeTable(scratch("mt_basic"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))))
+    // 2 updated AND moved p1→p2; 4 inserted; 1,3 kept untouched.
+    t.merge(spark, df(Seq((2, "B", "p2"), (4, "d", "p3"))), Seq("k"))
+    assert(asSet(t.read(spark)) ===
+      Set((1, "a", "p1"), (2, "B", "p2"), (3, "c", "p2"), (4, "d", "p3")))
+  }
+
+  test("re-running the same merge is a no-op (late-data idempotency)") {
+    val t = new MergeTable(scratch("mt_idem"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
+    val src = df(Seq((2, "B", "p1"), (9, "z", "p1")))
+    t.merge(spark, src, Seq("k"))
+    val once = asSet(t.read(spark))
+    t.merge(spark, src, Seq("k"))
+    assert(asSet(t.read(spark)) === once)
+  }
+
+  test("duplicate source keys are rejected (Delta MERGE semantics §2.6.4)") {
+    val t = new MergeTable(scratch("mt_dup"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    val ex = intercept[IllegalArgumentException] {
+      t.merge(spark, df(Seq((1, "x", "p1"), (1, "y", "p2"))), Seq("k"))
+    }
+    assert(ex.getMessage.contains("duplicate keys"))
+  }
+
+  test("vacuum drops stale versions but the live snapshot stays readable") {
+    val t = new MergeTable(scratch("mt_vac"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
+    t.merge(spark, df(Seq((2, "B", "p2"))), Seq("k"))
+    t.vacuum()
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (2, "B", "p2")))
+  }
+
+  test("property: merged = source ∪ (target ∖ source-keys)") {
+    val keySet: Gen[List[Int]] = Gen.listOfN(8, Gen.chooseNum(0, 30)).map(_.distinct)
+    val params = Gen.Parameters.default
+    (0 until 5).foreach { i =>
+      val tks = keySet.apply(params, Seed(42L + i)).get
+      val sks = keySet.apply(params, Seed(1042L + i)).get
+      val t = new MergeTable(scratch("mt_prop"), Seq("p"))
+      val target = tks.map(k => (k, s"t$k", if (k % 2 == 0) "pe" else "po"))
+      val source = sks.map(k => (k, s"s$k", if (k % 3 == 0) "pe" else "po"))
+      t.overwrite(df(target))
+      t.merge(spark, df(source), Seq("k"))
+      val expected = (source ++ target.filterNot(r => sks.contains(r._1))).toSet
+      assert(asSet(t.read(spark)) === expected, s"case $i: target=$tks source=$sks")
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** The xxhash64-based sketch operators (no DuckDB oracle — this suite is
+  * their correctness mechanism): planted near-duplicates must be found, and
+  * emitted pairs must satisfy the operator's own invariant.
+  *
+  * Fixture: a tiny parquet "sf dir" with documents (two near-identical
+  * texts, one exact dup pair, unrelated filler) and embeddings (one
+  * identical vector pair + spread-out filler), exercised through the SAME
+  * registry fns the driver runs.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = scratch("sketch_sf")
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away into the deep green forest tonight"
+    val near = base.replace("tonight", "today") // one token differs
+    val docs = Seq(
+      (0L, base, "en", "fixture", base.length.toLong),
+      (1L, near, "en", "fixture", near.length.toLong),
+      (2L, base, "en", "fixture", base.length.toLong), // exact dup of 0
+      (3L, "completely different words about databases indexes storage engines and query planners overall", "en", "fixture", 94L),
+      (4L, "yet another unrelated document mentioning neither foxes nor dogs just plain boring filler text here", "en", "fixture", 99L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.parquet(s"$d/documents.parquet")
+
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => math.sin(seed * 97 + i).toFloat)
+    val embs = Seq(
+      (0L, vec(1), 0), (1L, vec(1), 0),              // identical pair
+      (2L, vec(2), 1), (3L, vec(3), 1), (4L, vec(4), 2), (5L, vec(5), 2),
+    ).toDF("vec_id", "embedding", "label")
+    embs.write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def run(name: String) = Registry.all(name).fn(spark, dir)
+
+  test("d4 MinHash+LSH surfaces the planted near-dup and exact-dup pairs") {
+    val pairs = run("d4_minhash_lsh")
+      .select("doc_a", "doc_b", "est_jaccard")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((0L, 2L)), "exact dup must collide in every band")
+    assert(pairs((0L, 2L)) === 1.0)
+    assert(pairs.contains((0L, 1L)), "near dup (one token) must be a candidate")
+    assert(pairs((0L, 1L)) > 0.5)
+    assert(!pairs.contains((3L, 4L)), "unrelated docs must not pair")
+  }
+
+  test("d5 SimHash pairing finds exact and near dups with tiny Hamming distance") {
+    val pairs = run("d5_simhash")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 2L)).contains(0), "identical text ⇒ Hamming 0")
+    assert(pairs.contains((0L, 1L)), "near dup within Hamming ≤ 7")
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("v4 LSH emits the identical-vector pair; every pair honors the cosine invariant") {
+    val rows = run("v4_lsh_buckets").collect()
+    val pairs = rows.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(1.0),
+      "cosine-1 vectors share every band ⇒ always found (LSH recall at c=1 is exactly 1)")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= SimilarityQueries.CosineThreshold,
+        s"emitted pair below threshold: $r")
+    }
+  }
+
+  test("float_dot matches the higher-order aggregate/zip_with formulation bit-for-bit") {
+    GraftFunctions.register(spark)
+    val df = Seq.tabulate(20)(i => (i.toLong, Seq.tabulate(64)(d => math.cos(i * 31 + d).toFloat)))
+      .toDF("id", "a")
+      .withColumn("b", reverse(col("a")))
+    val cmp = df.withColumn("fast", expr("float_dot(a, b)"))
+      .withColumn("slow", expr(
+        "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+      .filter(col("fast") =!= col("slow"))
+    assert(cmp.count() === 0)
+  }
+
+  test("float_dot null semantics: NULL array ⇒ NULL result") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT float_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))").collect()
+    assert(r.head.isNullAt(0))
+  }
+}

@@ -14,6 +14,9 @@ import pandas as pd
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 
 con = duckdb.connect()
+# Pin the session TZ to match Spark's spark.sql.session.timeZone=UTC —
+# CAST(ts AS DATE)/date_trunc on TIMESTAMPTZ parquet reads are TZ-sensitive.
+con.execute("SET TimeZone='UTC'")
 for f in glob.glob(os.path.join(sf_dir, "*.parquet")):
     name = os.path.basename(f)[:-len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
