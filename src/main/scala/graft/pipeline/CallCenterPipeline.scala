@@ -44,9 +44,20 @@ object CallCenterPipeline {
     */
   def silverJob(spark: SparkSession, csvPath: String, p: LakePaths,
                 processingDate: LocalDate): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic") // 01:25
     val raw = spark.read.schema(CallCenter.rawSchema).option("header", "true").csv(csvPath)
+    silverBatch(spark, raw, p, processingDate)
+  }
 
+  /** The silver job body on an already-read batch — shared by the batch
+    * entry above and the streaming `foreachBatch` ingest
+    * (graft.streaming.StreamingIngest): validate → split → MERGE valid →
+    * append invalid. MERGE keys make every micro-batch idempotent, which is
+    * exactly the reference's late-data story (README.md:105-118) lifted
+    * from "re-run the job" to "every micro-batch".
+    */
+  def silverBatch(spark: SparkSession, raw: DataFrame, p: LakePaths,
+                  processingDate: LocalDate): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic") // 01:25
     val validated = new Validator(CallCenter.rules).validate(raw)
       .withColumns(Map(
         "year" -> year(lit(processingDate)),

@@ -177,14 +177,15 @@ object EventQueries {
 
     // Tumbling-window aggregate (batch form of the streaming windowed agg).
     "e8_hourly_window" -> GraftQuery(
-      // hour_start cast to TIMESTAMP_NTZ: parquet written without the
-      // isAdjustedToUTC flag, matching DuckDB's naive date_trunc result
-      // (session TZ is UTC, so values are identical).
+      // hour_start keeps Spark's instant (TIMESTAMP) semantics — the
+      // normalization for the compare happens on the ORACLE side instead
+      // (cast to TIMESTAMPTZ under the pinned UTC session), so the engine's
+      // output schema is not bent to fit the test harness.
       (s, dir) => t(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"))
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
         .agg(count(lit(1)).as("n_events"),
              round(sum("value"), 2).as("total_value")),
-      Some("""SELECT date_trunc('hour', ts) AS hour_start,
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMPTZ) AS hour_start,
              |       count(*) AS n_events,
              |       round(sum(value), 2) AS total_value
              |FROM events GROUP BY 1""".stripMargin),

@@ -49,5 +49,5 @@ object Registry {
   def all: Map[String, GraftQuery] =
     CoreQueries.all ++ LakeQueries.all ++ EventQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ DedupQueries.all ++
-      MultimodalQueries.all ++ PipelineQueries.all
+      MultimodalQueries.all ++ PipelineQueries.all ++ StreamQueries.all
 }

@@ -69,23 +69,29 @@ object SimilarityQueries {
     if ((z & 1L) == 0L) 1.0f else -1.0f
   }
 
-  /** SQL literal for plane `p` — CAST to ARRAY&lt;FLOAT&gt; is load-bearing:
-    * FloatDot reads raw float slots and declares no implicit-cast contract.
+  /** All 128 planes as ONE 2-D SQL literal — CAST to ARRAY&lt;ARRAY&lt;FLOAT&gt;&gt;
+    * is load-bearing: FloatDot reads raw float slots and declares no
+    * implicit-cast contract. A single `transform(planes, p ->
+    * float_dot(v, p))` computes every projection in one pass; building 128
+    * separate literal-bearing expressions instead made the analyzed tree
+    * (8k literals duplicated per band key) dominate the query's wall time.
     */
-  private def planeSql(p: Int): String =
-    (0 until 64).map(d => if (planeComponent(p, d) > 0) "1.0" else "-1.0")
-      .mkString("CAST(array(", ",", ") AS ARRAY<FLOAT>)")
+  private lazy val planesSql: String =
+    (0 until Planes).map(p =>
+      (0 until 64).map(d => if (planeComponent(p, d) > 0) "1.0" else "-1.0")
+        .mkString("array(", ",", ")"))
+      .mkString("CAST(array(", ",", ") AS ARRAY<ARRAY<FLOAT>>)")
 
-  /** One 8-bit bucket key per band: sign bits of the vector against 8
-    * deterministic hyperplanes, packed. Emitted as (band, key) structs so a
-    * single explode + equi-join generates candidates (same shape as d4's
-    * MinHash bands).
+  /** One 8-bit bucket key per band from the precomputed projection array:
+    * sign bits packed per band, emitted as (band, key) structs so a single
+    * explode + equi-join generates candidates (same shape as d4's MinHash
+    * bands). `signsCol` must hold `transform(planes, p -> float_dot(v, p))`.
     */
-  private def bandKeys(embCol: String): Column = {
-    val signBit: (Int, Int) => Column = (p, bit) =>
-      when(expr(s"float_dot($embCol, ${planeSql(p)})") > 0, lit(1 << bit)).otherwise(lit(0))
+  private def bandKeys(signsCol: String): Column = {
     val bands = (0 until Bands).map { b =>
-      val key = (0 until BandBits).map(i => signBit(b * BandBits + i, i)).reduce(_ + _)
+      val key = (0 until BandBits).map { i =>
+        when(element_at(col(signsCol), b * BandBits + i + 1) > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
       struct(lit(b).as("band"), key.as("key"))
     }
     array(bands: _*)
@@ -174,7 +180,9 @@ object SimilarityQueries {
     // check + scalatest invariant (every emitted pair really is ≥ τ).
     "v4_lsh_buckets" -> GraftQuery(
       (s, dir) => {
-        val e = emb(s, dir).withColumn("bk", explode(bandKeys("embedding")))
+        val e = emb(s, dir)
+          .withColumn("signs", expr(s"transform($planesSql, p -> float_dot(embedding, p))"))
+          .withColumn("bk", explode(bandKeys("signs")))
           .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
         val cand = e.alias("x").join(e.alias("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Event-stream operators (watermarked windowed aggregation + custom
+  * sessionization state) over the `events` shape. Batch twins exist in
+  * EventQueries (e7/e8) — these are the streaming formulations, sharing
+  * semantics so a stream output can be oracle-checked against batch SQL.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour counts with a watermark: in append mode a window emits
+    * only once the watermark (max event time − delay) passes its end —
+    * late rows beyond the delay are dropped, the streaming contract the
+    * batch e8 can't express. One shuffle on (window, event_type); state is
+    * per-open-window partial aggregates, bounded by the watermark.
+    */
+  def hourlyTypeCounts(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
+
+  // ---- gap sessionization via flatMapGroupsWithState ----
+
+  final case class Evt(user_id: Long, ts: Timestamp)
+  final case class SessionAcc(start: Long, last: Long, n: Int)
+  final case class ClosedSession(user_id: Long, session_start: Timestamp,
+                                 session_end: Timestamp, n_events: Int)
+
+  /** Close sessions after `gapMinutes` of user inactivity, emitting each
+    * exactly once (append mode). Within a batch, gaps split eagerly; across
+    * batches, the open session lives in GroupState and is flushed by an
+    * EVENT-TIME timeout — i.e. when the watermark passes last_seen + gap,
+    * mirroring the batch e7 lag-gap semantics. State per user is one
+    * (start, last, n) triple — O(active users), not O(events).
+    */
+  def sessionize(events: Dataset[Evt], gapMinutes: Int): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def flush(userId: Long, acc: SessionAcc): ClosedSession =
+      ClosedSession(userId, new Timestamp(acc.start), new Timestamp(acc.last), acc.n)
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Evt], state: GroupState[SessionAcc]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val closed = flush(userId, state.get)
+            state.remove()
+            Iterator(closed)
+          } else {
+            val times = batch.map(_.ts.getTime).toArray.sorted
+            var acc = state.getOption.orNull
+            val closed = Seq.newBuilder[ClosedSession]
+            times.foreach { t =>
+              acc match {
+                case null => acc = SessionAcc(t, t, 1)
+                case a if t - a.last > gapMs =>
+                  closed += flush(userId, a)
+                  acc = SessionAcc(t, t, 1)
+                case a => acc = SessionAcc(a.start, math.max(a.last, t), a.n + 1)
+              }
+            }
+            if (acc != null) {
+              state.update(acc)
+              state.setTimeoutTimestamp(acc.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** readStream source over a DIRECTORY of events parquet files
+    * (TIMESTAMP_NANOS → micros, same normalization as Registry.t). The
+    * streaming file source requires a directory — single-file test inputs
+    * must be staged into one first (see StreamQueries).
+    */
+  def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.pipeline.{CallCenterPipeline, Fixture}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import java.sql.Timestamp
+import java.time.LocalDate
+
+/** Streaming layer: checkpointed foreachBatch ingest (files consumed
+  * exactly once, merge keeps re-delivery idempotent) and
+  * flatMapGroupsWithState sessionization (in-batch gap splits + event-time
+  * timeout flush driven by the watermark).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val date = LocalDate.of(2026, 8, 12)
+
+  test("streaming ingest: drain, checkpoint, re-deliver — silver stays keyed") {
+    val root = scratch("stream_ingest")
+    val p = CallCenterPipeline.LakePaths(s"$root/lake")
+    val src = s"$root/src"
+    val ckpt = s"$root/ckpt"
+
+    Fixture.writeCsv(src, "batch1.csv", Fixture.initialBatch)
+    StreamingIngest.runOnce(spark, src, p, date, ckpt)
+    val silver1 = CallCenterPipeline.silverTable(p).read(spark)
+    assert(silver1.count() === 4)
+    assert(silver1.filter(col("call_id") === 101).collect().head
+      .getAs[String]("call_status") === "COMPLETED")
+
+    // second drain with the SAME checkpoint: only the new file is read;
+    // the re-delivered call_id 101 upserts, nothing duplicates.
+    Fixture.writeCsv(src, "batch2.csv", Fixture.redelivery)
+    StreamingIngest.runOnce(spark, src, p, date, ckpt)
+    val silver2 = CallCenterPipeline.silverTable(p).read(spark)
+    assert(silver2.count() === 4)
+    assert(silver2.filter(col("call_id") === 101).collect().head
+      .getAs[String]("call_status") === "DROPPED")
+    // exceptions appended once per DELIVERED batch containing them: 6 total
+    // (batch2 has no invalid rows, and batch1 was not re-read).
+    assert(spark.read.parquet(p.exception).count() === 6)
+  }
+
+  test("flatMapGroupsWithState sessionization: gap split + watermark timeout flush") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hhmm: String) = Timestamp.valueOf(s"2026-08-12 $hhmm:00")
+
+    val input = MemoryStream[StreamingOps.Evt]
+    val sessions = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sess_sink")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session); user 1 again at
+      // 11:00 (> 30 min gap ⇒ in-batch split once data arrives);
+      // user 2: single event.
+      input.addData(
+        StreamingOps.Evt(1, ts("10:00")), StreamingOps.Evt(1, ts("10:10")),
+        StreamingOps.Evt(2, ts("10:05")))
+      q.processAllAvailable()
+      input.addData(StreamingOps.Evt(1, ts("11:00")))
+      q.processAllAvailable()
+      // watermark push: 14:00 event ⇒ watermark 13:00 ⇒ every session with
+      // last+gap < 13:00 times out and flushes.
+      input.addData(StreamingOps.Evt(99, ts("14:00")))
+      q.processAllAvailable()
+
+      val out = spark.table("sess_sink")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getInt(3)))
+        .toSet
+      assert(out === Set(
+        (1L, ts("10:00"), ts("10:10"), 2), // split by the 11:00 arrival
+        (1L, ts("11:00"), ts("11:00"), 1), // flushed by timeout
+        (2L, ts("10:05"), ts("10:05"), 1), // flushed by timeout
+      ))
+      // user 99's open session must still be buffered, not emitted
+      assert(!out.exists(_._1 == 99L))
+    } finally q.stop()
+  }
+}
