@@ -58,4 +58,34 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(step))))
       .select("doc_id", "n_frames", "frame_idx")
+
+  final case class MediaFeatures(doc_id: Long, features: Array[Double])
+
+  /** STUB feature extraction (the "embed the image" step): deterministic
+    * arithmetic over payload length standing in for batched model
+    * inference. Kept in `mapPartitions` — the iterator-per-partition shape
+    * is exactly where a real encoder would batch rows onto an accelerator;
+    * swap `featuresStub` for the model call.
+    */
+  def featuresStub(r: MediaRow): MediaFeatures = {
+    val len = r.payload.length.toLong
+    MediaFeatures(r.doc_id, Array.tabulate(16)(i => ((len * (i + 13)) % 997).toDouble / 997.0))
+  }
+
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(featuresStub))
+  }
+
+  /** Resize planning: scale so the SHORTEST side hits `target`, preserving
+    * aspect ratio, in pure integer arithmetic (`div` — floor division — so
+    * the oracle can mirror it exactly). Metadata-only: a real resize would
+    * consume (new_width, new_height) in the codec stage.
+    */
+  def resizePlan(decoded: DataFrame, target: Int): DataFrame =
+    decoded
+      .withColumn("min_side", least(col("width"), col("height")))
+      .withColumn("new_width", expr(s"CAST((width * $target) DIV min_side AS INT)"))
+      .withColumn("new_height", expr(s"CAST((height * $target) DIV min_side AS INT)"))
+      .select("doc_id", "width", "height", "new_width", "new_height")
 }

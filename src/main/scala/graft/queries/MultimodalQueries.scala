@@ -45,5 +45,31 @@ object MultimodalQueries {
              |  FROM (SELECT doc_id, CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
              |        FROM documents))""".stripMargin),
       "distributed frame sampling via explode(sequence)"),
+
+    // Feature extraction (stub encoder) via the same mapPartitions batch
+    // shape — integer-derived doubles, so even the array column is
+    // bit-exactly oracle-checkable.
+    "mm4_feature_extract" -> GraftQuery(
+      (s, dir) => Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir)).toDF(),
+      Some("""SELECT doc_id,
+             |       list_transform(range(0, 16), i ->
+             |         CAST((octet_length(encode(text)) * (i + 13)) % 997 AS DOUBLE) / 997.0)
+             |         AS features
+             |FROM documents""".stripMargin),
+      "batched media feature extraction plumbing (stub encoder)"),
+
+    // Resize planning: shortest side → 224, aspect preserved, floor-div
+    // integer arithmetic mirrored exactly by the oracle.
+    "mm5_resize_plan" -> GraftQuery(
+      (s, dir) => Multimodal.resizePlan(
+        Multimodal.decode(Multimodal.mediaFromDocuments(s, dir)).toDF(), target = 224),
+      Some("""SELECT doc_id, width, height,
+             |       CAST((width * 224) // least(width, height) AS INT) AS new_width,
+             |       CAST((height * 224) // least(width, height) AS INT) AS new_height
+             |FROM (SELECT doc_id,
+             |             CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+             |             CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height
+             |      FROM documents)""".stripMargin),
+      "aspect-preserving resize planning in exact integer arithmetic"),
   )
 }
