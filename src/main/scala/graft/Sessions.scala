@@ -21,4 +21,8 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // never write deprecated INT96 timestamps
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // managed tables (bucketed-join path) land in target/, per-JVM —
+      // never in the repo root's default ./spark-warehouse
+      .config("spark.sql.warehouse.dir",
+        s"${sys.env.getOrElse("GRAFT_TMP", "/root/repo/target/graft-tmp")}/warehouse_p${ProcessHandle.current().pid()}")
 }

@@ -140,6 +140,50 @@ object CoreQueries {
              |SELECT n_nationkey AS nationkey FROM nation WHERE n_regionkey = 0""".stripMargin),
       "UNION distinct + EXCEPT"),
 
+    // Bucketed CO-LOCATED join: both fact tables written once per JVM as
+    // bucketed managed tables on the join key — the fact⋈fact join then
+    // needs NO shuffle of either side (scan → sort → SortMergeJoin; the
+    // only Exchange left is the one for the final groupBy). At 100 TB this
+    // is the difference between re-shuffling both fact tables per query and
+    // amortizing one layout write across every keyed join. Bucket layout is
+    // asserted shuffle-free in LayoutSpec.
+    "q10_bucketed_join" -> GraftQuery(
+      (s, dir) => {
+        val sfx = Registry.sanitize(dir)
+        val (oTbl, lTbl) = (s"orders_bkt_$sfx", s"lineitem_bkt_$sfx")
+        if (!s.catalog.tableExists(oTbl)) {
+          t(s, dir, "orders").write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oTbl)
+          t(s, dir, "lineitem").write.mode("overwrite")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lTbl)
+        }
+        s.table(oTbl).join(s.table(lTbl), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_items"),
+               round(sum("l_extendedprice"), 2).as("revenue"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_items,
+             |       round(sum(l_extendedprice), 2) AS revenue
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderstatus""".stripMargin),
+      "bucket-pruned fact-to-fact join: zero join-side shuffles"),
+
+    // Skew-salted join (graft.operators.SkewJoin): hot keys spread over 8
+    // salt buckets; the result is provably identical to the plain join (the
+    // oracle IS the plain join).
+    "q11_salted_join" -> GraftQuery(
+      (s, dir) => {
+        val big = t(s, dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey")
+        val small = t(s, dir, "supplier").withColumnRenamed("s_suppkey", "suppkey")
+        graft.operators.SkewJoin.saltedJoin(big, small, "suppkey", salts = 8)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey""".stripMargin),
+      "salted skew join — result-identical to the plain join oracle"),
+
     // Window functions: rank orders within customer by price.
     "q9_window_rank" -> GraftQuery(
       (s, dir) => {

@@ -14,9 +14,7 @@ import scala.jdk.CollectionConverters._
   */
 object LakeQueries {
 
-  /** Collision-free scratch key from the sf dir path (not hashCode). */
-  private def sanitize(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]+", "_")
+  import graft.queries.Registry.sanitize
 
   private def cleanDir(path: String): Unit = {
     val p = Paths.get(path)

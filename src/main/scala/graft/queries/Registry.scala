@@ -46,6 +46,9 @@ object Registry {
     sys.env.getOrElse("GRAFT_TMP", "/root/repo/target/graft-tmp") +
       s"/p${ProcessHandle.current().pid()}"
 
+  /** Collision-free identifier fragment from an sf dir path. */
+  def sanitize(dir: String): String = dir.replaceAll("[^A-Za-z0-9]+", "_")
+
   def all: Map[String, GraftQuery] =
     CoreQueries.all ++ LakeQueries.all ++ EventQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ DedupQueries.all ++
