@@ -184,6 +184,20 @@ object CoreQueries {
              |GROUP BY s_nationkey""".stripMargin),
       "salted skew join — result-identical to the plain join oracle"),
 
+    // ROLLUP (grouping-sets family — absent from the reference, §2.5):
+    // subtotal rows carry NULL group keys; grouping_id disambiguates a real
+    // NULL from a rollup subtotal.
+    "q12_rollup" -> GraftQuery(
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+             sum("l_quantity").as("sum_qty"),
+             grouping_id().as("gid")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             |       sum(l_quantity) AS sum_qty, CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
+      "rollup with grouping_id over the pricing keys"),
+
     // Window functions: rank orders within customer by price.
     "q9_window_rank" -> GraftQuery(
       (s, dir) => {

@@ -191,6 +191,26 @@ object EventQueries {
              |FROM events GROUP BY 1""".stripMargin),
       "tumbling 1h window as date_trunc groupBy"),
 
+    // Scalar-function suite covering the categories the reference never
+    // touches (SURVEY.md §2.4 "absent"): null-handling (coalesce), date
+    // arithmetic (datediff), regexp_extract, string ops (substring/upper/
+    // lpad). Pure projection — codegen'd, zero shuffles.
+    "e10_scalar_suite" -> GraftQuery(
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          coalesce(col("value"), lit(0.0)).as("value_nz"),
+          datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2026-01-01"))).as("days_since"),
+          regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("long").as("k_val"),
+          upper(substring(col("event_type"), 1, 3)).as("type3"),
+          lpad(col("user_id").cast("string"), 8, "0").as("user_key")),
+      Some("""SELECT event_id, coalesce(value, 0.0) AS value_nz,
+             |       CAST(datediff('day', DATE '2026-01-01', CAST(ts AS DATE)) AS INT) AS days_since,
+             |       CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS k_val,
+             |       upper(substring(event_type, 1, 3)) AS type3,
+             |       lpad(CAST(user_id AS VARCHAR), 8, '0') AS user_key
+             |FROM events""".stripMargin),
+      "scalar coverage: coalesce/datediff/regexp_extract/substring/lpad"),
+
     // JSON extraction from the props column.
     "e9_json_extract" -> GraftQuery(
       (s, dir) => t(s, dir, "events")

@@ -119,5 +119,37 @@ object TextQueries {
              |FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
              |WHERE len(words) >= 3""".stripMargin),
       "md5 + min-shingle-hash document fingerprints"),
+
+    // Corpus vocabulary: top-50 tokens by frequency (tie-broken by token).
+    // The classic first pass of any tokenizer-training pipeline: explode +
+    // count is one shuffle; the top-k is TakeOrderedAndProject.
+    "t5_vocab" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(50),
+      Some("""SELECT token, count(*) AS freq
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin),
+      "corpus token vocabulary, top-50 by frequency"),
+
+    // Deterministic train/val/test split: bucket by doc_id so re-runs and
+    // engines agree exactly (90/5/5). At scale this is a zero-shuffle
+    // projection; counts here just make it verifiable.
+    "t6_train_split" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("split",
+          when(col("doc_id") % 100 < 90, "train")
+            .when(col("doc_id") % 100 < 95, "val")
+            .otherwise("test"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang"),
+      Some("""SELECT CASE WHEN doc_id % 100 < 90 THEN 'train'
+             |            WHEN doc_id % 100 < 95 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |       lang, count(*) AS n_docs
+             |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "deterministic hash-free 90/5/5 corpus split"),
   )
 }
