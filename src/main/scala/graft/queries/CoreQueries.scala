@@ -184,6 +184,19 @@ object CoreQueries {
              |GROUP BY s_nationkey""".stripMargin),
       "salted skew join — result-identical to the plain join oracle"),
 
+    // Approx distinct (HLL++): impl-specific sketch values have no DuckDB
+    // twin → rows-only check; SketchSpec asserts the estimate lands within
+    // the configured error bound of the exact count computed alongside.
+    // At 100 TB this replaces the Expand+double-shuffle exact distinct with
+    // a constant-size mergeable sketch.
+    "q13_approx_distinct" -> GraftQuery(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_orderkey", rsd = 0.05).as("approx_orders"),
+             countDistinct("l_orderkey").as("exact_orders")),
+      None,
+      "HyperLogLog++ distinct estimate next to the exact count"),
+
     // ROLLUP (grouping-sets family — absent from the reference, §2.5):
     // subtotal rows carry NULL group keys; grouping_id disambiguates a real
     // NULL from a rollup subtotal.

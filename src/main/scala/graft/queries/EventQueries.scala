@@ -211,6 +211,32 @@ object EventQueries {
              |FROM events""".stripMargin),
       "scalar coverage: coalesce/datediff/regexp_extract/substring/lpad"),
 
+    // As-of join (graft.operators.AsofJoin): every event is enriched with
+    // the user's most recent purchase value at-or-before its timestamp —
+    // the point-in-time lookup Spark lacks natively, composed as
+    // union + one keyed window pass (no range explosion). DuckDB's native
+    // ASOF LEFT JOIN is the oracle.
+    "e11_asof_join" -> GraftQuery(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val wDedup = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1)
+          .select("user_id", "ts", "value")
+        graft.operators.AsofJoin
+          .asof(ev.select("event_id", "user_id", "ts"), purchases, "user_id", "ts", "value")
+          .select("event_id", "user_id", "asof_value")
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, ts, value FROM (
+             |    SELECT user_id, ts, value,
+             |           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+             |    FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, p.value AS asof_value
+             |FROM events e ASOF LEFT JOIN p
+             |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin),
+      "as-of (point-in-time) join vs DuckDB's native ASOF JOIN"),
+
     // JSON extraction from the props column.
     "e9_json_extract" -> GraftQuery(
       (s, dir) => t(s, dir, "events")

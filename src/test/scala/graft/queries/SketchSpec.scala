@@ -71,6 +71,17 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q13 HLL estimate stays within 3×rsd of the exact distinct count") {
+    val rows = Registry.all("q13_approx_distinct").fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.15,
+        s"flag=${r.get(0)}: approx=$approx exact=$exact")
+    }
+  }
+
   test("float_dot matches the higher-order aggregate/zip_with formulation bit-for-bit") {
     GraftFunctions.register(spark)
     val df = Seq.tabulate(20)(i => (i.toLong, Seq.tabulate(64)(d => math.cos(i * 31 + d).toFloat)))
