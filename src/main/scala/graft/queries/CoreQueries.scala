@@ -184,6 +184,18 @@ object CoreQueries {
              |GROUP BY s_nationkey""".stripMargin),
       "salted skew join — result-identical to the plain join oracle"),
 
+    // Exact percentiles (quartiles of quantity per flag): Spark's
+    // `percentile` and DuckDB's `quantile_cont` share the same linear
+    // interpolation h=(n-1)p — on integer-valued doubles the arithmetic is
+    // bit-exact across engines.
+    "q14_percentiles" -> GraftQuery(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qty_quartiles")),
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "exact interpolated quartiles (sort-based aggregate)"),
+
     // Approx distinct (HLL++): impl-specific sketch values have no DuckDB
     // twin → rows-only check; SketchSpec asserts the estimate lands within
     // the configured error bound of the exact count computed alongside.

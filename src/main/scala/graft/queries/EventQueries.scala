@@ -237,6 +237,30 @@ object EventQueries {
              |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin),
       "as-of (point-in-time) join vs DuckDB's native ASOF JOIN"),
 
+    // Binned range join (graft.operators.RangeJoin): each purchase opens a
+    // 30-minute window for its user; count events landing in any window.
+    // The bin width matches the interval length, so intervals replicate to
+    // at most 2 bins and the join is a plain equi-join on (user, bin) —
+    // never a nested-loop range scan.
+    "e12_range_join" -> GraftQuery(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val windows = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+        graft.operators.RangeJoin
+          .binnedRangeJoin(ev.select("event_id", "user_id", "ts"), windows,
+            "user_id", "ts", "w_start", "w_end", binWidthSec = 1800L)
+          .groupBy("user_id").agg(count(lit(1)).as("n_hits"))
+      },
+      Some("""WITH w AS (SELECT user_id, ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end
+             |           FROM events WHERE event_type = 'purchase')
+             |SELECT e.user_id, count(*) AS n_hits
+             |FROM events e JOIN w ON e.user_id = w.user_id
+             |                     AND e.ts >= w.w_start AND e.ts <= w.w_end
+             |GROUP BY e.user_id""".stripMargin),
+      "binned interval join vs DuckDB's plain range join"),
+
     // JSON extraction from the props column.
     "e9_json_extract" -> GraftQuery(
       (s, dir) => t(s, dir, "events")
