@@ -163,6 +163,27 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
     } finally src.unpersist()
   }
 
+  /** Compaction (Delta OPTIMIZE analog): rewrite the CURRENT snapshot so
+    * each partition directory holds ONE file (same-partition rows hash to
+    * one of `parallelism` write tasks), committing a new version with
+    * identical data. MERGE leaves behind whatever file count the shuffle
+    * produced; on a long-lived table that accretes small files until
+    * scan/listing overhead dominates — compaction amortizes it away.
+    * Readers are unaffected mid-compact (snapshot isolation via `_LATEST`);
+    * at real scale you'd bin-pack to a file-size budget instead of
+    * one-file-per-partition.
+    */
+  def compact(spark: SparkSession, parallelism: Int = 8): Unit = {
+    require(parallelism > 0, "parallelism must be positive")
+    val v = currentVersion
+    val data = readVersion(spark, v)
+    val packed =
+      if (partitionCols.nonEmpty)
+        data.repartition(parallelism, partitionCols.map(col): _*)
+      else data.coalesce(1)
+    writeVersion(packed, v + 1)
+  }
+
   /** Delete data directories no longer referenced by the current manifest
     * (Delta VACUUM analog — keeps only the live snapshot).
     */

@@ -261,6 +261,34 @@ object EventQueries {
              |GROUP BY e.user_id""".stripMargin),
       "binned interval join vs DuckDB's plain range join"),
 
+    // NATIVE pivot (the reference's A2 is the manual sum(when) form —
+    // this is the operator-class twin with an explicit value list, which
+    // keeps the plan a single pass + one shuffle, no value-discovery scan).
+    "e13_pivot" -> GraftQuery(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .pivot("event_type", buckets)
+        .count()
+        .na.fill(0L, buckets),
+      Some(s"""SELECT CAST(ts AS DATE) AS event_date,
+              |       ${buckets.map(b =>
+                 s"CAST(count(CASE WHEN event_type = '$b' THEN 1 END) AS BIGINT) AS $b").mkString(",\n       ")}
+              |FROM events GROUP BY 1""".stripMargin),
+      "native pivot with explicit values (vs manual sum(when) in e1)"),
+
+    // collect_list/collect_set (absent in the reference, §2.5): per-user
+    // sorted distinct event-type arrays — array_sort makes the
+    // order-nondeterministic collection deterministic for the compare.
+    "e14_collect" -> GraftQuery(
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("types"),
+             count(lit(1)).as("n_events")),
+      Some("""SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+             |       count(*) AS n_events
+             |FROM events GROUP BY user_id""".stripMargin),
+      "collect_set + deterministic array_sort"),
+
     // JSON extraction from the props column.
     "e9_json_extract" -> GraftQuery(
       (s, dir) => t(s, dir, "events")

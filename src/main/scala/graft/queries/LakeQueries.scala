@@ -51,6 +51,53 @@ object LakeQueries {
              |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src""".stripMargin),
       "Delta-style MERGE on disk: file-pruned rewrite + atomic manifest swap"),
 
+    // Time travel: after a partition-moving merge, version 0 must still
+    // read as the ORIGINAL target (untouched files + superseded files both
+    // remain addressable through the old manifest). Oracle = the pre-merge
+    // state expressed directly.
+    "m3_time_travel" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m3_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders.filter(col("o_orderkey") % 4 =!= 3))
+        val source = orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M"))
+        table.merge(s, source, Seq("o_orderkey"))
+        table.readVersion(s, 0).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderkey % 4 <> 3
+             |GROUP BY o_orderstatus""".stripMargin),
+      "snapshot time travel: v0 unchanged after a partition-moving merge"),
+
+    // Compaction: OPTIMIZE-style rewrite must preserve data exactly while
+    // collapsing each partition dir to one file (file-count assertion lives
+    // in MergeTableSpec; the oracle checks data identity).
+    "m4_compact" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m4_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        table.merge(s, orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_orderstatus", lit("X")), Seq("o_orderkey"))
+        table.compact(s)
+        table.vacuum()
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM (
+             |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+             |           AS o_orderstatus, o_orderkey
+             |  FROM orders)
+             |GROUP BY o_orderstatus""".stripMargin),
+      "OPTIMIZE-style compaction + vacuum preserve the snapshot exactly"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

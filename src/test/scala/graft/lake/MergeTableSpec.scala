@@ -58,6 +58,20 @@ class MergeTableSpec extends SparkSpec {
     assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (2, "B", "p2")))
   }
 
+  test("compact collapses each partition dir to one file, data unchanged") {
+    val t = new MergeTable(scratch("mt_compact"), Seq("p"))
+    t.overwrite(df((1 to 40).map(k => (k, s"v$k", if (k % 2 == 0) "pe" else "po"))))
+    t.merge(spark, df(Seq((1, "V1", "pe"), (41, "v41", "po"))), Seq("k"))
+    val before = asSet(t.read(spark))
+    t.compact(spark)
+    assert(asSet(t.read(spark)) === before)
+    val files = t.filesOf(t.currentVersion)
+    val perDir = files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    assert(perDir.values.forall(_.size == 1), s"expected 1 file/dir, got $perDir")
+    t.vacuum()
+    assert(asSet(t.read(spark)) === before) // still readable post-vacuum
+  }
+
   test("property: merged = source ∪ (target ∖ source-keys)") {
     val keySet: Gen[List[Int]] = Gen.listOfN(8, Gen.chooseNum(0, 30)).map(_.distinct)
     val params = Gen.Parameters.default
