@@ -16,6 +16,9 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // engine extensions: float_dot registration + the DotProductRewrite
+      // optimizer rule (graft.functions.GraftExtensions)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // testdata events.ts is TIMESTAMP(NANOS): read as BIGINT nanos
       // (normalized to micros in Registry.t, matching DuckDB's truncation)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -19,9 +19,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * difference between similarity search being compute-bound on FMAs vs on
   * allocation.
   *
-  * Null handling: NULL if either array is NULL (BinaryExpression default);
-  * NULL *elements* read as 0.0f (embeddings never carry null elements).
-  * Length mismatch folds over the shorter prefix.
+  * Null handling matches the higher-order form EXACTLY (required for the
+  * DotProductRewrite optimizer rule to be a sound substitution): NULL if
+  * either array is NULL, if the lengths differ (zip_with pads the shorter
+  * side with NULL ⇒ NULL product ⇒ NULL sum), or if any element is NULL.
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -30,15 +31,18 @@ case class FloatDot(left: Expression, right: Expression)
   // `AbstractDataType` needed for ExpectsInputTypes is private[sql], so no
   // implicit-cast contract is declared).
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // unequal lengths ⇒ NULL even on non-null inputs
   override def prettyName: String = "float_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -50,12 +54,18 @@ case class FloatDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
+         |${ev.isNull} = $bad;
          |${ev.value} = $acc;
        """.stripMargin
     })

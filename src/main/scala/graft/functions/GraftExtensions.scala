@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Session extension entry point (`spark.sql.extensions=graft.functions.
+  * GraftExtensions`, set in Sessions.builder): registers `float_dot` in
+  * every session and injects [[DotProductRewrite]] into the optimizer —
+  * the SparkSessionExtensions surface for engine-level additions, as
+  * opposed to per-session FunctionRegistry calls.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+    e.injectOptimizerRule(_ => DotProductRewrite)
+  }
+}
+
+/** Optimizer rule: rewrite the interpreted higher-order dot-product idiom
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+  *               0D, (acc, v) -> acc + v) }}}
+  *
+  * over ARRAY&lt;FLOAT&gt; columns into the codegen [[FloatDot]] loop. Sound
+  * because FloatDot reproduces the idiom's exact semantics — same
+  * ascending left-fold (bit-identical result), NULL on null array, null
+  * element, or length mismatch. Users keep writing the declarative
+  * higher-order form; the engine runs the primitive loop — the same
+  * contract Catalyst's own simplification rules follow.
+  */
+object DotProductRewrite extends Rule[LogicalPlan] {
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** x * y where each side is a lambda variable cast to double. */
+  private def isCastProduct(f: Expression): Boolean = f match {
+    case Multiply(Cast(_: NamedLambdaVariable, DoubleType, _, _),
+                  Cast(_: NamedLambdaVariable, DoubleType, _, _), _) => true
+    case _ => false
+  }
+
+  /** acc + v over the two lambda variables. */
+  private def isVarSum(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(Add(a: NamedLambdaVariable, v: NamedLambdaVariable, _), args, _) =>
+      args.map(_.exprId).toSet == Set(a.exprId, v.exprId)
+    case _ => false
+  }
+
+  /** the implicit identity finish lambda `acc -> acc`. */
+  private def isIdentity(f: LambdaFunction): Boolean = f match {
+    case LambdaFunction(v: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+      v.exprId == arg.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(product, _, _)),
+          Literal(0.0, DoubleType),
+          merge: LambdaFunction,
+          finish: LambdaFunction)
+        if isFloatArray(a) && isFloatArray(b) && isCastProduct(product) &&
+          isVarSum(merge) && isIdentity(finish) =>
+      FloatDot(a, b)
+  }
+}
