@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(n: Int, _)) => WordShingles(c, n)
+        case _ => throw new IllegalArgumentException(
+          "word_shingles(text, n) requires a literal integer width")
+      }))
     e.injectOptimizerRule(_ => DotProductRewrite)
   }
 }
