@@ -15,6 +15,7 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.queries.Registry.cleanStaleScratch()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).flatMap { _ =>

@@ -49,6 +49,28 @@ object Registry {
   /** Collision-free identifier fragment from an sf dir path. */
   def sanitize(dir: String): String = dir.replaceAll("[^A-Za-z0-9]+", "_")
 
+  /** Remove sibling per-PID scratch roots untouched for 2h+ — dead JVMs'
+    * lakes/warehouses otherwise accrete across driver rounds. Never touches
+    * the live (current-PID) root or anything recently modified (a
+    * concurrent run).
+    */
+  def cleanStaleScratch(): Unit = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val parent = Paths.get(scratchRoot).getParent
+    if (parent == null || !Files.exists(parent)) return
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    val self = Paths.get(scratchRoot).getFileName.toString
+    Files.list(parent).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("p")
+        && p.getFileName.toString != self
+        && Files.getLastModifiedTime(p).toMillis < cutoff)
+      .foreach { p =>
+        try Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        catch { case _: java.io.IOException => () } // a racer won; harmless
+      }
+  }
+
   def all: Map[String, GraftQuery] =
     CoreQueries.all ++ LakeQueries.all ++ EventQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ DedupQueries.all ++
