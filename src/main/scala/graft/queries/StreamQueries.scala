@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.StreamingOps
 import java.util.concurrent.atomic.AtomicLong
@@ -17,21 +18,26 @@ object StreamQueries {
 
   private val runId = new AtomicLong()
 
+  /** Stage the single events.parquet FILE into a directory — the streaming
+    * file source only accepts directories.
+    */
+  private def stageEvents(dir: String, id: Long): String = {
+    val srcDir = java.nio.file.Paths.get(s"${Registry.scratchRoot}/st_src_$id")
+    java.nio.file.Files.createDirectories(srcDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    srcDir.toString
+  }
+
   val all: Map[String, GraftQuery] = Map(
 
     "st1_stream_hourly" -> GraftQuery(
       (s, dir) => {
         val id = runId.incrementAndGet()
         val sink = s"st1_sink_$id"
-        // stage the single events.parquet FILE into a directory — the
-        // streaming file source only accepts directories.
-        val srcDir = java.nio.file.Paths.get(s"${Registry.scratchRoot}/st1_src_$id")
-        java.nio.file.Files.createDirectories(srcDir)
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          srcDir.resolve("events.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val q = StreamingOps.hourlyTypeCounts(StreamingOps.readEventStream(s, srcDir.toString))
+        val q = StreamingOps.hourlyTypeCounts(StreamingOps.readEventStream(s, stageEvents(dir, id)))
           .writeStream.format("memory").queryName(sink).outputMode("append")
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", s"${Registry.scratchRoot}/st1_ckpt_$id")
@@ -47,5 +53,51 @@ object StreamQueries {
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin),
       "watermarked streaming aggregation, append-mode emission hash-checked"),
+
+    // flatMapGroupsWithState sessionization IN the gate: closed sessions =
+    // every non-final session per user (closed in-batch by a later event)
+    // plus final sessions flushed by the event-time timeout (last-seen +
+    // gap passed by the final watermark, ms resolution). The oracle
+    // re-expresses exactly that: batch lag-gap sessions filtered to the
+    // streaming emission contract.
+    "st2_stream_sessions" -> GraftQuery(
+      (s: SparkSession, dir) => {
+        import s.implicits._
+        val id = runId.incrementAndGet()
+        val sink = s"st2_sink_$id"
+        val evts = StreamingOps.readEventStream(s, stageEvents(dir, id))
+          .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+          .as[StreamingOps.Evt]
+        val q = StreamingOps.sessionize(evts, gapMinutes = 30).toDF()
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st2_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        s.table(sink).orderBy("user_id", "session_start_us")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |wm AS (SELECT max(us) // 1000 - 3600000 AS wm_ms FROM ev),
+             |marked AS (
+             |  SELECT user_id, event_id, us,
+             |         CASE WHEN lag(us) OVER w IS NULL
+             |                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |numbered AS (
+             |  SELECT user_id, us,
+             |         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked),
+             |sess AS (SELECT user_id, sid, min(us) AS session_start_us,
+             |                max(us) AS session_end_us, count(*) AS n_events
+             |         FROM numbered GROUP BY 1, 2),
+             |lastsid AS (SELECT user_id, max(sid) AS max_sid FROM sess GROUP BY user_id)
+             |SELECT s.user_id, s.session_start_us, s.session_end_us,
+             |       CAST(s.n_events AS BIGINT) AS n_events
+             |FROM sess s JOIN lastsid l USING (user_id), wm
+             |WHERE s.sid < l.max_sid
+             |   OR s.session_end_us // 1000 + 1800000 < wm.wm_ms
+             |ORDER BY 1, 2""".stripMargin),
+      "stateful streaming sessionization, emission contract hash-checked"),
   )
 }

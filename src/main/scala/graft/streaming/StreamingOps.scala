@@ -27,24 +27,34 @@ object StreamingOps {
 
   // ---- gap sessionization via flatMapGroupsWithState ----
 
-  final case class Evt(user_id: Long, ts: Timestamp)
-  final case class SessionAcc(start: Long, last: Long, n: Int)
-  final case class ClosedSession(user_id: Long, session_start: Timestamp,
-                                 session_end: Timestamp, n_events: Int)
+  /** `ts` drives the watermark (Spark requires a timestamp column); `us` is
+    * the same instant in epoch MICROS for exact gap arithmetic (Timestamp
+    * getters truncate to millis — events carry microsecond times).
+    */
+  final case class Evt(user_id: Long, ts: Timestamp, us: Long)
+  final case class SessionAcc(start: Long, last: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start_us: Long,
+                                 session_end_us: Long, n_events: Long)
+
+  object Evt {
+    def at(userId: Long, ts: Timestamp): Evt =
+      Evt(userId, ts, ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L)
+  }
 
   /** Close sessions after `gapMinutes` of user inactivity, emitting each
-    * exactly once (append mode). Within a batch, gaps split eagerly; across
-    * batches, the open session lives in GroupState and is flushed by an
-    * EVENT-TIME timeout — i.e. when the watermark passes last_seen + gap,
-    * mirroring the batch e7 lag-gap semantics. State per user is one
-    * (start, last, n) triple — O(active users), not O(events).
+    * exactly once (append mode). Within a batch, gaps split eagerly (micros
+    * arithmetic, strict `>` — identical to the batch e7 lag-gap rule);
+    * across batches the open session lives in GroupState and is flushed by
+    * an EVENT-TIME timeout when the watermark passes last_seen + gap
+    * (timeout registered in ms — the watermark's own resolution). State per
+    * user is one (start, last, n) triple — O(active users), not O(events).
     */
   def sessionize(events: Dataset[Evt], gapMinutes: Int): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
 
     def flush(userId: Long, acc: SessionAcc): ClosedSession =
-      ClosedSession(userId, new Timestamp(acc.start), new Timestamp(acc.last), acc.n)
+      ClosedSession(userId, acc.start, acc.last, acc.n)
 
     events
       .withWatermark("ts", "1 hour")
@@ -56,13 +66,13 @@ object StreamingOps {
             state.remove()
             Iterator(closed)
           } else {
-            val times = batch.map(_.ts.getTime).toArray.sorted
+            val times = batch.map(_.us).toArray.sorted
             var acc = state.getOption.orNull
             val closed = Seq.newBuilder[ClosedSession]
             times.foreach { t =>
               acc match {
                 case null => acc = SessionAcc(t, t, 1)
-                case a if t - a.last > gapMs =>
+                case a if t - a.last > gapUs =>
                   closed += flush(userId, a)
                   acc = SessionAcc(t, t, 1)
                 case a => acc = SessionAcc(a.start, math.max(a.last, t), a.n + 1)
@@ -70,7 +80,7 @@ object StreamingOps {
             }
             if (acc != null) {
               state.update(acc)
-              state.setTimeoutTimestamp(acc.last + gapMs)
+              state.setTimeoutTimestamp(acc.last / 1000L + gapMinutes * 60000L)
             }
             closed.result().iterator
           }

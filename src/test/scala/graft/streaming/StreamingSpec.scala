@@ -46,6 +46,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     def ts(hhmm: String) = Timestamp.valueOf(s"2026-08-12 $hhmm:00")
+    def us(hhmm: String) = ts(hhmm).getTime * 1000L
 
     val input = MemoryStream[StreamingOps.Evt]
     val sessions = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
@@ -56,24 +57,24 @@ class StreamingSpec extends SparkSpec {
       // 11:00 (> 30 min gap ⇒ in-batch split once data arrives);
       // user 2: single event.
       input.addData(
-        StreamingOps.Evt(1, ts("10:00")), StreamingOps.Evt(1, ts("10:10")),
-        StreamingOps.Evt(2, ts("10:05")))
+        StreamingOps.Evt.at(1, ts("10:00")), StreamingOps.Evt.at(1, ts("10:10")),
+        StreamingOps.Evt.at(2, ts("10:05")))
       q.processAllAvailable()
-      input.addData(StreamingOps.Evt(1, ts("11:00")))
+      input.addData(StreamingOps.Evt.at(1, ts("11:00")))
       q.processAllAvailable()
       // watermark push: 14:00 event ⇒ watermark 13:00 ⇒ every session with
       // last+gap < 13:00 times out and flushes.
-      input.addData(StreamingOps.Evt(99, ts("14:00")))
+      input.addData(StreamingOps.Evt.at(99, ts("14:00")))
       q.processAllAvailable()
 
       val out = spark.table("sess_sink")
-        .select("user_id", "session_start", "session_end", "n_events")
-        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getInt(3)))
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
       assert(out === Set(
-        (1L, ts("10:00"), ts("10:10"), 2), // split by the 11:00 arrival
-        (1L, ts("11:00"), ts("11:00"), 1), // flushed by timeout
-        (2L, ts("10:05"), ts("10:05"), 1), // flushed by timeout
+        (1L, us("10:00"), us("10:10"), 2L), // split by the 11:00 arrival
+        (1L, us("11:00"), us("11:00"), 1L), // flushed by timeout
+        (2L, us("10:05"), us("10:05"), 1L), // flushed by timeout
       ))
       // user 99's open session must still be buffered, not emitted
       assert(!out.exists(_._1 == 99L))
