@@ -30,6 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 61 queries × 3 bench iterations generate thousands of codegen classes;
+  // the 240m default JIT code cache fills late in the run and pushes the
+  // alphabetically-last queries toward interpreted execution (~2× slower).
+  "-XX:ReservedCodeCacheSize=512m",
 )
 // Spark tests share one SparkSession-per-JVM; run suites sequentially.
 Test / parallelExecution := false
