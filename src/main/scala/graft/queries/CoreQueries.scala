@@ -230,6 +230,23 @@ object CoreQueries {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
       "rollup with grouping_id over the pricing keys"),
 
+    // Correlated scalar subquery (SQL API): orders priced above 2× their
+    // customer's average — exercises Catalyst's subquery decorrelation
+    // (rewritten to an aggregate + join; never a per-row subquery loop).
+    "q15_correlated_subquery" -> GraftQuery(
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+                |WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+                |                      FROM orders_v o2
+                |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+             |WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+             |                      FROM orders o2
+             |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin),
+      "correlated scalar subquery, decorrelated by Catalyst"),
+
     // Window functions: rank orders within customer by price.
     "q9_window_rank" -> GraftQuery(
       (s, dir) => {

@@ -51,6 +51,27 @@ class GoldAggregatesSpec extends SparkSpec {
     assert(row.getAs[Long]("max_call_duration_seconds") === 600)
   }
 
+  test("property: buckets sum to total iff every status is upper-case (Q2 law)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val statusGen = Gen.listOfN(12, Gen.oneOf(
+      "COMPLETED", "DROPPED", "FAILED", "completed", "Dropped", "failed"))
+    (0 until 4).foreach { i =>
+      val statuses = statusGen.apply(Gen.Parameters.default, Seed(7L + i)).get
+      val rows = statuses.zipWithIndex.map { case (st, j) =>
+        (200 + j, 5000 + j, 20 + j, "09:00:00", "09:05:00", st)
+      }
+      val df = rows.toDF("call_id", "caller_id", "agent_id",
+        "call_start_time", "call_end_time", "call_status")
+      val r = GoldAggregates.dailySummary(df, date).collect().head
+      val bucketSum = r.getAs[Long]("completed_calls") +
+        r.getAs[Long]("dropped_calls") + r.getAs[Long]("failed_calls")
+      val nUpper = statuses.count(s => s == s.toUpperCase)
+      assert(r.getAs[Long]("total_calls") === statuses.length)
+      assert(bucketSum === nUpper, s"case $i: statuses=$statuses")
+    }
+  }
+
   test("withYearMonth derives processing-date partitions") {
     val r = GoldAggregates.withYearMonth(GoldAggregates.dailySummary(silver, date), date).collect().head
     assert(r.getAs[Int]("year") === 2026)
