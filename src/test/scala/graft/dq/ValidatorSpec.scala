@@ -62,6 +62,15 @@ class ValidatorSpec extends SparkSpec {
       "agent_id must not be NULL | invalid call_start_time | invalid call_end_time | call_status must not be NULL"))
   }
 
+  test("empty input validates to empty valid and invalid frames") {
+    val dir = scratch("validator_empty")
+    val csv = Fixture.writeCsv(dir, "empty.csv", Seq.empty)
+    val raw = spark.read.schema(CallCenter.rawSchema).option("header", "true").csv(csv)
+    val (valid, invalid) = new Validator(CallCenter.rules).split(raw)
+    assert(valid.count() === 0)
+    assert(invalid.count() === 0)
+  }
+
   test("split is a partition: valid ∪ invalid = input, disjoint") {
     val raw = validated.drop("Reject_reason")
     val (valid, invalid) = new Validator(CallCenter.rules).split(raw)

@@ -31,6 +31,14 @@ class MergeTableSpec extends SparkSpec {
       Set((1, "a", "p1"), (2, "B", "p2"), (3, "c", "p2"), (4, "d", "p3")))
   }
 
+  test("merge into a table that doesn't exist yet takes the initial-load branch") {
+    val t = new MergeTable(scratch("mt_fresh"), Seq("p"))
+    assert(!t.exists) // the reference's isDeltaTable probe (S6)
+    t.merge(spark, df(Seq((1, "a", "p1"), (2, "b", "p2"))), Seq("k"))
+    assert(t.exists && t.currentVersion === 0)
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (2, "b", "p2")))
+  }
+
   test("re-running the same merge is a no-op (late-data idempotency)") {
     val t = new MergeTable(scratch("mt_idem"), Seq("p"))
     t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))

@@ -33,4 +33,14 @@ class RangeJoinSpec extends SparkSpec {
       (100L, ts(0)), (101L, ts(0)), (103L, ts(40)),
     ))
   }
+
+  test("a many-bin interval still produces each qualifying pair exactly once") {
+    val points = Seq((1L, 100L, ts(30))).toDF("user_id", "event_id", "t")
+    // interval spans 60 one-minute bins; the point owns exactly one bin,
+    // so the equi-join can only produce the pair once.
+    val intervals = Seq((1L, ts(0), ts(59))).toDF("user_id", "w_start", "w_end")
+    val out = RangeJoin.binnedRangeJoin(points, intervals,
+      "user_id", "t", "w_start", "w_end", binWidthSec = 60L)
+    assert(out.count() === 1)
+  }
 }
