@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** `float_dot(a, b)` — dot product of two FLOAT arrays in DOUBLE, as a
   * native Catalyst expression with whole-stage codegen.
@@ -27,9 +28,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs MUST be ARRAY<FLOAT> (callers pass embedding columns directly;
-  // `AbstractDataType` needed for ExpectsInputTypes is private[sql], so no
-  // implicit-cast contract is declared).
+  // Inputs MUST be ARRAY<FLOAT>; `AbstractDataType` needed for
+  // ExpectsInputTypes is private[sql], so enforce via checkInputDataTypes —
+  // otherwise e.g. array<double> would reach getFloat and read garbage slots.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"float_dot requires two ARRAY<FLOAT> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true // unequal lengths ⇒ NULL even on non-null inputs
   override def prettyName: String = "float_dot"
@@ -79,10 +91,21 @@ case class FloatDot(left: Expression, right: Expression)
   * directly to the session's FunctionRegistry; idempotent).
   */
 object GraftFunctions {
+  /** Arity-checked builder shared by every registration point: SQL
+    * `float_dot(a)` must be an AnalysisException, not an
+    * IndexOutOfBoundsException from children(1).
+    */
+  def build(children: Seq[Expression]): Expression = {
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"float_dot requires exactly 2 arguments, got ${children.length}")
+    FloatDot(children(0), children(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (children: Seq[Expression]) => FloatDot(children(0), children(1)))
+      build _)
   }
 }

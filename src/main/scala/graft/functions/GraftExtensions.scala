@@ -18,7 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (children: Seq[Expression]) => FloatDot(children(0), children(1))))
+      (children: Seq[Expression]) => GraftFunctions.build(children)))
     e.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
@@ -50,10 +50,16 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** x * y where each side is a lambda variable cast to double. */
-  private def isCastProduct(f: Expression): Boolean = f match {
-    case Multiply(Cast(_: NamedLambdaVariable, DoubleType, _, _),
-                  Cast(_: NamedLambdaVariable, DoubleType, _, _), _) => true
+  /** x * y where the multiplied variables are EXACTLY the zip_with lambda's
+    * own two arguments (one use each, either order). Matching on "any two
+    * lambda variables" would also rewrite `(x, y) -> x * x` (sum of squares)
+    * or a product capturing an outer HOF's variable — silently wrong results.
+    */
+  private def isCastProduct(f: Expression, args: Seq[NamedLambdaVariable]): Boolean = f match {
+    case Multiply(Cast(x: NamedLambdaVariable, DoubleType, _, _),
+                  Cast(y: NamedLambdaVariable, DoubleType, _, _), _) =>
+      x.exprId != y.exprId &&
+        Set(x.exprId, y.exprId) == args.map(_.exprId).toSet
     case _ => false
   }
 
@@ -73,11 +79,13 @@ object DotProductRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
-          ZipWith(a, b, LambdaFunction(product, _, _)),
+          ZipWith(a, b, LambdaFunction(product, zipArgs, _)),
           Literal(0.0, DoubleType),
           merge: LambdaFunction,
           finish: LambdaFunction)
-        if isFloatArray(a) && isFloatArray(b) && isCastProduct(product) &&
+        if isFloatArray(a) && isFloatArray(b) &&
+          zipArgs.forall(_.isInstanceOf[NamedLambdaVariable]) && zipArgs.length == 2 &&
+          isCastProduct(product, zipArgs.map(_.asInstanceOf[NamedLambdaVariable])) &&
           isVarSum(merge) && isIdentity(finish) =>
       FloatDot(a, b)
   }

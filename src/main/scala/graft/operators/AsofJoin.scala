@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of join (point-in-time lookup): for every left row (key, t), attach
   * the value of the LATEST right row with the same key and right-time ≤ t.
@@ -34,14 +35,20 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, key: String, time: String,
            valueCol: String): DataFrame = {
     val leftCols = left.columns
+    // The carried value is wrapped in a single-field struct: a right row
+    // whose valueCol is genuinely NULL is a non-null struct{v: NULL}, while
+    // the left-side placeholder is a NULL struct. `last(_, ignoreNulls)`
+    // then skips only placeholders — a NULL right value propagates as NULL
+    // (DuckDB ASOF JOIN semantics) instead of falling back to an earlier row.
+    val vStruct = StructType(Seq(StructField("v", right.schema(valueCol).dataType)))
     val tagged = left
       .withColumn("_graft_side", lit(1))
-      .withColumn("_graft_v", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("_graft_v", lit(null).cast(vStruct))
       .select((leftCols.map(col) :+ col("_graft_side") :+ col("_graft_v")): _*)
       .unionByName(
         right
           .withColumn("_graft_side", lit(0))
-          .withColumn("_graft_v", col(valueCol))
+          .withColumn("_graft_v", struct(col(valueCol).as("v")))
           .select(key, time, "_graft_side", "_graft_v"),
         allowMissingColumns = true)
 
@@ -50,7 +57,8 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     tagged
-      .withColumn(s"asof_$valueCol", last(col("_graft_v"), ignoreNulls = true).over(w))
+      .withColumn(s"asof_$valueCol",
+        last(col("_graft_v"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("_graft_side") === 1)
       .select((leftCols.map(col) :+ col(s"asof_$valueCol")): _*)
   }

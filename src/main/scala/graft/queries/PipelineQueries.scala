@@ -179,8 +179,11 @@ object PipelineQueries {
     "cc5_high_failure_days" -> GraftQuery(
       athena("high_failure_days"),
       Some(fixtureCte +
+        // Spark's ROUND(decimal_expr, 2) stays DECIMAL (stringifies '25.00');
+        // DuckDB's ROUND yields DOUBLE ('25.0') — cast so the stringified
+        // cells agree.
         """SELECT call_date, failed_calls, total_calls,
-          |       ROUND((failed_calls * 100.0) / total_calls, 2) AS failure_rate_pct
+          |       CAST(ROUND((failed_calls * 100.0) / total_calls, 2) AS DECIMAL(38,2)) AS failure_rate_pct
           |FROM gold_call_daily_summary
           |WHERE total_calls > 0
           |ORDER BY failure_rate_pct DESC LIMIT 10""".stripMargin),

@@ -61,10 +61,18 @@ object Registry {
     if (parent == null || !Files.exists(parent)) return
     val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
     val self = Paths.get(scratchRoot).getFileName.toString
+    // Staleness = newest mtime anywhere in the tree, not the root's: the
+    // root dir's mtime only changes when direct children are added, so a
+    // long-lived JVM writing inside subdirs created at startup would look
+    // stale by the root alone and get its live scratch deleted mid-run.
+    def newestMtime(p: Path): Long =
+      try Files.walk(p).iterator().asScala
+        .map(f => Files.getLastModifiedTime(f).toMillis).max
+      catch { case _: Exception => Long.MaxValue } // unreadable ⇒ assume live
     Files.list(parent).iterator().asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("p")
         && p.getFileName.toString != self
-        && Files.getLastModifiedTime(p).toMillis < cutoff)
+        && newestMtime(p) < cutoff)
       .foreach { p =>
         try Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
         catch { case _: java.io.IOException => () } // a racer won; harmless

@@ -46,4 +46,31 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(r === 19.0)
   }
+
+  test("rewrite refuses a product that is NOT the lambda's two distinct args") {
+    // (x, y) -> CAST(x)*CAST(x) is a sum of squares of `a`; rewriting it to
+    // FloatDot(a, b) = sum(a_i * b_i) would be silently wrong.
+    val squares =
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    val df = spark.range(1)
+      .select(
+        expr("CAST(array(CAST(id AS FLOAT) + 1.0, 2.0) AS ARRAY<FLOAT>)").as("a"),
+        expr("CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)").as("b"))
+      .select(expr(squares).as("ss"))
+    val optimized = df.queryExecution.optimizedPlan
+    assert(!optimized.expressions.exists(_.exists(_.isInstanceOf[FloatDot])),
+      s"sum-of-squares must not be rewritten to FloatDot:\n$optimized")
+    assert(df.collect().head.getDouble(0) === 5.0) // 1*1 + 2*2
+  }
+
+  test("float_dot rejects wrong arity and non-ARRAY<FLOAT> inputs at analysis") {
+    val oneArg = intercept[Exception] {
+      spark.sql("SELECT float_dot(CAST(array(1.0) AS ARRAY<FLOAT>))").collect()
+    }
+    assert(oneArg.getMessage.contains("2 arguments"), oneArg.getMessage)
+    val wrongType = intercept[Exception] {
+      spark.sql("SELECT float_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").collect()
+    }
+    assert(wrongType.getMessage.toLowerCase.contains("array<float>"), wrongType.getMessage)
+  }
 }

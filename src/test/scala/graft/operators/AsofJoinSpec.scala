@@ -37,4 +37,18 @@ class AsofJoinSpec extends SparkSpec {
       (2L, ts(25), None),
     ))
   }
+
+  test("a right row whose value is NULL matches as NULL, not an earlier value") {
+    // DuckDB ASOF JOIN attaches the matched row even when its value is NULL;
+    // skipping it and falling back to the @10 row would silently diverge.
+    val left = Seq((1L, ts(25))).toDF("user_id", "ts")
+    val right = Seq(
+      (1L, ts(10), Some(100.0)),
+      (1L, ts(20), None), // the latest at-or-before row — value genuinely NULL
+    ).toDF("user_id", "ts", "value")
+
+    val got = AsofJoin.asof(left, right, "user_id", "ts", "value")
+      .collect().map(r => Option(r.get(2))).toSeq
+    assert(got === Seq(None))
+  }
 }
