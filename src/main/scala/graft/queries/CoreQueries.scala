@@ -230,6 +230,51 @@ object CoreQueries {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
       "rollup with grouping_id over the pricing keys"),
 
+    // GROUPING SETS (the general grouping-sets form; q12 covers ROLLUP):
+    // per-flag totals, per-status totals, and the grand total in ONE pass —
+    // Spark plans a single Expand + hash agg, not three scans.
+    "q16_grouping_sets" -> GraftQuery(
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                |       sum(l_quantity) AS sum_qty,
+                |       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+                |FROM lineitem_v
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             |       sum(l_quantity) AS sum_qty,
+             |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin),
+      "grouping sets: three groupings in one Expand + agg pass"),
+
+    // UNPIVOT (wide → long melt): per-flag metric matrix to (flag, metric,
+    // value) rows. Spark's native unpivot; the oracle states the same
+    // relation as a UNION ALL (the ANSI-portable spelling).
+    "q17_unpivot" -> GraftQuery(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sum_qty"),
+             round(sum("l_extendedprice"), 2).as("sum_price"),
+             count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(
+          ids = Array(col("l_returnflag")),
+          values = Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+          variableColumnName = "metric",
+          valueColumnName = "metric_value"),
+      Some("""WITH wide AS (
+             |  SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+             |         round(sum(l_extendedprice), 2) AS sum_price,
+             |         CAST(count(*) AS DOUBLE) AS n_rows
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM wide
+             |UNION ALL
+             |SELECT l_returnflag, 'sum_price', sum_price FROM wide
+             |UNION ALL
+             |SELECT l_returnflag, 'n_rows', n_rows FROM wide""".stripMargin),
+      "native unpivot (melt) of an aggregate matrix"),
+
     // Correlated scalar subquery (SQL API): orders priced above 2× their
     // customer's average — exercises Catalyst's subquery decorrelation
     // (rewritten to an aggregate + join; never a per-row subquery loop).

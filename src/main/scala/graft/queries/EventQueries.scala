@@ -305,5 +305,65 @@ object EventQueries {
              |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type""".stripMargin),
       "get_json_object over JSON-in-string column"),
+
+    // Analytic window-function suite beyond rank: lead/lag navigation,
+    // ntile bucketing, cume_dist. All share ONE window (user_id, ordered by
+    // the unique (ts, event_id)) so Spark plans a single shuffle + sort.
+    // cume_dist is rows≤current / rows-in-partition — one IEEE division,
+    // bit-exact across engines; ntile follows the SQL-standard fill rule in
+    // both.
+    "e15_window_suite" -> GraftQuery(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            lag(col("event_type"), 1).over(w).as("prev_type"),
+            lead(col("event_type"), 1).over(w).as("next_type"),
+            ntile(4).over(w).as("quartile"),
+            cume_dist().over(w).as("cdist"))
+      },
+      Some("""SELECT user_id, event_id,
+             |       lag(event_type, 1) OVER w AS prev_type,
+             |       lead(event_type, 1) OVER w AS next_type,
+             |       CAST(ntile(4) OVER w AS INT) AS quartile,
+             |       cume_dist() OVER w AS cdist
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin),
+      "lead/lag/ntile/cume_dist over one shared window — single shuffle"),
+
+    // Event-time RANGE frame: per user, how many events (and the min/max
+    // value) landed in the trailing hour INCLUDING this one. rangeBetween
+    // needs a numeric ordering column — epoch micros; the frame bound is
+    // then exact integer arithmetic. min/max are association-order-free, so
+    // (unlike a windowed double sum, which DuckDB computes via segment
+    // trees in a different addition order) the cells are bit-stable.
+    "e16_rolling_range" -> GraftQuery(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L)
+        t(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("n_last_hour", count(lit(1)).over(w))
+          .withColumn("min_val_hour", min(col("value")).over(w))
+          .withColumn("max_val_hour", max(col("value")).over(w))
+          .groupBy("user_id")
+          .agg(max(col("n_last_hour")).as("peak_hourly_events"),
+               min(col("min_val_hour")).as("min_val"),
+               max(col("max_val_hour")).as("max_val"))
+      },
+      Some("""SELECT user_id,
+             |       CAST(max(n_last_hour) AS BIGINT) AS peak_hourly_events,
+             |       min(min_val_hour) AS min_val,
+             |       max(max_val_hour) AS max_val
+             |FROM (
+             |  SELECT user_id,
+             |         count(*) OVER w AS n_last_hour,
+             |         min(value) OVER w AS min_val_hour,
+             |         max(value) OVER w AS max_val_hour
+             |  FROM (SELECT user_id, value, epoch_us(ts) AS us FROM events)
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+             |GROUP BY user_id""".stripMargin),
+      "trailing-1h RANGE frame on epoch micros; peak rolling density per user"),
   )
 }
