@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
@@ -108,7 +108,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
     *    (§2.6.4), unless `checkUniqueSource=false`.
     */
   def merge(spark: SparkSession, source: DataFrame, keys: Seq[String],
-            checkUniqueSource: Boolean = true): Unit = {
+            checkUniqueSource: Boolean = true,
+            mergeSchema: Boolean = false): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     if (!exists) { overwrite(source); return }
 
@@ -150,10 +151,21 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
           }.reduce(_ unionByName _)
           Some(tdf.join(srcKeys, keys, "left_anti"))
         }
-      val newData = survivors match {
-        case Some(s) => s.unionByName(src.select(s.columns.map(col): _*))
-        case None    => src
-      }
+      val newData =
+        if (mergeSchema) {
+          // Schema evolution (Delta autoMerge analog): the committed schema
+          // becomes target ∪ source — survivors are null-filled for columns
+          // only the source has, inserted/updated rows for columns only the
+          // target has. Untouched files are NOT rewritten: readVersion
+          // applies the evolved snapshot schema uniformly, and parquet reads
+          // yield NULL for columns a file predates. The zero-row target head
+          // anchors the old column set when no file was touched.
+          val anchor = survivors.getOrElse(target.limit(0))
+          anchor.unionByName(src, allowMissingColumns = true)
+        } else survivors match {
+          case Some(s) => s.unionByName(src.select(s.columns.map(col): _*))
+          case None    => src
+        }
 
       val newVersion = v + 1
       val dataDir = s"d$newVersion"
@@ -161,6 +173,47 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
       val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
       commit(newVersion, keptRel ++ newFiles, newData.schema)
     } finally src.unpersist()
+  }
+
+  /** Delta `DELETE WHERE` analog: remove the rows matching `predicate`,
+    * rewriting ONLY the data files that contain at least one matching row
+    * (same file-pruning shape as merge); untouched files are carried
+    * forward by manifest reference. Rows where the predicate is NULL are
+    * KEPT (SQL DELETE removes only predicate-is-TRUE rows). A predicate
+    * matching nothing commits a metadata-only version (same file list) —
+    * the operation is still recorded, like Delta's no-op DELETE commit.
+    */
+  def delete(spark: SparkSession, predicate: Column): Unit = {
+    val v = currentVersion
+    val target = readVersion(spark, v)
+
+    val touched: Set[String] = target
+      .withColumn("_graft_file", input_file_name())
+      .filter(predicate)
+      .select("_graft_file").distinct()
+      .collect().map(r => normalize(r.getString(0))).toSet
+
+    val oldFiles = filesOf(v)
+    val (touchedRel, keptRel) =
+      oldFiles.partition(f => touched.exists(t => t.endsWith("/" + f) || t == f))
+
+    val newVersion = v + 1
+    if (touchedRel.isEmpty) { commit(newVersion, oldFiles, schemaOf(v)); return }
+
+    val byDataDir = touchedRel.groupBy(f => f.takeWhile(_ != '/'))
+    val tdf = byDataDir.toSeq.sortBy(_._1).map { case (dataDir, rel) =>
+      spark.read
+        .option("basePath", s"$root/$dataDir")
+        .schema(schemaOf(v))
+        .parquet(rel.map(r => s"$root/$r"): _*)
+    }.reduce(_ unionByName _)
+    // survivors: predicate FALSE or NULL (NOT(pred) alone would drop NULLs)
+    val survivors = tdf.filter(coalesce(predicate, lit(false)) =!= true)
+
+    val dataDir = s"d$newVersion"
+    writeData(survivors, dataDir)
+    val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
+    commit(newVersion, keptRel ++ newFiles, schemaOf(v))
   }
 
   /** Compaction (Delta OPTIMIZE analog): rewrite the CURRENT snapshot so

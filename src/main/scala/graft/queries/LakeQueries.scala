@@ -98,6 +98,56 @@ object LakeQueries {
              |GROUP BY o_orderstatus""".stripMargin),
       "OPTIMIZE-style compaction + vacuum preserve the snapshot exactly"),
 
+    // DELETE WHERE: file-pruned row deletion. Delete all 'F'-status orders
+    // below a price threshold; survivors include rows where the predicate
+    // is false AND every row of untouched files. Time-travel to v0 still
+    // sees the deleted rows (checked in MergeTableSpec).
+    "m5_delete_where" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m5_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        table.delete(s, col("o_orderstatus") === "F" && col("o_totalprice") < 50000.0)
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+               round(sum("o_totalprice"), 2).as("price_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       round(sum(o_totalprice), 2) AS price_sum
+             |FROM orders
+             |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+             |GROUP BY o_orderstatus""".stripMargin),
+      "Delta DELETE WHERE analog: file-pruned rewrite, snapshot commit"),
+
+    // Schema evolution (Delta autoMerge analog): merge a source carrying a
+    // NEW column. Untouched rows read back with the evolved schema as NULL
+    // (their files are never rewritten); matched/inserted rows carry the
+    // value. The oracle expresses the same evolution with a left-join NULL
+    // fill.
+    "m6_schema_evolution" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m6_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        val source = orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("priority_flag", lit("HIGH"))
+        table.merge(s, source, Seq("o_orderkey"), mergeSchema = true)
+        table.read(s)
+          .groupBy("o_orderstatus", "priority_flag")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus,
+             |       CASE WHEN o_orderkey % 5 = 0 THEN 'HIGH' END AS priority_flag,
+             |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders
+             |GROUP BY 1, 2""".stripMargin),
+      "schema-evolving MERGE: new column, untouched files null-fill unrewritten"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -58,6 +58,56 @@ class MergeTableSpec extends SparkSpec {
     assert(ex.getMessage.contains("duplicate keys"))
   }
 
+  test("delete removes only predicate-TRUE rows; NULL predicate rows are kept") {
+    val t = new MergeTable(scratch("mt_del"), Seq("p"))
+    val rows = Seq((1, "a", "p1"), (2, null, "p1"), (3, "a", "p2"), (4, "b", "p2"))
+      .toDF("k", "v", "p")
+    t.overwrite(rows)
+    t.delete(spark, col("v") === "a") // v NULL on k=2 → predicate NULL → keep
+    assert(asSet2(t.read(spark)) === Set((2, null), (4, "b")))
+    // time travel: v0 still has the deleted rows
+    assert(t.readVersion(spark, 0).count() === 4)
+  }
+
+  test("delete matching nothing commits a metadata-only new version") {
+    val t = new MergeTable(scratch("mt_del_noop"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    val v = t.currentVersion
+    t.delete(spark, col("v") === "zzz")
+    assert(t.currentVersion === v + 1)
+    assert(t.filesOf(v + 1) === t.filesOf(v))
+  }
+
+  test("mergeSchema=true evolves the schema; untouched files read as NULL unrewritten") {
+    val t = new MergeTable(scratch("mt_evo"), Seq("p"))
+    // two partitions → at least two files; source touches only p1's key
+    t.overwrite(df(Seq((1, "a", "p1"), (3, "c", "p2"))))
+    val filesBefore = t.filesOf(t.currentVersion)
+    val src = Seq((1, "A", "p1", 9L), (5, "e", "p3", 7L)).toDF("k", "v", "p", "extra")
+    t.merge(spark, src, Seq("k"), mergeSchema = true)
+    val got = t.read(spark).select("k", "v", "p", "extra")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got === Set(
+      (1, "A", "p1", Some(9L)), // updated, carries the new column
+      (3, "c", "p2", None),     // untouched file, null-filled at read
+      (5, "e", "p3", Some(7L)), // inserted
+    ))
+    // the p2 file was carried forward by reference, not rewritten
+    val carried = t.filesOf(t.currentVersion).toSet.intersect(filesBefore.toSet)
+    assert(carried.nonEmpty, "expected at least one untouched file carried forward")
+  }
+
+  test("without mergeSchema a new source column is not silently persisted") {
+    val t = new MergeTable(scratch("mt_noevo"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    t.merge(spark, Seq((1, "A", "p1", 9L)).toDF("k", "v", "p", "extra"), Seq("k"))
+    assert(!t.read(spark).columns.contains("extra"))
+  }
+
+  private def asSet2(d: DataFrame): Set[(Int, String)] =
+    d.select("k", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+
   test("vacuum drops stale versions but the live snapshot stays readable") {
     val t = new MergeTable(scratch("mt_vac"), Seq("p"))
     t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
