@@ -193,5 +193,32 @@ object DedupQueries {
       },
       None,
       "SimHash signatures + pigeonhole-complete banded Hamming pairing"),
+
+    // Incremental ingest dedup — the production shape for training-data
+    // pipelines: fingerprint the INCOMING batch and anti-join it against
+    // the already-ingested corpus's fingerprint set, so each ingest round
+    // touches O(batch) + one shuffled probe of the fingerprint column,
+    // never re-scanning corpus text. At 100 TB the corpus side is a
+    // fingerprint-only table (16-byte md5 per doc, persistable as a
+    // MergeTable the survivors are merged back into); here both sides
+    // derive from `documents` split deterministically 80/20 on doc_id.
+    "d6_incremental_dedup" -> GraftQuery(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpusFp = docs.filter(col("doc_id") % 10 < 8)
+          .select(md5(col("text")).as("fp"))
+        val batch = docs.filter(col("doc_id") % 10 >= 8)
+          .select(col("doc_id"), col("source"), col("lang"), md5(col("text")).as("fp"))
+        batch.join(corpusFp, Seq("fp"), "left_anti")
+          .select("doc_id", "source", "lang")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT md5(text) AS fp FROM documents WHERE doc_id % 10 < 8),
+             |batch AS (
+             |  SELECT doc_id, source, lang, md5(text) AS fp
+             |  FROM documents WHERE doc_id % 10 >= 8)
+             |SELECT doc_id, source, lang FROM batch b
+             |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)""".stripMargin),
+      "incremental batch-vs-corpus dedup: fingerprint anti-join, O(batch) per round"),
   )
 }
