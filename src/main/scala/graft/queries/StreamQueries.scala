@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import graft.lake.MergeTable
 import graft.streaming.StreamingOps
 import java.util.concurrent.atomic.AtomicLong
 
@@ -99,5 +100,48 @@ object StreamQueries {
              |   OR s.session_end_us // 1000 + 1800000 < wm.wm_ms
              |ORDER BY 1, 2""".stripMargin),
       "stateful streaming sessionization, emission contract hash-checked"),
+
+    // The canonical lakehouse ingest loop — the reference's silver job
+    // re-expressed as a STREAM: file source → foreachBatch → MergeTable
+    // MERGE per micro-batch (exactly Delta's streaming-upsert recipe). The
+    // table is pre-seeded with stale rows (value = -1) that the stream must
+    // overwrite; events are staged as 4 files with maxFilesPerTrigger=1 so
+    // AvailableNow really runs 4 incremental merge rounds, not one bulk
+    // load. Final snapshot == plain `events` (source-wins), which the
+    // oracle states directly; min(value) would expose any seed row the
+    // merge missed.
+    "st3_stream_merge_sink" -> GraftQuery(
+      (s, dir) => {
+        val id = runId.incrementAndGet()
+        val srcDir = s"${Registry.scratchRoot}/st3_src_$id"
+        // raw read (ts stays nanos-as-long) so the staged files match
+        // readEventStream's declared schema
+        s.read.parquet(s"$dir/events.parquet").repartition(4)
+          .write.mode("overwrite").parquet(srcDir)
+        val table = new MergeTable(s"${Registry.scratchRoot}/st3_lake_$id")
+        table.overwrite(Registry.t(s, dir, "events")
+          .filter(col("event_id") % 10 === 0)
+          .withColumn("value", lit(-1.0)))
+        val q = StreamingOps.readEventStream(s, srcDir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            table.merge(batch.sparkSession, batch, Seq("event_id"))
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("maxFilesPerTrigger", "1")
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st3_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        table.read(s).groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+               sum("event_id").as("id_sum"),
+               min("value").as("min_value"),
+               max("value").as("max_value"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |       min(value) AS min_value, max(value) AS max_value
+             |FROM events GROUP BY event_type""".stripMargin),
+      "streaming foreachBatch MERGE ingest — per-micro-batch lake upsert"),
   )
 }
