@@ -107,5 +107,14 @@ object GraftFunctions {
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       build _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_avg"),
+      new ExpressionInfo(classOf[VecAvg].getName, "vec_avg"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"vec_avg requires exactly 1 argument, got ${children.length}")
+        VecAvg(children.head)
+      })
   }
 }

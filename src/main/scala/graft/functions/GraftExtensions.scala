@@ -27,6 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "word_shingles(text, n) requires a literal integer width")
       }))
+    e.injectFunction((
+      FunctionIdentifier("vec_avg"),
+      new ExpressionInfo(classOf[VecAvg].getName, "vec_avg"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"vec_avg requires exactly 1 argument, got ${children.length}")
+        VecAvg(children.head)
+      }))
     e.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

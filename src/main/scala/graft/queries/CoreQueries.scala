@@ -275,6 +275,20 @@ object CoreQueries {
              |SELECT l_returnflag, 'n_rows', n_rows FROM wide""".stripMargin),
       "native unpivot (melt) of an aggregate matrix"),
 
+    // ORDER BY + LIMIT + OFFSET (pagination — listed "absent" for the
+    // reference in SURVEY §2.7): Spark 4 plans limit+offset as a single
+    // TakeOrdered(limit+offset) then drops the head — still a true top-k,
+    // no full sort.
+    "q18_offset" -> GraftQuery(
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_off_v")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders_off_v
+                |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 10""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 10""".stripMargin),
+      "pagination: top-k with offset, no full sort"),
+
     // Correlated scalar subquery (SQL API): orders priced above 2× their
     // customer's average — exercises Catalyst's subquery decorrelation
     // (rewritten to an aggregate + join; never a per-row subquery loop).

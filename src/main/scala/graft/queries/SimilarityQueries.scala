@@ -212,5 +212,28 @@ object SimilarityQueries {
         s, t(s, dir, "embeddings"), queryId = 0, nClusters = 16, nProbe = 4, k = 10),
       None,
       "IVF-Flat ANN: probe nearest k-means cells, exact-cosine re-rank"),
+
+    // Per-label embedding centroids through the native `vec_avg` Catalyst
+    // aggregate (graft.functions.VecAvg): ONE (sums, count) buffer per
+    // group — the shuffle carries groups × (dim+1) doubles, where the
+    // declarative posexplode→avg twin would shuffle rows × dim exploded
+    // rows (64× the corpus). Result scalarized to (label, dim, c) AFTER
+    // aggregation — the explode happens on 16 centroid rows, not the data.
+    // avg is n·ε-stable (~1e-13 here) so round(6) is engine-independent.
+    "v6_centroids" -> GraftQuery(
+      (s, dir) => {
+        GraftFunctions.register(s)
+        t(s, dir, "embeddings")
+          .groupBy("label")
+          .agg(expr("vec_avg(embedding)").as("centroid"))
+          .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "c")))
+          .select(col("label"), col("dim"), round(col("c"), 6).as("c"))
+      },
+      Some("""SELECT label, CAST(ord - 1 AS INT) AS dim, round(avg(val), 6) AS c
+             |FROM (SELECT label, unnest(embedding) AS val,
+             |             unnest(generate_series(1, len(embedding))) AS ord
+             |      FROM embeddings)
+             |GROUP BY label, ord""".stripMargin),
+      "native vector-mean aggregate: centroid shuffle is groups-sized, not rows×dim"),
   )
 }
