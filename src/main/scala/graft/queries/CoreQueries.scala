@@ -275,6 +275,64 @@ object CoreQueries {
              |SELECT l_returnflag, 'n_rows', n_rows FROM wide""".stripMargin),
       "native unpivot (melt) of an aggregate matrix"),
 
+    // FULL OUTER join with BOTH sides dangling (customers %3 pruned vs
+    // order-keys %5 pruned), classified into left-only / right-only / both
+    // — the join type q4-q6 don't reach. Shuffled hash/merge join on the
+    // key; the classification is a post-join projection.
+    "q19_full_outer" -> GraftQuery(
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_custkey") % 3 =!= 0)
+          .select(col("c_custkey"))
+        val o = t(s, dir, "orders").filter(col("o_custkey") % 5 =!= 0)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            when(col("c_custkey").isNull, "right_only")
+              .when(col("o_custkey").isNull, "left_only")
+              .otherwise("both").as("side"),
+            coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+            col("n_orders"))
+          .groupBy("side")
+          .agg(count(lit(1)).as("n_keys"), sum("key").as("key_sum"),
+               sum("n_orders").as("order_sum"))
+      },
+      Some("""WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0),
+             |     o AS (SELECT o_custkey, count(*) AS n_orders
+             |           FROM orders WHERE o_custkey % 5 <> 0 GROUP BY o_custkey)
+             |SELECT CASE WHEN c_custkey IS NULL THEN 'right_only'
+             |            WHEN o_custkey IS NULL THEN 'left_only'
+             |            ELSE 'both' END AS side,
+             |       count(*) AS n_keys,
+             |       CAST(sum(coalesce(c_custkey, o_custkey)) AS BIGINT) AS key_sum,
+             |       CAST(sum(n_orders) AS BIGINT) AS order_sum
+             |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+             |GROUP BY 1""".stripMargin),
+      "full outer join, both sides dangling, presence classification"),
+
+    // Left-semi join (EXISTS) — q6's anti twin: customers with at least
+    // one open order. Semi joins stop probing at the first match and never
+    // widen the row, unlike an inner join + distinct.
+    "q20_semi_join" -> GraftQuery(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+                .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin),
+      "left-semi join (EXISTS): first-match probe, no row widening"),
+
+    // INTERSECT (q8 covers UNION/EXCEPT): nations present on BOTH the
+    // supplier and customer sides.
+    "q21_intersect" -> GraftQuery(
+      (s, dir) => t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))),
+      Some("""SELECT s_nationkey AS nationkey FROM supplier
+             |INTERSECT
+             |SELECT c_nationkey AS nationkey FROM customer""".stripMargin),
+      "INTERSECT distinct"),
+
     // ORDER BY + LIMIT + OFFSET (pagination — listed "absent" for the
     // reference in SURVEY §2.7): Spark 4 plans limit+offset as a single
     // TakeOrdered(limit+offset) then drops the head — still a true top-k,

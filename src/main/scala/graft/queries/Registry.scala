@@ -82,5 +82,6 @@ object Registry {
   def all: Map[String, GraftQuery] =
     CoreQueries.all ++ LakeQueries.all ++ EventQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ DedupQueries.all ++
-      MultimodalQueries.all ++ PipelineQueries.all ++ StreamQueries.all
+      MultimodalQueries.all ++ PipelineQueries.all ++ StreamQueries.all ++
+      FormatQueries.all
 }
