@@ -1,0 +1,113 @@
+package graft
+
+import graft.lake.MergeTable
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the physical plans behind the registry queries
+  * carry the properties that make them survive a 100 TB scale-up —
+  * predicate pushdown into the parquet scan, partition pruning (including
+  * through MergeTable's explicit-file-list reads), broadcast of small join
+  * sides, top-k instead of full sort, and whole-stage codegen over the hot
+  * aggregation path. Correctness gates prove the small-SF answers; these
+  * prove the *plans* are the ones we'd want on a 1000-executor cluster.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** All parquet scans in the (possibly adaptive) executed plan. */
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan
+    val root = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    root.collect { case s: FileSourceScanExec => s }
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val dir = scratch("pushdown")
+    (1 to 1000).map(i => (i.toLong, i % 7, s"name$i", s"pad$i"))
+      .toDF("id", "bucket", "name", "pad")
+      .write.mode("overwrite").parquet(s"$dir/t")
+
+    val q = spark.read.parquet(s"$dir/t").filter($"id" > 900).select("id", "name")
+    val s = scans(q)
+    assert(s.nonEmpty)
+    val pushed = s.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThan(id,900)"), s"filter not pushed: $pushed")
+    val readSchema = s.head.metadata("ReadSchema")
+    assert(!readSchema.contains("pad"), s"projection not pruned: $readSchema")
+    assert(q.count() === 100)
+  }
+
+  test("partition pruning reaches a partitioned parquet scan") {
+    val dir = scratch("prune")
+    (1 to 1200).map(i => (i, 2024 + i % 3, 1 + i % 12))
+      .toDF("v", "year", "month")
+      .write.mode("overwrite").partitionBy("year", "month").parquet(s"$dir/t")
+
+    // year = 2024 + i%3, month = 1 + i%12: (year,month)=(2025,5) ⇔ i ≡ 4 (mod 12) — 100 rows
+    val q = spark.read.parquet(s"$dir/t").filter($"year" === 2025 && $"month" === 5)
+    val scan = scans(q).head
+    // 36 physical partitions exist; the scan must touch exactly 1.
+    assert(scan.relation.location.inputFiles.length > 30)
+    assert(scan.metadata("PartitionFilters").contains("year"), "no partition filter")
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected === 1, s"expected 1 pruned partition, scanned $selected")
+  }
+
+  test("MergeTable reads keep partition pruning through the manifest file list") {
+    val dir = scratch("mtprune")
+    val t = new MergeTable(s"$dir/lake", Seq("year", "month"))
+    t.overwrite((1 to 600).map(i => (i.toLong, 2025, 1 + i % 6)).toDF("id", "year", "month"))
+    // a second version whose untouched files are carried forward by reference
+    t.merge(spark, Seq((1L, 2025, 1)).toDF("id", "year", "month"), Seq("id"))
+
+    val q = t.read(spark).filter($"month" === 4)
+    val perScan = scans(q).map(_.selectedPartitions.partitionCount)
+    assert(perScan.nonEmpty)
+    // each per-data-dir scan prunes to at most the single matching partition
+    assert(perScan.forall(_ <= 1), s"partitions scanned per data dir: $perScan")
+    assert(q.count() === 100)
+  }
+
+  test("small dimension side of a join is broadcast") {
+    val dir = scratch("bcast")
+    (1 to 100000).map(i => (i.toLong, i % 25L, i * 2L)).toDF("id", "dim_id", "v")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    (0L to 24L).map(k => (k, s"dim$k")).toDF("dim_id", "attr")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+
+    val q = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim"), "dim_id")
+      .groupBy("attr").agg(sum("v").as("sv"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("ORDER BY + LIMIT plans as top-k, not a full sort") {
+    val df = (1 to 10000).map(i => (i.toLong, i % 97)).toDF("id", "score")
+    val q = df.orderBy(desc("score"), asc("id")).limit(5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
+  test("aggregation pipeline runs inside WholeStageCodegen") {
+    val df = (1 to 5000).map(i => (i % 10, i.toLong)).toDF("g", "v")
+    val q = df.filter($"v" > 10).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), avg("v").as("a"))
+    q.collect()
+    // executedPlan.toString renders codegen stages as "*(n) Op" prefixes
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"agg path fell out of codegen:\n$plan")
+    assert(plan.contains("*(") && plan.indexOf("*(") < plan.indexOf("HashAggregate"),
+      s"final HashAggregate not codegen'd:\n$plan")
+    // map-side combine: a partial_ aggregate must feed the exchange
+    assert(plan.contains("partial_count"), s"no partial aggregation before shuffle:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), s"no hash exchange on group keys:\n$plan")
+  }
+}
