@@ -11,7 +11,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.queries.Registry.cleanStaleScratch()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // GRAFT_ONLY=q1_agg,e17_datetime_suite runs a subset (local iteration;
+    // the driver sets nothing and gets the full registry).
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

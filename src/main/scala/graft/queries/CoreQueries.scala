@@ -364,6 +364,46 @@ object CoreQueries {
              |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin),
       "correlated scalar subquery, decorrelated by Catalyst"),
 
+    // CUBE (completes the grouping-sets family next to q12 ROLLUP and
+    // q16 GROUPING SETS): all four groupings of (flag, status) in one
+    // Expand + agg pass. gid disambiguates subtotal NULLs from data NULLs.
+    "q22_cube" -> GraftQuery(
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+             sum("l_quantity").as("sum_qty"),
+             grouping_id().as("gid")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             |       sum(l_quantity) AS sum_qty,
+             |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
+      "cube: all 2^k groupings in one Expand + agg pass"),
+
+    // Higher-order array functions (SURVEY §2.4 lists the array family as
+    // absent from the reference) over the FLOAT[] embedding column:
+    // filter / exists / transform / aggregate / slice — all codegen'd
+    // lambda expressions, zero UDFs, zero shuffles (pure projection).
+    // Every output is scalarized (counts, exact float→double casts) so the
+    // compare never sees engine-specific array formatting.
+    "q23_array_hof" -> GraftQuery(
+      (s, dir) => t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
+        expr("aggregate(embedding, 0, (acc, x) -> acc + IF(x > 0.5D, 1, 0))").as("n_big"),
+        expr("exists(embedding, x -> x > 3.0D)").cast("int").as("has_huge"),
+        expr("array_min(transform(embedding, x -> abs(x)))").cast("double").as("min_abs"),
+        expr("array_max(slice(embedding, 1, 8))").cast("double").as("max_head")),
+      Some("""SELECT vec_id,
+             |       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+             |       CAST(list_sum(list_transform(embedding,
+             |              x -> CASE WHEN x > 0.5 THEN 1 ELSE 0 END)) AS INT) AS n_big,
+             |       CASE WHEN len(list_filter(embedding, x -> x > 3.0)) > 0
+             |            THEN 1 ELSE 0 END AS has_huge,
+             |       CAST(list_min(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS min_abs,
+             |       CAST(list_max(embedding[1:8]) AS DOUBLE) AS max_head
+             |FROM embeddings""".stripMargin),
+      "array higher-order functions: filter/exists/transform/aggregate/slice"),
+
     // Window functions: rank orders within customer by price.
     "q9_window_rank" -> GraftQuery(
       (s, dir) => {

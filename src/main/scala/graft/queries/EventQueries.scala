@@ -331,6 +331,38 @@ object EventQueries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin),
       "lead/lag/ntile/cume_dist over one shared window — single shuffle"),
 
+    // Date-arithmetic suite (SURVEY §2.4 lists date arithmetic beyond
+    // year/month as absent from the reference): calendar navigation,
+    // month-clamped add_months, truncation, formatting. Pure projection,
+    // codegen'd. Spark's dayofweek is 1=Sunday..7 while DuckDB's is
+    // 0=Sunday..6 — the oracle shifts by one; add_months and DuckDB's
+    // `+ INTERVAL n MONTH` share end-of-month clamping (Jan 31 + 1M =
+    // Feb 28, probed before gating).
+    "e17_datetime_suite" -> GraftQuery(
+      (s, dir) => t(s, dir, "events").select(
+        col("event_id"),
+        dayofweek(to_date(col("ts"))).as("dow"),
+        weekofyear(to_date(col("ts"))).as("iso_week"),
+        quarter(to_date(col("ts"))).as("qtr"),
+        dayofyear(to_date(col("ts"))).as("doy"),
+        last_day(to_date(col("ts"))).as("month_end"),
+        add_months(to_date(col("ts")), 2).as("plus_2m"),
+        trunc(to_date(col("ts")), "month").as("month_start"),
+        date_add(to_date(col("ts")), 10).as("plus_10d"),
+        date_format(col("ts"), "yyyy-MM").as("ym")),
+      Some("""SELECT event_id,
+             |       CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS dow,
+             |       CAST(weekofyear(CAST(ts AS DATE)) AS INT) AS iso_week,
+             |       CAST(quarter(CAST(ts AS DATE)) AS INT) AS qtr,
+             |       CAST(dayofyear(CAST(ts AS DATE)) AS INT) AS doy,
+             |       last_day(CAST(ts AS DATE)) AS month_end,
+             |       CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+             |       CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month_start,
+             |       CAST(ts AS DATE) + 10 AS plus_10d,
+             |       strftime(ts, '%Y-%m') AS ym
+             |FROM events""".stripMargin),
+      "date arithmetic: dow/week/quarter/doy/last_day/add_months/trunc/format"),
+
     // Event-time RANGE frame: per user, how many events (and the min/max
     // value) landed in the trailing hour INCLUDING this one. rangeBetween
     // needs a numeric ordering column — epoch micros; the frame bound is
