@@ -102,11 +102,25 @@ object GraftFunctions {
     FloatDot(children(0), children(1))
   }
 
+  /** `top_k(value, k)` builder: k must be a positive literal integer —
+    * aggregate buffers are sized at plan time, not per row.
+    */
+  def buildTopK(children: Seq[Expression]): Expression = children match {
+    case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _)) if k > 0 =>
+      TopK(c, k)
+    case _ => throw new IllegalArgumentException(
+      "top_k(value, k) requires a positive literal integer k")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       build _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopK].getName, "top_k"),
+      buildTopK _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_avg"),
       new ExpressionInfo(classOf[VecAvg].getName, "vec_avg"),

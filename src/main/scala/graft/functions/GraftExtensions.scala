@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"vec_avg requires exactly 1 argument, got ${children.length}")
         VecAvg(children.head)
       }))
+    e.injectFunction((
+      FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[TopK].getName, "top_k"),
+      (children: Seq[Expression]) => GraftFunctions.buildTopK(children)))
     e.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

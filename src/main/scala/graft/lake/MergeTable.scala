@@ -109,9 +109,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
     */
   def merge(spark: SparkSession, source: DataFrame, keys: Seq[String],
             checkUniqueSource: Boolean = true,
-            mergeSchema: Boolean = false): Unit = {
+            mergeSchema: Boolean = false,
+            changeFeed: Boolean = false): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
-    if (!exists) { overwrite(source); return }
+    if (!exists) {
+      overwrite(source)
+      if (changeFeed)
+        writeChanges(source.withColumn(MergeTable.ChangeType, lit("insert")), currentVersion)
+      return
+    }
 
     val src = source.cache()
     try {
@@ -138,19 +144,20 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
       val (touchedRel, keptRel) =
         oldFiles.partition(f => touched.exists(t => t.endsWith("/" + f) || t == f))
 
-      // Rewrite = survivors of touched files + all source rows.
-      val survivors =
+      // Touched-file rows, read once; survivors of those files + all source
+      // rows form the rewrite.
+      val touchedData =
         if (touchedRel.isEmpty) None
         else {
           val byDataDir = touchedRel.groupBy(f => f.takeWhile(_ != '/'))
-          val tdf = byDataDir.toSeq.sortBy(_._1).map { case (dataDir, rel) =>
+          Some(byDataDir.toSeq.sortBy(_._1).map { case (dataDir, rel) =>
             spark.read
               .option("basePath", s"$root/$dataDir")
               .schema(schemaOf(v))
               .parquet(rel.map(r => s"$root/$r"): _*)
-          }.reduce(_ unionByName _)
-          Some(tdf.join(srcKeys, keys, "left_anti"))
+          }.reduce(_ unionByName _))
         }
+      val survivors = touchedData.map(_.join(srcKeys, keys, "left_anti"))
       val newData =
         if (mergeSchema) {
           // Schema evolution (Delta autoMerge analog): the committed schema
@@ -172,7 +179,45 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
       writeData(newData, dataDir)
       val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
       commit(newVersion, keptRel ++ newFiles, newData.schema)
+
+      // Change data feed (Delta CDF analog): recorded AT WRITE TIME from the
+      // already-pruned touched-file rows, never by diffing full snapshots —
+      // at 100 TB a snapshot diff is a second full-table join, while this
+      // reuses the same small touched set the merge itself rewrites.
+      if (changeFeed) {
+        import MergeTable.ChangeType
+        val matchedKeys = touchedData.map(
+          _.join(srcKeys, keys, "left_semi").select(keys.map(col): _*))
+        val pre = touchedData.map(
+          _.join(srcKeys, keys, "left_semi").withColumn(ChangeType, lit("update_preimage")))
+        val post = matchedKeys.map(mk =>
+          src.join(mk, keys, "left_semi").withColumn(ChangeType, lit("update_postimage")))
+        val ins = (matchedKeys match {
+          case Some(mk) => src.join(mk, keys, "left_anti")
+          case None     => src
+        }).withColumn(ChangeType, lit("insert"))
+        val all = (pre.toSeq ++ post.toSeq :+ ins)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        writeChanges(all, newVersion)
+      }
     } finally src.unpersist()
+  }
+
+  /** Change-data-feed reader (Delta `table_changes` analog): the change rows
+    * recorded by `changeFeed = true` commits with version in
+    * `[fromVersion, toVersion]`. Rows carry [[MergeTable.ChangeType]]
+    * (`insert` / `update_preimage` / `update_postimage` / `delete`) and
+    * [[MergeTable.CommitVersion]]. Versions committed without a change feed
+    * contribute nothing; at least one recorded version must exist.
+    */
+  def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    val dirs = (fromVersion to toVersion)
+      .map(ver => Paths.get(root, "cdf", s"d$ver"))
+      .filter(Files.exists(_))
+    require(dirs.nonEmpty,
+      s"no change feed recorded in versions $fromVersion..$toVersion of $root")
+    dirs.map(d => spark.read.parquet(d.toString))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Delta `DELETE WHERE` analog: remove the rows matching `predicate`,
@@ -183,7 +228,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
     * matching nothing commits a metadata-only version (same file list) —
     * the operation is still recorded, like Delta's no-op DELETE commit.
     */
-  def delete(spark: SparkSession, predicate: Column): Unit = {
+  def delete(spark: SparkSession, predicate: Column, changeFeed: Boolean = false): Unit = {
     val v = currentVersion
     val target = readVersion(spark, v)
 
@@ -214,6 +259,11 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
     writeData(survivors, dataDir)
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     commit(newVersion, keptRel ++ newFiles, schemaOf(v))
+    if (changeFeed)
+      writeChanges(
+        tdf.filter(coalesce(predicate, lit(false)) === true)
+          .withColumn(MergeTable.ChangeType, lit("delete")),
+        newVersion)
   }
 
   /** Compaction (Delta OPTIMIZE analog): rewrite the CURRENT snapshot so
@@ -259,6 +309,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
     commit(version, files, df.schema)
   }
 
+  /** Change rows live beside (not inside) data dirs: `<root>/cdf/d<version>`.
+    * They are additional output of a commit, never part of a snapshot read.
+    */
+  private def writeChanges(df: DataFrame, version: Long): Unit =
+    df.withColumn(MergeTable.CommitVersion, lit(version))
+      .write.mode("overwrite").parquet(s"$root/cdf/d$version")
+
   private def writeData(df: DataFrame, dataDir: String): Unit = {
     val w = df.write.mode("overwrite")
     val pw = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
@@ -291,4 +348,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
   private def deleteRecursively(p: Path): Unit = {
     Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
   }
+}
+
+object MergeTable {
+  /** Change-feed marker column: `insert` / `update_preimage` /
+    * `update_postimage` / `delete` (the Delta CDF vocabulary).
+    */
+  val ChangeType = "_change_type"
+
+  /** Change-feed commit-version column. */
+  val CommitVersion = "_commit_version"
 }

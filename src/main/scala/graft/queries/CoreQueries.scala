@@ -404,6 +404,23 @@ object CoreQueries {
              |FROM embeddings""".stripMargin),
       "array higher-order functions: filter/exists/transform/aggregate/slice"),
 
+    // Grouped top-k via the native TopK aggregate (functions/TopK.scala):
+    // a bounded min-heap TypedImperativeAggregate, so each map task ships k
+    // doubles per group — the scale path next to q9's window row_number,
+    // which shuffles every row. Values-only output makes boundary ties
+    // deterministic (the value multiset is unique even when rows tie).
+    "q24_grouped_topk" -> GraftQuery(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("top_k(CAST(o_totalprice AS DOUBLE), 5)").as("tops"))
+        .select(col("o_orderpriority"), explode(col("tops")).as("price")),
+      Some("""SELECT o_orderpriority, price FROM (
+             |  SELECT o_orderpriority, o_totalprice AS price,
+             |         row_number() OVER (PARTITION BY o_orderpriority
+             |                            ORDER BY o_totalprice DESC) AS rn
+             |  FROM orders) WHERE rn <= 5""".stripMargin),
+      "native grouped top-k aggregate: k values per group cross the shuffle"),
+
     // Window functions: rank orders within customer by price.
     "q9_window_rank" -> GraftQuery(
       (s, dir) => {

@@ -148,6 +148,45 @@ object LakeQueries {
              |GROUP BY 1, 2""".stripMargin),
       "schema-evolving MERGE: new column, untouched files null-fill unrewritten"),
 
+    // Change data feed (Delta CDF / `table_changes` analog): a merge with
+    // changeFeed=true records insert / update_preimage / update_postimage
+    // rows at commit time from the already-pruned touched files — never by
+    // diffing snapshots. The oracle re-derives all three change classes
+    // relationally from target and source.
+    "m7_change_feed" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m7_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders.filter(col("o_orderkey") % 4 =!= 3))
+        val source = orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        table.merge(s, source, Seq("o_orderkey"), changeFeed = true)
+        table.changes(s, 1, 1)
+          .select(col("o_orderkey"),
+                  col("o_orderstatus"),
+                  col("o_totalprice"),
+                  col(MergeTable.ChangeType).as("change_type"),
+                  col(MergeTable.CommitVersion).as("commit_version"))
+      },
+      Some("""WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 3),
+             |     src AS (SELECT o_orderkey, 'M' AS o_orderstatus,
+             |                    o_totalprice + 1000.0 AS o_totalprice
+             |             FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice,
+             |       'update_preimage' AS change_type, CAST(1 AS BIGINT) AS commit_version
+             |FROM tgt t WHERE t.o_orderkey IN (SELECT o_orderkey FROM src)
+             |UNION ALL
+             |SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice,
+             |       'update_postimage', 1
+             |FROM src s WHERE s.o_orderkey IN (SELECT o_orderkey FROM tgt)
+             |UNION ALL
+             |SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice, 'insert', 1
+             |FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)""".stripMargin),
+      "change data feed: write-time CDF rows from the pruned touched set"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

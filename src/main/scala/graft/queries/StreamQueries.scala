@@ -101,6 +101,34 @@ object StreamQueries {
              |ORDER BY 1, 2""".stripMargin),
       "stateful streaming sessionization, emission contract hash-checked"),
 
+    // Streaming deduplication — the training-data dedup primitive as a
+    // STREAM: dropDuplicatesWithinWatermark keys state by the dedup columns
+    // and EVICTS it once the watermark passes the key's event time + delay,
+    // so state is bounded by the delay window, not the corpus (the batch
+    // d1/d2 family can't express eviction). Only the key columns are
+    // emitted, so which duplicate row "wins" never affects the output —
+    // the emitted set is exactly the distinct keys, which the oracle states
+    // directly.
+    "st4_stream_dedup" -> GraftQuery(
+      (s, dir) => {
+        val id = runId.incrementAndGet()
+        val sink = s"st4_sink_$id"
+        val q = StreamingOps.readEventStream(s, stageEvents(dir, id))
+          .withColumn("day", to_date(col("ts")))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+          .select("user_id", "event_type", "day")
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st4_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        s.table(sink).orderBy("user_id", "event_type", "day")
+      },
+      Some("""SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
+             |FROM events ORDER BY 1, 2, 3""".stripMargin),
+      "streaming dedup with watermark-bounded state eviction"),
+
     // The canonical lakehouse ingest loop — the reference's silver job
     // re-expressed as a STREAM: file source → foreachBatch → MergeTable
     // MERGE per micro-batch (exactly Delta's streaming-upsert recipe). The

@@ -130,6 +130,31 @@ class MergeTableSpec extends SparkSpec {
     assert(asSet(t.read(spark)) === before) // still readable post-vacuum
   }
 
+  test("change feed records insert/update pre+post images; delete rows") {
+    val t = new MergeTable(scratch("mt_cdf"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))))
+    // 2 updated (moves partition), 4 inserted, 1/3 untouched
+    t.merge(spark, df(Seq((2, "B", "p2"), (4, "d", "p3"))), Seq("k"), changeFeed = true)
+    val cdf = t.changes(spark, 1, 1)
+      .select("k", "v", "p", MergeTable.ChangeType, MergeTable.CommitVersion)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSet
+    assert(cdf === Set(
+      (2, "b", "p1", "update_preimage", 1L),
+      (2, "B", "p2", "update_postimage", 1L),
+      (4, "d", "p3", "insert", 1L)))
+    // untouched rows (1, 3) never appear in the feed
+    assert(!cdf.exists(c => c._1 == 1 || c._1 == 3))
+
+    t.delete(spark, col("k") === 1, changeFeed = true)
+    val del = t.changes(spark, 2, 2)
+      .select("k", MergeTable.ChangeType).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(del === Set((1, "delete")))
+    // range read spans both recorded versions
+    assert(t.changes(spark, 1, 2).count() === 4)
+  }
+
   test("property: merged = source ∪ (target ∖ source-keys)") {
     val keySet: Gen[List[Int]] = Gen.listOfN(8, Gen.chooseNum(0, 30)).map(_.distinct)
     val params = Gen.Parameters.default
