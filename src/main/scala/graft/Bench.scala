@@ -17,7 +17,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.queries.Registry.cleanStaleScratch()
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // GRAFT_ONLY=a,b,c → bench a subset (local iteration; driver runs all)
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

@@ -19,6 +19,20 @@ object StreamQueries {
 
   private val runId = new AtomicLong()
 
+  /** Streaming runs in a CLONED session with few shuffle partitions: a
+    * stateful query's state-store count is pinned to shuffle.partitions at
+    * its first checkpoint, and every state partition pays per-micro-batch
+    * commit overhead (delta file + snapshot + fsync) regardless of row
+    * count. At bench scale 32 partitions is pure overhead; on a real
+    * cluster you'd size this to state volume, not cores. The clone shares
+    * the SparkContext — only SQL conf and temp views diverge.
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** Stage the single events.parquet FILE into a directory — the streaming
     * file source only accepts directories.
     */
@@ -36,15 +50,16 @@ object StreamQueries {
 
     "st1_stream_hourly" -> GraftQuery(
       (s, dir) => {
+        val ss = streamSession(s)
         val id = runId.incrementAndGet()
         val sink = s"st1_sink_$id"
-        val q = StreamingOps.hourlyTypeCounts(StreamingOps.readEventStream(s, stageEvents(dir, id)))
+        val q = StreamingOps.hourlyTypeCounts(StreamingOps.readEventStream(ss, stageEvents(dir, id)))
           .writeStream.format("memory").queryName(sink).outputMode("append")
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", s"${Registry.scratchRoot}/st1_ckpt_$id")
           .start()
         q.awaitTermination()
-        s.table(sink).orderBy(col("hour_start"), col("event_type"))
+        ss.table(sink).orderBy(col("hour_start"), col("event_type"))
       },
       Some("""WITH mx AS (SELECT max(ts) AS m FROM events)
              |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMPTZ) AS hour_start,
@@ -63,10 +78,11 @@ object StreamQueries {
     // streaming emission contract.
     "st2_stream_sessions" -> GraftQuery(
       (s: SparkSession, dir) => {
-        import s.implicits._
+        val ss = streamSession(s)
+        import ss.implicits._
         val id = runId.incrementAndGet()
         val sink = s"st2_sink_$id"
-        val evts = StreamingOps.readEventStream(s, stageEvents(dir, id))
+        val evts = StreamingOps.readEventStream(ss, stageEvents(dir, id))
           .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
           .as[StreamingOps.Evt]
         val q = StreamingOps.sessionize(evts, gapMinutes = 30).toDF()
@@ -75,7 +91,7 @@ object StreamQueries {
           .option("checkpointLocation", s"${Registry.scratchRoot}/st2_ckpt_$id")
           .start()
         q.awaitTermination()
-        s.table(sink).orderBy("user_id", "session_start_us")
+        ss.table(sink).orderBy("user_id", "session_start_us")
       },
       Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
              |wm AS (SELECT max(us) // 1000 - 3600000 AS wm_ms FROM ev),
@@ -111,9 +127,10 @@ object StreamQueries {
     // directly.
     "st4_stream_dedup" -> GraftQuery(
       (s, dir) => {
+        val ss = streamSession(s)
         val id = runId.incrementAndGet()
         val sink = s"st4_sink_$id"
-        val q = StreamingOps.readEventStream(s, stageEvents(dir, id))
+        val q = StreamingOps.readEventStream(ss, stageEvents(dir, id))
           .withColumn("day", to_date(col("ts")))
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
@@ -123,7 +140,7 @@ object StreamQueries {
           .option("checkpointLocation", s"${Registry.scratchRoot}/st4_ckpt_$id")
           .start()
         q.awaitTermination()
-        s.table(sink).orderBy("user_id", "event_type", "day")
+        ss.table(sink).orderBy("user_id", "event_type", "day")
       },
       Some("""SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day
              |FROM events ORDER BY 1, 2, 3""".stripMargin),
@@ -140,6 +157,7 @@ object StreamQueries {
     // merge missed.
     "st3_stream_merge_sink" -> GraftQuery(
       (s, dir) => {
+        val ss = streamSession(s)
         val id = runId.incrementAndGet()
         val srcDir = s"${Registry.scratchRoot}/st3_src_$id"
         // raw read (ts stays nanos-as-long) so the staged files match
@@ -150,7 +168,7 @@ object StreamQueries {
         table.overwrite(Registry.t(s, dir, "events")
           .filter(col("event_id") % 10 === 0)
           .withColumn("value", lit(-1.0)))
-        val q = StreamingOps.readEventStream(s, srcDir)
+        val q = StreamingOps.readEventStream(ss, srcDir)
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             table.merge(batch.sparkSession, batch, Seq("event_id"))
