@@ -22,7 +22,10 @@ import scala.jdk.CollectionConverters._
   *   <root>/_graft_log/<version>.manifest            newline-separated file list
   *                                                   (paths relative to <root>)
   *   <root>/_graft_log/<version>.schema              schema DDL of the snapshot
+  *   <root>/_graft_log/<version>.stats               per-file min/max of statsCols
+  *                                                   (data skipping; optional)
   *   <root>/_graft_log/_LATEST                       current version (atomic swap)
+  *   <root>/cdf/d<version>/                          change-feed rows (optional)
   * }}}
   *
   * Scale design (100 TB): MERGE rewrites ONLY the data files that contain a
@@ -45,7 +48,8 @@ import scala.jdk.CollectionConverters._
   * year/month derived from it) — callers that know this can pre-filter the
   * target themselves; the engine stays correct by default.
   */
-final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
+final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
+                       val statsCols: Seq[String] = Nil) {
 
   private val logDir: Path = Paths.get(root, "_graft_log")
   private def latestPath: Path = logDir.resolve("_LATEST")
@@ -74,9 +78,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
     * dir and read each group with its own `basePath`, which preserves both
     * partition columns and partition pruning.
     */
-  def readVersion(spark: SparkSession, version: Long): DataFrame = {
-    val fs = filesOf(version)
-    val schema = schemaOf(version)
+  def readVersion(spark: SparkSession, version: Long): DataFrame =
+    readFiles(spark, filesOf(version), schemaOf(version))
+
+  /** Read a subset of a snapshot's files with its schema. Files may span
+    * several data directories (untouched files are carried forward across
+    * versions), and partition-column values live in directory names — so
+    * group by data dir and read each group with its own `basePath`, which
+    * preserves both partition columns and partition pruning.
+    */
+  private def readFiles(spark: SparkSession, fs: Seq[String], schema: StructType): DataFrame =
     if (fs.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
@@ -88,7 +99,6 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
           .parquet(rel.map(r => s"$root/$r"): _*)
       }.reduce(_ unionByName _)
     }
-  }
 
   /** Initial load — reference's `format("delta").mode("overwrite").
     * partitionBy("year","month").save(path)` branch (01:115-121).
@@ -178,7 +188,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
       val dataDir = s"d$newVersion"
       writeData(newData, dataDir)
       val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
-      commit(newVersion, keptRel ++ newFiles, newData.schema)
+      commit(newVersion, keptRel ++ newFiles, newData.schema,
+        carryStats(v, keptRel) ++ collectStats(spark, newFiles, newData.schema))
 
       // Change data feed (Delta CDF analog): recorded AT WRITE TIME from the
       // already-pruned touched-file rows, never by diffing full snapshots —
@@ -243,7 +254,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
       oldFiles.partition(f => touched.exists(t => t.endsWith("/" + f) || t == f))
 
     val newVersion = v + 1
-    if (touchedRel.isEmpty) { commit(newVersion, oldFiles, schemaOf(v)); return }
+    if (touchedRel.isEmpty) {
+      commit(newVersion, oldFiles, schemaOf(v), carryStats(v, oldFiles))
+      return
+    }
 
     val byDataDir = touchedRel.groupBy(f => f.takeWhile(_ != '/'))
     val tdf = byDataDir.toSeq.sortBy(_._1).map { case (dataDir, rel) =>
@@ -258,7 +272,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
     val dataDir = s"d$newVersion"
     writeData(survivors, dataDir)
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
-    commit(newVersion, keptRel ++ newFiles, schemaOf(v))
+    commit(newVersion, keptRel ++ newFiles, schemaOf(v),
+      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schemaOf(v)))
     if (changeFeed)
       writeChanges(
         tdf.filter(coalesce(predicate, lit(false)) === true)
@@ -287,6 +302,98 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
     writeVersion(packed, v + 1)
   }
 
+  // ---- data skipping (Delta file-statistics analog) ----
+
+  /** Per-file min/max statistics of `statsCols` for a snapshot:
+    * `relPath → column → (min, max)` as stringified values. Collected by one
+    * metadata-sized aggregation at commit time and CARRIED FORWARD with
+    * unrewritten files — reading 100 TB to re-derive stats for files a merge
+    * never touched would defeat the point.
+    */
+  def statsOf(version: Long): Map[String, Map[String, (String, String)]] = {
+    val p = logDir.resolve(s"$version.stats")
+    if (!Files.exists(p)) return Map.empty
+    Files.readString(p).split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val Array(f, c, mn, mx) = line.split("\t", -1)
+      (dec(f), dec(c), dec(mn), dec(mx))
+    }.toSeq.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+    }
+  }
+
+  /** The current snapshot's files that MIGHT contain a row with
+    * `column ∈ [lo, hi]`: a file is skipped when its recorded [min, max]
+    * doesn't intersect the range, or when it holds no non-null value of the
+    * column (BETWEEN never matches NULL). Files without recorded stats are
+    * kept — pruning is only ever an optimization, never a correctness
+    * assumption.
+    */
+  def candidateFiles(column: String, lo: Any, hi: Any): Seq[String] = {
+    val v = currentVersion
+    val stats = statsOf(v)
+    val numeric = schemaOf(v).fields.find(_.name == column).exists(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    def le(a: String, b: String): Boolean =
+      if (numeric) BigDecimal(a) <= BigDecimal(b) else a <= b
+    filesOf(v).filter { f =>
+      stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) if mn.nonEmpty && mx.nonEmpty =>
+          le(mn, hi.toString) && le(lo.toString, mx)
+        case Some(_) => false // all-NULL file: no row can match a range
+        case None    => true  // no stats recorded for this file
+      }
+    }
+  }
+
+  /** Range read with file skipping: only stats-overlapping files are
+    * scanned, then the exact predicate filters residually (stats prune
+    * files, not rows). Semantics = `read(spark).filter(col BETWEEN lo hi)`.
+    */
+  def readRange(spark: SparkSession, column: String, lo: Any, hi: Any): DataFrame =
+    readFiles(spark, candidateFiles(column, lo, hi), schemaOf(currentVersion))
+      .filter(col(column).between(lit(lo), lit(hi)))
+
+  /** Z-order clustering compaction (Delta OPTIMIZE ZORDER analog): rewrite
+    * the current snapshot ordered by the interleaved bits of the rank-
+    * normalized `zCols`, so each output file covers a tight hyper-rectangle
+    * of the clustered space and [[readRange]] prunes effectively on ANY of
+    * the clustered columns — a plain sort would serve only its leading
+    * column. Normalization bounds come from one metadata-sized min/max agg;
+    * 16 bits per column (files ≫ 2^16 never happens per snapshot here).
+    * NULLs rank lowest. Columns must be numeric.
+    */
+  def zorderCompact(spark: SparkSession, zCols: Seq[String], parallelism: Int = 8): Unit = {
+    require(zCols.nonEmpty, "zorderCompact requires at least one column")
+    require(parallelism > 0, "parallelism must be positive")
+    val v = currentVersion
+    val data = readVersion(spark, v)
+    val bounds = data.agg(
+      zCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"mn_$c"),
+                             max(col(c).cast("double")).as(s"mx_$c"))).head,
+      zCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"mn_$c"),
+                             max(col(c).cast("double")).as(s"mx_$c"))).tail: _*)
+      .collect().head
+    val n = zCols.length
+    val zBits = zCols.zipWithIndex.map { case (c, k) =>
+      val mn = Option(bounds.getAs[Any](s"mn_$c")).fold(0.0)(_.asInstanceOf[Double])
+      val mx = Option(bounds.getAs[Any](s"mx_$c")).fold(1.0)(_.asInstanceOf[Double])
+      val span = if (mx > mn) mx - mn else 1.0
+      // rank-normalize to 16 bits; NULL → 0 (lowest)
+      val scaled = coalesce(
+        ((col(c).cast("double") - lit(mn)) / lit(span) * lit(65535.0)).cast("long"),
+        lit(0L))
+      (0 until 16).map(i =>
+        shiftleft(shiftright(scaled, i).bitwiseAND(lit(1L)), i * n + k))
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    val packed = data
+      .withColumn("_graft_z", zBits)
+      .repartitionByRange(parallelism, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+    writeVersion(packed, v + 1)
+  }
+
   /** Delete data directories no longer referenced by the current manifest
     * (Delta VACUUM analog — keeps only the live snapshot).
     */
@@ -306,8 +413,48 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
     val dataDir = s"d$version"
     writeData(df, dataDir)
     val files = listParquet(Paths.get(root, dataDir)).map(relativize)
-    commit(version, files, df.schema)
+    commit(version, files, df.schema,
+      collectStats(df.sparkSession, files, df.schema))
   }
+
+  /** One metadata-sized job: per-file min/max of every stats column the
+    * schema carries. Output rows = files × columns — never data-sized.
+    */
+  private def collectStats(spark: SparkSession, relFiles: Seq[String],
+                           schema: StructType): Seq[String] = {
+    val cols = statsCols.filter(c => schema.fieldNames.contains(c))
+    if (cols.isEmpty || relFiles.isEmpty) return Nil
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    readFiles(spark, relFiles, schema)
+      .withColumn("_graft_file", input_file_name())
+      .groupBy("_graft_file")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.flatMap { r =>
+        val rel = relativize(normalize(r.getString(0)))
+        cols.map { c =>
+          val mn = Option(r.getAs[Any](s"mn_$c")).map(_.toString).getOrElse("")
+          val mx = Option(r.getAs[Any](s"mx_$c")).map(_.toString).getOrElse("")
+          s"${enc(rel)}\t${enc(c)}\t${enc(mn)}\t${enc(mx)}"
+        }
+      }
+  }
+
+  /** Stats lines of a previous version restricted to the files a new commit
+    * carries forward unrewritten.
+    */
+  private def carryStats(version: Long, keptRel: Seq[String]): Seq[String] = {
+    val p = logDir.resolve(s"$version.stats")
+    if (!Files.exists(p)) return Nil
+    val kept = keptRel.toSet
+    Files.readString(p).split("\n").iterator
+      .filter(l => l.nonEmpty && kept.contains(dec(l.takeWhile(_ != '\t'))))
+      .toSeq
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
   /** Change rows live beside (not inside) data dirs: `<root>/cdf/d<version>`.
     * They are additional output of a commit, never part of a snapshot read.
@@ -325,10 +472,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil) {
   /** Atomic commit: manifest + schema written first, then `_LATEST` swapped
     * via temp-file + ATOMIC_MOVE (the Delta `_delta_log` tip analog).
     */
-  private def commit(version: Long, files: Seq[String], schema: StructType): Unit = {
+  private def commit(version: Long, files: Seq[String], schema: StructType,
+                     statsLines: Seq[String] = Nil): Unit = {
     Files.createDirectories(logDir)
     Files.writeString(logDir.resolve(s"$version.manifest"), files.mkString("\n"))
     Files.writeString(logDir.resolve(s"$version.schema"), schema.toDDL)
+    if (statsLines.nonEmpty)
+      Files.writeString(logDir.resolve(s"$version.stats"), statsLines.mkString("\n"))
     val tmp = logDir.resolve(s"_LATEST.tmp${System.nanoTime()}")
     Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, latestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

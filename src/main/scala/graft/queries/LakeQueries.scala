@@ -187,6 +187,56 @@ object LakeQueries {
              |FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)""".stripMargin),
       "change data feed: write-time CDF rows from the pruned touched set"),
 
+    // Data skipping (Delta file-statistics analog): per-file min/max stats
+    // recorded at commit time; a range read scans ONLY stats-overlapping
+    // files (file-count assertion in MergeTableSpec — here the oracle pins
+    // the semantics: readRange == plain BETWEEN). Range-partitioned layout
+    // gives each file a tight key span, the precondition for skipping to
+    // bite — at 100 TB this is the difference between a metadata lookup
+    // and a full scan.
+    "m8_data_skipping" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m8_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Nil, statsCols = Seq("o_orderkey"))
+        table.overwrite(orders.repartitionByRange(16, col("o_orderkey")))
+        table.readRange(s, "o_orderkey", 1000, 3000)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+               round(sum("o_totalprice"), 2).as("price_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       round(sum(o_totalprice), 2) AS price_sum
+             |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+             |GROUP BY o_orderstatus""".stripMargin),
+      "file-stats data skipping: range read scans only overlapping files"),
+
+    // Z-order clustering (OPTIMIZE ZORDER analog): interleaved-bit layout
+    // over (o_custkey, o_totalprice) so data skipping prunes on EITHER
+    // column — the range here is on the SECOND z column, where a plain sort
+    // layout would skip nothing. Oracle pins semantics; pruning-effect
+    // assertion lives in MergeTableSpec.
+    "m9_zorder" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m9_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Nil,
+          statsCols = Seq("o_custkey", "o_totalprice"))
+        table.overwrite(orders)
+        table.zorderCompact(s, Seq("o_custkey", "o_totalprice"), 16)
+        table.readRange(s, "o_totalprice", 100000.0, 150000.0)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_totalprice BETWEEN 100000.0 AND 150000.0
+             |GROUP BY o_orderstatus""".stripMargin),
+      "z-order clustering: skipping works on every clustered column"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

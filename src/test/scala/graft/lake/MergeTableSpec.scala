@@ -155,6 +155,51 @@ class MergeTableSpec extends SparkSpec {
     assert(t.changes(spark, 1, 2).count() === 4)
   }
 
+  test("data skipping: stats recorded, range reads prune files, stats survive merge") {
+    import spark.implicits._
+    val t = new MergeTable(scratch("mt_skip"), Nil, statsCols = Seq("k"))
+    val data = (1 to 1000).map(k => (k, s"v$k")).toDF("k", "v")
+    t.overwrite(data.repartitionByRange(10, col("k")))
+    val all = t.filesOf(t.currentVersion)
+    assert(all.size >= 8) // range layout produced many files
+    // a narrow range hits a strict subset of files
+    val cand = t.candidateFiles("k", 100, 150)
+    assert(cand.nonEmpty && cand.size < all.size, s"${cand.size} of ${all.size}")
+    // pruned read == unpruned filter
+    val got = t.readRange(spark, "k", 100, 150).select("k", "v").collect().toSet
+    val want = t.read(spark).filter(col("k").between(100, 150))
+      .select("k", "v").collect().toSet
+    assert(got === want)
+
+    // merge updates a few keys; carried-forward files keep their stats,
+    // pruning still works and reflects the rewrite
+    t.merge(spark, Seq((120, "NEW"), (1001, "ins")).toDF("k", "v"), Seq("k"))
+    val cand2 = t.candidateFiles("k", 100, 150)
+    assert(cand2.size < t.filesOf(t.currentVersion).size)
+    val row = t.readRange(spark, "k", 120, 120).select("v").collect().map(_.getString(0))
+    assert(row.toSeq === Seq("NEW"))
+  }
+
+  test("z-order clustering prunes on every clustered column") {
+    import spark.implicits._
+    val t = new MergeTable(scratch("mt_z"), Nil, statsCols = Seq("x", "y"))
+    // x and y independent: a sort by x alone leaves y unclustered
+    val rows = (0 until 4096).map(i => (i % 64, i / 64, i))
+    t.overwrite(rows.toDF("x", "y", "id"))
+    t.zorderCompact(spark, Seq("x", "y"), 16)
+    val all = t.filesOf(t.currentVersion).size
+    val candX = t.candidateFiles("x", 0, 7).size
+    val candY = t.candidateFiles("y", 0, 7).size
+    assert(candX < all, s"x: $candX of $all")
+    assert(candY < all, s"y: $candY of $all")
+    // data unchanged by the rewrite
+    assert(t.read(spark).count() === 4096)
+    val got = t.readRange(spark, "y", 0, 7)
+      .agg(org.apache.spark.sql.functions.sum("id")).collect().head.getLong(0)
+    val want = rows.filter(r => r._2 >= 0 && r._2 <= 7).map(_._3.toLong).sum
+    assert(got === want)
+  }
+
   test("property: merged = source ∪ (target ∖ source-keys)") {
     val keySet: Gen[List[Int]] = Gen.listOfN(8, Gen.chooseNum(0, 30)).map(_.distinct)
     val params = Gen.Parameters.default
