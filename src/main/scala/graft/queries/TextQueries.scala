@@ -151,5 +151,91 @@ object TextQueries {
              |       lang, count(*) AS n_docs
              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       "deterministic hash-free 90/5/5 corpus split"),
+
+    // Stratified sampling by CONTENT hash: keep a doc iff the first 4 hex
+    // chars of md5(text) fall below a per-stratum threshold — here 'en'
+    // keeps ~10% ('1999'/'10000' of the 16^4 space), everything else ~80%.
+    // Content-keyed (not id-keyed) so re-ingested copies of a document
+    // always sample identically; string comparison on hex avoids any
+    // engine-specific hash — md5 is bit-identical everywhere. Zero
+    // shuffles until the verification count.
+    "t7_stratified_sample" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .filter(substring(md5(col("text")), 1, 4) <
+          when(col("lang") === "en", "1999").otherwise("cccc"))
+        .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, count(*) AS n_docs
+             |FROM documents
+             |WHERE substring(md5(text), 1, 4) <
+             |      CASE WHEN lang = 'en' THEN '1999' ELSE 'cccc' END
+             |GROUP BY lang, source ORDER BY lang, source""".stripMargin),
+      "deterministic content-hash stratified sampling (class rebalancing)"),
+
+    // The composite training-data pipeline, end-to-end in ONE plan:
+    // quality gate (length + stopword evidence) → exact content dedup
+    // (min doc_id canonical survives) → deterministic 90/5/5 split →
+    // per-split corpus stats. Each stage is a t-family operator; chaining
+    // them proves the stages compose without materialization barriers —
+    // one scan, two shuffles (dedup group + final rollup).
+    "t8_pipeline_e2e" -> GraftQuery(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val quality = docs
+          .withColumn("words", split(col("text"), " "))
+          .filter(size(col("words")) >= 5 &&
+            expr(s"size(filter(words, w -> w IN ${inList(profiles.head._2)}))") >= 1)
+        val deduped = quality
+          .groupBy("text")
+          .agg(min("doc_id").as("doc_id"), min("lang").as("lang"),
+               min(size(col("words"))).as("n_words"))
+        deduped
+          .withColumn("split",
+            when(col("doc_id") % 100 < 90, "train")
+              .when(col("doc_id") % 100 < 95, "val")
+              .otherwise("test"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words_total"))
+          .orderBy("split", "lang")
+      },
+      Some(s"""WITH quality AS (
+              |  SELECT doc_id, lang, text, len(string_split(text, ' ')) AS n_words
+              |  FROM documents
+              |  WHERE len(string_split(text, ' ')) >= 5
+              |    AND len(list_filter(string_split(text, ' '),
+              |                        w -> w IN ${inList(profiles.head._2)})) >= 1),
+              |deduped AS (
+              |  SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+              |         min(n_words) AS n_words
+              |  FROM quality GROUP BY text)
+              |SELECT CASE WHEN doc_id % 100 < 90 THEN 'train'
+              |            WHEN doc_id % 100 < 95 THEN 'val'
+              |            ELSE 'test' END AS split,
+              |       lang, count(*) AS n_docs,
+              |       CAST(sum(n_words) AS BIGINT) AS n_words_total
+              |FROM deduped GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "composite pipeline: quality gate → dedup → split → stats, one plan"),
+
+    // String-function suite beyond e10's basics: edit distance (the classic
+    // fuzzy-match primitive), split_part, substring position, character
+    // translation — all codegen'd built-ins, checked against DuckDB's
+    // same-named functions (instr ≡ strpos, 1-based, 0 when absent).
+    "t9_string_suite" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          levenshtein(substring(col("text"), 1, 12),
+                      reverse(substring(col("text"), 1, 12))).as("lev_rev"),
+          expr("split_part(text, ' ', 2)").as("second_word"),
+          instr(col("text"), "the").as("pos_the"),
+          translate(substring(col("text"), 1, 20), "aeiou", "AEIOU").as("vowels_up")),
+      Some("""SELECT doc_id,
+             |       levenshtein(substring(text, 1, 12),
+             |                   reverse(substring(text, 1, 12))) AS lev_rev,
+             |       split_part(text, ' ', 2) AS second_word,
+             |       CAST(strpos(text, 'the') AS INT) AS pos_the,
+             |       translate(substring(text, 1, 20), 'aeiou', 'AEIOU') AS vowels_up
+             |FROM documents""".stripMargin),
+      "string suite: levenshtein/split_part/instr/translate"),
   )
 }
