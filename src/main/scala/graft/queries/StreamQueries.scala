@@ -146,6 +146,51 @@ object StreamQueries {
              |FROM events ORDER BY 1, 2, 3""".stripMargin),
       "streaming dedup with watermark-bounded state eviction"),
 
+    // Stream-stream interval join: every click joined to the same user's
+    // purchases within the following 10 minutes. Both sides are watermarked
+    // so Spark bounds the join STATE (a side's rows are dropped once the
+    // other side's watermark passes the interval bound — without it,
+    // stream-stream join state grows forever); inner-join matches emit as
+    // soon as both rows arrive, so a single AvailableNow batch emits the
+    // complete time-bounded join, which the batch oracle states directly.
+    "st5_stream_join" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val sink = s"st5_sink_$id"
+        val staged = stageEvents(dir, id)
+        val clicks = StreamingOps.readEventStream(ss, staged)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                  col("event_id").as("click_id"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = StreamingOps.readEventStream(ss, staged)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                  col("event_id").as("purchase_id"), col("value"))
+          .withWatermark("p_ts", "1 hour")
+        val q = clicks.join(purchases,
+            col("c_user") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+          .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+                  col("value"))
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st5_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        ss.table(sink).orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             |       c.user_id, p.value
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+             |ORDER BY 1, 2""".stripMargin),
+      "watermark-bounded stream-stream interval join"),
+
     // The canonical lakehouse ingest loop — the reference's silver job
     // re-expressed as a STREAM: file source → foreachBatch → MergeTable
     // MERGE per micro-batch (exactly Delta's streaming-upsert recipe). The
