@@ -19,6 +19,12 @@ object Sessions {
       // engine extensions: float_dot registration + the DotProductRewrite
       // optimizer rule (graft.functions.GraftExtensions)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // the reference's Athena SQL addresses `callcenter_analytics.<table>`
+      // (sql/athena_queries.sql:3): naming the global-temp database after it
+      // lets that text run verbatim over global temp views of the gold
+      // snapshots — catalog-qualified reads with zero data copies
+      // (graft.sqlapi.AthenaQueries)
+      .config("spark.sql.globalTempDatabase", "callcenter_analytics")
       // testdata events.ts is TIMESTAMP(NANOS): read as BIGINT nanos
       // (normalized to micros in Registry.t, matching DuckDB's truncation)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

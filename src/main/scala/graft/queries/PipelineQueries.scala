@@ -177,17 +177,24 @@ object PipelineQueries {
       "full pipeline + Athena query 4 (sql:45-51)"),
 
     "cc5_high_failure_days" -> GraftQuery(
-      athena("high_failure_days"),
+      (s, _) => {
+        // Spark's ROUND(decimal_expr, 2) stays DECIMAL, and decimal
+        // stringification is engine/driver-dependent ('25.00' vs '25.0').
+        // The Athena SQL text runs verbatim; the gate wrapper post-casts the
+        // rate to DOUBLE — one rounded double has a single canonical
+        // stringification everywhere, so the compare cannot be
+        // formatting-sensitive. The oracle casts to DOUBLE on its side too.
+        AthenaQueries.registerViews(s, ensurePipeline(s))
+        AthenaQueries.run(s, "high_failure_days")
+          .withColumn("failure_rate_pct", col("failure_rate_pct").cast("double"))
+      },
       Some(fixtureCte +
-        // Spark's ROUND(decimal_expr, 2) stays DECIMAL (stringifies '25.00');
-        // DuckDB's ROUND yields DOUBLE ('25.0') — cast so the stringified
-        // cells agree.
         """SELECT call_date, failed_calls, total_calls,
-          |       CAST(ROUND((failed_calls * 100.0) / total_calls, 2) AS DECIMAL(38,2)) AS failure_rate_pct
+          |       CAST(ROUND((failed_calls * 100.0) / total_calls, 2) AS DOUBLE) AS failure_rate_pct
           |FROM gold_call_daily_summary
           |WHERE total_calls > 0
           |ORDER BY failure_rate_pct DESC LIMIT 10""".stripMargin),
-      "full pipeline + Athena query 5 (sql:55-63)"),
+      "full pipeline + Athena query 5 (sql:55-63); rate post-cast to DOUBLE"),
 
     // The exception table: every rejected fixture row with its exact
     // " | "-joined Reject_reason (quirks Q1-Q3) + processing partitions.
