@@ -45,8 +45,9 @@ import scala.jdk.CollectionConverters._
   * set would miss that old row and duplicate the key. Partition pruning is
   * only sound when the merge keys functionally determine the partition
   * values (e.g. gold tables keyed on call_date and partitioned by
-  * year/month derived from it) — callers that know this can pre-filter the
-  * target themselves; the engine stays correct by default.
+  * year/month derived from it) — callers that can vouch for that functional
+  * dependency opt in via `merge(..., keysDeterminePartitions = true)`; the
+  * engine stays correct by default.
   */
 final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                        val statsCols: Seq[String] = Nil) {
@@ -76,10 +77,17 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * directories (untouched files are carried forward across versions), and
     * partition-column values live in directory names — so we group by data
     * dir and read each group with its own `basePath`, which preserves both
-    * partition columns and partition pruning.
+    * partition columns and partition pruning. Versions older than the
+    * vacuum horizon fail fast with a clear error instead of a mid-scan
+    * missing-file failure.
     */
-  def readVersion(spark: SparkSession, version: Long): DataFrame =
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    val horizon = vacuumHorizon
+    require(version >= horizon,
+      s"version $version of $root was vacuumed (oldest retained version is $horizon) — " +
+        "re-run vacuum with a larger retainVersions to keep longer time-travel windows")
     readFiles(spark, filesOf(version), schemaOf(version))
+  }
 
   /** Read a subset of a snapshot's files with its schema. Files may span
     * several data directories (untouched files are carried forward across
@@ -120,7 +128,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   def merge(spark: SparkSession, source: DataFrame, keys: Seq[String],
             checkUniqueSource: Boolean = true,
             mergeSchema: Boolean = false,
-            changeFeed: Boolean = false): Unit = {
+            changeFeed: Boolean = false,
+            keysDeterminePartitions: Boolean = false): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     if (!exists) {
       overwrite(source)
@@ -138,19 +147,36 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       }
 
       val v = currentVersion
-      val target = readVersion(spark, v)
       val srcKeys = src.select(keys.map(col): _*)
+      val oldFiles = filesOf(v)
+
+      // Opt-in partition pruning of the probe (see class doc for why it is
+      // NOT the default): when the caller vouches that the merge keys
+      // functionally determine the partition values — every row of a given
+      // key always lands in the same partition — a matched target row can
+      // only live in one of the SOURCE's partitions, so the touched-file
+      // probe (and therefore the rewrite) needs to scan only those
+      // partitions' files. At 100 TB this turns a full-table semi-join into
+      // a probe of the day/month being merged. The source must carry the
+      // partition columns; matching is on the `col=value` path segments
+      // Spark writes (path-safe values — the gold tables' year/month ints).
+      val probeRel: Seq[String] =
+        if (keysDeterminePartitions && partitionCols.nonEmpty) {
+          val pvals = src.select(partitionCols.map(col): _*).distinct().collect()
+          val dirs: Set[String] = pvals.map(r =>
+            partitionCols.indices.map(i =>
+              s"${partitionCols(i)}=${r.get(i)}").mkString("/")).toSet
+          oldFiles.filter(f => dirs.exists(d => f.contains(s"/$d/")))
+        } else oldFiles
 
       // File pruning: find the data files that contain at least one matched
       // key. Broadcast the (small) source key set when Catalyst can; only
       // file *names* are collected — metadata, not data.
-      val touched: Set[String] = target
+      val touched: Set[String] = readFiles(spark, probeRel, schemaOf(v))
         .withColumn("_graft_file", input_file_name())
         .join(srcKeys, keys, "left_semi")
         .select("_graft_file").distinct()
         .collect().map(r => normalize(r.getString(0))).toSet
-
-      val oldFiles = filesOf(v)
       val (touchedRel, keptRel) =
         oldFiles.partition(f => touched.exists(t => t.endsWith("/" + f) || t == f))
 
@@ -175,9 +201,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           // only the source has, inserted/updated rows for columns only the
           // target has. Untouched files are NOT rewritten: readVersion
           // applies the evolved snapshot schema uniformly, and parquet reads
-          // yield NULL for columns a file predates. The zero-row target head
-          // anchors the old column set when no file was touched.
-          val anchor = survivors.getOrElse(target.limit(0))
+          // yield NULL for columns a file predates. A zero-row frame of the
+          // snapshot schema anchors the old column set when no file was
+          // touched.
+          val anchor = survivors.getOrElse(readFiles(spark, Nil, schemaOf(v)))
           anchor.unionByName(src, allowMissingColumns = true)
         } else survivors match {
           case Some(s) => s.unionByName(src.select(s.columns.map(col): _*))
@@ -394,17 +421,34 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     writeVersion(packed, v + 1)
   }
 
-  /** Delete data directories no longer referenced by the current manifest
-    * (Delta VACUUM analog — keeps only the live snapshot).
+  /** Delete data directories referenced by NO retained snapshot (Delta
+    * VACUUM analog with a retention window): the newest `retainVersions`
+    * snapshots stay time-travel-readable; older versions' reads fail with a
+    * clear error afterwards (their manifests survive, but files they alone
+    * reference may be gone — the vacuum horizon records the boundary).
+    * Default keeps only the live snapshot, Delta's
+    * `VACUUM ... RETAIN 0 HOURS` analog.
     */
-  def vacuum(): Unit = {
+  def vacuum(retainVersions: Int = 1): Unit = {
+    require(retainVersions >= 1, "vacuum must retain at least the current version")
     if (!exists) return
-    val live = filesOf(currentVersion).map(f => f.takeWhile(_ != '/')).toSet
+    val cur = currentVersion
+    val floor = math.max(0L, cur - retainVersions + 1)
+    val live = (floor to cur)
+      .filter(ver => Files.exists(logDir.resolve(s"$ver.manifest")))
+      .flatMap(filesOf).map(_.takeWhile(_ != '/')).toSet
     val rootP = Paths.get(root)
     Files.list(rootP).iterator().asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d"))
       .filterNot(p => live.contains(p.getFileName.toString))
       .foreach(deleteRecursively)
+    Files.writeString(logDir.resolve("_VACUUM_HORIZON"), floor.toString)
+  }
+
+  /** Oldest version still guaranteed readable (0 when never vacuumed). */
+  def vacuumHorizon: Long = {
+    val p = logDir.resolve("_VACUUM_HORIZON")
+    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
   }
 
   // ---- internals ----

@@ -101,7 +101,12 @@ object CallCenterPipeline {
       )
       results.foreach { case (name, df) =>
         val (table, keys) = g(name)
-        table.merge(spark, GoldAggregates.withYearMonth(df, prcsd), keys)
+        // Gold keys contain call_date, and year/month are derived from the
+        // same processing date that call_date carries — keys functionally
+        // determine the partition values, so the merge probe can restrict
+        // itself to the processed day's partitions (MergeTable class doc).
+        table.merge(spark, GoldAggregates.withYearMonth(df, prcsd), keys,
+          keysDeterminePartitions = true)
       }
     } finally silver.unpersist()
   }

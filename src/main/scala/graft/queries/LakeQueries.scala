@@ -237,6 +237,64 @@ object LakeQueries {
              |GROUP BY o_orderstatus""".stripMargin),
       "z-order clustering: skipping works on every clustered column"),
 
+    // Partition-pruned MERGE (opt-in): the table is partitioned by a value
+    // the key functionally determines (bucket = o_orderkey % 8), so
+    // keysDeterminePartitions=true restricts the touched-file probe AND the
+    // rewrite to the source's partitions — here the source covers buckets
+    // {0,2,4,6}, so buckets {1,3,5,7} are never probed (assertion in
+    // MergeTableSpec); the oracle pins that the results are identical to an
+    // unpruned merge.
+    "m10_partition_pruned_merge" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m10_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+          .withColumn("bucket", col("o_orderkey") % 8)
+        val table = new MergeTable(root, Seq("bucket"))
+        table.overwrite(orders.filter(col("o_orderkey") % 4 =!= 3))
+        val source = orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        table.merge(s, source, Seq("o_orderkey"), keysDeterminePartitions = true)
+        table.read(s).select("o_orderkey", "bucket", "o_totalprice")
+      },
+      Some("""WITH tgt AS (SELECT o_orderkey, o_orderkey % 8 AS bucket, o_totalprice
+             |             FROM orders WHERE o_orderkey % 4 <> 3),
+             |     src AS (SELECT o_orderkey, o_orderkey % 8 AS bucket,
+             |                    o_totalprice + 1000.0 AS o_totalprice
+             |             FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT o_orderkey, bucket, o_totalprice FROM tgt
+             |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |UNION ALL
+             |SELECT o_orderkey, bucket, o_totalprice FROM src""".stripMargin),
+      "opt-in partition-pruned MERGE: probe+rewrite limited to the source's partitions"),
+
+    // Vacuum retention window: after three versions and vacuum(retain=2),
+    // version 1 must still time-travel-read exactly (its files survive),
+    // while version 0 fails fast (MergeTableSpec asserts the error). The
+    // oracle expresses version 1's state: original + first merge applied.
+    "m11_vacuum_retention" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m11_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)                                       // v0
+        table.merge(s, orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_orderstatus", lit("X")), Seq("o_orderkey"))  // v1
+        table.merge(s, orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderstatus", lit("Y")), Seq("o_orderkey"))  // v2
+        table.vacuum(retainVersions = 2)
+        table.readVersion(s, 1).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM (
+             |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+             |           AS o_orderstatus, o_orderkey
+             |  FROM orders)
+             |GROUP BY o_orderstatus""".stripMargin),
+      "VACUUM with retention: in-window time travel survives, out-of-window fails fast"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

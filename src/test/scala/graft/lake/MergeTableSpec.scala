@@ -200,6 +200,46 @@ class MergeTableSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("keysDeterminePartitions=true probes only the source's partitions") {
+    val t = new MergeTable(scratch("mt_pp"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p2"))))
+    val p2FilesBefore = t.filesOf(t.currentVersion).filter(_.contains("/p=p2/")).toSet
+    assert(p2FilesBefore.nonEmpty)
+    // source touches only p1 → p2's files must be carried forward by
+    // reference (same manifest entries — never probed, never rewritten)
+    t.merge(spark, df(Seq((2, "B", "p1"), (5, "e", "p1"))), Seq("k"),
+      keysDeterminePartitions = true)
+    val p2FilesAfter = t.filesOf(t.currentVersion).filter(_.contains("/p=p2/")).toSet
+    assert(p2FilesAfter === p2FilesBefore, "untouched partition was rewritten")
+    assert(asSet(t.read(spark)) ===
+      Set((1, "a", "p1"), (2, "B", "p1"), (3, "c", "p2"), (4, "d", "p2"), (5, "e", "p1")))
+
+    // The restriction is REAL: a key whose target row sits outside the
+    // source's partitions is (by design) not found — the documented unsound
+    // case when the caller's functional-dependency promise is broken. The
+    // old p2 row survives next to the new p1 row.
+    t.merge(spark, df(Seq((3, "C", "p1"))), Seq("k"), keysDeterminePartitions = true)
+    val rows = asSet(t.read(spark))
+    assert(rows.contains((3, "c", "p2")) && rows.contains((3, "C", "p1")),
+      "probe unexpectedly reached a partition outside the source's set")
+  }
+
+  test("vacuum retention: in-window time travel survives, older reads fail fast") {
+    val t = new MergeTable(scratch("mt_vac_ret"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))          // v0
+    t.merge(spark, df(Seq((2, "B", "p2"))), Seq("k"))             // v1
+    t.merge(spark, df(Seq((1, "A", "p1"))), Seq("k"))             // v2
+    t.vacuum(retainVersions = 2)
+    assert(t.vacuumHorizon === 1)
+    // v1 (inside the window) reads exactly
+    assert(asSet(t.readVersion(spark, 1)) === Set((1, "a", "p1"), (2, "B", "p2")))
+    // v0 (outside) fails fast with a clear message
+    val ex = intercept[IllegalArgumentException] { t.readVersion(spark, 0) }
+    assert(ex.getMessage.contains("vacuumed"))
+    // the live snapshot is untouched
+    assert(asSet(t.read(spark)) === Set((1, "A", "p1"), (2, "B", "p2")))
+  }
+
   test("property: merged = source ∪ (target ∖ source-keys)") {
     val keySet: Gen[List[Int]] = Gen.listOfN(8, Gen.chooseNum(0, 30)).map(_.distinct)
     val params = Gen.Parameters.default
