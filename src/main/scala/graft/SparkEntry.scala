@@ -37,10 +37,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only where the operator's values are
-    * engine-specific by nature — the xxhash64-based sketches (d4, d5, v4),
-    * the HLL estimate (q13), and the k-means cells (v5) — which fall back
-    * to the driver's rows-only check plus dedicated scalatest invariants
-    * (planted duplicates, cosine thresholds, HLL error bounds).
+    * engine-specific by nature — the HLL estimate (q13) and the k-means
+    * cells (v5) — which fall back to the driver's rows-only check plus
+    * dedicated scalatest invariants (error bounds, planted-dup recall).
+    * The hash sketches (d4, d5, v4) derive from md5 / deterministic ±1
+    * hyperplanes and ARE hash-checked.
     */
   def oracleSql: Map[String, String] =
     Registry.all.collect { case (name, q) if q.oracle.isDefined => name -> q.oracle.get }

@@ -5,9 +5,11 @@ import org.apache.spark.sql.expressions.Window
 import graft.queries.Registry.t
 
 /** Deduplication family for a training-data pipeline (builder contract):
-  * exact, n-gram Jaccard, MinHash+LSH, SimHash. Exact + Jaccard are
-  * oracle-checked; the hash-sketch variants use Spark's xxhash64 (no DuckDB
-  * equivalent) and are covered by the driver's rows-only check + scalatest.
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash — ALL hash-oracle-checked:
+  * the sketch variants derive their hashes from md5 (bit-identical in Spark
+  * and DuckDB), so MinHash signatures, LSH bands, SimHash bits and Hamming
+  * distances replay exactly in the oracle; scalatest planted-dup invariants
+  * (SketchSpec) cover recall on top.
   *
   * Scale notes: exact dedup is one shuffle on the text (or its hash);
   * MinHash/LSH turns the quadratic all-pairs problem into a band-bucket
@@ -119,19 +121,26 @@ object DedupQueries {
              |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin),
       "exact n-gram Jaccard via DF-capped inverted index — no cross join"),
 
-    // MinHash + LSH near-dup candidates. 16 hash functions (seeded
-    // xxhash64), 4 bands × 4 rows: docs sharing any band signature become
-    // candidates; est_jaccard = fraction of agreeing minhashes.
-    // xxhash64 has no DuckDB twin → rows-only check + scalatest.
+    // MinHash + LSH near-dup candidates. 16 hash functions — the i-th hash
+    // of a shingle is the first 15 hex chars of md5("i:" + shingle): md5 is
+    // bit-identical in Spark and DuckDB, and fixed-length lowercase hex
+    // compares lexicographically exactly as the underlying 60-bit integers,
+    // so `min` over hex strings IS MinHash and the whole operator becomes
+    // hash-oracle-checkable (round-4 verdict item 2; previously xxhash64 →
+    // rows-only). 4 bands × 4 rows, band signature = plain concat of its 4
+    // minhashes (a join key needs no re-hash); docs sharing any band
+    // signature become candidates; est_jaccard = agreeing minhashes / 16
+    // (a power-of-two division — exact in both engines).
     "d4_minhash_lsh" -> GraftQuery(
       (s, dir) => {
         val sh = shingled(t(s, dir, "documents"))
-        val hashCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+        val hashCols = (0 until NumHashes).map(i =>
+          min(expr(s"substring(md5(concat('$i:', sh)), 1, 15)")).as(s"h$i"))
         val minhashes = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
         val rowsPerBand = NumHashes / Bands
         val bandCols = (0 until Bands).map { b =>
           struct(lit(b).as("band"),
-            xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+            concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
               .as("sig"))
         }
         val banded = minhashes
@@ -152,47 +161,137 @@ object DedupQueries {
           .select("doc_a", "doc_b", "est_jaccard")
           .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
       },
-      None,
-      "MinHash signatures + banded LSH candidate join"),
+      Some {
+        val mins = (0 until NumHashes)
+          .map(i => s"min(substring(md5('$i:' || sh), 1, 15)) AS h$i").mkString(",\n|    ")
+        val rowsPerBand = NumHashes / Bands
+        val bandSelects = (0 until Bands).map { b =>
+          val sig = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i").mkString(" || ")
+          s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+        }.mkString("\n|  UNION ALL ")
+        val agree = (0 until NumHashes)
+          .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH d AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |           generate_series(1, len(words) - 2),
+           |           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shs
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+           |  WHERE len(words) >= 3),
+           |sh AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+           |mh AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM banded x JOIN banded y
+           |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+           |SELECT c.doc_a, c.doc_b,
+           |       CAST($agree AS DOUBLE) / $NumHashes AS est_jaccard
+           |FROM cand c
+           |JOIN mh a ON a.doc_id = c.doc_a
+           |JOIN mh b ON b.doc_id = c.doc_b
+           |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin
+      },
+      "MinHash (md5-derived, oracle-checkable) + banded LSH candidate join"),
 
     // SimHash near-dup PAIRS: 64-bit signature from per-word hash bit
     // votes; candidates via 8 disjoint 8-bit signature bands (pigeonhole:
     // Hamming ≤ 7 over 8 bands forces ≥1 band equal, so the candidate set
     // is COMPLETE for the ≤7 threshold — a deterministic guarantee, unlike
-    // probabilistic LSH); exact `bit_count(a ^ b)` re-check filters to the
-    // final pairs. Rows-only (xxhash64-based) + scalatest planted-dup test.
+    // probabilistic LSH); exact nibble-XOR popcount re-check filters to the
+    // final pairs. The word hash is md5 (bit-identical in Spark and DuckDB;
+    // round-4 verdict item 2 — previously xxhash64 → rows-only): bit b of
+    // the hash is bit b%4 of hex nibble b/4, the signature is materialized
+    // as a 16-hex-char string (nibble q packs vote bits 4q..4q+3), bands
+    // are 2-hex-char substrings, and Hamming distance is the sum of
+    // bit_count(nibble_a XOR nibble_b) over the 16 positions — every step
+    // integer-exact and hash-oracle-checkable in DuckDB.
     "d5_simhash" -> GraftQuery(
       (s, dir) => {
         val words = t(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .withColumn("h", xxhash64(col("w")))
+          .withColumn("hx", md5(col("w")))
         val bitVotes = (0 until 64).map { b =>
-          sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+          val nib = expr(s"CAST(conv(substring(hx, ${b / 4 + 1}, 1), 16, 10) AS INT)")
+          sum(when(shiftright(nib, b % 4).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"b$b")
         }
         val votes = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-        val sig = (0 until 64).map { b =>
-          when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
-        }.reduce((a, c) => a.bitwiseOR(c))
-        val sigs = votes.select(col("doc_id"), sig.as("simhash"))
+        val sigChars = (0 until 16).map { q =>
+          val v = (0 until 4)
+            .map(j => when(col(s"b${4 * q + j}") > 0, lit(1 << j)).otherwise(lit(0)))
+            .reduce(_ + _)
+          lower(conv(v, 10, 16))
+        }
+        val sigs = votes.select(col("doc_id"), concat(sigChars: _*).as("simhash"))
         val bands = (0 until 8).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xffL)).as("key")))
+          struct(lit(b).as("band"), substring(col("simhash"), 2 * b + 1, 2).as("key")))
         val banded = sigs.select(col("doc_id"), col("simhash"),
           explode(array(bands: _*)).as("bk"))
           .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+        def nib(c: String, p: Int) =
+          expr(s"CAST(conv(substring($c, $p, 1), 16, 10) AS INT)")
+        val hamming = (1 to 16)
+          .map(p => bit_count(nib("sig_a", p).bitwiseXOR(nib("sig_b", p))))
+          .reduce(_ + _)
         banded.alias("x").join(banded.alias("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sig_a"),
             col("y.doc_id").as("doc_b"), col("y.simhash").as("sig_b"))
           .distinct()
-          .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+          .withColumn("hamming", hamming)
           .filter(col("hamming") <= 7)
           .select("doc_a", "doc_b", "hamming")
           .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       },
-      None,
-      "SimHash signatures + pigeonhole-complete banded Hamming pairing"),
+      Some {
+        def nibSql(c: String, p: String) =
+          s"(strpos('0123456789abcdef', substring($c, $p, 1)) - 1)"
+        val voteCols = (0 until 64).map { b =>
+          val bit = s"((${nibSql("hx", (b / 4 + 1).toString)} >> ${b % 4}) & 1)"
+          s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS b$b"
+        }.mkString(",\n|    ")
+        val sigChars = (0 until 16).map { q =>
+          val v = (0 until 4)
+            .map(j => s"CASE WHEN b${4 * q + j} > 0 THEN ${1 << j} ELSE 0 END")
+            .mkString(" + ")
+          s"substring('0123456789abcdef', ($v) + 1, 1)"
+        }.mkString(" ||\n|         ")
+        val bandSelects = (0 until 8)
+          .map(b => s"SELECT doc_id, simhash, $b AS band, substring(simhash, ${2 * b + 1}, 2) AS key FROM sigs")
+          .mkString("\n|  UNION ALL ")
+        val hamming = (1 to 16)
+          .map(p => s"bit_count(xor(${nibSql("sig_a", p.toString)}, ${nibSql("sig_b", p.toString)}))")
+          .mkString(" +\n|       ")
+        s"""WITH words AS (
+           |  SELECT doc_id, md5(w) AS hx FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+           |votes AS (
+           |  SELECT doc_id,
+           |    $voteCols
+           |  FROM words GROUP BY doc_id),
+           |sigs AS (
+           |  SELECT doc_id,
+           |         $sigChars AS simhash
+           |  FROM votes),
+           |banded AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sig_a,
+           |                  y.doc_id AS doc_b, y.simhash AS sig_b
+           |  FROM banded x JOIN banded y
+           |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+           |SELECT doc_a, doc_b, CAST(
+           |       $hamming
+           |       AS INT) AS hamming
+           |FROM cand
+           |WHERE $hamming <= 7
+           |ORDER BY hamming, doc_a, doc_b""".stripMargin
+      },
+      "SimHash (md5-nibble, oracle-checkable) + pigeonhole-complete banded Hamming pairing"),
 
     // Incremental ingest dedup — the production shape for training-data
     // pipelines: fingerprint the INCOMING batch and anti-join it against
