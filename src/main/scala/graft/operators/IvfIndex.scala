@@ -13,24 +13,43 @@ import graft.functions.GraftFunctions
   * LSH path (v4): IVF adapts to the data's density, LSH is oblivious but
   * index-free.
   *
-  * Scale: the fit is one MLlib k-means over the corpus (linear per
-  * iteration); assignments persist as a `cell` column the query-side
-  * filters on — at 100 TB you'd write the corpus bucketed/partitioned by
-  * cell so a probe reads only its cells' files (partition pruning), and
-  * train on a sample. Only CENTROIDS (nClusters × dim doubles) and the
-  * single query vector ever reach the driver — metadata-sized, never data.
+  * Scale: the fit is one MLlib k-means — trained on a bounded sample above
+  * [[MaxTrainRows]] (assignment still covers every row); assignments
+  * persist as a `cell` column the query-side filters on — at 100 TB you'd
+  * write the corpus bucketed/partitioned by cell so a probe reads only its
+  * cells' files (partition pruning). Only CENTROIDS (nClusters × dim
+  * doubles) and the single query vector ever reach the driver —
+  * metadata-sized, never data.
   *
   * Determinism: fixed seed + fixed iteration count; identical vectors
   * always share a cell, so recall at cosine 1.0 is exactly 1.
   */
 object IvfIndex {
 
+  /** Above this row count the k-means fit trains on a ~[[MaxTrainRows]]-row
+    * sample instead of the full corpus: coarse-quantizer centroids converge
+    * on a sample (FAISS trains IVF on a slice for the same reason), while
+    * MLlib k-means over 100 TB of vectors would be days per iteration.
+    * ASSIGNMENT still covers every row — only training is sampled.
+    */
+  val MaxTrainRows = 100000L
+
   /** Fit the coarse quantizer and return (assigned corpus with `cell`,
     * centroid matrix).
     */
-  def fit(emb: DataFrame, nClusters: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+  def fit(emb: DataFrame, nClusters: Int, seed: Long = 42L,
+          maxTrainRows: Long = MaxTrainRows): (DataFrame, Array[Array[Double]]) = {
     val feat = emb.withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(5).fit(feat)
+    val n = feat.count()
+    val train =
+      if (n > maxTrainRows) {
+        val s = feat.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+        // Bernoulli sampling can undershoot on small corpora; k-means needs
+        // at least nClusters training rows — fall back deterministically.
+        if (s.limit(nClusters).count() < nClusters) feat.limit(nClusters * 10)
+        else s
+      } else feat
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(5).fit(train)
     val assigned = model.transform(feat)
       .withColumn("cell", col("prediction")).drop("prediction", "features")
     (assigned, model.clusterCenters.map(_.toArray))

@@ -57,6 +57,36 @@ object SimilarityQueries {
   val Bands: Int = Planes / BandBits
   val CosineThreshold = 0.35
 
+  /** Corpus bound above which [[neardupPairsExact]] refuses to run: the
+    * exact global-top-k plan is O(N²) pairs — fine for a validation corpus,
+    * a cluster-melter at 100 TB. 100k rows ≈ 5·10⁹ pairs is already the
+    * chargeable edge of "exact baseline".
+    */
+  val MaxExactPairRows = 100000L
+
+  /** v3's exact all-pairs plan behind a loud scale guard: global top-k
+    * most-similar pairs has no recall-safe sub-quadratic answer when the
+    * answer set sits at moderate cosine (object doc), so the exact form is
+    * legitimate — but ONLY below [[MaxExactPairRows]]; above it the call
+    * fails fast and points at v4, instead of melting a cluster.
+    */
+  def neardupPairsExact(e: DataFrame, k: Int,
+                        maxRows: Long = MaxExactPairRows): DataFrame = {
+    val n = e.count()
+    require(n <= maxRows,
+      s"v3_neardup_pairs is an exact all-pairs plan: $n corpus rows mean " +
+        s"~${n * n / 2} candidate pairs (bound: $maxRows rows). Use " +
+        "v4_lsh_buckets (thresholded banded-LSH near-dup search) at scale, " +
+        "or raise maxRows explicitly if this corpus size is intentional.")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosineFast("emb_a", "emb_b", "norm_a", "norm_b"), 6))
+      .select("id_a", "id_b", "cosine")
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
   /** Deterministic ±1 hyperplane component for (plane, dim): splitmix64
     * finalizer over the packed index — fixed across runs/partitions (no RNG,
     * required for resume/oracle determinism).
@@ -153,18 +183,10 @@ object SimilarityQueries {
     // Embedding-cosine near-dup pairs: top-20 most-similar distinct pairs.
     // Exact all-pairs (see object doc: global top-k has no recall-safe
     // sub-quadratic answer at this similarity level); norms precomputed,
-    // dot products native — the pair loop is pure FMA work.
+    // dot products native — the pair loop is pure FMA work. Guarded by
+    // MaxExactPairRows: above the bound it fails fast pointing at v4.
     "v3_neardup_pairs" -> GraftQuery(
-      (s, dir) => {
-        val e = emb(s, dir)
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("norm").as("norm_a"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("norm").as("norm_b"))
-        a.crossJoin(b).filter(col("id_a") < col("id_b"))
-          .withColumn("cosine", round(cosineFast("emb_a", "emb_b", "norm_a", "norm_b"), 6))
-          .select("id_a", "id_b", "cosine")
-          .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
-          .limit(20)
-      },
+      (s, dir) => neardupPairsExact(emb(s, dir), k = 20),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
              |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine

@@ -81,6 +81,33 @@ class SketchSpec extends SparkSpec {
     assert(ivf.forall(_._2 <= 1.0))
   }
 
+  test("v3 exact all-pairs refuses to run above its corpus-size bound") {
+    GraftFunctions.register(spark)
+    val e = Registry.t(spark, dir, "embeddings")
+      .withColumn("norm", expr("sqrt(float_dot(embedding, embedding))"))
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityQueries.neardupPairsExact(e, k = 5, maxRows = 3).collect()
+    }
+    assert(ex.getMessage.contains("v4_lsh_buckets"),
+      "guard message must point at the scale path")
+    // below the bound the exact plan still runs
+    assert(SimilarityQueries.neardupPairsExact(e, k = 5, maxRows = 100)
+      .count() === 5)
+  }
+
+  test("IVF k-means trains on a sample above maxTrainRows; assignment covers all rows") {
+    val e = Registry.t(spark, dir, "embeddings")
+    val (assigned, centers) =
+      graft.operators.IvfIndex.fit(e, nClusters = 2, maxTrainRows = 3)
+    assert(centers.length === 2)
+    assert(assigned.count() === e.count(), "every row must be assigned a cell")
+    assert(assigned.select("cell").distinct().count() <= 2)
+    // the planted identical pair still co-clusters under sampled training
+    val cells = assigned.filter(col("vec_id") <= 1)
+      .select("cell").collect().map(_.getInt(0)).toSet
+    assert(cells.size === 1, "identical vectors must share a cell")
+  }
+
   test("q13 HLL estimate stays within 3×rsd of the exact distinct count") {
     val rows = Registry.all("q13_approx_distinct").fn(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
