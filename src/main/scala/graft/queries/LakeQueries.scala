@@ -295,6 +295,39 @@ object LakeQueries {
              |GROUP BY o_orderstatus""".stripMargin),
       "VACUUM with retention: in-window time travel survives, out-of-window fails fast"),
 
+    // SQL MERGE INTO surface (graft.sqlapi.MergeInto): the reference's
+    // Delta merge expressed as a statement, executed over a MergeTable with
+    // the source resolved from a temp view. Same data shape as m1 → the
+    // oracle pins that the SQL path and the API path agree exactly.
+    "m12_merge_sql" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m12_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders.filter(col("o_orderkey") % 4 =!= 3))
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .createOrReplaceTempView("m12_src")
+        graft.sqlapi.MergeInto.run(s,
+          """MERGE INTO orders_lake AS t USING m12_src AS s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+          Map("orders_lake" -> table))
+        table.read(s).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 3),
+             |     src AS (SELECT o_orderkey, 'M' AS o_orderstatus,
+             |                    o_totalprice + 1000.0 AS o_totalprice
+             |             FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT o_orderkey, o_orderstatus, o_totalprice FROM tgt
+             |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |UNION ALL
+             |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src""".stripMargin),
+      "SQL MERGE INTO statement over MergeTable — the Delta+Spark-SQL twin"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.
