@@ -30,6 +30,16 @@ object DedupQueries {
   val NumHashes = 16
   val Bands = 4 // 4 rows per band
 
+  /** MinHash universal-hash family: ONE md5 per shingle reduced mod the
+    * Mersenne prime 2^31-1, then 16 affine transforms (a_i·h + b_i) mod p —
+    * the classic single-base-hash MinHash construction. a·h < 2^62 so the
+    * arithmetic never overflows a signed 64-bit (ANSI-safe), and every step
+    * replays exactly in DuckDB.
+    */
+  val MinhashPrime = 2147483647L
+  def affineA(i: Int): Long = (2654435761L * (i + 1)) % MinhashPrime
+  def affineB(i: Int): Long = (2246822519L * (i + 1) + 40503L) % MinhashPrime
+
   /** d3: shingles appearing in more documents than this are dropped from
     * the inverted index (stop-word-shingle join-blowup guard; see d3 doc).
     */
@@ -121,26 +131,28 @@ object DedupQueries {
              |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin),
       "exact n-gram Jaccard via DF-capped inverted index — no cross join"),
 
-    // MinHash + LSH near-dup candidates. 16 hash functions — the i-th hash
-    // of a shingle is the first 15 hex chars of md5("i:" + shingle): md5 is
-    // bit-identical in Spark and DuckDB, and fixed-length lowercase hex
-    // compares lexicographically exactly as the underlying 60-bit integers,
-    // so `min` over hex strings IS MinHash and the whole operator becomes
-    // hash-oracle-checkable (round-4 verdict item 2; previously xxhash64 →
-    // rows-only). 4 bands × 4 rows, band signature = plain concat of its 4
-    // minhashes (a join key needs no re-hash); docs sharing any band
-    // signature become candidates; est_jaccard = agreeing minhashes / 16
-    // (a power-of-two division — exact in both engines).
+    // MinHash + LSH near-dup candidates. 16 hash functions from ONE md5 per
+    // shingle (md5 is bit-identical in Spark and DuckDB — round-4 verdict
+    // item 2; previously xxhash64 → rows-only) + the affine universal-hash
+    // family above: per-shingle cost is a single hash, not 16, and the 16
+    // multiply-adds stay in whole-stage codegen. 4 bands × 4 rows, band
+    // signature = '_'-joined minhash values (a join key needs no re-hash);
+    // docs sharing any band signature become candidates; est_jaccard =
+    // agreeing minhashes / 16 (a power-of-two division — exact in both
+    // engines).
     "d4_minhash_lsh" -> GraftQuery(
       (s, dir) => {
         val sh = shingled(t(s, dir, "documents"))
+          .withColumn("h",
+            expr(s"CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % $MinhashPrime"))
         val hashCols = (0 until NumHashes).map(i =>
-          min(expr(s"substring(md5(concat('$i:', sh)), 1, 15)")).as(s"h$i"))
+          min((lit(affineA(i)) * col("h") + lit(affineB(i))) % lit(MinhashPrime)).as(s"h$i"))
         val minhashes = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
         val rowsPerBand = NumHashes / Bands
         val bandCols = (0 until Bands).map { b =>
           struct(lit(b).as("band"),
-            concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+            concat_ws("_",
+              (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
               .as("sig"))
         }
         val banded = minhashes
@@ -163,10 +175,12 @@ object DedupQueries {
       },
       Some {
         val mins = (0 until NumHashes)
-          .map(i => s"min(substring(md5('$i:' || sh), 1, 15)) AS h$i").mkString(",\n|    ")
+          .map(i => s"min((${affineA(i)} * h + ${affineB(i)}) % $MinhashPrime) AS h$i")
+          .mkString(",\n|    ")
         val rowsPerBand = NumHashes / Bands
         val bandSelects = (0 until Bands).map { b =>
-          val sig = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i").mkString(" || ")
+          val sig = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i")
+            .mkString("concat_ws('_', ", ", ", ")")
           s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
         }.mkString("\n|  UNION ALL ")
         val agree = (0 until NumHashes)
@@ -177,7 +191,9 @@ object DedupQueries {
            |           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shs
            |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
            |  WHERE len(words) >= 3),
-           |sh AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+           |sh AS (SELECT doc_id,
+           |              ('0x' || substring(md5(sh), 1, 15))::BIGINT % $MinhashPrime AS h
+           |       FROM (SELECT doc_id, unnest(shs) AS sh FROM d)),
            |mh AS (
            |  SELECT doc_id,
            |    $mins
@@ -203,44 +219,65 @@ object DedupQueries {
     // is COMPLETE for the ≤7 threshold — a deterministic guarantee, unlike
     // probabilistic LSH); exact nibble-XOR popcount re-check filters to the
     // final pairs. The word hash is md5 (bit-identical in Spark and DuckDB;
-    // round-4 verdict item 2 — previously xxhash64 → rows-only): bit b of
-    // the hash is bit b%4 of hex nibble b/4, the signature is materialized
-    // as a 16-hex-char string (nibble q packs vote bits 4q..4q+3), bands
-    // are 2-hex-char substrings, and Hamming distance is the sum of
-    // bit_count(nibble_a XOR nibble_b) over the 16 positions — every step
-    // integer-exact and hash-oracle-checkable in DuckDB.
+    // round-4 verdict item 2 — previously xxhash64 → rows-only): bits
+    // 0..59 are the first 15 md5 hex chars as a 60-bit int, bits 60..63
+    // the 16th nibble. The signature stays PACKED INTEGERS end-to-end —
+    // (sig_lo: vote bits 0..59, sig_hi: bits 60..63) — so band keys are
+    // shift/mask extractions and Hamming is two XOR popcounts: this corpus
+    // yields ~5M candidate pairs at sf0.1, and any per-pair string op
+    // (an earlier hex-substring formulation) multiplies into tens of
+    // seconds, while the integer form is pure whole-stage codegen. Every
+    // step is integer-exact and hash-oracle-checkable in DuckDB (which
+    // parses '0x'-prefixed hex casts natively).
     "d5_simhash" -> GraftQuery(
       (s, dir) => {
+        // The 64 word-hash bits come from TWO hex→int conversions per word
+        // (bits 0..59 = the first 15 md5 hex chars as a 60-bit int, bits
+        // 60..63 = the 16th nibble) — NOT one string op per bit: the vote
+        // aggregates then see pure integer shift/mask children, keeping the
+        // 64-way sum inside whole-stage codegen (the per-bit conv/substring
+        // formulation benched 35× slower).
         val words = t(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .withColumn("hx", md5(col("w")))
+          .select(col("doc_id"),
+            expr("CAST(conv(substring(hx, 1, 15), 16, 10) AS BIGINT)").as("h_lo"),
+            expr("CAST(conv(substring(hx, 16, 1), 16, 10) AS INT)").as("h_hi"))
         val bitVotes = (0 until 64).map { b =>
-          val nib = expr(s"CAST(conv(substring(hx, ${b / 4 + 1}, 1), 16, 10) AS INT)")
-          sum(when(shiftright(nib, b % 4).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"b$b")
+          val bit =
+            if (b < 60) shiftright(col("h_lo"), b).bitwiseAND(lit(1L)) === 1L
+            else shiftright(col("h_hi"), b - 60).bitwiseAND(lit(1)) === 1
+          sum(when(bit, 1).otherwise(-1)).as(s"b$b")
         }
         val votes = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-        val sigChars = (0 until 16).map { q =>
-          val v = (0 until 4)
-            .map(j => when(col(s"b${4 * q + j}") > 0, lit(1 << j)).otherwise(lit(0)))
-            .reduce(_ + _)
-          lower(conv(v, 10, 16))
-        }
-        val sigs = votes.select(col("doc_id"), concat(sigChars: _*).as("simhash"))
-        val bands = (0 until 8).map(b =>
-          struct(lit(b).as("band"), substring(col("simhash"), 2 * b + 1, 2).as("key")))
-        val banded = sigs.select(col("doc_id"), col("simhash"),
-          explode(array(bands: _*)).as("bk"))
-          .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-        def nib(c: String, p: Int) =
-          expr(s"CAST(conv(substring($c, $p, 1), 16, 10) AS INT)")
-        val hamming = (1 to 16)
-          .map(p => bit_count(nib("sig_a", p).bitwiseXOR(nib("sig_b", p))))
+        val sigLo = (0 until 60)
+          .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _) // disjoint bits: + == OR
+        val sigHi = (0 until 4)
+          .map(j => when(col(s"b${60 + j}") > 0, lit(1 << j)).otherwise(lit(0)))
           .reduce(_ + _)
+        val sigs = votes.select(col("doc_id"), sigLo.as("sig_lo"), sigHi.as("sig_hi"))
+        // 8 disjoint 8-bit bands partitioning the 64 bits; band 7 spans the
+        // lo/hi boundary (bits 56..59 of sig_lo + the 4 sig_hi bits).
+        val bands = (0 until 8).map { b =>
+          val key =
+            if (b < 7) shiftright(col("sig_lo"), 8 * b).bitwiseAND(lit(0xffL))
+            else shiftright(col("sig_lo"), 56).bitwiseAND(lit(0xfL))
+              .bitwiseOR(col("sig_hi").cast("long") * 16L)
+          struct(lit(b).as("band"), key.as("key"))
+        }
+        val banded = sigs.select(col("doc_id"), col("sig_lo"), col("sig_hi"),
+          explode(array(bands: _*)).as("bk"))
+          .select(col("doc_id"), col("sig_lo"), col("sig_hi"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+        val hamming =
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+            bit_count(col("hi_a").bitwiseXOR(col("hi_b")))
         banded.alias("x").join(banded.alias("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
               col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sig_a"),
-            col("y.doc_id").as("doc_b"), col("y.simhash").as("sig_b"))
+          .select(col("x.doc_id").as("doc_a"), col("x.sig_lo").as("lo_a"), col("x.sig_hi").as("hi_a"),
+            col("y.doc_id").as("doc_b"), col("y.sig_lo").as("lo_b"), col("y.sig_hi").as("hi_b"))
           .distinct()
           .withColumn("hamming", hamming)
           .filter(col("hamming") <= 7)
@@ -248,45 +285,48 @@ object DedupQueries {
           .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       },
       Some {
-        def nibSql(c: String, p: String) =
-          s"(strpos('0123456789abcdef', substring($c, $p, 1)) - 1)"
         val voteCols = (0 until 64).map { b =>
-          val bit = s"((${nibSql("hx", (b / 4 + 1).toString)} >> ${b % 4}) & 1)"
+          val bit =
+            if (b < 60) s"((h_lo >> $b) & 1)"
+            else s"((h_hi >> ${b - 60}) & 1)"
           s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS b$b"
         }.mkString(",\n|    ")
-        val sigChars = (0 until 16).map { q =>
-          val v = (0 until 4)
-            .map(j => s"CASE WHEN b${4 * q + j} > 0 THEN ${1 << j} ELSE 0 END")
-            .mkString(" + ")
-          s"substring('0123456789abcdef', ($v) + 1, 1)"
-        }.mkString(" ||\n|         ")
-        val bandSelects = (0 until 8)
-          .map(b => s"SELECT doc_id, simhash, $b AS band, substring(simhash, ${2 * b + 1}, 2) AS key FROM sigs")
-          .mkString("\n|  UNION ALL ")
-        val hamming = (1 to 16)
-          .map(p => s"bit_count(xor(${nibSql("sig_a", p.toString)}, ${nibSql("sig_b", p.toString)}))")
-          .mkString(" +\n|       ")
+        val sigLo = (0 until 60)
+          .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" +\n|           ")
+        val sigHi = (0 until 4)
+          .map(j => s"CASE WHEN b${60 + j} > 0 THEN ${1 << j} ELSE 0 END")
+          .mkString(" + ")
+        val bandSelects = (0 until 8).map { b =>
+          val key =
+            if (b < 7) s"((sig_lo >> ${8 * b}) & 255)"
+            else "(((sig_lo >> 56) & 15) | (sig_hi * 16))"
+          s"SELECT doc_id, sig_lo, sig_hi, $b AS band, $key AS key FROM sigs"
+        }.mkString("\n|  UNION ALL ")
+        val hamming = "bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))"
         s"""WITH words AS (
-           |  SELECT doc_id, md5(w) AS hx FROM (
-           |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+           |  SELECT doc_id,
+           |         ('0x' || substring(hx, 1, 15))::BIGINT AS h_lo,
+           |         ('0x' || substring(hx, 16, 1))::BIGINT AS h_hi
+           |  FROM (SELECT doc_id, md5(w) AS hx FROM (
+           |          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))),
            |votes AS (
            |  SELECT doc_id,
            |    $voteCols
            |  FROM words GROUP BY doc_id),
            |sigs AS (
            |  SELECT doc_id,
-           |         $sigChars AS simhash
+           |         $sigLo AS sig_lo,
+           |         $sigHi AS sig_hi
            |  FROM votes),
            |banded AS (
            |  $bandSelects),
            |cand AS (
-           |  SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sig_a,
-           |                  y.doc_id AS doc_b, y.simhash AS sig_b
+           |  SELECT DISTINCT x.doc_id AS doc_a, x.sig_lo AS lo_a, x.sig_hi AS hi_a,
+           |                  y.doc_id AS doc_b, y.sig_lo AS lo_b, y.sig_hi AS hi_b
            |  FROM banded x JOIN banded y
            |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-           |SELECT doc_a, doc_b, CAST(
-           |       $hamming
-           |       AS INT) AS hamming
+           |SELECT doc_a, doc_b, CAST($hamming AS INT) AS hamming
            |FROM cand
            |WHERE $hamming <= 7
            |ORDER BY hamming, doc_a, doc_b""".stripMargin
