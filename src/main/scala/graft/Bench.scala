@@ -1,18 +1,35 @@
 package graft
 
 /** Benchmark main: every registry query against SPARK_GRAFT_SF_DIR, each run
-  * SPARK_GRAFT_ITERS times (default 3) reporting the per-query MEDIAN (the
-  * merge-path cost proved run-to-run volatile; medians de-noise it). A query
-  * that throws is printed to stderr and surfaced in the JSON `failed` list —
-  * never silently counted as a fast success. The config actually used
-  * (master / shuffle partitions / iterations) is recorded in the output so
-  * BENCH numbers are attributable to one declared shape.
+  * SPARK_GRAFT_ITERS times (default 3; the disk-bound m-family gets at least
+  * 5) reporting the per-query MEDIAN (the merge-path cost proved run-to-run
+  * volatile; medians de-noise it). A query that throws is printed to stderr
+  * and surfaced in the JSON `failed` list — never silently counted as a
+  * fast success. The config actually used (master / shuffle partitions /
+  * iterations) is recorded in the output so BENCH numbers are attributable
+  * to one declared shape.
+  *
+  * Bench MUST run alone — a concurrent JVM on the same box skews medians
+  * (round 4: the driver measured m2 at 5.6 s where a solo run gives 2.1 s).
+  * An exclusive OS file lock on `<GRAFT_TMP>/bench.lock` enforces it:
+  * a second Bench blocks (with a stderr notice) until the first finishes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
+
+    val lockPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_TMP", "/root/repo/target/graft-tmp"), "bench.lock")
+    java.nio.file.Files.createDirectories(lockPath.getParent)
+    val lockChannel = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    if (lockChannel.tryLock() == null) {
+      System.err.println(s"[bench] another Bench holds $lockPath — waiting (numbers are only valid solo)")
+      lockChannel.lock() // block until the concurrent run finishes
+    }
+
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.queries.Registry.cleanStaleScratch()
@@ -22,7 +39,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to iters).flatMap { _ =>
+      // the m-family rewrites real files — the noisiest queries get ≥5 iters
+      val qIters = if (name.matches("^m\\d.*")) iters.max(5) else iters
+      val times = (1 to qIters).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {

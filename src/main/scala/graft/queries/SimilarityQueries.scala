@@ -70,9 +70,9 @@ object SimilarityQueries {
     * legitimate — but ONLY below [[MaxExactPairRows]]; above it the call
     * fails fast and points at v4, instead of melting a cluster.
     */
-  def neardupPairsExact(e: DataFrame, k: Int,
+  def neardupPairsExact(e: DataFrame, k: Int, corpusRows: Long,
                         maxRows: Long = MaxExactPairRows): DataFrame = {
-    val n = e.count()
+    val n = corpusRows
     require(n <= maxRows,
       s"v3_neardup_pairs is an exact all-pairs plan: $n corpus rows mean " +
         s"~${n * n / 2} candidate pairs (bound: $maxRows rows). Use " +
@@ -186,7 +186,10 @@ object SimilarityQueries {
     // dot products native — the pair loop is pure FMA work. Guarded by
     // MaxExactPairRows: above the bound it fails fast pointing at v4.
     "v3_neardup_pairs" -> GraftQuery(
-      (s, dir) => neardupPairsExact(emb(s, dir), k = 20),
+      // the guard count runs on the RAW scan (a metadata-only parquet
+      // count-star), not the norm-projected frame — the guard must be free
+      (s, dir) => neardupPairsExact(emb(s, dir), k = 20,
+        corpusRows = t(s, dir, "embeddings").count()),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
              |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine

@@ -85,13 +85,14 @@ class SketchSpec extends SparkSpec {
     GraftFunctions.register(spark)
     val e = Registry.t(spark, dir, "embeddings")
       .withColumn("norm", expr("sqrt(float_dot(embedding, embedding))"))
+    val n = e.count()
     val ex = intercept[IllegalArgumentException] {
-      SimilarityQueries.neardupPairsExact(e, k = 5, maxRows = 3).collect()
+      SimilarityQueries.neardupPairsExact(e, k = 5, corpusRows = n, maxRows = 3).collect()
     }
     assert(ex.getMessage.contains("v4_lsh_buckets"),
       "guard message must point at the scale path")
     // below the bound the exact plan still runs
-    assert(SimilarityQueries.neardupPairsExact(e, k = 5, maxRows = 100)
+    assert(SimilarityQueries.neardupPairsExact(e, k = 5, corpusRows = n, maxRows = 100)
       .count() === 5)
   }
 
