@@ -276,6 +276,46 @@ object SimilarityQueries {
       None,
       "IVF-Flat ANN: probe nearest k-means cells, exact-cosine re-rank"),
 
+    // Embedding int8 quantization — the storage-scale path for ANN corpora
+    // (4× smaller vectors, SIMD-friendly integer dot products): symmetric
+    // per-vector scaling q_i = floor(x_i·(127/amax) + 0.5). Every step is a
+    // fixed sequence of exact IEEE ops (x exact-from-float, one division
+    // for the scale, one multiply, floor) so both engines produce identical
+    // integers; the summary avoids order-dependent float sums — q_sum is an
+    // integer sum, max_err an order-independent max of exactly-computed
+    // per-element reconstruction errors.
+    "v7_quantize_int8" -> GraftQuery(
+      (s, dir) => t(s, dir, "embeddings")
+        .withColumn("amax",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .withColumn("scale", lit(127.0) / col("amax"))
+        .withColumn("q",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5D) AS BIGINT))"))
+        .select(
+          col("vec_id"),
+          round(col("scale"), 6).as("scale_r"),
+          expr("aggregate(q, 0L, (acc, v) -> acc + v)").as("q_sum"),
+          round(expr(
+            "aggregate(zip_with(q, embedding, (qi, x) -> abs(CAST(qi AS DOUBLE) / scale - CAST(x AS DOUBLE))), 0D, (acc, v) -> greatest(acc, v))"), 9)
+            .as("max_err")),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |scaled AS (
+             |  SELECT vec_id, emb,
+             |         127.0 / list_max(list_transform(emb, x -> abs(x))) AS scale
+             |  FROM e),
+             |q AS (
+             |  SELECT vec_id, emb, scale,
+             |         list_transform(emb, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+             |  FROM scaled)
+             |SELECT vec_id, round(scale, 6) AS scale_r,
+             |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |       round(list_max(list_transform(
+             |         list_zip(qv, emb),
+             |         p -> abs(CAST(p[1] AS DOUBLE) / scale - p[2]))), 9) AS max_err
+             |FROM q""".stripMargin),
+      "symmetric int8 quantization: exact cross-engine integers + reconstruction error"),
+
     // Per-label embedding centroids through the native `vec_avg` Catalyst
     // aggregate (graft.functions.VecAvg): ONE (sums, count) buffer per
     // group — the shuffle carries groups × (dim+1) doubles, where the

@@ -237,5 +237,74 @@ object TextQueries {
              |       translate(substring(text, 1, 20), 'aeiou', 'AEIOU') AS vowels_up
              |FROM documents""".stripMargin),
       "string suite: levenshtein/split_part/instr/translate"),
+
+    // Sequence packing for training batches: concatenate documents (in a
+    // deterministic per-language order) into fixed token-budget sequences —
+    // the standard pre-training batching step. seq_id = exclusive prefix
+    // token count `div` budget, so a document whose tokens straddle a
+    // boundary OPENS the next sequence (approximate first-fit; exact greedy
+    // packing is inherently sequential, and per-partition prefix sums are
+    // the scalable shape — the window shuffles once on lang). Output is one
+    // row per packed sequence with its doc and token counts.
+    "t10_sequence_pack" -> GraftQuery(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 2048
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("seq_id", expr(s"excl div $budget"))
+          .groupBy("lang", "seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+          .orderBy("lang", "seq_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |packed AS (
+             |  SELECT lang, n_tokens,
+             |         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |           // 2048 AS BIGINT) AS seq_id
+             |  FROM toks)
+             |SELECT lang, seq_id, count(*) AS n_docs,
+             |       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+             |FROM packed GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin),
+      "token-budget sequence packing via per-partition prefix sums"),
+
+    // Repetition quality filter (Gopher/C4-style): fraction of a document's
+    // word-bigrams taken by its single most frequent bigram — high values
+    // mean boilerplate/looping text. One explode + two aggregations; the
+    // keep flag applies the conventional 0.2 cutoff. The ratio is a single
+    // IEEE division — bit-exact cross-engine.
+    "t11_repetition_filter" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, size(words) - 1), i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1)))"))
+            .as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), max("c").as("top_count"))
+        .withColumn("rep_ratio", col("top_count").cast("double") / col("n_bigrams"))
+        .withColumn("keep", col("rep_ratio") <= 0.2),
+      Some("""WITH bigrams AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |           generate_series(1, len(words) - 1),
+             |           i -> concat_ws(' ', words[i], words[i+1]))) AS bigram
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+             |  WHERE len(words) >= 2),
+             |counts AS (
+             |  SELECT doc_id, bigram, count(*) AS c FROM bigrams GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             |       CAST(max(c) AS BIGINT) AS top_count,
+             |       CAST(max(c) AS DOUBLE) / sum(c) AS rep_ratio,
+             |       (CAST(max(c) AS DOUBLE) / sum(c)) <= 0.2 AS keep
+             |FROM counts GROUP BY doc_id""".stripMargin),
+      "top-bigram repetition fraction + keep cutoff (boilerplate filter)"),
   )
 }
