@@ -258,6 +258,20 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** STREAMING read of the change feed (the Delta `readChangeFeed`
+    * streaming-source analog): a file source over the cdf directories, so
+    * the rows of every future `changeFeed = true` commit arrive as a new
+    * micro-batch — the standard way to fan a lakehouse table's changes out
+    * to downstream incremental consumers without re-diffing snapshots.
+    * The schema is pinned from the already-recorded change rows, so at
+    * least one changeFeed commit must exist before the stream starts.
+    */
+  def changesStream(spark: SparkSession): DataFrame = {
+    val glob = s"$root/cdf/*"
+    val schema = spark.read.parquet(glob).schema
+    spark.readStream.schema(schema).parquet(glob)
+  }
+
   /** Delta `DELETE WHERE` analog: remove the rows matching `predicate`,
     * rewriting ONLY the data files that contain at least one matching row
     * (same file-pruning shape as merge); untouched files are carried

@@ -191,6 +191,61 @@ object StreamQueries {
              |ORDER BY 1, 2""".stripMargin),
       "watermark-bounded stream-stream interval join"),
 
+    // The change feed as a STREAMING SOURCE (Delta readChangeFeed analog):
+    // a merge and a delete record CDF rows at commit time, then
+    // MergeTable.changesStream replays them through a real streaming query
+    // — the standard fan-out of a lakehouse table's changes to downstream
+    // incremental consumers without snapshot diffing. The oracle re-derives
+    // every change class (pre/post images, inserts, deletes) relationally
+    // per commit version.
+    "st6_stream_cdf" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val root = s"${Registry.scratchRoot}/st6_lake_$id"
+        val orders = Registry.t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders.filter(col("o_orderkey") % 4 =!= 2))
+        table.merge(s, orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+          Seq("o_orderkey"), changeFeed = true)                      // v1
+        table.delete(s, col("o_orderstatus") === "O", changeFeed = true) // v2
+        val sink = s"st6_sink_$id"
+        val q = table.changesStream(ss)
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st6_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        ss.table(sink)
+          .groupBy(col(MergeTable.ChangeType).as("change_type"),
+            col(MergeTable.CommitVersion).as("commit_version"))
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+          .orderBy("commit_version", "change_type")
+      },
+      Some("""WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 2),
+             |     src AS (SELECT o_orderkey, 'M' AS o_orderstatus,
+             |                    o_totalprice + 1000.0 AS o_totalprice
+             |             FROM orders WHERE o_orderkey % 2 = 0),
+             |changes AS (
+             |  SELECT 'update_preimage' AS change_type, 1 AS v, o_orderkey
+             |  FROM tgt WHERE o_orderkey IN (SELECT o_orderkey FROM src)
+             |  UNION ALL
+             |  SELECT 'update_postimage', 1, o_orderkey
+             |  FROM src WHERE o_orderkey IN (SELECT o_orderkey FROM tgt)
+             |  UNION ALL
+             |  SELECT 'insert', 1, o_orderkey
+             |  FROM src WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+             |  UNION ALL
+             |  SELECT 'delete', 2, o_orderkey
+             |  FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |    AND o_orderstatus = 'O')
+             |SELECT change_type, CAST(v AS BIGINT) AS commit_version,
+             |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM changes GROUP BY 1, 2 ORDER BY commit_version, change_type""".stripMargin),
+      "change data feed as a streaming source — incremental downstream fan-out"),
+
     // The canonical lakehouse ingest loop — the reference's silver job
     // re-expressed as a STREAM: file source → foreachBatch → MergeTable
     // MERGE per micro-batch (exactly Delta's streaming-upsert recipe). The
