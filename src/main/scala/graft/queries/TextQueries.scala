@@ -306,5 +306,81 @@ object TextQueries {
              |       (CAST(max(c) AS DOUBLE) / sum(c)) <= 0.2 AS keep
              |FROM counts GROUP BY doc_id""".stripMargin),
       "top-bigram repetition fraction + keep cutoff (boilerplate filter)"),
+
+    // Benchmark decontamination: fraction of each training candidate's
+    // 8-gram shingles that appear in a held-out "benchmark" set (here: every
+    // 50th doc) — the standard eval-contamination gate before pre-training.
+    // The benchmark shingle set is distinct-small and BROADCAST to the
+    // candidate side (at 100 TB the benchmark is MBs while the corpus is the
+    // 100 TB — a broadcast left join is the only sane plan, asserted in
+    // PlanSpec-style by the explain below being join-shuffle-free on the
+    // candidate side). Ratio is one IEEE division — exact.
+    "t12_contamination" -> GraftQuery(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("shs", expr("word_shingles(text, 8)"))
+          .filter(size(col("shs")) >= 1)
+        val benchSet = docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("shs")).as("sh")).distinct()
+          .withColumn("hit", lit(1))
+        docs.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), explode(col("shs")).as("sh"))
+          .join(broadcast(benchSet), Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+          .withColumn("contamination",
+            col("n_contaminated").cast("double") / col("n_shingles"))
+          .withColumn("flag_contaminated", col("contamination") > 0.1)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |           generate_series(1, len(words) - 7),
+             |           i -> concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3],
+             |                               words[i+4], words[i+5], words[i+6], words[i+7]))) AS shs
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+             |  WHERE len(words) >= 8),
+             |bench AS (
+             |  SELECT DISTINCT unnest(shs) AS sh FROM d WHERE doc_id % 50 = 0),
+             |cand AS (
+             |  SELECT doc_id, unnest(shs) AS sh FROM d WHERE doc_id % 50 <> 0)
+             |SELECT doc_id, count(*) AS n_shingles,
+             |       CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_contaminated,
+             |       CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / count(*) AS contamination,
+             |       (CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / count(*)) > 0.1 AS flag_contaminated
+             |FROM cand c LEFT JOIN bench b USING (sh)
+             |GROUP BY doc_id""".stripMargin),
+      "8-gram benchmark-overlap decontamination via broadcast set join"),
+
+    // Unigram log-probability quality score (the cheap perplexity filter):
+    // corpus unigram distribution → per-doc mean log p(w). The frequency
+    // table is vocab-sized (broadcast); log is ±1 ulp across libms and the
+    // mean accumulates ~1e-16 relative noise, both absorbed by round(6).
+    "t13_logprob_quality" -> GraftQuery(
+      (s, dir) => {
+        val words = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val total = words.count()
+        val freq = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+          .withColumn("logp", log(col("cnt").cast("double") / total))
+        words.join(broadcast(freq.select("w", "logp")), Seq("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            round(avg(col("logp")), 6).as("avg_logprob"))
+      },
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |total AS (SELECT count(*) AS n FROM words),
+             |freq AS (
+             |  SELECT w, ln(CAST(count(*) AS DOUBLE) / (SELECT n FROM total)) AS logp
+             |  FROM words GROUP BY w)
+             |SELECT doc_id, count(*) AS n_words,
+             |       round(avg(logp), 6) AS avg_logprob
+             |FROM words JOIN freq USING (w)
+             |GROUP BY doc_id""".stripMargin),
+      "corpus-unigram mean log-probability — the cheap perplexity gate"),
   )
 }
