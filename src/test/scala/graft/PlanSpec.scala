@@ -96,6 +96,46 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
 
+  test("sketch candidate generation never plans a cartesian/nested-loop join") {
+    val dir = scratch("sketch_plans")
+    Seq.tabulate(60)(i => (i.toLong,
+        s"w${i % 5} x${i % 7} y${i % 3} z$i a b c d e f g h", "en", "fx", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.tabulate(40)(i => (i.toLong, Seq.tabulate(64)(d => math.sin(i * 13 + d).toFloat), i % 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    Seq("d4_minhash_lsh", "d5_simhash", "v4_lsh_buckets").foreach { name =>
+      val q = graft.queries.Registry.all(name).fn(spark, dir)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to an all-pairs join:\n$plan")
+    }
+  }
+
+  test("t12 decontamination broadcasts the benchmark shingle set") {
+    val q = graft.queries.Registry.all("t12_contamination")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark set not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side shuffled for the benchmark join:\n$plan")
+  }
+
+  test("t10 sequence packing shuffles exactly once (the lang window)") {
+    val q = graft.queries.Registry.all("t10_sequence_pack")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // window partitioning on lang; the groupBy reuses it (same key prefix)
+    assert(exchanges <= 2, s"expected ≤2 hash exchanges, got $exchanges:\n$plan")
+  }
+
   test("aggregation pipeline runs inside WholeStageCodegen") {
     val df = (1 to 5000).map(i => (i % 10, i.toLong)).toDF("g", "v")
     val q = df.filter($"v" > 10).groupBy("g")
