@@ -54,5 +54,29 @@ object FormatQueries {
              |       round(sum(o_totalprice), 2) AS revenue
              |FROM orders GROUP BY o_orderstatus""".stripMargin),
       "ORC write + read, aggregate unchanged"),
+
+    // CSV sink + source — the reference's own ingest format (S1: header +
+    // DDL schema, never inference), closed into a roundtrip. Lossless
+    // columns only (ints + strings; doubles re-entering through text would
+    // depend on float formatting).
+    "f3_csv_roundtrip" -> GraftQuery(
+      (s, dir) => {
+        val path = s"$scratchRoot/f3_${sanitize(dir)}"
+        t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+          .write.mode("overwrite").option("header", "true").csv(path)
+        s.read
+          .schema("c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, c_mktsegment STRING")
+          .option("header", "true").csv(path)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+               sum("c_custkey").as("key_sum"),
+               countDistinct("c_nationkey").as("n_nations"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers,
+             |       CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+             |       count(DISTINCT c_nationkey) AS n_nations
+             |FROM customer GROUP BY c_mktsegment""".stripMargin),
+      "CSV write + header/schema read — the reference's ingest format, roundtripped"),
   )
 }
