@@ -359,5 +359,45 @@ object DedupQueries {
              |SELECT doc_id, source, lang FROM batch b
              |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)""".stripMargin),
       "incremental batch-vs-corpus dedup: fingerprint anti-join, O(batch) per round"),
+
+    // The PRODUCTION ingest loop d6 describes, closed end-to-end: the
+    // corpus fingerprint set lives in a MergeTable (16-byte md5 per doc —
+    // the only state the dedup ever needs), each incoming batch anti-joins
+    // it, and the survivors' fingerprints MERGE back so the next round sees
+    // them. Exercises MergeTable as the dedup state store: per round the
+    // work is O(batch) + one probe of the fingerprint column, and the state
+    // table compacts/vacuums like any other.
+    "d7_fingerprint_ingest" -> GraftQuery(
+      (s, dir) => {
+        val root = s"${Registry.scratchRoot}/d7_${Registry.sanitize(dir)}"
+        val p = java.nio.file.Paths.get(root)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        val docs = t(s, dir, "documents")
+        val fpTable = new graft.lake.MergeTable(root)
+        fpTable.overwrite(docs.filter(col("doc_id") % 10 < 8)
+          .select(md5(col("text")).as("fp")).distinct())
+        val batch = docs.filter(col("doc_id") % 10 >= 8)
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+        val survivors = batch.join(fpTable.read(s), Seq("fp"), "left_anti")
+        fpTable.merge(s, survivors.select("fp").distinct(), Seq("fp"))
+        survivors.select(count(lit(1)).as("n_new_docs"))
+          .crossJoin(fpTable.read(s).select(count(lit(1)).as("n_fps_after")))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 < 8),
+             |batch AS (
+             |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 >= 8),
+             |new_docs AS (
+             |  SELECT * FROM batch b
+             |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp))
+             |SELECT (SELECT count(*) FROM new_docs) AS n_new_docs,
+             |       (SELECT count(DISTINCT fp)
+             |        FROM (SELECT fp FROM corpus UNION ALL SELECT fp FROM new_docs))
+             |         AS n_fps_after""".stripMargin),
+      "fingerprint MergeTable as dedup state: anti-join batch, merge survivors back"),
   )
 }

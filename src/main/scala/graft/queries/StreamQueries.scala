@@ -203,7 +203,9 @@ object StreamQueries {
         val ss = streamSession(s)
         val id = runId.incrementAndGet()
         val root = s"${Registry.scratchRoot}/st6_lake_$id"
-        val orders = Registry.t(s, dir, "orders")
+        // base = a third of orders: the query's value is the CDF streaming
+        // path, not batch volume — the merge/delete fixtures stay non-vacuous
+        val orders = Registry.t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
         val table = new MergeTable(root, Seq("o_orderstatus"))
         table.overwrite(orders.filter(col("o_orderkey") % 4 =!= 2))
         table.merge(s, orders.filter(col("o_orderkey") % 2 === 0)
@@ -224,10 +226,11 @@ object StreamQueries {
           .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
           .orderBy("commit_version", "change_type")
       },
-      Some("""WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 2),
+      Some("""WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+             |     tgt AS (SELECT * FROM base WHERE o_orderkey % 4 <> 2),
              |     src AS (SELECT o_orderkey, 'M' AS o_orderstatus,
              |                    o_totalprice + 1000.0 AS o_totalprice
-             |             FROM orders WHERE o_orderkey % 2 = 0),
+             |             FROM base WHERE o_orderkey % 2 = 0),
              |changes AS (
              |  SELECT 'update_preimage' AS change_type, 1 AS v, o_orderkey
              |  FROM tgt WHERE o_orderkey IN (SELECT o_orderkey FROM src)

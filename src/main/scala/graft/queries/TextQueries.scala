@@ -382,5 +382,30 @@ object TextQueries {
              |FROM words JOIN freq USING (w)
              |GROUP BY doc_id""".stripMargin),
       "corpus-unigram mean log-probability — the cheap perplexity gate"),
+
+    // Text normalization — the canonical pre-dedup cleaner: casefold,
+    // punctuation strip, whitespace collapse, trim. The corpus is already
+    // clean, so a deterministic MESSY column is synthesized first (upper
+    // prefix + doubled spaces + punctuation) and the normalizer must map it
+    // back to a canonical form; the md5 of the result makes any
+    // single-character divergence a hash mismatch.
+    "t14_normalize" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("messy",
+          concat(lit("  ??"), upper(substring(col("text"), 1, 25)),
+            lit("!!  "), col("text"), lit(" .")))
+        .withColumn("norm",
+          trim(regexp_replace(regexp_replace(lower(col("messy")),
+            "[^a-z0-9 ]", ""), " +", " ")))
+        .select(col("doc_id"), length(col("norm")).as("n_chars_norm"),
+          md5(col("norm")).as("norm_fp")),
+      Some("""SELECT doc_id, length(norm) AS n_chars_norm, md5(norm) AS norm_fp
+             |FROM (
+             |  SELECT doc_id,
+             |         trim(regexp_replace(regexp_replace(lower(
+             |           '  ??' || upper(substring(text, 1, 25)) || '!!  ' || text || ' .'),
+             |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+             |  FROM documents)""".stripMargin),
+      "casefold + punct strip + whitespace collapse, md5-pinned"),
   )
 }

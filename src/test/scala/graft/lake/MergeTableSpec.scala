@@ -240,6 +240,27 @@ class MergeTableSpec extends SparkSpec {
     assert(asSet(t.read(spark)) === Set((1, "A", "p1"), (2, "B", "p2")))
   }
 
+  test("property: pruned merge ≡ unpruned merge when keys determine partitions") {
+    // partition derived deterministically from the key ⇒ the opt-in's
+    // precondition holds by construction; both paths must agree exactly.
+    def part(k: Int): String = s"p${k % 3}"
+    val keySet: Gen[List[Int]] = Gen.listOfN(10, Gen.chooseNum(0, 40)).map(_.distinct)
+    val params = Gen.Parameters.default
+    (0 until 3).foreach { i =>
+      val tks = keySet.apply(params, Seed(7L + i)).get
+      val sks = keySet.apply(params, Seed(707L + i)).get
+      val target = tks.map(k => (k, s"t$k", part(k)))
+      val source = sks.map(k => (k, s"s$k", part(k)))
+      val plain = new MergeTable(scratch("mt_pp_plain"), Seq("p"))
+      val pruned = new MergeTable(scratch("mt_pp_pruned"), Seq("p"))
+      plain.overwrite(df(target)); pruned.overwrite(df(target))
+      plain.merge(spark, df(source), Seq("k"))
+      pruned.merge(spark, df(source), Seq("k"), keysDeterminePartitions = true)
+      assert(asSet(pruned.read(spark)) === asSet(plain.read(spark)),
+        s"case $i: target=$tks source=$sks")
+    }
+  }
+
   test("property: merged = source ∪ (target ∖ source-keys)") {
     val keySet: Gen[List[Int]] = Gen.listOfN(8, Gen.chooseNum(0, 30)).map(_.distinct)
     val params = Gen.Parameters.default
