@@ -529,11 +529,27 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
   /** Atomic commit: manifest + schema written first, then `_LATEST` swapped
     * via temp-file + ATOMIC_MOVE (the Delta `_delta_log` tip analog).
+    *
+    * Optimistic concurrency, exactly Delta's protocol: the version's
+    * manifest is created with CREATE_NEW — put-if-absent — so when two
+    * writers race to commit the same next version, the second `create`
+    * fails and surfaces as a clear concurrent-write conflict instead of
+    * one commit silently overwriting the other (Delta loses the race on
+    * the N+1 log file the same way; the loser re-reads and retries on
+    * fresh state).
     */
   private def commit(version: Long, files: Seq[String], schema: StructType,
                      statsLines: Seq[String] = Nil): Unit = {
     Files.createDirectories(logDir)
-    Files.writeString(logDir.resolve(s"$version.manifest"), files.mkString("\n"))
+    try
+      Files.writeString(logDir.resolve(s"$version.manifest"), files.mkString("\n"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent write to $root: version $version was already committed by " +
+            "another writer — re-read the table and retry the operation")
+    }
     Files.writeString(logDir.resolve(s"$version.schema"), schema.toDDL)
     if (statsLines.nonEmpty)
       Files.writeString(logDir.resolve(s"$version.stats"), statsLines.mkString("\n"))

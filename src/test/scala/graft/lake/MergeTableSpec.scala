@@ -240,6 +240,21 @@ class MergeTableSpec extends SparkSpec {
     assert(asSet(t.read(spark)) === Set((1, "A", "p1"), (2, "B", "p2")))
   }
 
+  test("a lost commit race surfaces as a conflict, never a silent overwrite") {
+    val t = new MergeTable(scratch("mt_occ"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
+    // simulate a concurrent writer having already committed version 1
+    val log = java.nio.file.Paths.get(t.root, "_graft_log")
+    java.nio.file.Files.writeString(log.resolve("1.manifest"), "d1/x.parquet")
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      t.merge(spark, df(Seq((2, "B", "p2"))), Seq("k"))
+    }
+    assert(ex.getMessage.contains("concurrent write"))
+    // the table tip is untouched by the failed commit
+    assert(t.currentVersion === 0)
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (2, "b", "p2")))
+  }
+
   test("property: pruned merge ≡ unpruned merge when keys determine partitions") {
     // partition derived deterministically from the key ⇒ the opt-in's
     // precondition holds by construction; both paths must agree exactly.
