@@ -399,5 +399,95 @@ object DedupQueries {
              |        FROM (SELECT fp FROM corpus UNION ALL SELECT fp FROM new_docs))
              |         AS n_fps_after""".stripMargin),
       "fingerprint MergeTable as dedup state: anti-join batch, merge survivors back"),
+
+    // Near-dup CLUSTERING — the production final step of fuzzy dedup:
+    // pairwise similarity edges (the d3 inverted-index pipeline, Jaccard ≥
+    // 0.5) grouped into connected components by iterative min-label
+    // propagation, then one canonical doc kept per cluster. Propagation is
+    // genuinely transitive here (A~B~C chains where A!~C) so this is a real
+    // distributed CC computation: each round is one join + one min-combine,
+    // the convergence probe is a metadata-sized count, and iterations are
+    // bounded by the component diameter (at 100 TB you'd switch to
+    // large-star/small-star to bound rounds at O(log n) — same join shape).
+    // The oracle computes the same fixpoint with a recursive CTE: min-label
+    // per node is iteration-order-independent, so both engines agree.
+    "d8_dedup_clusters" -> GraftQuery(
+      (s, dir) => {
+        val docsSh = t(s, dir, "documents")
+          .withColumn("shs", expr("word_shingles(text, 3)"))
+          .filter(size(col("shs")) >= 1)
+          .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+        val postings = docsSh.groupBy("sh")
+          .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
+          .filter(size(col("docs")).between(2, MaxShingleDf))
+        val pairs = postings
+          .select(explode(col("docs")).as("a"), col("docs"))
+          .select(col("a"), explode(col("docs")).as("b"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+          .agg(count(lit(1)).as("n_common"))
+          .filter(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")) >= 0.5)
+          .select("doc_a", "doc_b")
+        val edges = pairs
+          .union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst").cache()
+        var labels = edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id")).cache()
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 20) {
+          val neighborMin = edges
+            .join(labels.toDF("nid", "nlabel"), col("dst") === col("nid"))
+            .groupBy(col("src").as("id"))
+            .agg(min(col("nlabel")).as("nmin"))
+          val updated = labels.toDF("id", "old")
+            .join(neighborMin, Seq("id"), "left")
+            .select(col("id"),
+              least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
+            .cache()
+          converged = updated.toDF("id", "new_label")
+            .join(labels.toDF("id", "old_label"), Seq("id"))
+            .filter(col("new_label") =!= col("old_label"))
+            .limit(1).count() == 0L
+          labels.unpersist()
+          labels = updated
+          iter += 1
+        }
+        val out = labels.groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_doc"))
+          .orderBy("cluster_id")
+        edges.unpersist()
+        out
+      },
+      Some(s"""WITH RECURSIVE d AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |           generate_series(1, len(words) - 2),
+             |           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shs
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+             |  WHERE len(words) >= 3),
+             |sh AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM d),
+             |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > $MaxShingleDf),
+             |idx AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+             |common AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+             |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4),
+             |pairs AS (
+             |  SELECT doc_a, doc_b FROM common
+             |  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+             |nodes AS (SELECT DISTINCT a AS id FROM edges),
+             |walk(node, label) AS (
+             |  SELECT id, id FROM nodes
+             |  UNION
+             |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node)
+             |SELECT cluster_id, count(*) AS n_members, max(node) AS max_doc
+             |FROM (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+             |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
+      "near-dup clustering: connected components by min-label propagation"),
   )
 }
