@@ -331,6 +331,40 @@ object EventQueries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin),
       "lead/lag/ntile/cume_dist over one shared window — single shuffle"),
 
+    // The remaining §2.8 window family: first/last/nth value over an
+    // explicit full frame (last_value under the default frame is the
+    // running last — a classic trap both engines share; the explicit
+    // UNBOUNDED frame pins the intended semantics), dense_rank and
+    // percent_rank over a value ordering with a unique tiebreaker. Same
+    // single-shuffle shared-window shape as e15; value columns pass
+    // through untouched so doubles stay bit-exact.
+    "e18_window_suite2" -> GraftQuery(
+      (s, dir) => {
+        val frame = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val rank = Window.partitionBy(col("user_id"))
+          .orderBy(col("value"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            first(col("value")).over(frame).as("first_v"),
+            last(col("value")).over(frame).as("last_v"),
+            nth_value(col("value"), 3).over(frame).as("third_v"),
+            dense_rank().over(rank).as("drank"),
+            percent_rank().over(rank).as("prank"))
+      },
+      Some("""SELECT user_id, event_id,
+             |       first_value(value) OVER frame AS first_v,
+             |       last_value(value) OVER frame AS last_v,
+             |       nth_value(value, 3) OVER frame AS third_v,
+             |       CAST(dense_rank() OVER rnk AS INT) AS drank,
+             |       percent_rank() OVER rnk AS prank
+             |FROM events
+             |WINDOW frame AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             |       rnk AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin),
+      "first/last/nth_value with explicit frames + dense/percent_rank"),
+
     // Date-arithmetic suite (SURVEY §2.4 lists date arithmetic beyond
     // year/month as absent from the reference): calendar navigation,
     // month-clamped add_months, truncation, formatting. Pure projection,
