@@ -58,5 +58,9 @@ object Bench {
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"master":"local[$cpus]","shuffle_partitions":$cpus,"failed":$failedJson}""")
     spark.stop()
+    // closed only AFTER the run: keeping the channel reachable to this point
+    // stops GC from finalizing it mid-run (a collected FileChannel closes
+    // its fd, silently releasing the OS lock while the benchmark still runs)
+    lockChannel.close()
   }
 }

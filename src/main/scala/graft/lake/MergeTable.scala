@@ -18,13 +18,15 @@ import scala.jdk.CollectionConverters._
   *
   * Layout:
   * {{{
-  *   <root>/d<version>/[<p>=<v>/...]part-*.parquet   data directories
-  *   <root>/_graft_log/<version>.manifest            newline-separated file list
-  *                                                   (paths relative to <root>)
-  *   <root>/_graft_log/<version>.schema              schema DDL of the snapshot
-  *   <root>/_graft_log/<version>.stats               per-file min/max of statsCols
-  *                                                   (data skipping; optional)
-  *   <root>/_graft_log/_LATEST                       current version (atomic swap)
+  *   <root>/d<version>u<attempt>/[<p>=<v>/...]part-*.parquet  data directories
+  *                                                   (unique per write attempt)
+  *   <root>/_graft_log/<version>.commit              THE commit: schema DDL +
+  *                                                   file list (relative paths)
+  *                                                   + per-file min/max stats,
+  *                                                   published atomically by
+  *                                                   hard-link put-if-absent
+  *   <root>/_graft_log/_LATEST                       tip cache (atomic swap;
+  *                                                   readers forward-scan)
   *   <root>/cdf/d<version>/                          change-feed rows (optional)
   * }}}
   *
@@ -54,22 +56,44 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
   private val logDir: Path = Paths.get(root, "_graft_log")
   private def latestPath: Path = logDir.resolve("_LATEST")
+  private def commitPath(version: Long): Path = logDir.resolve(s"$version.commit")
+
+  /** One commit = ONE log file (`<version>.commit`: schema + file list +
+    * per-file stats), published atomically by hard-link put-if-absent — the
+    * commit either fully exists or doesn't, there is no window where a
+    * version's schema and file list can disagree, and a crashed writer
+    * leaves only an unreferenced temp file. `_LATEST` is merely a tip CACHE
+    * (readers forward-scan from it), so losing the `_LATEST` update to a
+    * crash costs a few `exists` probes, never correctness — the commit
+    * file itself is the source of truth, exactly Delta's N.json protocol.
+    */
+  private case class Commit(schema: StructType, files: Seq[String],
+                            statsLines: Seq[String])
+
+  private def readCommit(version: Long): Commit = {
+    val lines = Files.readString(commitPath(version)).split("\n").toSeq
+    val schema = StructType.fromDDL(dec(lines.head.stripPrefix("schema\t")))
+    val files = lines.collect { case l if l.startsWith("file\t") => dec(l.stripPrefix("file\t")) }
+    val stats = lines.collect { case l if l.startsWith("stat\t") => l.stripPrefix("stat\t") }
+    Commit(schema, files, stats)
+  }
 
   /** Reference's `DeltaTable.isDeltaTable` probe (01:99; 02:147,172,197). */
-  def exists: Boolean = Files.exists(latestPath)
+  def exists: Boolean = Files.exists(latestPath) || Files.exists(commitPath(0))
 
+  /** The committed tip: the `_LATEST` cache fast-forwarded over any commit
+    * files whose cache update was lost to a crash.
+    */
   def currentVersion: Long = {
     require(exists, s"MergeTable at $root does not exist")
-    Files.readString(latestPath).trim.toLong
+    var v = if (Files.exists(latestPath)) Files.readString(latestPath).trim.toLong else 0L
+    while (Files.exists(commitPath(v + 1))) v += 1
+    v
   }
 
-  def schemaOf(version: Long): StructType =
-    StructType.fromDDL(Files.readString(logDir.resolve(s"$version.schema")))
+  def schemaOf(version: Long): StructType = readCommit(version).schema
 
-  def filesOf(version: Long): Seq[String] = {
-    val p = logDir.resolve(s"$version.manifest")
-    Files.readString(p).split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
-  }
+  def filesOf(version: Long): Seq[String] = readCommit(version).files
 
   def read(spark: SparkSession): DataFrame = readVersion(spark, currentVersion)
 
@@ -158,14 +182,21 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       // probe (and therefore the rewrite) needs to scan only those
       // partitions' files. At 100 TB this turns a full-table semi-join into
       // a probe of the day/month being merged. The source must carry the
-      // partition columns; matching is on the `col=value` path segments
-      // Spark writes (path-safe values — the gold tables' year/month ints).
+      // partition columns; matching uses Spark's OWN partition-path
+      // escaping (and its null sentinel), so escaped strings and NULL
+      // partition values resolve to the directories Spark actually wrote.
       val probeRel: Seq[String] =
         if (keysDeterminePartitions && partitionCols.nonEmpty) {
+          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           val pvals = src.select(partitionCols.map(col): _*).distinct().collect()
           val dirs: Set[String] = pvals.map(r =>
-            partitionCols.indices.map(i =>
-              s"${partitionCols(i)}=${r.get(i)}").mkString("/")).toSet
+            partitionCols.indices.map { i =>
+              val v = r.get(i)
+              val seg =
+                if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+                else ExternalCatalogUtils.escapePathName(v.toString)
+              s"${partitionCols(i)}=$seg"
+            }.mkString("/")).toSet
           oldFiles.filter(f => dirs.exists(d => f.contains(s"/$d/")))
         } else oldFiles
 
@@ -212,7 +243,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         }
 
       val newVersion = v + 1
-      val dataDir = s"d$newVersion"
+      val dataDir = newDataDir(newVersion)
       writeData(newData, dataDir)
       val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
       commit(newVersion, keptRel ++ newFiles, newData.schema,
@@ -267,6 +298,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * least one changeFeed commit must exist before the stream starts.
     */
   def changesStream(spark: SparkSession): DataFrame = {
+    require(Files.exists(Paths.get(root, "cdf")),
+      s"no change feed recorded at $root — commit with changeFeed = true before streaming changes")
     val glob = s"$root/cdf/*"
     val schema = spark.read.parquet(glob).schema
     spark.readStream.schema(schema).parquet(glob)
@@ -310,7 +343,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // survivors: predicate FALSE or NULL (NOT(pred) alone would drop NULLs)
     val survivors = tdf.filter(coalesce(predicate, lit(false)) =!= true)
 
-    val dataDir = s"d$newVersion"
+    val dataDir = newDataDir(newVersion)
     writeData(survivors, dataDir)
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     commit(newVersion, keptRel ++ newFiles, schemaOf(v),
@@ -351,16 +384,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * unrewritten files — reading 100 TB to re-derive stats for files a merge
     * never touched would defeat the point.
     */
-  def statsOf(version: Long): Map[String, Map[String, (String, String)]] = {
-    val p = logDir.resolve(s"$version.stats")
-    if (!Files.exists(p)) return Map.empty
-    Files.readString(p).split("\n").iterator.filter(_.nonEmpty).map { line =>
+  def statsOf(version: Long): Map[String, Map[String, (String, String)]] =
+    readCommit(version).statsLines.map { line =>
       val Array(f, c, mn, mx) = line.split("\t", -1)
       (dec(f), dec(c), dec(mn), dec(mx))
-    }.toSeq.groupBy(_._1).map { case (f, rows) =>
+    }.groupBy(_._1).map { case (f, rows) =>
       f -> rows.map(r => r._2 -> (r._3, r._4)).toMap
     }
-  }
 
   /** The current snapshot's files that MIGHT contain a row with
     * `column ∈ [lo, hi]`: a file is skipped when its recorded [min, max]
@@ -447,9 +477,12 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     require(retainVersions >= 1, "vacuum must retain at least the current version")
     if (!exists) return
     val cur = currentVersion
-    val floor = math.max(0L, cur - retainVersions + 1)
+    // the horizon is MONOTONIC: a later vacuum with a larger retention
+    // cannot move it backwards past versions whose files are already gone —
+    // that would re-open reads onto deleted data
+    val floor = math.max(vacuumHorizon, math.max(0L, cur - retainVersions + 1))
     val live = (floor to cur)
-      .filter(ver => Files.exists(logDir.resolve(s"$ver.manifest")))
+      .filter(ver => Files.exists(commitPath(ver)))
       .flatMap(filesOf).map(_.takeWhile(_ != '/')).toSet
     val rootP = Paths.get(root)
     Files.list(rootP).iterator().asScala
@@ -467,8 +500,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
   // ---- internals ----
 
+  /** Data directories are unique PER ATTEMPT, not per version: a writer
+    * that loses the commit race (or crashes) must never have touched the
+    * winner's files — `mode("overwrite")` into a shared `d<version>` dir
+    * would delete a committed snapshot's data before the commit conflict
+    * even fires. Losers' orphan dirs are unreferenced by any commit and
+    * reclaimed by vacuum.
+    */
+  private def newDataDir(version: Long): String =
+    s"d${version}u${java.lang.Long.toHexString(System.nanoTime())}"
+
   private def writeVersion(df: DataFrame, version: Long): Unit = {
-    val dataDir = s"d$version"
+    val dataDir = newDataDir(version)
     writeData(df, dataDir)
     val files = listParquet(Paths.get(root, dataDir)).map(relativize)
     commit(version, files, df.schema,
@@ -501,12 +544,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * carries forward unrewritten.
     */
   private def carryStats(version: Long, keptRel: Seq[String]): Seq[String] = {
-    val p = logDir.resolve(s"$version.stats")
-    if (!Files.exists(p)) return Nil
     val kept = keptRel.toSet
-    Files.readString(p).split("\n").iterator
-      .filter(l => l.nonEmpty && kept.contains(dec(l.takeWhile(_ != '\t'))))
-      .toSeq
+    readCommit(version).statsLines
+      .filter(l => kept.contains(dec(l.takeWhile(_ != '\t'))))
   }
 
   private def enc(s: String): String =
@@ -527,35 +567,42 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     pw.parquet(s"$root/$dataDir")
   }
 
-  /** Atomic commit: manifest + schema written first, then `_LATEST` swapped
-    * via temp-file + ATOMIC_MOVE (the Delta `_delta_log` tip analog).
-    *
-    * Optimistic concurrency, exactly Delta's protocol: the version's
-    * manifest is created with CREATE_NEW — put-if-absent — so when two
-    * writers race to commit the same next version, the second `create`
-    * fails and surfaces as a clear concurrent-write conflict instead of
-    * one commit silently overwriting the other (Delta loses the race on
-    * the N+1 log file the same way; the loser re-reads and retries on
-    * fresh state).
+  /** Atomic commit with optimistic concurrency, Delta's N-th-log-file
+    * protocol made crash-safe on a filesystem: the fully-written commit
+    * content (schema + files + stats, one file) is PUBLISHED by hard-link
+    * put-if-absent — a single atomic operation that both claims the version
+    * and exposes complete content, so
+    *  - two writers racing to the same next version get one winner and one
+    *    clear `ConcurrentModificationException` (the loser's data dirs are
+    *    unique — see [[newDataDir]] — and unreferenced, reclaimed by the
+    *    next vacuum);
+    *  - a writer crashing mid-commit leaves only a temp file and possibly
+    *    its own data dirs, never a partial or orphaned commit that would
+    *    block future writers;
+    *  - readers can never observe a version whose schema and file list
+    *    disagree.
+    * `_LATEST` is updated afterwards as a best-effort tip cache
+    * ([[currentVersion]] forward-scans past a lost update).
     */
   private def commit(version: Long, files: Seq[String], schema: StructType,
                      statsLines: Seq[String] = Nil): Unit = {
     Files.createDirectories(logDir)
-    try
-      Files.writeString(logDir.resolve(s"$version.manifest"), files.mkString("\n"),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
+    val content = (s"schema\t${enc(schema.toDDL)}" +:
+      (files.map(f => s"file\t${enc(f)}") ++ statsLines.map(l => s"stat\t$l")))
+      .mkString("\n")
+    val tmp = logDir.resolve(s"$version.commit.tmp${System.nanoTime()}")
+    Files.writeString(tmp, content)
+    try Files.createLink(commitPath(version), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
         throw new java.util.ConcurrentModificationException(
           s"concurrent write to $root: version $version was already committed by " +
             "another writer — re-read the table and retry the operation")
-    }
-    Files.writeString(logDir.resolve(s"$version.schema"), schema.toDDL)
-    if (statsLines.nonEmpty)
-      Files.writeString(logDir.resolve(s"$version.stats"), statsLines.mkString("\n"))
-    val tmp = logDir.resolve(s"_LATEST.tmp${System.nanoTime()}")
-    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, latestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
+    val t2 = logDir.resolve(s"_LATEST.tmp${System.nanoTime()}")
+    Files.write(t2, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(t2, latestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def listParquet(dir: Path): Seq[String] =

@@ -370,12 +370,7 @@ object DedupQueries {
     "d7_fingerprint_ingest" -> GraftQuery(
       (s, dir) => {
         val root = s"${Registry.scratchRoot}/d7_${Registry.sanitize(dir)}"
-        val p = java.nio.file.Paths.get(root)
-        if (java.nio.file.Files.exists(p)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        Registry.cleanDir(root)
         val docs = t(s, dir, "documents")
         val fpTable = new graft.lake.MergeTable(root)
         fpTable.overwrite(docs.filter(col("doc_id") % 10 < 8)
@@ -455,6 +450,11 @@ object DedupQueries {
           labels = updated
           iter += 1
         }
+        // a silent non-converged exit would emit split components that look
+        // plausible — fail loudly instead (diameter > 20 means the corpus
+        // needs the large-star/small-star O(log n) variant)
+        require(converged,
+          s"d8 label propagation did not converge in $iter iterations — component diameter exceeds the bound")
         val out = labels.groupBy(col("label").as("cluster_id"))
           .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_doc"))
           .orderBy("cluster_id")

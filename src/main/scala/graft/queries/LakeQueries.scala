@@ -16,11 +16,7 @@ object LakeQueries {
 
   import graft.queries.Registry.sanitize
 
-  private def cleanDir(path: String): Unit = {
-    val p = Paths.get(path)
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-  }
+  private def cleanDir(path: String): Unit = Registry.cleanDir(path)
 
   val all: Map[String, GraftQuery] = Map(
 

@@ -47,9 +47,7 @@ object PipelineQueries {
     val paths = LakePaths(root)
     if (!ready) lock.synchronized {
       if (!ready) {
-        val p = Paths.get(root)
-        if (Files.exists(p))
-          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        Registry.cleanDir(root)
         val csv1 = Fixture.writeCsv(s"$root/source", "batch1.csv", Fixture.initialBatch)
         CallCenterPipeline.run(spark, csv1, paths, processingDate)
         val csv2 = Fixture.writeCsv(s"$root/source", "batch2.csv", Fixture.redelivery)

@@ -49,6 +49,17 @@ object Registry {
   /** Collision-free identifier fragment from an sf dir path. */
   def sanitize(dir: String): String = dir.replaceAll("[^A-Za-z0-9]+", "_")
 
+  /** Recursively delete a scratch path if present — THE shared helper for
+    * every query that stages an on-disk table (one place to harden).
+    */
+  def cleanDir(path: String): Unit = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
   /** Remove sibling per-PID scratch roots untouched for 2h+ — dead JVMs'
     * lakes/warehouses otherwise accrete across driver rounds. Never touches
     * the live (current-PID) root or anything recently modified (a

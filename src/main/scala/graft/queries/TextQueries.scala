@@ -363,11 +363,12 @@ object TextQueries {
       (s, dir) => {
         val words = t(s, dir, "documents")
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        // corpus total derives from the vocab-sized freq table (a metadata
-        // aggregation), NOT a third pass over the exploded corpus
-        val freq = words.groupBy("w").agg(count(lit(1)).as("cnt")).cache()
-        val total = freq.agg(sum("cnt")).head.getLong(0)
-        val scored = freq.withColumn("logp", log(col("cnt").cast("double") / total))
+        // the corpus total is a global-window sum OVER the vocab-sized freq
+        // frame — no driver action, no cache to leak, one corpus pass
+        val freq = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+        val scored = freq.withColumn("logp",
+          log(col("cnt").cast("double") /
+            sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy())))
         words.join(broadcast(scored.select("w", "logp")), Seq("w"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_words"),

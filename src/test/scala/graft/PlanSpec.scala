@@ -106,7 +106,7 @@ class PlanSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-    Seq("d4_minhash_lsh", "d5_simhash", "v4_lsh_buckets").foreach { name =>
+    Seq("d4_minhash_lsh", "d5_simhash", "v4_lsh_buckets", "d8_dedup_clusters").foreach { name =>
       val q = graft.queries.Registry.all(name).fn(spark, dir)
       q.collect()
       val plan = q.queryExecution.executedPlan.toString

@@ -240,18 +240,53 @@ class MergeTableSpec extends SparkSpec {
     assert(asSet(t.read(spark)) === Set((1, "A", "p1"), (2, "B", "p2")))
   }
 
-  test("a lost commit race surfaces as a conflict, never a silent overwrite") {
+  test("changesStream without a recorded feed fails with a pointed error") {
+    val t = new MergeTable(scratch("mt_nostream"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    val ex = intercept[IllegalArgumentException] { t.changesStream(spark) }
+    assert(ex.getMessage.contains("changeFeed"))
+  }
+
+  test("commit races: one winner per version, every committed snapshot stays intact") {
     val t = new MergeTable(scratch("mt_occ"), Seq("p"))
     t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
-    // simulate a concurrent writer having already committed version 1
-    val log = java.nio.file.Paths.get(t.root, "_graft_log")
-    java.nio.file.Files.writeString(log.resolve("1.manifest"), "d1/x.parquet")
-    val ex = intercept[java.util.ConcurrentModificationException] {
-      t.merge(spark, df(Seq((2, "B", "p2"))), Seq("k"))
+    val src = df(Seq((2, "B", "p2"), (3, "c", "p1")))
+    // four writers race the same merge; losers of any per-version race must
+    // throw the conflict — and must NOT have clobbered a winner's committed
+    // files (unique per-attempt data dirs)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    val go = new CountDownLatch(1)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger
+    (1 to 4).foreach { _ =>
+      pool.execute { () =>
+        go.await()
+        try t.merge(spark, src, Seq("k"))
+        catch { case _: java.util.ConcurrentModificationException => conflicts.incrementAndGet() }
+      }
     }
-    assert(ex.getMessage.contains("concurrent write"))
-    // the table tip is untouched by the failed commit
-    assert(t.currentVersion === 0)
+    go.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    // every committed version is fully readable — no winner's data was
+    // overwritten by a losing attempt
+    (0L to t.currentVersion).foreach { v =>
+      assert(t.readVersion(spark, v).count() >= 2, s"version $v unreadable")
+    }
+    // the merge is idempotent, so however many attempts won, the tip agrees
+    assert(asSet(t.read(spark)) ===
+      Set((1, "a", "p1"), (2, "B", "p2"), (3, "c", "p1")))
+  }
+
+  test("a lost _LATEST update is recovered by forward-scanning commits") {
+    val t = new MergeTable(scratch("mt_tipscan"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    t.merge(spark, df(Seq((2, "b", "p2"))), Seq("k"))
+    assert(t.currentVersion === 1)
+    // simulate a crash between the commit publish and the tip-cache update
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t.root, "_graft_log", "_LATEST"), "0")
+    assert(t.currentVersion === 1, "tip cache must be fast-forwarded over commits")
     assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (2, "b", "p2")))
   }
 
