@@ -290,6 +290,15 @@ class MergeTableSpec extends SparkSpec {
     assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (2, "b", "p2")))
   }
 
+  test("pruned merge matches Spark's partition-path escaping for hostile values") {
+    // 'p 1:a' needs escaping in a path; the probe must still find its dir
+    val t = new MergeTable(scratch("mt_pp_esc"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p 1:a"), (2, "b", "p2"))))
+    t.merge(spark, df(Seq((1, "A", "p 1:a"))), Seq("k"), keysDeterminePartitions = true)
+    assert(asSet(t.read(spark)) === Set((1, "A", "p 1:a"), (2, "b", "p2")),
+      "escaped partition dir was not probed — key duplicated or update lost")
+  }
+
   test("property: pruned merge ≡ unpruned merge when keys determine partitions") {
     // partition derived deterministically from the key ⇒ the opt-in's
     // precondition holds by construction; both paths must agree exactly.
