@@ -489,5 +489,27 @@ object DedupQueries {
              |FROM (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
              |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
       "near-dup clustering: connected components by min-label propagation"),
+
+    // Embedding-cosine near-dup dedup — the vector-space member of the
+    // dedup family (d1 exact, d3 Jaccard, d4 MinHash, d5 SimHash, d9
+    // embedding). Candidates come from v4's banded hyperplane LSH (shared
+    // helper — d9 and v4 run the SAME pair set, so the determinism argument
+    // at SimilarityQueries's v4 doc applies verbatim); dedup is the greedy
+    // keep-first rule: a vector is dropped iff some SMALLER-id vector sits
+    // within cosine ≥ τ of it. One anti-join over the pair set — at 100 TB
+    // the duplicate-id side is |near-dups|, typically ≪ corpus, so Catalyst
+    // broadcasts it; candidate generation stays band-bucketed, never
+    // all-pairs.
+    "d9_embedding_neardup" -> GraftQuery(
+      (s, dir) => {
+        val dups = graft.queries.SimilarityQueries.lshNearDupPairs(s, dir)
+          .select(col("id_b").as("vec_id")).distinct()
+        t(s, dir, "embeddings").select("vec_id", "label")
+          .join(dups, Seq("vec_id"), "left_anti")
+      },
+      Some(s"""WITH ${graft.queries.SimilarityQueries.lshNearDupPairsCte}
+             |SELECT vec_id, label FROM embeddings
+             |WHERE vec_id NOT IN (SELECT id_b FROM pairs)""".stripMargin),
+      "embedding-cosine near-dup dedup: LSH candidates + keep-lowest-id anti-join"),
   )
 }

@@ -127,6 +127,68 @@ object SimilarityQueries {
     array(bands: _*)
   }
 
+  /** Thresholded near-dup pairs (id_a < id_b, cosine ≥ [[CosineThreshold]])
+    * via banded hyperplane LSH + exact re-rank — v4's candidate machinery,
+    * shared with d9's embedding-cosine dedup so both run (and oracle) the
+    * SAME pair set. Unordered: callers order or anti-join as needed.
+    */
+  def lshNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .withColumn("signs", expr(s"transform($planesSql, p -> float_dot(embedding, p))"))
+      .withColumn("bk", explode(bandKeys("signs")))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = e.alias("x").join(e.alias("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val side = emb(s, dir).select(col("vec_id"), col("embedding"), col("norm"))
+    cand
+      .join(side.toDF("id_a", "emb_a", "norm_a"), "id_a")
+      .join(side.toDF("id_b", "emb_b", "norm_b"), "id_b")
+      .withColumn("cosine", round(cosineFast("emb_a", "emb_b", "norm_a", "norm_b"), 6))
+      .filter(col("cosine") >= CosineThreshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** DuckDB CTE chain ending in `pairs(id_a, id_b, cosine)` — the oracle
+    * twin of [[lshNearDupPairs]] (same plane literals, same threshold).
+    * Splice as `WITH $lshNearDupPairsCte SELECT ... FROM pairs ...`.
+    */
+  lazy val lshNearDupPairsCte: String = {
+    val planesLit = (0 until Planes).map(p =>
+      (0 until 64).map(d => if (planeComponent(p, d) > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val keyExpr = (0 until BandBits)
+      .map(i => s"CASE WHEN pr[b*$BandBits + ${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id,
+       |         list_transform($planesLit,
+       |                        p -> list_dot_product(emb, p)) AS pr
+       |  FROM e),
+       |keys AS (
+       |  SELECT vec_id,
+       |         unnest(generate_series(0, ${Bands - 1})) AS band,
+       |         unnest(list_transform(generate_series(0, ${Bands - 1}),
+       |                               b -> $keyExpr)) AS key
+       |  FROM proj),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM keys x JOIN keys y
+       |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+       |pairs AS (
+       |  SELECT id_a, id_b, cosine FROM (
+       |    SELECT c.id_a, c.id_b,
+       |           round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+       |    FROM cand c
+       |    JOIN e a ON a.vec_id = c.id_a
+       |    JOIN e b ON b.vec_id = c.id_b)
+       |  WHERE cosine >= $CosineThreshold)""".stripMargin
+  }
+
   val all: Map[String, GraftQuery] = Map(
 
     // Brute-force cosine top-k against the vec_id=0 query vector.
@@ -210,58 +272,11 @@ object SimilarityQueries {
     // decision can differ. The oracle replays the same plane literals
     // through DuckDB doubles.
     "v4_lsh_buckets" -> GraftQuery(
-      (s, dir) => {
-        val e = emb(s, dir)
-          .withColumn("signs", expr(s"transform($planesSql, p -> float_dot(embedding, p))"))
-          .withColumn("bk", explode(bandKeys("signs")))
-          .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val cand = e.alias("x").join(e.alias("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-          .distinct()
-        val side = emb(s, dir).select(col("vec_id"), col("embedding"), col("norm"))
-        cand
-          .join(side.toDF("id_a", "emb_a", "norm_a"), "id_a")
-          .join(side.toDF("id_b", "emb_b", "norm_b"), "id_b")
-          .withColumn("cosine", round(cosineFast("emb_a", "emb_b", "norm_a", "norm_b"), 6))
-          .filter(col("cosine") >= CosineThreshold)
-          .select("id_a", "id_b", "cosine")
-          .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
-      },
-      Some {
-        val planesLit = (0 until Planes).map(p =>
-          (0 until 64).map(d => if (planeComponent(p, d) > 0) "1.0" else "-1.0")
-            .mkString("[", ",", "]")).mkString("[", ",", "]")
-        val keyExpr = (0 until BandBits)
-          .map(i => s"CASE WHEN pr[b*$BandBits + ${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH e AS (
-           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-           |proj AS (
-           |  SELECT vec_id,
-           |         list_transform($planesLit,
-           |                        p -> list_dot_product(emb, p)) AS pr
-           |  FROM e),
-           |keys AS (
-           |  SELECT vec_id,
-           |         unnest(generate_series(0, ${Bands - 1})) AS band,
-           |         unnest(list_transform(generate_series(0, ${Bands - 1}),
-           |                               b -> $keyExpr)) AS key
-           |  FROM proj),
-           |cand AS (
-           |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-           |  FROM keys x JOIN keys y
-           |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
-           |SELECT id_a, id_b, cosine FROM (
-           |  SELECT c.id_a, c.id_b,
-           |         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
-           |  FROM cand c
-           |  JOIN e a ON a.vec_id = c.id_a
-           |  JOIN e b ON b.vec_id = c.id_b)
-           |WHERE cosine >= $CosineThreshold
-           |ORDER BY cosine DESC, id_a, id_b""".stripMargin
-      },
+      (s, dir) => lshNearDupPairs(s, dir)
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b")),
+      Some(s"""WITH $lshNearDupPairsCte
+              |SELECT id_a, id_b, cosine FROM pairs
+              |ORDER BY cosine DESC, id_a, id_b""".stripMargin),
       "banded random-hyperplane LSH candidates + exact re-rank above threshold"),
 
     // IVF coarse-quantizer ANN (graft.operators.IvfIndex): k-means cells +

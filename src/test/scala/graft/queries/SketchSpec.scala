@@ -71,6 +71,19 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("d9 embedding dedup drops the higher id of the identical pair, keeps survivors") {
+    val kept = run("d9_embedding_neardup").select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(0L), "lowest id of a near-dup group always survives")
+    assert(!kept.contains(1L), "identical vector with a smaller-id twin must be dropped")
+    // every dropped id has a smaller-id neighbor at cosine ≥ τ in the pair set
+    val pairs = run("v4_lsh_buckets")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = (0L to 5L).toSet
+    (all -- kept).foreach { d =>
+      assert(pairs.exists(_._2 == d), s"$d was dropped without a smaller-id witness pair")
+    }
+  }
+
   test("v5 IVF finds the planted identical vector and never beats the exact baseline") {
     val ivf = graft.operators.IvfIndex.topk(spark,
       Registry.t(spark, dir, "embeddings"), queryId = 0, nClusters = 2, nProbe = 1, k = 3)
