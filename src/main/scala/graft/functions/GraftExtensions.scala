@@ -40,6 +40,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopK].getName, "top_k"),
       (children: Seq[Expression]) => GraftFunctions.buildTopK(children)))
+    // Spark's own runtime-filter Bloom machinery, exposed as SQL functions
+    // (Spark builds these two expressions inside InjectRuntimeFilter but
+    // registers neither): `bloom_agg(xxhash64(k) [, est_items [, num_bits]])`
+    // is a mergeable TypedImperativeAggregate whose result is the filter's
+    // bytes, `bloom_contains(filter, xxhash64(k))` is a codegen'd membership
+    // probe. Exactness contract: no false negatives — a "not contained"
+    // verdict is definitive, so the d10 pattern (route definite-new rows
+    // around the anti-join) never changes query results, only shrinks the
+    // shuffled probe side.
+    e.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[aggregate.BloomFilterAggregate].getName, "bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c)            => new aggregate.BloomFilterAggregate(c)
+        case Seq(c, est)       => new aggregate.BloomFilterAggregate(c, est)
+        case Seq(c, est, bits) => new aggregate.BloomFilterAggregate(c, est, bits)
+        case _ => throw new IllegalArgumentException(
+          "bloom_agg(hash_long [, est_items [, num_bits]]) takes 1-3 arguments")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[BloomFilterMightContain].getName, "bloom_contains"),
+      (children: Seq[Expression]) => children match {
+        case Seq(bloom, value) => BloomFilterMightContain(bloom, value)
+        case _ => throw new IllegalArgumentException(
+          "bloom_contains(filter, hash_long) takes exactly 2 arguments")
+      }))
     e.injectOptimizerRule(_ => DotProductRewrite)
   }
 }

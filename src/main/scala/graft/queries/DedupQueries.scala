@@ -511,5 +511,45 @@ object DedupQueries {
              |SELECT vec_id, label FROM embeddings
              |WHERE vec_id NOT IN (SELECT id_b FROM pairs)""".stripMargin),
       "embedding-cosine near-dup dedup: LSH candidates + keep-lowest-id anti-join"),
+
+    // d6's incremental dedup with a Bloom-filter bypass — the 100 TB shape
+    // of the fingerprint anti-join. A mergeable Bloom filter over the
+    // corpus fingerprints (Spark's own BloomFilterAggregate, exposed as
+    // `bloom_agg`/`bloom_contains` via GraftExtensions) reaches the batch
+    // as ONE scalar-subquery broadcast of the filter's bytes; rows the
+    // filter rejects are DEFINITELY new (no false negatives) and route
+    // straight to the output, so only the "maybe duplicate" sliver — fpp ≈
+    // 3% of the truly-new rows plus the real dups — pays the exact
+    // anti-join shuffle. Results are bit-identical to d6 by construction
+    // (the oracle is d6's, modulo the split), whatever the false-positive
+    // rate: the bloom only prunes work, never decides membership.
+    "d10_bloom_dedup" -> GraftQuery(
+      (s, dir) => {
+        val view = s"d10_docs_${Registry.sanitize(dir)}"
+        t(s, dir, "documents").createOrReplaceTempView(view)
+        s.sql(s"""
+          |WITH corpus AS (
+          |  SELECT md5(text) AS fp FROM $view WHERE doc_id % 10 < 8),
+          |flagged AS (
+          |  SELECT doc_id, source, lang, fp,
+          |         bloom_contains((SELECT bloom_agg(xxhash64(fp), 100000L) FROM corpus),
+          |                        xxhash64(fp)) AS maybe_dup
+          |  FROM (SELECT doc_id, source, lang, md5(text) AS fp
+          |        FROM $view WHERE doc_id % 10 >= 8))
+          |SELECT doc_id, source, lang FROM flagged WHERE NOT maybe_dup
+          |UNION ALL
+          |SELECT doc_id, source, lang FROM flagged f
+          |WHERE maybe_dup
+          |  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = f.fp)
+          |""".stripMargin)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT md5(text) AS fp FROM documents WHERE doc_id % 10 < 8),
+             |batch AS (
+             |  SELECT doc_id, source, lang, md5(text) AS fp
+             |  FROM documents WHERE doc_id % 10 >= 8)
+             |SELECT doc_id, source, lang FROM batch b
+             |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)""".stripMargin),
+      "Bloom-filter bypass around the incremental-dedup anti-join"),
   )
 }

@@ -115,6 +115,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d10 bloom dedup probes the filter and matches d6 exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.Registry.all("d10_bloom_dedup").fn(spark, dir)
+    val got = q.collect().map(_.toString).sorted.toSeq
+    // the bloom probe must survive into the physical plan — if the scalar
+    // subquery or the might_contain predicate is optimized away, d10 has
+    // silently degraded into a plain anti-join over the full batch
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
+    assert(plan.contains("bloom_filter_agg"), s"bloom build missing from plan:\n$plan")
+    // no false negatives ⇒ identical output to the plain anti-join (d6)
+    val want = graft.queries.Registry.all("d6_incremental_dedup").fn(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want, "bloom bypass changed incremental-dedup results")
+  }
+
   test("t12 decontamination broadcasts the benchmark shingle set") {
     val q = graft.queries.Registry.all("t12_contamination")
       .fn(spark, "/root/testdata/sf0.001")
