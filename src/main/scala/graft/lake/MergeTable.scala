@@ -27,7 +27,9 @@ import scala.jdk.CollectionConverters._
   *                                                   hard-link put-if-absent
   *   <root>/_graft_log/_LATEST                       tip cache (atomic swap;
   *                                                   readers forward-scan)
-  *   <root>/cdf/d<version>/                          change-feed rows (optional)
+  *   <root>/cdf/<dataDir>/                           change-feed rows (optional),
+  *                                                   written BEFORE the commit
+  *                                                   that records them (`cdf` line)
   * }}}
   *
   * Scale design (100 TB): MERGE rewrites ONLY the data files that contain a
@@ -68,14 +70,20 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * file itself is the source of truth, exactly Delta's N.json protocol.
     */
   private case class Commit(schema: StructType, files: Seq[String],
-                            statsLines: Seq[String])
+                            statsLines: Seq[String], cdfDir: Option[String],
+                            constraints: Seq[(String, String)])
 
   private def readCommit(version: Long): Commit = {
     val lines = Files.readString(commitPath(version)).split("\n").toSeq
     val schema = StructType.fromDDL(dec(lines.head.stripPrefix("schema\t")))
     val files = lines.collect { case l if l.startsWith("file\t") => dec(l.stripPrefix("file\t")) }
     val stats = lines.collect { case l if l.startsWith("stat\t") => l.stripPrefix("stat\t") }
-    Commit(schema, files, stats)
+    val cdf = lines.collectFirst { case l if l.startsWith("cdf\t") => dec(l.stripPrefix("cdf\t")) }
+    val checks = lines.collect { case l if l.startsWith("check\t") =>
+      val Array(n, p) = l.stripPrefix("check\t").split("\t", 2)
+      (dec(n), dec(p))
+    }
+    Commit(schema, files, stats, cdf, checks)
   }
 
   /** Reference's `DeltaTable.isDeltaTable` probe (01:99; 02:147,172,197). */
@@ -156,9 +164,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             keysDeterminePartitions: Boolean = false): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     if (!exists) {
-      overwrite(source)
-      if (changeFeed)
-        writeChanges(source.withColumn(MergeTable.ChangeType, lit("insert")), currentVersion)
+      val cdf =
+        if (changeFeed) Some(source.withColumn(MergeTable.ChangeType, lit("insert")))
+        else None
+      writeVersion(source, 0L, cdf)
       return
     }
 
@@ -182,19 +191,21 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       // probe (and therefore the rewrite) needs to scan only those
       // partitions' files. At 100 TB this turns a full-table semi-join into
       // a probe of the day/month being merged. The source must carry the
-      // partition columns; matching uses Spark's OWN partition-path
-      // escaping (and its null sentinel), so escaped strings and NULL
-      // partition values resolve to the directories Spark actually wrote.
+      // partition columns; values are stringified by SPARK's cast-to-string
+      // (session timezone, same Cast the parquet write path feeds into its
+      // partition-path expression — JVM toString diverges for Timestamp's
+      // trailing ".0" and decimal scales) and escaped/null-mapped by
+      // Spark's own partition-path rules, so the probe resolves exactly
+      // the directories Spark actually wrote.
       val probeRel: Seq[String] =
         if (keysDeterminePartitions && partitionCols.nonEmpty) {
           import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          val pvals = src.select(partitionCols.map(col): _*).distinct().collect()
+          val pvals = src
+            .select(partitionCols.map(c => col(c).cast("string")): _*)
+            .distinct().collect()
           val dirs: Set[String] = pvals.map(r =>
             partitionCols.indices.map { i =>
-              val v = r.get(i)
-              val seg =
-                if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-                else ExternalCatalogUtils.escapePathName(v.toString)
+              val seg = ExternalCatalogUtils.getPartitionValueString(r.getString(i))
               s"${partitionCols(i)}=$seg"
             }.mkString("/")).toSet
           oldFiles.filter(f => dirs.exists(d => f.contains(s"/$d/")))
@@ -246,29 +257,37 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val dataDir = newDataDir(newVersion)
       writeData(newData, dataDir)
       val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
-      commit(newVersion, keptRel ++ newFiles, newData.schema,
-        carryStats(v, keptRel) ++ collectStats(spark, newFiles, newData.schema))
 
       // Change data feed (Delta CDF analog): recorded AT WRITE TIME from the
       // already-pruned touched-file rows, never by diffing full snapshots —
       // at 100 TB a snapshot diff is a second full-table join, while this
       // reuses the same small touched set the merge itself rewrites.
-      if (changeFeed) {
-        import MergeTable.ChangeType
-        val matchedKeys = touchedData.map(
-          _.join(srcKeys, keys, "left_semi").select(keys.map(col): _*))
-        val pre = touchedData.map(
-          _.join(srcKeys, keys, "left_semi").withColumn(ChangeType, lit("update_preimage")))
-        val post = matchedKeys.map(mk =>
-          src.join(mk, keys, "left_semi").withColumn(ChangeType, lit("update_postimage")))
-        val ins = (matchedKeys match {
-          case Some(mk) => src.join(mk, keys, "left_anti")
-          case None     => src
-        }).withColumn(ChangeType, lit("insert"))
-        val all = (pre.toSeq ++ post.toSeq :+ ins)
-          .reduce(_.unionByName(_, allowMissingColumns = true))
-        writeChanges(all, newVersion)
-      }
+      // Written BEFORE the commit is published so a crash between the two
+      // can never leave a committed version with silently-missing change
+      // rows; the commit records the feed directory, and a losing/crashed
+      // attempt's orphan dir is referenced by no commit (cleaned on commit
+      // conflict, reconciled by vacuum).
+      val cdfDir =
+        if (changeFeed) {
+          import MergeTable.ChangeType
+          val matchedKeys = touchedData.map(
+            _.join(srcKeys, keys, "left_semi").select(keys.map(col): _*))
+          val pre = touchedData.map(
+            _.join(srcKeys, keys, "left_semi").withColumn(ChangeType, lit("update_preimage")))
+          val post = matchedKeys.map(mk =>
+            src.join(mk, keys, "left_semi").withColumn(ChangeType, lit("update_postimage")))
+          val ins = (matchedKeys match {
+            case Some(mk) => src.join(mk, keys, "left_anti")
+            case None     => src
+          }).withColumn(ChangeType, lit("insert"))
+          val all = (pre.toSeq ++ post.toSeq :+ ins)
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+          Some(writeChanges(all, newVersion, dataDir))
+        } else None
+
+      commit(newVersion, keptRel ++ newFiles, newData.schema,
+        carryStats(v, keptRel) ++ collectStats(spark, newFiles, newData.schema),
+        cdfDir)
     } finally src.unpersist()
   }
 
@@ -280,9 +299,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * contribute nothing; at least one recorded version must exist.
     */
   def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
-    val dirs = (fromVersion to toVersion)
-      .map(ver => Paths.get(root, "cdf", s"d$ver"))
-      .filter(Files.exists(_))
+    val dirs = (fromVersion to toVersion).flatMap { ver =>
+      if (!Files.exists(commitPath(ver))) None
+      else readCommit(ver).cdfDir.map { d =>
+        val p = Paths.get(root, d)
+        // the commit PROMISED a feed — a missing directory is data loss the
+        // consumer must see, never a silently-shorter feed
+        if (!Files.exists(p)) throw new IllegalStateException(
+          s"version $ver of $root recorded a change feed at $d but the directory is " +
+            "missing — the change feed for this range is incomplete")
+        p
+      }
+    }
     require(dirs.nonEmpty,
       s"no change feed recorded in versions $fromVersion..$toVersion of $root")
     dirs.map(d => spark.read.parquet(d.toString))
@@ -294,15 +322,23 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * the rows of every future `changeFeed = true` commit arrive as a new
     * micro-batch — the standard way to fan a lakehouse table's changes out
     * to downstream incremental consumers without re-diffing snapshots.
-    * The schema is pinned from the already-recorded change rows, so at
-    * least one changeFeed commit must exist before the stream starts.
+    * The schema is the LATEST committed snapshot's schema plus the CDF
+    * marker columns — change files written before a `mergeSchema` evolution
+    * null-fill the evolved columns (parquet projection), and files written
+    * after it surface them, instead of a stream-start pin silently dropping
+    * whatever columns evolve later. At least one changeFeed commit must
+    * exist before the stream starts. Orphan feed dirs from a hard-crashed
+    * attempt are possible until the next vacuum reconciles them (a losing
+    * racer cleans its own dir at commit-conflict time).
     */
   def changesStream(spark: SparkSession): DataFrame = {
     require(Files.exists(Paths.get(root, "cdf")),
       s"no change feed recorded at $root — commit with changeFeed = true before streaming changes")
-    val glob = s"$root/cdf/*"
-    val schema = spark.read.parquet(glob).schema
-    spark.readStream.schema(schema).parquet(glob)
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val schema = schemaOf(currentVersion)
+      .add(MergeTable.ChangeType, StringType)
+      .add(MergeTable.CommitVersion, LongType)
+    spark.readStream.schema(schema).parquet(s"$root/cdf/*")
   }
 
   /** Delta `DELETE WHERE` analog: remove the rows matching `predicate`,
@@ -346,13 +382,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val dataDir = newDataDir(newVersion)
     writeData(survivors, dataDir)
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
-    commit(newVersion, keptRel ++ newFiles, schemaOf(v),
-      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schemaOf(v)))
-    if (changeFeed)
-      writeChanges(
+    // CDF before the commit that records it — see merge()
+    val cdfDir =
+      if (changeFeed) Some(writeChanges(
         tdf.filter(coalesce(predicate, lit(false)) === true)
           .withColumn(MergeTable.ChangeType, lit("delete")),
-        newVersion)
+        newVersion, dataDir))
+      else None
+    commit(newVersion, keptRel ++ newFiles, schemaOf(v),
+      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schemaOf(v)),
+      cdfDir)
   }
 
   /** Compaction (Delta OPTIMIZE analog): rewrite the CURRENT snapshot so
@@ -465,6 +504,62 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     writeVersion(packed, v + 1)
   }
 
+  /** Delta RESTORE analog: roll the table BACK to the content of `version`
+    * by committing a NEW version that references the old snapshot's files,
+    * schema, and stats — history is preserved (the rolled-back versions
+    * remain time-travel-readable), and no data is copied: restore is a
+    * metadata-only commit at any scale, exactly like Delta's RESTORE which
+    * re-adds the old files in a new log entry. The restored version must be
+    * inside the vacuum horizon — its files must still exist.
+    */
+  def restore(version: Long): Unit = {
+    val horizon = vacuumHorizon
+    require(version >= horizon,
+      s"cannot restore $root to version $version: it was vacuumed " +
+        s"(oldest retained version is $horizon)")
+    val cur = currentVersion
+    require(version <= cur, s"cannot restore $root to future version $version (tip is $cur)")
+    val c = readCommit(version)
+    commit(cur + 1, c.files, c.schema, c.statsLines)
+  }
+
+  /** CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` analog): a named
+    * SQL predicate every row of every future write must satisfy (violated
+    * only when the predicate is FALSE — NULL passes, like SQL CHECK).
+    * Existing data is validated first, then the constraint is recorded in a
+    * metadata-only commit and carried forward by every subsequent commit.
+    * Enforcement is FUSED into each write as a codegen'd per-row filter
+    * that raises on violation — no second validation pass over the data,
+    * which is the only enforcement shape that survives 100 TB writes.
+    */
+  def addCheckConstraint(spark: SparkSession, name: String, predicate: String): Unit = {
+    require(exists, s"MergeTable at $root does not exist")
+    val v = currentVersion
+    val existing = readCommit(v).constraints
+    require(!existing.exists(_._1 == name),
+      s"constraint '$name' already exists on $root")
+    val violating = read(spark).filter(expr(predicate) === lit(false)).limit(1).count()
+    require(violating == 0L,
+      s"cannot add CHECK constraint '$name' ($predicate) to $root: existing rows violate it")
+    val c = readCommit(v)
+    commit(v + 1, c.files, c.schema, c.statsLines,
+      constraintsOverride = Some(existing :+ (name -> predicate)))
+  }
+
+  /** Drop a CHECK constraint by name (metadata-only commit). */
+  def dropCheckConstraint(name: String): Unit = {
+    require(exists, s"MergeTable at $root does not exist")
+    val v = currentVersion
+    val c = readCommit(v)
+    require(c.constraints.exists(_._1 == name), s"no constraint '$name' on $root")
+    commit(v + 1, c.files, c.schema, c.statsLines,
+      constraintsOverride = Some(c.constraints.filterNot(_._1 == name)))
+  }
+
+  /** The CHECK constraints in force on the current version. */
+  def checkConstraints: Seq[(String, String)] =
+    if (exists) readCommit(currentVersion).constraints else Nil
+
   /** Delete data directories referenced by NO retained snapshot (Delta
     * VACUUM analog with a retention window): the newest `retainVersions`
     * snapshots stay time-travel-readable; older versions' reads fail with a
@@ -472,8 +567,19 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * reference may be gone — the vacuum horizon records the boundary).
     * Default keeps only the live snapshot, Delta's
     * `VACUUM ... RETAIN 0 HOURS` analog.
+    *
+    * An unreferenced directory is only reclaimed once it is older than
+    * `minAgeMs` (Delta's mtime-based VACUUM safeguard): a CONCURRENT writer
+    * has written its per-attempt data/cdf dirs but not yet published its
+    * commit, and is indistinguishable from a crashed attempt by reference
+    * alone — deleting its fresh files would let the subsequent commit
+    * succeed over vanished data. Pass `minAgeMs = 0` only when no writer
+    * can be in flight. Orphan change-feed dirs (referenced by no commit at
+    * all) are reclaimed under the same age rule; feed dirs recorded by any
+    * commit are kept so `changes()` over historical versions stays intact.
     */
-  def vacuum(retainVersions: Int = 1): Unit = {
+  def vacuum(retainVersions: Int = 1,
+             minAgeMs: Long = MergeTable.DefaultVacuumMinAgeMs): Unit = {
     require(retainVersions >= 1, "vacuum must retain at least the current version")
     if (!exists) return
     val cur = currentVersion
@@ -481,6 +587,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // cannot move it backwards past versions whose files are already gone —
     // that would re-open reads onto deleted data
     val floor = math.max(vacuumHorizon, math.max(0L, cur - retainVersions + 1))
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis <= cutoff
     val live = (floor to cur)
       .filter(ver => Files.exists(commitPath(ver)))
       .flatMap(filesOf).map(_.takeWhile(_ != '/')).toSet
@@ -488,14 +597,41 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     Files.list(rootP).iterator().asScala
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d"))
       .filterNot(p => live.contains(p.getFileName.toString))
+      .filter(oldEnough)
       .foreach(deleteRecursively)
-    Files.writeString(logDir.resolve("_VACUUM_HORIZON"), floor.toString)
+    // reconcile orphan change-feed dirs: a feed dir no commit references is
+    // a crashed/lost attempt's leftover (and would pollute changesStream's
+    // glob); one any commit references must outlive data-dir vacuuming
+    val cdfRoot = rootP.resolve("cdf")
+    if (Files.exists(cdfRoot)) {
+      val referenced: Set[String] = Files.list(logDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".commit"))
+        .flatMap(n => n.stripSuffix(".commit").toLongOption)
+        .flatMap(ver => readCommit(ver).cdfDir)
+        .map(_.stripPrefix("cdf/")).toSet
+      Files.list(cdfRoot).iterator().asScala
+        .filter(Files.isDirectory(_))
+        .filterNot(p => referenced.contains(p.getFileName.toString))
+        .filter(oldEnough)
+        .foreach(deleteRecursively)
+    }
+    // same tmp + ATOMIC_MOVE care as _LATEST: a torn horizon write must not
+    // brick every subsequent read with an unparseable file
+    val ht = logDir.resolve(s"_VACUUM_HORIZON.tmp${System.nanoTime()}")
+    Files.writeString(ht, floor.toString)
+    Files.move(ht, logDir.resolve("_VACUUM_HORIZON"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Oldest version still guaranteed readable (0 when never vacuumed). */
+  /** Oldest version still guaranteed readable (0 when never vacuumed).
+    * An unparseable horizon file (possible only under pre-atomic-write
+    * corruption) degrades to 0 — reads of vacuumed versions then fail at
+    * scan time instead of fast, but the table is never bricked.
+    */
   def vacuumHorizon: Long = {
     val p = logDir.resolve("_VACUUM_HORIZON")
-    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+    if (Files.exists(p)) Files.readString(p).trim.toLongOption.getOrElse(0L) else 0L
   }
 
   // ---- internals ----
@@ -510,12 +646,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   private def newDataDir(version: Long): String =
     s"d${version}u${java.lang.Long.toHexString(System.nanoTime())}"
 
-  private def writeVersion(df: DataFrame, version: Long): Unit = {
+  private def writeVersion(df: DataFrame, version: Long,
+                           changes: Option[DataFrame] = None): Unit = {
     val dataDir = newDataDir(version)
     writeData(df, dataDir)
     val files = listParquet(Paths.get(root, dataDir)).map(relativize)
+    val cdfDir = changes.map(c => writeChanges(c, version, dataDir))
     commit(version, files, df.schema,
-      collectStats(df.sparkSession, files, df.schema))
+      collectStats(df.sparkSession, files, df.schema), cdfDir)
   }
 
   /** One metadata-sized job: per-file min/max of every stats column the
@@ -554,15 +692,29 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
-  /** Change rows live beside (not inside) data dirs: `<root>/cdf/d<version>`.
-    * They are additional output of a commit, never part of a snapshot read.
+  /** Change rows live beside (not inside) data dirs, keyed PER ATTEMPT
+    * (`<root>/cdf/<dataDir>`) like the data dirs themselves: two writers
+    * racing to one version never overwrite each other's feed, and a
+    * crashed attempt leaves only an unreferenced dir. Written before the
+    * commit that records the returned relative path.
     */
-  private def writeChanges(df: DataFrame, version: Long): Unit =
+  private def writeChanges(df: DataFrame, version: Long, attemptDir: String): String = {
     df.withColumn(MergeTable.CommitVersion, lit(version))
-      .write.mode("overwrite").parquet(s"$root/cdf/d$version")
+      .write.mode("overwrite").parquet(s"$root/cdf/$attemptDir")
+    s"cdf/$attemptDir"
+  }
 
   private def writeData(df: DataFrame, dataDir: String): Unit = {
-    val w = df.write.mode("overwrite")
+    // constraint enforcement rides the write itself: a per-row codegen'd
+    // filter whose violation branch raises — never a second scan
+    val checked = checkConstraints.foldLeft(df) { case (d, (name, pred)) =>
+      d.filter(
+        when(coalesce(expr(pred), lit(true)), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"CHECK constraint '$name' ($pred) violated by row: "),
+            to_json(struct(d.columns.map(col): _*)))).cast("boolean")))
+    }
+    val w = checked.write.mode("overwrite")
     val pw = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     pw.parquet(s"$root/$dataDir")
   }
@@ -585,10 +737,20 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * ([[currentVersion]] forward-scans past a lost update).
     */
   private def commit(version: Long, files: Seq[String], schema: StructType,
-                     statsLines: Seq[String] = Nil): Unit = {
+                     statsLines: Seq[String] = Nil,
+                     cdfDir: Option[String] = None,
+                     constraintsOverride: Option[Seq[(String, String)]] = None): Unit = {
     Files.createDirectories(logDir)
+    // CHECK constraints carry forward automatically (commits are never
+    // deleted, so version-1 is always readable); add/drop pass an override
+    val constraints = constraintsOverride.getOrElse(
+      if (version > 0 && Files.exists(commitPath(version - 1)))
+        readCommit(version - 1).constraints
+      else Nil)
     val content = (s"schema\t${enc(schema.toDDL)}" +:
-      (files.map(f => s"file\t${enc(f)}") ++ statsLines.map(l => s"stat\t$l")))
+      (cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
+        constraints.map { case (n, p) => s"check\t${enc(n)}\t${enc(p)}" } ++
+        files.map(f => s"file\t${enc(f)}") ++ statsLines.map(l => s"stat\t$l")))
       .mkString("\n")
     val tmp = logDir.resolve(s"$version.commit.tmp${System.nanoTime()}")
     Files.writeString(tmp, content)
@@ -596,6 +758,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
+        // the loser's pre-written change feed must not linger where
+        // changesStream's glob would replay it
+        cdfDir.map(d => Paths.get(root, d)).filter(Files.exists(_))
+          .foreach(deleteRecursively)
         throw new java.util.ConcurrentModificationException(
           s"concurrent write to $root: version $version was already committed by " +
             "another writer — re-read the table and retry the operation")
@@ -629,4 +795,12 @@ object MergeTable {
 
   /** Change-feed commit-version column. */
   val CommitVersion = "_commit_version"
+
+  /** Default vacuum in-flight-writer safeguard: an unreferenced directory
+    * younger than this is assumed to belong to a writer that has not yet
+    * published its commit and is left alone (Delta's VACUUM retention
+    * serves the same purpose; 30 min comfortably exceeds any single write
+    * attempt here, where Delta's 7-day default targets long cloud jobs).
+    */
+  val DefaultVacuumMinAgeMs: Long = 30L * 60 * 1000
 }

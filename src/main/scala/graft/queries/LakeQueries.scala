@@ -47,6 +47,59 @@ object LakeQueries {
              |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src""".stripMargin),
       "Delta-style MERGE on disk: file-pruned rewrite + atomic manifest swap"),
 
+    // RESTORE: roll the table back to v0 after a merge AND a delete mutated
+    // it — the restore commit re-references v0's files (metadata-only), so
+    // the read must equal the original orders exactly. History (v1, v2)
+    // stays time-travel-readable (asserted in MergeTableSpec).
+    "m13_restore" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m13_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)                                          // v0
+        table.merge(s, orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M")), Seq("o_orderkey"))     // v1
+        table.delete(s, col("o_orderstatus") === "O")                    // v2
+        table.restore(0)                                                 // v3 ≡ v0
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "Delta RESTORE analog: metadata-only rollback commit, history preserved"),
+
+    // CHECK constraints (Delta ADD CONSTRAINT analog): two constraints are
+    // added (validating existing rows), then a merge runs with enforcement
+    // FUSED into the write as a per-row raising filter. The read proves the
+    // constrained write path produces exactly the unconstrained result;
+    // rejection of violating writes is asserted in MergeTableSpec.
+    "m14_constraints" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m14_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        table.addCheckConstraint(s, "price_nonneg", "o_totalprice >= 0")
+        table.addCheckConstraint(s, "valid_status",
+          "o_orderstatus IN ('O','F','P','M')")
+        table.merge(s, orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+          Seq("o_orderkey"))
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("price_sum"))
+      },
+      Some("""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE o_orderstatus END
+             |         AS o_orderstatus,
+             |       count(*) AS n,
+             |       round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0
+             |                      ELSE o_totalprice END), 2) AS price_sum
+             |FROM orders GROUP BY 1""".stripMargin),
+      "CHECK constraints: validated on add, enforced per-row inside every write"),
+
     // Time travel: after a partition-moving merge, version 0 must still
     // read as the ORIGINAL target (untouched files + superseded files both
     // remain addressable through the old manifest). Oracle = the pre-merge

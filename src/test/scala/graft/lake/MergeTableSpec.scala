@@ -5,6 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
+import scala.jdk.CollectionConverters._
 
 /** MergeTable (the Delta-MERGE replacement, SURVEY.md §7.3) semantics:
   * update/insert/keep clauses, partition-moving updates, duplicate-source
@@ -247,6 +248,121 @@ class MergeTableSpec extends SparkSpec {
     assert(ex.getMessage.contains("changeFeed"))
   }
 
+  test("vacuum spares fresh unreferenced dirs (in-flight writer safeguard)") {
+    val t = new MergeTable(scratch("mt_vac_age"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    t.merge(spark, df(Seq((1, "A", "p1"))), Seq("k")) // v1; v0's dir now stale
+    // a concurrent writer mid-attempt: data written, commit not yet published
+    val inflight = java.nio.file.Paths.get(t.root, "d9uinflight")
+    java.nio.file.Files.createDirectories(inflight)
+    java.nio.file.Files.writeString(inflight.resolve("part-0.parquet"), "x")
+    t.vacuum() // default min age: BOTH unreferenced dirs are too young to touch
+    assert(java.nio.file.Files.exists(inflight),
+      "vacuum deleted a fresh unreferenced dir — would corrupt an in-flight commit")
+    t.vacuum(minAgeMs = 0) // explicit no-writers promise reclaims them
+    assert(!java.nio.file.Files.exists(inflight))
+    assert(asSet(t.read(spark)) === Set((1, "A", "p1"))) // live snapshot intact
+  }
+
+  test("a corrupted vacuum-horizon file degrades to 0 instead of bricking reads") {
+    val t = new MergeTable(scratch("mt_vac_corrupt"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t.root, "_graft_log", "_VACUUM_HORIZON"), "")
+    assert(t.vacuumHorizon === 0)
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1")))
+  }
+
+  test("pruned merge probes timestamp partitions with Spark's own stringification") {
+    import java.sql.Timestamp
+    val ts1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts2 = Timestamp.valueOf("2024-02-01 00:00:00")
+    // JVM Timestamp.toString renders '... 00:00:00.0'; Spark's partition dir
+    // is the Cast-to-string form — a probe using toString would miss the dir
+    // and silently duplicate k=1
+    val t = new MergeTable(scratch("mt_pp_ts"), Seq("ts"))
+    t.overwrite(Seq((1, "a", ts1), (2, "b", ts2)).toDF("k", "v", "ts"))
+    t.merge(spark, Seq((1, "A", ts1)).toDF("k", "v", "ts"), Seq("k"),
+      keysDeterminePartitions = true)
+    val got = t.read(spark).select("k", "v", "ts").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getTimestamp(2))).toSet
+    assert(got === Set((1, "A", ts1), (2, "b", ts2)),
+      "timestamp partition dir was not probed — key duplicated or update lost")
+  }
+
+  test("a commit that recorded a change feed fails loudly if the feed is missing") {
+    val t = new MergeTable(scratch("mt_cdf_loss"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    t.merge(spark, df(Seq((2, "b", "p1"))), Seq("k"), changeFeed = true)
+    assert(t.changes(spark, 1, 1).count() === 1)
+    // simulate external data loss of the recorded feed directory
+    val cdfRoot = java.nio.file.Paths.get(t.root, "cdf")
+    java.nio.file.Files.walk(cdfRoot).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    val ex = intercept[IllegalStateException] { t.changes(spark, 1, 1) }
+    assert(ex.getMessage.contains("incomplete"))
+  }
+
+  test("changesStream schema tracks the latest snapshot through evolution") {
+    val t = new MergeTable(scratch("mt_cdf_evo"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    t.merge(spark, df(Seq((2, "b", "p1"))), Seq("k"), changeFeed = true)
+    t.merge(spark, Seq((3, "c", "p1", 7L)).toDF("k", "v", "p", "extra"),
+      Seq("k"), mergeSchema = true, changeFeed = true)
+    val fields = t.changesStream(spark).schema.fieldNames.toSet
+    assert(fields.contains("extra"),
+      "evolved column dropped — stream schema was pinned pre-evolution")
+    assert(fields.contains(MergeTable.ChangeType) && fields.contains(MergeTable.CommitVersion))
+  }
+
+  test("restore rolls back to an old snapshot as a metadata-only commit") {
+    val t = new MergeTable(scratch("mt_restore"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))              // v0
+    t.merge(spark, df(Seq((2, "B", "p2"), (3, "c", "p1"))), Seq("k")) // v1
+    t.delete(spark, col("k") === 1)                                   // v2
+    val v0files = t.filesOf(0)
+    t.restore(0)                                                      // v3 ≡ v0
+    assert(t.currentVersion === 3)
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (2, "b", "p2")))
+    assert(t.filesOf(3) === v0files, "restore must re-reference, never copy")
+    // the rolled-back history is preserved, not rewritten
+    assert(asSet(t.readVersion(spark, 2)) === Set((2, "B", "p2"), (3, "c", "p1")))
+    // restoring to a vacuumed version fails fast
+    t.vacuum(retainVersions = 2, minAgeMs = 0)
+    val ex = intercept[IllegalArgumentException] { t.restore(0) }
+    assert(ex.getMessage.contains("vacuum"))
+  }
+
+  test("CHECK constraints: add validates, writes enforce per-row, drop lifts") {
+    def msgChain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val t = new MergeTable(scratch("mt_check"), Seq("p"))
+    t.overwrite(Seq((1, "a", "p1"), (2, null, "p1")).toDF("k", "v", "p"))
+    t.addCheckConstraint(spark, "k_pos", "k > 0")
+    t.addCheckConstraint(spark, "v_short", "length(v) <= 3") // NULL v → passes
+    assert(t.checkConstraints.map(_._1) === Seq("k_pos", "v_short"))
+    // a valid merge (incl. a NULL-predicate row) passes the fused check
+    t.merge(spark, Seq((3, null, "p1")).toDF("k", "v", "p"), Seq("k"))
+    assert(t.read(spark).count() === 3)
+    // a violating merge raises mid-write and commits nothing
+    val vBefore = t.currentVersion
+    val ex = intercept[Exception] {
+      t.merge(spark, Seq((-4, "x", "p1")).toDF("k", "v", "p"), Seq("k"))
+    }
+    assert(msgChain(ex).contains("k_pos"), s"unexpected error: ${msgChain(ex)}")
+    assert(t.currentVersion === vBefore && t.read(spark).count() === 3)
+    // adding a constraint existing rows violate is rejected
+    val ex2 = intercept[IllegalArgumentException] {
+      t.addCheckConstraint(spark, "impossible", "k > 100")
+    }
+    assert(ex2.getMessage.contains("violate"))
+    // dropping the constraint lifts enforcement
+    t.dropCheckConstraint("k_pos")
+    t.merge(spark, Seq((-4, "x", "p1")).toDF("k", "v", "p"), Seq("k"))
+    assert(t.read(spark).count() === 4)
+  }
+
   test("commit races: one winner per version, every committed snapshot stays intact") {
     val t = new MergeTable(scratch("mt_occ"), Seq("p"))
     t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
@@ -261,7 +377,7 @@ class MergeTableSpec extends SparkSpec {
     (1 to 4).foreach { _ =>
       pool.execute { () =>
         go.await()
-        try t.merge(spark, src, Seq("k"))
+        try t.merge(spark, src, Seq("k"), changeFeed = true)
         catch { case _: java.util.ConcurrentModificationException => conflicts.incrementAndGet() }
       }
     }
@@ -276,6 +392,14 @@ class MergeTableSpec extends SparkSpec {
     // the merge is idempotent, so however many attempts won, the tip agrees
     assert(asSet(t.read(spark)) ===
       Set((1, "a", "p1"), (2, "B", "p2"), (3, "c", "p1")))
+    // losers wrote change feeds BEFORE their failed commits — conflict
+    // handling must have cleaned them, leaving no orphan dir for
+    // changesStream's glob to replay
+    val cdfDirs = java.nio.file.Files.list(java.nio.file.Paths.get(t.root, "cdf"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    assert(cdfDirs.size === (t.currentVersion - 0).toInt,
+      s"orphan change-feed dirs survived a commit race: $cdfDirs")
+    assert(t.changes(spark, 1, t.currentVersion).count() >= 2)
   }
 
   test("a lost _LATEST update is recovered by forward-scanning commits") {
