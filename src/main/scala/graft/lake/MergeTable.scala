@@ -331,14 +331,17 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * attempt are possible until the next vacuum reconciles them (a losing
     * racer cleans its own dir at commit-conflict time).
     */
-  def changesStream(spark: SparkSession): DataFrame = {
+  def changesStream(spark: SparkSession,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     require(Files.exists(Paths.get(root, "cdf")),
       s"no change feed recorded at $root — commit with changeFeed = true before streaming changes")
     import org.apache.spark.sql.types.{LongType, StringType}
     val schema = schemaOf(currentVersion)
       .add(MergeTable.ChangeType, StringType)
       .add(MergeTable.CommitVersion, LongType)
-    spark.readStream.schema(schema).parquet(s"$root/cdf/*")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(s"$root/cdf/*")
   }
 
   /** Delta `DELETE WHERE` analog: remove the rows matching `predicate`,

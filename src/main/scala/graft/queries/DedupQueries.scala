@@ -45,6 +45,98 @@ object DedupQueries {
     */
   val MaxShingleDf = 100
 
+  /** Connected-component labels `(id, label)` of the ≥0.5-Jaccard near-dup
+    * graph over `documents` — the shared clustering core of d8 (cluster
+    * census) and d11 (canonical member selection). Edges come from the d3
+    * inverted-index pipeline (posting lists, document-frequency cap — never
+    * all-pairs); components by iterative min-label propagation, one
+    * join + min-combine per round, convergence probed by a metadata-sized
+    * count. Rounds are bounded by component diameter (at 100 TB switch to
+    * large-star/small-star for O(log n) rounds — same join shape).
+    */
+  private def neardupClusterLabels(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): org.apache.spark.sql.DataFrame = {
+    val docsSh = t(s, dir, "documents")
+      .withColumn("shs", expr("word_shingles(text, 3)"))
+      .filter(size(col("shs")) >= 1)
+      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
+    val postings = docsSh.groupBy("sh")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
+      .filter(size(col("docs")).between(2, MaxShingleDf))
+    val pairs = postings
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")) >= 0.5)
+      .select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges
+        .join(labels.toDF("nid", "nlabel"), col("dst") === col("nid"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.toDF("id", "old")
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
+        .cache()
+      converged = updated.toDF("id", "new_label")
+        .join(labels.toDF("id", "old_label"), Seq("id"))
+        .filter(col("new_label") =!= col("old_label"))
+        .limit(1).count() == 0L
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    // a silent non-converged exit would emit split components that look
+    // plausible — fail loudly instead (diameter > 20 means the corpus
+    // needs the large-star/small-star O(log n) variant)
+    require(converged,
+      s"label propagation did not converge in $iter iterations — component diameter exceeds the bound")
+    edges.unpersist()
+    labels
+  }
+
+  /** DuckDB replica of [[neardupClusterLabels]] through the `walk` CTE —
+    * shared by the d8/d11 oracles (recursive min-label fixpoint is
+    * iteration-order-independent, so both engines agree exactly).
+    */
+  private def clusterCte: String =
+    s"""d AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |           generate_series(1, len(words) - 2),
+       |           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+       |  WHERE len(words) >= 3),
+       |sh AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM d),
+       |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > $MaxShingleDf),
+       |idx AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+       |common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+       |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM common
+       |  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |walk(node, label) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node)""".stripMargin
+
   val all: Map[String, GraftQuery] = Map(
 
     // Exact dedup by canonicalization: min doc_id per identical text.
@@ -408,87 +500,51 @@ object DedupQueries {
     // per node is iteration-order-independent, so both engines agree.
     "d8_dedup_clusters" -> GraftQuery(
       (s, dir) => {
-        val docsSh = t(s, dir, "documents")
-          .withColumn("shs", expr("word_shingles(text, 3)"))
-          .filter(size(col("shs")) >= 1)
-          .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
-        val postings = docsSh.groupBy("sh")
-          .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
-          .filter(size(col("docs")).between(2, MaxShingleDf))
-        val pairs = postings
-          .select(explode(col("docs")).as("a"), col("docs"))
-          .select(col("a"), explode(col("docs")).as("b"))
-          .filter(col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-          .agg(count(lit(1)).as("n_common"))
-          .filter(col("n_common").cast("double") /
-            (col("n_a") + col("n_b") - col("n_common")) >= 0.5)
-          .select("doc_a", "doc_b")
-        val edges = pairs
-          .union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst").cache()
-        var labels = edges.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id")).cache()
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 20) {
-          val neighborMin = edges
-            .join(labels.toDF("nid", "nlabel"), col("dst") === col("nid"))
-            .groupBy(col("src").as("id"))
-            .agg(min(col("nlabel")).as("nmin"))
-          val updated = labels.toDF("id", "old")
-            .join(neighborMin, Seq("id"), "left")
-            .select(col("id"),
-              least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
-            .cache()
-          converged = updated.toDF("id", "new_label")
-            .join(labels.toDF("id", "old_label"), Seq("id"))
-            .filter(col("new_label") =!= col("old_label"))
-            .limit(1).count() == 0L
-          labels.unpersist()
-          labels = updated
-          iter += 1
-        }
-        // a silent non-converged exit would emit split components that look
-        // plausible — fail loudly instead (diameter > 20 means the corpus
-        // needs the large-star/small-star O(log n) variant)
-        require(converged,
-          s"d8 label propagation did not converge in $iter iterations — component diameter exceeds the bound")
-        val out = labels.groupBy(col("label").as("cluster_id"))
+        neardupClusterLabels(s, dir)
+          .groupBy(col("label").as("cluster_id"))
           .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_doc"))
           .orderBy("cluster_id")
-        edges.unpersist()
-        out
       },
-      Some(s"""WITH RECURSIVE d AS (
-             |  SELECT doc_id, list_distinct(list_transform(
-             |           generate_series(1, len(words) - 2),
-             |           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shs
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
-             |  WHERE len(words) >= 3),
-             |sh AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM d),
-             |hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > $MaxShingleDf),
-             |idx AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
-             |common AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |         a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
-             |  FROM idx a JOIN idx b ON a.sh = b.sh AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2, 3, 4),
-             |pairs AS (
-             |  SELECT doc_a, doc_b FROM common
-             |  WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5),
-             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-             |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-             |nodes AS (SELECT DISTINCT a AS id FROM edges),
-             |walk(node, label) AS (
-             |  SELECT id, id FROM nodes
-             |  UNION
-             |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node)
+      Some(s"""WITH RECURSIVE $clusterCte
              |SELECT cluster_id, count(*) AS n_members, max(node) AS max_doc
              |FROM (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
              |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
       "near-dup clustering: connected components by min-label propagation"),
+
+    // Canonical selection — the step AFTER clustering in a production fuzzy
+    // dedup: each near-dup cluster keeps its best member (here: longest
+    // text, doc_id tiebreak — the "keep the richest copy" heuristic) and
+    // drops the rest. One window over cluster members; at 100 TB the
+    // window's partition is a cluster (a handful of rows), never the
+    // corpus, so this adds a single clusters-sized shuffle to d8's
+    // pipeline.
+    "d11_canonical_pick" -> GraftQuery(
+      (s, dir) => {
+        val labels = neardupClusterLabels(s, dir) // (id, label)
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        val scored = labels.join(docs, labels("id") === docs("doc_id"))
+        val w = Window.partitionBy("label")
+        scored
+          .withColumn("rn",
+            row_number().over(w.orderBy(col("n_chars").desc, col("doc_id"))))
+          .withColumn("n_members", count(lit(1)).over(w))
+          .filter(col("rn") === 1)
+          .select(col("label").as("cluster_id"), col("doc_id").as("keep_doc"),
+            col("n_chars").as("keep_chars"), col("n_members"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $clusterCte,
+             |labels AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+             |scored AS (SELECT l.cluster_id, l.node AS doc_id, d.n_chars
+             |           FROM labels l JOIN documents d ON d.doc_id = l.node)
+             |SELECT cluster_id, doc_id AS keep_doc, n_chars AS keep_chars, n_members
+             |FROM (SELECT cluster_id, doc_id, n_chars,
+             |             row_number() OVER (PARTITION BY cluster_id
+             |                                ORDER BY n_chars DESC, doc_id) AS rn,
+             |             count(*) OVER (PARTITION BY cluster_id) AS n_members
+             |      FROM scored) sub
+             |WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+      "canonical pick: keep the longest member of each near-dup cluster"),
 
     // Embedding-cosine near-dup dedup — the vector-space member of the
     // dedup family (d1 exact, d3 Jaccard, d4 MinHash, d5 SimHash, d9

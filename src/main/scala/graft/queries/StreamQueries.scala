@@ -292,5 +292,71 @@ object StreamQueries {
              |       min(value) AS min_value, max(value) AS max_value
              |FROM events GROUP BY event_type""".stripMargin),
       "streaming foreachBatch MERGE ingest — per-micro-batch lake upsert"),
+
+    // INCREMENTAL VIEW MAINTENANCE from the change feed — the lakehouse
+    // pattern that makes gold tables affordable at 100 TB: instead of
+    // recomputing an aggregate from the full silver table after every
+    // commit, consume its CDF stream and apply signed per-group deltas
+    // (insert/update_postimage = +1, update_preimage/delete = −1). Each
+    // micro-batch touches only the changed rows; the gold table never sees
+    // the corpus. Deltas are integer and associative, so the result is
+    // exact regardless of how the feed splits into micro-batches
+    // (maxFilesPerTrigger=1 forces several). The oracle recomputes the
+    // final aggregate from the final silver state relationally — the
+    // incremental path must land on the same numbers.
+    "st7_incremental_gold" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val silver = new MergeTable(s"${Registry.scratchRoot}/st7_silver_$id",
+          Seq("o_orderstatus"))
+        val gold = new MergeTable(s"${Registry.scratchRoot}/st7_gold_$id")
+        val base = Registry.t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+        silver.merge(s, base, Seq("o_orderkey"), changeFeed = true)          // v0: inserts
+        silver.merge(s, base.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M")),
+          Seq("o_orderkey"), changeFeed = true)                              // v1: updates
+        silver.merge(s, base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderstatus", lit("X")),
+          Seq("o_orderkey"), changeFeed = true)                              // v2: updates
+        val q = silver.changesStream(ss, maxFilesPerTrigger = Some(1))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val delta = batch
+              .withColumn("sign",
+                when(col(MergeTable.ChangeType).isin("insert", "update_postimage"), 1L)
+                  .otherwise(-1L))
+              .groupBy("o_orderstatus")
+              .agg(sum(col("sign")).as("dn"),
+                   sum(col("o_orderkey") * col("sign")).as("dkey"))
+            val merged =
+              if (!gold.exists)
+                delta.select(col("o_orderstatus"), col("dn").as("n"),
+                  col("dkey").as("key_sum"))
+              else gold.read(batch.sparkSession).select("o_orderstatus", "n", "key_sum")
+                .join(delta, Seq("o_orderstatus"), "full_outer")
+                .select(col("o_orderstatus"),
+                  (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+                  (coalesce(col("key_sum"), lit(0L)) + coalesce(col("dkey"), lit(0L)))
+                    .as("key_sum"))
+            gold.overwrite(merged.filter(col("n") > 0))
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st7_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        gold.read(s).orderBy("o_orderstatus")
+      },
+      Some("""WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+             |final AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 5 = 0 THEN 'X'
+             |              WHEN o_orderkey % 2 = 0 THEN 'M'
+             |              ELSE o_orderstatus END AS o_orderstatus
+             |  FROM base)
+             |SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
+      "incremental gold maintenance: signed CDF deltas, never a full recompute"),
   )
 }

@@ -410,5 +410,106 @@ object TextQueries {
              |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
              |  FROM documents)""".stripMargin),
       "casefold + punct strip + whitespace collapse, md5-pinned"),
+
+    // PII scrubbing — the redaction pass every training corpus needs before
+    // the tokenizer sees it. The synthetic corpus carries no PII, so each
+    // doc is enriched with DETERMINISTIC doc_id-derived PII (email, phone,
+    // long numeric id) on BOTH sides — the regexes do real work and the
+    // counts are non-vacuous. Redaction order matters (emails contain
+    // digits): email → phone → residual long-digit runs. Pure per-row
+    // Column algebra: codegen'd, shuffle-free, embarrassingly parallel at
+    // any scale. Patterns are shared Java-regex/RE2 syntax (char classes,
+    // bounded repeats — no lookaround), so Spark and DuckDB agree exactly.
+    "t15_pii_scrub" -> GraftQuery(
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "555-[0-9]{4}"
+        val idrun = "[0-9]{6,}"
+        t(s, dir, "documents")
+          .withColumn("enriched", concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" ref "), (col("doc_id") * 7919).cast("string")))
+          .withColumn("n_emails", regexp_count(col("enriched"), lit(email)))
+          .withColumn("n_phones", regexp_count(col("enriched"), lit(phone)))
+          .withColumn("pass1",
+            regexp_replace(regexp_replace(col("enriched"), email, "<EMAIL>"),
+              phone, "<PHONE>"))
+          .withColumn("n_ids", regexp_count(col("pass1"), lit(idrun)))
+          .withColumn("scrubbed", regexp_replace(col("pass1"), idrun, "<ID>"))
+          .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ids"),
+            length(col("scrubbed")).as("scrubbed_len"),
+            md5(col("scrubbed")).as("scrubbed_fp"))
+      },
+      Some("""WITH enriched AS (
+             |  SELECT doc_id,
+             |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             |         '@mail.example.com or call 555-' ||
+             |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             |         ' ref ' || CAST(doc_id * 7919 AS VARCHAR) AS enriched
+             |  FROM documents),
+             |p1 AS (
+             |  SELECT doc_id, enriched,
+             |         regexp_replace(regexp_replace(enriched,
+             |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |           '555-[0-9]{4}', '<PHONE>', 'g') AS pass1
+             |  FROM enriched)
+             |SELECT doc_id,
+             |       len(regexp_extract_all(enriched,
+             |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |       len(regexp_extract_all(enriched, '555-[0-9]{4}')) AS n_phones,
+             |       len(regexp_extract_all(pass1, '[0-9]{6,}')) AS n_ids,
+             |       length(regexp_replace(pass1, '[0-9]{6,}', '<ID>', 'g')) AS scrubbed_len,
+             |       md5(regexp_replace(pass1, '[0-9]{6,}', '<ID>', 'g')) AS scrubbed_fp
+             |FROM p1""".stripMargin),
+      "PII redaction: email/phone/id-run regex scrub, md5-pinned output"),
+
+    // Domain-mixture sampling — rebalance a crawl to TARGET per-source
+    // weights, the step that turns "whatever the crawler found" into the
+    // mixture a training run actually wants. Per-source keep-rates derive
+    // from declarative weights (w = source-index % 4 + 1) and the corpus
+    // census: keep-probability ∝ w / n_src, normalized to retain ~half the
+    // corpus. Membership is decided by an md5-derived uniform per doc, and
+    // the comparison is ALL-INTEGER (h·n_src·sum_w·2 < w·n_total·2³²) — no
+    // FP boundary can disagree between engines. At 100 TB: the census is a
+    // sources-sized aggregate broadcast back; the sample itself is one
+    // shuffle-free scan.
+    "t16_mixture_sample" -> GraftQuery(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val census = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+          .withColumn("w",
+            (regexp_extract(col("source"), "([0-9]+)$", 1).cast("long") % 4) + 1)
+        val tot = census.agg(sum("n_src").as("n_total"), sum("w").as("sum_w"))
+        val rates = census.crossJoin(broadcast(tot))
+        val kept = docs.join(broadcast(rates), Seq("source"))
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(concat('t16', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+          .filter(col("h") * col("n_src") * col("sum_w") * 2 <
+            col("w") * col("n_total") * lit(4294967296L))
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        census.select("source", "w", "n_src")
+          .join(kept, Seq("source"), "left")
+          .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+          .orderBy("source")
+      },
+      Some("""WITH census AS (
+             |  SELECT source, count(*) AS n_src,
+             |         (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4) + 1 AS w
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_total,
+             |               CAST(sum(w) AS BIGINT) AS sum_w FROM census),
+             |kept AS (
+             |  SELECT d.source, count(*) AS n_kept
+             |  FROM documents d JOIN census c USING (source), tot
+             |  WHERE CAST(('0x' || substring(md5('t16' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+             |             AS BIGINT) * c.n_src * tot.sum_w * 2
+             |        < c.w * tot.n_total * 4294967296
+             |  GROUP BY d.source)
+             |SELECT c.source, c.w, c.n_src, coalesce(k.n_kept, 0) AS n_kept
+             |FROM census c LEFT JOIN kept k USING (source)
+             |ORDER BY c.source""".stripMargin),
+      "declarative domain-mixture rebalancing, integer-exact hash sampling"),
   )
 }
