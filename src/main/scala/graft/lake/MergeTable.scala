@@ -71,7 +71,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   private case class Commit(schema: StructType, files: Seq[String],
                             statsLines: Seq[String], cdfDir: Option[String],
-                            constraints: Seq[(String, String)])
+                            constraints: Seq[(String, String)],
+                            ingested: Seq[String])
 
   private def readCommit(version: Long): Commit = {
     val lines = Files.readString(commitPath(version)).split("\n").toSeq
@@ -83,7 +84,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val Array(n, p) = l.stripPrefix("check\t").split("\t", 2)
       (dec(n), dec(p))
     }
-    Commit(schema, files, stats, cdf, checks)
+    val ingested = lines.collect { case l if l.startsWith("ingest\t") =>
+      dec(l.stripPrefix("ingest\t"))
+    }
+    Commit(schema, files, stats, cdf, checks, ingested)
   }
 
   /** Reference's `DeltaTable.isDeltaTable` probe (01:99; 02:147,172,197). */
@@ -507,6 +511,66 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     writeVersion(packed, v + 1)
   }
 
+  /** Append rows as a new commit: a new data directory plus the previous
+    * manifest carried forward by reference — the write-side complement of
+    * merge/overwrite for pure-insert loads (COPY INTO, streaming appends).
+    * Stats for carried files are inherited; only the appended files are
+    * scanned for theirs. Columns are aligned by name to the table schema.
+    */
+  def append(df: DataFrame): Unit = {
+    if (!exists) { overwrite(df); return }
+    val v = currentVersion
+    val aligned = df.select(schemaOf(v).fieldNames.map(col).toIndexedSeq: _*)
+    val newVersion = v + 1
+    val dataDir = newDataDir(newVersion)
+    writeData(aligned, dataDir)
+    val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
+    val oldFiles = filesOf(v)
+    commit(newVersion, oldFiles ++ newFiles, schemaOf(v),
+      carryStats(v, oldFiles) ++ collectStats(df.sparkSession, newFiles, schemaOf(v)))
+  }
+
+  /** COPY INTO analog (Delta/Databricks `COPY INTO`, Auto Loader's batch
+    * twin): load source FILES into the table exactly once. The set of
+    * already-ingested file paths is recorded in the commit log and carried
+    * forward, so re-running after a crash, a partial load, or on an
+    * unchanged directory is a no-op — file-level idempotency without any
+    * key-based dedup on the data itself. Returns the number of files
+    * actually loaded. The ledger is file PATHS (metadata-sized), never
+    * content hashes — at 100 TB hashing source bytes to decide idempotency
+    * would read the corpus twice.
+    */
+  def copyInto(spark: SparkSession, files: Seq[String]): Long = {
+    val normalized = files.map(f => Paths.get(f).toAbsolutePath.toString).sorted
+    val already = ingestedFiles.toSet
+    val fresh = normalized.filterNot(already)
+    if (fresh.isEmpty) return 0L
+    val df = spark.read.parquet(fresh: _*)
+    if (!exists) {
+      val v0dir = newDataDir(0L)
+      writeData(df, v0dir)
+      val newFiles = listParquet(Paths.get(root, v0dir)).map(relativize)
+      commit(0L, newFiles, df.schema, collectStats(spark, newFiles, df.schema),
+        ingestOverride = Some(fresh))
+      return fresh.size.toLong
+    }
+    val v = currentVersion
+    val aligned = df.select(schemaOf(v).fieldNames.map(col).toIndexedSeq: _*)
+    val newVersion = v + 1
+    val dataDir = newDataDir(newVersion)
+    writeData(aligned, dataDir)
+    val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
+    val oldFiles = filesOf(v)
+    commit(newVersion, oldFiles ++ newFiles, schemaOf(v),
+      carryStats(v, oldFiles) ++ collectStats(spark, newFiles, schemaOf(v)),
+      ingestOverride = Some((already ++ fresh).toSeq.sorted))
+    fresh.size.toLong
+  }
+
+  /** Source files already loaded by [[copyInto]] (current version's ledger). */
+  def ingestedFiles: Seq[String] =
+    if (exists) readCommit(currentVersion).ingested else Nil
+
   /** Delta RESTORE analog: roll the table BACK to the content of `version`
     * by committing a NEW version that references the old snapshot's files,
     * schema, and stats — history is preserved (the rolled-back versions
@@ -742,17 +806,22 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   private def commit(version: Long, files: Seq[String], schema: StructType,
                      statsLines: Seq[String] = Nil,
                      cdfDir: Option[String] = None,
-                     constraintsOverride: Option[Seq[(String, String)]] = None): Unit = {
+                     constraintsOverride: Option[Seq[(String, String)]] = None,
+                     ingestOverride: Option[Seq[String]] = None): Unit = {
     Files.createDirectories(logDir)
-    // CHECK constraints carry forward automatically (commits are never
-    // deleted, so version-1 is always readable); add/drop pass an override
-    val constraints = constraintsOverride.getOrElse(
+    // CHECK constraints and the copyInto ledger carry forward automatically
+    // (commits are never deleted, so version-1 is always readable);
+    // add/drop/copyInto pass overrides
+    val prev =
       if (version > 0 && Files.exists(commitPath(version - 1)))
-        readCommit(version - 1).constraints
-      else Nil)
+        Some(readCommit(version - 1))
+      else None
+    val constraints = constraintsOverride.getOrElse(prev.fold(Seq.empty[(String, String)])(_.constraints))
+    val ingested = ingestOverride.getOrElse(prev.fold(Seq.empty[String])(_.ingested))
     val content = (s"schema\t${enc(schema.toDDL)}" +:
       (cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
         constraints.map { case (n, p) => s"check\t${enc(n)}\t${enc(p)}" } ++
+        ingested.map(f => s"ingest\t${enc(f)}") ++
         files.map(f => s"file\t${enc(f)}") ++ statsLines.map(l => s"stat\t$l")))
       .mkString("\n")
     val tmp = logDir.resolve(s"$version.commit.tmp${System.nanoTime()}")

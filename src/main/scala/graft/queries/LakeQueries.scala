@@ -100,6 +100,34 @@ object LakeQueries {
              |FROM orders GROUP BY 1""".stripMargin),
       "CHECK constraints: validated on add, enforced per-row inside every write"),
 
+    // COPY INTO: file-level idempotent ingest. orders is staged as a
+    // 3-file directory; the first copyInto loads 2 files, the second loads
+    // the remaining 1 (already-loaded paths skipped via the commit-log
+    // ledger), the third is a complete no-op. The final table must equal
+    // orders exactly — any re-loaded file would double its rows and break
+    // the count/sum.
+    "m15_copy_into" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m15_${sanitize(dir)}"
+        val stage = s"$scratchRoot/m15stage_${sanitize(dir)}"
+        cleanDir(root); cleanDir(stage)
+        t(s, dir, "orders").repartition(3).write.mode("overwrite").parquet(stage)
+        val files = Files.list(Paths.get(stage)).iterator().asScala
+          .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        val n1 = table.copyInto(s, files.take(2))
+        val n2 = table.copyInto(s, files)      // loads only the third file
+        val n3 = table.copyInto(s, files)      // full no-op
+        require(n1 == 2 && n2 == 1 && n3 == 0,
+          s"copyInto idempotency broken: loaded $n1/$n2/$n3 of 2/1/0")
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "COPY INTO analog: commit-log file ledger makes ingest exactly-once"),
+
     // Time travel: after a partition-moving merge, version 0 must still
     // read as the ORIGINAL target (untouched files + superseded files both
     // remain addressable through the old manifest). Oracle = the pre-merge

@@ -301,7 +301,9 @@ object StreamQueries {
     // micro-batch touches only the changed rows; the gold table never sees
     // the corpus. Deltas are integer and associative, so the result is
     // exact regardless of how the feed splits into micro-batches
-    // (maxFilesPerTrigger=1 forces several). The oracle recomputes the
+    // (maxFilesPerTrigger caps each batch well below the ~3×32 feed files,
+    // forcing several genuine incremental rounds without paying ~100
+    // per-batch state commits at toy scale). The oracle recomputes the
     // final aggregate from the final silver state relationally — the
     // incremental path must land on the same numbers.
     "st7_incremental_gold" -> GraftQuery(
@@ -319,7 +321,7 @@ object StreamQueries {
         silver.merge(s, base.filter(col("o_orderkey") % 5 === 0)
           .withColumn("o_orderstatus", lit("X")),
           Seq("o_orderkey"), changeFeed = true)                              // v2: updates
-        val q = silver.changesStream(ss, maxFilesPerTrigger = Some(1))
+        val q = silver.changesStream(ss, maxFilesPerTrigger = Some(12))
           .writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val delta = batch

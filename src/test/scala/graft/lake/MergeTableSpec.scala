@@ -363,6 +363,35 @@ class MergeTableSpec extends SparkSpec {
     assert(t.read(spark).count() === 4)
   }
 
+  test("append carries the old manifest forward and only scans new files for stats") {
+    val t = new MergeTable(scratch("mt_append"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
+    val before = t.filesOf(t.currentVersion).toSet
+    t.append(df(Seq((3, "c", "p1"))))
+    val after = t.filesOf(t.currentVersion).toSet
+    assert(before.subsetOf(after), "append rewrote carried-forward files")
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p1")))
+  }
+
+  test("copyInto loads each source file exactly once across re-runs") {
+    val stage = scratch("mt_copy_stage")
+    df(Seq((1, "a", "p1"), (2, "b", "p2"))).repartition(2)
+      .write.mode("overwrite").parquet(stage)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    assert(files.size === 2)
+    val t = new MergeTable(scratch("mt_copy"), Seq("p"))
+    assert(t.copyInto(spark, files.take(1)) === 1)
+    assert(t.copyInto(spark, files) === 1)        // only the second file
+    assert(t.copyInto(spark, files) === 0)        // complete no-op
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (2, "b", "p2")))
+    assert(t.ingestedFiles.size === 2)
+    // the ledger survives unrelated commits
+    t.merge(spark, df(Seq((3, "c", "p1"))), Seq("k"))
+    assert(t.ingestedFiles.size === 2)
+    assert(t.copyInto(spark, files) === 0)
+  }
+
   test("commit races: one winner per version, every committed snapshot stays intact") {
     val t = new MergeTable(scratch("mt_occ"), Seq("p"))
     t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
