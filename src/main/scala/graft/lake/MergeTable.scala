@@ -54,7 +54,8 @@ import scala.jdk.CollectionConverters._
   * engine stays correct by default.
   */
 final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
-                       val statsCols: Seq[String] = Nil) {
+                       val statsCols: Seq[String] = Nil,
+                       val generatedCols: Seq[(String, String)] = Nil) {
 
   private val logDir: Path = Paths.get(root, "_graft_log")
   private def latestPath: Path = logDir.resolve("_LATEST")
@@ -168,14 +169,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             keysDeterminePartitions: Boolean = false): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     if (!exists) {
+      val gen = applyGenerated(source)
       val cdf =
-        if (changeFeed) Some(source.withColumn(MergeTable.ChangeType, lit("insert")))
+        if (changeFeed) Some(gen.withColumn(MergeTable.ChangeType, lit("insert")))
         else None
-      writeVersion(source, 0L, cdf)
+      writeVersion(gen, 0L, cdf)
       return
     }
 
-    val src = source.cache()
+    val src = applyGenerated(source).cache()
     try {
       if (checkUniqueSource) {
         val dup = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
@@ -422,6 +424,59 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     writeVersion(packed, v + 1)
   }
 
+  /** Partition-scoped compaction (Delta `OPTIMIZE ... WHERE` analog):
+    * rewrite only the files of partitions whose VALUES satisfy
+    * `partitionPredicate` (a predicate over partition columns only); every
+    * other file is carried forward by manifest reference, stats included.
+    * At 100 TB compaction is routinely restricted to the recently-written
+    * hot partitions — a full-table OPTIMIZE is neither affordable nor
+    * needed. The predicate is evaluated over the DISTINCT partition-value
+    * tuples parsed from the manifest's file paths (unescaped, cast to the
+    * schema's types) — metadata-sized, never a data scan.
+    */
+  def compactPartitions(spark: SparkSession, partitionPredicate: Column,
+                        parallelism: Int = 8): Unit = {
+    require(partitionCols.nonEmpty, "compactPartitions requires a partitioned table")
+    require(parallelism > 0, "parallelism must be positive")
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val v = currentVersion
+    val schema = schemaOf(v)
+    val oldFiles = filesOf(v)
+    def partDir(f: String): String = {
+      val segs = f.split('/')
+      segs.slice(1, segs.length - 1).mkString("/")
+    }
+    val rows = oldFiles.map(partDir).distinct.map { d =>
+      val vals = d.split('/').toSeq.map { seg =>
+        val raw = seg.substring(seg.indexOf('=') + 1)
+        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+        else ExternalCatalogUtils.unescapePathName(raw)
+      }
+      org.apache.spark.sql.Row.fromSeq(d +: vals)
+    }
+    val strSchema = StructType(StructField("_dir", StringType) +:
+      partitionCols.map(c => StructField(c, StringType)))
+    val matching = spark.createDataFrame(rows.asJava, strSchema)
+      .select(col("_dir") +: partitionCols.map(c =>
+        col(c).cast(schema(c).dataType).as(c)): _*)
+      .filter(partitionPredicate)
+      .select("_dir").collect().map(_.getString(0)).toSet
+    val (touchedRel, keptRel) = oldFiles.partition(f => matching.contains(partDir(f)))
+    val newVersion = v + 1
+    if (touchedRel.isEmpty) {
+      commit(newVersion, oldFiles, schema, carryStats(v, oldFiles))
+      return
+    }
+    val packed = readFiles(spark, touchedRel, schema)
+      .repartition(parallelism, partitionCols.map(col): _*)
+    val dataDir = newDataDir(newVersion)
+    writeData(packed, dataDir)
+    val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
+    commit(newVersion, keptRel ++ newFiles, schema,
+      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema))
+  }
+
   // ---- data skipping (Delta file-statistics analog) ----
 
   /** Per-file min/max statistics of `statsCols` for a snapshot:
@@ -520,7 +575,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   def append(df: DataFrame): Unit = {
     if (!exists) { overwrite(df); return }
     val v = currentVersion
-    val aligned = df.select(schemaOf(v).fieldNames.map(col).toIndexedSeq: _*)
+    val aligned = applyGenerated(df).select(schemaOf(v).fieldNames.map(col).toIndexedSeq: _*)
     val newVersion = v + 1
     val dataDir = newDataDir(newVersion)
     writeData(aligned, dataDir)
@@ -545,7 +600,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val already = ingestedFiles.toSet
     val fresh = normalized.filterNot(already)
     if (fresh.isEmpty) return 0L
-    val df = spark.read.parquet(fresh: _*)
+    val df = applyGenerated(spark.read.parquet(fresh: _*))
     if (!exists) {
       val v0dir = newDataDir(0L)
       writeData(df, v0dir)
@@ -715,12 +770,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
   private def writeVersion(df: DataFrame, version: Long,
                            changes: Option[DataFrame] = None): Unit = {
+    // generated columns must exist BEFORE the schema is committed — the
+    // commit's DDL and the written files must agree
+    val gen = applyGenerated(df)
     val dataDir = newDataDir(version)
-    writeData(df, dataDir)
+    writeData(gen, dataDir)
     val files = listParquet(Paths.get(root, dataDir)).map(relativize)
     val cdfDir = changes.map(c => writeChanges(c, version, dataDir))
-    commit(version, files, df.schema,
-      collectStats(df.sparkSession, files, df.schema), cdfDir)
+    commit(version, files, gen.schema,
+      collectStats(gen.sparkSession, files, gen.schema), cdfDir)
   }
 
   /** One metadata-sized job: per-file min/max of every stats column the
@@ -771,10 +829,26 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     s"cdf/$attemptDir"
   }
 
+  /** Generated columns (Delta generated-columns analog, declared per table
+    * handle like `partitionCols`): a missing column is DERIVED from its
+    * expression at write time; a provided one is VALIDATED against it with
+    * a per-row raising filter (Delta enforces the same consistency) — both
+    * fused into the write, never a second scan.
+    */
+  private def applyGenerated(df: DataFrame): DataFrame =
+    generatedCols.foldLeft(df) { case (d, (name, genExpr)) =>
+      if (!d.columns.contains(name)) d.withColumn(name, expr(genExpr))
+      else d.filter(
+        when(col(name) <=> expr(genExpr), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"generated column '$name' != $genExpr on row: "),
+            to_json(struct(d.columns.map(col): _*)))).cast("boolean")))
+    }
+
   private def writeData(df: DataFrame, dataDir: String): Unit = {
     // constraint enforcement rides the write itself: a per-row codegen'd
     // filter whose violation branch raises — never a second scan
-    val checked = checkConstraints.foldLeft(df) { case (d, (name, pred)) =>
+    val checked = checkConstraints.foldLeft(applyGenerated(df)) { case (d, (name, pred)) =>
       d.filter(
         when(coalesce(expr(pred), lit(true)), lit(true))
           .otherwise(raise_error(concat(

@@ -128,6 +128,61 @@ object LakeQueries {
              |FROM orders GROUP BY o_orderstatus""".stripMargin),
       "COPY INTO analog: commit-log file ledger makes ingest exactly-once"),
 
+    // Generated columns: the table derives o_year = year(o_orderdate) at
+    // write time (the reference's own year/month-from-processing-date
+    // pattern, lifted into the engine like Delta's generated columns).
+    // Neither the initial load nor the merge source carries o_year — the
+    // engine must synthesize it consistently on both paths.
+    "m16_generated_cols" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m16_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_year"),
+          generatedCols = Seq("o_year" -> "year(o_orderdate)"))
+        table.overwrite(orders.filter(col("o_orderkey") % 4 =!= 3))
+        table.merge(s, orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+          Seq("o_orderkey"))
+        table.read(s).groupBy("o_year")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 3),
+             |     src AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+             |     final AS (
+             |       SELECT o_orderkey, o_orderdate FROM tgt
+             |       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |       UNION ALL SELECT o_orderkey, o_orderdate FROM src)
+             |SELECT year(o_orderdate) AS o_year, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM final GROUP BY 1""".stripMargin),
+      "generated columns: derived at write time on load and merge paths"),
+
+    // OPTIMIZE ... WHERE: compaction restricted to ONE partition's files;
+    // the other partitions' files are carried forward by reference
+    // (file-identity asserted in MergeTableSpec); the oracle checks the
+    // rewrite changed nothing about the data.
+    "m17_optimize_where" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m17_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        table.merge(s, orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+          Seq("o_orderkey"))
+        table.compactPartitions(s, col("o_orderstatus") === "F")
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("price_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       round(sum(CASE WHEN o_orderkey % 3 = 0
+             |                      THEN o_totalprice + 1000.0
+             |                      ELSE o_totalprice END), 2) AS price_sum
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "OPTIMIZE WHERE analog: partition-scoped compaction, manifest carry-forward"),
+
     // Time travel: after a partition-moving merge, version 0 must still
     // read as the ORIGINAL target (untouched files + superseded files both
     // remain addressable through the old manifest). Oracle = the pre-merge

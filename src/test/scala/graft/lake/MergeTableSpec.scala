@@ -392,6 +392,51 @@ class MergeTableSpec extends SparkSpec {
     assert(t.copyInto(spark, files) === 0)
   }
 
+  test("generated columns: derived when missing, validated when provided") {
+    def msgChain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val t = new MergeTable(scratch("mt_gen"), Seq("kmod"),
+      generatedCols = Seq("kmod" -> "k % 2"))
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v")) // no kmod column
+    assert(t.read(spark).columns.contains("kmod"))
+    val got = t.read(spark).select("k", "kmod").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got === Set((1, 1), (2, 0)))
+    // merge with a source that also lacks the generated column
+    t.merge(spark, Seq((3, "c")).toDF("k", "v"), Seq("k"))
+    assert(t.read(spark).filter(col("k") === 3).select("kmod")
+      .collect().head.getInt(0) === 1)
+    // a provided-but-inconsistent value raises mid-write
+    val ex = intercept[Exception] {
+      t.merge(spark, Seq((4, "d", 7)).toDF("k", "v", "kmod"), Seq("k"))
+    }
+    assert(msgChain(ex).contains("generated column"), msgChain(ex))
+    // a provided-and-consistent value passes
+    t.merge(spark, Seq((4, "d", 0)).toDF("k", "v", "kmod"), Seq("k"))
+    assert(t.read(spark).count() === 4)
+  }
+
+  test("compactPartitions rewrites only matching partitions (OPTIMIZE WHERE)") {
+    val t = new MergeTable(scratch("mt_optwhere"), Seq("p"))
+    t.overwrite(df((1 to 40).map(k => (k, s"v$k", if (k % 2 == 0) "pe" else "po"))))
+    t.merge(spark, df(Seq((2, "V2", "pe"), (3, "V3", "po"))), Seq("k"))
+    val before = asSet(t.read(spark))
+    val poBefore = t.filesOf(t.currentVersion).filter(_.contains("/p=po/")).toSet
+    assert(t.filesOf(t.currentVersion).count(_.contains("/p=pe/")) > 1,
+      "fixture must fragment pe before compaction")
+    t.compactPartitions(spark, col("p") === "pe")
+    val files = t.filesOf(t.currentVersion)
+    assert(files.count(_.contains("/p=pe/")) === 1, "pe not compacted to one file")
+    assert(files.filter(_.contains("/p=po/")).toSet === poBefore,
+      "untouched partition's files must be carried forward by reference")
+    assert(asSet(t.read(spark)) === before)
+    // predicate matching nothing commits a metadata-only version
+    val vv = t.currentVersion
+    t.compactPartitions(spark, col("p") === "nope")
+    assert(t.currentVersion === vv + 1 && t.filesOf(vv + 1) === t.filesOf(vv))
+  }
+
   test("commit races: one winner per version, every committed snapshot stays intact") {
     val t = new MergeTable(scratch("mt_occ"), Seq("p"))
     t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
