@@ -424,6 +424,36 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     writeVersion(packed, v + 1)
   }
 
+  /** Zero-copy CLONE (Delta CLONE analog): the current snapshot's data
+    * files are HARD-LINKED into `targetRoot` — same filesystem ⇒ O(files)
+    * metadata operations, no data movement — and committed as the clone's
+    * version 0 together with the source's stats, constraints, and ingest
+    * ledger. Delta's shallow clone breaks when the source is vacuumed; the
+    * links keep shared blocks alive instead, so either table can merge,
+    * vacuum, or be deleted entirely without affecting the other, while
+    * unmodified files still share storage (writes never mutate files in
+    * place — every write lands in a fresh attempt dir). Falls back to a
+    * copy per file if the target sits on another filesystem.
+    */
+  def cloneTo(targetRoot: String): MergeTable = {
+    val v = currentVersion
+    val c = readCommit(v)
+    val target = new MergeTable(targetRoot, partitionCols, statsCols, generatedCols)
+    require(!target.exists, s"clone target $targetRoot already exists")
+    c.files.foreach { rel =>
+      val srcP = Paths.get(root, rel)
+      val dstP = Paths.get(targetRoot, rel)
+      Files.createDirectories(dstP.getParent)
+      try Files.createLink(dstP, srcP)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException
+                if !Files.exists(dstP) => Files.copy(srcP, dstP) }
+    }
+    target.commit(0L, c.files, c.schema, c.statsLines,
+      constraintsOverride = Some(c.constraints),
+      ingestOverride = Some(c.ingested))
+    target
+  }
+
   /** Partition-scoped compaction (Delta `OPTIMIZE ... WHERE` analog):
     * rewrite only the files of partitions whose VALUES satisfy
     * `partitionPredicate` (a predicate over partition columns only); every

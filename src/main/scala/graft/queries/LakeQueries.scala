@@ -183,6 +183,34 @@ object LakeQueries {
              |FROM orders GROUP BY o_orderstatus""".stripMargin),
       "OPTIMIZE WHERE analog: partition-scoped compaction, manifest carry-forward"),
 
+    // CLONE: hard-link zero-copy snapshot clone, then DIVERGE both sides
+    // and vacuum the source with the no-writers promise — the clone must
+    // read its own evolved state untouched (hard links outlive the
+    // source's housekeeping, the property Delta's shallow clone lacks).
+    "m18_clone" -> GraftQuery(
+      (s, dir) => {
+        val rootS = s"$scratchRoot/m18src_${sanitize(dir)}"
+        val rootC = s"$scratchRoot/m18dst_${sanitize(dir)}"
+        cleanDir(rootS); cleanDir(rootC)
+        val orders = t(s, dir, "orders")
+        val srcT = new MergeTable(rootS, Seq("o_orderstatus"))
+        srcT.overwrite(orders)
+        val cl = srcT.cloneTo(rootC)
+        cl.merge(s, orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+          Seq("o_orderkey"))
+        srcT.delete(s, col("o_orderstatus") === "O")
+        srcT.vacuum(minAgeMs = 0)
+        cl.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("price_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       round(sum(CASE WHEN o_orderkey % 2 = 0
+             |                      THEN o_totalprice + 1000.0
+             |                      ELSE o_totalprice END), 2) AS price_sum
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "zero-copy CLONE: hard-linked snapshot, fully independent lifecycle"),
+
     // Time travel: after a partition-moving merge, version 0 must still
     // read as the ORIGINAL target (untouched files + superseded files both
     // remain addressable through the old manifest). Oracle = the pre-merge

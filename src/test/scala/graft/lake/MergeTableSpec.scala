@@ -437,6 +437,27 @@ class MergeTableSpec extends SparkSpec {
     assert(t.currentVersion === vv + 1 && t.filesOf(vv + 1) === t.filesOf(vv))
   }
 
+  test("cloneTo is zero-copy and fully independent of the source afterwards") {
+    val src = new MergeTable(scratch("mt_clone_src"), Seq("p"))
+    src.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
+    src.merge(spark, df(Seq((2, "B", "p2"))), Seq("k"))
+    val clone = src.cloneTo(scratch("mt_clone_dst"))
+    assert(asSet(clone.read(spark)) === Set((1, "a", "p1"), (2, "B", "p2")))
+    // divergence: each side evolves without touching the other
+    clone.merge(spark, df(Seq((3, "c", "p1"))), Seq("k"))
+    src.merge(spark, df(Seq((9, "z", "p2"))), Seq("k"))
+    assert(asSet(clone.read(spark)) ===
+      Set((1, "a", "p1"), (2, "B", "p2"), (3, "c", "p1")))
+    assert(asSet(src.read(spark)) ===
+      Set((1, "a", "p1"), (2, "B", "p2"), (9, "z", "p2")))
+    // the strong property Delta's shallow clone lacks: DELETE the source
+    // entirely — hard links keep the shared blocks alive for the clone
+    java.nio.file.Files.walk(java.nio.file.Paths.get(src.root))
+      .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    assert(asSet(clone.read(spark)) ===
+      Set((1, "a", "p1"), (2, "B", "p2"), (3, "c", "p1")))
+  }
+
   test("commit races: one winner per version, every committed snapshot stays intact") {
     val t = new MergeTable(scratch("mt_occ"), Seq("p"))
     t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
