@@ -511,5 +511,37 @@ object TextQueries {
              |FROM census c LEFT JOIN kept k USING (source)
              |ORDER BY c.source""".stripMargin),
       "declarative domain-mixture rebalancing, integer-exact hash sampling"),
+
+    // Sliding-window chunking — long documents split into overlapping
+    // token windows (W=40, stride 30), the materialization step feeding
+    // embedding models and pretraining dataloaders. Chunk COUNT is integer
+    // arithmetic (ceil-div via (x+S-1) div S), windows come from
+    // `sequence` + `slice` + `explode` — pure codegen'd array algebra, one
+    // row-multiplying explode and zero shuffles; at 100 TB this is a
+    // map-only stage whose output partitioning follows the input's. Both
+    // engines clamp the final short window the same way, and each chunk is
+    // md5-pinned so window boundaries are checked exactly.
+    "t17_chunk_windows" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_chunks",
+          expr("((greatest(size(words) - 40, 0) + 29) div 30) + 1"))
+        .withColumn("chunk_idx", explode(expr("sequence(0, n_chunks - 1)")))
+        .withColumn("chunk", expr("slice(words, chunk_idx * 30 + 1, 40)"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_fp")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |n AS (SELECT doc_id, words,
+             |             ((greatest(len(words) - 40, 0) + 29) // 30) + 1 AS n_chunks
+             |      FROM d),
+             |x AS (SELECT doc_id, words, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+             |      FROM n)
+             |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |       len(words[chunk_idx * 30 + 1 : chunk_idx * 30 + 40]) AS n_tokens,
+             |       md5(array_to_string(words[chunk_idx * 30 + 1 : chunk_idx * 30 + 40], ' '))
+             |         AS chunk_fp
+             |FROM x""".stripMargin),
+      "overlapping token-window chunking: map-only array algebra, md5-pinned"),
   )
 }
