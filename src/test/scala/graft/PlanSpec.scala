@@ -152,6 +152,35 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected ≤2 hash exchanges, got $exchanges:\n$plan")
   }
 
+  /** The FINAL adaptive plan only — AdaptiveSparkPlanExec.toString also
+    * renders the pre-AQE initial plan, whose join picks are superseded.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }).toString
+
+  test("t16 mixture sampling broadcasts the census, never shuffles the corpus") {
+    val q = graft.queries.Registry.all("t16_mixture_sample")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = finalPlan(q)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"census/totals not broadcast to the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side shuffled for a sources-sized join:\n$plan")
+  }
+
+  test("t17 chunking is map-only: zero exchanges over the corpus") {
+    val q = graft.queries.Registry.all("t17_chunk_windows")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking introduced a shuffle — must stay map-only:\n$plan")
+  }
+
   test("aggregation pipeline runs inside WholeStageCodegen") {
     val df = (1 to 5000).map(i => (i % 10, i.toLong)).toDF("g", "v")
     val q = df.filter($"v" > 10).groupBy("g")
