@@ -73,7 +73,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   private case class Commit(schema: StructType, files: Seq[String],
                             statsLines: Seq[String], cdfDir: Option[String],
                             constraints: Seq[(String, String)],
-                            ingested: Seq[String])
+                            ingested: Seq[String],
+                            txns: Map[String, Long])
 
   private def readCommit(version: Long): Commit = {
     val lines = Files.readString(commitPath(version)).split("\n").toSeq
@@ -88,7 +89,11 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val ingested = lines.collect { case l if l.startsWith("ingest\t") =>
       dec(l.stripPrefix("ingest\t"))
     }
-    Commit(schema, files, stats, cdf, checks, ingested)
+    val txns = lines.collect { case l if l.startsWith("txn\t") =>
+      val Array(a, ver) = l.stripPrefix("txn\t").split("\t", 2)
+      dec(a) -> ver.toLong
+    }.toMap
+    Commit(schema, files, stats, cdf, checks, ingested, txns)
   }
 
   /** Reference's `DeltaTable.isDeltaTable` probe (01:99; 02:147,172,197). */
@@ -147,11 +152,24 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
   /** Initial load — reference's `format("delta").mode("overwrite").
     * partitionBy("year","month").save(path)` branch (01:115-121).
+    *
+    * `txn` (Delta's `txn` action / `txnAppId`+`txnVersion` analog) records
+    * an application-level transaction version ATOMICALLY with the data
+    * commit: an exactly-once writer (e.g. a foreachBatch sink) checks
+    * [[lastTxnVersion]] and skips batches already applied — replay after a
+    * crash can never double-apply, because the marker and the data are one
+    * atomic commit.
     */
-  def overwrite(df: DataFrame): Unit = {
+  def overwrite(df: DataFrame, txn: Option[(String, Long)] = None): Unit = {
     val v = if (exists) currentVersion + 1 else 0L
-    writeVersion(df, v)
+    writeVersion(df, v, txn = txn)
   }
+
+  /** Highest transaction version recorded for `appId` (see [[overwrite]]'s
+    * `txn` doc), or None if the app never committed here.
+    */
+  def lastTxnVersion(appId: String): Option[Long] =
+    if (exists) readCommit(currentVersion).txns.get(appId) else None
 
   /** Delta MERGE semantics (SURVEY.md §2.6): UPDATE-ALL / INSERT-ALL
     * equi-key upsert — "source wins":
@@ -166,14 +184,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             checkUniqueSource: Boolean = true,
             mergeSchema: Boolean = false,
             changeFeed: Boolean = false,
-            keysDeterminePartitions: Boolean = false): Unit = {
+            keysDeterminePartitions: Boolean = false,
+            txn: Option[(String, Long)] = None): Unit = {
     require(keys.nonEmpty, "merge requires at least one key column")
     if (!exists) {
       val gen = applyGenerated(source)
       val cdf =
         if (changeFeed) Some(gen.withColumn(MergeTable.ChangeType, lit("insert")))
         else None
-      writeVersion(gen, 0L, cdf)
+      writeVersion(gen, 0L, cdf, txn)
       return
     }
 
@@ -293,7 +312,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
       commit(newVersion, keptRel ++ newFiles, newData.schema,
         carryStats(v, keptRel) ++ collectStats(spark, newFiles, newData.schema),
-        cdfDir)
+        cdfDir, txn = txn)
     } finally src.unpersist()
   }
 
@@ -444,6 +463,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val srcP = Paths.get(root, rel)
       val dstP = Paths.get(targetRoot, rel)
       Files.createDirectories(dstP.getParent)
+      // a crashed earlier clone attempt may have left links behind (no
+      // commit was published, so the target still reads as nonexistent) —
+      // relink rather than fail the retry
+      Files.deleteIfExists(dstP)
       try Files.createLink(dstP, srcP)
       catch { case _: UnsupportedOperationException | _: java.io.IOException
                 if !Files.exists(dstP) => Files.copy(srcP, dstP) }
@@ -799,7 +822,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     s"d${version}u${java.lang.Long.toHexString(System.nanoTime())}"
 
   private def writeVersion(df: DataFrame, version: Long,
-                           changes: Option[DataFrame] = None): Unit = {
+                           changes: Option[DataFrame] = None,
+                           txn: Option[(String, Long)] = None): Unit = {
     // generated columns must exist BEFORE the schema is committed — the
     // commit's DDL and the written files must agree
     val gen = applyGenerated(df)
@@ -808,7 +832,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val files = listParquet(Paths.get(root, dataDir)).map(relativize)
     val cdfDir = changes.map(c => writeChanges(c, version, dataDir))
     commit(version, files, gen.schema,
-      collectStats(gen.sparkSession, files, gen.schema), cdfDir)
+      collectStats(gen.sparkSession, files, gen.schema), cdfDir, txn = txn)
   }
 
   /** One metadata-sized job: per-file min/max of every stats column the
@@ -911,7 +935,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                      statsLines: Seq[String] = Nil,
                      cdfDir: Option[String] = None,
                      constraintsOverride: Option[Seq[(String, String)]] = None,
-                     ingestOverride: Option[Seq[String]] = None): Unit = {
+                     ingestOverride: Option[Seq[String]] = None,
+                     txn: Option[(String, Long)] = None): Unit = {
     Files.createDirectories(logDir)
     // CHECK constraints and the copyInto ledger carry forward automatically
     // (commits are never deleted, so version-1 is always readable);
@@ -922,10 +947,12 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       else None
     val constraints = constraintsOverride.getOrElse(prev.fold(Seq.empty[(String, String)])(_.constraints))
     val ingested = ingestOverride.getOrElse(prev.fold(Seq.empty[String])(_.ingested))
+    val txns = prev.fold(Map.empty[String, Long])(_.txns) ++ txn
     val content = (s"schema\t${enc(schema.toDDL)}" +:
       (cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
         constraints.map { case (n, p) => s"check\t${enc(n)}\t${enc(p)}" } ++
         ingested.map(f => s"ingest\t${enc(f)}") ++
+        txns.toSeq.sortBy(_._1).map { case (a, ver) => s"txn\t${enc(a)}\t$ver" } ++
         files.map(f => s"file\t${enc(f)}") ++ statsLines.map(l => s"stat\t$l")))
       .mkString("\n")
     val tmp = logDir.resolve(s"$version.commit.tmp${System.nanoTime()}")

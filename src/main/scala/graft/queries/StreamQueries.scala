@@ -323,7 +323,12 @@ object StreamQueries {
           Seq("o_orderkey"), changeFeed = true)                              // v2: updates
         val q = silver.changesStream(ss, maxFilesPerTrigger = Some(12))
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // exactly-once under micro-batch REPLAY: the applied batch id is
+            // recorded atomically with the data (Delta's txn action analog),
+            // so a crash between sink commit and checkpoint advance cannot
+            // double-apply the delta on restart
+            if (!gold.lastTxnVersion("st7").exists(_ >= batchId)) {
             val delta = batch
               .withColumn("sign",
                 when(col(MergeTable.ChangeType).isin("insert", "update_postimage"), 1L)
@@ -341,7 +346,8 @@ object StreamQueries {
                   (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
                   (coalesce(col("key_sum"), lit(0L)) + coalesce(col("dkey"), lit(0L)))
                     .as("key_sum"))
-            gold.overwrite(merged.filter(col("n") > 0))
+            gold.overwrite(merged.filter(col("n") > 0), txn = Some("st7" -> batchId))
+            }
           }
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", s"${Registry.scratchRoot}/st7_ckpt_$id")

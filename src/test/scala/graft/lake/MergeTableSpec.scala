@@ -458,6 +458,26 @@ class MergeTableSpec extends SparkSpec {
       Set((1, "a", "p1"), (2, "B", "p2"), (3, "c", "p1")))
   }
 
+  test("txn versions make replayed writes exactly-once") {
+    val t = new MergeTable(scratch("mt_txn"), Seq("p"))
+    // the foreachBatch idempotency recipe: skip batches already recorded
+    def applyBatch(id: Long, rows: Seq[(Int, String, String)]): Unit =
+      if (!t.lastTxnVersion("app").exists(_ >= id))
+        t.merge(spark, df(rows), Seq("k"), txn = Some("app" -> id))
+    applyBatch(0, Seq((1, "a", "p1")))
+    applyBatch(1, Seq((2, "b", "p1")))
+    assert(t.lastTxnVersion("app") === Some(1L))
+    val vBefore = t.currentVersion
+    applyBatch(1, Seq((2, "DOUBLE", "p1"))) // replay after a crash: skipped
+    assert(t.currentVersion === vBefore)
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (2, "b", "p1")))
+    // other apps don't interfere; versions carry forward across commits
+    t.merge(spark, df(Seq((3, "c", "p2"))), Seq("k"), txn = Some("other" -> 7L))
+    assert(t.lastTxnVersion("app") === Some(1L))
+    assert(t.lastTxnVersion("other") === Some(7L))
+    assert(t.lastTxnVersion("nope") === None)
+  }
+
   test("commit races: one winner per version, every committed snapshot stays intact") {
     val t = new MergeTable(scratch("mt_occ"), Seq("p"))
     t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
