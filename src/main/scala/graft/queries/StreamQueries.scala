@@ -366,5 +366,37 @@ object StreamQueries {
              |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
              |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
       "incremental gold maintenance: signed CDF deltas, never a full recompute"),
+
+    // Stream-STATIC enrichment join — the most common streaming join in
+    // practice (events enriched by a dimension) and deliberately stateless:
+    // the static side is broadcast to every micro-batch, so unlike the
+    // stream-stream st5 there is no join state to watermark-evict and the
+    // stream side never shuffles for the join. At 100 TB/day the dimension
+    // stays MBs — this is the shape that scales. Aggregation runs in
+    // complete mode (totals over the whole stream), hash-checked against
+    // the batch equivalent; integer measures keep it FP-order-proof.
+    "st8_stream_static" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val sink = s"st8_sink_$id"
+        val dim = Registry.t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        val q = StreamingOps.readEventStream(ss, stageEvents(dir, id))
+          .withColumn("n_nationkey", (col("user_id") % 25).cast("long"))
+          .join(broadcast(dim), Seq("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_events"), sum("event_id").as("id_sum"))
+          .writeStream.format("memory").queryName(sink).outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st8_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        ss.table(sink).orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n_events,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      "stream-static broadcast enrichment: stateless join, complete-mode totals"),
   )
 }
