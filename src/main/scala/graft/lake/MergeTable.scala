@@ -96,6 +96,39 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     Commit(schema, files, stats, cdf, checks, ingested, txns)
   }
 
+  /** The non-file metadata of a commit (cdf dir, constraints, ingest
+    * ledger, txns) WITHOUT materializing the file/stat lines — manifests
+    * are the dominant part of a commit (10^5+ lines at scale), and the
+    * metadata readers on the hot write path (constraint lookup, txn
+    * lookup, carry-forward) must not pay a full-manifest decode per call.
+    */
+  private case class CommitMeta(cdfDir: Option[String],
+                                constraints: Seq[(String, String)],
+                                ingested: Seq[String],
+                                txns: Map[String, Long])
+
+  private def readMeta(version: Long): CommitMeta = {
+    val s = Files.lines(commitPath(version))
+    try {
+      var cdf: Option[String] = None
+      val checks = Seq.newBuilder[(String, String)]
+      val ingested = Seq.newBuilder[String]
+      val txns = Map.newBuilder[String, Long]
+      s.iterator().asScala.foreach {
+        case l if l.startsWith("cdf\t") => cdf = Some(dec(l.stripPrefix("cdf\t")))
+        case l if l.startsWith("check\t") =>
+          val Array(n, p) = l.stripPrefix("check\t").split("\t", 2)
+          checks += (dec(n) -> dec(p))
+        case l if l.startsWith("ingest\t") => ingested += dec(l.stripPrefix("ingest\t"))
+        case l if l.startsWith("txn\t") =>
+          val Array(a, ver) = l.stripPrefix("txn\t").split("\t", 2)
+          txns += (dec(a) -> ver.toLong)
+        case _ => ()
+      }
+      CommitMeta(cdf, checks.result(), ingested.result(), txns.result())
+    } finally s.close()
+  }
+
   /** Reference's `DeltaTable.isDeltaTable` probe (01:99; 02:147,172,197). */
   def exists: Boolean = Files.exists(latestPath) || Files.exists(commitPath(0))
 
@@ -169,7 +202,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * `txn` doc), or None if the app never committed here.
     */
   def lastTxnVersion(appId: String): Option[Long] =
-    if (exists) readCommit(currentVersion).txns.get(appId) else None
+    if (exists) readMeta(currentVersion).txns.get(appId) else None
 
   /** Delta MERGE semantics (SURVEY.md §2.6): UPDATE-ALL / INSERT-ALL
     * equi-key upsert — "source wins":
@@ -326,8 +359,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   def changes(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
     val dirs = (fromVersion to toVersion).flatMap { ver =>
       if (!Files.exists(commitPath(ver))) None
-      else readCommit(ver).cdfDir.map { d =>
+      else readMeta(ver).cdfDir.map { d =>
         val p = Paths.get(root, d)
+        // self-heal the one-rename crash window: the feed was fully
+        // written BEFORE its commit, so a still-staged dir is complete —
+        // finish the publish rename on its behalf
+        val staged = Paths.get(root, MergeTable.stagingOf(d))
+        if (!Files.exists(p) && Files.exists(staged))
+          try Files.move(staged, p, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
         // the commit PROMISED a feed — a missing directory is data loss the
         // consumer must see, never a silently-shorter feed
         if (!Files.exists(p)) throw new IllegalStateException(
@@ -473,7 +513,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     }
     target.commit(0L, c.files, c.schema, c.statsLines,
       constraintsOverride = Some(c.constraints),
-      ingestOverride = Some(c.ingested))
+      ingestOverride = Some(c.ingested),
+      txnsOverride = Some(c.txns)) // exactly-once writers stay exactly-once on the clone
     target
   }
 
@@ -627,15 +668,31 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   def append(df: DataFrame): Unit = {
     if (!exists) { overwrite(df); return }
+    appendAligned(df, ingestOverride = None)
+  }
+
+  /** Shared exists-path of [[append]] and [[copyInto]]: align columns to
+    * the table schema (extra source columns FAIL LOUDLY — silently
+    * dropping ingested data is worse than an error; evolve with
+    * `merge(mergeSchema = true)` instead), write a new data dir, and
+    * commit it alongside the carried-forward manifest.
+    */
+  private def appendAligned(df: DataFrame, ingestOverride: Option[Seq[String]]): Unit = {
     val v = currentVersion
-    val aligned = applyGenerated(df).select(schemaOf(v).fieldNames.map(col).toIndexedSeq: _*)
+    val gen = applyGenerated(df)
+    val extra = gen.columns.toSet -- schemaOf(v).fieldNames
+    require(extra.isEmpty,
+      s"append into $root: columns ${extra.mkString(", ")} are not in the table schema — " +
+        "use merge(mergeSchema = true) to evolve the schema")
+    val aligned = gen.select(schemaOf(v).fieldNames.map(col).toIndexedSeq: _*)
     val newVersion = v + 1
     val dataDir = newDataDir(newVersion)
     writeData(aligned, dataDir)
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     val oldFiles = filesOf(v)
     commit(newVersion, oldFiles ++ newFiles, schemaOf(v),
-      carryStats(v, oldFiles) ++ collectStats(df.sparkSession, newFiles, schemaOf(v)))
+      carryStats(v, oldFiles) ++ collectStats(df.sparkSession, newFiles, schemaOf(v)),
+      ingestOverride = ingestOverride)
   }
 
   /** COPY INTO analog (Delta/Databricks `COPY INTO`, Auto Loader's batch
@@ -653,38 +710,36 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val already = ingestedFiles.toSet
     val fresh = normalized.filterNot(already)
     if (fresh.isEmpty) return 0L
-    val df = applyGenerated(spark.read.parquet(fresh: _*))
+    val df = spark.read.parquet(fresh: _*)
     if (!exists) {
+      val gen = applyGenerated(df)
       val v0dir = newDataDir(0L)
-      writeData(df, v0dir)
+      writeData(gen, v0dir)
       val newFiles = listParquet(Paths.get(root, v0dir)).map(relativize)
-      commit(0L, newFiles, df.schema, collectStats(spark, newFiles, df.schema),
+      commit(0L, newFiles, gen.schema, collectStats(spark, newFiles, gen.schema),
         ingestOverride = Some(fresh))
       return fresh.size.toLong
     }
-    val v = currentVersion
-    val aligned = df.select(schemaOf(v).fieldNames.map(col).toIndexedSeq: _*)
-    val newVersion = v + 1
-    val dataDir = newDataDir(newVersion)
-    writeData(aligned, dataDir)
-    val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
-    val oldFiles = filesOf(v)
-    commit(newVersion, oldFiles ++ newFiles, schemaOf(v),
-      carryStats(v, oldFiles) ++ collectStats(spark, newFiles, schemaOf(v)),
-      ingestOverride = Some((already ++ fresh).toSeq.sorted))
+    appendAligned(df, ingestOverride = Some((already ++ fresh).toSeq.sorted))
     fresh.size.toLong
   }
 
   /** Source files already loaded by [[copyInto]] (current version's ledger). */
   def ingestedFiles: Seq[String] =
-    if (exists) readCommit(currentVersion).ingested else Nil
+    if (exists) readMeta(currentVersion).ingested else Nil
 
-  /** Delta RESTORE analog: roll the table BACK to the content of `version`
+  /** Delta RESTORE analog: roll the table BACK to the state of `version`
     * by committing a NEW version that references the old snapshot's files,
     * schema, and stats — history is preserved (the rolled-back versions
     * remain time-travel-readable), and no data is copied: restore is a
     * metadata-only commit at any scale, exactly like Delta's RESTORE which
-    * re-adds the old files in a new log entry. The restored version must be
+    * re-adds the old files in a new log entry. The FULL logical state of
+    * that version is restored, not just its rows: CHECK constraints, the
+    * copyInto ledger, and txn versions all roll back with it — carrying
+    * the tip's forward would strand constraints on columns the restored
+    * schema lacks (every later write fails to resolve), silently refuse to
+    * re-ingest rolled-back files, and make exactly-once sinks skip batches
+    * whose effects were just rolled back. The restored version must be
     * inside the vacuum horizon — its files must still exist.
     */
   def restore(version: Long): Unit = {
@@ -695,7 +750,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val cur = currentVersion
     require(version <= cur, s"cannot restore $root to future version $version (tip is $cur)")
     val c = readCommit(version)
-    commit(cur + 1, c.files, c.schema, c.statsLines)
+    commit(cur + 1, c.files, c.schema, c.statsLines,
+      constraintsOverride = Some(c.constraints),
+      ingestOverride = Some(c.ingested),
+      txnsOverride = Some(c.txns))
   }
 
   /** CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` analog): a named
@@ -733,7 +791,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
   /** The CHECK constraints in force on the current version. */
   def checkConstraints: Seq[(String, String)] =
-    if (exists) readCommit(currentVersion).constraints else Nil
+    if (exists) readMeta(currentVersion).constraints else Nil
 
   /** Delete data directories referenced by NO retained snapshot (Delta
     * VACUUM analog with a retention window): the newest `retainVersions`
@@ -779,12 +837,17 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // glob); one any commit references must outlive data-dir vacuuming
     val cdfRoot = rootP.resolve("cdf")
     if (Files.exists(cdfRoot)) {
+      // a committed feed still parked in staging (publish-rename crash,
+      // not yet healed by a reader) is referenced too — keep both names
       val referenced: Set[String] = Files.list(logDir).iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.endsWith(".commit"))
         .flatMap(n => n.stripSuffix(".commit").toLongOption)
-        .flatMap(ver => readCommit(ver).cdfDir)
-        .map(_.stripPrefix("cdf/")).toSet
+        .flatMap(ver => readMeta(ver).cdfDir)
+        .flatMap { d =>
+          val bare = d.stripPrefix("cdf/")
+          Seq(bare, s".stage-$bare")
+        }.toSet
       Files.list(cdfRoot).iterator().asScala
         .filter(Files.isDirectory(_))
         .filterNot(p => referenced.contains(p.getFileName.toString))
@@ -875,11 +938,20 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * (`<root>/cdf/<dataDir>`) like the data dirs themselves: two writers
     * racing to one version never overwrite each other's feed, and a
     * crashed attempt leaves only an unreferenced dir. Written before the
-    * commit that records the returned relative path.
+    * commit that records the returned relative path — but into a
+    * DOT-PREFIXED staging dir (`cdf/.stage-<dataDir>`) that Spark's file
+    * listings ignore, so a live [[changesStream]] can never consume change
+    * rows of an attempt that hasn't committed (a racing loser's rows, or a
+    * crashed writer's). [[commit]] publishes the staged dir with one
+    * atomic rename AFTER the version link succeeds: the uncommitted-data
+    * window closes entirely, and the old crash window (committed version,
+    * missing feed) shrinks from a full dataset write to a single rename —
+    * and is LOUD, because `changes()` fails on a recorded-but-missing dir
+    * while the staged data survives for repair.
     */
   private def writeChanges(df: DataFrame, version: Long, attemptDir: String): String = {
     df.withColumn(MergeTable.CommitVersion, lit(version))
-      .write.mode("overwrite").parquet(s"$root/cdf/$attemptDir")
+      .write.mode("overwrite").parquet(s"$root/${MergeTable.stagingOf(s"cdf/$attemptDir")}")
     s"cdf/$attemptDir"
   }
 
@@ -899,10 +971,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             to_json(struct(d.columns.map(col): _*)))).cast("boolean")))
     }
 
+  /** All writers route here AFTER [[applyGenerated]] ran at their entry
+    * point (writeVersion / merge source / appendAligned / copyInto) —
+    * re-applying it here would re-evaluate every generation expression
+    * per row a second time on the hot write path for no added safety.
+    */
   private def writeData(df: DataFrame, dataDir: String): Unit = {
     // constraint enforcement rides the write itself: a per-row codegen'd
     // filter whose violation branch raises — never a second scan
-    val checked = checkConstraints.foldLeft(applyGenerated(df)) { case (d, (name, pred)) =>
+    val checked = checkConstraints.foldLeft(df) { case (d, (name, pred)) =>
       d.filter(
         when(coalesce(expr(pred), lit(true)), lit(true))
           .otherwise(raise_error(concat(
@@ -936,18 +1013,20 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                      cdfDir: Option[String] = None,
                      constraintsOverride: Option[Seq[(String, String)]] = None,
                      ingestOverride: Option[Seq[String]] = None,
-                     txn: Option[(String, Long)] = None): Unit = {
+                     txn: Option[(String, Long)] = None,
+                     txnsOverride: Option[Map[String, Long]] = None): Unit = {
     Files.createDirectories(logDir)
-    // CHECK constraints and the copyInto ledger carry forward automatically
-    // (commits are never deleted, so version-1 is always readable);
-    // add/drop/copyInto pass overrides
+    // CHECK constraints, the copyInto ledger, and txn versions carry
+    // forward automatically (commits are never deleted, so version-1 is
+    // always readable — and only its METADATA lines are parsed, never the
+    // manifest); add/drop/copyInto/restore pass overrides
     val prev =
       if (version > 0 && Files.exists(commitPath(version - 1)))
-        Some(readCommit(version - 1))
+        Some(readMeta(version - 1))
       else None
     val constraints = constraintsOverride.getOrElse(prev.fold(Seq.empty[(String, String)])(_.constraints))
     val ingested = ingestOverride.getOrElse(prev.fold(Seq.empty[String])(_.ingested))
-    val txns = prev.fold(Map.empty[String, Long])(_.txns) ++ txn
+    val txns = txnsOverride.getOrElse(prev.fold(Map.empty[String, Long])(_.txns)) ++ txn
     val content = (s"schema\t${enc(schema.toDDL)}" +:
       (cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
         constraints.map { case (n, p) => s"check\t${enc(n)}\t${enc(p)}" } ++
@@ -961,14 +1040,20 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
-        // the loser's pre-written change feed must not linger where
-        // changesStream's glob would replay it
-        cdfDir.map(d => Paths.get(root, d)).filter(Files.exists(_))
-          .foreach(deleteRecursively)
+        // the loser's STAGED change feed is invisible to readers but must
+        // not leak disk until vacuum
+        cdfDir.map(d => Paths.get(root, MergeTable.stagingOf(d)))
+          .filter(Files.exists(_)).foreach(deleteRecursively)
         throw new java.util.ConcurrentModificationException(
           s"concurrent write to $root: version $version was already committed by " +
             "another writer — re-read the table and retry the operation")
     } finally Files.deleteIfExists(tmp)
+    // the commit is published — expose its change feed with one atomic
+    // rename out of the reader-invisible staging dir (see writeChanges)
+    cdfDir.foreach { d =>
+      Files.move(Paths.get(root, MergeTable.stagingOf(d)), Paths.get(root, d),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
     val t2 = logDir.resolve(s"_LATEST.tmp${System.nanoTime()}")
     Files.write(t2, version.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(t2, latestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -998,6 +1083,15 @@ object MergeTable {
 
   /** Change-feed commit-version column. */
   val CommitVersion = "_commit_version"
+
+  /** Reader-invisible staging location of a change-feed dir: dot-prefixed
+    * names are skipped by Spark/Hadoop file listings, so a feed parks here
+    * until its commit publishes (then one atomic rename exposes it).
+    */
+  private[lake] def stagingOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    s"${rel.substring(0, i + 1)}.stage-${rel.substring(i + 1)}"
+  }
 
   /** Default vacuum in-flight-writer safeguard: an unreferenced directory
     * younger than this is assumed to belong to a writer that has not yet

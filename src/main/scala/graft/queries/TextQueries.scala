@@ -471,10 +471,13 @@ object TextQueries {
     // from declarative weights (w = source-index % 4 + 1) and the corpus
     // census: keep-probability ∝ w / n_src, normalized to retain ~half the
     // corpus. Membership is decided by an md5-derived uniform per doc, and
-    // the comparison is ALL-INTEGER (h·n_src·sum_w·2 < w·n_total·2³²) — no
-    // FP boundary can disagree between engines. At 100 TB: the census is a
-    // sources-sized aggregate broadcast back; the sample itself is one
-    // shuffle-free scan.
+    // the comparison is ALL-INTEGER (h·n_src·sum_w·2 < w·n_total·2³²) in
+    // 128-bit arithmetic — Spark DECIMAL(38,0) ≡ DuckDB HUGEINT, both
+    // exact — so no FP boundary can disagree between engines AND the
+    // product cannot overflow at any realistic corpus size (64-bit longs
+    // would wrap once n_src·sum_w passes 2³⁰ — a single 100 TB-scale
+    // source crosses that). At 100 TB: the census is a sources-sized
+    // aggregate broadcast back; the sample itself is one shuffle-free scan.
     "t16_mixture_sample" -> GraftQuery(
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -486,8 +489,9 @@ object TextQueries {
         val kept = docs.join(broadcast(rates), Seq("source"))
           .withColumn("h", expr(
             "CAST(conv(substring(md5(concat('t16', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
-          .filter(col("h") * col("n_src") * col("sum_w") * 2 <
-            col("w") * col("n_total") * lit(4294967296L))
+          .filter(expr(
+            """CAST(h AS DECIMAL(38,0)) * n_src * sum_w * 2
+              | < CAST(w AS DECIMAL(38,0)) * n_total * 4294967296""".stripMargin))
           .groupBy("source").agg(count(lit(1)).as("n_kept"))
         census.select("source", "w", "n_src")
           .join(kept, Seq("source"), "left")
@@ -503,9 +507,9 @@ object TextQueries {
              |kept AS (
              |  SELECT d.source, count(*) AS n_kept
              |  FROM documents d JOIN census c USING (source), tot
-             |  WHERE CAST(('0x' || substring(md5('t16' || CAST(d.doc_id AS VARCHAR)), 1, 8))
-             |             AS BIGINT) * c.n_src * tot.sum_w * 2
-             |        < c.w * tot.n_total * 4294967296
+             |  WHERE CAST(CAST(('0x' || substring(md5('t16' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+             |             AS BIGINT) AS HUGEINT) * c.n_src * tot.sum_w * 2
+             |        < CAST(c.w AS HUGEINT) * tot.n_total * 4294967296
              |  GROUP BY d.source)
              |SELECT c.source, c.w, c.n_src, coalesce(k.n_kept, 0) AS n_kept
              |FROM census c LEFT JOIN kept k USING (source)

@@ -440,9 +440,11 @@ class MergeTableSpec extends SparkSpec {
   test("cloneTo is zero-copy and fully independent of the source afterwards") {
     val src = new MergeTable(scratch("mt_clone_src"), Seq("p"))
     src.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
-    src.merge(spark, df(Seq((2, "B", "p2"))), Seq("k"))
+    src.merge(spark, df(Seq((2, "B", "p2"))), Seq("k"), txn = Some("app" -> 3L))
     val clone = src.cloneTo(scratch("mt_clone_dst"))
     assert(asSet(clone.read(spark)) === Set((1, "a", "p1"), (2, "B", "p2")))
+    // exactly-once writers stay exactly-once when pointed at the clone
+    assert(clone.lastTxnVersion("app") === Some(3L))
     // divergence: each side evolves without touching the other
     clone.merge(spark, df(Seq((3, "c", "p1"))), Seq("k"))
     src.merge(spark, df(Seq((9, "z", "p2"))), Seq("k"))
@@ -476,6 +478,46 @@ class MergeTableSpec extends SparkSpec {
     assert(t.lastTxnVersion("app") === Some(1L))
     assert(t.lastTxnVersion("other") === Some(7L))
     assert(t.lastTxnVersion("nope") === None)
+  }
+
+  test("restore rolls back constraints, ingest ledger, and txn versions too") {
+    val t = new MergeTable(scratch("mt_restore_meta"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))                                      // v0
+    t.merge(spark, df(Seq((2, "b", "p1"))), Seq("k"), txn = Some("app" -> 5L)) // v1
+    t.addCheckConstraint(spark, "k_small", "k < 100")                          // v2
+    assert(t.checkConstraints.nonEmpty && t.lastTxnVersion("app") === Some(5L))
+    t.restore(0)
+    assert(t.checkConstraints.isEmpty,
+      "constraint survived a restore to pre-constraint state")
+    assert(t.lastTxnVersion("app") === None,
+      "txn mark survived rollback of its effects — replayed batches would be skipped")
+    // writes no longer trip the dropped constraint
+    t.merge(spark, df(Seq((500, "big", "p1"))), Seq("k"))
+    assert(t.read(spark).count() === 2)
+  }
+
+  test("append fails loudly on columns outside the table schema") {
+    val t = new MergeTable(scratch("mt_append_extra"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    val ex = intercept[IllegalArgumentException] {
+      t.append(Seq((2, "b", "p1", 9L)).toDF("k", "v", "p", "extra"))
+    }
+    assert(ex.getMessage.contains("extra"))
+    assert(t.read(spark).count() === 1)
+  }
+
+  test("changes() heals a feed stranded in staging by a publish-rename crash") {
+    import java.nio.file.{Files => F, Paths => P}
+    val t = new MergeTable(scratch("mt_cdf_heal"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    t.merge(spark, df(Seq((2, "b", "p1"))), Seq("k"), changeFeed = true)
+    val cdfRoot = P.get(t.root, "cdf")
+    val d = F.list(cdfRoot).iterator().asScala
+      .map(_.getFileName.toString).toSeq.head
+    // simulate a crash between commit link and publish rename
+    F.move(cdfRoot.resolve(d), cdfRoot.resolve(s".stage-$d"))
+    assert(t.changes(spark, 1, 1).count() === 1) // reader self-heals
+    assert(F.exists(cdfRoot.resolve(d)) && !F.exists(cdfRoot.resolve(s".stage-$d")))
   }
 
   test("commit races: one winner per version, every committed snapshot stays intact") {
