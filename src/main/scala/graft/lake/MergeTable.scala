@@ -27,9 +27,12 @@ import scala.jdk.CollectionConverters._
   *                                                   hard-link put-if-absent
   *   <root>/_graft_log/_LATEST                       tip cache (atomic swap;
   *                                                   readers forward-scan)
-  *   <root>/cdf/<dataDir>/                           change-feed rows (optional),
+  *   <root>/cdf/<dataDir>/                           change-feed rows (optional):
   *                                                   written BEFORE the commit
-  *                                                   that records them (`cdf` line)
+  *                                                   into <root>/cdf_stage/<dataDir>
+  *                                                   (invisible to the cdf glob),
+  *                                                   renamed here atomically after
+  *                                                   the commit records them (`cdf`)
   * }}}
   *
   * Scale design (100 TB): MERGE rewrites ONLY the data files that contain a
@@ -81,19 +84,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val schema = StructType.fromDDL(dec(lines.head.stripPrefix("schema\t")))
     val files = lines.collect { case l if l.startsWith("file\t") => dec(l.stripPrefix("file\t")) }
     val stats = lines.collect { case l if l.startsWith("stat\t") => l.stripPrefix("stat\t") }
-    val cdf = lines.collectFirst { case l if l.startsWith("cdf\t") => dec(l.stripPrefix("cdf\t")) }
-    val checks = lines.collect { case l if l.startsWith("check\t") =>
-      val Array(n, p) = l.stripPrefix("check\t").split("\t", 2)
-      (dec(n), dec(p))
-    }
-    val ingested = lines.collect { case l if l.startsWith("ingest\t") =>
-      dec(l.stripPrefix("ingest\t"))
-    }
-    val txns = lines.collect { case l if l.startsWith("txn\t") =>
-      val Array(a, ver) = l.stripPrefix("txn\t").split("\t", 2)
-      dec(a) -> ver.toLong
-    }.toMap
-    Commit(schema, files, stats, cdf, checks, ingested, txns)
+    // metadata lines share ONE parser with readMeta — the two readers can
+    // never drift on the line format
+    val meta = parseMeta(lines.iterator)
+    Commit(schema, files, stats, meta.cdfDir, meta.constraints, meta.ingested, meta.txns)
   }
 
   /** The non-file metadata of a commit (cdf dir, constraints, ingest
@@ -107,26 +101,28 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                                 ingested: Seq[String],
                                 txns: Map[String, Long])
 
+  private def parseMeta(lines: Iterator[String]): CommitMeta = {
+    var cdf: Option[String] = None
+    val checks = Seq.newBuilder[(String, String)]
+    val ingested = Seq.newBuilder[String]
+    val txns = Map.newBuilder[String, Long]
+    lines.foreach {
+      case l if l.startsWith("cdf\t") => cdf = Some(dec(l.stripPrefix("cdf\t")))
+      case l if l.startsWith("check\t") =>
+        val Array(n, p) = l.stripPrefix("check\t").split("\t", 2)
+        checks += (dec(n) -> dec(p))
+      case l if l.startsWith("ingest\t") => ingested += dec(l.stripPrefix("ingest\t"))
+      case l if l.startsWith("txn\t") =>
+        val Array(a, ver) = l.stripPrefix("txn\t").split("\t", 2)
+        txns += (dec(a) -> ver.toLong)
+      case _ => ()
+    }
+    CommitMeta(cdf, checks.result(), ingested.result(), txns.result())
+  }
+
   private def readMeta(version: Long): CommitMeta = {
     val s = Files.lines(commitPath(version))
-    try {
-      var cdf: Option[String] = None
-      val checks = Seq.newBuilder[(String, String)]
-      val ingested = Seq.newBuilder[String]
-      val txns = Map.newBuilder[String, Long]
-      s.iterator().asScala.foreach {
-        case l if l.startsWith("cdf\t") => cdf = Some(dec(l.stripPrefix("cdf\t")))
-        case l if l.startsWith("check\t") =>
-          val Array(n, p) = l.stripPrefix("check\t").split("\t", 2)
-          checks += (dec(n) -> dec(p))
-        case l if l.startsWith("ingest\t") => ingested += dec(l.stripPrefix("ingest\t"))
-        case l if l.startsWith("txn\t") =>
-          val Array(a, ver) = l.stripPrefix("txn\t").split("\t", 2)
-          txns += (dec(a) -> ver.toLong)
-        case _ => ()
-      }
-      CommitMeta(cdf, checks.result(), ingested.result(), txns.result())
-    } finally s.close()
+    try parseMeta(s.iterator().asScala) finally s.close()
   }
 
   /** Reference's `DeltaTable.isDeltaTable` probe (01:99; 02:147,172,197). */
@@ -363,11 +359,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         val p = Paths.get(root, d)
         // self-heal the one-rename crash window: the feed was fully
         // written BEFORE its commit, so a still-staged dir is complete —
-        // finish the publish rename on its behalf
+        // finish the publish rename on its behalf. Losing the rename race
+        // (to the writer itself or another healer, surfacing as ENOENT or
+        // EEXIST depending on timing) is fine iff the final dir exists —
+        // the re-check below decides.
         val staged = Paths.get(root, MergeTable.stagingOf(d))
-        if (!Files.exists(p) && Files.exists(staged))
+        if (!Files.exists(p) && Files.exists(staged)) {
+          Files.createDirectories(p.getParent)
           try Files.move(staged, p, StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          catch { case _: java.io.IOException => () }
+        }
         // the commit PROMISED a feed — a missing directory is data loss the
         // consumer must see, never a silently-shorter feed
         if (!Files.exists(p)) throw new IllegalStateException(
@@ -679,19 +680,19 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   private def appendAligned(df: DataFrame, ingestOverride: Option[Seq[String]]): Unit = {
     val v = currentVersion
+    val c = readCommit(v) // ONE manifest decode; every old file is carried
     val gen = applyGenerated(df)
-    val extra = gen.columns.toSet -- schemaOf(v).fieldNames
+    val extra = gen.columns.toSet -- c.schema.fieldNames
     require(extra.isEmpty,
       s"append into $root: columns ${extra.mkString(", ")} are not in the table schema — " +
         "use merge(mergeSchema = true) to evolve the schema")
-    val aligned = gen.select(schemaOf(v).fieldNames.map(col).toIndexedSeq: _*)
+    val aligned = gen.select(c.schema.fieldNames.map(col).toIndexedSeq: _*)
     val newVersion = v + 1
     val dataDir = newDataDir(newVersion)
     writeData(aligned, dataDir)
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
-    val oldFiles = filesOf(v)
-    commit(newVersion, oldFiles ++ newFiles, schemaOf(v),
-      carryStats(v, oldFiles) ++ collectStats(df.sparkSession, newFiles, schemaOf(v)),
+    commit(newVersion, c.files ++ newFiles, c.schema,
+      c.statsLines ++ collectStats(df.sparkSession, newFiles, c.schema),
       ingestOverride = ingestOverride)
   }
 
@@ -833,26 +834,25 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .filter(oldEnough)
       .foreach(deleteRecursively)
     // reconcile orphan change-feed dirs: a feed dir no commit references is
-    // a crashed/lost attempt's leftover (and would pollute changesStream's
-    // glob); one any commit references must outlive data-dir vacuuming
-    val cdfRoot = rootP.resolve("cdf")
-    if (Files.exists(cdfRoot)) {
-      // a committed feed still parked in staging (publish-rename crash,
-      // not yet healed by a reader) is referenced too — keep both names
+    // a crashed/lost attempt's leftover; one any commit references must
+    // outlive data-dir vacuuming. The staging tree is reconciled under the
+    // same rule — a committed feed still parked there (publish-rename
+    // crash, not yet healed by a reader) is referenced and kept.
+    val cdfRoots = Seq(rootP.resolve("cdf"), rootP.resolve("cdf_stage"))
+    if (cdfRoots.exists(Files.exists(_))) {
       val referenced: Set[String] = Files.list(logDir).iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.endsWith(".commit"))
         .flatMap(n => n.stripSuffix(".commit").toLongOption)
         .flatMap(ver => readMeta(ver).cdfDir)
-        .flatMap { d =>
-          val bare = d.stripPrefix("cdf/")
-          Seq(bare, s".stage-$bare")
-        }.toSet
-      Files.list(cdfRoot).iterator().asScala
-        .filter(Files.isDirectory(_))
-        .filterNot(p => referenced.contains(p.getFileName.toString))
-        .filter(oldEnough)
-        .foreach(deleteRecursively)
+        .map(_.stripPrefix("cdf/")).toSet
+      cdfRoots.filter(Files.exists(_)).foreach { cr =>
+        Files.list(cr).iterator().asScala
+          .filter(Files.isDirectory(_))
+          .filterNot(p => referenced.contains(p.getFileName.toString))
+          .filter(oldEnough)
+          .foreach(deleteRecursively)
+      }
     }
     // same tmp + ATOMIC_MOVE care as _LATEST: a torn horizon write must not
     // brick every subsequent read with an unparseable file
@@ -938,10 +938,11 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * (`<root>/cdf/<dataDir>`) like the data dirs themselves: two writers
     * racing to one version never overwrite each other's feed, and a
     * crashed attempt leaves only an unreferenced dir. Written before the
-    * commit that records the returned relative path — but into a
-    * DOT-PREFIXED staging dir (`cdf/.stage-<dataDir>`) that Spark's file
-    * listings ignore, so a live [[changesStream]] can never consume change
-    * rows of an attempt that hasn't committed (a racing loser's rows, or a
+    * commit that records the returned relative path — but into the
+    * SIBLING staging tree (`cdf_stage/<dataDir>`, see
+    * [[MergeTable.stagingOf]]) that the readers' glob over cdf/ cannot
+    * match, so a live [[changesStream]] can never consume change rows of
+    * an attempt that hasn't committed (a racing loser's rows, or a
     * crashed writer's). [[commit]] publishes the staged dir with one
     * atomic rename AFTER the version link succeeds: the uncommitted-data
     * window closes entirely, and the old crash window (committed version,
@@ -1049,10 +1050,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             "another writer — re-read the table and retry the operation")
     } finally Files.deleteIfExists(tmp)
     // the commit is published — expose its change feed with one atomic
-    // rename out of the reader-invisible staging dir (see writeChanges)
+    // rename out of the reader-invisible staging tree (see writeChanges).
+    // A concurrent changes() reader may have healed (performed this very
+    // rename) first — losing that benign race must not fail a durably
+    // committed write, so verify the destination before propagating.
     cdfDir.foreach { d =>
-      Files.move(Paths.get(root, MergeTable.stagingOf(d)), Paths.get(root, d),
+      val dst = Paths.get(root, d)
+      Files.createDirectories(dst.getParent)
+      try Files.move(Paths.get(root, MergeTable.stagingOf(d)), dst,
         StandardCopyOption.ATOMIC_MOVE)
+      catch { case e: java.io.IOException => if (!Files.exists(dst)) throw e }
     }
     val t2 = logDir.resolve(s"_LATEST.tmp${System.nanoTime()}")
     Files.write(t2, version.toString.getBytes(StandardCharsets.UTF_8))
@@ -1084,14 +1091,18 @@ object MergeTable {
   /** Change-feed commit-version column. */
   val CommitVersion = "_commit_version"
 
-  /** Reader-invisible staging location of a change-feed dir: dot-prefixed
-    * names are skipped by Spark/Hadoop file listings, so a feed parks here
-    * until its commit publishes (then one atomic rename exposes it).
+  /** Reader-invisible staging location of a change-feed dir: a SIBLING
+    * tree (`cdf_stage/`) that the readers' glob over cdf/ structurally
+    * cannot match. NOT a dot-prefixed name inside `cdf/` — Hadoop glob
+    * expansion matches hidden names (verified empirically: both batch and
+    * streaming reads of the cdf glob ingest `.stage-*` children), and a rename
+    * WITHIN the glob scope would make a file stream deliver the same rows
+    * twice (new path = new file to the source's seen-files map). A feed
+    * parks here until its commit publishes, then one atomic rename moves
+    * it into the glob scope — appearing exactly once.
     */
-  private[lake] def stagingOf(rel: String): String = {
-    val i = rel.lastIndexOf('/')
-    s"${rel.substring(0, i + 1)}.stage-${rel.substring(i + 1)}"
-  }
+  private[lake] def stagingOf(rel: String): String =
+    s"cdf_stage/${rel.stripPrefix("cdf/")}"
 
   /** Default vacuum in-flight-writer safeguard: an unreferenced directory
     * younger than this is assumed to belong to a writer that has not yet

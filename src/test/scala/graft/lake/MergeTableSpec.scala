@@ -515,9 +515,36 @@ class MergeTableSpec extends SparkSpec {
     val d = F.list(cdfRoot).iterator().asScala
       .map(_.getFileName.toString).toSeq.head
     // simulate a crash between commit link and publish rename
-    F.move(cdfRoot.resolve(d), cdfRoot.resolve(s".stage-$d"))
+    val staged = P.get(t.root, MergeTable.stagingOf(s"cdf/$d"))
+    F.createDirectories(staged.getParent)
+    F.move(cdfRoot.resolve(d), staged)
     assert(t.changes(spark, 1, 1).count() === 1) // reader self-heals
-    assert(F.exists(cdfRoot.resolve(d)) && !F.exists(cdfRoot.resolve(s".stage-$d")))
+    assert(F.exists(cdfRoot.resolve(d)) && !F.exists(staged))
+  }
+
+  test("a staged (uncommitted) feed is invisible to cdf readers") {
+    import java.nio.file.{Files => F, Paths => P}
+    val t = new MergeTable(scratch("mt_cdf_stage_vis"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    t.merge(spark, df(Seq((2, "b", "p1"))), Seq("k"), changeFeed = true)
+    // an in-flight writer's staged feed: fully written, commit not published
+    df(Seq((99, "UNCOMMITTED", "p1")))
+      .withColumn(MergeTable.ChangeType, org.apache.spark.sql.functions.lit("insert"))
+      .withColumn(MergeTable.CommitVersion, org.apache.spark.sql.functions.lit(2L))
+      .write.parquet(P.get(t.root, MergeTable.stagingOf("cdf/d2uinflight")).toString)
+    // the changesStream glob must not see it (empirically, `cdf/*` DOES
+    // match dot-prefixed children — hence the sibling staging tree)
+    val globbed = spark.read
+      .schema(t.changesStream(spark).schema)
+      .parquet(s"${t.root}/cdf/*")
+    assert(globbed.filter(col("k") === 99).count() === 0,
+      "glob read ingested rows of an attempt that never committed")
+    assert(t.changes(spark, 1, 1).filter(col("k") === 99).count() === 0)
+    // vacuum reclaims the orphaned staging dir under the no-writers promise
+    t.vacuum(minAgeMs = 0)
+    assert(!F.exists(P.get(t.root, MergeTable.stagingOf("cdf/d2uinflight"))))
+    // ...but keeps the committed feed
+    assert(t.changes(spark, 1, 1).count() === 1)
   }
 
   test("commit races: one winner per version, every committed snapshot stays intact") {
