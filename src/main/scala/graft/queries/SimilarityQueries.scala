@@ -331,6 +331,56 @@ object SimilarityQueries {
              |FROM q""".stripMargin),
       "symmetric int8 quantization: exact cross-engine integers + reconstruction error"),
 
+    // Quantized retrieval with exact re-rank — the production memory/speed
+    // shape for vector search at scale: the CORPUS scan runs on int8 codes
+    // (4× less memory bandwidth than fp32, SIMD-friendly integer dots, and
+    // — here — EXACT cross-engine arithmetic, so the candidate stage is
+    // hash-checked, not just the final ranks), then only the top-50
+    // survivors pay an exact fp32 cosine. At 100 TB the fp32 vectors for
+    // the re-rank are fetched for 50 rows, not the corpus — the re-rank
+    // is free while the scan's byte volume drops 4×. Ties break on vec_id
+    // in both stages, so both engines pick identical candidate sets.
+    "v8_quantized_search" -> GraftQuery(
+      (s, dir) => {
+        val base = emb(s, dir)
+          .withColumn("amax",
+            expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+          .withColumn("scale", lit(127.0) / col("amax"))
+          .withColumn("q",
+            expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5D) AS BIGINT))"))
+        val probe = base.filter(col("vec_id") === 0)
+          .select(col("q").as("probe_q"), col("embedding").as("probe_emb"),
+            col("norm").as("probe_norm"))
+        val cands = base.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+          .withColumn("qdot",
+            expr("aggregate(zip_with(q, probe_q, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+          .orderBy(col("qdot").desc, col("vec_id")).limit(50)
+        cands
+          .withColumn("cosine",
+            round(cosineFast("embedding", "probe_emb", "norm", "probe_norm"), 6))
+          .select("vec_id", "label", "qdot", "cosine")
+          .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+             |qz AS (
+             |  SELECT vec_id, label, emb,
+             |         list_transform(emb, x -> CAST(floor(
+             |           x * (127.0 / list_max(list_transform(emb, y -> abs(y)))) + 0.5)
+             |           AS BIGINT)) AS qv
+             |  FROM e),
+             |probe AS (SELECT qv AS pq, emb AS pemb FROM qz WHERE vec_id = 0),
+             |cands AS (
+             |  SELECT z.vec_id, z.label, z.emb,
+             |         CAST(list_sum(list_transform(list_zip(z.qv, p.pq),
+             |           r -> r[1] * r[2])) AS BIGINT) AS qdot
+             |  FROM qz z, probe p WHERE z.vec_id <> 0
+             |  ORDER BY qdot DESC, z.vec_id LIMIT 50)
+             |SELECT vec_id, label, qdot,
+             |       round(list_cosine_similarity(emb, (SELECT pemb FROM probe)), 6) AS cosine
+             |FROM cands ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+      "int8-code corpus scan + fp32 re-rank of 50 survivors — quantized retrieval"),
+
     // Per-label embedding centroids through the native `vec_avg` Catalyst
     // aggregate (graft.functions.VecAvg): ONE (sums, count) buffer per
     // group — the shuffle carries groups × (dim+1) doubles, where the
