@@ -547,5 +547,66 @@ object TextQueries {
              |         AS chunk_fp
              |FROM x""".stripMargin),
       "overlapping token-window chunking: map-only array algebra, md5-pinned"),
+
+    // Line-level boilerplate removal — the C4/CCNet pass that strips lines
+    // shared across many documents (nav menus, footers, legal blurbs)
+    // while keeping each document's unique content in order. The corpus
+    // has no newlines, so two deterministic footer lines are injected on
+    // BOTH sides: one corpus-wide, one per-source — both cross the
+    // document-frequency threshold (≥5 docs) and must be stripped; the
+    // body line survives. Shape at 100 TB: one explode, one line-census
+    // aggregate whose hot set is tiny (broadcast back), and an ordered
+    // per-doc reassembly (sort_array over collected (idx, line) structs —
+    // collect_list order is NOT deterministic, the struct sort is what
+    // makes the md5 reproducible).
+    "t18_line_dedup" -> GraftQuery(
+      (s, dir) => {
+        val lines = t(s, dir, "documents")
+          .withColumn("enriched", concat(col("text"),
+            lit("\nshare this article on social media"),
+            lit("\nall rights reserved "), col("source")))
+          .select(col("doc_id"),
+            posexplode(split(col("enriched"), "\n")).as(Seq("idx", "line")))
+        val hot = lines.groupBy("line")
+          .agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") >= 5)
+          .select("line")
+        val flagged = lines.join(broadcast(hot.withColumn("hot", lit(1))),
+          Seq("line"), "left")
+        val kept = flagged.filter(col("hot").isNull)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(concat_ws("\n", expr(
+              "transform(sort_array(collect_list(struct(idx, line))), x -> x.line)")))
+              .as("kept_fp"))
+        flagged.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+            coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH l AS (
+             |  SELECT doc_id, i AS idx, lines[i] AS line
+             |  FROM (SELECT doc_id,
+             |               string_split(text || chr(10) || 'share this article on social media'
+             |                                 || chr(10) || 'all rights reserved ' || source,
+             |                            chr(10)) AS lines
+             |        FROM documents),
+             |       unnest(generate_series(1, len(lines))) AS t(i)),
+             |hot AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 5),
+             |kept AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |         md5(string_agg(line, chr(10) ORDER BY idx)) AS kept_fp
+             |  FROM l WHERE line NOT IN (SELECT line FROM hot)
+             |  GROUP BY doc_id)
+             |SELECT c.doc_id, coalesce(k.n_kept, 0) AS n_kept,
+             |       c.n_lines - coalesce(k.n_kept, 0) AS n_dropped,
+             |       coalesce(k.kept_fp, md5('')) AS kept_fp
+             |FROM (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id) c
+             |LEFT JOIN kept k USING (doc_id)
+             |ORDER BY c.doc_id""".stripMargin),
+      "line-level boilerplate strip: hot-line census + ordered reassembly"),
   )
 }
