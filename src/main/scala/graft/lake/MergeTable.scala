@@ -356,25 +356,12 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val dirs = (fromVersion to toVersion).flatMap { ver =>
       if (!Files.exists(commitPath(ver))) None
       else readMeta(ver).cdfDir.map { d =>
-        val p = Paths.get(root, d)
-        // self-heal the one-rename crash window: the feed was fully
-        // written BEFORE its commit, so a still-staged dir is complete —
-        // finish the publish rename on its behalf. Losing the rename race
-        // (to the writer itself or another healer, surfacing as ENOENT or
-        // EEXIST depending on timing) is fine iff the final dir exists —
-        // the re-check below decides.
-        val staged = Paths.get(root, MergeTable.stagingOf(d))
-        if (!Files.exists(p) && Files.exists(staged)) {
-          Files.createDirectories(p.getParent)
-          try Files.move(staged, p, StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.io.IOException => () }
-        }
         // the commit PROMISED a feed — a missing directory is data loss the
         // consumer must see, never a silently-shorter feed
-        if (!Files.exists(p)) throw new IllegalStateException(
+        if (!healFeed(d)) throw new IllegalStateException(
           s"version $ver of $root recorded a change feed at $d but the directory is " +
             "missing — the change feed for this range is incomplete")
-        p
+        Paths.get(root, d)
       }
     }
     require(dirs.nonEmpty,
@@ -399,6 +386,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   def changesStream(spark: SparkSession,
                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // a committed feed stranded in staging by a publish-rename crash would
+    // otherwise be a silent, PERMANENT gap in the stream — batch changes()
+    // heals on read, but the stream's glob never looks in staging, so
+    // reconcile every recorded feed once at stream start (O(versions)
+    // metadata reads)
+    if (exists)
+      (0L to currentVersion)
+        .filter(ver => Files.exists(commitPath(ver)))
+        .flatMap(ver => readMeta(ver).cdfDir)
+        .foreach(healFeed)
     require(Files.exists(Paths.get(root, "cdf")),
       s"no change feed recorded at $root — commit with changeFeed = true before streaming changes")
     import org.apache.spark.sql.types.{LongType, StringType}
@@ -659,6 +656,30 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .sortWithinPartitions("_graft_z")
       .drop("_graft_z")
     writeVersion(packed, v + 1)
+  }
+
+  /** Finish a crashed publish rename (see [[writeChanges]]) on a reader's
+    * behalf: the feed was fully written BEFORE its commit, so a
+    * still-staged dir is complete. Losing the rename race (to the writer
+    * itself or another healer — ENOENT or EEXIST depending on timing) is
+    * fine iff the final dir exists afterwards; a move that failed while
+    * the staged dir is still present is a genuine I/O fault and rethrows
+    * rather than masquerading as data loss. Returns whether the final dir
+    * exists.
+    */
+  private def healFeed(rel: String): Boolean = {
+    val p = Paths.get(root, rel)
+    if (!Files.exists(p)) {
+      val staged = Paths.get(root, MergeTable.stagingOf(rel))
+      if (Files.exists(staged)) {
+        Files.createDirectories(p.getParent)
+        try Files.move(staged, p, StandardCopyOption.ATOMIC_MOVE)
+        catch { case e: java.io.IOException =>
+          if (!Files.exists(p) && Files.exists(staged)) throw e
+        }
+      }
+    }
+    Files.exists(p)
   }
 
   /** Append rows as a new commit: a new data directory plus the previous

@@ -39,6 +39,18 @@ object SimilarityQueries {
   private def withNorm(df: DataFrame, emb: String, norm: String): DataFrame =
     df.withColumn(norm, expr(s"sqrt(float_dot($emb, $emb))"))
 
+  /** Symmetric per-vector int8 quantization (`scale`, codes `q`) — ONE
+    * definition shared by v7 (error audit) and v8 (quantized search): the
+    * cross-engine exactness of both oracles rests on this IEEE op
+    * sequence, so it must not fork.
+    */
+  private def quantizeInt8(df: DataFrame): DataFrame = df
+    .withColumn("amax",
+      expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+    .withColumn("scale", lit(127.0) / col("amax"))
+    .withColumn("q",
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5D) AS BIGINT))"))
+
   private def emb(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     withNorm(t(s, dir, "embeddings"), "embedding", "norm")
@@ -300,12 +312,7 @@ object SimilarityQueries {
     // integer sum, max_err an order-independent max of exactly-computed
     // per-element reconstruction errors.
     "v7_quantize_int8" -> GraftQuery(
-      (s, dir) => t(s, dir, "embeddings")
-        .withColumn("amax",
-          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
-        .withColumn("scale", lit(127.0) / col("amax"))
-        .withColumn("q",
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5D) AS BIGINT))"))
+      (s, dir) => quantizeInt8(t(s, dir, "embeddings"))
         .select(
           col("vec_id"),
           round(col("scale"), 6).as("scale_r"),
@@ -342,12 +349,7 @@ object SimilarityQueries {
     // in both stages, so both engines pick identical candidate sets.
     "v8_quantized_search" -> GraftQuery(
       (s, dir) => {
-        val base = emb(s, dir)
-          .withColumn("amax",
-            expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
-          .withColumn("scale", lit(127.0) / col("amax"))
-          .withColumn("q",
-            expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5D) AS BIGINT))"))
+        val base = quantizeInt8(emb(s, dir))
         val probe = base.filter(col("vec_id") === 0)
           .select(col("q").as("probe_q"), col("embedding").as("probe_emb"),
             col("norm").as("probe_norm"))

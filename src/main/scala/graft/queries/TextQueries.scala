@@ -579,7 +579,10 @@ object TextQueries {
             md5(concat_ws("\n", expr(
               "transform(sort_array(collect_list(struct(idx, line))), x -> x.line)")))
               .as("kept_fp"))
-        flagged.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+        // census from the PRE-join frame: the left join can't change the
+        // per-doc row count, so counting `flagged` would just re-pay the
+        // broadcast join (the oracle's census CTE reads the unjoined lines)
+        lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
           .join(kept, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -522,6 +522,24 @@ class MergeTableSpec extends SparkSpec {
     assert(F.exists(cdfRoot.resolve(d)) && !F.exists(staged))
   }
 
+  test("changesStream heals stranded committed feeds at stream start") {
+    import java.nio.file.{Files => F, Paths => P}
+    val t = new MergeTable(scratch("mt_cdf_stream_heal"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    t.merge(spark, df(Seq((2, "b", "p1"))), Seq("k"), changeFeed = true)
+    val cdfRoot = P.get(t.root, "cdf")
+    val d = F.list(cdfRoot).iterator().asScala
+      .map(_.getFileName.toString).toSeq.head
+    val staged = P.get(t.root, MergeTable.stagingOf(s"cdf/$d"))
+    F.createDirectories(staged.getParent)
+    F.move(cdfRoot.resolve(d), staged) // publish-rename crash
+    // a stream started now must not have a silent, permanent gap: the
+    // builder reconciles every recorded feed before globbing
+    t.changesStream(spark)
+    assert(F.exists(cdfRoot.resolve(d)) && !F.exists(staged),
+      "stranded committed feed was not published at stream start")
+  }
+
   test("a staged (uncommitted) feed is invisible to cdf readers") {
     import java.nio.file.{Files => F, Paths => P}
     val t = new MergeTable(scratch("mt_cdf_stage_vis"), Seq("p"))
