@@ -76,7 +76,6 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   private case class Commit(schema: StructType, files: Seq[String],
                             statsLines: Seq[String], cdfDir: Option[String],
                             constraints: Seq[(String, String)],
-                            ingested: Seq[String],
                             txns: Map[String, Long])
 
   private def readCommit(version: Long): Commit = {
@@ -87,37 +86,49 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // metadata lines share ONE parser with readMeta — the two readers can
     // never drift on the line format
     val meta = parseMeta(lines.iterator)
-    Commit(schema, files, stats, meta.cdfDir, meta.constraints, meta.ingested, meta.txns)
+    Commit(schema, files, stats, meta.cdfDir, meta.constraints, meta.txns)
   }
 
-  /** The non-file metadata of a commit (cdf dir, constraints, ingest
-    * ledger, txns) WITHOUT materializing the file/stat lines — manifests
-    * are the dominant part of a commit (10^5+ lines at scale), and the
-    * metadata readers on the hot write path (constraint lookup, txn
-    * lookup, carry-forward) must not pay a full-manifest decode per call.
+  /** The non-file metadata of a commit (cdf dir, constraints, this commit's
+    * ingest-ledger lines, txns, operation name) WITHOUT materializing the
+    * file/stat lines — manifests are the dominant part of a commit (10^5+
+    * lines at scale), and the metadata readers on the hot write path
+    * (constraint lookup, txn lookup, carry-forward) must not pay a
+    * full-manifest decode per call.
+    *
+    * `ingested` holds only the files THIS commit added to the COPY INTO
+    * ledger (Delta's add-action shape — per-commit deltas, unioned at read
+    * time by [[ledgerAt]]); `ingestReset` marks a commit whose lines
+    * REPLACE the whole ledger (restore/clone roll it back wholesale).
     */
   private case class CommitMeta(cdfDir: Option[String],
                                 constraints: Seq[(String, String)],
                                 ingested: Seq[String],
-                                txns: Map[String, Long])
+                                ingestReset: Boolean,
+                                txns: Map[String, Long],
+                                operation: String)
 
   private def parseMeta(lines: Iterator[String]): CommitMeta = {
     var cdf: Option[String] = None
     val checks = Seq.newBuilder[(String, String)]
     val ingested = Seq.newBuilder[String]
+    var ingestReset = false
     val txns = Map.newBuilder[String, Long]
+    var op = "UNKNOWN"
     lines.foreach {
       case l if l.startsWith("cdf\t") => cdf = Some(dec(l.stripPrefix("cdf\t")))
       case l if l.startsWith("check\t") =>
         val Array(n, p) = l.stripPrefix("check\t").split("\t", 2)
         checks += (dec(n) -> dec(p))
       case l if l.startsWith("ingest\t") => ingested += dec(l.stripPrefix("ingest\t"))
+      case l if l.startsWith("ingestreset") => ingestReset = true
+      case l if l.startsWith("op\t") => op = dec(l.stripPrefix("op\t"))
       case l if l.startsWith("txn\t") =>
         val Array(a, ver) = l.stripPrefix("txn\t").split("\t", 2)
         txns += (dec(a) -> ver.toLong)
       case _ => ()
     }
-    CommitMeta(cdf, checks.result(), ingested.result(), txns.result())
+    CommitMeta(cdf, checks.result(), ingested.result(), ingestReset, txns.result(), op)
   }
 
   private def readMeta(version: Long): CommitMeta = {
@@ -191,7 +202,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   def overwrite(df: DataFrame, txn: Option[(String, Long)] = None): Unit = {
     val v = if (exists) currentVersion + 1 else 0L
-    writeVersion(df, v, txn = txn)
+    // generated columns must exist BEFORE the schema is committed — the
+    // commit's DDL and the written files must agree
+    writeVersion(applyGenerated(df), v, txn = txn)
   }
 
   /** Highest transaction version recorded for `appId` (see [[overwrite]]'s
@@ -221,7 +234,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val cdf =
         if (changeFeed) Some(gen.withColumn(MergeTable.ChangeType, lit("insert")))
         else None
-      writeVersion(gen, 0L, cdf, txn)
+      writeVersion(gen, 0L, cdf, txn, op = "MERGE")
       return
     }
 
@@ -341,8 +354,40 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
       commit(newVersion, keptRel ++ newFiles, newData.schema,
         carryStats(v, keptRel) ++ collectStats(spark, newFiles, newData.schema),
-        cdfDir, txn = txn)
+        cdfDir, txn = txn, op = "MERGE")
     } finally src.unpersist()
+  }
+
+  /** [[merge]] with optimistic-concurrency retry (Delta's conflict-retry
+    * analog): a lost commit race throws `ConcurrentModificationException`
+    * from the put-if-absent publish; this helper re-reads the new tip and
+    * re-runs the whole merge — the touched-file probe, rewrite, and CDF all
+    * re-derive from the winner's snapshot, so the retried merge is exactly
+    * as correct as a first-try one. Idempotency: MERGE by key is a no-op
+    * re-applied, and the `txn` marker (checked by exactly-once callers)
+    * commits atomically with whichever attempt wins.
+    */
+  def mergeWithRetry(spark: SparkSession, source: DataFrame, keys: Seq[String],
+                     maxAttempts: Int = 3,
+                     checkUniqueSource: Boolean = true,
+                     mergeSchema: Boolean = false,
+                     changeFeed: Boolean = false,
+                     keysDeterminePartitions: Boolean = false,
+                     txn: Option[(String, Long)] = None): Unit = {
+    require(maxAttempts >= 1, "mergeWithRetry needs at least one attempt")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      try {
+        merge(spark, source, keys, checkUniqueSource, mergeSchema,
+          changeFeed, keysDeterminePartitions, txn)
+        done = true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
   }
 
   /** Change-data-feed reader (Delta `table_changes` analog): the change rows
@@ -391,11 +436,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // heals on read, but the stream's glob never looks in staging, so
     // reconcile every recorded feed once at stream start (O(versions)
     // metadata reads)
+    // a commit-recorded feed missing from BOTH cdf/ and cdf_stage/ is
+    // genuine data loss — the stream must fail loudly exactly like batch
+    // changes() does, never start with a silent permanent gap
     if (exists)
       (0L to currentVersion)
         .filter(ver => Files.exists(commitPath(ver)))
-        .flatMap(ver => readMeta(ver).cdfDir)
-        .foreach(healFeed)
+        .flatMap(ver => readMeta(ver).cdfDir.map(ver -> _))
+        .foreach { case (ver, d) =>
+          if (!healFeed(d)) throw new IllegalStateException(
+            s"version $ver of $root recorded a change feed at $d but the directory is " +
+              "missing — the change feed is incomplete; streaming it would silently gap")
+        }
     require(Files.exists(Paths.get(root, "cdf")),
       s"no change feed recorded at $root — commit with changeFeed = true before streaming changes")
     import org.apache.spark.sql.types.{LongType, StringType}
@@ -431,7 +483,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
     val newVersion = v + 1
     if (touchedRel.isEmpty) {
-      commit(newVersion, oldFiles, schemaOf(v), carryStats(v, oldFiles))
+      commit(newVersion, oldFiles, schemaOf(v), carryStats(v, oldFiles), op = "DELETE")
       return
     }
 
@@ -457,7 +509,77 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       else None
     commit(newVersion, keptRel ++ newFiles, schemaOf(v),
       carryStats(v, keptRel) ++ collectStats(spark, newFiles, schemaOf(v)),
-      cdfDir)
+      cdfDir, op = "DELETE")
+  }
+
+  /** Delta `UPDATE SET` analog: apply `set` (column → new-value expression)
+    * to every row matching `predicate`, rewriting ONLY the data files that
+    * contain at least one matching row — the same file-pruned shape as
+    * [[delete]]; untouched files are carried forward by manifest reference.
+    * Rows where the predicate is NULL are NOT updated (SQL UPDATE touches
+    * only predicate-is-TRUE rows). SET expressions see the PRE-update row
+    * (standard SQL: `SET a = b, b = a` swaps). Updates may move rows across
+    * partitions (the write re-partitions by value). Generated columns are
+    * re-derived after the SET — an update to a column a generated column
+    * depends on can never leave the pair inconsistent — and CHECK
+    * constraints are enforced inside the rewrite like every write.
+    */
+  def update(spark: SparkSession, predicate: Column, set: Map[String, Column],
+             changeFeed: Boolean = false): Unit = {
+    require(set.nonEmpty, "update requires at least one SET column")
+    val v = currentVersion
+    val schema = schemaOf(v)
+    val unknown = set.keySet -- schema.fieldNames
+    require(unknown.isEmpty,
+      s"update on $root: SET columns ${unknown.mkString(", ")} are not in the table schema")
+    val target = readVersion(spark, v)
+
+    val touched: Set[String] = target
+      .withColumn("_graft_file", input_file_name())
+      .filter(predicate)
+      .select("_graft_file").distinct()
+      .collect().map(r => normalize(r.getString(0))).toSet
+
+    val oldFiles = filesOf(v)
+    val (touchedRel, keptRel) =
+      oldFiles.partition(f => touched.exists(t => t.endsWith("/" + f) || t == f))
+
+    val newVersion = v + 1
+    if (touchedRel.isEmpty) {
+      commit(newVersion, oldFiles, schema, carryStats(v, oldFiles), op = "UPDATE")
+      return
+    }
+
+    val tdf = readFiles(spark, touchedRel, schema)
+    val hit = coalesce(predicate, lit(false)) === true
+    // all SET expressions evaluate against the pre-update row in ONE select
+    val applySet = (d: DataFrame) => d.select(schema.fieldNames.map { c =>
+      set.get(c).fold(col(c))(e => when(hit, e.cast(schema(c).dataType)).otherwise(col(c))).as(c)
+    }.toIndexedSeq: _*)
+    // re-derive generated columns not explicitly SET: identity on untouched
+    // rows, consistency on updated ones
+    val regen = (d: DataFrame) => generatedCols.foldLeft(d) {
+      case (acc, (name, genExpr)) if !set.contains(name) =>
+        acc.withColumn(name, expr(genExpr))
+      case (acc, _) => acc
+    }
+    val rewritten = regen(applySet(tdf))
+
+    val dataDir = newDataDir(newVersion)
+    writeData(rewritten, dataDir)
+    val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
+    // CDF before the commit that records it — see merge()
+    val cdfDir =
+      if (changeFeed) {
+        import MergeTable.ChangeType
+        val pre = tdf.filter(hit).withColumn(ChangeType, lit("update_preimage"))
+        val post = regen(applySet(tdf.filter(hit)))
+          .withColumn(ChangeType, lit("update_postimage"))
+        Some(writeChanges(pre.unionByName(post), newVersion, dataDir))
+      } else None
+    commit(newVersion, keptRel ++ newFiles, schema,
+      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema),
+      cdfDir, op = "UPDATE")
   }
 
   /** Compaction (Delta OPTIMIZE analog): rewrite the CURRENT snapshot so
@@ -478,7 +600,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       if (partitionCols.nonEmpty)
         data.repartition(parallelism, partitionCols.map(col): _*)
       else data.coalesce(1)
-    writeVersion(packed, v + 1)
+    writeVersion(packed, v + 1, op = "OPTIMIZE")
   }
 
   /** Zero-copy CLONE (Delta CLONE analog): the current snapshot's data
@@ -511,8 +633,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     }
     target.commit(0L, c.files, c.schema, c.statsLines,
       constraintsOverride = Some(c.constraints),
-      ingestOverride = Some(c.ingested),
-      txnsOverride = Some(c.txns)) // exactly-once writers stay exactly-once on the clone
+      ingestReset = Some(ledgerAt(v)),
+      txnsOverride = Some(c.txns), // exactly-once writers stay exactly-once on the clone
+      op = "CLONE")
     target
   }
 
@@ -557,7 +680,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val (touchedRel, keptRel) = oldFiles.partition(f => matching.contains(partDir(f)))
     val newVersion = v + 1
     if (touchedRel.isEmpty) {
-      commit(newVersion, oldFiles, schema, carryStats(v, oldFiles))
+      commit(newVersion, oldFiles, schema, carryStats(v, oldFiles), op = "OPTIMIZE")
       return
     }
     val packed = readFiles(spark, touchedRel, schema)
@@ -566,7 +689,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     writeData(packed, dataDir)
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     commit(newVersion, keptRel ++ newFiles, schema,
-      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema))
+      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema),
+      op = "OPTIMIZE")
   }
 
   // ---- data skipping (Delta file-statistics analog) ----
@@ -655,7 +779,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .repartitionByRange(parallelism, col("_graft_z"))
       .sortWithinPartitions("_graft_z")
       .drop("_graft_z")
-    writeVersion(packed, v + 1)
+    writeVersion(packed, v + 1, op = "OPTIMIZE ZORDER")
   }
 
   /** Finish a crashed publish rename (see [[writeChanges]]) on a reader's
@@ -690,7 +814,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   def append(df: DataFrame): Unit = {
     if (!exists) { overwrite(df); return }
-    appendAligned(df, ingestOverride = None)
+    appendAligned(df, ingestDelta = Nil, op = "APPEND")
   }
 
   /** Shared exists-path of [[append]] and [[copyInto]]: align columns to
@@ -699,7 +823,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * `merge(mergeSchema = true)` instead), write a new data dir, and
     * commit it alongside the carried-forward manifest.
     */
-  private def appendAligned(df: DataFrame, ingestOverride: Option[Seq[String]]): Unit = {
+  private def appendAligned(df: DataFrame, ingestDelta: Seq[String],
+                            op: String): Unit = {
     val v = currentVersion
     val c = readCommit(v) // ONE manifest decode; every old file is carried
     val gen = applyGenerated(df)
@@ -714,7 +839,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     commit(newVersion, c.files ++ newFiles, c.schema,
       c.statsLines ++ collectStats(df.sparkSession, newFiles, c.schema),
-      ingestOverride = ingestOverride)
+      ingestDelta = ingestDelta, op = op)
   }
 
   /** COPY INTO analog (Delta/Databricks `COPY INTO`, Auto Loader's batch
@@ -739,16 +864,42 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       writeData(gen, v0dir)
       val newFiles = listParquet(Paths.get(root, v0dir)).map(relativize)
       commit(0L, newFiles, gen.schema, collectStats(spark, newFiles, gen.schema),
-        ingestOverride = Some(fresh))
+        ingestDelta = fresh, op = "COPY INTO")
       return fresh.size.toLong
     }
-    appendAligned(df, ingestOverride = Some((already ++ fresh).toSeq.sorted))
+    appendAligned(df, ingestDelta = fresh, op = "COPY INTO")
     fresh.size.toLong
   }
 
-  /** Source files already loaded by [[copyInto]] (current version's ledger). */
+  /** Source files already loaded by [[copyInto]]: the union of every
+    * commit's per-commit ingest lines since the last ledger reset (see
+    * [[ledgerAt]]).
+    */
   def ingestedFiles: Seq[String] =
-    if (exists) readMeta(currentVersion).ingested else Nil
+    if (exists) ledgerAt(currentVersion) else Nil
+
+  /** The COPY INTO ledger as of `version`: commits record only the files
+    * THEY ingested (Delta's per-commit add-action shape — a carried-forward
+    * full ledger would make every commit O(total files ever ingested) and
+    * every metadata read scan it), so the ledger is the union of the
+    * per-commit deltas walking back from `version` to the nearest commit
+    * with a reset marker (restore/clone write one to roll the ledger back
+    * wholesale). O(versions) metadata reads, never a manifest decode.
+    */
+  private def ledgerAt(version: Long): Seq[String] = {
+    val acc = scala.collection.mutable.HashSet.empty[String]
+    var v = version
+    var done = false
+    while (v >= 0 && !done) {
+      if (Files.exists(commitPath(v))) {
+        val m = readMeta(v)
+        acc ++= m.ingested
+        if (m.ingestReset) done = true
+      }
+      v -= 1
+    }
+    acc.toSeq.sorted
+  }
 
   /** Delta RESTORE analog: roll the table BACK to the state of `version`
     * by committing a NEW version that references the old snapshot's files,
@@ -763,6 +914,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * re-ingest rolled-back files, and make exactly-once sinks skip batches
     * whose effects were just rolled back. The restored version must be
     * inside the vacuum horizon — its files must still exist.
+    *
+    * CHANGE-FEED CAVEAT: restore commits NO change-feed entry — it is a
+    * metadata-only operation and the row-level delta it implies (undo of
+    * every rolled-back commit) is not recorded. CDF consumers (e.g. the
+    * incremental-view-maintenance pattern) that maintained state from
+    * commits being rolled back MUST be rebuilt from the restored snapshot;
+    * continuing their feed subscription after a restore silently diverges
+    * from the table. This matches Delta, whose RESTORE likewise emits no
+    * CDF rows for the rollback itself.
     */
   def restore(version: Long): Unit = {
     val horizon = vacuumHorizon
@@ -774,8 +934,33 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val c = readCommit(version)
     commit(cur + 1, c.files, c.schema, c.statsLines,
       constraintsOverride = Some(c.constraints),
-      ingestOverride = Some(c.ingested),
-      txnsOverride = Some(c.txns))
+      ingestReset = Some(ledgerAt(version)),
+      txnsOverride = Some(c.txns),
+      op = "RESTORE")
+  }
+
+  /** `DESCRIBE HISTORY` analog: one row per commit — version, commit
+    * timestamp (commit-file mtime: set when the commit was published, and
+    * commits are immutable afterwards), operation name, and the txn markers
+    * recorded as of that version (`appId=version`, comma-joined). Built
+    * from metadata lines only — O(versions) reads, never a manifest decode
+    * — so it stays affordable on any table. The audit surface RESTORE
+    * begs for: read it to pick the version to roll back to.
+    */
+  def history(spark: SparkSession): DataFrame = {
+    require(exists, s"MergeTable at $root does not exist")
+    import spark.implicits._
+    (0L to currentVersion)
+      .filter(ver => Files.exists(commitPath(ver)))
+      .map { ver =>
+        val m = readMeta(ver)
+        val ts = new java.sql.Timestamp(
+          Files.getLastModifiedTime(commitPath(ver)).toMillis)
+        (ver, ts, m.operation,
+          m.txns.toSeq.sortBy(_._1).map { case (a, t) => s"$a=$t" }.mkString(","))
+      }
+      .toDF("version", "timestamp", "operation", "txns")
+      .orderBy(col("version").desc)
   }
 
   /** CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` analog): a named
@@ -798,7 +983,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       s"cannot add CHECK constraint '$name' ($predicate) to $root: existing rows violate it")
     val c = readCommit(v)
     commit(v + 1, c.files, c.schema, c.statsLines,
-      constraintsOverride = Some(existing :+ (name -> predicate)))
+      constraintsOverride = Some(existing :+ (name -> predicate)),
+      op = "ADD CONSTRAINT")
   }
 
   /** Drop a CHECK constraint by name (metadata-only commit). */
@@ -808,7 +994,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val c = readCommit(v)
     require(c.constraints.exists(_._1 == name), s"no constraint '$name' on $root")
     commit(v + 1, c.files, c.schema, c.statsLines,
-      constraintsOverride = Some(c.constraints.filterNot(_._1 == name)))
+      constraintsOverride = Some(c.constraints.filterNot(_._1 == name)),
+      op = "DROP CONSTRAINT")
   }
 
   /** The CHECK constraints in force on the current version. */
@@ -905,18 +1092,23 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   private def newDataDir(version: Long): String =
     s"d${version}u${java.lang.Long.toHexString(System.nanoTime())}"
 
+  /** Writes a full snapshot and commits it. Callers must have ALREADY
+    * applied [[applyGenerated]] where the data could be missing or
+    * violating generated columns (overwrite, merge bootstrap) — this path
+    * does NOT re-apply it, so full-table rewrites whose input is the table
+    * itself (compact / zorder, already validated at original write time)
+    * never pay a redundant per-row generation re-evaluation.
+    */
   private def writeVersion(df: DataFrame, version: Long,
                            changes: Option[DataFrame] = None,
-                           txn: Option[(String, Long)] = None): Unit = {
-    // generated columns must exist BEFORE the schema is committed — the
-    // commit's DDL and the written files must agree
-    val gen = applyGenerated(df)
+                           txn: Option[(String, Long)] = None,
+                           op: String = "WRITE"): Unit = {
     val dataDir = newDataDir(version)
-    writeData(gen, dataDir)
+    writeData(df, dataDir)
     val files = listParquet(Paths.get(root, dataDir)).map(relativize)
     val cdfDir = changes.map(c => writeChanges(c, version, dataDir))
-    commit(version, files, gen.schema,
-      collectStats(gen.sparkSession, files, gen.schema), cdfDir, txn = txn)
+    commit(version, files, df.schema,
+      collectStats(df.sparkSession, files, df.schema), cdfDir, txn = txn, op = op)
   }
 
   /** One metadata-sized job: per-file min/max of every stats column the
@@ -1034,24 +1226,36 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                      statsLines: Seq[String] = Nil,
                      cdfDir: Option[String] = None,
                      constraintsOverride: Option[Seq[(String, String)]] = None,
-                     ingestOverride: Option[Seq[String]] = None,
+                     ingestDelta: Seq[String] = Nil,
+                     ingestReset: Option[Seq[String]] = None,
                      txn: Option[(String, Long)] = None,
-                     txnsOverride: Option[Map[String, Long]] = None): Unit = {
+                     txnsOverride: Option[Map[String, Long]] = None,
+                     op: String = "WRITE"): Unit = {
     Files.createDirectories(logDir)
-    // CHECK constraints, the copyInto ledger, and txn versions carry
-    // forward automatically (commits are never deleted, so version-1 is
-    // always readable — and only its METADATA lines are parsed, never the
-    // manifest); add/drop/copyInto/restore pass overrides
+    // CHECK constraints and txn versions carry forward automatically
+    // (commits are never deleted, so version-1 is always readable — and
+    // only its METADATA lines are parsed, never the manifest). The copyInto
+    // ledger is NOT carried forward: each commit records only its own
+    // newly-ingested files (plus an optional reset marker), and readers
+    // union the deltas — at scale a carried-forward ledger would grow every
+    // commit by O(total files ever ingested).
     val prev =
       if (version > 0 && Files.exists(commitPath(version - 1)))
         Some(readMeta(version - 1))
       else None
     val constraints = constraintsOverride.getOrElse(prev.fold(Seq.empty[(String, String)])(_.constraints))
-    val ingested = ingestOverride.getOrElse(prev.fold(Seq.empty[String])(_.ingested))
-    val txns = txnsOverride.getOrElse(prev.fold(Map.empty[String, Long])(_.txns)) ++ txn
+    val ingested = ingestReset.getOrElse(ingestDelta)
+    // a replayed lower txn version must never regress the recorded marker —
+    // exactly-once gates compare against the HIGHEST version ever applied
+    val txnBase = txnsOverride.getOrElse(prev.fold(Map.empty[String, Long])(_.txns))
+    val txns = txn.fold(txnBase) { case (a, ver) =>
+      txnBase.updated(a, txnBase.get(a).fold(ver)(math.max(_, ver)))
+    }
     val content = (s"schema\t${enc(schema.toDDL)}" +:
-      (cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
+      (Seq(s"op\t${enc(op)}") ++
+        cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
         constraints.map { case (n, p) => s"check\t${enc(n)}\t${enc(p)}" } ++
+        ingestReset.map(_ => "ingestreset").toSeq ++
         ingested.map(f => s"ingest\t${enc(f)}") ++
         txns.toSeq.sortBy(_._1).map { case (a, ver) => s"txn\t${enc(a)}\t$ver" } ++
         files.map(f => s"file\t${enc(f)}") ++ statsLines.map(l => s"stat\t$l")))

@@ -488,6 +488,89 @@ object LakeQueries {
              |SELECT o_orderkey, o_orderstatus, o_totalprice FROM src""".stripMargin),
       "SQL MERGE INTO statement over MergeTable — the Delta+Spark-SQL twin"),
 
+    // SQL DELETE FROM (graft.sqlapi.LakeSql): same data shape as m5 so the
+    // statement path and the API path are pinned to agree exactly —
+    // file-pruned rewrite, NULL-predicate rows kept, snapshot commit.
+    "m19_delete_sql" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m19_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        graft.sqlapi.LakeSql.run(s,
+          "DELETE FROM orders_lake WHERE o_orderstatus = 'F' AND o_totalprice < 50000.0",
+          Map("orders_lake" -> table))
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+               round(sum("o_totalprice"), 2).as("price_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       round(sum(o_totalprice), 2) AS price_sum
+             |FROM orders
+             |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+             |GROUP BY o_orderstatus""".stripMargin),
+      "SQL DELETE FROM statement over MergeTable — the Delta+Spark-SQL twin"),
+
+    // SQL UPDATE ... SET (graft.sqlapi.LakeSql): multi-column SET with the
+    // standard see-the-pre-update-row semantics, a partition-moving status
+    // rewrite, and one IEEE add on the price (bit-exact cross-engine). The
+    // oracle expresses the same update as CASE WHEN.
+    "m20_update_sql" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m20_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        graft.sqlapi.LakeSql.run(s,
+          """UPDATE orders_lake
+            |SET o_orderstatus = 'M', o_totalprice = o_totalprice + 1000.0
+            |WHERE o_orderkey % 2 = 0""".stripMargin,
+          Map("orders_lake" -> table))
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+               round(sum("o_totalprice"), 2).as("price_sum"))
+      },
+      Some("""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE o_orderstatus END
+             |         AS o_orderstatus,
+             |       count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0
+             |                      ELSE o_totalprice END), 2) AS price_sum
+             |FROM orders GROUP BY 1""".stripMargin),
+      "SQL UPDATE SET statement: file-pruned partition-moving rewrite"),
+
+    // DESCRIBE HISTORY analog: after a known operation sequence the audit
+    // log must report exactly those operations in version order —
+    // metadata-only reads, the surface an operator checks before RESTORE.
+    // Timestamps are wall-clock (nondeterministic) so the gate pins
+    // version/operation/txns; timestamp monotonicity is asserted in
+    // MergeTableSpec.
+    "m21_history" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m21_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)                                          // v0
+        table.merge(s, orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M")), Seq("o_orderkey"),
+          txn = Some("etl" -> 7L))                                       // v1
+        table.delete(s, col("o_orderstatus") === "O")                    // v2
+        table.addCheckConstraint(s, "price_nonneg", "o_totalprice >= 0") // v3
+        table.restore(1)                                                 // v4
+        table.history(s).select("version", "operation", "txns")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(4 AS BIGINT), 'RESTORE', 'etl=7'),
+             |  (CAST(3 AS BIGINT), 'ADD CONSTRAINT', 'etl=7'),
+             |  (CAST(2 AS BIGINT), 'DELETE', 'etl=7'),
+             |  (CAST(1 AS BIGINT), 'MERGE', 'etl=7'),
+             |  (CAST(0 AS BIGINT), 'WRITE', '')) AS h(version, operation, txns)""".stripMargin),
+      "DESCRIBE HISTORY analog: per-commit audit rows from metadata lines only"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

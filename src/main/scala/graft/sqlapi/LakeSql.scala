@@ -1,0 +1,125 @@
+package graft.sqlapi
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import graft.lake.MergeTable
+
+/** The rest of the "Delta Lake + Spark SQL" DML surface over [[MergeTable]]
+  * (the reference's tables are Delta, and Delta ships these as SQL —
+  * glue_jobs/01_silver_delta_upsert.py:99-112 uses the API twin):
+  *
+  * {{{
+  *   DELETE FROM t WHERE <predicate>
+  *   UPDATE t SET c1 = <expr> [, c2 = <expr> ...] WHERE <predicate>
+  *   SELECT ... FROM t VERSION AS OF <n> ...      -- time travel
+  * }}}
+  *
+  * Targets resolve through a caller-supplied registry exactly like
+  * [[MergeInto]] (MergeTables are paths, not catalog entries). Predicates
+  * and SET expressions are handed to Spark's own SQL expression parser
+  * (`expr(...)`) — anything Spark SQL can evaluate over the table's columns
+  * works. Statement shapes outside the three above fail loudly rather than
+  * half-parsing.
+  *
+  * Time travel rewrites every `name VERSION AS OF n` table reference in an
+  * arbitrary SELECT to a temp view over [[MergeTable.readVersion]] and runs
+  * the rewritten statement through `spark.sql` — the full SELECT surface
+  * (joins, windows, aggregates) composes with versioned reads.
+  */
+object LakeSql {
+
+  private val DeleteShape =
+    """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+
+  private val UpdateShape =
+    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+
+  private val TimeTravelRef =
+    """(?i)([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  /** Execute a `DELETE FROM` or `UPDATE` statement against a registered
+    * MergeTable. All of the API twins' semantics apply: file-pruned
+    * rewrite, NULL-predicate rows kept (DELETE) / untouched (UPDATE),
+    * constraint enforcement and generated-column re-derivation fused into
+    * the write, atomic snapshot commit.
+    */
+  def run(spark: SparkSession, sql: String, targets: Map[String, MergeTable]): Unit =
+    sql match {
+      case DeleteShape(tgt, pred) =>
+        resolve(tgt, targets).delete(spark, expr(pred))
+      case UpdateShape(tgt, sets, pred) =>
+        resolve(tgt, targets).update(spark, expr(pred),
+          parseSetList(sets).map { case (c, e) => c -> expr(e) }.toMap)
+      case _ =>
+        throw new IllegalArgumentException(
+          "unsupported statement — supported shapes: DELETE FROM t WHERE p; " +
+            "UPDATE t SET c = e [, ...] WHERE p (MERGE INTO lives in MergeInto; " +
+            "time-travel SELECT in LakeSql.query)")
+    }
+
+  /** Run a SELECT whose FROM clause may reference registered MergeTables
+    * with `name VERSION AS OF n` (Delta's time-travel SQL). Each versioned
+    * reference becomes a temp view over that table's snapshot read; plain
+    * (unversioned) references to registered names resolve to the CURRENT
+    * snapshot. Unregistered names pass through to the session catalog.
+    */
+  def query(spark: SparkSession, sql: String, targets: Map[String, MergeTable]): DataFrame = {
+    var rewritten = TimeTravelRef.replaceAllIn(sql, m => {
+      val (name, ver) = (m.group(1), m.group(2).toLong)
+      val table = resolve(name, targets)
+      val view = s"${name.replace('.', '_')}__v$ver"
+      table.readVersion(spark, ver).createOrReplaceTempView(view)
+      java.util.regex.Matcher.quoteReplacement(view)
+    })
+    // bare references to registered tables → current snapshot views
+    targets.foreach { case (name, table) =>
+      val bare = s"""(?i)(?<![\\w.])${java.util.regex.Pattern.quote(name)}(?![\\w.])""".r
+      if (bare.findFirstIn(rewritten).isDefined) {
+        val view = s"${name.replace('.', '_')}__cur"
+        table.read(spark).createOrReplaceTempView(view)
+        rewritten = bare.replaceAllIn(rewritten,
+          java.util.regex.Matcher.quoteReplacement(view))
+      }
+    }
+    spark.sql(rewritten)
+  }
+
+  /** Split `c1 = e1, c2 = e2, ...` on top-level commas only — a comma
+    * inside a function call (`coalesce(a, b)`) or string literal must not
+    * split the assignment list.
+    */
+  private[sqlapi] def parseSetList(sets: String): Seq[(String, String)] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var inStr: Option[Char] = None
+    val cur = new StringBuilder
+    sets.foreach { ch =>
+      inStr match {
+        case Some(q) =>
+          cur += ch
+          if (ch == q) inStr = None
+        case None => ch match {
+          case '\'' | '"' => inStr = Some(ch); cur += ch
+          case '(' => depth += 1; cur += ch
+          case ')' => depth -= 1; cur += ch
+          case ',' if depth == 0 => parts += cur.result(); cur.clear()
+          case _ => cur += ch
+        }
+      }
+    }
+    parts += cur.result()
+    parts.result().map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"unsupported SET assignment '${a.trim}': expected col = expr")
+      val colName = a.take(i).trim
+      require(colName.matches("\\w+"),
+        s"unsupported SET target '$colName': must be a plain column name")
+      colName -> a.drop(i + 1).trim
+    }
+  }
+
+  private def resolve(name: String, targets: Map[String, MergeTable]): MergeTable =
+    targets.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown table '$name' — registered targets: ${targets.keys.toSeq.sorted.mkString(", ")}"))
+}

@@ -2,7 +2,7 @@ package graft.lake
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, upper}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import scala.jdk.CollectionConverters._
@@ -644,6 +644,138 @@ class MergeTableSpec extends SparkSpec {
       assert(asSet(pruned.read(spark)) === asSet(plain.read(spark)),
         s"case $i: target=$tks source=$sks")
     }
+  }
+
+  test("update applies SET to predicate-TRUE rows only; NULL predicate rows untouched") {
+    val t = new MergeTable(scratch("mt_update"), Seq("p"))
+    t.overwrite(Seq((1, "a", "p1"), (2, "b", "p1"), (3, null, "p2"))
+      .toDF("k", "v", "p"))
+    // predicate is NULL for k=3 (null v) — SQL UPDATE must not touch it;
+    // matched rows move partitions
+    t.update(spark, col("v") < "c", Map("v" -> upper(col("v")), "p" -> lit("p9")))
+    val got = t.read(spark).select("k", "v", "p").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1, "A", "p9"), (2, "B", "p9"), (3, null, "p2")))
+    // time travel still sees the pre-update rows
+    assert(asSet(t.readVersion(spark, 0).na.fill("·")) ===
+      asSet(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "·", "p2")).toDF("k", "v", "p")))
+  }
+
+  test("update SET expressions see the PRE-update row (swap semantics)") {
+    val t = new MergeTable(scratch("mt_update_swap"))
+    t.overwrite(Seq((1, 10L, 20L)).toDF("k", "a", "b"))
+    t.update(spark, col("k") === 1, Map("a" -> col("b"), "b" -> col("a")))
+    val r = t.read(spark).select("a", "b").head()
+    assert((r.getLong(0), r.getLong(1)) === ((20L, 10L)), "SET must not chain")
+  }
+
+  test("update re-derives generated columns and records CDF pre/post images") {
+    val t = new MergeTable(scratch("mt_update_gen"), Seq("kmod"),
+      generatedCols = Seq("kmod" -> "k % 2"))
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.update(spark, col("k") === 1, Map("k" -> (col("k") + 1)), changeFeed = true)
+    // k=1 became k=2 (kmod must follow: 1 → 0); the original k=2 row is
+    // untouched — two (2, 0) rows total
+    val got = t.read(spark).select("k", "kmod").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    assert(got === Seq((2, 0), (2, 0)),
+      "generated column not re-derived after SET on its input")
+    val ch = t.changes(spark, 1, 1).select(MergeTable.ChangeType, "k").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(ch === Set(("update_preimage", 1), ("update_postimage", 2)))
+  }
+
+  test("update touching no file commits a metadata-only new version") {
+    val t = new MergeTable(scratch("mt_update_noop"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    val files = t.filesOf(0)
+    t.update(spark, col("k") === 99, Map("v" -> lit("x")))
+    assert(t.currentVersion === 1 && t.filesOf(1) === files)
+  }
+
+  test("mergeWithRetry: concurrent writers both land via OCC retry") {
+    val t = new MergeTable(scratch("mt_retry"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq((2, "b"), (3, "c")).map { case (k, v) =>
+      new Thread(() => {
+        gate.await()
+        try t.mergeWithRetry(spark, df(Seq((k, v, "p1"))), Seq("k"), maxAttempts = 8)
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"a retried merge still failed: ${errs.asScala.headOption}")
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p1")))
+  }
+
+  test("history reports version/operation/txns; timestamps are monotonic") {
+    val t = new MergeTable(scratch("mt_history"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))                                // v0 WRITE
+    t.merge(spark, df(Seq((2, "b", "p1"))), Seq("k"),
+      txn = Some("app" -> 3L))                                          // v1 MERGE
+    t.delete(spark, col("k") === 1)                                     // v2 DELETE
+    t.update(spark, col("k") === 2, Map("v" -> lit("B")))               // v3 UPDATE
+    t.compact(spark)                                                    // v4 OPTIMIZE
+    val h = t.history(spark).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(h.map(_.getString(2)).toSeq ===
+      Seq("WRITE", "MERGE", "DELETE", "UPDATE", "OPTIMIZE"))
+    assert(h.map(_.getString(3)).toSeq === Seq("", "app=3", "app=3", "app=3", "app=3"))
+    val times = h.map(_.getTimestamp(1).getTime).toSeq
+    assert(times === times.sorted, "commit timestamps must be non-decreasing")
+    // the audit surface RESTORE begs for: pick a version from history, roll
+    // back to it, and the restore itself appears in history
+    t.restore(h.find(_.getString(2) == "MERGE").get.getLong(0))
+    val ops = t.history(spark).orderBy("version").collect().map(_.getString(2))
+    assert(ops.last === "RESTORE")
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (2, "b", "p1")))
+  }
+
+  test("a replayed LOWER txn version never regresses the recorded marker") {
+    val t = new MergeTable(scratch("mt_txn_max"))
+    t.overwrite(Seq((1, "a")).toDF("k", "v"), txn = Some("app" -> 5L))
+    // a crashed upstream replaying an old batch writes a lower version
+    t.overwrite(Seq((2, "b")).toDF("k", "v"), txn = Some("app" -> 3L))
+    assert(t.lastTxnVersion("app") === Some(5L),
+      "marker regressed — exactly-once gates would re-apply batches 4..5")
+  }
+
+  test("copyInto ledger is stored incrementally, not carried into every commit") {
+    val stage = scratch("mt_ledger_stage")
+    df(Seq((1, "a", "p1"), (2, "b", "p2"))).repartition(2)
+      .write.mode("overwrite").parquet(stage)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    val t = new MergeTable(scratch("mt_ledger"), Seq("p"))
+    t.copyInto(spark, files)
+    t.merge(spark, df(Seq((3, "c", "p1"))), Seq("k"))
+    t.merge(spark, df(Seq((4, "d", "p1"))), Seq("k"))
+    // the ledger still answers the union (paths are normalized absolute)...
+    assert(t.ingestedFiles.toSet ===
+      files.map(f => java.nio.file.Paths.get(f).toAbsolutePath.toString).toSet)
+    assert(t.copyInto(spark, files) === 0)
+    // ...but non-ingest commits carry ZERO ingest lines — at scale a
+    // carried-forward ledger would grow every commit by O(files ever
+    // ingested)
+    val lastCommit = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      t.root, "_graft_log", s"${t.currentVersion}.commit"))
+    assert(!lastCommit.contains("ingest\t"),
+      "non-ingest commit re-serialized the copyInto ledger")
+  }
+
+  test("changesStream fails loudly when a recorded feed is truly missing") {
+    val t = new MergeTable(scratch("mt_stream_loss"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    t.merge(spark, df(Seq((2, "b", "p1"))), Seq("k"), changeFeed = true)
+    // external data loss: the recorded feed vanishes from cdf/ AND cdf_stage/
+    val cdfRoot = java.nio.file.Paths.get(t.root, "cdf")
+    java.nio.file.Files.walk(cdfRoot).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    val ex = intercept[IllegalStateException] { t.changesStream(spark) }
+    assert(ex.getMessage.contains("incomplete"),
+      "stream started over a permanent feed gap — batch changes() throws here")
   }
 
   test("property: merged = source ∪ (target ∖ source-keys)") {

@@ -1,0 +1,73 @@
+package graft.sqlapi
+
+import graft.SparkSpec
+import graft.lake.MergeTable
+import org.apache.spark.sql.functions.col
+
+/** LakeSql: the DELETE / UPDATE / VERSION AS OF statement surface over
+  * MergeTable — parse discipline (loud failures outside the supported
+  * shapes) and agreement with the API twins.
+  */
+class LakeSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seeded(name: String): MergeTable = {
+    val t = new MergeTable(scratch(name), Seq("p"))
+    t.overwrite(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))
+      .toDF("k", "v", "p"))
+    t
+  }
+
+  private def asSet(t: MergeTable) =
+    t.read(spark).select("k", "v", "p").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+
+  test("DELETE FROM removes predicate-TRUE rows via the statement path") {
+    val t = seeded("lsql_del")
+    LakeSql.run(spark, "DELETE FROM tbl WHERE p = 'p1' AND k < 2", Map("tbl" -> t))
+    assert(asSet(t) === Set((2, "b", "p1"), (3, "c", "p2")))
+  }
+
+  test("UPDATE SET applies top-level-comma-split assignments with WHERE") {
+    val t = seeded("lsql_upd")
+    // a comma INSIDE a function call must not split the SET list
+    LakeSql.run(spark,
+      "UPDATE tbl SET v = concat(v, '!'), p = 'p9' WHERE k IN (1, 3)",
+      Map("tbl" -> t))
+    assert(asSet(t) === Set((1, "a!", "p9"), (2, "b", "p1"), (3, "c!", "p9")))
+  }
+
+  test("SELECT ... VERSION AS OF reads a snapshot; bare names read the tip") {
+    val t = seeded("lsql_tt")
+    t.delete(spark, col("k") === 1) // v1
+    val old = LakeSql.query(spark,
+      "SELECT count(*) AS n FROM tbl VERSION AS OF 0", Map("tbl" -> t))
+    assert(old.head().getLong(0) === 3)
+    // versioned and current reads compose in ONE statement
+    val joined = LakeSql.query(spark,
+      """SELECT count(*) AS gone FROM tbl VERSION AS OF 0 o
+        |LEFT ANTI JOIN tbl c ON o.k = c.k""".stripMargin, Map("tbl" -> t))
+    assert(joined.head().getLong(0) === 1)
+  }
+
+  test("statements outside the supported shapes fail loudly") {
+    val t = seeded("lsql_bad")
+    val ex = intercept[IllegalArgumentException] {
+      LakeSql.run(spark, "TRUNCATE TABLE tbl", Map("tbl" -> t))
+    }
+    assert(ex.getMessage.contains("unsupported"))
+    val ex2 = intercept[IllegalArgumentException] {
+      LakeSql.run(spark, "DELETE FROM nope WHERE k = 1", Map("tbl" -> t))
+    }
+    assert(ex2.getMessage.contains("unknown table"))
+  }
+
+  test("parseSetList splits on top-level commas only, including strings") {
+    assert(LakeSql.parseSetList("a = coalesce(x, y), b = 'p,q', c = 1 + 2") ===
+      Seq("a" -> "coalesce(x, y)", "b" -> "'p,q'", "c" -> "1 + 2"))
+    val ex = intercept[IllegalArgumentException] {
+      LakeSql.parseSetList("t.a = 1")
+    }
+    assert(ex.getMessage.contains("plain column name"))
+  }
+}
