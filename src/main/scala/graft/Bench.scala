@@ -56,7 +56,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"master":"local[$cpus]","shuffle_partitions":$cpus,"failed":$failedJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"master":"local[$cpus]","shuffle_partitions":$cpus,"failed":$failedJson}"""
+    println(line)
+    // the driver's BENCH record keeps only a 2000-char tail of stdout — the
+    // per-query map loses its first ~57 entries. Persist the FULL line in
+    // the repo so every round's numbers stay attributable without a rerun.
+    val out = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
     // closed only AFTER the run: keeping the channel reachable to this point
     // stops GC from finalizing it mid-run (a collected FileChannel closes

@@ -211,7 +211,7 @@ object CoreQueries {
     "q13_approx_distinct" -> GraftQuery(
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_orderkey", rsd = 0.05).as("approx_orders"),
+        .agg(approx_count_distinct("l_orderkey", rsd = 0.02).as("approx_orders"),
              countDistinct("l_orderkey").as("exact_orders")),
       None,
       "HyperLogLog++ distinct estimate next to the exact count"),

@@ -75,21 +75,42 @@ object DedupQueries {
       .select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst")
+    propagateMinLabels(edges, maxIter = 20)
+  }
+
+  /** Iterative min-label propagation over a symmetric edge list
+    * `(src, dst)` → connected-component labels `(id, label)`. One
+    * join + min-combine per round, convergence probed by a metadata-sized
+    * count; fails loudly past `maxIter` (component diameter exceeded the
+    * bound — switch to large-star/small-star). Exposed for the plan-depth
+    * spec: lineage is checkpoint-truncated every few rounds, so the final
+    * plan is bounded regardless of how many iterations ran.
+    */
+  private[graft] def propagateMinLabels(edgeList: org.apache.spark.sql.DataFrame,
+                                          maxIter: Int): org.apache.spark.sql.DataFrame = {
+    val edges = edgeList.cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.toDF("nid", "nlabel"), col("dst") === col("nid"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
-      val updated = labels.toDF("id", "old")
+      val next = labels.toDF("id", "old")
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("old"), coalesce(col("nmin"), col("old"))).as("label"))
-        .cache()
+      // every round nests the previous plan under a new self-join — cache()
+      // alone dedupes EXECUTION but Catalyst still re-analyzes the whole
+      // O(iter)-deep tower each pass, and at real scale the driver pays
+      // O(iter²) planning. localCheckpoint() every few rounds truncates the
+      // lineage to the materialized partitions, keeping plan depth bounded
+      // regardless of component diameter.
+      val updated =
+        if (iter % 5 == 4) next.localCheckpoint() else next.cache()
       converged = updated.toDF("id", "new_label")
         .join(labels.toDF("id", "old_label"), Seq("id"))
         .filter(col("new_label") =!= col("old_label"))
@@ -99,7 +120,7 @@ object DedupQueries {
       iter += 1
     }
     // a silent non-converged exit would emit split components that look
-    // plausible — fail loudly instead (diameter > 20 means the corpus
+    // plausible — fail loudly instead (diameter > maxIter means the corpus
     // needs the large-star/small-star O(log n) variant)
     require(converged,
       s"label propagation did not converge in $iter iterations — component diameter exceeds the bound")

@@ -33,6 +33,59 @@ object StreamQueries {
     ss
   }
 
+  /** st7's per-micro-batch incremental-view-maintenance step, DELTA-SIZED
+    * on the sink side: the CDF batch reduces to signed per-group deltas,
+    * changed groups are upserted via `gold.merge` on the group key, and
+    * groups whose count reaches zero are deleted — the write cost is
+    * proportional to the CHANGED groups, never the gold table (a
+    * read-join-overwrite sink would rewrite the whole aggregate every
+    * batch, defeating the point of IVM at scale).
+    *
+    * Exactly-once under micro-batch REPLAY: the applied batch id is
+    * recorded atomically with the MERGE commit (Delta's txn action
+    * analog). The zero-group delete runs BEFORE the txn-marked merge, so
+    * the replay cases all converge: crash before the delete → full re-run;
+    * crash between delete and merge → the re-run's delete is a no-op
+    * (rows already gone; their re-derived new count, gold-absent + negative
+    * delta, stays ≤ 0 and is re-deleted harmlessly) and the merge then
+    * lands with the marker; crash after the merge → the marker skips the
+    * whole batch, and the delete it would repeat was already applied.
+    */
+  private[graft] def applyGoldDelta(gold: MergeTable, batch: DataFrame,
+                                      batchId: Long): Unit = {
+    if (gold.lastTxnVersion("st7").exists(_ >= batchId)) return
+    val delta = batch
+      .withColumn("sign",
+        when(col(MergeTable.ChangeType).isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy("o_orderstatus")
+      .agg(sum(col("sign")).as("dn"),
+           sum(col("o_orderkey") * col("sign")).as("dkey"))
+    if (!gold.exists) {
+      gold.overwrite(
+        delta.filter(col("dn") > 0)
+          .select(col("o_orderstatus"), col("dn").as("n"), col("dkey").as("key_sum")),
+        txn = Some("st7" -> batchId))
+      return
+    }
+    // delta-sized state update: only CHANGED groups join against gold
+    val newVals = delta
+      .join(gold.read(batch.sparkSession).select("o_orderstatus", "n", "key_sum"),
+        Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"),
+        (coalesce(col("n"), lit(0L)) + col("dn")).as("n"),
+        (coalesce(col("key_sum"), lit(0L)) + col("dkey")).as("key_sum"))
+    val gone = newVals.filter(col("n") <= 0)
+      .select("o_orderstatus").collect().map(_.getString(0))
+    if (gone.nonEmpty) gold.delete(batch.sparkSession, col("o_orderstatus").isin(gone.toSeq: _*))
+    // gold is partitioned BY the merge key, so the key trivially determines
+    // the partition — the probe and rewrite prune to the changed groups'
+    // files, which is what makes the sink delta-sized on disk too
+    gold.merge(batch.sparkSession, newVals.filter(col("n") > 0),
+      Seq("o_orderstatus"), txn = Some("st7" -> batchId),
+      keysDeterminePartitions = gold.partitionCols == Seq("o_orderstatus"))
+  }
+
   /** Stage the single events.parquet FILE into a directory — the streaming
     * file source only accepts directories.
     */
@@ -312,7 +365,8 @@ object StreamQueries {
         val id = runId.incrementAndGet()
         val silver = new MergeTable(s"${Registry.scratchRoot}/st7_silver_$id",
           Seq("o_orderstatus"))
-        val gold = new MergeTable(s"${Registry.scratchRoot}/st7_gold_$id")
+        val gold = new MergeTable(s"${Registry.scratchRoot}/st7_gold_$id",
+          Seq("o_orderstatus"))
         val base = Registry.t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
         silver.merge(s, base, Seq("o_orderkey"), changeFeed = true)          // v0: inserts
         silver.merge(s, base.filter(col("o_orderkey") % 2 === 0)
@@ -324,30 +378,7 @@ object StreamQueries {
         val q = silver.changesStream(ss, maxFilesPerTrigger = Some(12))
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            // exactly-once under micro-batch REPLAY: the applied batch id is
-            // recorded atomically with the data (Delta's txn action analog),
-            // so a crash between sink commit and checkpoint advance cannot
-            // double-apply the delta on restart
-            if (!gold.lastTxnVersion("st7").exists(_ >= batchId)) {
-            val delta = batch
-              .withColumn("sign",
-                when(col(MergeTable.ChangeType).isin("insert", "update_postimage"), 1L)
-                  .otherwise(-1L))
-              .groupBy("o_orderstatus")
-              .agg(sum(col("sign")).as("dn"),
-                   sum(col("o_orderkey") * col("sign")).as("dkey"))
-            val merged =
-              if (!gold.exists)
-                delta.select(col("o_orderstatus"), col("dn").as("n"),
-                  col("dkey").as("key_sum"))
-              else gold.read(batch.sparkSession).select("o_orderstatus", "n", "key_sum")
-                .join(delta, Seq("o_orderstatus"), "full_outer")
-                .select(col("o_orderstatus"),
-                  (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-                  (coalesce(col("key_sum"), lit(0L)) + coalesce(col("dkey"), lit(0L)))
-                    .as("key_sum"))
-            gold.overwrite(merged.filter(col("n") > 0), txn = Some("st7" -> batchId))
-            }
+            StreamQueries.applyGoldDelta(gold, batch, batchId)
           }
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", s"${Registry.scratchRoot}/st7_ckpt_$id")

@@ -20,6 +20,19 @@ object TextQueries {
   private def inList(vals: Seq[String]): String =
     vals.map(v => s"'$v'").mkString("(", ",", ")")
 
+  /** Broadcast `df` only when a guard count proves it small (v3-style
+    * guard): t18's hot-line set is corpus-dependent and UNBOUNDED — a crawl
+    * with billions of quasi-boilerplate lines would kill the driver under a
+    * forced `broadcast()`. Above the bound the frame is returned unhinted
+    * and the join degrades to a plain shuffle join (AQE may still pick a
+    * broadcast if runtime stats allow). The guard count scans only up to
+    * `maxRows + 1` rows of the (aggregated, already-small-per-partition)
+    * census — aggregate-sized, never corpus-sized.
+    */
+  private[graft] def broadcastIfSmall(df: org.apache.spark.sql.DataFrame,
+                                        maxRows: Int = 4_000_000): org.apache.spark.sql.DataFrame =
+    if (df.limit(maxRows + 1).count() <= maxRows) broadcast(df) else df
+
   val all: Map[String, GraftQuery] = Map(
 
     // Quality scoring: word/char counts, distinct ratio, stopword ratio.
@@ -555,7 +568,9 @@ object TextQueries {
     // BOTH sides: one corpus-wide, one per-source — both cross the
     // document-frequency threshold (≥5 docs) and must be stripped; the
     // body line survives. Shape at 100 TB: one explode, one line-census
-    // aggregate whose hot set is tiny (broadcast back), and an ordered
+    // aggregate whose hot set is broadcast back ONLY after a guard count
+    // proves it small (its size is a corpus property, not an operator
+    // property — see broadcastIfSmall), and an ordered
     // per-doc reassembly (sort_array over collected (idx, line) structs —
     // collect_list order is NOT deterministic, the struct sort is what
     // makes the md5 reproducible).
@@ -571,7 +586,7 @@ object TextQueries {
           .agg(countDistinct("doc_id").as("df"))
           .filter(col("df") >= 5)
           .select("line")
-        val flagged = lines.join(broadcast(hot.withColumn("hot", lit(1))),
+        val flagged = lines.join(broadcastIfSmall(hot.withColumn("hot", lit(1))),
           Seq("line"), "left")
         val kept = flagged.filter(col("hot").isNull)
           .groupBy("doc_id")

@@ -181,6 +181,53 @@ class PlanSpec extends SparkSpec {
       s"chunking introduced a shuffle — must stay map-only:\n$plan")
   }
 
+  test("t18's hot-set broadcast is guarded: oversized census degrades to a plain join") {
+    // the broadcast path (default bound) and the forced-fallback path
+    // (bound 0) must produce identical rows — the guard changes the plan,
+    // never the answer
+    import graft.queries.TextQueries
+    val hot = Seq("a", "b").toDF("line").withColumn("hot", lit(1))
+    val lines = Seq((1L, 0, "a"), (1L, 1, "x"), (2L, 0, "b"), (2L, 1, "y"))
+      .toDF("doc_id", "idx", "line")
+    def kept(hotSide: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      lines.join(hotSide, Seq("line"), "left").filter($"hot".isNull)
+        .select("doc_id", "line").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val small = TextQueries.broadcastIfSmall(hot)
+    val forced = TextQueries.broadcastIfSmall(hot, maxRows = 0)
+    assert(kept(small) === kept(forced))
+    assert(kept(forced) === Seq((1L, "x"), (2L, "y")))
+    // plan shapes: small side hinted ⇒ BroadcastHashJoin; over-bound ⇒ no
+    // forced broadcast hint survives (Catalyst/AQE may still choose one at
+    // toy scale, so assert on the HINT, i.e. the analyzed plan)
+    val hinted = lines.join(small, Seq("line"), "left")
+      .queryExecution.analyzed.toString
+    val unhinted = lines.join(forced, Seq("line"), "left")
+      .queryExecution.analyzed.toString
+    assert(hinted.contains("ResolvedHint"), s"guard dropped the small-case hint:\n$hinted")
+    assert(!unhinted.contains("ResolvedHint"),
+      s"oversized census still force-broadcast — driver OOM at corpus scale:\n$unhinted")
+  }
+
+  test("d8 label propagation keeps plan depth bounded across iterations") {
+    // a 13-node path graph forces ~12 propagation rounds — far past the
+    // checkpoint cadence. Without lineage truncation the final plan nests
+    // one self-join PER ROUND; with it, depth stays a small constant.
+    import graft.queries.DedupQueries
+    val edges = (0L until 12L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    val labels = DedupQueries.propagateMinLabels(edges, maxIter = 20)
+    // every node converges to the component minimum (0)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size === 13 && got.values.forall(_ === 0L))
+    // with checkpoint cadence 5, at most ~4 un-truncated rounds (~15 nodes
+    // each) sit atop the last LogicalRDD; without truncation all ~13 rounds
+    // nest (≈200 nodes, growing with diameter)
+    val depth = labels.queryExecution.logical.collect { case p => p }.size
+    assert(depth < 100,
+      s"plan has $depth nodes after 12 rounds — lineage is not being truncated")
+  }
+
   test("aggregation pipeline runs inside WholeStageCodegen") {
     val df = (1 to 5000).map(i => (i % 10, i.toLong)).toDF("g", "v")
     val q = df.filter($"v" > 10).groupBy("g")

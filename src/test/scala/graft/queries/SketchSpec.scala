@@ -133,6 +133,21 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q13 HLL relative error ≤ 5% against exact count(distinct) at sf0.01") {
+    // the driver's gate for q13 is rows-only (HLL estimates are
+    // engine-specific) — THIS invariant is its correctness evidence: at
+    // sf0.01 cardinalities are large enough for the configured rsd to bind
+    val rows = Registry.all("q13_approx_distinct").fn(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"flag=${r.get(0)}: approx=$approx exact=$exact " +
+          f"err=${math.abs(approx - exact) / exact}%.4f > 0.05")
+    }
+  }
+
   test("float_dot matches the higher-order aggregate/zip_with formulation bit-for-bit") {
     GraftFunctions.register(spark)
     val df = Seq.tabulate(20)(i => (i.toLong, Seq.tabulate(64)(d => math.cos(i * 31 + d).toFloat)))

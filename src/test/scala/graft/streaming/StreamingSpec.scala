@@ -80,4 +80,39 @@ class StreamingSpec extends SparkSpec {
       assert(!out.exists(_._1 == 99L))
     } finally q.stop()
   }
+
+  test("st7 IVM sink: delta-sized merges, zero-group deletes, replay-proof") {
+    import spark.implicits._
+    import graft.lake.MergeTable
+    val gold = new MergeTable(scratch("ivm_gold"), Seq("o_orderstatus"))
+    def cdf(rows: (String, Long, String)*) =
+      rows.toDF("o_orderstatus", "o_orderkey", MergeTable.ChangeType)
+    def state(): Map[String, (Long, Long)] =
+      gold.read(spark).select("o_orderstatus", "n", "key_sum").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // batch 0: inserts → bootstrap
+    graft.queries.StreamQueries.applyGoldDelta(gold,
+      cdf(("A", 1L, "insert"), ("A", 2L, "insert"), ("B", 10L, "insert")), 0L)
+    assert(state() === Map("A" -> (2L, 3L), "B" -> (1L, 10L)))
+
+    // batch 1: A loses a row; B's row moves to C; replay of batch 1 must be
+    // a no-op (txn marker)
+    val b1 = cdf(("A", 1L, "delete"),
+      ("B", 10L, "update_preimage"), ("C", 10L, "update_postimage"))
+    graft.queries.StreamQueries.applyGoldDelta(gold, b1, 1L)
+    val after1 = state()
+    assert(after1 === Map("A" -> (1L, 2L), "C" -> (1L, 10L)),
+      "zero-count group B must be DELETED, changed groups merged")
+    graft.queries.StreamQueries.applyGoldDelta(gold, b1, 1L) // crash replay
+    assert(state() === after1, "replayed batch double-applied")
+
+    // the sink is delta-sized: batch 2 touches only group C — group A's
+    // file must be carried forward by reference, never rewritten
+    val filesBefore = gold.filesOf(gold.currentVersion).toSet
+    graft.queries.StreamQueries.applyGoldDelta(gold, cdf(("C", 11L, "insert")), 2L)
+    val carried = gold.filesOf(gold.currentVersion).toSet.intersect(filesBefore)
+    assert(carried.nonEmpty, "no file carried forward — sink rewrote the whole gold table")
+    assert(state() === Map("A" -> (1L, 2L), "C" -> (2L, 21L)))
+  }
 }
