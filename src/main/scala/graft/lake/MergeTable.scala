@@ -987,6 +987,27 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       op = "ADD CONSTRAINT")
   }
 
+  /** `ALTER TABLE ADD COLUMNS` analog: extend the schema with new NULLABLE
+    * fields in a METADATA-ONLY commit — no data file is touched at any
+    * scale. Existing files simply predate the columns and read back NULL
+    * (the same parquet-projection property `merge(mergeSchema = true)`
+    * relies on); subsequent writes carry the evolved schema. Fails loudly
+    * on name collisions — silently replacing a column's type would corrupt
+    * every reader's expectations.
+    */
+  def addColumns(newFields: StructType): Unit = {
+    require(exists, s"MergeTable at $root does not exist")
+    require(newFields.nonEmpty, "addColumns requires at least one field")
+    val v = currentVersion
+    val c = readCommit(v)
+    val clash = newFields.fieldNames.toSet.intersect(c.schema.fieldNames.toSet)
+    require(clash.isEmpty,
+      s"addColumns on $root: ${clash.mkString(", ")} already exist — " +
+        "changing an existing column's type is not supported")
+    val evolved = StructType(c.schema.fields ++ newFields.fields.map(_.copy(nullable = true)))
+    commit(v + 1, c.files, evolved, c.statsLines, op = "ADD COLUMNS")
+  }
+
   /** Drop a CHECK constraint by name (metadata-only commit). */
   def dropCheckConstraint(name: String): Unit = {
     require(exists, s"MergeTable at $root does not exist")

@@ -571,6 +571,32 @@ object LakeQueries {
              |  (CAST(0 AS BIGINT), 'WRITE', '')) AS h(version, operation, txns)""".stripMargin),
       "DESCRIBE HISTORY analog: per-commit audit rows from metadata lines only"),
 
+    // ALTER TABLE ADD COLUMNS: metadata-only schema evolution — zero files
+    // rewritten (file-identity asserted in MergeTableSpec); existing rows
+    // read the new column as NULL via parquet projection, and a subsequent
+    // merge fills it for matched/inserted keys only.
+    "m22_add_columns" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m22_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        table.addColumns(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("priority_flag",
+            org.apache.spark.sql.types.StringType))))
+        table.merge(s, orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("priority_flag", lit("HIGH")), Seq("o_orderkey"))
+        table.read(s).groupBy("o_orderstatus", "priority_flag")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus,
+             |       CASE WHEN o_orderkey % 5 = 0 THEN 'HIGH' END AS priority_flag,
+             |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders
+             |GROUP BY 1, 2""".stripMargin),
+      "ALTER TABLE ADD COLUMNS analog: metadata-only evolution, NULL-fill reads"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -626,5 +626,51 @@ object TextQueries {
              |LEFT JOIN kept k USING (doc_id)
              |ORDER BY c.doc_id""".stripMargin),
       "line-level boilerplate strip: hot-line census + ordered reassembly"),
+
+    // Gopher-style composite quality gate — the rule-based document filter
+    // every pretraining pipeline runs before anything model-based: word
+    // count bounds, mean word length bounds, symbol ratio, and a stopword
+    // floor, each reported BY NAME so the filter is auditable (which rule
+    // killed the document matters as much as the verdict). All rules are
+    // INTEGER arithmetic — mean word length is checked as
+    // 2·n ≤ Σlen ≤ 12·n, never a float division, so both engines agree
+    // exactly; Σlen needs no second pass (words are single-space joined:
+    // Σlen = chars − (n − 1)). Map-only, zero shuffles at any scale.
+    "t19_quality_rules" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n_words", size(col("words")))
+        .withColumn("sum_wlen", length(col("text")) - (col("n_words") - 1))
+        .withColumn("n_sym", length(regexp_replace(col("text"), "[a-z ]", "")))
+        .withColumn("n_stop", size(array_intersect(array_distinct(col("words")),
+          array(lit("the"), lit("and"), lit("of"), lit("to"), lit("a")))))
+        .withColumn("failed_rules", concat_ws(",", expr(
+          """filter(array(
+            |  IF(n_words < 5 OR n_words > 1000, 'word_count', NULL),
+            |  IF(sum_wlen < 2 * n_words OR sum_wlen > 12 * n_words, 'mean_word_len', NULL),
+            |  IF(n_sym * 10 > length(text), 'symbol_ratio', NULL),
+            |  IF(n_stop < 2, 'stopword_floor', NULL)), x -> x IS NOT NULL)""".stripMargin)))
+        .select(col("doc_id"), col("n_words"),
+          (col("failed_rules") === "").as("passes"), col("failed_rules")),
+      Some("""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS words
+             |           FROM documents),
+             |m AS (SELECT doc_id, len(words) AS n_words,
+             |             length(text) - (len(words) - 1) AS sum_wlen,
+             |             length(regexp_replace(text, '[a-z ]', '', 'g')) AS n_sym,
+             |             length(text) AS nc,
+             |             len(list_intersect(list_distinct(words),
+             |                                ['the','and','of','to','a'])) AS n_stop
+             |      FROM d)
+             |SELECT doc_id, n_words, failed_rules = '' AS passes, failed_rules
+             |FROM (SELECT doc_id, n_words,
+             |             coalesce(array_to_string(list_filter([
+             |               CASE WHEN n_words < 5 OR n_words > 1000 THEN 'word_count' END,
+             |               CASE WHEN sum_wlen < 2 * n_words OR sum_wlen > 12 * n_words
+             |                    THEN 'mean_word_len' END,
+             |               CASE WHEN n_sym * 10 > nc THEN 'symbol_ratio' END,
+             |               CASE WHEN n_stop < 2 THEN 'stopword_floor' END],
+             |               x -> x IS NOT NULL), ','), '') AS failed_rules
+             |      FROM m)""".stripMargin),
+      "Gopher-style quality gate: named integer rules, auditable verdicts"),
   )
 }

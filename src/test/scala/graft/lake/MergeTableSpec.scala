@@ -778,6 +778,32 @@ class MergeTableSpec extends SparkSpec {
       "stream started over a permanent feed gap — batch changes() throws here")
   }
 
+  test("addColumns is metadata-only: same files, NULL-fill reads, evolved writes") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val t = new MergeTable(scratch("mt_addcol"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
+    val files = t.filesOf(0)
+    t.addColumns(StructType(Seq(StructField("extra", LongType))))
+    assert(t.filesOf(1) === files, "schema evolution must not rewrite data files")
+    val r = t.read(spark)
+    // partition columns surface last in read output regardless of the
+    // committed schema order — compare as a set
+    assert(r.columns.toSet === Set("k", "v", "p", "extra"))
+    assert(r.select("extra").collect().forall(_.isNullAt(0)),
+      "pre-evolution rows must read the new column as NULL")
+    // name collision fails loudly — silent type replacement would corrupt readers
+    val ex = intercept[IllegalArgumentException] {
+      t.addColumns(StructType(Seq(StructField("v", LongType))))
+    }
+    assert(ex.getMessage.contains("already exist"))
+    // a merge fills the evolved column for its keys only
+    t.merge(spark, Seq((2, "B", "p2", 7L), (3, "c", "p1", 9L))
+      .toDF("k", "v", "p", "extra"), Seq("k"))
+    val got = t.read(spark).select("k", "extra").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got === Set((1, -1L), (2, 7L), (3, 9L)))
+  }
+
   test("property: merged = source ∪ (target ∖ source-keys)") {
     val keySet: Gen[List[Int]] = Gen.listOfN(8, Gen.chooseNum(0, 30)).map(_.distinct)
     val params = Gen.Parameters.default
