@@ -30,8 +30,13 @@ object TextQueries {
     * census — aggregate-sized, never corpus-sized.
     */
   private[graft] def broadcastIfSmall(df: org.apache.spark.sql.DataFrame,
-                                        maxRows: Int = 4_000_000): org.apache.spark.sql.DataFrame =
-    if (df.limit(maxRows + 1).count() <= maxRows) broadcast(df) else df
+                                        maxRows: Int = 4_000_000): org.apache.spark.sql.DataFrame = {
+    // cache BEFORE counting: the guard materializes the census once and the
+    // downstream join reuses it — without the cache the (corpus-sized
+    // upstream) aggregation would run twice
+    val cached = df.cache()
+    if (cached.count() <= maxRows) broadcast(cached) else cached
+  }
 
   val all: Map[String, GraftQuery] = Map(
 
