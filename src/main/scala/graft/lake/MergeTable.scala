@@ -963,6 +963,40 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .orderBy(col("version").desc)
   }
 
+  /** `SHOW PARTITIONS` analog: the partition values present in the current
+    * snapshot with per-partition file counts — parsed from the manifest's
+    * hive-style paths and typed via the table schema. Metadata-only:
+    * O(files) string ops on the driver, never a data scan or directory
+    * listing (the same reason Delta answers SHOW PARTITIONS from the log —
+    * at 100 TB a storage listing is the slowest call in the system).
+    */
+  def partitions(spark: SparkSession): DataFrame = {
+    require(exists, s"MergeTable at $root does not exist")
+    require(partitionCols.nonEmpty, s"MergeTable at $root is not partitioned")
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val schema = schemaOf(currentVersion)
+    val byDir = filesOf(currentVersion).groupBy { f =>
+      val segs = f.split('/')
+      segs.slice(1, segs.length - 1).mkString("/")
+    }
+    val rows = byDir.toSeq.map { case (d, fs) =>
+      val vals = d.split('/').toSeq.map { seg =>
+        val raw = seg.substring(seg.indexOf('=') + 1)
+        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+        else ExternalCatalogUtils.unescapePathName(raw)
+      }
+      org.apache.spark.sql.Row.fromSeq(vals :+ fs.size.toLong)
+    }
+    val strSchema = StructType(
+      partitionCols.map(c => StructField(c, StringType)) :+
+        StructField("n_files", LongType))
+    spark.createDataFrame(rows.asJava, strSchema)
+      .select(partitionCols.map(c =>
+        col(c).cast(schema(c).dataType).as(c)) :+ col("n_files"): _*)
+      .orderBy(partitionCols.map(col): _*)
+  }
+
   /** CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` analog): a named
     * SQL predicate every row of every future write must satisfy (violated
     * only when the predicate is FALSE — NULL passes, like SQL CHECK).

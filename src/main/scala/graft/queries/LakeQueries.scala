@@ -597,6 +597,30 @@ object LakeQueries {
              |GROUP BY 1, 2""".stripMargin),
       "ALTER TABLE ADD COLUMNS analog: metadata-only evolution, NULL-fill reads"),
 
+    // SHOW PARTITIONS analog: the partition listing is answered from the
+    // MANIFEST (metadata-only — at 100 TB a storage listing is the slowest
+    // call in the system), so a partition whose last row was deleted must
+    // vanish from the listing even though its empty directory may linger
+    // until vacuum. The gate deletes one whole status partition and pins
+    // the survivors; per-partition file counts are layout-dependent, so
+    // they're asserted (>0, manifest-consistent) in LakeSqlSpec instead.
+    "m23_show_partitions" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m23_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        graft.sqlapi.LakeSql.run(s, "DELETE FROM orders_lake WHERE o_orderstatus = 'F'",
+          Map("orders_lake" -> table))
+        graft.sqlapi.LakeSql.query(s, "SHOW PARTITIONS orders_lake",
+          Map("orders_lake" -> table))
+          .select("o_orderstatus")
+      },
+      Some("""SELECT DISTINCT o_orderstatus FROM orders
+             |WHERE o_orderstatus <> 'F' ORDER BY 1""".stripMargin),
+      "SHOW PARTITIONS analog: manifest-derived listing, deleted partition vanishes"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -383,6 +383,59 @@ object SimilarityQueries {
              |FROM cands ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
       "int8-code corpus scan + fp32 re-rank of 50 survivors — quantized retrieval"),
 
+    // Binary (sign-bit) quantized retrieval — the EXTREME-compression end of
+    // the v7/v8 quantization family: each 64-dim fp32 vector collapses to
+    // ONE BIGINT of sign bits (64× smaller than fp32, 16× smaller than
+    // v8's int8), candidate generation is a Hamming-distance scan
+    // (`bit_count(a XOR b)` — one XOR + one popcount per candidate, the
+    // cheapest similarity primitive that exists), and only the top-50
+    // Hamming survivors pay an exact fp32 cosine. Hamming on sign bits
+    // estimates angle (hyperplane-LSH identity: P[bit differs] =
+    // acos(cos θ)/π — same math as v4's bands, memoryless here), so recall
+    // at near-dup cosines is high while the corpus scan touches 8 bytes per
+    // vector. At 100 TB: the code column is ~1/64th the vector bytes, the
+    // scan is one codegen'd integer pipeline, the fp32 fetch is 50 rows.
+    // Every stage is integer-exact (sign comparisons on identical stored
+    // floats, XOR, popcount) so the FULL result — candidates and re-rank —
+    // hash-matches the DuckDB oracle; ties break on vec_id in both stages.
+    "v9_hamming_search" -> GraftQuery(
+      (s, dir) => {
+        val base = emb(s, dir).withColumn("code",
+          expr("aggregate(transform(sequence(0, size(embedding) - 1), " +
+            "i -> IF(element_at(embedding, i + 1) > 0F, shiftleft(1L, i), 0L)), " +
+            "0L, (acc, v) -> acc + v)"))
+        val probe = base.filter(col("vec_id") === 0)
+          .select(col("code").as("probe_code"), col("embedding").as("probe_emb"),
+            col("norm").as("probe_norm"))
+        base.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+          .withColumn("hamming", expr("CAST(bit_count(code ^ probe_code) AS BIGINT)"))
+          .orderBy(col("hamming"), col("vec_id")).limit(50)
+          .withColumn("cosine",
+            round(cosineFast("embedding", "probe_emb", "norm", "probe_norm"), 6))
+          .select("vec_id", "label", "hamming", "cosine")
+          .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+             |         list_transform(embedding, x -> x > 0) AS sgn
+             |  FROM embeddings),
+             |probe AS (SELECT sgn AS psgn, emb AS pemb FROM e WHERE vec_id = 0),
+             |cands AS (
+             |  -- bit_count(a XOR b) of the packed sign codes == the count of
+             |  -- positions whose sign bits disagree; DuckDB's signed BIGINT
+             |  -- shift overflows at bit 63, so the oracle counts directly.
+             |  SELECT z.vec_id, z.label, z.emb,
+             |         CAST(list_sum(list_transform(
+             |           generate_series(1, len(z.sgn)),
+             |           i -> CASE WHEN z.sgn[i] <> p.psgn[i] THEN 1 ELSE 0 END))
+             |           AS BIGINT) AS hamming
+             |  FROM e z, probe p WHERE z.vec_id <> 0
+             |  ORDER BY hamming, z.vec_id LIMIT 50)
+             |SELECT vec_id, label, hamming,
+             |       round(list_cosine_similarity(emb, (SELECT pemb FROM probe)), 6) AS cosine
+             |FROM cands ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+      "sign-bit binary codes: 8-byte Hamming scan + fp32 re-rank of 50 survivors"),
+
     // Per-label embedding centroids through the native `vec_avg` Catalyst
     // aggregate (graft.functions.VecAvg): ONE (sums, count) buffer per
     // group — the shuffle carries groups × (dim+1) doubles, where the

@@ -52,38 +52,39 @@ object StreamQueries {
     * whole batch, and the delete it would repeat was already applied.
     */
   private[graft] def applyGoldDelta(gold: MergeTable, batch: DataFrame,
-                                      batchId: Long): Unit = {
-    if (gold.lastTxnVersion("st7").exists(_ >= batchId)) return
+                                      batchId: Long, appId: String = "st7",
+                                      groupCol: String = "o_orderstatus"): Unit = {
+    if (gold.lastTxnVersion(appId).exists(_ >= batchId)) return
     val delta = batch
       .withColumn("sign",
         when(col(MergeTable.ChangeType).isin("insert", "update_postimage"), 1L)
           .otherwise(-1L))
-      .groupBy("o_orderstatus")
+      .groupBy(groupCol)
       .agg(sum(col("sign")).as("dn"),
            sum(col("o_orderkey") * col("sign")).as("dkey"))
     if (!gold.exists) {
       gold.overwrite(
         delta.filter(col("dn") > 0)
-          .select(col("o_orderstatus"), col("dn").as("n"), col("dkey").as("key_sum")),
-        txn = Some("st7" -> batchId))
+          .select(col(groupCol), col("dn").as("n"), col("dkey").as("key_sum")),
+        txn = Some(appId -> batchId))
       return
     }
     // delta-sized state update: only CHANGED groups join against gold
     val newVals = delta
-      .join(gold.read(batch.sparkSession).select("o_orderstatus", "n", "key_sum"),
-        Seq("o_orderstatus"), "left")
-      .select(col("o_orderstatus"),
+      .join(gold.read(batch.sparkSession).select(groupCol, "n", "key_sum"),
+        Seq(groupCol), "left")
+      .select(col(groupCol),
         (coalesce(col("n"), lit(0L)) + col("dn")).as("n"),
         (coalesce(col("key_sum"), lit(0L)) + col("dkey")).as("key_sum"))
     val gone = newVals.filter(col("n") <= 0)
-      .select("o_orderstatus").collect().map(_.getString(0))
-    if (gone.nonEmpty) gold.delete(batch.sparkSession, col("o_orderstatus").isin(gone.toSeq: _*))
+      .select(groupCol).collect().map(_.get(0))
+    if (gone.nonEmpty) gold.delete(batch.sparkSession, col(groupCol).isin(gone.toSeq: _*))
     // gold is partitioned BY the merge key, so the key trivially determines
     // the partition — the probe and rewrite prune to the changed groups'
     // files, which is what makes the sink delta-sized on disk too
     gold.merge(batch.sparkSession, newVals.filter(col("n") > 0),
-      Seq("o_orderstatus"), txn = Some("st7" -> batchId),
-      keysDeterminePartitions = gold.partitionCols == Seq("o_orderstatus"))
+      Seq(groupCol), txn = Some(appId -> batchId),
+      keysDeterminePartitions = gold.partitionCols == Seq(groupCol))
   }
 
   /** Stage the single events.parquet FILE into a directory — the streaming
@@ -429,5 +430,71 @@ object StreamQueries {
              |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin),
       "stream-static broadcast enrichment: stateless join, complete-mode totals"),
+
+    // CDC FAN-OUT — one change feed maintaining TWO differently-keyed
+    // downstream aggregates from the same foreachBatch, each sink with its
+    // OWN txn marker. This is the production multi-consumer CDC shape: the
+    // silver table's feed is read once (one stream, one checkpoint) and
+    // every sink applies the batch independently, so a crash BETWEEN the
+    // two applies is healed by replay — the sink that already recorded the
+    // batch id skips it, the one that didn't applies it, and neither
+    // double-counts (the per-sink marker is what makes multi-sink
+    // foreachBatch exactly-once; a shared marker would lose whichever sink
+    // crashed second). Both sinks stay delta-sized per applyGoldDelta.
+    // The oracle recomputes both aggregates from the final silver state.
+    "st9_cdc_fanout" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val silver = new MergeTable(s"${Registry.scratchRoot}/st9_silver_$id",
+          Seq("o_orderstatus"))
+        val byStatus = new MergeTable(s"${Registry.scratchRoot}/st9_status_$id",
+          Seq("o_orderstatus"))
+        val byBucket = new MergeTable(s"${Registry.scratchRoot}/st9_bucket_$id",
+          Seq("bucket"))
+        val base = Registry.t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+        silver.merge(s, base, Seq("o_orderkey"), changeFeed = true)          // v0
+        silver.merge(s, base.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M")),
+          Seq("o_orderkey"), changeFeed = true)                              // v1
+        silver.delete(s, col("o_orderkey") % 7 === 0, changeFeed = true)     // v2
+        val q = silver.changesStream(ss, maxFilesPerTrigger = Some(12))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val b = batch.persist() // one feed read, two sink applies
+            StreamQueries.applyGoldDelta(byStatus, b, batchId, appId = "st9s")
+            StreamQueries.applyGoldDelta(
+              byBucket, b.withColumn("bucket", col("o_orderkey") % 4),
+              batchId, appId = "st9b", groupCol = "bucket")
+            b.unpersist()
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st9_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        byStatus.read(s)
+          .select(lit("by_status").as("sink"), col("o_orderstatus").cast("string").as("grp"),
+            col("n"), col("key_sum"))
+          .union(byBucket.read(s)
+            .select(lit("by_bucket").as("sink"), col("bucket").cast("string").as("grp"),
+              col("n"), col("key_sum")))
+          .orderBy("sink", "grp")
+      },
+      Some("""WITH final AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE o_orderstatus END
+             |           AS o_orderstatus
+             |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0)
+             |SELECT * FROM (
+             |  SELECT 'by_status' AS sink, o_orderstatus AS grp,
+             |         count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |  FROM final GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'by_bucket' AS sink, CAST(o_orderkey % 4 AS VARCHAR) AS grp,
+             |         count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |  FROM final GROUP BY 2)
+             |ORDER BY sink, grp""".stripMargin),
+      "CDC fan-out: one feed, two sinks, per-sink txn markers — multi-consumer exactly-once"),
   )
 }

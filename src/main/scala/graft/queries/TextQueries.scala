@@ -677,5 +677,54 @@ object TextQueries {
              |               x -> x IS NOT NULL), ','), '') AS failed_rules
              |      FROM m)""".stripMargin),
       "Gopher-style quality gate: named integer rules, auditable verdicts"),
+
+    // Span-level exact-duplicate detection — the substring-dedup pass of
+    // Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better" (ACL 2022): find every fixed-length token span that appears
+    // verbatim in MORE THAN ONE document and report, per affected document,
+    // how much of it is duplicated text. The suffix-array of the paper is
+    // replaced by rolling 20-token windows (stride 1) — the standard
+    // distributed approximation: any cross-doc verbatim run of ≥ 20 tokens
+    // is caught by at least one window. Shape at 100 TB: one map-only
+    // explode (windows ≈ tokens rows), one span-census aggregate (the d3/t18
+    // posting-list shape), and a semi-join of positions against the hot
+    // span set — which is corpus-sized-unbounded, so it is NOT broadcast
+    // (plain shuffle join; AQE may still pick broadcast when it proves
+    // small). dup_frac is ONE IEEE division of two exact integers —
+    // bit-exact across engines.
+    "t20_span_dedup" -> GraftQuery(
+      (s, dir) => {
+        val W = 20
+        val spans = t(s, dir, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .filter(size(col("words")) >= W)
+          .withColumn("n_spans", (size(col("words")) - W + 1).cast("long"))
+          .withColumn("i", explode(expr(s"sequence(1, size(words) - $W + 1)")))
+          .select(col("doc_id"), col("n_spans"),
+            md5(concat_ws(" ", expr(s"slice(words, i, $W)"))).as("fp"))
+        val hot = spans.groupBy("fp")
+          .agg(countDistinct("doc_id").as("span_df"))
+          .filter(col("span_df") >= 2)
+          .select("fp")
+        spans.join(hot, Seq("fp"), "left_semi")
+          .groupBy("doc_id", "n_spans")
+          .agg(count(lit(1)).as("n_dup_spans"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            round(col("n_dup_spans").cast("double") / col("n_spans"), 6).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |s AS (
+             |  SELECT doc_id, CAST(len(w) - 20 + 1 AS BIGINT) AS n_spans,
+             |         md5(array_to_string(w[i : i + 19], ' ')) AS fp
+             |  FROM (SELECT * FROM d WHERE len(w) >= 20),
+             |       unnest(generate_series(1, len(w) - 20 + 1)) AS t(i)),
+             |hot AS (SELECT fp FROM s GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+             |SELECT doc_id, n_spans, count(*) AS n_dup_spans,
+             |       round(count(*) / CAST(n_spans AS DOUBLE), 6) AS dup_frac
+             |FROM s WHERE fp IN (SELECT fp FROM hot)
+             |GROUP BY doc_id, n_spans
+             |ORDER BY doc_id""".stripMargin),
+      "cross-doc verbatim-span detection: rolling 20-token windows, census semi-join"),
   )
 }

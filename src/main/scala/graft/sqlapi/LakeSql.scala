@@ -11,7 +11,11 @@ import graft.lake.MergeTable
   * {{{
   *   DELETE FROM t WHERE <predicate>
   *   UPDATE t SET c1 = <expr> [, c2 = <expr> ...] WHERE <predicate>
+  *   VACUUM t [RETAIN <n> VERSIONS]
+  *   OPTIMIZE t [WHERE <partition predicate>]
   *   SELECT ... FROM t VERSION AS OF <n> ...      -- time travel
+  *   DESCRIBE HISTORY t                           -- audit log (query())
+  *   SHOW PARTITIONS t                            -- manifest partitions (query())
   * }}}
   *
   * Targets resolve through a caller-supplied registry exactly like
@@ -37,6 +41,18 @@ object LakeSql {
   private val TimeTravelRef =
     """(?i)([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
 
+  private val DescribeHistoryShape =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+
+  private val ShowPartitionsShape =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$""".r
+
+  private val VacuumShape =
+    """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+
+  private val OptimizeShape =
+    """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+
   /** Execute a `DELETE FROM` or `UPDATE` statement against a registered
     * MergeTable. All of the API twins' semantics apply: file-pruned
     * rewrite, NULL-predicate rows kept (DELETE) / untouched (UPDATE),
@@ -50,11 +66,21 @@ object LakeSql {
       case UpdateShape(tgt, sets, pred) =>
         resolve(tgt, targets).update(spark, expr(pred),
           parseSetList(sets).map { case (c, e) => c -> expr(e) }.toMap)
+      case VacuumShape(tgt, retain) =>
+        resolve(tgt, targets).vacuum(
+          retainVersions = Option(retain).map(_.toInt).getOrElse(1))
+      case OptimizeShape(tgt, pred) =>
+        val table = resolve(tgt, targets)
+        Option(pred) match {
+          case Some(p) => table.compactPartitions(spark, expr(p))
+          case None    => table.compact(spark)
+        }
       case _ =>
         throw new IllegalArgumentException(
           "unsupported statement — supported shapes: DELETE FROM t WHERE p; " +
-            "UPDATE t SET c = e [, ...] WHERE p (MERGE INTO lives in MergeInto; " +
-            "time-travel SELECT in LakeSql.query)")
+            "UPDATE t SET c = e [, ...] WHERE p; VACUUM t [RETAIN n VERSIONS]; " +
+            "OPTIMIZE t [WHERE p] (MERGE INTO lives in MergeInto; " +
+            "time-travel SELECT and DESCRIBE HISTORY / SHOW PARTITIONS in LakeSql.query)")
     }
 
   /** Run a SELECT whose FROM clause may reference registered MergeTables
@@ -64,6 +90,11 @@ object LakeSql {
     * snapshot. Unregistered names pass through to the session catalog.
     */
   def query(spark: SparkSession, sql: String, targets: Map[String, MergeTable]): DataFrame = {
+    sql match {
+      case DescribeHistoryShape(tgt) => return resolve(tgt, targets).history(spark)
+      case ShowPartitionsShape(tgt)  => return resolve(tgt, targets).partitions(spark)
+      case _                         => ()
+    }
     var rewritten = TimeTravelRef.replaceAllIn(sql, m => {
       val (name, ver) = (m.group(1), m.group(2).toLong)
       val table = resolve(name, targets)

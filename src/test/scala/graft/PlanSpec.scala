@@ -228,6 +228,35 @@ class PlanSpec extends SparkSpec {
       s"plan has $depth nodes after 12 rounds — lineage is not being truncated")
   }
 
+  test("v9 hamming search broadcasts the probe and plans top-k, never a shuffle sort") {
+    val q = graft.queries.Registry.all("v9_hamming_search")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = finalPlan(q)
+    // the 1-row probe must be broadcast to the corpus scan …
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probe row not broadcast:\n$plan")
+    // … and both limit stages must plan as top-k, not global sorts
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k plan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"full sort shuffle in a top-k pipeline:\n$plan")
+  }
+
+  test("t20 span dedup: census semi-join without cartesian fallback or forced broadcast") {
+    val q = graft.queries.Registry.all("t20_span_dedup")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = finalPlan(q)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span census degenerated to all-pairs:\n$plan")
+    // the hot-span set is corpus-sized-unbounded: the ANALYZED plan must not
+    // carry a forced broadcast hint (AQE may still pick broadcast at toy
+    // scale, which is fine — the point is we don't FORCE it)
+    val analyzed = q.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"hot-span set force-broadcast — unbounded at corpus scale:\n$analyzed")
+  }
+
   test("aggregation pipeline runs inside WholeStageCodegen") {
     val df = (1 to 5000).map(i => (i % 10, i.toLong)).toDF("g", "v")
     val q = df.filter($"v" > 10).groupBy("g")

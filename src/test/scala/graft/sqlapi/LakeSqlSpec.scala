@@ -50,6 +50,35 @@ class LakeSqlSpec extends SparkSpec {
     assert(joined.head().getLong(0) === 1)
   }
 
+  test("DESCRIBE HISTORY and SHOW PARTITIONS route through query()") {
+    val t = seeded("lsql_hist")
+    t.delete(spark, col("p") === "p2") // v1: drops partition p2 entirely
+    val hist = LakeSql.query(spark, "DESCRIBE HISTORY tbl", Map("tbl" -> t))
+      .select("version", "operation").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist === Seq((1L, "DELETE"), (0L, "WRITE")))
+    val parts = LakeSql.query(spark, "SHOW PARTITIONS tbl", Map("tbl" -> t))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(parts.map(_._1).toSeq === Seq("p1")) // deleted partition vanishes
+    assert(parts.forall(_._2 >= 1L))            // manifest-consistent file counts
+    // n_files agrees with the manifest, partition by partition
+    val manifestFiles = t.filesOf(t.currentVersion).count(_.contains("p=p1"))
+    assert(parts.head._2 === manifestFiles.toLong)
+  }
+
+  test("VACUUM and OPTIMIZE statements route to the API twins") {
+    val t = seeded("lsql_vac")
+    t.update(spark, col("k") === 1, Map("v" -> org.apache.spark.sql.functions.lit("z"))) // v1
+    val before = asSet(t)
+    LakeSql.run(spark, "OPTIMIZE tbl WHERE p = 'p1'", Map("tbl" -> t)) // v2
+    assert(t.history(spark).select("operation").head().getString(0) === "OPTIMIZE")
+    assert(asSet(t) === before) // rewrite, not a semantic change
+    LakeSql.run(spark, "VACUUM tbl RETAIN 1 VERSIONS", Map("tbl" -> t))
+    // horizon advanced: pre-vacuum versions are no longer readable
+    intercept[Exception] { t.readVersion(spark, 0).count() }
+    assert(asSet(t) === before)
+  }
+
   test("statements outside the supported shapes fail loudly") {
     val t = seeded("lsql_bad")
     val ex = intercept[IllegalArgumentException] {

@@ -115,4 +115,32 @@ class StreamingSpec extends SparkSpec {
     assert(carried.nonEmpty, "no file carried forward — sink rewrote the whole gold table")
     assert(state() === Map("A" -> (1L, 2L), "C" -> (2L, 21L)))
   }
+
+  test("st9 fan-out: per-sink txn markers heal a crash between the two applies") {
+    import spark.implicits._
+    import graft.lake.MergeTable
+    val a = new MergeTable(scratch("fan_a"), Seq("o_orderstatus"))
+    val b = new MergeTable(scratch("fan_b"), Seq("o_orderstatus"))
+    def cdf(rows: (String, Long, String)*) =
+      rows.toDF("o_orderstatus", "o_orderkey", MergeTable.ChangeType)
+    def state(t: MergeTable): Map[String, (Long, Long)] =
+      t.read(spark).select("o_orderstatus", "n", "key_sum").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def applyBoth(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      graft.queries.StreamQueries.applyGoldDelta(a, batch, id, appId = "fa")
+      graft.queries.StreamQueries.applyGoldDelta(b, batch, id, appId = "fb")
+    }
+    val b0 = cdf(("A", 1L, "insert"), ("B", 10L, "insert"))
+    applyBoth(b0, 0L)
+    // batch 1 lands on sink a, then the job "crashes" before sink b
+    val b1 = cdf(("A", 2L, "insert"), ("B", 10L, "delete"))
+    graft.queries.StreamQueries.applyGoldDelta(a, b1, 1L, appId = "fa")
+    assert(state(a) === Map("A" -> (2L, 3L)))
+    assert(state(b) === Map("A" -> (1L, 1L), "B" -> (1L, 10L)), "b must lag")
+    // replay of batch 1 applies to BOTH — a's marker makes it a no-op there,
+    // b catches up; a shared marker would have left b behind forever
+    applyBoth(b1, 1L)
+    assert(state(a) === Map("A" -> (2L, 3L)), "sink a double-applied")
+    assert(state(b) === Map("A" -> (2L, 3L)), "sink b missed the replay")
+  }
 }
