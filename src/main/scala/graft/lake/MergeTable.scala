@@ -582,6 +582,73 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       cdfDir, op = "UPDATE")
   }
 
+  /** Delta `replaceWhere` analog (`df.write.option("replaceWhere", p)` /
+    * `INSERT OVERWRITE ... PARTITION`): atomically replace exactly the rows
+    * matching `predicate` with `data` — a delete and a load in ONE commit,
+    * so no reader can observe the gap between them (two commits would
+    * expose an empty slice to a concurrent read). Every incoming row must
+    * satisfy the predicate, enforced like Delta does — otherwise "replace
+    * this slice" would silently write outside the slice it deletes.
+    * File-pruned like [[delete]]: only files containing a matching row are
+    * rewritten (their non-matching survivors are carried into the new
+    * files), untouched files ride along by manifest reference. The classic
+    * use is partition backfill — a predicate on partition columns prunes
+    * at metadata speed and swaps whole partitions, which is what makes
+    * daily re-loads affordable on a 100 TB table.
+    */
+  def overwriteWhere(spark: SparkSession, predicate: Column, data: DataFrame,
+                     changeFeed: Boolean = false): Unit = {
+    require(exists,
+      s"MergeTable at $root does not exist — use overwrite for the initial load")
+    val v = currentVersion
+    val schema = schemaOf(v)
+    val gen = applyGenerated(data)
+    require(gen.columns.sorted.sameElements(schema.fieldNames.sorted),
+      s"overwriteWhere on $root: data columns (${gen.columns.sorted.mkString(", ")}) " +
+        s"must match the table schema (${schema.fieldNames.sorted.mkString(", ")})")
+    val aligned = gen.select(schema.fieldNames.map(c =>
+      col(c).cast(schema(c).dataType).as(c)).toIndexedSeq: _*)
+    val outside = aligned.filter(coalesce(predicate, lit(false)) =!= true).limit(1).count()
+    require(outside == 0L,
+      s"overwriteWhere on $root: incoming rows do not all satisfy the replace " +
+        "predicate — they would land outside the slice being replaced")
+
+    val target = readVersion(spark, v)
+    val touched: Set[String] = target
+      .withColumn("_graft_file", input_file_name())
+      .filter(predicate)
+      .select("_graft_file").distinct()
+      .collect().map(r => normalize(r.getString(0))).toSet
+    val oldFiles = filesOf(v)
+    val (touchedRel, keptRel) =
+      oldFiles.partition(f => touched.exists(t => t.endsWith("/" + f) || t == f))
+
+    val newVersion = v + 1
+    val survivors =
+      if (touchedRel.isEmpty) None
+      else Some(readFiles(spark, touchedRel, schema)
+        .filter(coalesce(predicate, lit(false)) =!= true))
+    val dataDir = newDataDir(newVersion)
+    writeData(survivors.fold(aligned)(_ unionByName aligned), dataDir)
+    val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
+    // CDF before the commit that records it — see merge()
+    val cdfDir =
+      if (changeFeed) {
+        import MergeTable.ChangeType
+        val deleted =
+          if (touchedRel.isEmpty) None
+          else Some(readFiles(spark, touchedRel, schema)
+            .filter(coalesce(predicate, lit(false)) === true)
+            .withColumn(ChangeType, lit("delete")))
+        val inserted = aligned.withColumn(ChangeType, lit("insert"))
+        Some(writeChanges(deleted.fold(inserted)(_ unionByName inserted),
+          newVersion, dataDir))
+      } else None
+    commit(newVersion, keptRel ++ newFiles, schema,
+      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema),
+      cdfDir, op = "REPLACE WHERE")
+  }
+
   /** Compaction (Delta OPTIMIZE analog): rewrite the CURRENT snapshot so
     * each partition directory holds ONE file (same-partition rows hash to
     * one of `parallelism` write tasks), committing a new version with

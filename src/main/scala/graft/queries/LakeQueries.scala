@@ -621,6 +621,36 @@ object LakeQueries {
              |WHERE o_orderstatus <> 'F' ORDER BY 1""".stripMargin),
       "SHOW PARTITIONS analog: manifest-derived listing, deleted partition vanishes"),
 
+    // replaceWhere analog (Delta `option("replaceWhere", p)` / INSERT
+    // OVERWRITE PARTITION): the canonical partition-backfill — one slice of
+    // the table is atomically swapped for corrected data in a single
+    // commit, every other partition carried forward by manifest reference.
+    // The gate replaces the 'O' partition with a filtered+repriced reload
+    // and checks the other partitions are byte-identical to the source.
+    "m24_replace_where" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m24_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        val backfill = orders.filter(col("o_orderstatus") === "O")
+          .filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        table.overwriteWhere(s, col("o_orderstatus") === "O", backfill)
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+               round(sum("o_totalprice"), 2).as("price_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0
+             |                      ELSE o_totalprice END), 2) AS price_sum
+             |FROM orders
+             |WHERE o_orderstatus <> 'O' OR o_orderkey % 2 = 0
+             |GROUP BY o_orderstatus""".stripMargin),
+      "replaceWhere partition backfill: one-commit slice swap, rest carried by reference"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 import graft.queries.Registry.t
 
 /** Text-analysis operators for a training-data pipeline over `documents`:
@@ -726,5 +727,100 @@ object TextQueries {
              |GROUP BY doc_id, n_spans
              |ORDER BY doc_id""".stripMargin),
       "cross-doc verbatim-span detection: rolling 20-token windows, census semi-join"),
+
+    // Dataset card — the composition census every released corpus ships
+    // (per-source × per-language doc/char/token counts, subtotals, grand
+    // total). ROLLUP computes all three grains in ONE pass: Spark plans a
+    // single Expand + partial/final hash aggregate — never three scans —
+    // and the shuffle carries one row per (source, lang) per grain, not the
+    // corpus. All measures are integers (counts, exact sums), so the result
+    // is engine-exact at any scale; grouping_id disambiguates a real NULL
+    // group value from a rollup subtotal row.
+    "t21_dataset_card" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_chars").as("sum_chars"),
+             sum("n_tokens").as("sum_tokens"),
+             min("n_chars").as("min_chars"),
+             max("n_chars").as("max_chars"),
+             grouping_id().as("gid")),
+      Some("""SELECT source, lang, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+             |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             |       CAST(grouping(source) * 2 + grouping(lang) AS BIGINT) AS gid
+             |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin),
+      "dataset card: source×lang composition census, one Expand pass, all grains"),
+
+    // DSIR-style data selection (Xie et al., "Data Selection for Language
+    // Models via Importance Resampling", NeurIPS 2023): score each document
+    // by how much its hashed-bigram feature distribution looks like a
+    // TARGET distribution (here: the English slice) versus the RAW corpus,
+    // and keep documents that look target-like. The paper's log-ratio
+    // importance weight is replaced by an INTEGER enrichment test per
+    // hash bucket — bucket b is target-enriched iff
+    // t_b · R_total > r_b · T_total (the cross-multiplied form of
+    // t_b/T > r_b/R) — so the whole pipeline is exact integer arithmetic
+    // and hash-checkable (a float log-sum would be order-dependent).
+    // Shape at 100 TB: one bigram explode, one 256-bucket census (the
+    // aggregate output is BOUNDED by the bucket count — broadcast-sized by
+    // construction, unlike t18/t20's unbounded hot sets), totals ride the
+    // same census, and the per-doc score is one broadcast join + count.
+    // Cross-multiplication needs t_b·R < 2^63: at corpora past ~3·10⁹
+    // bigrams, divide both censuses by a common 2^k first (same test,
+    // coarser integers).
+    "t22_dsir_selection" -> GraftQuery(
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val B = 256
+        val bg = t(s, dir, "documents")
+          .withColumn("shs", expr("word_shingles(text, 2)"))
+          .filter(size(col("shs")) >= 1)
+          .select(col("doc_id"), col("lang"), explode(col("shs")).as("bgram"))
+          .withColumn("b",
+            expr(s"CAST(conv(substring(md5(bgram), 1, 15), 16, 10) AS BIGINT) % $B"))
+        val census = bg.groupBy("b")
+          .agg(count(lit(1)).as("r_b"),
+               sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
+        val totals = bg.agg(count(lit(1)).as("rtot"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ttot"))
+        val enriched = census.crossJoin(broadcast(totals))
+          .filter(col("t_b") * col("rtot") > col("r_b") * col("ttot"))
+          .select("b")
+        bg.join(broadcast(enriched.withColumn("enr", lit(1))), Seq("b"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+               sum(when(col("enr").isNotNull, 1L).otherwise(0L)).as("n_target_like"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_target_like"),
+            (col("n_target_like") * 2 >= col("n_bigrams")).as("selected"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS words
+             |           FROM documents),
+             |bg AS (
+             |  SELECT doc_id, lang,
+             |         ('0x' || substring(md5(bgram), 1, 15))::BIGINT % 256 AS b
+             |  FROM (SELECT doc_id, lang,
+             |               unnest(list_distinct(list_transform(
+             |                 generate_series(1, len(words) - 1),
+             |                 i -> concat_ws(' ', words[i], words[i+1])))) AS bgram
+             |        FROM d WHERE len(words) >= 2)),
+             |census AS (
+             |  SELECT b, count(*) AS r_b,
+             |         count(*) FILTER (lang = 'en') AS t_b
+             |  FROM bg GROUP BY b),
+             |tot AS (SELECT count(*) AS rtot,
+             |               count(*) FILTER (lang = 'en') AS ttot FROM bg),
+             |enr AS (SELECT b FROM census, tot WHERE t_b * rtot > r_b * ttot)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |       CAST(coalesce(sum(CASE WHEN b IN (SELECT b FROM enr)
+             |                               THEN 1 END), 0) AS BIGINT)
+             |         AS n_target_like,
+             |       2 * coalesce(sum(CASE WHEN b IN (SELECT b FROM enr)
+             |                              THEN 1 END), 0) >= count(*) AS selected
+             |FROM bg GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "DSIR-style selection: hashed-bigram target-vs-raw enrichment, all-integer"),
   )
 }

@@ -257,6 +257,31 @@ class PlanSpec extends SparkSpec {
       s"hot-span set force-broadcast — unbounded at corpus scale:\n$analyzed")
   }
 
+  test("t21 dataset card computes all rollup grains in one Expand pass") {
+    val q = graft.queries.Registry.all("t21_dataset_card")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = finalPlan(q)
+    assert(plan.contains("Expand"), s"rollup did not plan an Expand:\n$plan")
+    // one corpus scan — three grains must not mean three reads (AQE hides
+    // scans inside query stages, so count on the rendered plan)
+    val scanCount = "Scan parquet".r.findAllIn(plan).size
+    assert(scanCount === 1, s"expected 1 documents scan, found $scanCount:\n$plan")
+  }
+
+  test("t22 DSIR selection broadcasts the bounded census, never shuffles it back") {
+    val q = graft.queries.Registry.all("t22_dsir_selection")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = finalPlan(q)
+    // the 256-bucket enriched set and the 1-row totals are broadcast — the
+    // bigram stream must never sort-merge against census-sized sides
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"census not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"bigram stream shuffled against a bounded census:\n$plan")
+  }
+
   test("aggregation pipeline runs inside WholeStageCodegen") {
     val df = (1 to 5000).map(i => (i % 10, i.toLong)).toDF("g", "v")
     val q = df.filter($"v" > 10).groupBy("g")

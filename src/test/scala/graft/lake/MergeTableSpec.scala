@@ -804,6 +804,30 @@ class MergeTableSpec extends SparkSpec {
     assert(got === Set((1, -1L), (2, 7L), (3, 9L)))
   }
 
+  test("overwriteWhere swaps exactly the slice in one commit; rejects out-of-slice rows") {
+    val t = new MergeTable(scratch("mt_rw"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))))
+    val filesBefore = t.filesOf(t.currentVersion).toSet
+    t.overwriteWhere(spark, col("p") === "p1",
+      df(Seq((9, "z", "p1"))), changeFeed = true)
+    // ONE version: readers never observe the deleted-but-not-reloaded gap
+    assert(t.currentVersion === 1L)
+    assert(asSet(t.read(spark)) === Set((9, "z", "p1"), (3, "c", "p2")))
+    // the untouched partition's file is carried forward by reference
+    assert(t.filesOf(1L).toSet.intersect(filesBefore).nonEmpty,
+      "untouched partition was rewritten")
+    // CDF records the swap as deletes + inserts of the slice only
+    val ch = t.changes(spark, 1L, 1L)
+      .select("k", MergeTable.ChangeType).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(ch === Set((1, "delete"), (2, "delete"), (9, "insert")))
+    // incoming rows outside the slice are rejected, and nothing commits
+    intercept[IllegalArgumentException] {
+      t.overwriteWhere(spark, col("p") === "p1", df(Seq((8, "y", "p2"))))
+    }
+    assert(t.currentVersion === 1L, "failed replaceWhere must not commit")
+  }
+
   test("property: merged = source ∪ (target ∖ source-keys)") {
     val keySet: Gen[List[Int]] = Gen.listOfN(8, Gen.chooseNum(0, 30)).map(_.distinct)
     val params = Gen.Parameters.default
