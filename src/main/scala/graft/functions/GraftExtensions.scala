@@ -70,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_contains(filter, hash_long) takes exactly 2 arguments")
       }))
     e.injectOptimizerRule(_ => DotProductRewrite)
+    // lake DML/metadata statements and versioned reads over LakeCatalog-
+    // registered MergeTables, straight through spark.sql — the Delta-style
+    // parser extension (unregistered names delegate untouched)
+    e.injectParser((session, delegate) =>
+      new graft.sqlapi.GraftSqlParser(session, delegate))
   }
 }
 

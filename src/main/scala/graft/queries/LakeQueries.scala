@@ -651,6 +651,41 @@ object LakeQueries {
              |GROUP BY o_orderstatus""".stripMargin),
       "replaceWhere partition backfill: one-commit slice swap, rest carried by reference"),
 
+    // The injected-parser surface end-to-end: a MergeTable registered in
+    // LakeCatalog is driven ENTIRELY through spark.sql — DELETE, UPDATE,
+    // and the final aggregate SELECT over the bare name (rewritten at parse
+    // time to a snapshot view) — no LakeSql/API calls in sight. This is the
+    // Delta integration shape: the statement surface lives in the session's
+    // SQL entry point, and unregistered names can never be intercepted.
+    "m25_sql_catalog" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m25_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        val name = s"orders_cat_${sanitize(dir)}"
+        graft.sqlapi.LakeCatalog.register(name, table)
+        try {
+          s.sql(s"DELETE FROM $name WHERE o_totalprice < 50000.0")
+          s.sql(s"UPDATE $name SET o_totalprice = o_totalprice + 1000.0 " +
+            "WHERE o_orderstatus = 'F'")
+          // parsed (and rewritten to a snapshot view) HERE — evaluation may
+          // happen after unregister, the plan no longer needs the catalog
+          s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+                   |       sum(o_orderkey) AS key_sum,
+                   |       round(sum(o_totalprice), 2) AS price_sum
+                   |FROM $name GROUP BY o_orderstatus""".stripMargin)
+        } finally graft.sqlapi.LakeCatalog.unregister(name)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1000.0
+             |                      ELSE o_totalprice END), 2) AS price_sum
+             |FROM orders WHERE o_totalprice >= 50000.0
+             |GROUP BY o_orderstatus""".stripMargin),
+      "lake DML + reads driven purely through spark.sql via the injected parser"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

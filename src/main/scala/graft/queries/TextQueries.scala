@@ -822,5 +822,61 @@ object TextQueries {
              |                              THEN 1 END), 0) >= count(*) AS selected
              |FROM bg GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "DSIR-style selection: hashed-bigram target-vs-raw enrichment, all-integer"),
+
+    // Content-defined chunking — the dedup-storage primitive (Muthitacharoen
+    // et al., "A Low-Bandwidth Network File System", SOSP 2001): chunk
+    // boundaries are declared where a rolling window hash hits a modulus,
+    // so boundaries RE-SYNCHRONIZE after an insertion/deletion — unlike
+    // t17's fixed windows and t20's fixed spans, an edited document shares
+    // all chunks outside the edit with its original, which is what makes
+    // chunk-fingerprint dedup robust to shifts. Here: a 4-word window
+    // hash (md5-derived integer, the t22 pattern) with modulus 32 (~32-word
+    // expected chunks); boundary positions, spans, and chunk contents are
+    // all computed with map-only array algebra — sequence → filter →
+    // slice — ZERO shuffles at any scale (the t17 property, kept). The
+    // Spark `sequence(4, greatest(n, 4))` + `i <= n` guard avoids Spark's
+    // descending-sequence surprise on short docs; DuckDB's generate_series
+    // is already empty when the bounds invert.
+    "t23_cdc_chunking" -> GraftQuery(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("n", size(col("words")))
+        .withColumn("bounds", expr(
+          "concat(array(0), " +
+            "filter(sequence(4, greatest(n, 4)), i -> i <= n AND " +
+            "CAST(conv(substring(md5(concat_ws(' ', slice(words, i - 3, 4))), 1, 15), 16, 10) AS BIGINT) % 32 = 0), " +
+            "array(n))"))
+        .withColumn("span", explode(expr(
+          "filter(transform(sequence(1, size(bounds) - 1), " +
+            "k -> named_struct('s', element_at(bounds, k), 'e', element_at(bounds, k + 1))), " +
+            "p -> p.e > p.s)")))
+        .select(col("doc_id"),
+          (col("span.s") + 1).cast("long").as("start_pos"),
+          (col("span.e") - col("span.s")).cast("long").as("n_words"),
+          md5(concat_ws(" ", expr("slice(words, span.s + 1, span.e - span.s)")))
+            .as("chunk_fp"))
+        .orderBy("doc_id", "start_pos"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, w, len(w) AS n
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             |b AS (
+             |  SELECT doc_id, w,
+             |         list_concat(list_concat([0], list_filter(
+             |           generate_series(4, n),
+             |           i -> ('0x' || substring(md5(array_to_string(w[i-3 : i], ' ')), 1, 15))::BIGINT % 32 = 0)),
+             |           [n]) AS bounds
+             |  FROM d),
+             |c AS (
+             |  SELECT doc_id, w,
+             |         unnest(list_filter(list_transform(
+             |           generate_series(1, len(bounds) - 1),
+             |           k -> {'s': bounds[k], 'e': bounds[k + 1]}),
+             |           p -> p.e > p.s)) AS span
+             |  FROM b)
+             |SELECT doc_id, CAST(span.s + 1 AS BIGINT) AS start_pos,
+             |       CAST(span.e - span.s AS BIGINT) AS n_words,
+             |       md5(array_to_string(w[span.s + 1 : span.e], ' ')) AS chunk_fp
+             |FROM c ORDER BY doc_id, start_pos""".stripMargin),
+      "content-defined chunking: rolling-hash boundaries, shift-resistant, map-only"),
   )
 }

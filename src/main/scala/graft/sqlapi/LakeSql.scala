@@ -95,11 +95,23 @@ object LakeSql {
       case ShowPartitionsShape(tgt)  => return resolve(tgt, targets).partitions(spark)
       case _                         => ()
     }
+    spark.sql(rewriteReads(spark, sql, targets).getOrElse(sql))
+  }
+
+  /** Rewrite every `name VERSION AS OF n` and bare registered-name
+    * reference in `sql` to a temp view over the corresponding snapshot.
+    * Returns None when the statement references no registered table —
+    * callers (query(), the injected parser) then leave the SQL untouched.
+    */
+  private[sqlapi] def rewriteReads(spark: SparkSession, sql: String,
+                                   targets: Map[String, MergeTable]): Option[String] = {
+    var any = false
     var rewritten = TimeTravelRef.replaceAllIn(sql, m => {
       val (name, ver) = (m.group(1), m.group(2).toLong)
       val table = resolve(name, targets)
       val view = s"${name.replace('.', '_')}__v$ver"
       table.readVersion(spark, ver).createOrReplaceTempView(view)
+      any = true
       java.util.regex.Matcher.quoteReplacement(view)
     })
     // bare references to registered tables → current snapshot views
@@ -108,11 +120,41 @@ object LakeSql {
       if (bare.findFirstIn(rewritten).isDefined) {
         val view = s"${name.replace('.', '_')}__cur"
         table.read(spark).createOrReplaceTempView(view)
+        any = true
         rewritten = bare.replaceAllIn(rewritten,
           java.util.regex.Matcher.quoteReplacement(view))
       }
     }
-    spark.sql(rewritten)
+    if (any) Some(rewritten) else None
+  }
+
+  /** Target table name of a `run`-shaped statement (DELETE / UPDATE /
+    * VACUUM / OPTIMIZE), if `sql` parses as one — used by the injected
+    * parser to decide interception WITHOUT executing anything.
+    */
+  private[sqlapi] def runStatementTarget(sql: String): Option[String] = sql match {
+    case DeleteShape(tgt, _)    => Some(tgt)
+    case UpdateShape(tgt, _, _) => Some(tgt)
+    case VacuumShape(tgt, _)    => Some(tgt)
+    case OptimizeShape(tgt, _)  => Some(tgt)
+    case _                      => None
+  }
+
+  /** Target of a rows-returning metadata statement (DESCRIBE HISTORY /
+    * SHOW PARTITIONS), if `sql` is one.
+    */
+  private[sqlapi] def metaStatementTarget(sql: String): Option[String] = sql match {
+    case DescribeHistoryShape(tgt) => Some(tgt)
+    case ShowPartitionsShape(tgt)  => Some(tgt)
+    case _                         => None
+  }
+
+  /** True when the metadata statement is DESCRIBE HISTORY (fixed schema)
+    * rather than SHOW PARTITIONS (table-dependent schema).
+    */
+  private[sqlapi] def isHistoryStatement(sql: String): Boolean = sql match {
+    case DescribeHistoryShape(_) => true
+    case _                       => false
   }
 
   /** Split `c1 = e1, c2 = e2, ...` on top-level commas only — a comma

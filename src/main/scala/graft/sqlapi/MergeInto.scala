@@ -64,6 +64,14 @@ object MergeInto {
           "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
   }
 
+  /** Target table name if `sql` is a supported MERGE INTO statement — a
+    * cheap probe for the injected parser (never throws, never executes).
+    */
+  private[sqlapi] def targetOf(sql: String): Option[String] =
+    if (sql.matches("(?is)^\\s*MERGE\\s+INTO\\b.*"))
+      scala.util.Try(parse(sql)).toOption.map(_.target)
+    else None
+
   /** Execute `sql` — target resolved in `targets`, source in the session
     * catalog. All of [[MergeTable.merge]]'s semantics apply (file-pruned
     * rewrite, duplicate-source rejection, atomic commit).

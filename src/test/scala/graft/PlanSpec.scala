@@ -257,6 +257,17 @@ class PlanSpec extends SparkSpec {
       s"hot-span set force-broadcast — unbounded at corpus scale:\n$analyzed")
   }
 
+  test("t23 CDC chunking is map-only: zero exchanges over the corpus") {
+    val q = graft.queries.Registry.all("t23_cdc_chunking")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    // the orderBy is presentation-only; assert the CHUNKING stages (all but
+    // the final sort) introduce no shuffle: exactly one exchange total
+    val plan = finalPlan(q)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"chunking itself shuffled (found $exchanges exchanges):\n$plan")
+  }
+
   test("t21 dataset card computes all rollup grains in one Expand pass") {
     val q = graft.queries.Registry.all("t21_dataset_card")
       .fn(spark, "/root/testdata/sf0.001")

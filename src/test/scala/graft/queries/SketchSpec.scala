@@ -148,6 +148,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("t23 CDC chunking re-synchronizes after an insertion (shift resistance)") {
+    // a 200-word doc and the same doc with 3 words PREPENDED: fixed windows
+    // (t17/t20) would shift every fingerprint; content-defined boundaries
+    // must re-sync, so the two docs share most chunk fingerprints
+    import spark.implicits._
+    val d = scratch("cdc_sf")
+    val words = (0 until 200).map(i => s"w${(i * 7919) % 1000}")
+    val orig = words.mkString(" ")
+    val edited = ("x1 x2 x3 " + orig)
+    Seq((0L, orig, "en", "fx", orig.length.toLong),
+        (1L, edited, "en", "fx", edited.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val chunks = Registry.all("t23_cdc_chunking").fn(spark, d)
+      .select("doc_id", "chunk_fp").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    val shared = chunks(0L).intersect(chunks(1L)).size
+    assert(shared >= math.min(chunks(0L).size, chunks(1L).size) - 2,
+      s"only $shared shared chunks of ${chunks(0L).size}/${chunks(1L).size} — boundaries did not re-sync")
+    assert(shared >= 1, "no chunk survived a 3-word prepend")
+  }
+
   test("float_dot matches the higher-order aggregate/zip_with formulation bit-for-bit") {
     GraftFunctions.register(spark)
     val df = Seq.tabulate(20)(i => (i.toLong, Seq.tabulate(64)(d => math.cos(i * 31 + d).toFloat)))

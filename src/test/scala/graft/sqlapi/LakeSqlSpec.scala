@@ -79,6 +79,36 @@ class LakeSqlSpec extends SparkSpec {
     assert(asSet(t) === before)
   }
 
+  test("LakeCatalog + injected parser: the whole lake surface through spark.sql") {
+    val t = seeded("lsql_cat")
+    LakeCatalog.register("cat_tbl", t)
+    try {
+      spark.sql("DELETE FROM cat_tbl WHERE k = 1")
+      assert(asSet(t) === Set((2, "b", "p1"), (3, "c", "p2")))
+      spark.sql("UPDATE cat_tbl SET v = 'Z' WHERE k = 3")
+      assert(asSet(t) === Set((2, "b", "p1"), (3, "Z", "p2")))
+      import spark.implicits._
+      Seq((4, "d", "p1")).toDF("k", "v", "p").createOrReplaceTempView("cat_src")
+      spark.sql("MERGE INTO cat_tbl USING cat_src ON cat_tbl.k = cat_src.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(asSet(t) === Set((2, "b", "p1"), (3, "Z", "p2"), (4, "d", "p1")))
+      // metadata statements return ROWS through spark.sql
+      val ops = spark.sql("DESCRIBE HISTORY cat_tbl")
+        .select("operation").collect().map(_.getString(0)).toSeq
+      assert(ops === Seq("MERGE", "UPDATE", "DELETE", "WRITE"))
+      val parts = spark.sql("SHOW PARTITIONS cat_tbl").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(parts.map(_._1).toSeq.sorted === Seq("p1", "p2"))
+      // versioned and current reads compose in ONE spark.sql SELECT
+      val gone = spark.sql(
+        """SELECT count(*) AS n FROM cat_tbl VERSION AS OF 0 o
+          |LEFT ANTI JOIN cat_tbl c ON o.k = c.k""".stripMargin).head().getLong(0)
+      assert(gone === 1L) // k=1 deleted since v0
+      // an unregistered name falls through to Spark's own parser
+      intercept[Exception] { spark.sql("DELETE FROM never_registered WHERE k = 1") }
+    } finally LakeCatalog.unregister("cat_tbl")
+  }
+
   test("statements outside the supported shapes fail loudly") {
     val t = seeded("lsql_bad")
     val ex = intercept[IllegalArgumentException] {
