@@ -122,6 +122,16 @@ object GraftFunctions {
       new ExpressionInfo(classOf[TopK].getName, "top_k"),
       buildTopK _)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cdc_bounds"),
+      new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(w: Int, _),
+                 org.apache.spark.sql.catalyst.expressions.Literal(m: Int, _)) =>
+          CdcBounds(c, w, m)
+        case _ => throw new IllegalArgumentException(
+          "cdc_bounds(text, window, modulus) requires literal integer window and modulus")
+      })
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_avg"),
       new ExpressionInfo(classOf[VecAvg].getName, "vec_avg"),
       (children: Seq[Expression]) => {

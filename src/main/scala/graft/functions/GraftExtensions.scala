@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word_shingles(text, n) requires a literal integer width")
       }))
     e.injectFunction((
+      FunctionIdentifier("cdc_bounds"),
+      new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(w: Int, _), Literal(m: Int, _)) => CdcBounds(c, w, m)
+        case _ => throw new IllegalArgumentException(
+          "cdc_bounds(text, window, modulus) requires literal integer window and modulus")
+      }))
+    e.injectFunction((
       FunctionIdentifier("vec_avg"),
       new ExpressionInfo(classOf[VecAvg].getName, "vec_avg"),
       (children: Seq[Expression]) => {

@@ -838,45 +838,118 @@ object TextQueries {
     // descending-sequence surprise on short docs; DuckDB's generate_series
     // is already empty when the bounds invert.
     "t23_cdc_chunking" -> GraftQuery(
-      (s, dir) => t(s, dir, "documents")
-        .withColumn("words", split(col("text"), " "))
-        .withColumn("n", size(col("words")))
-        .withColumn("bounds", expr(
-          "concat(array(0), " +
-            "filter(sequence(4, greatest(n, 4)), i -> i <= n AND " +
-            "CAST(conv(substring(md5(concat_ws(' ', slice(words, i - 3, 4))), 1, 15), 16, 10) AS BIGINT) % 32 = 0), " +
-            "array(n))"))
-        .withColumn("span", explode(expr(
-          "filter(transform(sequence(1, size(bounds) - 1), " +
-            "k -> named_struct('s', element_at(bounds, k), 'e', element_at(bounds, k + 1))), " +
-            "p -> p.e > p.s)")))
-        .select(col("doc_id"),
-          (col("span.s") + 1).cast("long").as("start_pos"),
-          (col("span.e") - col("span.s")).cast("long").as("n_words"),
-          md5(concat_ws(" ", expr("slice(words, span.s + 1, span.e - span.s)")))
-            .as("chunk_fp"))
+      (s, dir) => cdcChunks(s, dir)
+        .select("doc_id", "start_pos", "n_words", "chunk_fp")
         .orderBy("doc_id", "start_pos"),
-      Some("""WITH d AS (
-             |  SELECT doc_id, w, len(w) AS n
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-             |b AS (
-             |  SELECT doc_id, w,
-             |         list_concat(list_concat([0], list_filter(
-             |           generate_series(4, n),
-             |           i -> ('0x' || substring(md5(array_to_string(w[i-3 : i], ' ')), 1, 15))::BIGINT % 32 = 0)),
-             |           [n]) AS bounds
-             |  FROM d),
-             |c AS (
-             |  SELECT doc_id, w,
-             |         unnest(list_filter(list_transform(
-             |           generate_series(1, len(bounds) - 1),
-             |           k -> {'s': bounds[k], 'e': bounds[k + 1]}),
-             |           p -> p.e > p.s)) AS span
-             |  FROM b)
-             |SELECT doc_id, CAST(span.s + 1 AS BIGINT) AS start_pos,
-             |       CAST(span.e - span.s AS BIGINT) AS n_words,
-             |       md5(array_to_string(w[span.s + 1 : span.e], ' ')) AS chunk_fp
-             |FROM c ORDER BY doc_id, start_pos""".stripMargin),
+      Some(s"""WITH $cdcChunksCte
+             |SELECT doc_id, start_pos, n_words, chunk_fp
+             |FROM chunks ORDER BY doc_id, start_pos""".stripMargin),
       "content-defined chunking: rolling-hash boundaries, shift-resistant, map-only"),
+
+    // Chunk-fingerprint near-dup detection — the PAYOFF of content-defined
+    // chunking: two documents are near-dup candidates iff they share CDC
+    // chunks, and because boundaries re-sync after edits, this survives the
+    // insertions/deletions that break fixed-window schemes. Shape is d3's
+    // posting-list pattern over t23's chunks: one census groupBy, pairs
+    // generated IN-ROW from each chunk's (bounded) doc list — never a
+    // self-join of the corpus — then containment = shared / min(chunks).
+    // One IEEE division per pair; DF cap 50 bounds any pathological chunk
+    // (an empty-pattern chunk shared by thousands of docs would otherwise
+    // make pair generation quadratic).
+    "t24_chunk_neardup" -> GraftQuery(
+      (s, dir) => {
+        val postings = cdcChunks(s, dir)
+          .groupBy("chunk_fp")
+          .agg(collect_list(struct(col("doc_id"), col("n_chunks"))).as("docs"))
+          .filter(size(col("docs")).between(2, 50))
+        postings
+          .select(explode(col("docs")).as("a"), col("docs"))
+          .select(col("a"), explode(col("docs")).as("b"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.n_chunks").as("n_a"), col("b.n_chunks").as("n_b"))
+          .agg(count(lit(1)).as("shared_chunks"))
+          .select(col("doc_a"), col("doc_b"), col("shared_chunks"),
+            round(col("shared_chunks").cast("double") / least(col("n_a"), col("n_b")), 6)
+              .as("containment"))
+          .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $cdcChunksCte,
+             |hot AS (SELECT chunk_fp FROM chunks GROUP BY chunk_fp
+             |        HAVING count(*) BETWEEN 2 AND 50),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         a.n_chunks AS n_a, b.n_chunks AS n_b, count(*) AS shared_chunks
+             |  FROM chunks a JOIN chunks b
+             |    ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+             |  WHERE a.chunk_fp IN (SELECT chunk_fp FROM hot)
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT doc_a, doc_b, shared_chunks,
+             |       round(shared_chunks / CAST(least(n_a, n_b) AS DOUBLE), 6) AS containment
+             |FROM pairs ORDER BY containment DESC, doc_a, doc_b""".stripMargin),
+      "chunk-fingerprint near-dup: shift-resistant containment from CDC chunks"),
   )
+
+  /** t23/t24's shared chunk derivation: per doc, content-defined chunk
+    * spans from rolling 4-word-window hash boundaries (modulus 32), as
+    * `(doc_id, n_chunks, start_pos, n_words, chunk_fp)` — map-only, no
+    * shuffle. Boundary detection is the native codegen'd `cdc_bounds`
+    * expression (graft.functions.CdcBounds): the interpreted
+    * filter-over-sequence HOF form was profiled at 19 s on sf0.1 (and got
+    * duplicated into every consumer by projection collapse) vs one
+    * compiled pass here. The `element_at(transform(array(…)))` wrapper is
+    * the let-binding idiom: spans are derived from ONE cdc_bounds call
+    * bound to a lambda variable, so collapsing projections cannot
+    * re-inline the heavy expression into each of its uses.
+    */
+  private def cdcChunks(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    GraftFunctions.register(s) // cdc_bounds also injected via GraftExtensions
+    t(s, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("spans", expr(
+        "element_at(transform(array(cdc_bounds(text, 4, 32)), bs -> " +
+          "filter(transform(sequence(1, size(bs) - 1), " +
+          "k -> named_struct('s', element_at(bs, k), 'e', element_at(bs, k + 1))), " +
+          "p -> p.e > p.s)), 1)"))
+      .withColumn("span", explode(col("spans")))
+      .select(col("doc_id"), size(col("spans")).cast("long").as("n_chunks"),
+        (col("span.s") + 1).cast("long").as("start_pos"),
+        (col("span.e") - col("span.s")).cast("long").as("n_words"),
+        md5(concat_ws(" ", expr("slice(words, span.s + 1, span.e - span.s)")))
+          .as("chunk_fp"))
+  }
+
+  /** DuckDB twin of [[cdcChunks]], ending in
+    * `chunks(doc_id, n_chunks, start_pos, n_words, chunk_fp)` — splice as
+    * `WITH $cdcChunksCte SELECT ... FROM chunks ...`.
+    */
+  // lazy: referenced from `all`'s initializer above — a strict val here
+  // would still be null (object-initialization order) when interpolated
+  private lazy val cdcChunksCte: String =
+    """d AS (
+      |  SELECT doc_id, w, len(w) AS n
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |b AS (
+      |  SELECT doc_id, w,
+      |         list_concat(list_concat([0], list_filter(
+      |           generate_series(4, n),
+      |           i -> ('0x' || substring(md5(array_to_string(w[i-3 : i], ' ')), 1, 15))::BIGINT % 32 = 0)),
+      |           [n]) AS bounds
+      |  FROM d),
+      |c AS (
+      |  SELECT doc_id, w,
+      |         list_filter(list_transform(
+      |           generate_series(1, len(bounds) - 1),
+      |           k -> {'s': bounds[k], 'e': bounds[k + 1]}),
+      |           p -> p.e > p.s) AS spans
+      |  FROM b),
+      |x AS (SELECT doc_id, w, CAST(len(spans) AS BIGINT) AS n_chunks,
+      |             unnest(spans) AS span
+      |      FROM c),
+      |chunks AS (
+      |  SELECT doc_id, n_chunks, CAST(span.s + 1 AS BIGINT) AS start_pos,
+      |         CAST(span.e - span.s AS BIGINT) AS n_words,
+      |         md5(array_to_string(w[span.s + 1 : span.e], ' ')) AS chunk_fp
+      |  FROM x)""".stripMargin
 }

@@ -170,6 +170,30 @@ class SketchSpec extends SparkSpec {
     assert(shared >= 1, "no chunk survived a 3-word prepend")
   }
 
+  test("cdc_bounds matches the interpreted filter/md5 formulation exactly") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (0 until 150).map(i => s"w${(i * 7919) % 500}").mkString(" "), // many windows
+      "one two three four five", // barely windowed
+      "short text", // below window: bounds must be [0, n]
+      "a  b c d e f" // empty token from double space, kept by split(' ', -1)
+    ).toDF("text")
+    val native = docs.selectExpr("cdc_bounds(text, 4, 32) AS b")
+      .collect().map(_.getSeq[Int](0).toSeq)
+    val declarative = docs
+      .selectExpr("text", "split(text, ' ') AS words", "size(split(text, ' ')) AS n")
+      .selectExpr("concat(array(0), filter(sequence(4, greatest(n, 4)), " +
+        "i -> i <= n AND CAST(conv(substring(md5(concat_ws(' ', slice(words, i - 3, 4))), 1, 15), 16, 10) AS BIGINT) % 32 = 0), " +
+        "array(n)) AS b")
+      .collect().map(_.getSeq[Int](0).toSeq)
+      // the native form canonicalizes a boundary AT n (no duplicate)
+      .map(b => if (b.length >= 2 && b(b.length - 1) == b(b.length - 2)) b.dropRight(1) else b)
+    assert(native.toSeq === declarative.toSeq)
+    // the long doc must actually have interior boundaries or this test is vacuous
+    assert(native.head.length > 2, s"no interior boundary in ${native.head}")
+  }
+
   test("float_dot matches the higher-order aggregate/zip_with formulation bit-for-bit") {
     GraftFunctions.register(spark)
     val df = Seq.tabulate(20)(i => (i.toLong, Seq.tabulate(64)(d => math.cos(i * 31 + d).toFloat)))
