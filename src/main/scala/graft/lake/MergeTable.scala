@@ -33,6 +33,10 @@ import scala.jdk.CollectionConverters._
   *                                                   (invisible to the cdf glob),
   *                                                   renamed here atomically after
   *                                                   the commit records them (`cdf`)
+  *   <root>/dv/<attempt>/                            deletion-vector sidecars
+  *                                                   (`dv` commit lines bind them
+  *                                                   per data file; see
+  *                                                   deleteVectorized)
   * }}}
   *
   * Scale design (100 TB): MERGE rewrites ONLY the data files that contain a
@@ -76,7 +80,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   private case class Commit(schema: StructType, files: Seq[String],
                             statsLines: Seq[String], cdfDir: Option[String],
                             constraints: Seq[(String, String)],
-                            txns: Map[String, Long])
+                            txns: Map[String, Long],
+                            dvs: Seq[(String, String, Long)])
 
   private def readCommit(version: Long): Commit = {
     val lines = Files.readString(commitPath(version)).split("\n").toSeq
@@ -86,7 +91,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // metadata lines share ONE parser with readMeta — the two readers can
     // never drift on the line format
     val meta = parseMeta(lines.iterator)
-    Commit(schema, files, stats, meta.cdfDir, meta.constraints, meta.txns)
+    Commit(schema, files, stats, meta.cdfDir, meta.constraints, meta.txns, meta.dvs)
   }
 
   /** The non-file metadata of a commit (cdf dir, constraints, this commit's
@@ -100,13 +105,20 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * ledger (Delta's add-action shape — per-commit deltas, unioned at read
     * time by [[ledgerAt]]); `ingestReset` marks a commit whose lines
     * REPLACE the whole ledger (restore/clone roll it back wholesale).
+    *
+    * `dvs` are the snapshot's deletion-vector bindings
+    * `(dataFile, dvDir, deletedRowCount)` — one line per data file that
+    * carries masked-out rows (Delta's DV add-action analog). Sparse in
+    * practice (only files with un-compacted deletes), but bounded by the
+    * manifest size, not by a constant — still metadata, never data.
     */
   private case class CommitMeta(cdfDir: Option[String],
                                 constraints: Seq[(String, String)],
                                 ingested: Seq[String],
                                 ingestReset: Boolean,
                                 txns: Map[String, Long],
-                                operation: String)
+                                operation: String,
+                                dvs: Seq[(String, String, Long)])
 
   private def parseMeta(lines: Iterator[String]): CommitMeta = {
     var cdf: Option[String] = None
@@ -115,6 +127,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     var ingestReset = false
     val txns = Map.newBuilder[String, Long]
     var op = "UNKNOWN"
+    val dvs = Seq.newBuilder[(String, String, Long)]
     lines.foreach {
       case l if l.startsWith("cdf\t") => cdf = Some(dec(l.stripPrefix("cdf\t")))
       case l if l.startsWith("check\t") =>
@@ -126,9 +139,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       case l if l.startsWith("txn\t") =>
         val Array(a, ver) = l.stripPrefix("txn\t").split("\t", 2)
         txns += (dec(a) -> ver.toLong)
+      case l if l.startsWith("dv\t") =>
+        val Array(f, d, n) = l.stripPrefix("dv\t").split("\t", 3)
+        dvs += ((dec(f), dec(d), n.toLong))
       case _ => ()
     }
-    CommitMeta(cdf, checks.result(), ingested.result(), ingestReset, txns.result(), op)
+    CommitMeta(cdf, checks.result(), ingested.result(), ingestReset, txns.result(), op,
+      dvs.result())
   }
 
   private def readMeta(version: Long): CommitMeta = {
@@ -168,27 +185,117 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     require(version >= horizon,
       s"version $version of $root was vacuumed (oldest retained version is $horizon) — " +
         "re-run vacuum with a larger retainVersions to keep longer time-travel windows")
-    readFiles(spark, filesOf(version), schemaOf(version))
+    readFiles(spark, filesOf(version), schemaOf(version), dvsOf(version))
   }
+
+  /** The snapshot's deletion-vector bindings: data file → (dv dir, count). */
+  private def dvsOf(version: Long): Map[String, (String, Long)] =
+    readCommit(version).dvs.map { case (f, d, n) => f -> (d, n) }.toMap
+
+  /** Public view of a snapshot's deletion-vector bindings
+    * `(dataFile, dvDir, maskedRowCount)` — the audit/test surface for
+    * [[deleteVectorized]] (DESCRIBE DETAIL-style introspection).
+    */
+  def deletionVectors(version: Long): Seq[(String, String, Long)] =
+    readCommit(version).dvs
+
+  def deletionVectors: Seq[(String, String, Long)] = deletionVectors(currentVersion)
+
+  /** The scan-side dv key: the row's source file as a ROOT-RELATIVE path —
+    * the exact string the manifest records. Every data file sits at
+    * `dataDir/<one dir per partition column>/<part file>` under the root
+    * ([[writeData]] is the single writer), so the relative path is the last
+    * `partitionCols.size + 2` components of the scan's `_metadata.file_path`
+    * — no dependence on the root's absolute location or URI scheme, which
+    * is what lets dv sidecars travel verbatim under CLONE. (Partition
+    * VALUES cannot smuggle extra slashes: Spark percent-escapes `/` in
+    * partition path names.)
+    *
+    * `file_path` is additionally URI-ENCODED over the on-disk name
+    * (space → `%20`, and the `%` of Spark's own partition escaping →
+    * `%25`: on-disk `p=p 1%3Aa` scans as `p=p%201%253Aa`), so the key is
+    * url-decoded back to the exact manifest string. `url_decode` is
+    * form-decoding (`+` → space), while URI encoding leaves literal `+`
+    * bare — pre-escaping `+` to `%2B` makes the decode a true inverse.
+    */
+  private def relPathCol: Column =
+    url_decode(regexp_replace(
+      substring_index(col("_metadata.file_path"), "/", -(partitionCols.size + 2)),
+      "\\+", "%2B"))
 
   /** Read a subset of a snapshot's files with its schema. Files may span
     * several data directories (untouched files are carried forward across
     * versions), and partition-column values live in directory names — so
     * group by data dir and read each group with its own `basePath`, which
     * preserves both partition columns and partition pruning.
+    *
+    * `dvs` (the snapshot's deletion-vector map, restricted here to the files
+    * actually read) masks out deleted row positions: each read branch
+    * attaches the scan's `_metadata` file/row-position columns — evaluated
+    * at the scan itself, zero cost beyond two extra columns — and one
+    * LEFT ANTI join against the referenced dv rows drops masked positions.
+    * The dv side is broadcast when the commit-recorded counts bound it
+    * (v3/t18-style guard: a table that accretes dv rows past the bound
+    * degrades to a shuffled anti-join instead of dying at the driver).
+    * `keepPos` exposes the position columns to [[deleteVectorized]], which
+    * must record positions of newly-deleted live rows.
+    *
+    * `fileCol` attaches each row's source file (root-relative, manifest
+    * form) under the given name — the touched-file probes' replacement for
+    * `input_file_name()`, which Spark refuses to resolve above the dv
+    * anti-join (two file sources in one plan); `_metadata.file_path` binds
+    * to its own scan, so it stays unambiguous.
     */
-  private def readFiles(spark: SparkSession, fs: Seq[String], schema: StructType): DataFrame =
-    if (fs.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  private def readFiles(spark: SparkSession, fs: Seq[String], schema: StructType,
+                        dvs: Map[String, (String, Long)] = Map.empty,
+                        keepPos: Boolean = false,
+                        fileCol: Option[String] = None): DataFrame = {
+    import MergeTable.{DvFileCol, DvIdxCol}
+    val hit = fs.filter(dvs.contains)
+    val needPos = keepPos || hit.nonEmpty
+    val base = if (fs.isEmpty) {
+      var s = schema
+      if (needPos)
+        s = s.add(DvFileCol, org.apache.spark.sql.types.StringType)
+          .add(DvIdxCol, org.apache.spark.sql.types.LongType)
+      fileCol.foreach(c => s = s.add(c, org.apache.spark.sql.types.StringType))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     } else {
       val byDataDir = fs.groupBy(f => f.takeWhile(_ != '/'))
       byDataDir.toSeq.sortBy(_._1).map { case (dataDir, rel) =>
-        spark.read
+        val df = spark.read
           .option("basePath", s"$root/$dataDir")
           .schema(schema) // uniform schema incl. partition cols; skips footer merging
           .parquet(rel.map(r => s"$root/$r"): _*)
+        // _metadata must be projected directly above each file source —
+        // it does not resolve through the union. The dv key is the
+        // MANIFEST-relative path (see relPathCol): both join sides derive
+        // from this same expression, so keys match by construction — and
+        // a bare basename would be ambiguous (dynamic partitioning gives
+        // every partition dir of one task the SAME part-file name).
+        val posCols =
+          (if (needPos)
+            Seq(relPathCol.as(DvFileCol),
+              col("_metadata.row_index").as(DvIdxCol))
+          else Nil) ++
+            fileCol.map(c => relPathCol.as(c)).toSeq
+        if (posCols.nonEmpty) df.select(col("*") +: posCols: _*) else df
       }.reduce(_ unionByName _)
     }
+    if (hit.isEmpty) base
+    else {
+      val dirs = hit.map(f => dvs(f)._1).distinct.sorted
+      // dv dirs may hold rows for files not being read (shared dirs,
+      // superseded duplicates from the union-on-rebind invariant) —
+      // harmless under LEFT ANTI, their keys match no scanned row
+      val rows = spark.read.schema(MergeTable.DvSchema)
+        .parquet(dirs.map(d => s"$root/$d"): _*)
+      val total = hit.map(f => dvs(f)._2).sum
+      val side = if (total <= MergeTable.MaxBroadcastDvRows) broadcast(rows) else rows
+      val joined = base.join(side, Seq(DvFileCol, DvIdxCol), "left_anti")
+      if (keepPos) joined else joined.drop(DvFileCol, DvIdxCol)
+    }
+  }
 
   /** Initial load — reference's `format("delta").mode("overwrite").
     * partitionBy("year","month").save(path)` branch (01:115-121).
@@ -249,6 +356,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val v = currentVersion
       val srcKeys = src.select(keys.map(col): _*)
       val oldFiles = filesOf(v)
+      val dvs = dvsOf(v)
 
       // Opt-in partition pruning of the probe (see class doc for why it is
       // NOT the default): when the caller vouches that the merge keys
@@ -281,27 +389,22 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       // File pruning: find the data files that contain at least one matched
       // key. Broadcast the (small) source key set when Catalyst can; only
       // file *names* are collected — metadata, not data.
-      val touched: Set[String] = readFiles(spark, probeRel, schemaOf(v))
-        .withColumn("_graft_file", input_file_name())
+      val touched: Set[String] = readFiles(spark, probeRel, schemaOf(v), dvs,
+          fileCol = Some("_graft_file"))
         .join(srcKeys, keys, "left_semi")
         .select("_graft_file").distinct()
         .collect().map(r => normalize(r.getString(0))).toSet
       val (touchedRel, keptRel) =
         oldFiles.partition(f => touched.exists(t => t.endsWith("/" + f) || t == f))
 
-      // Touched-file rows, read once; survivors of those files + all source
-      // rows form the rewrite.
+      // Touched-file rows, read once (dv-masked — a rewrite must never
+      // resurrect deleted rows); survivors of those files + all source
+      // rows form the rewrite. Rewritten files shed their dv bindings in
+      // the new commit (the carry-forward keeps bindings only for files
+      // the manifest still lists).
       val touchedData =
         if (touchedRel.isEmpty) None
-        else {
-          val byDataDir = touchedRel.groupBy(f => f.takeWhile(_ != '/'))
-          Some(byDataDir.toSeq.sortBy(_._1).map { case (dataDir, rel) =>
-            spark.read
-              .option("basePath", s"$root/$dataDir")
-              .schema(schemaOf(v))
-              .parquet(rel.map(r => s"$root/$r"): _*)
-          }.reduce(_ unionByName _))
-        }
+        else Some(readFiles(spark, touchedRel, schemaOf(v), dvs))
       val survivors = touchedData.map(_.join(srcKeys, keys, "left_anti"))
       val newData =
         if (mergeSchema) {
@@ -469,10 +572,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   def delete(spark: SparkSession, predicate: Column, changeFeed: Boolean = false): Unit = {
     val v = currentVersion
-    val target = readVersion(spark, v)
 
-    val touched: Set[String] = target
-      .withColumn("_graft_file", input_file_name())
+    val touched: Set[String] = readFiles(spark, filesOf(v), schemaOf(v), dvsOf(v),
+        fileCol = Some("_graft_file"))
       .filter(predicate)
       .select("_graft_file").distinct()
       .collect().map(r => normalize(r.getString(0))).toSet
@@ -487,13 +589,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       return
     }
 
-    val byDataDir = touchedRel.groupBy(f => f.takeWhile(_ != '/'))
-    val tdf = byDataDir.toSeq.sortBy(_._1).map { case (dataDir, rel) =>
-      spark.read
-        .option("basePath", s"$root/$dataDir")
-        .schema(schemaOf(v))
-        .parquet(rel.map(r => s"$root/$r"): _*)
-    }.reduce(_ unionByName _)
+    // dv-masked read: a rewrite must never resurrect rows an earlier
+    // vectorized delete masked out of these same files
+    val tdf = readFiles(spark, touchedRel, schemaOf(v), dvsOf(v))
     // survivors: predicate FALSE or NULL (NOT(pred) alone would drop NULLs)
     val survivors = tdf.filter(coalesce(predicate, lit(false)) =!= true)
 
@@ -510,6 +608,106 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     commit(newVersion, keptRel ++ newFiles, schemaOf(v),
       carryStats(v, keptRel) ++ collectStats(spark, newFiles, schemaOf(v)),
       cdfDir, op = "DELETE")
+  }
+
+  /** Deletion-vector DELETE (Delta deletion-vectors analog): instead of
+    * rewriting every data file that contains a matching row ([[delete]]),
+    * record the POSITIONS of deleted rows in a sidecar (`dv/<attempt>/`,
+    * rows of `(manifest-relative file path, row position)`) and commit the SAME file
+    * list with per-file dv bindings. Reads mask bound positions with one
+    * anti-join against the scan's own `_metadata` row positions (see
+    * [[readFiles]]). The 100 TB motivation: deleting 0.1% of rows
+    * spread across a petabyte of files must cost O(deleted rows), not a
+    * full rewrite of every touched file — Delta ships exactly this trade.
+    *
+    * Semantics are identical to [[delete]] (predicate-TRUE rows go,
+    * FALSE/NULL stay; optional CDF `delete` rows). File stats carry
+    * forward un-tightened — deletion only narrows a file's live values,
+    * so recorded min/max stay sound (possibly loose) pruning bounds.
+    *
+    * Bounds, v3/t18-style: when the delete matches more than
+    * `maxNewDvRows` rows this falls back to the rewriting [[delete]] —
+    * a mass delete is cheaper rewritten once than carried as a huge mask
+    * on every subsequent scan. Accumulated dv rows are similarly bounded
+    * at read time ([[readFiles]] broadcast guard), and any rewrite of a
+    * file (merge / update / compact / zorder) re-materializes its
+    * survivors and drops its binding, so masks never outlive compaction.
+    *
+    * Positions key on the MANIFEST-relative file path (see [[relPathCol]]):
+    * sidecar rows never mention the root's absolute location, so clone and
+    * restore re-bind them verbatim, and the driver-side bookkeeping below
+    * joins against manifest entries with no path parsing at all.
+    */
+  def deleteVectorized(spark: SparkSession, predicate: Column,
+                       changeFeed: Boolean = false,
+                       maxNewDvRows: Long = MergeTable.DefaultMaxDvRows): Unit = {
+    import MergeTable.{ChangeType, DvFileCol, DvIdxCol}
+    val v = currentVersion
+    val schema = schemaOf(v)
+    require(!schema.fieldNames.contains(DvFileCol) && !schema.fieldNames.contains(DvIdxCol),
+      s"deleteVectorized on $root: schema collides with reserved columns $DvFileCol/$DvIdxCol")
+    val files = filesOf(v)
+    val dvs = dvsOf(v)
+    val newVersion = v + 1
+
+    val live = readFiles(spark, files, schema, dvs, keepPos = true)
+    val matched = live.filter(coalesce(predicate, lit(false)) === true)
+
+    // Stage the new positions first (one scan); counts then come from the
+    // staged rows at metadata cost. An abandoned attempt dir (no match /
+    // fallback / lost commit race) is unreferenced and vacuumed like any
+    // orphan data dir. repartition (not coalesce) keeps the scan parallel —
+    // only the position rows shuffle, and there are at most maxNewDvRows.
+    val attempt = newDataDir(newVersion)
+    val dvRel = s"dv/$attempt"
+    matched.select(DvFileCol, DvIdxCol)
+      .repartition(1).write.parquet(s"$root/$dvRel")
+    val staged = spark.read.schema(MergeTable.DvSchema).parquet(s"$root/$dvRel")
+    val newCnt = staged.count()
+    if (newCnt == 0L) {
+      deleteRecursively(Paths.get(root, dvRel))
+      commit(newVersion, files, schema, carryStats(v, files), op = "DELETE")
+      return
+    }
+    if (newCnt > maxNewDvRows) {
+      deleteRecursively(Paths.get(root, dvRel))
+      delete(spark, predicate, changeFeed)
+      return
+    }
+
+    // Union-on-rewrite invariant: a touched file's binding points at ONE
+    // dir holding ALL its masked positions, so prior masks for touched
+    // files are appended into the new dir. Older dirs may retain stale
+    // subsets of these rows for OTHER still-bound files' sake — duplicates
+    // are harmless under the read path's LEFT ANTI.
+    val touchedFiles = staged.select(DvFileCol).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val priorBound = touchedFiles.filter(dvs.contains)
+    if (priorBound.nonEmpty) {
+      val oldDirs = priorBound.map(f => dvs(f)._1).distinct.sorted
+      spark.read.schema(MergeTable.DvSchema)
+        .parquet(oldDirs.map(d => s"$root/$d"): _*)
+        .filter(col(DvFileCol).isin(priorBound: _*))
+        .repartition(1).write.mode("append").parquet(s"$root/$dvRel")
+    }
+    val cum = spark.read.schema(MergeTable.DvSchema).parquet(s"$root/$dvRel")
+      .groupBy(DvFileCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val newDvs: Seq[(String, String, Long)] = files.flatMap { f =>
+      cum.get(f) match {
+        case Some(n) => Some((f, dvRel, n))
+        case None    => dvs.get(f).map { case (d, n) => (f, d, n) }
+      }
+    }
+    // CDF before the commit that records it — see merge()
+    val cdfDir =
+      if (changeFeed) Some(writeChanges(
+        matched.drop(DvFileCol, DvIdxCol).withColumn(ChangeType, lit("delete")),
+        newVersion, attempt))
+      else None
+    commit(newVersion, files, schema, carryStats(v, files), cdfDir,
+      dvsOverride = Some(newDvs), op = "DELETE (DV)")
   }
 
   /** Delta `UPDATE SET` analog: apply `set` (column → new-value expression)
@@ -532,10 +730,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val unknown = set.keySet -- schema.fieldNames
     require(unknown.isEmpty,
       s"update on $root: SET columns ${unknown.mkString(", ")} are not in the table schema")
-    val target = readVersion(spark, v)
 
-    val touched: Set[String] = target
-      .withColumn("_graft_file", input_file_name())
+    val touched: Set[String] = readFiles(spark, filesOf(v), schema, dvsOf(v),
+        fileCol = Some("_graft_file"))
       .filter(predicate)
       .select("_graft_file").distinct()
       .collect().map(r => normalize(r.getString(0))).toSet
@@ -550,7 +747,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       return
     }
 
-    val tdf = readFiles(spark, touchedRel, schema)
+    val tdf = readFiles(spark, touchedRel, schema, dvsOf(v))
     val hit = coalesce(predicate, lit(false)) === true
     // all SET expressions evaluate against the pre-update row in ONE select
     val applySet = (d: DataFrame) => d.select(schema.fieldNames.map { c =>
@@ -613,9 +810,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       s"overwriteWhere on $root: incoming rows do not all satisfy the replace " +
         "predicate — they would land outside the slice being replaced")
 
-    val target = readVersion(spark, v)
-    val touched: Set[String] = target
-      .withColumn("_graft_file", input_file_name())
+    val touched: Set[String] = readFiles(spark, filesOf(v), schema, dvsOf(v),
+        fileCol = Some("_graft_file"))
       .filter(predicate)
       .select("_graft_file").distinct()
       .collect().map(r => normalize(r.getString(0))).toSet
@@ -626,7 +822,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val newVersion = v + 1
     val survivors =
       if (touchedRel.isEmpty) None
-      else Some(readFiles(spark, touchedRel, schema)
+      else Some(readFiles(spark, touchedRel, schema, dvsOf(v))
         .filter(coalesce(predicate, lit(false)) =!= true))
     val dataDir = newDataDir(newVersion)
     writeData(survivors.fold(aligned)(_ unionByName aligned), dataDir)
@@ -637,7 +833,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         import MergeTable.ChangeType
         val deleted =
           if (touchedRel.isEmpty) None
-          else Some(readFiles(spark, touchedRel, schema)
+          else Some(readFiles(spark, touchedRel, schema, dvsOf(v))
             .filter(coalesce(predicate, lit(false)) === true)
             .withColumn(ChangeType, lit("delete")))
         val inserted = aligned.withColumn(ChangeType, lit("insert"))
@@ -686,7 +882,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val c = readCommit(v)
     val target = new MergeTable(targetRoot, partitionCols, statsCols, generatedCols)
     require(!target.exists, s"clone target $targetRoot already exists")
-    c.files.foreach { rel =>
+    // dv sidecars travel with the data files they mask (same zero-copy link)
+    val dvFiles = c.dvs.map(_._2).distinct.sorted
+      .flatMap(d => listParquet(Paths.get(root, d)).map(relativize))
+    (c.files ++ dvFiles).foreach { rel =>
       val srcP = Paths.get(root, rel)
       val dstP = Paths.get(targetRoot, rel)
       Files.createDirectories(dstP.getParent)
@@ -702,6 +901,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       constraintsOverride = Some(c.constraints),
       ingestReset = Some(ledgerAt(v)),
       txnsOverride = Some(c.txns), // exactly-once writers stay exactly-once on the clone
+      dvsOverride = Some(c.dvs),   // masks key on rel paths: same layout on the clone
       op = "CLONE")
     target
   }
@@ -750,7 +950,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       commit(newVersion, oldFiles, schema, carryStats(v, oldFiles), op = "OPTIMIZE")
       return
     }
-    val packed = readFiles(spark, touchedRel, schema)
+    val packed = readFiles(spark, touchedRel, schema, dvsOf(v))
       .repartition(parallelism, partitionCols.map(col): _*)
     val dataDir = newDataDir(newVersion)
     writeData(packed, dataDir)
@@ -804,9 +1004,11 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * scanned, then the exact predicate filters residually (stats prune
     * files, not rows). Semantics = `read(spark).filter(col BETWEEN lo hi)`.
     */
-  def readRange(spark: SparkSession, column: String, lo: Any, hi: Any): DataFrame =
-    readFiles(spark, candidateFiles(column, lo, hi), schemaOf(currentVersion))
+  def readRange(spark: SparkSession, column: String, lo: Any, hi: Any): DataFrame = {
+    val v = currentVersion
+    readFiles(spark, candidateFiles(column, lo, hi), schemaOf(v), dvsOf(v))
       .filter(col(column).between(lit(lo), lit(hi)))
+  }
 
   /** Z-order clustering compaction (Delta OPTIMIZE ZORDER analog): rewrite
     * the current snapshot ordered by the interleaved bits of the rank-
@@ -1003,6 +1205,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       constraintsOverride = Some(c.constraints),
       ingestReset = Some(ledgerAt(version)),
       txnsOverride = Some(c.txns),
+      dvsOverride = Some(c.dvs), // deletion masks roll back with the rows
       op = "RESTORE")
   }
 
@@ -1028,6 +1231,31 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       }
       .toDF("version", "timestamp", "operation", "txns")
       .orderBy(col("version").desc)
+  }
+
+  /** `DESCRIBE DETAIL` analog: one row of table-level facts — format,
+    * location, tip version, last-modified (tip commit's publish time),
+    * file/byte counts, partition columns, deletion-vector totals, and the
+    * number of CHECK constraints. Everything is answered from the commit
+    * log plus O(files) driver-side `Files.size` probes — metadata, never a
+    * data scan (Delta likewise answers DESCRIBE DETAIL from the log; at
+    * 100 TB a storage listing would be the slowest call in the system).
+    */
+  def detail(spark: SparkSession): DataFrame = {
+    require(exists, s"MergeTable at $root does not exist")
+    import spark.implicits._
+    val v = currentVersion
+    val c = readCommit(v)
+    val sizeBytes = c.files.map(f => Files.size(Paths.get(root, f))).sum
+    val lastMod = new java.sql.Timestamp(
+      Files.getLastModifiedTime(commitPath(v)).toMillis)
+    Seq((
+      "graft-parquet", root, v, lastMod, c.files.size.toLong, sizeBytes,
+      partitionCols, c.dvs.size.toLong, c.dvs.map(_._3).sum,
+      c.constraints.size.toLong))
+      .toDF("format", "location", "version", "last_modified", "num_files",
+        "size_bytes", "partition_columns", "num_deletion_vectors",
+        "num_masked_rows", "num_constraints")
   }
 
   /** `SHOW PARTITIONS` analog: the partition values present in the current
@@ -1159,10 +1387,32 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .flatMap(filesOf).map(_.takeWhile(_ != '/')).toSet
     val rootP = Paths.get(root)
     Files.list(rootP).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("d"))
+      .filter { p =>
+        val n = p.getFileName.toString
+        // "dv" (deletion-vector root) shares the d prefix but is
+        // reconciled per-subdir below, like cdf — never as one data dir
+        Files.isDirectory(p) && n.startsWith("d") && n != "dv"
+      }
       .filterNot(p => live.contains(p.getFileName.toString))
       .filter(oldEnough)
       .foreach(deleteRecursively)
+    // reconcile dv sidecar dirs under the cdf rule: any commit's reference
+    // keeps a dir (commits are never deleted; a restore may re-bind old
+    // masks), unreferenced old-enough dirs are crashed/raced attempts
+    val dvRoot = rootP.resolve("dv")
+    if (Files.exists(dvRoot)) {
+      val referenced: Set[String] = Files.list(logDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".commit"))
+        .flatMap(n => n.stripSuffix(".commit").toLongOption)
+        .flatMap(ver => readMeta(ver).dvs.map(_._2))
+        .map(_.stripPrefix("dv/")).toSet
+      Files.list(dvRoot).iterator().asScala
+        .filter(Files.isDirectory(_))
+        .filterNot(p => referenced.contains(p.getFileName.toString))
+        .filter(oldEnough)
+        .foreach(deleteRecursively)
+    }
     // reconcile orphan change-feed dirs: a feed dir no commit references is
     // a crashed/lost attempt's leftover; one any commit references must
     // outlive data-dir vacuuming. The staging tree is reconciled under the
@@ -1352,6 +1602,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                      ingestReset: Option[Seq[String]] = None,
                      txn: Option[(String, Long)] = None,
                      txnsOverride: Option[Map[String, Long]] = None,
+                     dvsOverride: Option[Seq[(String, String, Long)]] = None,
                      op: String = "WRITE"): Unit = {
     Files.createDirectories(logDir)
     // CHECK constraints and txn versions carry forward automatically
@@ -1373,6 +1624,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val txns = txn.fold(txnBase) { case (a, ver) =>
       txnBase.updated(a, txnBase.get(a).fold(ver)(math.max(_, ver)))
     }
+    // dv bindings carry forward ONLY for files this commit still lists —
+    // a rewritten file's survivors were materialized dv-masked, so its
+    // binding must die with the old file reference
+    val fileSet = files.toSet
+    val dvLines = dvsOverride
+      .getOrElse(prev.fold(Seq.empty[(String, String, Long)])(_.dvs))
+      .filter { case (f, _, _) => fileSet.contains(f) }
     val content = (s"schema\t${enc(schema.toDDL)}" +:
       (Seq(s"op\t${enc(op)}") ++
         cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
@@ -1380,6 +1638,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         ingestReset.map(_ => "ingestreset").toSeq ++
         ingested.map(f => s"ingest\t${enc(f)}") ++
         txns.toSeq.sortBy(_._1).map { case (a, ver) => s"txn\t${enc(a)}\t$ver" } ++
+        dvLines.map { case (f, d, n) => s"dv\t${enc(f)}\t${enc(d)}\t$n" } ++
         files.map(f => s"file\t${enc(f)}") ++ statsLines.map(l => s"stat\t$l")))
       .mkString("\n")
     val tmp = logDir.resolve(s"$version.commit.tmp${System.nanoTime()}")
@@ -1458,4 +1717,31 @@ object MergeTable {
     * attempt here, where Delta's 7-day default targets long cloud jobs).
     */
   val DefaultVacuumMinAgeMs: Long = 30L * 60 * 1000
+
+  // ---- deletion vectors ----
+
+  /** Position columns of a deletion-vector sidecar row (and the internal
+    * scan-position columns the read path joins them against).
+    */
+  val DvFileCol = "_graft_dv_file"
+  val DvIdxCol = "_graft_dv_idx"
+
+  private[lake] val DvSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(DvFileCol,
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField(DvIdxCol,
+      org.apache.spark.sql.types.LongType)))
+
+  /** Above this many newly-matched rows, [[MergeTable.deleteVectorized]]
+    * falls back to the rewriting delete — a mass delete carried as a mask
+    * taxes every later scan, while one rewrite amortizes immediately.
+    */
+  val DefaultMaxDvRows: Long = 4L * 1000 * 1000
+
+  /** Broadcast bound for the read path's dv anti-join: the commit-recorded
+    * counts are summed BEFORE planning (driver-side metadata), and a table
+    * whose accumulated masks exceed the bound degrades to a shuffled
+    * anti-join instead of an unbounded driver broadcast.
+    */
+  val MaxBroadcastDvRows: Long = 4L * 1000 * 1000
 }

@@ -710,5 +710,71 @@ object LakeQueries {
              |  FROM orders)
              |GROUP BY o_orderstatus""".stripMargin),
       "MERGE re-run idempotency — the reference's late-data story"),
+
+    // Deletion vectors (Delta DV analog): two consecutive deletes mask row
+    // POSITIONS in sidecar files — the data files are never rewritten
+    // (asserted: the manifest is byte-identical across both deletes), and
+    // reads drop masked positions with one broadcast anti-join against the
+    // scan's own _metadata row positions. The 100 TB point: deleting 0.1%
+    // of rows costs O(deleted rows), not a rewrite of every touched file.
+    // The second delete exercises mask ACCUMULATION (union-on-rebind), and
+    // the overlap between the two predicates exercises duplicate-position
+    // tolerance.
+    "m26_deletion_vectors" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m26_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        val v0Files = table.filesOf(0)
+        table.deleteVectorized(s, col("o_totalprice") < 30000.0)
+        table.deleteVectorized(s,
+          col("o_orderpriority") === "1-URGENT" && col("o_totalprice") < 60000.0)
+        require(table.filesOf(table.currentVersion) == v0Files,
+          "deletion vectors must not rewrite data files")
+        require(table.deletionVectors.nonEmpty, "expected dv bindings")
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+               round(sum("o_totalprice"), 2).as("price_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       round(sum(o_totalprice), 2) AS price_sum
+             |FROM orders
+             |WHERE NOT (o_totalprice < 30000.0)
+             |  AND NOT (o_orderpriority = '1-URGENT' AND o_totalprice < 60000.0)
+             |GROUP BY o_orderstatus""".stripMargin),
+      "Delta deletion-vectors analog: delete masks positions, zero rewrite"),
+
+    // DESCRIBE DETAIL (driven through spark.sql via the injected parser).
+    // The gate projects ONLY the data-derivable facts — version is the
+    // commit count, num_masked_rows is exactly the deleted-row count, the
+    // partition spec is declared — so the DuckDB oracle can recompute them;
+    // layout-dependent facts (num_files, size_bytes, location, timestamps)
+    // stay on the API/SQL surface and are covered by the spec instead.
+    "m27_describe_detail" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m27_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)                                   // v0
+        table.deleteVectorized(s, col("o_totalprice") < 30000.0)  // v1
+        val name = s"orders_detail_${sanitize(dir)}"
+        graft.sqlapi.LakeCatalog.register(name, table)
+        try {
+          s.sql(s"DESCRIBE DETAIL $name")
+            .select(col("format"), col("version"),
+              array_join(col("partition_columns"), ",").as("partition_columns"),
+              col("num_masked_rows"), col("num_constraints"))
+        } finally graft.sqlapi.LakeCatalog.unregister(name)
+      },
+      Some("""SELECT 'graft-parquet' AS format, CAST(1 AS BIGINT) AS version,
+             |       'o_orderstatus' AS partition_columns,
+             |       (SELECT count(*) FROM orders WHERE o_totalprice < 30000.0)
+             |         AS num_masked_rows,
+             |       CAST(0 AS BIGINT) AS num_constraints""".stripMargin),
+      "DESCRIBE DETAIL analog over the commit log, via spark.sql"),
   )
 }

@@ -86,6 +86,18 @@ object GraftSqlParser {
           StructField("timestamp", TimestampType, nullable = false),
           StructField("operation", StringType, nullable = false),
           StructField("txns", StringType, nullable = false)))
+      else if (LakeSql.isDetailStatement(sql))
+        StructType(Seq(
+          StructField("format", StringType, nullable = false),
+          StructField("location", StringType, nullable = false),
+          StructField("version", LongType, nullable = false),
+          StructField("last_modified", TimestampType, nullable = false),
+          StructField("num_files", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("partition_columns", ArrayType(StringType), nullable = true),
+          StructField("num_deletion_vectors", LongType, nullable = false),
+          StructField("num_masked_rows", LongType, nullable = false),
+          StructField("num_constraints", LongType, nullable = false)))
       else {
         val t = table.schemaOf(table.currentVersion)
         StructType(table.partitionCols.map(c => t(c)) :+

@@ -15,6 +15,7 @@ import graft.lake.MergeTable
   *   OPTIMIZE t [WHERE <partition predicate>]
   *   SELECT ... FROM t VERSION AS OF <n> ...      -- time travel
   *   DESCRIBE HISTORY t                           -- audit log (query())
+  *   DESCRIBE DETAIL t                            -- table facts (query())
   *   SHOW PARTITIONS t                            -- manifest partitions (query())
   * }}}
   *
@@ -43,6 +44,9 @@ object LakeSql {
 
   private val DescribeHistoryShape =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+
+  private val DescribeDetailShape =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*$""".r
 
   private val ShowPartitionsShape =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$""".r
@@ -92,6 +96,7 @@ object LakeSql {
   def query(spark: SparkSession, sql: String, targets: Map[String, MergeTable]): DataFrame = {
     sql match {
       case DescribeHistoryShape(tgt) => return resolve(tgt, targets).history(spark)
+      case DescribeDetailShape(tgt)  => return resolve(tgt, targets).detail(spark)
       case ShowPartitionsShape(tgt)  => return resolve(tgt, targets).partitions(spark)
       case _                         => ()
     }
@@ -145,6 +150,7 @@ object LakeSql {
     */
   private[sqlapi] def metaStatementTarget(sql: String): Option[String] = sql match {
     case DescribeHistoryShape(tgt) => Some(tgt)
+    case DescribeDetailShape(tgt)  => Some(tgt)
     case ShowPartitionsShape(tgt)  => Some(tgt)
     case _                         => None
   }
@@ -155,6 +161,12 @@ object LakeSql {
   private[sqlapi] def isHistoryStatement(sql: String): Boolean = sql match {
     case DescribeHistoryShape(_) => true
     case _                       => false
+  }
+
+  /** True when the metadata statement is DESCRIBE DETAIL (fixed schema). */
+  private[sqlapi] def isDetailStatement(sql: String): Boolean = sql match {
+    case DescribeDetailShape(_) => true
+    case _                      => false
   }
 
   /** Split `c1 = e1, c2 = e2, ...` on top-level commas only — a comma

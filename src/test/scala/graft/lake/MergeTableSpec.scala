@@ -617,11 +617,13 @@ class MergeTableSpec extends SparkSpec {
   }
 
   test("pruned merge matches Spark's partition-path escaping for hostile values") {
-    // 'p 1:a' needs escaping in a path; the probe must still find its dir
+    // 'p 1:a+b' needs escaping in a path ('+' additionally distinguishes
+    // URI decoding from form decoding in the probe's file-key derivation);
+    // the probe must still find its dir
     val t = new MergeTable(scratch("mt_pp_esc"), Seq("p"))
-    t.overwrite(df(Seq((1, "a", "p 1:a"), (2, "b", "p2"))))
-    t.merge(spark, df(Seq((1, "A", "p 1:a"))), Seq("k"), keysDeterminePartitions = true)
-    assert(asSet(t.read(spark)) === Set((1, "A", "p 1:a"), (2, "b", "p2")),
+    t.overwrite(df(Seq((1, "a", "p 1:a+b"), (2, "b", "p2"))))
+    t.merge(spark, df(Seq((1, "A", "p 1:a+b"))), Seq("k"), keysDeterminePartitions = true)
+    assert(asSet(t.read(spark)) === Set((1, "A", "p 1:a+b"), (2, "b", "p2")),
       "escaped partition dir was not probed — key duplicated or update lost")
   }
 

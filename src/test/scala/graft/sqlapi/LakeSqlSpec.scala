@@ -66,6 +66,27 @@ class LakeSqlSpec extends SparkSpec {
     assert(parts.head._2 === manifestFiles.toLong)
   }
 
+  test("DESCRIBE DETAIL reports commit-log facts, through query() and spark.sql") {
+    val t = seeded("lsql_detail")
+    t.deleteVectorized(spark, col("k") === 1) // v1: one masked row
+    val d = LakeSql.query(spark, "DESCRIBE DETAIL tbl", Map("tbl" -> t)).head()
+    assert(d.getAs[String]("format") === "graft-parquet")
+    assert(d.getAs[Long]("version") === 1L)
+    assert(d.getAs[Long]("num_files") === t.filesOf(1).size.toLong)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[Seq[String]]("partition_columns") === Seq("p"))
+    assert(d.getAs[Long]("num_deletion_vectors") === 1L)
+    assert(d.getAs[Long]("num_masked_rows") === 1L)
+    assert(d.getAs[Long]("num_constraints") === 0L)
+    // and as a rows-returning command through the injected parser
+    LakeCatalog.register("detail_tbl", t)
+    try {
+      val row = spark.sql("DESCRIBE DETAIL detail_tbl").head()
+      assert(row.getAs[Long]("num_masked_rows") === 1L)
+      assert(row.getAs[Long]("version") === 1L)
+    } finally LakeCatalog.unregister("detail_tbl")
+  }
+
   test("VACUUM and OPTIMIZE statements route to the API twins") {
     val t = seeded("lsql_vac")
     t.update(spark, col("k") === 1, Map("v" -> org.apache.spark.sql.functions.lit("z"))) // v1
