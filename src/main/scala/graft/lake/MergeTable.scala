@@ -81,7 +81,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                             statsLines: Seq[String], cdfDir: Option[String],
                             constraints: Seq[(String, String)],
                             txns: Map[String, Long],
-                            dvs: Seq[(String, String, Long)])
+                            dvs: Seq[(String, String, Long)],
+                            colmap: Seq[(String, String)],
+                            retired: Seq[String])
 
   private def readCommit(version: Long): Commit = {
     val lines = Files.readString(commitPath(version)).split("\n").toSeq
@@ -91,7 +93,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // metadata lines share ONE parser with readMeta — the two readers can
     // never drift on the line format
     val meta = parseMeta(lines.iterator)
-    Commit(schema, files, stats, meta.cdfDir, meta.constraints, meta.txns, meta.dvs)
+    Commit(schema, files, stats, meta.cdfDir, meta.constraints, meta.txns, meta.dvs,
+      meta.colmap, meta.retired)
   }
 
   /** The non-file metadata of a commit (cdf dir, constraints, this commit's
@@ -111,6 +114,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * carries masked-out rows (Delta's DV add-action analog). Sparse in
     * practice (only files with un-compacted deletes), but bounded by the
     * manifest size, not by a constant — still metadata, never data.
+    *
+    * `colmap` is the column-mapping (Delta column-mapping analog): the
+    * snapshot's logical column name → the PHYSICAL name under which data
+    * files store it. Only non-identity entries are recorded. `retired` is
+    * the set of physical names abandoned by DROP COLUMN — still present in
+    * old data files, so they may never be handed to a new column (a reused
+    * physical name would resurrect dropped data).
     */
   private case class CommitMeta(cdfDir: Option[String],
                                 constraints: Seq[(String, String)],
@@ -118,7 +128,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                                 ingestReset: Boolean,
                                 txns: Map[String, Long],
                                 operation: String,
-                                dvs: Seq[(String, String, Long)])
+                                dvs: Seq[(String, String, Long)],
+                                colmap: Seq[(String, String)],
+                                retired: Seq[String])
 
   private def parseMeta(lines: Iterator[String]): CommitMeta = {
     var cdf: Option[String] = None
@@ -128,6 +140,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val txns = Map.newBuilder[String, Long]
     var op = "UNKNOWN"
     val dvs = Seq.newBuilder[(String, String, Long)]
+    val colmap = Seq.newBuilder[(String, String)]
+    val retired = Seq.newBuilder[String]
     lines.foreach {
       case l if l.startsWith("cdf\t") => cdf = Some(dec(l.stripPrefix("cdf\t")))
       case l if l.startsWith("check\t") =>
@@ -142,10 +156,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       case l if l.startsWith("dv\t") =>
         val Array(f, d, n) = l.stripPrefix("dv\t").split("\t", 3)
         dvs += ((dec(f), dec(d), n.toLong))
+      case l if l.startsWith("colmap\t") =>
+        val Array(lg, ph) = l.stripPrefix("colmap\t").split("\t", 2)
+        colmap += (dec(lg) -> dec(ph))
+      case l if l.startsWith("retired\t") =>
+        retired += dec(l.stripPrefix("retired\t"))
       case _ => ()
     }
     CommitMeta(cdf, checks.result(), ingested.result(), ingestReset, txns.result(), op,
-      dvs.result())
+      dvs.result(), colmap.result(), retired.result())
   }
 
   private def readMeta(version: Long): CommitMeta = {
@@ -185,12 +204,24 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     require(version >= horizon,
       s"version $version of $root was vacuumed (oldest retained version is $horizon) — " +
         "re-run vacuum with a larger retainVersions to keep longer time-travel windows")
-    readFiles(spark, filesOf(version), schemaOf(version), dvsOf(version))
+    readFiles(spark, filesOf(version), schemaOf(version), colmapOf(version), dvsOf(version))
   }
 
   /** The snapshot's deletion-vector bindings: data file → (dv dir, count). */
   private def dvsOf(version: Long): Map[String, (String, Long)] =
     readCommit(version).dvs.map { case (f, d, n) => f -> (d, n) }.toMap
+
+  /** The snapshot's column mapping: logical name → physical name, identity
+    * entries omitted (see [[renameColumn]]/[[dropColumn]]).
+    */
+  private def colmapOf(version: Long): Map[String, String] =
+    readCommit(version).colmap.toMap
+
+  /** Public view of the column mapping (audit/test surface). */
+  def columnMapping: Map[String, String] = colmapOf(currentVersion)
+
+  private def physOf(colmap: Map[String, String], logical: String): String =
+    colmap.getOrElse(logical, logical)
 
   /** Public view of a snapshot's deletion-vector bindings
     * `(dataFile, dvDir, maskedRowCount)` — the audit/test surface for
@@ -247,6 +278,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * to its own scan, so it stays unambiguous.
     */
   private def readFiles(spark: SparkSession, fs: Seq[String], schema: StructType,
+                        colmap: Map[String, String],
                         dvs: Map[String, (String, Long)] = Map.empty,
                         keepPos: Boolean = false,
                         fileCol: Option[String] = None): DataFrame = {
@@ -261,11 +293,19 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       fileCol.foreach(c => s = s.add(c, org.apache.spark.sql.types.StringType))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     } else {
+      // data files store PHYSICAL column names (see writeData); scan with
+      // the physical schema, project back to logical right above the scan.
+      // A renamed column reads its original physical data; a column added
+      // after a DROP asks for its fresh physical name, so dropped data can
+      // never resurrect (old files simply lack the fresh name → NULL).
+      val physSchema =
+        if (colmap.isEmpty) schema
+        else StructType(schema.fields.map(f => f.copy(name = physOf(colmap, f.name))))
       val byDataDir = fs.groupBy(f => f.takeWhile(_ != '/'))
       byDataDir.toSeq.sortBy(_._1).map { case (dataDir, rel) =>
         val df = spark.read
           .option("basePath", s"$root/$dataDir")
-          .schema(schema) // uniform schema incl. partition cols; skips footer merging
+          .schema(physSchema) // uniform schema incl. partition cols; skips footer merging
           .parquet(rel.map(r => s"$root/$r"): _*)
         // _metadata must be projected directly above each file source —
         // it does not resolve through the union. The dv key is the
@@ -279,7 +319,12 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
               col("_metadata.row_index").as(DvIdxCol))
           else Nil) ++
             fileCol.map(c => relPathCol.as(c)).toSeq
-        if (posCols.nonEmpty) df.select(col("*") +: posCols: _*) else df
+        // always project to the COMMIT schema's column order — the raw
+        // scan appends partition columns last, which would diverge from
+        // the declared schema once ADD COLUMNS places one mid-schema
+        val logicalCols =
+          schema.fields.toSeq.map(f => col(physOf(colmap, f.name)).as(f.name))
+        df.select(logicalCols ++ posCols: _*)
       }.reduce(_ unionByName _)
     }
     if (hit.isEmpty) base
@@ -357,6 +402,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val srcKeys = src.select(keys.map(col): _*)
       val oldFiles = filesOf(v)
       val dvs = dvsOf(v)
+      val cmap = colmapOf(v)
 
       // Opt-in partition pruning of the probe (see class doc for why it is
       // NOT the default): when the caller vouches that the merge keys
@@ -389,7 +435,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       // File pruning: find the data files that contain at least one matched
       // key. Broadcast the (small) source key set when Catalyst can; only
       // file *names* are collected — metadata, not data.
-      val touched: Set[String] = readFiles(spark, probeRel, schemaOf(v), dvs,
+      val touched: Set[String] = readFiles(spark, probeRel, schemaOf(v), cmap, dvs,
           fileCol = Some("_graft_file"))
         .join(srcKeys, keys, "left_semi")
         .select("_graft_file").distinct()
@@ -404,7 +450,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       // the manifest still lists).
       val touchedData =
         if (touchedRel.isEmpty) None
-        else Some(readFiles(spark, touchedRel, schemaOf(v), dvs))
+        else Some(readFiles(spark, touchedRel, schemaOf(v), cmap, dvs))
       val survivors = touchedData.map(_.join(srcKeys, keys, "left_anti"))
       val newData =
         if (mergeSchema) {
@@ -416,7 +462,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           // yield NULL for columns a file predates. A zero-row frame of the
           // snapshot schema anchors the old column set when no file was
           // touched.
-          val anchor = survivors.getOrElse(readFiles(spark, Nil, schemaOf(v)))
+          // evolution introduces columns under their own PHYSICAL name — a
+          // name retired by DROP COLUMN or serving as a renamed column's
+          // physical would resurrect/alias old bytes; addColumns mints
+          // fresh physicals for exactly these, so route through it first
+          val unavailable = readCommit(v).retired.toSet ++ cmap.values
+          val clash = (src.columns.toSet -- schemaOf(v).fieldNames).intersect(unavailable)
+          require(clash.isEmpty,
+            s"merge(mergeSchema) on $root: new columns ${clash.mkString(", ")} collide " +
+              "with retired/mapped physical names — add them via addColumns first")
+          val anchor = survivors.getOrElse(readFiles(spark, Nil, schemaOf(v), cmap))
           anchor.unionByName(src, allowMissingColumns = true)
         } else survivors match {
           case Some(s) => s.unionByName(src.select(s.columns.map(col): _*))
@@ -425,7 +480,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
       val newVersion = v + 1
       val dataDir = newDataDir(newVersion)
-      writeData(newData, dataDir)
+      writeData(newData, dataDir, cmap)
       val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
 
       // Change data feed (Delta CDF analog): recorded AT WRITE TIME from the
@@ -456,7 +511,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         } else None
 
       commit(newVersion, keptRel ++ newFiles, newData.schema,
-        carryStats(v, keptRel) ++ collectStats(spark, newFiles, newData.schema),
+        carryStats(v, keptRel) ++ collectStats(spark, newFiles, newData.schema, cmap),
         cdfDir, txn = txn, op = "MERGE")
     } finally src.unpersist()
   }
@@ -573,7 +628,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   def delete(spark: SparkSession, predicate: Column, changeFeed: Boolean = false): Unit = {
     val v = currentVersion
 
-    val touched: Set[String] = readFiles(spark, filesOf(v), schemaOf(v), dvsOf(v),
+    val touched: Set[String] = readFiles(spark, filesOf(v), schemaOf(v), colmapOf(v), dvsOf(v),
         fileCol = Some("_graft_file"))
       .filter(predicate)
       .select("_graft_file").distinct()
@@ -591,12 +646,12 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
     // dv-masked read: a rewrite must never resurrect rows an earlier
     // vectorized delete masked out of these same files
-    val tdf = readFiles(spark, touchedRel, schemaOf(v), dvsOf(v))
+    val tdf = readFiles(spark, touchedRel, schemaOf(v), colmapOf(v), dvsOf(v))
     // survivors: predicate FALSE or NULL (NOT(pred) alone would drop NULLs)
     val survivors = tdf.filter(coalesce(predicate, lit(false)) =!= true)
 
     val dataDir = newDataDir(newVersion)
-    writeData(survivors, dataDir)
+    writeData(survivors, dataDir, colmapOf(v))
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     // CDF before the commit that records it — see merge()
     val cdfDir =
@@ -606,7 +661,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         newVersion, dataDir))
       else None
     commit(newVersion, keptRel ++ newFiles, schemaOf(v),
-      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schemaOf(v)),
+      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schemaOf(v), colmapOf(v)),
       cdfDir, op = "DELETE")
   }
 
@@ -650,7 +705,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val dvs = dvsOf(v)
     val newVersion = v + 1
 
-    val live = readFiles(spark, files, schema, dvs, keepPos = true)
+    val live = readFiles(spark, files, schema, colmapOf(v), dvs, keepPos = true)
     val matched = live.filter(coalesce(predicate, lit(false)) === true)
 
     // Stage the new positions first (one scan); counts then come from the
@@ -731,7 +786,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     require(unknown.isEmpty,
       s"update on $root: SET columns ${unknown.mkString(", ")} are not in the table schema")
 
-    val touched: Set[String] = readFiles(spark, filesOf(v), schema, dvsOf(v),
+    val touched: Set[String] = readFiles(spark, filesOf(v), schema, colmapOf(v), dvsOf(v),
         fileCol = Some("_graft_file"))
       .filter(predicate)
       .select("_graft_file").distinct()
@@ -747,7 +802,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       return
     }
 
-    val tdf = readFiles(spark, touchedRel, schema, dvsOf(v))
+    val tdf = readFiles(spark, touchedRel, schema, colmapOf(v), dvsOf(v))
     val hit = coalesce(predicate, lit(false)) === true
     // all SET expressions evaluate against the pre-update row in ONE select
     val applySet = (d: DataFrame) => d.select(schema.fieldNames.map { c =>
@@ -763,7 +818,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val rewritten = regen(applySet(tdf))
 
     val dataDir = newDataDir(newVersion)
-    writeData(rewritten, dataDir)
+    writeData(rewritten, dataDir, colmapOf(v))
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     // CDF before the commit that records it — see merge()
     val cdfDir =
@@ -775,7 +830,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         Some(writeChanges(pre.unionByName(post), newVersion, dataDir))
       } else None
     commit(newVersion, keptRel ++ newFiles, schema,
-      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema),
+      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema, colmapOf(v)),
       cdfDir, op = "UPDATE")
   }
 
@@ -810,7 +865,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       s"overwriteWhere on $root: incoming rows do not all satisfy the replace " +
         "predicate — they would land outside the slice being replaced")
 
-    val touched: Set[String] = readFiles(spark, filesOf(v), schema, dvsOf(v),
+    val touched: Set[String] = readFiles(spark, filesOf(v), schema, colmapOf(v), dvsOf(v),
         fileCol = Some("_graft_file"))
       .filter(predicate)
       .select("_graft_file").distinct()
@@ -822,10 +877,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val newVersion = v + 1
     val survivors =
       if (touchedRel.isEmpty) None
-      else Some(readFiles(spark, touchedRel, schema, dvsOf(v))
+      else Some(readFiles(spark, touchedRel, schema, colmapOf(v), dvsOf(v))
         .filter(coalesce(predicate, lit(false)) =!= true))
     val dataDir = newDataDir(newVersion)
-    writeData(survivors.fold(aligned)(_ unionByName aligned), dataDir)
+    writeData(survivors.fold(aligned)(_ unionByName aligned), dataDir, colmapOf(v))
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     // CDF before the commit that records it — see merge()
     val cdfDir =
@@ -833,7 +888,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         import MergeTable.ChangeType
         val deleted =
           if (touchedRel.isEmpty) None
-          else Some(readFiles(spark, touchedRel, schema, dvsOf(v))
+          else Some(readFiles(spark, touchedRel, schema, colmapOf(v), dvsOf(v))
             .filter(coalesce(predicate, lit(false)) === true)
             .withColumn(ChangeType, lit("delete")))
         val inserted = aligned.withColumn(ChangeType, lit("insert"))
@@ -841,7 +896,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           newVersion, dataDir))
       } else None
     commit(newVersion, keptRel ++ newFiles, schema,
-      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema),
+      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema, colmapOf(v)),
       cdfDir, op = "REPLACE WHERE")
   }
 
@@ -902,6 +957,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       ingestReset = Some(ledgerAt(v)),
       txnsOverride = Some(c.txns), // exactly-once writers stay exactly-once on the clone
       dvsOverride = Some(c.dvs),   // masks key on rel paths: same layout on the clone
+      colmapOverride = Some(c.colmap), retiredOverride = Some(c.retired),
       op = "CLONE")
     target
   }
@@ -950,13 +1006,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       commit(newVersion, oldFiles, schema, carryStats(v, oldFiles), op = "OPTIMIZE")
       return
     }
-    val packed = readFiles(spark, touchedRel, schema, dvsOf(v))
+    val packed = readFiles(spark, touchedRel, schema, colmapOf(v), dvsOf(v))
       .repartition(parallelism, partitionCols.map(col): _*)
     val dataDir = newDataDir(newVersion)
-    writeData(packed, dataDir)
+    writeData(packed, dataDir, colmapOf(v))
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     commit(newVersion, keptRel ++ newFiles, schema,
-      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema),
+      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema, colmapOf(v)),
       op = "OPTIMIZE")
   }
 
@@ -1006,7 +1062,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   def readRange(spark: SparkSession, column: String, lo: Any, hi: Any): DataFrame = {
     val v = currentVersion
-    readFiles(spark, candidateFiles(column, lo, hi), schemaOf(v), dvsOf(v))
+    readFiles(spark, candidateFiles(column, lo, hi), schemaOf(v), colmapOf(v), dvsOf(v))
       .filter(col(column).between(lit(lo), lit(hi)))
   }
 
@@ -1104,10 +1160,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val aligned = gen.select(c.schema.fieldNames.map(col).toIndexedSeq: _*)
     val newVersion = v + 1
     val dataDir = newDataDir(newVersion)
-    writeData(aligned, dataDir)
+    writeData(aligned, dataDir, colmapOf(v))
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     commit(newVersion, c.files ++ newFiles, c.schema,
-      c.statsLines ++ collectStats(df.sparkSession, newFiles, c.schema),
+      c.statsLines ++ collectStats(df.sparkSession, newFiles, c.schema, colmapOf(v)),
       ingestDelta = ingestDelta, op = op)
   }
 
@@ -1130,9 +1186,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     if (!exists) {
       val gen = applyGenerated(df)
       val v0dir = newDataDir(0L)
-      writeData(gen, v0dir)
+      writeData(gen, v0dir, Map.empty)
       val newFiles = listParquet(Paths.get(root, v0dir)).map(relativize)
-      commit(0L, newFiles, gen.schema, collectStats(spark, newFiles, gen.schema),
+      commit(0L, newFiles, gen.schema, collectStats(spark, newFiles, gen.schema, Map.empty),
         ingestDelta = fresh, op = "COPY INTO")
       return fresh.size.toLong
     }
@@ -1206,6 +1262,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       ingestReset = Some(ledgerAt(version)),
       txnsOverride = Some(c.txns),
       dvsOverride = Some(c.dvs), // deletion masks roll back with the rows
+      // the restored version's OWN mapping (the tip's may bind different
+      // physicals); its retired set pairs with it — a physical revived by
+      // the rollback is in use again, not retired
+      colmapOverride = Some(c.colmap), retiredOverride = Some(c.retired),
       op = "RESTORE")
   }
 
@@ -1333,9 +1393,122 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     require(clash.isEmpty,
       s"addColumns on $root: ${clash.mkString(", ")} already exist — " +
         "changing an existing column's type is not supported")
+    // a new column may not reuse a physical name old data files still
+    // carry (retired by DROP, or serving as another column's physical
+    // under a rename) — that would resurrect unrelated bytes. Mint a
+    // version-stamped fresh physical name instead (Delta mints UUIDs).
+    val cmap = c.colmap.toMap
+    val unavailable = c.retired.toSet ++ c.schema.fieldNames.map(n => physOf(cmap, n))
+    val newEntries = newFields.fieldNames.toSeq.collect {
+      case n if unavailable.contains(n) => n -> s"${n}_v${v + 1}"
+    }
     val evolved = StructType(c.schema.fields ++ newFields.fields.map(_.copy(nullable = true)))
-    commit(v + 1, c.files, evolved, c.statsLines, op = "ADD COLUMNS")
+    commit(v + 1, c.files, evolved, c.statsLines,
+      colmapOverride = Some(c.colmap ++ newEntries), op = "ADD COLUMNS")
   }
+
+  /** `ALTER TABLE RENAME COLUMN` analog (Delta column-mapping rename): a
+    * METADATA-ONLY commit — no data file is touched at any scale. The
+    * column keeps its PHYSICAL name in every data file; the commit records
+    * the new logical name and the logical→physical mapping, and reads
+    * project physical back to logical right above the scan
+    * ([[readFiles]]). Time travel still shows the old name for old
+    * versions (each commit carries its own mapping).
+    *
+    * Guards: partition columns cannot be renamed (their name is baked into
+    * every hive-style directory path — a metadata rename cannot reach
+    * them; Delta's column mapping has the same carve-out for its
+    * partition-schema handling), and a column referenced by a CHECK
+    * constraint or a generated-column expression cannot be renamed (the
+    * recorded expression text would silently break — Delta blocks this
+    * too). File-level min/max stats are re-keyed in the commit (metadata-
+    * sized). Caveats: change-feed rows written before the rename keep the
+    * old name ([[changes]] unions with `allowMissingColumns`), and this
+    * instance's `statsCols`/`generatedCols` constructor parameters still
+    * speak the old name — re-instantiate to resume stats collection on
+    * the renamed column.
+    */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    require(exists, s"MergeTable at $root does not exist")
+    val v = currentVersion
+    val c = readCommit(v)
+    require(c.schema.fieldNames.contains(oldName),
+      s"renameColumn on $root: no column '$oldName' in the schema")
+    require(!c.schema.fieldNames.contains(newName),
+      s"renameColumn on $root: column '$newName' already exists")
+    require(!partitionCols.contains(oldName),
+      s"renameColumn on $root: '$oldName' is a partition column — partition " +
+        "columns name every data directory and cannot be renamed in metadata")
+    val refs = c.constraints.filter { case (_, pred) => mentionsColumn(pred, oldName) }
+      .map { case (n, _) => s"CHECK constraint '$n'" } ++
+      generatedCols.filter { case (_, e) => mentionsColumn(e, oldName) }
+        .map { case (g, _) => s"generated column '$g'" }
+    require(refs.isEmpty,
+      s"renameColumn on $root: '$oldName' is referenced by ${refs.mkString(", ")} — " +
+        "drop the referencing definition first (its expression text would break)")
+    val cmap = c.colmap.toMap
+    val phys = physOf(cmap, oldName)
+    val newMap = (cmap - oldName) ++ (if (newName != phys) Seq(newName -> phys) else Nil)
+    val newSchema = StructType(c.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    // stats lines key on LOGICAL names — re-key them with the rename
+    // (metadata-sized: the commit rewrites these lines anyway)
+    val restat = c.statsLines.map { l =>
+      val parts = l.split("\t", -1)
+      if (parts.length == 4 && dec(parts(1)) == oldName)
+        s"${parts(0)}\t${enc(newName)}\t${parts(2)}\t${parts(3)}"
+      else l
+    }
+    commit(v + 1, c.files, newSchema, restat,
+      colmapOverride = Some(newMap.toSeq.sortBy(_._1)), op = "RENAME COLUMN")
+  }
+
+  /** `ALTER TABLE DROP COLUMN` analog (Delta column-mapping drop): a
+    * METADATA-ONLY commit — the column vanishes from the schema, its
+    * physical name is RETIRED, and scans never project it again (parquet
+    * column pruning: the dropped bytes are not even read, let alone
+    * rewritten). A later [[addColumns]] of the same logical name gets a
+    * FRESH physical name, so the dropped data can never resurrect. Same
+    * guards as [[renameColumn]]; the last column cannot be dropped.
+    */
+  def dropColumn(name: String): Unit = {
+    require(exists, s"MergeTable at $root does not exist")
+    val v = currentVersion
+    val c = readCommit(v)
+    require(c.schema.fieldNames.contains(name),
+      s"dropColumn on $root: no column '$name' in the schema")
+    require(!partitionCols.contains(name),
+      s"dropColumn on $root: '$name' is a partition column — dropping it would " +
+        "orphan every data directory's layout")
+    require(c.schema.fields.length > 1,
+      s"dropColumn on $root: cannot drop the only column")
+    val refs = c.constraints.filter { case (_, pred) => mentionsColumn(pred, name) }
+      .map { case (n, _) => s"CHECK constraint '$n'" } ++
+      generatedCols.filter { case (_, e) => mentionsColumn(e, name) }
+        .map { case (g, _) => s"generated column '$g'" }
+    require(refs.isEmpty,
+      s"dropColumn on $root: '$name' is referenced by ${refs.mkString(", ")} — " +
+        "drop the referencing definition first")
+    val cmap = c.colmap.toMap
+    val phys = physOf(cmap, name)
+    val newSchema = StructType(c.schema.fields.filterNot(_.name == name))
+    val kept = c.statsLines.filter { l =>
+      val parts = l.split("\t", -1)
+      !(parts.length == 4 && dec(parts(1)) == name)
+    }
+    commit(v + 1, c.files, newSchema, kept,
+      colmapOverride = Some((cmap - name).toSeq.sortBy(_._1)),
+      retiredOverride = Some(c.retired :+ phys),
+      op = "DROP COLUMN")
+  }
+
+  /** Does the expression text reference the column? Word-boundary,
+    * case-insensitive — conservative (a string literal containing the name
+    * also matches), which errs on the side of refusing a rename/drop.
+    */
+  private def mentionsColumn(exprText: String, column: String): Boolean =
+    ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(column) + "(?![\\w`])").r
+      .findFirstIn(exprText).nonEmpty
 
   /** Drop a CHECK constraint by name (metadata-only commit). */
   def dropCheckConstraint(name: String): Unit = {
@@ -1475,23 +1648,30 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                            changes: Option[DataFrame] = None,
                            txn: Option[(String, Long)] = None,
                            op: String = "WRITE"): Unit = {
+    // the mapping carried into this commit, restricted to columns the new
+    // schema keeps (commit() applies the same filter to the recorded lines)
+    val cmap =
+      if (version > 0 && Files.exists(commitPath(version - 1)))
+        colmapOf(version - 1).filter { case (lg, _) => df.schema.fieldNames.contains(lg) }
+      else Map.empty[String, String]
     val dataDir = newDataDir(version)
-    writeData(df, dataDir)
+    writeData(df, dataDir, cmap)
     val files = listParquet(Paths.get(root, dataDir)).map(relativize)
     val cdfDir = changes.map(c => writeChanges(c, version, dataDir))
     commit(version, files, df.schema,
-      collectStats(df.sparkSession, files, df.schema), cdfDir, txn = txn, op = op)
+      collectStats(df.sparkSession, files, df.schema, cmap), cdfDir, txn = txn, op = op)
   }
 
   /** One metadata-sized job: per-file min/max of every stats column the
     * schema carries. Output rows = files × columns — never data-sized.
     */
   private def collectStats(spark: SparkSession, relFiles: Seq[String],
-                           schema: StructType): Seq[String] = {
+                           schema: StructType,
+                           colmap: Map[String, String]): Seq[String] = {
     val cols = statsCols.filter(c => schema.fieldNames.contains(c))
     if (cols.isEmpty || relFiles.isEmpty) return Nil
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
-    readFiles(spark, relFiles, schema)
+    readFiles(spark, relFiles, schema, colmap)
       .withColumn("_graft_file", input_file_name())
       .groupBy("_graft_file")
       .agg(aggs.head, aggs.tail: _*)
@@ -1562,7 +1742,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * re-applying it here would re-evaluate every generation expression
     * per row a second time on the hot write path for no added safety.
     */
-  private def writeData(df: DataFrame, dataDir: String): Unit = {
+  private def writeData(df: DataFrame, dataDir: String,
+                        colmap: Map[String, String]): Unit = {
     // constraint enforcement rides the write itself: a per-row codegen'd
     // filter whose violation branch raises — never a second scan
     val checked = checkConstraints.foldLeft(df) { case (d, (name, pred)) =>
@@ -1572,7 +1753,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             lit(s"CHECK constraint '$name' ($pred) violated by row: "),
             to_json(struct(d.columns.map(col): _*)))).cast("boolean")))
     }
-    val w = checked.write.mode("overwrite")
+    // the LAST step before the write: store columns under their PHYSICAL
+    // names (constraints/generated columns above all speak logical names).
+    // Partition columns are never mapped (rename/drop forbids them), so
+    // partitionBy and the hive-style dir names stay stable.
+    val physical =
+      if (colmap.isEmpty) checked
+      else checked.select(checked.columns.toSeq.map(c =>
+        col(c).as(colmap.getOrElse(c, c))): _*)
+    val w = physical.write.mode("overwrite")
     val pw = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     pw.parquet(s"$root/$dataDir")
   }
@@ -1603,6 +1792,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                      txn: Option[(String, Long)] = None,
                      txnsOverride: Option[Map[String, Long]] = None,
                      dvsOverride: Option[Seq[(String, String, Long)]] = None,
+                     colmapOverride: Option[Seq[(String, String)]] = None,
+                     retiredOverride: Option[Seq[String]] = None,
                      op: String = "WRITE"): Unit = {
     Files.createDirectories(logDir)
     // CHECK constraints and txn versions carry forward automatically
@@ -1631,6 +1822,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val dvLines = dvsOverride
       .getOrElse(prev.fold(Seq.empty[(String, String, Long)])(_.dvs))
       .filter { case (f, _, _) => fileSet.contains(f) }
+    // the column mapping carries forward only for columns this commit's
+    // schema still declares (an overwrite with a narrower schema sheds the
+    // mapping with the column); the retired-physical-name set only grows
+    val schemaNames = schema.fieldNames.toSet
+    val colmapLines = colmapOverride
+      .getOrElse(prev.fold(Seq.empty[(String, String)])(_.colmap))
+      .filter { case (lg, ph) => schemaNames.contains(lg) && lg != ph }
+    val retiredLines = retiredOverride.getOrElse(prev.fold(Seq.empty[String])(_.retired))
     val content = (s"schema\t${enc(schema.toDDL)}" +:
       (Seq(s"op\t${enc(op)}") ++
         cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
@@ -1639,6 +1838,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         ingested.map(f => s"ingest\t${enc(f)}") ++
         txns.toSeq.sortBy(_._1).map { case (a, ver) => s"txn\t${enc(a)}\t$ver" } ++
         dvLines.map { case (f, d, n) => s"dv\t${enc(f)}\t${enc(d)}\t$n" } ++
+        colmapLines.map { case (lg, ph) => s"colmap\t${enc(lg)}\t${enc(ph)}" } ++
+        retiredLines.map(ph => s"retired\t${enc(ph)}") ++
         files.map(f => s"file\t${enc(f)}") ++ statsLines.map(l => s"stat\t$l")))
       .mkString("\n")
     val tmp = logDir.resolve(s"$version.commit.tmp${System.nanoTime()}")

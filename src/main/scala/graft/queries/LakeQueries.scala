@@ -776,5 +776,51 @@ object LakeQueries {
              |         AS num_masked_rows,
              |       CAST(0 AS BIGINT) AS num_constraints""".stripMargin),
       "DESCRIBE DETAIL analog over the commit log, via spark.sql"),
+
+    // Column mapping (Delta column-mapping analog): RENAME and DROP COLUMN
+    // are metadata-only commits — data files keep their physical column
+    // names, scans project physical→logical, and a column re-added after a
+    // DROP gets a fresh physical name so dropped bytes can never
+    // resurrect. The query exercises the whole lifecycle: rename, drop, a
+    // MERGE through the mapping (new files store physical names), re-add
+    // of the dropped name (must read NULL everywhere), then an aggregate
+    // over logical names. SQL statements drive the DDL (ALTER TABLE via
+    // the registered-parser path is covered by ColumnMappingSpec).
+    "m28_column_mapping" -> GraftQuery(
+      (s, dir) => {
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val root = s"$scratchRoot/m28_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)                             // v0
+        table.renameColumn("o_orderpriority", "priority")   // v1: metadata-only
+        table.dropColumn("o_custkey")                       // v2: metadata-only
+        require(table.filesOf(2) == table.filesOf(0),
+          "rename/drop must not rewrite data files")
+        // write THROUGH the mapping: merged files store physical o_orderpriority
+        val source = orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumnRenamed("o_orderpriority", "priority")
+          .drop("o_custkey")
+        table.merge(s, source, Seq("o_orderkey"))           // v3
+        table.addColumns(StructType(Seq(StructField("o_custkey", LongType)))) // v4
+        require(table.columnMapping.get("o_custkey").exists(_ != "o_custkey"),
+          "re-added column must get a fresh physical name")
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+               round(sum("o_totalprice"), 2).as("price_sum"),
+               count(col("o_custkey")).as("custkey_nonnull"),
+               countDistinct("priority").as("priorities"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       round(sum(o_totalprice +
+             |                 CASE WHEN o_orderkey % 10 = 0 THEN 1.0 ELSE 0.0 END), 2)
+             |         AS price_sum,
+             |       CAST(0 AS BIGINT) AS custkey_nonnull,
+             |       count(DISTINCT o_orderpriority) AS priorities
+             |FROM orders
+             |GROUP BY o_orderstatus""".stripMargin),
+      "Delta column-mapping analog: metadata-only RENAME/DROP COLUMN"),
   )
 }

@@ -13,6 +13,9 @@ import graft.lake.MergeTable
   *   UPDATE t SET c1 = <expr> [, c2 = <expr> ...] WHERE <predicate>
   *   VACUUM t [RETAIN <n> VERSIONS]
   *   OPTIMIZE t [WHERE <partition predicate>]
+  *   ALTER TABLE t ADD COLUMNS (c1 type1 [, ...])
+  *   ALTER TABLE t RENAME COLUMN a TO b           -- metadata-only (column mapping)
+  *   ALTER TABLE t DROP COLUMN a                  -- metadata-only (column mapping)
   *   SELECT ... FROM t VERSION AS OF <n> ...      -- time travel
   *   DESCRIBE HISTORY t                           -- audit log (query())
   *   DESCRIBE DETAIL t                            -- table facts (query())
@@ -57,6 +60,15 @@ object LakeSql {
   private val OptimizeShape =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
 
+  private val AddColumnsShape =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS\s*\((.+?)\)\s*;?\s*$""".r
+
+  private val RenameColumnShape =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
+
+  private val DropColumnShape =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
+
   /** Execute a `DELETE FROM` or `UPDATE` statement against a registered
     * MergeTable. All of the API twins' semantics apply: file-pruned
     * rewrite, NULL-predicate rows kept (DELETE) / untouched (UPDATE),
@@ -79,11 +91,19 @@ object LakeSql {
           case Some(p) => table.compactPartitions(spark, expr(p))
           case None    => table.compact(spark)
         }
+      case AddColumnsShape(tgt, ddl) =>
+        resolve(tgt, targets).addColumns(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case RenameColumnShape(tgt, from, to) =>
+        resolve(tgt, targets).renameColumn(from, to)
+      case DropColumnShape(tgt, colName) =>
+        resolve(tgt, targets).dropColumn(colName)
       case _ =>
         throw new IllegalArgumentException(
           "unsupported statement — supported shapes: DELETE FROM t WHERE p; " +
             "UPDATE t SET c = e [, ...] WHERE p; VACUUM t [RETAIN n VERSIONS]; " +
-            "OPTIMIZE t [WHERE p] (MERGE INTO lives in MergeInto; " +
+            "OPTIMIZE t [WHERE p]; ALTER TABLE t ADD COLUMNS (...) / " +
+            "RENAME COLUMN a TO b / DROP COLUMN a (MERGE INTO lives in MergeInto; " +
             "time-travel SELECT and DESCRIBE HISTORY / SHOW PARTITIONS in LakeSql.query)")
     }
 
@@ -140,9 +160,12 @@ object LakeSql {
   private[sqlapi] def runStatementTarget(sql: String): Option[String] = sql match {
     case DeleteShape(tgt, _)    => Some(tgt)
     case UpdateShape(tgt, _, _) => Some(tgt)
-    case VacuumShape(tgt, _)    => Some(tgt)
-    case OptimizeShape(tgt, _)  => Some(tgt)
-    case _                      => None
+    case VacuumShape(tgt, _)       => Some(tgt)
+    case OptimizeShape(tgt, _)     => Some(tgt)
+    case AddColumnsShape(tgt, _)   => Some(tgt)
+    case RenameColumnShape(tgt, _, _) => Some(tgt)
+    case DropColumnShape(tgt, _)   => Some(tgt)
+    case _                         => None
   }
 
   /** Target of a rows-returning metadata statement (DESCRIBE HISTORY /
