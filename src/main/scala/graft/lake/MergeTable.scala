@@ -373,13 +373,31 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     *  - unmatched target rows are untouched (their files are not rewritten);
     *  - duplicate keys in the source are an error, like Delta
     *    (§2.6.4), unless `checkUniqueSource=false`.
+    *
+    * `deleteNotMatchedBySource` adds Delta's
+    * `WHEN NOT MATCHED BY SOURCE THEN DELETE` clause: target rows whose
+    * key has no source row are DELETED, making the merge a full
+    * synchronization — the scanned scope becomes exactly the source.
+    * The cost is honest about the semantics: every in-scope file is
+    * rewritten (any file may hold now-unmatched rows), so there is no
+    * touched-file probe — but the SCOPE still prunes: with
+    * `keysDeterminePartitions`, only the source's partitions are
+    * synchronized and every other partition's files carry forward
+    * untouched (Delta users scope the clause with a condition for the
+    * same reason; an unscoped full sync rewrites the table by
+    * definition). Incompatible with `mergeSchema` (a full sync dictates
+    * the schema; evolve first with [[addColumns]]).
     */
   def merge(spark: SparkSession, source: DataFrame, keys: Seq[String],
             checkUniqueSource: Boolean = true,
             mergeSchema: Boolean = false,
             changeFeed: Boolean = false,
             keysDeterminePartitions: Boolean = false,
-            txn: Option[(String, Long)] = None): Unit = {
+            txn: Option[(String, Long)] = None,
+            deleteNotMatchedBySource: Boolean = false): Unit = {
+    require(!(deleteNotMatchedBySource && mergeSchema),
+      "deleteNotMatchedBySource is a full synchronization of the scanned scope — " +
+        "it cannot combine with mergeSchema; evolve the schema with addColumns first")
     require(keys.nonEmpty, "merge requires at least one key column")
     if (!exists) {
       val gen = applyGenerated(source)
@@ -434,14 +452,22 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
       // File pruning: find the data files that contain at least one matched
       // key. Broadcast the (small) source key set when Catalyst can; only
-      // file *names* are collected — metadata, not data.
-      val touched: Set[String] = readFiles(spark, probeRel, schemaOf(v), cmap, dvs,
-          fileCol = Some("_graft_file"))
-        .join(srcKeys, keys, "left_semi")
-        .select("_graft_file").distinct()
-        .collect().map(r => normalize(r.getString(0))).toSet
+      // file *names* are collected — metadata, not data. A full sync
+      // (deleteNotMatchedBySource) skips the probe: every in-scope file is
+      // rewritten regardless of matches, because any may hold
+      // now-unmatched rows to delete.
       val (touchedRel, keptRel) =
-        oldFiles.partition(f => touched.exists(t => t.endsWith("/" + f) || t == f))
+        if (deleteNotMatchedBySource) {
+          val scope = probeRel.toSet
+          oldFiles.partition(scope.contains)
+        } else {
+          val touched: Set[String] = readFiles(spark, probeRel, schemaOf(v), cmap, dvs,
+              fileCol = Some("_graft_file"))
+            .join(srcKeys, keys, "left_semi")
+            .select("_graft_file").distinct()
+            .collect().map(r => normalize(r.getString(0))).toSet
+          oldFiles.partition(f => touched.exists(t => t.endsWith("/" + f) || t == f))
+        }
 
       // Touched-file rows, read once (dv-masked — a rewrite must never
       // resurrect deleted rows); survivors of those files + all source
@@ -453,7 +479,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         else Some(readFiles(spark, touchedRel, schemaOf(v), cmap, dvs))
       val survivors = touchedData.map(_.join(srcKeys, keys, "left_anti"))
       val newData =
-        if (mergeSchema) {
+        if (deleteNotMatchedBySource) {
+          // full sync: the in-scope content becomes exactly the source
+          // (matched rows take the source version, unmatched target rows
+          // are deleted, unmatched source rows are inserted)
+          val missing = schemaOf(v).fieldNames.toSet -- src.columns
+          require(missing.isEmpty,
+            s"merge(deleteNotMatchedBySource) on $root: source lacks target " +
+              s"columns ${missing.mkString(", ")}")
+          src.select(schemaOf(v).fieldNames.map(col).toIndexedSeq: _*)
+        } else if (mergeSchema) {
           // Schema evolution (Delta autoMerge analog): the committed schema
           // becomes target ∪ source — survivors are null-filled for columns
           // only the source has, inserted/updated rows for columns only the
@@ -505,7 +540,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             case Some(mk) => src.join(mk, keys, "left_anti")
             case None     => src
           }).withColumn(ChangeType, lit("insert"))
-          val all = (pre.toSeq ++ post.toSeq :+ ins)
+          // full sync also deletes in-scope target rows with no source key
+          val del =
+            if (deleteNotMatchedBySource)
+              touchedData.map(_.join(srcKeys, keys, "left_anti")
+                .withColumn(ChangeType, lit("delete")))
+            else None
+          val all = (pre.toSeq ++ post.toSeq ++ del.toSeq :+ ins)
             .reduce(_.unionByName(_, allowMissingColumns = true))
           Some(writeChanges(all, newVersion, dataDir))
         } else None

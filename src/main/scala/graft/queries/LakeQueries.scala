@@ -822,5 +822,69 @@ object LakeQueries {
              |FROM orders
              |GROUP BY o_orderstatus""".stripMargin),
       "Delta column-mapping analog: metadata-only RENAME/DROP COLUMN"),
+
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE (Delta's full-sync MERGE
+    // clause), partition-scoped: the source carries only status-'O' rows
+    // (every third, price+5), and keysDeterminePartitions prunes the sync
+    // to that partition — 'O' becomes exactly the source (updates +
+    // deletions of the other two thirds), every other partition's files
+    // carry forward untouched. Driven through the SQL statement.
+    "m29_sync_merge" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m29_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        orders.filter(col("o_orderstatus") === "O" && col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+          .createOrReplaceTempView("m29_src")
+        graft.sqlapi.MergeInto.run(s,
+          """MERGE INTO tbl AS t USING m29_src AS src ON t.o_orderkey = src.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
+          Map("tbl" -> table), keysDeterminePartitions = true)
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("price_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS price_sum
+             |FROM (SELECT o_orderstatus, o_totalprice + 5.0 AS o_totalprice
+             |      FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0
+             |      UNION ALL
+             |      SELECT o_orderstatus, o_totalprice
+             |      FROM orders WHERE o_orderstatus <> 'O')
+             |GROUP BY o_orderstatus""".stripMargin),
+      "Delta WHEN NOT MATCHED BY SOURCE THEN DELETE: scoped full sync"),
+
+    // INSERT INTO (Delta-style positional SQL append): the statement's
+    // SELECT re-reads the registered table itself at VERSION AS OF 0 —
+    // time travel composing inside a DML source — so the table ends as
+    // orders ∪ (every 7th order), appended without any rewrite of v0
+    // files (append commits carry prior files forward by reference).
+    "m30_insert_into" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m30_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        graft.sqlapi.LakeSql.run(s,
+          "INSERT INTO tbl SELECT * FROM tbl VERSION AS OF 0 WHERE o_orderkey % 7 = 0",
+          Map("tbl" -> table))
+        require(table.filesOf(0).forall(table.filesOf(1).contains),
+          "append must carry prior files forward by reference")
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM (SELECT o_orderstatus, o_orderkey FROM orders
+             |      UNION ALL
+             |      SELECT o_orderstatus, o_orderkey FROM orders
+             |      WHERE o_orderkey % 7 = 0)
+             |GROUP BY o_orderstatus""".stripMargin),
+      "INSERT INTO over MergeTable: positional SQL append, time-travel source"),
   )
 }

@@ -1,7 +1,7 @@
 package graft.sqlapi
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import graft.lake.MergeTable
 
 /** The rest of the "Delta Lake + Spark SQL" DML surface over [[MergeTable]]
@@ -13,6 +13,8 @@ import graft.lake.MergeTable
   *   UPDATE t SET c1 = <expr> [, c2 = <expr> ...] WHERE <predicate>
   *   VACUUM t [RETAIN <n> VERSIONS]
   *   OPTIMIZE t [WHERE <partition predicate>]
+  *   OPTIMIZE t ZORDER BY (c1 [, c2 ...])
+  *   INSERT INTO t <SELECT ...|VALUES ...>        -- positional, Delta-style
   *   ALTER TABLE t ADD COLUMNS (c1 type1 [, ...])
   *   ALTER TABLE t RENAME COLUMN a TO b           -- metadata-only (column mapping)
   *   ALTER TABLE t DROP COLUMN a                  -- metadata-only (column mapping)
@@ -60,6 +62,12 @@ object LakeSql {
   private val OptimizeShape =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
 
+  private val ZorderShape =
+    """(?is)^\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*$""".r
+
+  private val InsertShape =
+    """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+((?:SELECT|VALUES|TABLE|FROM)\b.+?)\s*;?\s*$""".r
+
   private val AddColumnsShape =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS\s*\((.+?)\)\s*;?\s*$""".r
 
@@ -85,6 +93,23 @@ object LakeSql {
       case VacuumShape(tgt, retain) =>
         resolve(tgt, targets).vacuum(
           retainVersions = Option(retain).map(_.toInt).getOrElse(1))
+      case ZorderShape(tgt, cols) =>
+        resolve(tgt, targets).zorderCompact(spark,
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case InsertShape(tgt, query) =>
+        // Delta-style INSERT INTO: by POSITION with store-assignment casts;
+        // the source query may itself reference registered tables (bare or
+        // VERSION AS OF) — rewriteReads resolves them to snapshot views
+        val table = resolve(tgt, targets)
+        val rows = spark.sql(rewriteReads(spark, query, targets).getOrElse(query))
+        val schema = table.schemaOf(table.currentVersion)
+        require(rows.columns.length == schema.fields.length,
+          s"INSERT INTO $tgt: query produces ${rows.columns.length} columns, " +
+            s"table has ${schema.fields.length}")
+        val aligned = rows.toDF(schema.fieldNames.toIndexedSeq: _*)
+          .select(schema.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+        table.append(aligned)
       case OptimizeShape(tgt, pred) =>
         val table = resolve(tgt, targets)
         Option(pred) match {
@@ -161,6 +186,8 @@ object LakeSql {
     case DeleteShape(tgt, _)    => Some(tgt)
     case UpdateShape(tgt, _, _) => Some(tgt)
     case VacuumShape(tgt, _)       => Some(tgt)
+    case ZorderShape(tgt, _)       => Some(tgt)
+    case InsertShape(tgt, _)       => Some(tgt)
     case OptimizeShape(tgt, _)     => Some(tgt)
     case AddColumnsShape(tgt, _)   => Some(tgt)
     case RenameColumnShape(tgt, _, _) => Some(tgt)

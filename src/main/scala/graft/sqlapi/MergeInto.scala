@@ -12,10 +12,13 @@ import graft.lake.MergeTable
   *   ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
   *   WHEN MATCHED THEN UPDATE SET *
   *   WHEN NOT MATCHED THEN INSERT *
+  *   [WHEN NOT MATCHED BY SOURCE THEN DELETE]
   * }}}
-  * runs over [[MergeTable]]s. Scope is EXACTLY the update-all/insert-all
-  * upsert the reference uses — richer clauses (conditional updates, column
-  * lists, DELETE) fail loudly rather than half-parsing.
+  * runs over [[MergeTable]]s. Scope is the update-all/insert-all upsert
+  * the reference uses, plus Delta's full-sync clause (`NOT MATCHED BY
+  * SOURCE THEN DELETE` → `merge(deleteNotMatchedBySource = true)`) —
+  * richer clauses (conditional updates, column lists) fail loudly rather
+  * than half-parsing.
   *
   * The target name resolves through a caller-supplied registry (MergeTables
   * are paths, not catalog entries); the source name resolves through the
@@ -28,10 +31,10 @@ object MergeInto {
 
   final case class Statement(target: String, targetAlias: String,
                              source: String, sourceAlias: String,
-                             keys: Seq[String])
+                             keys: Seq[String], syncDelete: Boolean = false)
 
   private val Shape =
-    """(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+USING\s+([\w.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""".r
+    """(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+USING\s+([\w.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*(\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE)?\s*;?\s*$""".r
 
   private val Equality = """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
 
@@ -39,7 +42,7 @@ object MergeInto {
     * pointed message on anything outside the supported shape.
     */
   def parse(sql: String): Statement = sql match {
-    case Shape(tgt, tAs, tBare, src, sAs, sBare, cond) =>
+    case Shape(tgt, tAs, tBare, src, sAs, sBare, cond, syncDel) =>
       val tAlias = Option(tAs).orElse(Option(tBare)).getOrElse(tgt.split('.').last)
       val sAlias = Option(sAs).orElse(Option(sBare)).getOrElse(src.split('.').last)
       require(tAlias.toLowerCase != sAlias.toLowerCase,
@@ -57,7 +60,7 @@ object MergeInto {
           throw new IllegalArgumentException(
             s"unsupported ON term '${other.trim}': only conjunctions of alias.col = alias.col equalities are supported")
       }
-      Statement(tgt, tAlias, src, sAlias, keys)
+      Statement(tgt, tAlias, src, sAlias, keys, syncDelete = syncDel != null)
     case _ =>
       throw new IllegalArgumentException(
         "unsupported MERGE statement — supported shape is: MERGE INTO t USING s ON t.k = s.k " +
@@ -84,6 +87,7 @@ object MergeInto {
       throw new IllegalArgumentException(
         s"unknown MERGE target '${st.target}' — registered targets: ${targets.keys.toSeq.sorted.mkString(", ")}"))
     table.merge(spark, spark.table(st.source), st.keys,
-      keysDeterminePartitions = keysDeterminePartitions)
+      keysDeterminePartitions = keysDeterminePartitions,
+      deleteNotMatchedBySource = st.syncDelete)
   }
 }

@@ -87,6 +87,30 @@ class LakeSqlSpec extends SparkSpec {
     } finally LakeCatalog.unregister("detail_tbl")
   }
 
+  test("INSERT INTO appends positionally with store-assignment casts") {
+    val t = seeded("lsql_insert")
+    val before = t.read(spark).count()
+    // VALUES in table-column POSITION order (k, v, p); int → the k column
+    LakeSql.run(spark, "INSERT INTO tbl VALUES (7, 'g', 'p9')", Map("tbl" -> t))
+    assert(t.read(spark).count() === before + 1)
+    assert(t.read(spark).filter(col("k") === 7).select("p").as[String](
+      org.apache.spark.sql.Encoders.STRING).head() === "p9")
+    // column-count mismatch fails loudly
+    intercept[IllegalArgumentException] {
+      LakeSql.run(spark, "INSERT INTO tbl VALUES (8, 'h')", Map("tbl" -> t))
+    }
+  }
+
+  test("OPTIMIZE ZORDER BY routes to zorderCompact") {
+    val t = seeded("lsql_zorder")
+    val rows = t.read(spark).collect().toSet
+    LakeSql.run(spark, "OPTIMIZE tbl ZORDER BY (k)", Map("tbl" -> t))
+    assert(t.read(spark).collect().toSet === rows)
+    val ops = t.history(spark).select("operation").as[String](
+      org.apache.spark.sql.Encoders.STRING).collect().toSeq
+    assert(ops.contains("OPTIMIZE ZORDER"))
+  }
+
   test("VACUUM and OPTIMIZE statements route to the API twins") {
     val t = seeded("lsql_vac")
     t.update(spark, col("k") === 1, Map("v" -> org.apache.spark.sql.functions.lit("z"))) // v1
