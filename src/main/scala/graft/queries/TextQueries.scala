@@ -888,6 +888,119 @@ object TextQueries {
              |       round(shared_chunks / CAST(least(n_a, n_b) AS DOUBLE), 6) AS containment
              |FROM pairs ORDER BY containment DESC, doc_a, doc_b""".stripMargin),
       "chunk-fingerprint near-dup: shift-resistant containment from CDC chunks"),
+
+    // Per-domain quality percentile gate (FineWeb-style): keep the top
+    // half of each SOURCE by quality — a global threshold would let one
+    // high-quality domain crowd out every other, so the percentile is
+    // computed within the domain. The window partitions by source (domain
+    // cardinality ≫ executor count at scale; no global ordering anywhere),
+    // and the (quality, doc_id) order makes percent_rank deterministic
+    // under ties.
+    "t25_domain_percentile" -> GraftQuery(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = t(s, dir, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .select(col("doc_id"), col("source"),
+            ((size(array_distinct(col("words"))) * 100).cast("double") /
+              size(col("words"))).as("quality"))
+        val w = Window.partitionBy("source").orderBy(col("quality"), col("doc_id"))
+        q.withColumn("pr", percent_rank().over(w))
+          .filter(col("pr") >= 0.5)
+          .select(col("doc_id"), col("source"),
+            round(col("quality"), 6).as("quality"), round(col("pr"), 6).as("pr"))
+      },
+      Some("""SELECT doc_id, source, round(quality, 6) AS quality, round(pr, 6) AS pr
+             |FROM (
+             |  SELECT doc_id, source, quality,
+             |         percent_rank() OVER (PARTITION BY source
+             |                              ORDER BY quality, doc_id) AS pr
+             |  FROM (
+             |    SELECT doc_id, source,
+             |           CAST(len(list_distinct(words)) * 100 AS DOUBLE) / len(words)
+             |             AS quality
+             |    FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+             |          FROM documents)))
+             |WHERE pr >= 0.5""".stripMargin),
+      "per-domain quality percentile gate: top half of each source"),
+
+    // Token-budget selection: spend a 25%-of-corpus token budget on the
+    // highest-quality documents. The 100 TB shape is threshold-first, not
+    // sort-first: (1) one aggregation buckets token mass by quality basis
+    // point (≤10k rows — metadata, collected to the driver like manifest
+    // reads); (2) the driver walks the cumulative histogram to find the
+    // boundary bucket; (3) whole buckets above it are selected with a
+    // stateless filter, and ONLY the boundary bucket pays a running-sum
+    // window (partition-bounded: one bucket ≈ corpus/10k; narrow the
+    // bucket width further if a real corpus concentrates there). A
+    // sort-first greedy would global-sort the corpus and run an unbounded
+    // running sum over one partition.
+    "t26_token_budget" -> GraftQuery(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = t(s, dir, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .select(col("doc_id"), col("source"),
+            size(col("words")).cast("long").as("toks"),
+            floor((size(array_distinct(col("words"))) * 10000L).cast("double") /
+              size(col("words"))).cast("long").as("b"))
+          .cache()
+        // floor BEFORE the long cast: Spark's double→long cast truncates
+        // while DuckDB's rounds — floor makes both engines agree exactly
+        val budget = q.agg(floor(sum(col("toks")) / 4).cast("long")).head().getLong(0)
+        // bucket histogram: ≤10k rows — driver-side like any manifest read
+        val hist = q.groupBy("b").agg(sum("toks").as("btoks"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+        var above = 0L
+        var bstar = -1L
+        for ((b, n) <- hist if bstar < 0) {
+          if (above + n > budget) bstar = b else above += n
+        }
+        val remaining = budget - above
+        val sel =
+          if (bstar < 0) q // budget covers everything
+          else {
+            val wholly = q.filter(col("b") > bstar)
+            val boundary = q.filter(col("b") === bstar)
+              .withColumn("runsum", sum("toks").over(
+                Window.partitionBy("b").orderBy("doc_id")
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+              .filter(col("runsum") <= remaining)
+              .drop("runsum")
+            wholly.unionByName(boundary)
+          }
+        sel.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+            sum("doc_id").as("id_sum"))
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id, source, CAST(len(words) AS BIGINT) AS toks,
+             |         CAST(floor(CAST(len(list_distinct(words)) * 10000 AS DOUBLE)
+             |                    / len(words)) AS BIGINT) AS b
+             |  FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+             |        FROM documents)),
+             |budget AS (SELECT CAST(floor(sum(toks) / 4) AS BIGINT) AS v FROM q),
+             |hist AS (
+             |  SELECT b, sum(toks) AS btoks,
+             |         COALESCE(sum(sum(toks)) OVER (ORDER BY b DESC
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+             |  FROM q GROUP BY b),
+             |bstar AS (
+             |  SELECT b, above FROM hist
+             |  WHERE above + btoks > (SELECT v FROM budget)
+             |  ORDER BY b DESC LIMIT 1),
+             |sel AS (
+             |  SELECT q.* FROM q WHERE b > COALESCE((SELECT b FROM bstar), -1)
+             |  UNION ALL
+             |  SELECT doc_id, source, toks, b FROM (
+             |    SELECT q.*, sum(toks) OVER (ORDER BY doc_id) AS runsum
+             |    FROM q WHERE b = (SELECT b FROM bstar))
+             |  WHERE runsum <= (SELECT v FROM budget) - (SELECT above FROM bstar))
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+             |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM sel GROUP BY source""".stripMargin),
+      "token-budget selection: threshold-first histogram, boundary-only window"),
   )
 
   /** t23/t24's shared chunk derivation: per doc, content-defined chunk

@@ -14,6 +14,7 @@ import graft.lake.MergeTable
   *   VACUUM t [RETAIN <n> VERSIONS]
   *   OPTIMIZE t [WHERE <partition predicate>]
   *   OPTIMIZE t ZORDER BY (c1 [, c2 ...])
+  *   RESTORE [TABLE] t TO VERSION AS OF <n>
   *   INSERT INTO t <SELECT ...|VALUES ...>        -- positional, Delta-style
   *   ALTER TABLE t ADD COLUMNS (c1 type1 [, ...])
   *   ALTER TABLE t RENAME COLUMN a TO b           -- metadata-only (column mapping)
@@ -62,6 +63,9 @@ object LakeSql {
   private val OptimizeShape =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
 
+  private val RestoreShape =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+
   private val ZorderShape =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*$""".r
 
@@ -93,6 +97,8 @@ object LakeSql {
       case VacuumShape(tgt, retain) =>
         resolve(tgt, targets).vacuum(
           retainVersions = Option(retain).map(_.toInt).getOrElse(1))
+      case RestoreShape(tgt, ver) =>
+        resolve(tgt, targets).restore(ver.toLong)
       case ZorderShape(tgt, cols) =>
         resolve(tgt, targets).zorderCompact(spark,
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -186,6 +192,7 @@ object LakeSql {
     case DeleteShape(tgt, _)    => Some(tgt)
     case UpdateShape(tgt, _, _) => Some(tgt)
     case VacuumShape(tgt, _)       => Some(tgt)
+    case RestoreShape(tgt, _)      => Some(tgt)
     case ZorderShape(tgt, _)       => Some(tgt)
     case InsertShape(tgt, _)       => Some(tgt)
     case OptimizeShape(tgt, _)     => Some(tgt)

@@ -101,6 +101,15 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("RESTORE TABLE ... TO VERSION AS OF rolls back via the statement path") {
+    val t = seeded("lsql_restore")
+    val before = t.read(spark).collect().toSet
+    LakeSql.run(spark, "DELETE FROM tbl WHERE k = 1", Map("tbl" -> t))
+    assert(t.read(spark).collect().toSet !== before)
+    LakeSql.run(spark, "RESTORE TABLE tbl TO VERSION AS OF 0", Map("tbl" -> t))
+    assert(t.read(spark).collect().toSet === before)
+  }
+
   test("OPTIMIZE ZORDER BY routes to zorderCompact") {
     val t = seeded("lsql_zorder")
     val rows = t.read(spark).collect().toSet
