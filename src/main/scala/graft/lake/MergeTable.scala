@@ -658,6 +658,100 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .parquet(s"$root/cdf/*")
   }
 
+  /** The table as a full STREAMING SOURCE (Delta streaming-source
+    * semantics): the starting snapshot's rows arrive first as `insert`
+    * change rows stamped with the snapshot version, then the change feed
+    * of every LATER commit follows incrementally — `readStream` =
+    * "initial snapshot + CDF tail", where [[changesStream]] alone is only
+    * the tail. Output schema = snapshot schema + change type + commit
+    * version, so a downstream `foreachBatch` can bootstrap state and stay
+    * incremental forever with one query.
+    *
+    * Scale shape: the snapshot is staged as HARD LINKS into
+    * `stream_init/v<version>/` — O(files) metadata, zero data copy — laid
+    * out as one uniform partition tree (the per-attempt data-dir level is
+    * folded into the file NAME), so Spark's file source reads it with one
+    * `basePath` and partition pruning intact. Because links pin file
+    * content, a VACUUM that drops rolled-over data dirs cannot break a
+    * running stream (Delta's streams fail exactly there). A snapshot that
+    * carries deletion-vector masks is instead MATERIALIZED dv-masked into
+    * the staging dir (one snapshot write; compact first to avoid it).
+    *
+    * Caveats: the staged tree is per-version and persists for checkpoint
+    * restarts (links hold no data bytes; remove `stream_init/v<n>` once no
+    * checkpointed query reads it). To RESTART a query whose table tip has
+    * advanced, pass the original `snapshotVersion` — the file-source
+    * checkpoint is bound to that staging path. Feeds of commits ≤ the
+    * snapshot version are glob-matched but row-filtered by commit version;
+    * schema changes after stream start require a restart (the source
+    * schema is fixed at start, like every Spark file stream).
+    */
+  def readStream(spark: SparkSession,
+                 maxFilesPerTrigger: Option[Int] = None,
+                 snapshotVersion: Option[Long] = None): DataFrame = {
+    require(exists, s"MergeTable at $root does not exist")
+    import MergeTable.{ChangeType, CommitVersion}
+    val v = snapshotVersion.getOrElse(currentVersion)
+    val schema = schemaOf(v)
+    val cmap = colmapOf(v)
+    val dvs = dvsOf(v)
+    val initRel = s"stream_init/v$v"
+    val initDir = Paths.get(root, initRel)
+
+    if (dvs.isEmpty) {
+      // zero-copy: link every snapshot file under ONE partition tree;
+      // <dataDir>/<p=..>/<name> → stream_init/v<v>/<p=..>/<dataDir>__<name>
+      filesOf(v).foreach { rel =>
+        val segs = rel.split('/')
+        val dst = Paths.get(
+          (Seq(root, initRel) ++ segs.slice(1, segs.length - 1) :+
+            s"${segs.head}__${segs.last}").mkString("/"))
+        Files.createDirectories(dst.getParent)
+        try Files.createLink(dst, Paths.get(root, rel))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => () // restart/race
+          case _: UnsupportedOperationException | _: java.io.IOException
+              if !Files.exists(dst) => Files.copy(Paths.get(root, rel), dst)
+        }
+      }
+    } else if (!Files.exists(initDir)) {
+      // dv-masked snapshot: links would resurrect masked rows (the mask is
+      // an anti-join, not a file property) — materialize the masked rows
+      // once; tmp + atomic move keeps concurrent starters safe
+      val tmp = Paths.get(root, s"stream_init/tmp${System.nanoTime()}")
+      readVersion(spark, v).write.parquet(tmp.toString)
+      Files.createDirectories(initDir.getParent)
+      try Files.move(tmp, initDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.DirectoryNotEmptyException =>
+        deleteRecursively(tmp) }
+    }
+
+    // snapshot rows as inserts: physical-name scan + logical projection
+    // (links store physical names; a materialized dv snapshot is logical)
+    val linked = dvs.isEmpty
+    val physSchema =
+      if (!linked || cmap.isEmpty) schema
+      else StructType(schema.fields.map(f => f.copy(name = physOf(cmap, f.name))))
+    val snapReader0 = spark.readStream
+      .option("basePath", s"$root/$initRel").schema(physSchema)
+    val snapReader = maxFilesPerTrigger.fold(snapReader0)(n =>
+      snapReader0.option("maxFilesPerTrigger", n))
+    val snap = snapReader.parquet(s"$root/$initRel")
+      .select(schema.fields.toSeq.map(f =>
+        (if (linked) col(physOf(cmap, f.name)) else col(f.name)).as(f.name)): _*)
+      .withColumn(ChangeType, lit("insert"))
+      .withColumn(CommitVersion, lit(v))
+
+    // the CDF tail: feeds of commits AFTER the snapshot version. The glob
+    // must exist before any feed is recorded so future commits are picked
+    // up from an initially-feedless table.
+    Files.createDirectories(Paths.get(root, "cdf"))
+    val tail = changesStream(spark, maxFilesPerTrigger)
+      .filter(col(CommitVersion) > v)
+    snap.unionByName(tail, allowMissingColumns = true)
+  }
+
   /** Delta `DELETE WHERE` analog: remove the rows matching `predicate`,
     * rewriting ONLY the data files that contain at least one matching row
     * (same file-pruning shape as merge); untouched files are carried

@@ -496,5 +496,57 @@ object StreamQueries {
              |  FROM final GROUP BY 2)
              |ORDER BY sink, grp""".stripMargin),
       "CDC fan-out: one feed, two sinks, per-sink txn markers — multi-consumer exactly-once"),
+
+    // The table as a FULL streaming source (Delta streaming-source
+    // semantics): MergeTable.readStream stages the starting snapshot as
+    // hard links (zero copy) and emits its rows as version-stamped
+    // inserts, then tails the CDF of every LATER commit — here the
+    // snapshot is v1 (so v1's own feed must NOT replay: its effects are
+    // already in the snapshot) and a post-subscription delete (v2)
+    // arrives incrementally as delete rows.
+    "st10_table_source" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val root = s"${Registry.scratchRoot}/st10_lake_$id"
+        val base = Registry.t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(base.filter(col("o_orderkey") % 4 =!= 2))       // v0
+        table.merge(s, base.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+          Seq("o_orderkey"), changeFeed = true)                         // v1
+        val src = table.readStream(ss, snapshotVersion = Some(1L))
+        table.delete(s, col("o_orderstatus") === "O", changeFeed = true) // v2
+        val sink = s"st10_sink_$id"
+        val q = src.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st10_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        ss.table(sink)
+          .groupBy(col(MergeTable.ChangeType).as("change_type"),
+            col(MergeTable.CommitVersion).as("commit_version"))
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+          .orderBy("commit_version", "change_type")
+      },
+      Some("""WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+             |     tgt AS (SELECT o_orderkey, o_orderstatus FROM base
+             |             WHERE o_orderkey % 4 <> 2),
+             |     src AS (SELECT o_orderkey, 'M' AS o_orderstatus
+             |             FROM base WHERE o_orderkey % 2 = 0),
+             |     v1 AS (
+             |  SELECT o_orderkey, o_orderstatus FROM tgt
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus FROM src),
+             |changes AS (
+             |  SELECT 'insert' AS change_type, 1 AS v, o_orderkey FROM v1
+             |  UNION ALL
+             |  SELECT 'delete', 2, o_orderkey FROM v1 WHERE o_orderstatus = 'O')
+             |SELECT change_type, CAST(v AS BIGINT) AS commit_version,
+             |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM changes GROUP BY 1, 2 ORDER BY commit_version, change_type""".stripMargin),
+      "the table as a streaming source: linked snapshot as inserts + CDF tail"),
   )
 }
