@@ -83,7 +83,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                             txns: Map[String, Long],
                             dvs: Seq[(String, String, Long)],
                             colmap: Seq[(String, String)],
-                            retired: Seq[String])
+                            retired: Seq[String],
+                            props: Seq[(String, String)])
 
   private def readCommit(version: Long): Commit = {
     val lines = Files.readString(commitPath(version)).split("\n").toSeq
@@ -94,7 +95,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // never drift on the line format
     val meta = parseMeta(lines.iterator)
     Commit(schema, files, stats, meta.cdfDir, meta.constraints, meta.txns, meta.dvs,
-      meta.colmap, meta.retired)
+      meta.colmap, meta.retired, meta.props)
   }
 
   /** The non-file metadata of a commit (cdf dir, constraints, this commit's
@@ -130,7 +131,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                                 operation: String,
                                 dvs: Seq[(String, String, Long)],
                                 colmap: Seq[(String, String)],
-                                retired: Seq[String])
+                                retired: Seq[String],
+                                props: Seq[(String, String)])
 
   private def parseMeta(lines: Iterator[String]): CommitMeta = {
     var cdf: Option[String] = None
@@ -142,6 +144,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val dvs = Seq.newBuilder[(String, String, Long)]
     val colmap = Seq.newBuilder[(String, String)]
     val retired = Seq.newBuilder[String]
+    val props = Seq.newBuilder[(String, String)]
     lines.foreach {
       case l if l.startsWith("cdf\t") => cdf = Some(dec(l.stripPrefix("cdf\t")))
       case l if l.startsWith("check\t") =>
@@ -161,10 +164,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         colmap += (dec(lg) -> dec(ph))
       case l if l.startsWith("retired\t") =>
         retired += dec(l.stripPrefix("retired\t"))
+      case l if l.startsWith("prop\t") =>
+        val Array(k, vl) = l.stripPrefix("prop\t").split("\t", 2)
+        props += (dec(k) -> dec(vl))
       case _ => ()
     }
     CommitMeta(cdf, checks.result(), ingested.result(), ingestReset, txns.result(), op,
-      dvs.result(), colmap.result(), retired.result())
+      dvs.result(), colmap.result(), retired.result(), props.result())
   }
 
   private def readMeta(version: Long): CommitMeta = {
@@ -1093,6 +1099,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       txnsOverride = Some(c.txns), // exactly-once writers stay exactly-once on the clone
       dvsOverride = Some(c.dvs),   // masks key on rel paths: same layout on the clone
       colmapOverride = Some(c.colmap), retiredOverride = Some(c.retired),
+      propsOverride = Some(c.props),
       op = "CLONE")
     target
   }
@@ -1645,6 +1652,41 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     ("(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(column) + "(?![\\w`])").r
       .findFirstIn(exprText).nonEmpty
 
+  /** Table properties (Delta TBLPROPERTIES analog): free-form key/value
+    * metadata recorded in the commit log and carried forward — ownership
+    * tags, retention hints, pipeline markers. Metadata-only commits.
+    * RESTORE keeps the CURRENT properties (configuration is not data —
+    * Delta's RESTORE likewise leaves table configuration alone); CLONE
+    * copies them.
+    */
+  def setProperties(props: Map[String, String]): Unit = {
+    require(exists, s"MergeTable at $root does not exist")
+    require(props.nonEmpty, "setProperties requires at least one property")
+    val v = currentVersion
+    val c = readCommit(v)
+    val merged = (c.props.toMap ++ props).toSeq.sortBy(_._1)
+    commit(v + 1, c.files, c.schema, c.statsLines,
+      propsOverride = Some(merged), op = "SET TBLPROPERTIES")
+  }
+
+  /** Remove properties by key (missing keys are ignored, like Delta's
+    * `UNSET TBLPROPERTIES IF EXISTS`); metadata-only commit.
+    */
+  def unsetProperties(keys: Seq[String]): Unit = {
+    require(exists, s"MergeTable at $root does not exist")
+    require(keys.nonEmpty, "unsetProperties requires at least one key")
+    val v = currentVersion
+    val c = readCommit(v)
+    val drop = keys.toSet
+    commit(v + 1, c.files, c.schema, c.statsLines,
+      propsOverride = Some(c.props.filterNot { case (k, _) => drop.contains(k) }),
+      op = "UNSET TBLPROPERTIES")
+  }
+
+  /** The properties in force on the current version. */
+  def properties: Map[String, String] =
+    if (exists) readMeta(currentVersion).props.toMap else Map.empty
+
   /** Drop a CHECK constraint by name (metadata-only commit). */
   def dropCheckConstraint(name: String): Unit = {
     require(exists, s"MergeTable at $root does not exist")
@@ -1929,6 +1971,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                      dvsOverride: Option[Seq[(String, String, Long)]] = None,
                      colmapOverride: Option[Seq[(String, String)]] = None,
                      retiredOverride: Option[Seq[String]] = None,
+                     propsOverride: Option[Seq[(String, String)]] = None,
                      op: String = "WRITE"): Unit = {
     Files.createDirectories(logDir)
     // CHECK constraints and txn versions carry forward automatically
@@ -1965,6 +2008,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .getOrElse(prev.fold(Seq.empty[(String, String)])(_.colmap))
       .filter { case (lg, ph) => schemaNames.contains(lg) && lg != ph }
     val retiredLines = retiredOverride.getOrElse(prev.fold(Seq.empty[String])(_.retired))
+    val propLines = propsOverride.getOrElse(prev.fold(Seq.empty[(String, String)])(_.props))
     val content = (s"schema\t${enc(schema.toDDL)}" +:
       (Seq(s"op\t${enc(op)}") ++
         cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
@@ -1975,6 +2019,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         dvLines.map { case (f, d, n) => s"dv\t${enc(f)}\t${enc(d)}\t$n" } ++
         colmapLines.map { case (lg, ph) => s"colmap\t${enc(lg)}\t${enc(ph)}" } ++
         retiredLines.map(ph => s"retired\t${enc(ph)}") ++
+        propLines.map { case (k, vl) => s"prop\t${enc(k)}\t${enc(vl)}" } ++
         files.map(f => s"file\t${enc(f)}") ++ statsLines.map(l => s"stat\t$l")))
       .mkString("\n")
     val tmp = logDir.resolve(s"$version.commit.tmp${System.nanoTime()}")

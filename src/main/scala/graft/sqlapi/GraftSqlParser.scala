@@ -98,6 +98,10 @@ object GraftSqlParser {
           StructField("num_deletion_vectors", LongType, nullable = false),
           StructField("num_masked_rows", LongType, nullable = false),
           StructField("num_constraints", LongType, nullable = false)))
+      else if (LakeSql.isPropertiesStatement(sql))
+        StructType(Seq(
+          StructField("key", StringType, nullable = false),
+          StructField("value", StringType, nullable = false)))
       else {
         val t = table.schemaOf(table.currentVersion)
         StructType(table.partitionCols.map(c => t(c)) :+

@@ -19,6 +19,9 @@ import graft.lake.MergeTable
   *   ALTER TABLE t ADD COLUMNS (c1 type1 [, ...])
   *   ALTER TABLE t RENAME COLUMN a TO b           -- metadata-only (column mapping)
   *   ALTER TABLE t DROP COLUMN a                  -- metadata-only (column mapping)
+  *   ALTER TABLE t SET TBLPROPERTIES (k = v [, ...])
+  *   ALTER TABLE t UNSET TBLPROPERTIES (k [, ...])
+  *   SHOW TBLPROPERTIES t                         -- key/value rows (query())
   *   SELECT ... FROM t VERSION AS OF <n> ...      -- time travel
   *   DESCRIBE HISTORY t                           -- audit log (query())
   *   DESCRIBE DETAIL t                            -- table facts (query())
@@ -53,6 +56,15 @@ object LakeSql {
 
   private val DescribeDetailShape =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*$""".r
+
+  private val ShowPropertiesShape =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+([\w.]+)\s*;?\s*$""".r
+
+  private val SetPropsShape =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\((.+?)\)\s*;?\s*$""".r
+
+  private val UnsetPropsShape =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+UNSET\s+TBLPROPERTIES\s*\(([^)]+)\)\s*;?\s*$""".r
 
   private val ShowPartitionsShape =
     """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$""".r
@@ -125,6 +137,11 @@ object LakeSql {
       case AddColumnsShape(tgt, ddl) =>
         resolve(tgt, targets).addColumns(
           org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case SetPropsShape(tgt, kvs) =>
+        resolve(tgt, targets).setProperties(parsePropList(kvs))
+      case UnsetPropsShape(tgt, ks) =>
+        resolve(tgt, targets).unsetProperties(
+          ks.split(",").map(k => stripQuotes(k.trim)).filter(_.nonEmpty).toSeq)
       case RenameColumnShape(tgt, from, to) =>
         resolve(tgt, targets).renameColumn(from, to)
       case DropColumnShape(tgt, colName) =>
@@ -149,6 +166,10 @@ object LakeSql {
       case DescribeHistoryShape(tgt) => return resolve(tgt, targets).history(spark)
       case DescribeDetailShape(tgt)  => return resolve(tgt, targets).detail(spark)
       case ShowPartitionsShape(tgt)  => return resolve(tgt, targets).partitions(spark)
+      case ShowPropertiesShape(tgt)  =>
+        import spark.implicits._
+        return resolve(tgt, targets).properties.toSeq.sortBy(_._1)
+          .toDF("key", "value")
       case _                         => ()
     }
     spark.sql(rewriteReads(spark, sql, targets).getOrElse(sql))
@@ -199,17 +220,37 @@ object LakeSql {
     case AddColumnsShape(tgt, _)   => Some(tgt)
     case RenameColumnShape(tgt, _, _) => Some(tgt)
     case DropColumnShape(tgt, _)   => Some(tgt)
+    case SetPropsShape(tgt, _)     => Some(tgt)
+    case UnsetPropsShape(tgt, _)   => Some(tgt)
     case _                         => None
   }
 
   /** Target of a rows-returning metadata statement (DESCRIBE HISTORY /
-    * SHOW PARTITIONS), if `sql` is one.
+    * SHOW PARTITIONS / SHOW TBLPROPERTIES), if `sql` is one.
     */
   private[sqlapi] def metaStatementTarget(sql: String): Option[String] = sql match {
-    case DescribeHistoryShape(tgt) => Some(tgt)
-    case DescribeDetailShape(tgt)  => Some(tgt)
-    case ShowPartitionsShape(tgt)  => Some(tgt)
-    case _                         => None
+    case DescribeHistoryShape(tgt)  => Some(tgt)
+    case DescribeDetailShape(tgt)   => Some(tgt)
+    case ShowPartitionsShape(tgt)   => Some(tgt)
+    case ShowPropertiesShape(tgt)   => Some(tgt)
+    case _                          => None
+  }
+
+  /** True when the metadata statement is SHOW TBLPROPERTIES (fixed k/v schema). */
+  private[sqlapi] def isPropertiesStatement(sql: String): Boolean = sql match {
+    case ShowPropertiesShape(_) => true
+    case _                      => false
+  }
+
+  /** Strip one layer of matching quotes from a literal-ish token; bare
+    * tokens pass through — property VALUES are stored verbatim, never
+    * evaluated as expressions.
+    */
+  private def stripQuotes(s0: String): String = {
+    val t = s0.trim
+    if (t.length >= 2 && ((t.head == '\'' && t.last == '\'') ||
+        (t.head == '"' && t.last == '"'))) t.substring(1, t.length - 1)
+    else t
   }
 
   /** True when the metadata statement is DESCRIBE HISTORY (fixed schema)
@@ -230,7 +271,7 @@ object LakeSql {
     * inside a function call (`coalesce(a, b)`) or string literal must not
     * split the assignment list.
     */
-  private[sqlapi] def parseSetList(sets: String): Seq[(String, String)] = {
+  private[sqlapi] def splitTopLevel(sets: String): Seq[String] = {
     val parts = Seq.newBuilder[String]
     var depth = 0
     var inStr: Option[Char] = None
@@ -250,7 +291,11 @@ object LakeSql {
       }
     }
     parts += cur.result()
-    parts.result().map { a =>
+    parts.result()
+  }
+
+  private[sqlapi] def parseSetList(sets: String): Seq[(String, String)] = {
+    splitTopLevel(sets).map { a =>
       val i = a.indexOf('=')
       require(i > 0, s"unsupported SET assignment '${a.trim}': expected col = expr")
       val colName = a.take(i).trim
@@ -259,6 +304,16 @@ object LakeSql {
       colName -> a.drop(i + 1).trim
     }
   }
+
+  /** `k = v` property pairs: keys may be dotted or quoted; values are
+    * stored VERBATIM (one quote layer stripped), never evaluated.
+    */
+  private def parsePropList(kvs: String): Map[String, String] =
+    splitTopLevel(kvs).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"unsupported TBLPROPERTIES entry '${a.trim}': expected k = v")
+      stripQuotes(a.take(i).trim) -> stripQuotes(a.drop(i + 1).trim)
+    }.toMap
 
   private def resolve(name: String, targets: Map[String, MergeTable]): MergeTable =
     targets.getOrElse(name,

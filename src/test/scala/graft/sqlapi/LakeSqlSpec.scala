@@ -101,6 +101,33 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("TBLPROPERTIES: SET / UNSET / SHOW, dotted and quoted keys, clone carry") {
+    val t = seeded("lsql_props")
+    LakeSql.run(spark,
+      "ALTER TABLE tbl SET TBLPROPERTIES ('owner.team' = 'data-eng', quality = 'gold')",
+      Map("tbl" -> t))
+    assert(t.properties === Map("owner.team" -> "data-eng", "quality" -> "gold"))
+    val shown = LakeSql.query(spark, "SHOW TBLPROPERTIES tbl", Map("tbl" -> t))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown === t.properties)
+    LakeSql.run(spark, "ALTER TABLE tbl UNSET TBLPROPERTIES (quality, missing)",
+      Map("tbl" -> t))
+    assert(t.properties === Map("owner.team" -> "data-eng"))
+    // through the injected parser, and the value is stored verbatim
+    LakeCatalog.register("props_tbl", t)
+    try {
+      spark.sql("ALTER TABLE props_tbl SET TBLPROPERTIES (stage = 'prod, v2')")
+      val rows = spark.sql("SHOW TBLPROPERTIES props_tbl")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows === Map("owner.team" -> "data-eng", "stage" -> "prod, v2"))
+    } finally LakeCatalog.unregister("props_tbl")
+    // clone carries properties; a data write carries them forward
+    val c = t.cloneTo(t.root + "_props_clone")
+    assert(c.properties === t.properties)
+    t.update(spark, col("k") === 1, Map("v" -> org.apache.spark.sql.functions.lit("z")))
+    assert(t.properties("owner.team") === "data-eng")
+  }
+
   test("RESTORE TABLE ... TO VERSION AS OF rolls back via the statement path") {
     val t = seeded("lsql_restore")
     val before = t.read(spark).collect().toSet
