@@ -21,8 +21,14 @@ import scala.jdk.CollectionConverters._
   *   <root>/d<version>u<attempt>/[<p>=<v>/...]part-*.parquet  data directories
   *                                                   (unique per write attempt)
   *   <root>/_graft_log/<version>.commit              THE commit: schema DDL +
-  *                                                   file list (relative paths)
-  *                                                   + per-file min/max stats,
+  *                                                   manifest — either the full
+  *                                                   file list + per-file stats
+  *                                                   (a CHECKPOINT, forced every
+  *                                                   [[MergeTable.CheckpointEvery]]
+  *                                                   versions) or an incremental
+  *                                                   add/remove delta against a
+  *                                                   `base` version (Delta's
+  *                                                   add/remove actions) —
   *                                                   published atomically by
   *                                                   hard-link put-if-absent
   *   <root>/_graft_log/_LATEST                       tip cache (atomic swap;
@@ -89,8 +95,36 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   private def readCommit(version: Long): Commit = {
     val lines = Files.readString(commitPath(version)).split("\n").toSeq
     val schema = StructType.fromDDL(dec(lines.head.stripPrefix("schema\t")))
-    val files = lines.collect { case l if l.startsWith("file\t") => dec(l.stripPrefix("file\t")) }
-    val stats = lines.collect { case l if l.startsWith("stat\t") => l.stripPrefix("stat\t") }
+    // An INCREMENTAL commit (Delta add/remove-action analog) records a
+    // `base` version plus this commit's file delta instead of the full
+    // manifest; the base chain is bounded by the checkpoint cadence
+    // ([[MergeTable.CheckpointEvery]]), so resolution reads at most that
+    // many log files — the O(checkpoint + tail) read Delta pays, vs the
+    // O(total files) PER COMMIT a full manifest would cost writers at
+    // 100 TB file counts.
+    val baseV = lines.collectFirst {
+      case l if l.startsWith("base\t") => l.stripPrefix("base\t").toLong
+    }
+    val (files, stats) = baseV match {
+      case None =>
+        (lines.collect { case l if l.startsWith("file\t") => dec(l.stripPrefix("file\t")) },
+         lines.collect { case l if l.startsWith("stat\t") => l.stripPrefix("stat\t") })
+      case Some(bv) =>
+        val b = readCommit(bv)
+        val removed = lines.collect {
+          case l if l.startsWith("remove\t") => dec(l.stripPrefix("remove\t"))
+        }.toSet
+        val added = lines.collect {
+          case l if l.startsWith("add\t") => dec(l.stripPrefix("add\t"))
+        }
+        // stat lines in an incremental commit belong ONLY to added files;
+        // retained files keep the base's lines, removed files drop theirs
+        val addedStats = lines.collect {
+          case l if l.startsWith("stat\t") => l.stripPrefix("stat\t")
+        }
+        (b.files.filterNot(removed) ++ added,
+         b.statsLines.filterNot(l => removed.contains(dec(l.takeWhile(_ != '\t')))) ++ addedStats)
+    }
     // metadata lines share ONE parser with readMeta — the two readers can
     // never drift on the line format
     val meta = parseMeta(lines.iterator)
@@ -1975,15 +2009,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                      op: String = "WRITE"): Unit = {
     Files.createDirectories(logDir)
     // CHECK constraints and txn versions carry forward automatically
-    // (commits are never deleted, so version-1 is always readable — and
-    // only its METADATA lines are parsed, never the manifest). The copyInto
-    // ledger is NOT carried forward: each commit records only its own
-    // newly-ingested files (plus an optional reset marker), and readers
+    // (commits are never deleted, so version-1 is always readable). The
+    // copyInto ledger is NOT carried forward: each commit records only its
+    // own newly-ingested files (plus an optional reset marker), and readers
     // union the deltas — at scale a carried-forward ledger would grow every
-    // commit by O(total files ever ingested).
-    val prev =
+    // commit by O(total files ever ingested). The FULL previous commit
+    // (manifest included) is resolved here because the manifest delta
+    // decides the commit's encoding below; callers resolved the same
+    // snapshot to compute `files`, so this doubles a metadata read, never
+    // adds a data read.
+    val prev: Option[Commit] =
       if (version > 0 && Files.exists(commitPath(version - 1)))
-        Some(readMeta(version - 1))
+        Some(readCommit(version - 1))
       else None
     val constraints = constraintsOverride.getOrElse(prev.fold(Seq.empty[(String, String)])(_.constraints))
     val ingested = ingestReset.getOrElse(ingestDelta)
@@ -2009,6 +2046,36 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .filter { case (lg, ph) => schemaNames.contains(lg) && lg != ph }
     val retiredLines = retiredOverride.getOrElse(prev.fold(Seq.empty[String])(_.retired))
     val propLines = propsOverride.getOrElse(prev.fold(Seq.empty[(String, String)])(_.props))
+    // Manifest encoding: FULL (every `file`/`stat` line) on version 0, on
+    // every CheckpointEvery-th version (bounds the reader's base chain),
+    // and whenever the delta wouldn't be smaller or a retained file's
+    // stats changed (column rename/drop restats unrewritten files — a
+    // delta of add/removes cannot express that). Otherwise INCREMENTAL:
+    // `base` + this commit's add/remove lines + stats for added files
+    // only. Metadata lines above are always written in full (they are
+    // bounded by constraints/txns/columns, never by file count), so
+    // readMeta stays a single-file read on every commit.
+    val fullManifest = files.map(f => s"file\t${enc(f)}") ++ statsLines.map(l => s"stat\t$l")
+    val manifest = prev match {
+      case Some(p) if version % MergeTable.CheckpointEvery != 0 =>
+        val prevSet = p.files.toSet
+        val added = files.filterNot(prevSet)
+        val removed = p.files.filterNot(fileSet)
+        def byFile(ls: Seq[String]): Map[String, Seq[String]] =
+          ls.groupBy(_.takeWhile(_ != '\t'))
+        val addedEnc = added.map(enc).toSet
+        val removedEnc = removed.map(enc).toSet
+        val addedStatLines = statsLines.filter(l => addedEnc.contains(l.takeWhile(_ != '\t')))
+        val retainedUnchanged =
+          (byFile(statsLines) -- addedEnc) == (byFile(p.statsLines) -- removedEnc)
+        val incremental = Seq(s"base\t${version - 1}") ++
+          added.map(f => s"add\t${enc(f)}") ++
+          removed.map(f => s"remove\t${enc(f)}") ++
+          addedStatLines.map(l => s"stat\t$l")
+        if (retainedUnchanged && incremental.size < fullManifest.size) incremental
+        else fullManifest
+      case _ => fullManifest
+    }
     val content = (s"schema\t${enc(schema.toDDL)}" +:
       (Seq(s"op\t${enc(op)}") ++
         cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
@@ -2020,7 +2087,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         colmapLines.map { case (lg, ph) => s"colmap\t${enc(lg)}\t${enc(ph)}" } ++
         retiredLines.map(ph => s"retired\t${enc(ph)}") ++
         propLines.map { case (k, vl) => s"prop\t${enc(k)}\t${enc(vl)}" } ++
-        files.map(f => s"file\t${enc(f)}") ++ statsLines.map(l => s"stat\t$l")))
+        manifest))
       .mkString("\n")
     val tmp = logDir.resolve(s"$version.commit.tmp${System.nanoTime()}")
     Files.writeString(tmp, content)
@@ -2098,6 +2165,13 @@ object MergeTable {
     * attempt here, where Delta's 7-day default targets long cloud jobs).
     */
   val DefaultVacuumMinAgeMs: Long = 30L * 60 * 1000
+
+  /** Full-manifest checkpoint cadence: every N-th version writes the whole
+    * file list even when a delta would be smaller, bounding the base chain
+    * an incremental-commit reader must resolve to < N log files (Delta's
+    * checkpoint.parquet serves the same role at its default interval 10).
+    */
+  val CheckpointEvery: Long = 10L
 
   // ---- deletion vectors ----
 

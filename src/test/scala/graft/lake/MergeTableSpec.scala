@@ -830,6 +830,67 @@ class MergeTableSpec extends SparkSpec {
     assert(t.currentVersion === 1L, "failed replaceWhere must not commit")
   }
 
+  test("commit log is incremental between checkpoints and chain-resolves exactly") {
+    val t = new MergeTable(scratch("mt_inc"), Seq("p"), statsCols = Seq("k"))
+    def commitText(v: Long): String =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(t.root, "_graft_log", s"$v.commit"))
+    // 6 partitions → enough files that a one-key merge's delta beats the
+    // full manifest; v0 is always a full checkpoint
+    t.overwrite(df((1 to 12).map(k => (k, s"a$k", s"p${k % 6}"))))
+    assert(commitText(0).contains("file\t") && !commitText(0).contains("base\t"))
+    val snapshots = scala.collection.mutable.Map(0L -> asSet(t.read(spark)))
+    (1 to 12).foreach { i =>
+      t.merge(spark, df(Seq((i % 12 + 1, s"m$i", s"p${(i % 12 + 1) % 6}"))), Seq("k"))
+      snapshots(t.currentVersion) = asSet(t.read(spark))
+    }
+    assert(t.currentVersion === 12L)
+    // between checkpoints: a base reference + add/remove delta, never the
+    // full file list; at the checkpoint cadence: the reverse
+    (1L to 12L).foreach { v =>
+      val txt = commitText(v)
+      if (v % MergeTable.CheckpointEvery == 0) {
+        assert(txt.contains("file\t") && !txt.contains("base\t"),
+          s"v$v must be a full checkpoint")
+      } else {
+        assert(txt.contains(s"base\t${v - 1}") && !txt.contains("file\t"),
+          s"v$v must be an incremental commit")
+      }
+    }
+    // chain resolution reproduces every snapshot exactly (time travel
+    // through incremental commits, across the v10 checkpoint)
+    (0L to 12L).foreach { v =>
+      assert(asSet(t.readVersion(spark, v)) === snapshots(v), s"time travel to v$v")
+    }
+    // per-file stats survive the chain: data skipping still prunes and
+    // range reads stay exact
+    val all = t.filesOf(12L)
+    val cand = t.candidateFiles("k", 3, 3)
+    assert(cand.nonEmpty && cand.size < all.size, "stats must prune through a chain")
+    assert(t.readRange(spark, "k", 3, 3).collect().map(_.getInt(0)).toSeq === Seq(3))
+    // a metadata-only commit is a one-line delta, not a manifest copy
+    t.setProperties(Map("owner" -> "x"))
+    val metaTxt = commitText(13L)
+    assert(metaTxt.contains("base\t12") && !metaTxt.contains("file\t")
+      && !metaTxt.contains("add\t") && !metaTxt.contains("remove\t"))
+    assert(asSet(t.read(spark)) === snapshots(12L))
+  }
+
+  test("a column rename restats retained files and falls back to a full manifest") {
+    val t = new MergeTable(scratch("mt_inc_rename"), Nil, statsCols = Seq("k"))
+    t.overwrite(df((1 to 8).map(k => (k, s"a$k", "p1"))))
+    t.append(df(Seq((100, "z", "p1")))) // v1: incremental (adds only)
+    val v1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t.root, "_graft_log", "1.commit"))
+    assert(v1.contains("base\t0") && !v1.contains("file\t"))
+    t.renameColumn("k", "kk") // restats every retained file → delta can't express it
+    val v2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t.root, "_graft_log", "2.commit"))
+    assert(v2.contains("file\t") && !v2.contains("base\t"))
+    assert(t.read(spark).columns.contains("kk"))
+    assert(t.readRange(spark, "kk", 100, 100).count() === 1L)
+  }
+
   test("property: merged = source ∪ (target ∖ source-keys)") {
     val keySet: Gen[List[Int]] = Gen.listOfN(8, Gen.chooseNum(0, 30)).map(_.distinct)
     val params = Gen.Parameters.default
