@@ -886,5 +886,45 @@ object LakeQueries {
              |      WHERE o_orderkey % 7 = 0)
              |GROUP BY o_orderstatus""".stripMargin),
       "INSERT INTO over MergeTable: positional SQL append, time-travel source"),
+
+    // CTAS end-to-end through spark.sql: the USING GRAFT provider tag
+    // routes the statement to the injected parser even with the target
+    // unregistered; the new table lands partitioned, carries its
+    // TBLPROPERTIES, and answers follow-up SELECTs by name. DROP TABLE
+    // unregisters (data stays on disk — external-table semantics).
+    "m31_ctas" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m31_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val src = new MergeTable(s"$root/src")
+        src.overwrite(orders)
+        val srcName = s"ctas_src_${sanitize(dir)}"
+        val dstName = s"ctas_dst_${sanitize(dir)}"
+        graft.sqlapi.LakeCatalog.register(srcName, src)
+        try {
+          s.sql(s"""CREATE TABLE $dstName USING GRAFT
+                   |PARTITIONED BY (o_orderstatus) LOCATION '$root/dst'
+                   |TBLPROPERTIES (source = '$srcName')
+                   |AS SELECT o_orderstatus, o_custkey,
+                   |          count(*) AS n, sum(o_orderkey) AS key_sum
+                   |   FROM $srcName GROUP BY o_orderstatus, o_custkey""".stripMargin)
+          val created = graft.sqlapi.LakeCatalog.targets(dstName)
+          require(created.partitionCols == Seq("o_orderstatus"),
+            "CTAS must apply PARTITIONED BY")
+          require(created.properties == Map("source" -> srcName),
+            "CTAS must record TBLPROPERTIES")
+          s.sql(s"SELECT o_orderstatus, o_custkey, n, key_sum FROM $dstName WHERE n >= 2")
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS $dstName")
+          graft.sqlapi.LakeCatalog.unregister(srcName)
+        }
+      },
+      Some("""SELECT o_orderstatus, o_custkey, n, key_sum FROM (
+             |  SELECT o_orderstatus, o_custkey, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |  FROM orders GROUP BY o_orderstatus, o_custkey)
+             |WHERE n >= 2""".stripMargin),
+      "CREATE TABLE ... USING GRAFT AS SELECT via spark.sql; DROP TABLE unregisters"),
   )
 }

@@ -32,6 +32,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan = {
+    // CREATE TABLE … USING GRAFT carries its own provider tag, so it is
+    // routed on shape alone — its target is by definition not registered
+    // yet (and it may be the session's very first lake statement)
+    if (LakeSql.isCreateStatement(sqlText)) return GraftDmlCommand(sqlText)
     val targets = LakeCatalog.targets
     if (targets.nonEmpty) {
       if (LakeSql.runStatementTarget(sqlText).exists(targets.contains) ||

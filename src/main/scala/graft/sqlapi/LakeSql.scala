@@ -9,6 +9,9 @@ import graft.lake.MergeTable
   * glue_jobs/01_silver_delta_upsert.py:99-112 uses the API twin):
   *
   * {{{
+  *   CREATE TABLE [IF NOT EXISTS] t USING GRAFT [PARTITIONED BY (...)]
+  *     LOCATION '<path>' [TBLPROPERTIES (k = v, ...)] AS <SELECT ...>
+  *   DROP TABLE [IF EXISTS] t                     -- unregisters; data stays
   *   DELETE FROM t WHERE <predicate>
   *   UPDATE t SET c1 = <expr> [, c2 = <expr> ...] WHERE <predicate>
   *   VACUUM t [RETAIN <n> VERSIONS]
@@ -93,6 +96,20 @@ object LakeSql {
   private val DropColumnShape =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
 
+  /** CTAS with an explicit `USING GRAFT` provider tag (Delta's
+    * `USING DELTA` shape) — the tag is what makes parser interception
+    * unambiguous: a real catalog `CREATE TABLE … AS` can never match, so
+    * the injected parser may route on the SHAPE alone even when no lake
+    * table is registered yet.
+    */
+  private val CreateTableShape =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+USING\s+GRAFT""" +
+     """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s+LOCATION\s+'([^']+)'""" +
+     """(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s+AS\s+(.+?)\s*;?\s*$""").r
+
+  private val DropTableShape =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
+
   /** Execute a `DELETE FROM` or `UPDATE` statement against a registered
     * MergeTable. All of the API twins' semantics apply: file-pruned
     * rewrite, NULL-predicate rows kept (DELETE) / untouched (UPDATE),
@@ -101,6 +118,39 @@ object LakeSql {
     */
   def run(spark: SparkSession, sql: String, targets: Map[String, MergeTable]): Unit =
     sql match {
+      case CreateTableShape(ifNotExists, name, parts, loc, propKvs, query) =>
+        val known = targets.keySet ++ LakeCatalog.targets.keySet
+        if (known.contains(name)) {
+          require(ifNotExists != null,
+            s"CREATE TABLE $name: the name is already registered — " +
+              "use CREATE TABLE IF NOT EXISTS for create-if-absent semantics")
+        } else {
+          // the source SELECT composes with registered tables (bare or
+          // VERSION AS OF) exactly like INSERT INTO's source
+          val rows = spark.sql(rewriteReads(spark, query, targets).getOrElse(query))
+          val pcols = Option(parts).toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+          pcols.foreach(c => require(rows.columns.contains(c),
+            s"CREATE TABLE $name: partition column '$c' is not in the query output " +
+              s"(${rows.columns.mkString(", ")})"))
+          val created = new MergeTable(loc, pcols)
+          require(!created.exists,
+            s"CREATE TABLE $name: a MergeTable already exists at $loc")
+          created.overwrite(rows)
+          Option(propKvs).foreach(kvs => created.setProperties(parsePropList(kvs)))
+          // registered so follow-up statements resolve the new name through
+          // the same session — the whole point of a CTAS
+          LakeCatalog.register(name, created)
+        }
+      case DropTableShape(ifExists, name) =>
+        // external-table DROP semantics (Delta's for external tables too):
+        // the NAME is dropped from the registry; data and commit log stay
+        // on disk and can be re-registered or vacuumed independently
+        require(ifExists != null || targets.contains(name) ||
+            LakeCatalog.targets.contains(name),
+          s"DROP TABLE $name: not a registered lake table — " +
+            "use DROP TABLE IF EXISTS for drop-if-present semantics")
+        LakeCatalog.unregister(name)
       case DeleteShape(tgt, pred) =>
         resolve(tgt, targets).delete(spark, expr(pred))
       case UpdateShape(tgt, sets, pred) =>
@@ -222,7 +272,17 @@ object LakeSql {
     case DropColumnShape(tgt, _)   => Some(tgt)
     case SetPropsShape(tgt, _)     => Some(tgt)
     case UnsetPropsShape(tgt, _)   => Some(tgt)
+    case DropTableShape(_, tgt)    => Some(tgt)
     case _                         => None
+  }
+
+  /** True for `CREATE TABLE … USING GRAFT … AS SELECT` — the provider tag
+    * means the statement is ours even though its target is (by definition)
+    * not registered yet, so the injected parser routes on shape alone.
+    */
+  private[sqlapi] def isCreateStatement(sql: String): Boolean = sql match {
+    case CreateTableShape(_, _, _, _, _, _) => true
+    case _                                  => false
   }
 
   /** Target of a rows-returning metadata statement (DESCRIBE HISTORY /

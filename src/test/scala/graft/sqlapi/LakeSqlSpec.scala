@@ -128,6 +128,39 @@ class LakeSqlSpec extends SparkSpec {
     assert(t.properties("owner.team") === "data-eng")
   }
 
+  test("CTAS: CREATE TABLE USING GRAFT via spark.sql, partitioned + properties; DROP unregisters") {
+    val t = seeded("lsql_ctas_src")
+    LakeCatalog.register("ctas_src", t)
+    try {
+      // first lake statement of its kind: routed on the USING GRAFT tag even
+      // though the target is unregistered
+      spark.sql(s"""CREATE TABLE ctas_dst USING GRAFT PARTITIONED BY (p)
+                   |LOCATION '${t.root}_ctas_dst' TBLPROPERTIES (origin = 'ctas_src')
+                   |AS SELECT k, v, p FROM ctas_src WHERE k <= 2""".stripMargin)
+      val dst = LakeCatalog.targets("ctas_dst")
+      assert(dst.partitionCols === Seq("p"))
+      assert(dst.properties === Map("origin" -> "ctas_src"))
+      assert(spark.sql("SELECT k FROM ctas_dst").collect().map(_.getInt(0)).toSet === Set(1, 2))
+      // same name again: plain CREATE fails, IF NOT EXISTS is a no-op
+      val ex = intercept[IllegalArgumentException] {
+        spark.sql(s"CREATE TABLE ctas_dst USING GRAFT LOCATION '${t.root}_x' AS SELECT 1 AS a")
+      }
+      assert(ex.getMessage.contains("already registered"))
+      spark.sql(s"CREATE TABLE IF NOT EXISTS ctas_dst USING GRAFT " +
+        s"LOCATION '${t.root}_y' AS SELECT 1 AS a")
+      assert(LakeCatalog.targets("ctas_dst").root === s"${t.root}_ctas_dst")
+      // DROP unregisters the name; data stays on disk (external semantics)
+      spark.sql("DROP TABLE ctas_dst")
+      assert(!LakeCatalog.targets.contains("ctas_dst"))
+      assert(new MergeTable(s"${t.root}_ctas_dst", Seq("p")).read(spark).count() === 2)
+      // a non-GRAFT create is never intercepted
+      assert(!LakeSql.isCreateStatement(
+        "CREATE TABLE x USING parquet LOCATION '/tmp/x' AS SELECT 1"))
+    } finally {
+      LakeCatalog.unregister("ctas_src"); LakeCatalog.unregister("ctas_dst")
+    }
+  }
+
   test("RESTORE TABLE ... TO VERSION AS OF rolls back via the statement path") {
     val t = seeded("lsql_restore")
     val before = t.read(spark).collect().toSet
