@@ -589,6 +589,22 @@ object DedupQueries {
              |WHERE vec_id NOT IN (SELECT id_b FROM pairs)""".stripMargin),
       "embedding-cosine near-dup dedup: LSH candidates + keep-lowest-id anti-join"),
 
+    // SemDeDup-style semantic dedup: partition the corpus into
+    // deterministic hyperplane-sign CELLS (the k-means clusters' replayable
+    // stand-in — see SimilarityQueries.CellBits), run pairwise cosine ONLY
+    // within cells, keep the lowest-id representative of each similar set.
+    // Differs from d9 in cost model: d9's banded LSH targets thresholded
+    // RECALL, d12 is SemDeDup's cluster-then-pairwise shape where the cell
+    // count is the Σ cell² work knob.
+    "d12_semantic_dedup" -> GraftQuery(
+      (s, dir) => graft.queries.SimilarityQueries.semanticDedupSurvivors(s, dir)
+        .orderBy("vec_id"),
+      Some(s"""WITH ${graft.queries.SimilarityQueries.semanticDedupCte}
+             |SELECT vec_id, label, cell FROM cells
+             |WHERE vec_id NOT IN (SELECT vec_id FROM sdups)
+             |ORDER BY vec_id""".stripMargin),
+      "SemDeDup-style dedup: cell-local pairwise cosine, keep-lowest-id survivor"),
+
     // d6's incremental dedup with a Bloom-filter bypass — the 100 TB shape
     // of the fingerprint anti-join. A mergeable Bloom filter over the
     // corpus fingerprints (Spark's own BloomFilterAggregate, exposed as

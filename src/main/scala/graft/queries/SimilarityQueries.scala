@@ -139,6 +139,75 @@ object SimilarityQueries {
     array(bands: _*)
   }
 
+  // ---- SemDeDup-style semantic dedup (d12) ----
+
+  /** Leading hyperplanes whose sign bits define a semantic CELL (2^8 = 256
+    * cells here). SemDeDup (Abbas et al. 2023) clusters embeddings with
+    * k-means and removes near-duplicates by PAIRWISE similarity WITHIN each
+    * cluster — the cell plays the cluster's role with a deterministic,
+    * data-oblivious assignment, which keeps the whole operator replayable
+    * in the oracle (k-means centroids have no cross-engine twin — that
+    * variant lives in v5's IvfIndex). Cost model is SemDeDup's own:
+    * Σ cell² pairwise work, never N² — at corpus scale the knob is simply
+    * more cell bits (2^16–2^20 cells), exactly like SemDeDup's k ≈ 100k
+    * clusters.
+    */
+  val CellBits = 8
+
+  /** Within-cell cosine at or above this ⇒ semantic duplicates; the
+    * LOWEST vec_id in each mutually-similar set survives (deterministic
+    * representative, the keep-one rule as d9).
+    */
+  val SemDedupThreshold = 0.3
+
+  private def cellPlane(p: Int): IndexedSeq[Float] =
+    (0 until 64).map(d => planeComponent(p, d))
+
+  /** Survivors of cell-local semantic dedup over the embeddings corpus:
+    * a vector is dropped iff a SMALLER-id vector in its cell is within
+    * [[SemDedupThreshold]] cosine. One equi-join on the cell key (the
+    * shuffle is cell-partitioned), pairwise only within cells.
+    */
+  def semanticDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cellKey = (0 until CellBits).map { p =>
+      val lit8 = cellPlane(p).map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("CAST(array(", ",", ") AS ARRAY<FLOAT>)")
+      when(expr(s"float_dot(embedding, $lit8)") > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val m = e.withColumn("cell", cellKey)
+      .select("vec_id", "label", "embedding", "norm", "cell")
+    val a = m.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = m.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val dups = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosineFast("emb_a", "emb_b", "norm_a", "norm_b"), 6))
+      .filter(col("cosine") >= SemDedupThreshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    m.join(dups, Seq("vec_id"), "left_anti").select("vec_id", "label", "cell")
+  }
+
+  /** DuckDB replay of [[semanticDedupSurvivors]]: CTEs `cells` (vec_id,
+    * label, emb, cell) and `sdups` (dropped vec_ids). Splice as
+    * `WITH $semanticDedupCte SELECT ... FROM cells ...`.
+    */
+  lazy val semanticDedupCte: String = {
+    val keyExpr = (0 until CellBits).map { p =>
+      val lit8 = cellPlane(p).map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"CASE WHEN list_dot_product(emb, $lit8) > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""e AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, label, emb, $keyExpr AS cell FROM e),
+       |sdups AS (
+       |  SELECT DISTINCT y.vec_id FROM cells x JOIN cells y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= $SemDedupThreshold)""".stripMargin
+  }
+
   /** Thresholded near-dup pairs (id_a < id_b, cosine ≥ [[CosineThreshold]])
     * via banded hyperplane LSH + exact re-rank — v4's candidate machinery,
     * shared with d9's embedding-cosine dedup so both run (and oracle) the

@@ -1001,6 +1001,58 @@ object TextQueries {
              |       CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM sel GROUP BY source""".stripMargin),
       "token-budget selection: threshold-first histogram, boundary-only window"),
+
+    // Cross-source duplication matrix — the dump-overlap governance view a
+    // corpus curator reads before mixing crawls: for every source pair,
+    // how many distinct shingle fingerprints they SHARE and the containment
+    // (shared / smaller side). Shape: one distinct per (source, fp) — the
+    // census shuffle — then a fp equi-join between per-source posting
+    // lists. With S sources a fingerprint contributes at most S(S-1)/2
+    // pairs; the pair space is sources², never documents², and the output
+    // is S²-bounded (handful of rows however big the corpus).
+    "t27_source_overlap" -> GraftQuery(
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val sf = t(s, dir, "documents")
+          .withColumn("sh", explode(expr("word_shingles(text, 3)")))
+          .select(col("source"),
+            expr("CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("fp"))
+          .distinct()
+          .cache()
+        val counts = sf.groupBy("source").agg(count(lit(1)).as("n"))
+        val pairs = sf.toDF("src_a", "fp")
+          .join(sf.toDF("src_b", "fp"), "fp")
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+        pairs
+          .join(counts.toDF("src_a", "n_a"), "src_a")
+          .join(counts.toDF("src_b", "n_b"), "src_b")
+          .withColumn("containment",
+            round(col("shared").cast("double") / least(col("n_a"), col("n_b")), 6))
+          .select("src_a", "src_b", "shared", "containment")
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, list_distinct(list_transform(
+             |           generate_series(1, len(words) - 2),
+             |           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shs
+             |  FROM (SELECT source, string_split(text, ' ') AS words FROM documents)
+             |  WHERE len(words) >= 3),
+             |sf AS (SELECT DISTINCT source,
+             |              ('0x' || substring(md5(sh), 1, 15))::BIGINT AS fp
+             |       FROM (SELECT source, unnest(shs) AS sh FROM d)),
+             |counts AS (SELECT source, count(*) AS n FROM sf GROUP BY source),
+             |pairs AS (
+             |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS shared
+             |  FROM sf x JOIN sf y ON x.fp = y.fp AND x.source < y.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+             |       round(CAST(shared AS DOUBLE) / least(a.n, b.n), 6) AS containment
+             |FROM pairs
+             |JOIN counts a ON a.source = src_a
+             |JOIN counts b ON b.source = src_b
+             |ORDER BY src_a, src_b""".stripMargin),
+      "cross-source duplication matrix: shared shingle census + containment"),
   )
 
   /** t23/t24's shared chunk derivation: per doc, content-defined chunk
