@@ -1208,6 +1208,32 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       f -> rows.map(r => r._2 -> (r._3, r._4)).toMap
     }
 
+  /** ANALYZE TABLE analog: (re)compute per-file min/max statistics of
+    * `cols` over every file of the current snapshot and commit them —
+    * retrofits data skipping onto a table created without `statsCols`
+    * (or extends it to new columns) without rewriting any data. One
+    * file-grouped aggregation pass over the snapshot (the same scan
+    * [[collectStats]] runs per-write, here across all files once); the
+    * commit is metadata-only. Subsequent writes still collect stats for
+    * the constructor's `statsCols` only — re-run analyze after large
+    * ingests if the analyzed columns differ, or construct the table with
+    * the right `statsCols` to keep them fresh automatically.
+    * [[candidateFiles]] treats files lacking a column's stats
+    * conservatively (kept), so mixed coverage degrades pruning, never
+    * correctness.
+    */
+  def analyze(spark: SparkSession, cols: Seq[String]): Unit = {
+    require(exists, s"MergeTable at $root does not exist")
+    val v = currentVersion
+    val c = readCommit(v)
+    val missing = cols.filterNot(c.schema.fieldNames.contains)
+    require(cols.nonEmpty && missing.isEmpty,
+      s"analyze of $root: columns ${missing.mkString(", ")} not in schema " +
+        s"(${c.schema.fieldNames.mkString(", ")})")
+    val stats = collectStatsFor(spark, c.files, c.schema, colmapOf(v), cols)
+    commit(v + 1, c.files, c.schema, stats, op = "ANALYZE")
+  }
+
   /** The current snapshot's files that MIGHT contain a row with
     * `column ∈ [lo, hi]`: a file is skipped when its recorded [min, max]
     * doesn't intersect the range, or when it holds no non-null value of the
@@ -1878,8 +1904,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   private def collectStats(spark: SparkSession, relFiles: Seq[String],
                            schema: StructType,
-                           colmap: Map[String, String]): Seq[String] = {
-    val cols = statsCols.filter(c => schema.fieldNames.contains(c))
+                           colmap: Map[String, String]): Seq[String] =
+    collectStatsFor(spark, relFiles, schema, colmap, statsCols)
+
+  private def collectStatsFor(spark: SparkSession, relFiles: Seq[String],
+                              schema: StructType,
+                              colmap: Map[String, String],
+                              wantCols: Seq[String]): Seq[String] = {
+    val cols = wantCols.filter(c => schema.fieldNames.contains(c))
     if (cols.isEmpty || relFiles.isEmpty) return Nil
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
     readFiles(spark, relFiles, schema, colmap)

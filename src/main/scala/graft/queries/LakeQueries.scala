@@ -926,5 +926,32 @@ object LakeQueries {
              |  FROM orders GROUP BY o_orderstatus, o_custkey)
              |WHERE n >= 2""".stripMargin),
       "CREATE TABLE ... USING GRAFT AS SELECT via spark.sql; DROP TABLE unregisters"),
+
+    // ANALYZE TABLE retrofits data skipping: the table is created WITHOUT
+    // statsCols (no stats collected at write time), range-partitioned by
+    // key so files cover disjoint key ranges; one ANALYZE pass records
+    // per-file min/max, after which the range read provably prunes files.
+    "m32_analyze" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m32_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root) // NO statsCols
+        table.overwrite(orders.repartitionByRange(8, col("o_orderkey")))
+        require(table.candidateFiles("o_orderkey", 100, 200).size ==
+          table.filesOf(0).size, "without stats every file is a candidate")
+        graft.sqlapi.LakeSql.run(s,
+          "ANALYZE TABLE tbl COMPUTE STATISTICS FOR COLUMNS o_orderkey",
+          Map("tbl" -> table))
+        val all = table.filesOf(table.currentVersion)
+        val cand = table.candidateFiles("o_orderkey", 100, 200)
+        require(cand.nonEmpty && cand.size < all.size,
+          s"analyze must enable pruning (${cand.size} of ${all.size})")
+        table.readRange(s, "o_orderkey", 100, 200)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |WHERE o_orderkey BETWEEN 100 AND 200""".stripMargin),
+      "ANALYZE TABLE: stats backfill on a stats-less table, then pruned range read"),
   )
 }

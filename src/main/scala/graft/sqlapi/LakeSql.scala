@@ -22,6 +22,7 @@ import graft.lake.MergeTable
   *   ALTER TABLE t ADD COLUMNS (c1 type1 [, ...])
   *   ALTER TABLE t RENAME COLUMN a TO b           -- metadata-only (column mapping)
   *   ALTER TABLE t DROP COLUMN a                  -- metadata-only (column mapping)
+  *   ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS c1 [, ...]
   *   ALTER TABLE t SET TBLPROPERTIES (k = v [, ...])
   *   ALTER TABLE t UNSET TBLPROPERTIES (k [, ...])
   *   SHOW TBLPROPERTIES t                         -- key/value rows (query())
@@ -110,6 +111,10 @@ object LakeSql {
   private val DropTableShape =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
 
+  private val AnalyzeShape =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS\s+""" +
+     """FOR\s+COLUMNS\s+\(?\s*([^);]+?)\s*\)?\s*;?\s*$""").r
+
   /** Execute a `DELETE FROM` or `UPDATE` statement against a registered
     * MergeTable. All of the API twins' semantics apply: file-pruned
     * rewrite, NULL-predicate rows kept (DELETE) / untouched (UPDATE),
@@ -192,6 +197,9 @@ object LakeSql {
       case UnsetPropsShape(tgt, ks) =>
         resolve(tgt, targets).unsetProperties(
           ks.split(",").map(k => stripQuotes(k.trim)).filter(_.nonEmpty).toSeq)
+      case AnalyzeShape(tgt, cols) =>
+        resolve(tgt, targets).analyze(spark,
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case RenameColumnShape(tgt, from, to) =>
         resolve(tgt, targets).renameColumn(from, to)
       case DropColumnShape(tgt, colName) =>
@@ -273,6 +281,7 @@ object LakeSql {
     case SetPropsShape(tgt, _)     => Some(tgt)
     case UnsetPropsShape(tgt, _)   => Some(tgt)
     case DropTableShape(_, tgt)    => Some(tgt)
+    case AnalyzeShape(tgt, _)      => Some(tgt)
     case _                         => None
   }
 
