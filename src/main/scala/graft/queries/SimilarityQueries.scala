@@ -505,6 +505,18 @@ object SimilarityQueries {
              |FROM cands ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
       "sign-bit binary codes: 8-byte Hamming scan + fp32 re-rank of 50 survivors"),
 
+    // Product-quantization ANN (graft.operators.PqIndex): 8 subspace
+    // codebooks (k-means, 16 centroids each), vectors encoded as 8 code
+    // ids (32× bandwidth cut), queries scored by ADC table lookups, exact
+    // fp32 re-rank of 50 survivors. Codebook values are k-means output →
+    // rows-only check (like v5); SketchSpec pins the invariants (identical
+    // vectors share codes, planted twin found at rank 1, recall vs exact).
+    "v10_pq_search" -> GraftQuery(
+      (s, dir) => graft.operators.PqIndex.search(
+        s, emb(s, dir), queryId = 0, k = 10),
+      None,
+      "PQ ANN: per-subspace codebooks, ADC code scan, fp32 re-rank"),
+
     // Per-label embedding centroids through the native `vec_avg` Catalyst
     // aggregate (graft.functions.VecAvg): ONE (sums, count) buffer per
     // group — the shuffle carries groups × (dim+1) doubles, where the

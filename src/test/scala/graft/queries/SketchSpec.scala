@@ -94,6 +94,46 @@ class SketchSpec extends SparkSpec {
     assert(ivf.forall(_._2 <= 1.0))
   }
 
+  test("v10 PQ: identical vectors share codes; planted twin ranks first; cosines exact") {
+    GraftFunctions.register(spark)
+    val e = Registry.t(spark, dir, "embeddings")
+    val cb = graft.operators.PqIndex.fit(e, kCentroids = 2)
+    assert(cb.centers.length === graft.operators.PqIndex.NumSub)
+    val codes = graft.operators.PqIndex.encode(e, cb)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c =>
+      c.length == graft.operators.PqIndex.NumSub && c.forall(i => i >= 0 && i < 2)),
+      "codes must be NumSub ids within the codebook")
+    assert(codes(0L) === codes(1L), "identical vectors must share all codes")
+    val top = graft.operators.PqIndex
+      .search(spark, e, queryId = 0, k = 3, kCentroids = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(top.head === ((1L, 1.0)),
+      "the identical twin shares every code, so ADC must surface it and re-rank at 1.0")
+    assert(top.forall(_._2 <= 1.0), "re-ranked cosines are exact")
+  }
+
+  test("v10 PQ recall@10 vs the exact baseline at sf fixture scale") {
+    GraftFunctions.register(spark)
+    val e = Registry.t(spark, dir, "embeddings")
+    // with rerank covering the whole 5-vector corpus the PQ answer must
+    // EQUAL the exact baseline — the candidate stage can only reorder,
+    // the re-rank is exact
+    val pq = graft.operators.PqIndex
+      .search(spark, e, queryId = 0, k = 5, rerank = 10, kCentroids = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val ex = e.withColumn("norm", expr("sqrt(float_dot(embedding, embedding))"))
+    val q = ex.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val expected = ex.filter(col("vec_id") =!= 0).crossJoin(q)
+      .withColumn("cosine",
+        round(expr("float_dot(embedding, q_emb)") / (col("norm") * col("q_norm")), 6))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(pq === expected, "full-corpus rerank ⇒ PQ must equal the exact ranking")
+  }
+
   test("v3 exact all-pairs refuses to run above its corpus-size bound") {
     GraftFunctions.register(spark)
     val e = Registry.t(spark, dir, "embeddings")
