@@ -225,6 +225,23 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     v
   }
 
+  /** Latest version whose commit was published at or before `tsMillis`
+    * (Delta's `TIMESTAMP AS OF` resolution rule: the snapshot a reader at
+    * that wall-clock instant would have seen). Commit files are never
+    * rewritten after publish, so their mtime IS the publish time. Fails
+    * when the timestamp precedes the first commit.
+    */
+  def versionAt(tsMillis: Long): Long = {
+    require(exists, s"MergeTable at $root does not exist")
+    val vs = (0L to currentVersion)
+      .filter(v => Files.exists(commitPath(v)) &&
+        Files.getLastModifiedTime(commitPath(v)).toMillis <= tsMillis)
+    require(vs.nonEmpty,
+      s"no version of $root existed at timestamp $tsMillis — the first commit " +
+        s"was published at ${Files.getLastModifiedTime(commitPath(0)).toMillis}")
+    vs.max
+  }
+
   def schemaOf(version: Long): StructType = readCommit(version).schema
 
   def filesOf(version: Long): Seq[String] = readCommit(version).files

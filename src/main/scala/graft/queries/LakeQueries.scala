@@ -686,6 +686,64 @@ object LakeQueries {
              |GROUP BY o_orderstatus""".stripMargin),
       "lake DML + reads driven purely through spark.sql via the injected parser"),
 
+    // Wall-clock time travel: TIMESTAMP AS OF must resolve the snapshot a
+    // reader at that instant would have seen (commit publish times) — here
+    // the pre-merge v0, captured between the two commits.
+    "m33_timestamp_travel" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m33_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders.filter(col("o_orderkey") % 4 =!= 3))
+        val ts = System.currentTimeMillis() // v0 is published; v1 is not
+        table.merge(s, orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M")), Seq("o_orderkey"))
+        val tsLit = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneId.systemDefault())
+          .format(java.time.Instant.ofEpochMilli(ts))
+        graft.sqlapi.LakeSql.query(s,
+          s"""SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS key_sum
+             |FROM tbl TIMESTAMP AS OF '$tsLit'
+             |GROUP BY o_orderstatus""".stripMargin, Map("tbl" -> table))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderkey % 4 <> 3
+             |GROUP BY o_orderstatus""".stripMargin),
+      "wall-clock time travel: TIMESTAMP AS OF reads the pre-merge snapshot"),
+
+    // SQL SHALLOW CLONE: zero-copy create through spark.sql, then verify
+    // copy-on-write isolation — a DELETE on the clone must not leak into
+    // the source, whose final aggregate is the checked output.
+    "m34_clone_sql" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m34_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root + "/src", Seq("o_orderstatus"))
+        table.overwrite(orders)
+        val src = s"m34_src_${sanitize(dir)}"
+        val cl = s"m34_clone_${sanitize(dir)}"
+        graft.sqlapi.LakeCatalog.register(src, table)
+        try {
+          s.sql(s"CREATE TABLE $cl SHALLOW CLONE $src LOCATION '$root/clone'")
+          s.sql(s"DELETE FROM $cl WHERE o_orderkey % 2 = 0")
+          // join clone vs source THROUGH spark.sql: the deleted half is
+          // present only on the source side
+          s.sql(s"""SELECT o.o_orderstatus, count(*) AS n, sum(o.o_orderkey) AS key_sum
+                   |FROM $src o LEFT ANTI JOIN $cl c ON o.o_orderkey = c.o_orderkey
+                   |GROUP BY o.o_orderstatus""".stripMargin)
+        } finally {
+          graft.sqlapi.LakeCatalog.unregister(src)
+          graft.sqlapi.LakeCatalog.unregister(cl)
+        }
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |GROUP BY o_orderstatus""".stripMargin),
+      "SQL SHALLOW CLONE: zero-copy create + copy-on-write isolation via spark.sql"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

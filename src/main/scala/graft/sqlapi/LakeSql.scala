@@ -27,6 +27,8 @@ import graft.lake.MergeTable
   *   ALTER TABLE t UNSET TBLPROPERTIES (k [, ...])
   *   SHOW TBLPROPERTIES t                         -- key/value rows (query())
   *   SELECT ... FROM t VERSION AS OF <n> ...      -- time travel
+  *   SELECT ... FROM t TIMESTAMP AS OF '<ts>' ... -- time travel by wall clock
+  *   CREATE TABLE t2 SHALLOW CLONE t LOCATION '<path>'  -- zero-copy clone
   *   DESCRIBE HISTORY t                           -- audit log (query())
   *   DESCRIBE DETAIL t                            -- table facts (query())
   *   SHOW PARTITIONS t                            -- manifest partitions (query())
@@ -54,6 +56,18 @@ object LakeSql {
 
   private val TimeTravelRef =
     """(?i)([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  private val TimestampTravelRef =
+    """(?i)([\w.]+)\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|"([^"]+)")""".r
+
+  /** Delta's `CREATE TABLE t2 SHALLOW CLONE t1` — zero-copy: the clone's
+    * first commit references the source's live data files by path; both
+    * tables are copy-on-write afterwards, so neither's subsequent writes
+    * affect the other.
+    */
+  private val CloneShape =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+""" +
+     """SHALLOW\s+CLONE\s+([\w.]+)\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
 
   private val DescribeHistoryShape =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
@@ -146,6 +160,15 @@ object LakeSql {
           // registered so follow-up statements resolve the new name through
           // the same session — the whole point of a CTAS
           LakeCatalog.register(name, created)
+        }
+      case CloneShape(ifNotExists, name, src, loc) =>
+        val known = targets.keySet ++ LakeCatalog.targets.keySet
+        if (known.contains(name)) {
+          require(ifNotExists != null,
+            s"CREATE TABLE $name: the name is already registered — " +
+              "use CREATE TABLE IF NOT EXISTS for create-if-absent semantics")
+        } else {
+          LakeCatalog.register(name, resolve(src, targets).cloneTo(loc))
         }
       case DropTableShape(ifExists, name) =>
         // external-table DROP semantics (Delta's for external tables too):
@@ -249,6 +272,22 @@ object LakeSql {
       any = true
       java.util.regex.Matcher.quoteReplacement(view)
     })
+    // TIMESTAMP AS OF: resolve to the version live at that instant
+    // (commit publish times). Unregistered names are left untouched —
+    // Spark's own parser owns time travel over real catalog tables.
+    rewritten = TimestampTravelRef.replaceAllIn(rewritten, m => {
+      val name = m.group(1)
+      targets.get(name) match {
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        case Some(table) =>
+          val millis = parseTsMillis(Option(m.group(2)).getOrElse(m.group(3)))
+          val ver = table.versionAt(millis)
+          val view = s"${name.replace('.', '_')}__t$ver"
+          table.readVersion(spark, ver).createOrReplaceTempView(view)
+          any = true
+          java.util.regex.Matcher.quoteReplacement(view)
+      }
+    })
     // bare references to registered tables → current snapshot views
     targets.foreach { case (name, table) =>
       val bare = s"""(?i)(?<![\\w.])${java.util.regex.Pattern.quote(name)}(?![\\w.])""".r
@@ -270,6 +309,9 @@ object LakeSql {
   private[sqlapi] def runStatementTarget(sql: String): Option[String] = sql match {
     case DeleteShape(tgt, _)    => Some(tgt)
     case UpdateShape(tgt, _, _) => Some(tgt)
+    // routed on the SOURCE: the clone's own name is by definition not
+    // registered yet, but a registered source marks the statement ours
+    case CloneShape(_, _, src, _)  => Some(src)
     case VacuumShape(tgt, _)       => Some(tgt)
     case RestoreShape(tgt, _)      => Some(tgt)
     case ZorderShape(tgt, _)       => Some(tgt)
@@ -315,6 +357,19 @@ object LakeSql {
     * tokens pass through — property VALUES are stored verbatim, never
     * evaluated as expressions.
     */
+  /** Parse a time-travel literal — `yyyy-MM-dd` or `yyyy-MM-dd HH:mm:ss[.SSS]`
+    * — to epoch millis in the JVM default zone: commit publish times are
+    * local-filesystem mtimes, so the same clock must read both sides of
+    * the comparison.
+    */
+  private[sqlapi] def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    val local =
+      if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
+      else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+    local.atZone(java.time.ZoneId.systemDefault()).toInstant.toEpochMilli
+  }
+
   private def stripQuotes(s0: String): String = {
     val t = s0.trim
     if (t.length >= 2 && ((t.head == '\'' && t.last == '\'') ||

@@ -235,6 +235,54 @@ class LakeSqlSpec extends SparkSpec {
     assert(ex2.getMessage.contains("unknown table"))
   }
 
+  test("TIMESTAMP AS OF resolves the version live at that wall-clock instant") {
+    val t = seeded("lsql_ts") // v0
+    // commit mtimes can be coarse on some filesystems — separate the two
+    // commits (and the probe instant) by more than a second
+    Thread.sleep(1100)
+    val betweenMillis = System.currentTimeMillis()
+    Thread.sleep(1100)
+    t.delete(spark, col("k") === 1) // v1
+    assert(t.versionAt(betweenMillis) === 0L)
+    assert(t.versionAt(System.currentTimeMillis()) === 1L)
+    intercept[IllegalArgumentException] { t.versionAt(0L) } // before first commit
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.systemDefault())
+      .format(java.time.Instant.ofEpochMilli(betweenMillis))
+    val n = LakeSql.query(spark,
+      s"SELECT count(*) AS n FROM tbl TIMESTAMP AS OF '$lit'", Map("tbl" -> t))
+      .head().getLong(0)
+    assert(n === 3L) // pre-delete snapshot
+    // an unregistered name inside the literal passes through untouched
+    intercept[Exception] {
+      LakeSql.query(spark,
+        s"SELECT * FROM nope TIMESTAMP AS OF '$lit'", Map("tbl" -> t)).collect()
+    }
+  }
+
+  test("CREATE TABLE ... SHALLOW CLONE clones zero-copy through spark.sql") {
+    val t = seeded("lsql_clone_src")
+    LakeCatalog.register("cat_csrc", t)
+    try {
+      spark.sql("CREATE TABLE cat_cl SHALLOW CLONE cat_csrc " +
+        s"LOCATION '${scratch("lsql_clone_dst")}'")
+      assert(spark.sql("SELECT count(*) AS n FROM cat_cl").head().getLong(0) === 3)
+      // copy-on-write: mutating the clone leaves the source untouched
+      spark.sql("DELETE FROM cat_cl WHERE k = 1")
+      assert(spark.sql("SELECT count(*) AS n FROM cat_cl").head().getLong(0) === 2)
+      assert(asSet(t).size === 3)
+      // name collision fails loudly; IF NOT EXISTS is a no-op
+      intercept[Exception] {
+        spark.sql("CREATE TABLE cat_cl SHALLOW CLONE cat_csrc " +
+          s"LOCATION '${scratch("lsql_clone_d2")}'")
+      }
+      spark.sql("CREATE TABLE IF NOT EXISTS cat_cl SHALLOW CLONE cat_csrc " +
+        s"LOCATION '${scratch("lsql_clone_d3")}'")
+      assert(spark.sql("SELECT count(*) AS n FROM cat_cl").head().getLong(0) === 2)
+    } finally { LakeCatalog.unregister("cat_csrc"); LakeCatalog.unregister("cat_cl") }
+  }
+
   test("parseSetList splits on top-level commas only, including strings") {
     assert(LakeSql.parseSetList("a = coalesce(x, y), b = 'p,q', c = 1 + 2") ===
       Seq("a" -> "coalesce(x, y)", "b" -> "'p,q'", "c" -> "1 + 2"))
