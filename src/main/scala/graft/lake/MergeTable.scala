@@ -646,6 +646,264 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     }
   }
 
+  /** Delta's FULL conditional-clause MERGE surface (the richer shape the
+    * reference's update-all/insert-all call-sites are a special case of):
+    * {{{
+    *   WHEN MATCHED [AND c] THEN UPDATE SET col = expr, … | UPDATE SET * | DELETE
+    *   WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (exprs) | INSERT *
+    *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE
+    * }}}
+    * Semantics are Delta's exactly: within each clause group the FIRST
+    * clause whose condition holds claims the row; a row no clause claims is
+    * left unchanged (matched / by-source) or dropped (not-matched source
+    * row). All but the last clause of a group must carry a condition — an
+    * unconditional non-last clause is dead code and Delta rejects it too.
+    *
+    * Scale shape: identical to [[merge]] — the touched-file probe confines
+    * the rewrite to files holding at least one matched key (broadcast
+    * semi-join on file names, metadata-sized collect), untouched files
+    * carry forward by manifest reference, and the whole clause dispatch is
+    * ONE pass over the touched rows: a codegen'd first-true-wins action
+    * column, then per-column `when` chains — never one join per clause.
+    * BY SOURCE clauses widen the scope to every in-scope file (any file
+    * may hold now-unmatched rows — the same honesty as
+    * `deleteNotMatchedBySource`), still partition-pruned under
+    * `keysDeterminePartitions`.
+    *
+    * Generated columns: inserts derive unspecified generated columns from
+    * their expressions; updates VALIDATE them (a clause updating a
+    * dependency must set the generated column consistently, or the write
+    * raises — Delta's consistency check, without its silent recompute).
+    *
+    * The target must exist (Delta likewise refuses MERGE into nothing —
+    * the reference's bootstrap path is [[merge]]'s).
+    */
+  def mergeClauses(spark: SparkSession, source: DataFrame, keys: Seq[String],
+                   clauses: Seq[MergeTable.MergeClause],
+                   targetAlias: String = "t", sourceAlias: String = "s",
+                   checkUniqueSource: Boolean = true,
+                   changeFeed: Boolean = false,
+                   keysDeterminePartitions: Boolean = false,
+                   txn: Option[(String, Long)] = None): Unit = {
+    import MergeTable.{ActionCol, BySourceDelete, BySourceUpdate, ChangeType,
+      MatchedDelete, MatchedUpdate, MergeClause, NotMatchedInsert}
+    require(exists, s"mergeClauses target $root does not exist — bootstrap with overwrite/merge")
+    require(keys.nonEmpty, "merge requires at least one key column")
+    require(clauses.nonEmpty, "mergeClauses requires at least one WHEN clause")
+    require(targetAlias.toLowerCase != sourceAlias.toLowerCase,
+      s"target and source aliases collide ('$targetAlias') — alias one side")
+
+    val matched: Seq[MergeClause] =
+      clauses.filter(c => c.isInstanceOf[MatchedUpdate] || c.isInstanceOf[MatchedDelete])
+    val inserts: Seq[NotMatchedInsert] =
+      clauses.collect { case c: NotMatchedInsert => c }
+    val bySource: Seq[MergeClause] =
+      clauses.filter(c => c.isInstanceOf[BySourceUpdate] || c.isInstanceOf[BySourceDelete])
+    Seq("MATCHED" -> matched, "NOT MATCHED" -> inserts, "NOT MATCHED BY SOURCE" -> bySource)
+      .foreach { case (group, cs) =>
+        cs.dropRight(1).foreach(c => require(c.condition.isDefined,
+          s"only the last WHEN $group clause may omit its condition — " +
+            "an unconditional earlier clause makes the rest dead code"))
+      }
+
+    val v = currentVersion
+    val schema = schemaOf(v)
+    val tCols = schema.fieldNames.toSeq
+    val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    (matched ++ bySource).foreach {
+      case MatchedUpdate(_, set)  => set.foreach { case (c, _) =>
+        require(typeOf.contains(c), s"UPDATE SET targets unknown column '$c'") }
+      case BySourceUpdate(_, set) => set.foreach { case (c, _) =>
+        require(typeOf.contains(c), s"UPDATE SET targets unknown column '$c'") }
+      case _ =>
+    }
+    inserts.foreach(i => i.values.foreach { case (c, _) =>
+      require(typeOf.contains(c), s"INSERT targets unknown column '$c'") })
+
+    // first-true-wins dispatch over a clause group: ONE codegen'd column
+    def actionOf(cs: Seq[MergeClause]): Column =
+      cs.zipWithIndex.foldRight(lit(-1): Column) { case ((cl, i), els) =>
+        when(cl.condition.map(expr).getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+    def deleteIdx(cs: Seq[MergeClause]): Seq[Int] = cs.zipWithIndex.collect {
+      case (_: MatchedDelete, i)  => i
+      case (_: BySourceDelete, i) => i
+    }
+    def updateIdx(cs: Seq[MergeClause]): Seq[Int] = cs.zipWithIndex.collect {
+      case (_: MatchedUpdate, i)  => i
+      case (_: BySourceUpdate, i) => i
+    }
+    // the updated value of target column `c` under the claimed clause:
+    // nested whens over the action column, base = the unchanged target value
+    def outColumn(c: String, cs: Seq[MergeClause]): Column = {
+      val base: Column = col(s"$targetAlias.$c")
+      cs.zipWithIndex.foldRight(base) {
+        case ((MatchedUpdate(_, set), i), els) =>
+          val value =
+            if (set.isEmpty) col(s"$sourceAlias.$c") // UPDATE SET *
+            else set.find(_._1 == c).map(p => expr(p._2)).getOrElse(base)
+          when(col(ActionCol) === i, value).otherwise(els)
+        case ((BySourceUpdate(_, set), i), els) =>
+          val value = set.find(_._1 == c).map(p => expr(p._2)).getOrElse(base)
+          when(col(ActionCol) === i, value).otherwise(els)
+        case (_, els) => els
+      }.cast(typeOf(c)).as(c)
+    }
+    def dropClaimedDeletes(df: DataFrame, cs: Seq[MergeClause]): DataFrame = {
+      val del = deleteIdx(cs)
+      if (del.isEmpty) df else df.filter(!col(ActionCol).isin(del.map(Int.box): _*))
+    }
+
+    val src = source.cache()
+    try {
+      if (checkUniqueSource) {
+        val dup = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+        require(dup == 0L,
+          s"merge source has duplicate keys on (${keys.mkString(",")}) — Delta MERGE would fail (multiple source rows matched one target row)")
+      }
+      val srcKeys = src.select(keys.map(col): _*)
+      val oldFiles = filesOf(v)
+      val dvs = dvsOf(v)
+      val cmap = colmapOf(v)
+
+      // scope + touched-file probe: same machinery as [[merge]] (see its
+      // comments); BY SOURCE clauses rewrite every in-scope file
+      val probeRel: Seq[String] =
+        if (keysDeterminePartitions && partitionCols.nonEmpty) {
+          import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          val pvals = src
+            .select(partitionCols.map(c => col(c).cast("string")): _*)
+            .distinct().collect()
+          val dirs: Set[String] = pvals.map(r =>
+            partitionCols.indices.map { i =>
+              val seg = ExternalCatalogUtils.getPartitionValueString(r.getString(i))
+              s"${partitionCols(i)}=$seg"
+            }.mkString("/")).toSet
+          oldFiles.filter(f => dirs.exists(d => f.contains(s"/$d/")))
+        } else oldFiles
+      val (touchedRel, keptRel) =
+        if (bySource.nonEmpty) {
+          val scope = probeRel.toSet
+          oldFiles.partition(scope.contains)
+        } else {
+          val touched: Set[String] = readFiles(spark, probeRel, schema, cmap, dvs,
+              fileCol = Some("_graft_file"))
+            .join(srcKeys, keys, "left_semi")
+            .select("_graft_file").distinct()
+            .collect().map(r => normalize(r.getString(0))).toSet
+          oldFiles.partition(f => touched.exists(t => t.endsWith("/" + f) || t == f))
+        }
+
+      val touchedData =
+        if (touchedRel.isEmpty) None
+        else Some(readFiles(spark, touchedRel, schema, cmap, dvs))
+      val joinCond = keys.map(k =>
+        col(s"$targetAlias.$k") === col(s"$sourceAlias.$k")).reduce(_ && _)
+
+      // matched pairs: one inner join, one action column, one select
+      val matchedOut: Option[DataFrame] = touchedData.map { td =>
+        val withA = td.as(targetAlias).join(src.as(sourceAlias), joinCond, "inner")
+          .withColumn(ActionCol, actionOf(matched))
+        val rows = dropClaimedDeletes(withA, matched)
+          .select(tCols.map(c => outColumn(c, matched)): _*)
+        applyGenerated(rows) // all columns present → consistency validation
+      }
+
+      // target rows with no source match: unchanged, unless BY SOURCE claims them
+      val unmatchedOut: Option[DataFrame] = touchedData.map { td =>
+        val ut = td.join(srcKeys, keys, "left_anti")
+        if (bySource.isEmpty) ut
+        else {
+          val withA = ut.as(targetAlias).withColumn(ActionCol, actionOf(bySource))
+          val rows = dropClaimedDeletes(withA, bySource)
+            .select(tCols.map(c => outColumn(c, bySource)): _*)
+          applyGenerated(rows)
+        }
+      }
+
+      // unmatched source rows: first-true insert clause, or dropped.
+      // Per-clause frames (each with its own column list) — clause counts
+      // are tiny, and each frame stays one codegen'd select.
+      val unmatchedS: DataFrame = touchedData match {
+        case Some(td) => src.join(td.select(keys.map(col): _*), keys, "left_anti")
+        case None     => src
+      }
+      val insertOut: Seq[DataFrame] =
+        if (inserts.isEmpty) Nil
+        else {
+          val withA = unmatchedS.as(sourceAlias)
+            .withColumn(ActionCol, actionOf(inserts))
+          inserts.zipWithIndex.map { case (NotMatchedInsert(_, values), i) =>
+            val rows = withA.filter(col(ActionCol) === i)
+            val named =
+              if (values.isEmpty) // INSERT *
+                rows.select(tCols.map(c => col(s"$sourceAlias.$c").as(c)): _*)
+              else rows.select(values.map { case (c, e) =>
+                expr(e).cast(typeOf(c)).as(c) }: _*)
+            val gen = applyGenerated(named) // derives unspecified generated cols
+            val full = tCols.foldLeft(gen) { (d, c) =>
+              if (d.columns.contains(c)) d
+              else d.withColumn(c, lit(null).cast(typeOf(c)))
+            }
+            full.select(tCols.map(c => col(c).cast(typeOf(c)).as(c)): _*)
+          }
+        }
+
+      val pieces = matchedOut.toSeq ++ unmatchedOut.toSeq ++ insertOut
+      val newData = pieces.reduceOption(_ unionByName _)
+        .getOrElse(readFiles(spark, Nil, schema, cmap))
+
+      val newVersion = v + 1
+      val dataDir = newDataDir(newVersion)
+      writeData(newData, dataDir, cmap)
+      val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
+
+      // CDF at write time from the already-pruned frames (same discipline
+      // as [[merge]] — never a snapshot diff). Only when asked: the extra
+      // passes below re-derive pre/post/delete images from touched rows.
+      val cdfDir =
+        if (!changeFeed) None
+        else {
+          def images(td: DataFrame, cs: Seq[MergeClause], paired: Boolean): Seq[DataFrame] = {
+            val base =
+              if (paired) td.as(targetAlias).join(src.as(sourceAlias), joinCond, "inner")
+              else td.join(srcKeys, keys, "left_anti").as(targetAlias)
+            val withA = base.withColumn(ActionCol, actionOf(cs))
+            val upd = updateIdx(cs)
+            val del = deleteIdx(cs)
+            val tSel = tCols.map(c => col(s"$targetAlias.$c").as(c))
+            val pre =
+              if (upd.isEmpty) None
+              else Some(withA.filter(col(ActionCol).isin(upd.map(Int.box): _*))
+                .select(tSel: _*).withColumn(ChangeType, lit("update_preimage")))
+            val post =
+              if (upd.isEmpty) None
+              else Some(withA.filter(col(ActionCol).isin(upd.map(Int.box): _*))
+                .select(tCols.map(c => outColumn(c, cs)): _*)
+                .withColumn(ChangeType, lit("update_postimage")))
+            val dele =
+              if (del.isEmpty) None
+              else Some(withA.filter(col(ActionCol).isin(del.map(Int.box): _*))
+                .select(tSel: _*).withColumn(ChangeType, lit("delete")))
+            pre.toSeq ++ post.toSeq ++ dele.toSeq
+          }
+          val matchedImgs = touchedData.toSeq.flatMap(td => images(td, matched, paired = true))
+          val bySourceImgs =
+            if (bySource.isEmpty) Nil
+            else touchedData.toSeq.flatMap(td => images(td, bySource, paired = false))
+          val insertImgs = insertOut.map(_.withColumn(ChangeType, lit("insert")))
+          val all = matchedImgs ++ bySourceImgs ++ insertImgs
+          if (all.isEmpty) None
+          else Some(writeChanges(all.reduce(_.unionByName(_, allowMissingColumns = true)),
+            newVersion, dataDir))
+        }
+
+      commit(newVersion, keptRel ++ newFiles, schema,
+        carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema, cmap),
+        cdfDir, txn = txn, op = "MERGE")
+    } finally src.unpersist()
+  }
+
   /** Change-data-feed reader (Delta `table_changes` analog): the change rows
     * recorded by `changeFeed = true` commits with version in
     * `[fromVersion, toVersion]`. Rows carry [[MergeTable.ChangeType]]
@@ -2190,6 +2448,46 @@ object MergeTable {
     * `update_postimage` / `delete` (the Delta CDF vocabulary).
     */
   val ChangeType = "_change_type"
+
+  // ---- conditional-clause MERGE (see [[MergeTable.mergeClauses]]) ----
+
+  /** One WHEN clause of Delta's full MERGE surface. `condition` and the
+    * assignment/value expressions are SQL strings resolved against the
+    * merge's aliased frames: matched clauses see BOTH aliases (default
+    * `t`/`s`), NOT-MATCHED inserts see only the source alias, and
+    * NOT-MATCHED-BY-SOURCE clauses see only the target alias.
+    */
+  sealed trait MergeClause { def condition: Option[String] }
+
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET …` — empty `set` means
+    * `UPDATE SET *` (every target column takes the same-named source
+    * column, Delta's update-all).
+    */
+  final case class MatchedUpdate(condition: Option[String] = None,
+                                 set: Seq[(String, String)] = Nil) extends MergeClause
+
+  /** `WHEN MATCHED [AND cond] THEN DELETE`. */
+  final case class MatchedDelete(condition: Option[String] = None) extends MergeClause
+
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT …` — empty `values` means
+    * `INSERT *` (source columns by name). Columns a clause leaves
+    * unspecified insert as NULL, except generated columns, which derive
+    * from their expressions.
+    */
+  final case class NotMatchedInsert(condition: Option[String] = None,
+                                    values: Seq[(String, String)] = Nil) extends MergeClause
+
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …`. */
+  final case class BySourceUpdate(condition: Option[String] = None,
+                                  set: Seq[(String, String)] = Nil) extends MergeClause
+
+  /** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE`. */
+  final case class BySourceDelete(condition: Option[String] = None) extends MergeClause
+
+  /** Internal clause-dispatch column used while a [[MergeTable.mergeClauses]]
+    * computes which WHEN clause claims each row.
+    */
+  private[lake] val ActionCol = "_graft_merge_action"
 
   /** Change-feed commit-version column. */
   val CommitVersion = "_commit_version"

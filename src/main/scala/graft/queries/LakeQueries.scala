@@ -744,6 +744,79 @@ object LakeQueries {
              |GROUP BY o_orderstatus""".stripMargin),
       "SQL SHALLOW CLONE: zero-copy create + copy-on-write isolation via spark.sql"),
 
+    // Delta's FULL conditional-clause MERGE in one statement: a conditional
+    // partial-column UPDATE, a conditional DELETE, and a conditional
+    // column-list INSERT — first-true-wins dispatch, unmatched rows
+    // untouched/dropped per Delta semantics. The oracle replays every
+    // clause as plain joins. Source = matched keys (price doubled) plus
+    // offset-shifted new keys; output = per-status aggregate with marker
+    // counts proving which clause claimed which rows.
+    "m35_conditional_merge" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m35_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        val src = orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .unionByName(orders.filter(col("o_orderkey") % 5 === 2)
+            .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+        import MergeTable.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+        table.mergeClauses(s, src, Seq("o_orderkey"), Seq(
+          MatchedUpdate(Some("s.o_totalprice > 300000"), Seq(
+            "o_totalprice"    -> "s.o_totalprice",
+            "o_orderpriority" -> "'BULK-UPDATED'")),
+          MatchedDelete(Some("t.o_orderpriority = '1-URGENT'")),
+          NotMatchedInsert(Some("s.o_totalprice > 100000"), Seq(
+            "o_orderkey"      -> "s.o_orderkey",
+            "o_custkey"       -> "s.o_custkey",
+            "o_orderstatus"   -> "s.o_orderstatus",
+            "o_totalprice"    -> "s.o_totalprice",
+            "o_orderdate"     -> "s.o_orderdate",
+            "o_orderpriority" -> "'LATE-ARRIVAL'"))))
+        table.read(s).groupBy("o_orderstatus").agg(
+          count(lit(1)).as("n"),
+          sum("o_orderkey").as("key_sum"),
+          sum(when(col("o_orderpriority") === "BULK-UPDATED", 1).otherwise(0)).as("n_updated"),
+          sum(when(col("o_orderpriority") === "LATE-ARRIVAL", 1).otherwise(0)).as("n_inserted"))
+      },
+      Some("""WITH src AS (
+             |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 3 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 100000000, o_totalprice
+             |  FROM orders WHERE o_orderkey % 5 = 2
+             |),
+             |matched AS (
+             |  SELECT t.o_orderkey, t.o_orderstatus, t.o_orderpriority,
+             |         s.o_totalprice AS s_price
+             |  FROM orders t JOIN src s ON t.o_orderkey = s.o_orderkey
+             |),
+             |final AS (
+             |  SELECT o_orderkey, o_orderstatus, 'BULK-UPDATED' AS o_orderpriority
+             |  FROM matched WHERE s_price > 300000
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_orderpriority
+             |  FROM matched WHERE NOT (s_price > 300000)
+             |    AND o_orderpriority <> '1-URGENT'
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, o_orderpriority
+             |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |  UNION ALL
+             |  SELECT s.o_orderkey, o.o_orderstatus, 'LATE-ARRIVAL'
+             |  FROM (SELECT o_orderkey, o_totalprice FROM src
+             |        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+             |          AND o_totalprice > 100000) s
+             |  JOIN orders o ON o.o_orderkey = s.o_orderkey - 100000000
+             |)
+             |SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       CAST(sum(CASE WHEN o_orderpriority = 'BULK-UPDATED' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+             |       CAST(sum(CASE WHEN o_orderpriority = 'LATE-ARRIVAL' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+             |FROM final GROUP BY o_orderstatus""".stripMargin),
+      "Delta's full conditional-clause MERGE: cond update/delete/insert, one pass"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -2,23 +2,25 @@ package graft.sqlapi
 
 import org.apache.spark.sql.SparkSession
 import graft.lake.MergeTable
+import graft.lake.MergeTable.{BySourceDelete, BySourceUpdate, MatchedDelete,
+  MatchedUpdate, MergeClause, NotMatchedInsert}
 
 /** SQL-level twin of the reference's Delta MERGE call-sites
   * (glue_jobs/01_silver_delta_upsert.py:103-112:
   * `merge(...).whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()`),
-  * so the "Delta Lake + Spark SQL" statement shape
+  * extended to Delta's FULL conditional-clause grammar:
   * {{{
   *   MERGE INTO tgt [AS t] USING src [AS s]
   *   ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
-  *   WHEN MATCHED THEN UPDATE SET *
-  *   WHEN NOT MATCHED THEN INSERT *
-  *   [WHEN NOT MATCHED BY SOURCE THEN DELETE]
+  *   WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, … | UPDATE SET * | DELETE
+  *   WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs) | INSERT *
+  *   WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … | DELETE
   * }}}
-  * runs over [[MergeTable]]s. Scope is the update-all/insert-all upsert
-  * the reference uses, plus Delta's full-sync clause (`NOT MATCHED BY
-  * SOURCE THEN DELETE` → `merge(deleteNotMatchedBySource = true)`) —
-  * richer clauses (conditional updates, column lists) fail loudly rather
-  * than half-parsing.
+  * The exact update-all/insert-all(+sync-delete) shape dispatches to the
+  * file-pruned fast path [[MergeTable.merge]]; anything richer runs
+  * through [[MergeTable.mergeClauses]] with the statement's aliases, so
+  * clause conditions like `s.value > t.value` resolve naturally.
+  * Unsupported syntax fails loudly rather than half-parsing.
   *
   * The target name resolves through a caller-supplied registry (MergeTables
   * are paths, not catalog entries); the source name resolves through the
@@ -31,22 +33,136 @@ object MergeInto {
 
   final case class Statement(target: String, targetAlias: String,
                              source: String, sourceAlias: String,
-                             keys: Seq[String], syncDelete: Boolean = false)
+                             keys: Seq[String], clauses: Seq[MergeClause]) {
+    /** True iff this is exactly the reference's update-all/insert-all
+      * upsert (with or without an unconditional full-sync delete) — the
+      * shape [[MergeTable.merge]] runs file-pruned in one pass.
+      */
+    def isSimpleUpsert: Boolean = clauses match {
+      case Seq(MatchedUpdate(None, Seq()), NotMatchedInsert(None, Seq())) => true
+      case Seq(MatchedUpdate(None, Seq()), NotMatchedInsert(None, Seq()),
+               BySourceDelete(None)) => true
+      case _ => false
+    }
+  }
 
-  private val Shape =
-    """(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+USING\s+([\w.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*(\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE)?\s*;?\s*$""".r
+  private val Header =
+    """(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+USING\s+([\w.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+ON\s+(.+)$""".r
 
   private val Equality = """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
+
+  private val MatchedUpdateC =
+    """(?is)^WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*;?\s*$""".r
+  private val MatchedDeleteC =
+    """(?is)^WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*;?\s*$""".r
+  private val BySourceUpdateC =
+    """(?is)^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*;?\s*$""".r
+  private val BySourceDeleteC =
+    """(?is)^WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*;?\s*$""".r
+  private val InsertStarC =
+    """(?is)^WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+\*\s*;?\s*$""".r
+  private val InsertColsC =
+    """(?is)^WHEN\s+NOT\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*;?\s*$""".r
+
+  /** Split `rest` (everything after `ON`) into the ON condition and the
+    * WHEN-clause texts. Boundaries are occurrences of `WHEN` followed by
+    * `MATCHED` / `NOT MATCHED` at paren depth 0 outside string literals —
+    * a `CASE WHEN` inside an assignment expression never splits, because
+    * its `WHEN` is not followed by the MATCHED keyword.
+    */
+  private def splitClauses(rest: String): (String, Seq[String]) = {
+    val boundary = """(?is)^WHEN\s+(NOT\s+)?MATCHED\b""".r
+    val idxs = Seq.newBuilder[Int]
+    var depth = 0
+    var inStr: Option[Char] = None
+    var i = 0
+    while (i < rest.length) {
+      val ch = rest.charAt(i)
+      inStr match {
+        case Some(q) => if (ch == q) inStr = None
+        case None => ch match {
+          case '\'' | '"' => inStr = Some(ch)
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case 'W' | 'w' if depth == 0 &&
+              (i == 0 || rest.charAt(i - 1).isWhitespace) &&
+              boundary.findPrefixOf(rest.substring(i)).isDefined =>
+            idxs += i
+          case _ =>
+        }
+      }
+      i += 1
+    }
+    val cuts = idxs.result()
+    require(cuts.nonEmpty,
+      "MERGE INTO needs at least one WHEN clause after the ON condition")
+    val on = rest.substring(0, cuts.head).trim
+    val texts = cuts.zipAll(cuts.tail.map(Some(_)), -1, None).map {
+      case (from, Some(to)) => rest.substring(from, to).trim
+      case (from, None)     => rest.substring(from).trim
+    }
+    (on, texts)
+  }
+
+  /** Parse `col = expr` assignments (top-level commas only); a column may
+    * be qualified with the target alias, which is stripped after checking
+    * it IS the target's — assigning through the source alias is an error.
+    */
+  private def parseAssignments(sets: String, targetAlias: String): Seq[(String, String)] =
+    LakeSql.splitTopLevel(sets).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"unsupported SET assignment '${a.trim}': expected col = expr")
+      val raw = a.take(i).trim
+      val colName = raw.split('.') match {
+        case Array(c)    => c
+        case Array(q, c) =>
+          require(q.equalsIgnoreCase(targetAlias),
+            s"SET target '$raw' must be a target column ('$targetAlias.$c' or bare '$c')")
+          c
+        case _ => throw new IllegalArgumentException(
+          s"unsupported SET target '$raw': must be [targetAlias.]column")
+      }
+      require(colName.matches("\\w+"),
+        s"unsupported SET target '$colName': must be a plain column name")
+      colName -> a.drop(i + 1).trim
+    }
+
+  private def parseClause(text: String, targetAlias: String): MergeClause = text match {
+    case BySourceUpdateC(cond, sets) =>
+      BySourceUpdate(Option(cond).map(_.trim), parseAssignments(sets, targetAlias))
+    case BySourceDeleteC(cond) => BySourceDelete(Option(cond).map(_.trim))
+    case MatchedUpdateC(cond, sets) =>
+      val s = sets.trim
+      if (s == "*") MatchedUpdate(Option(cond).map(_.trim), Nil)
+      else MatchedUpdate(Option(cond).map(_.trim), parseAssignments(s, targetAlias))
+    case MatchedDeleteC(cond) => MatchedDelete(Option(cond).map(_.trim))
+    case InsertStarC(cond)    => NotMatchedInsert(Option(cond).map(_.trim), Nil)
+    case InsertColsC(cond, cols, vals) =>
+      val cs = cols.split(',').toSeq.map { c =>
+        val t = c.trim
+        require(t.matches("\\w+"), s"INSERT column '$t' must be a plain column name")
+        t
+      }
+      val vs = LakeSql.splitTopLevel(vals).map(_.trim)
+      require(cs.length == vs.length,
+        s"INSERT column/value count mismatch: ${cs.length} columns, ${vs.length} values")
+      NotMatchedInsert(Option(cond).map(_.trim), cs.zip(vs))
+    case other => throw new IllegalArgumentException(
+      s"unsupported MERGE clause '${other.take(80)}…' — supported: WHEN MATCHED [AND c] THEN " +
+        "UPDATE SET …|DELETE, WHEN NOT MATCHED [AND c] THEN INSERT …, " +
+        "WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET …|DELETE")
+  }
 
   /** Parse (without executing); throws IllegalArgumentException with a
     * pointed message on anything outside the supported shape.
     */
   def parse(sql: String): Statement = sql match {
-    case Shape(tgt, tAs, tBare, src, sAs, sBare, cond, syncDel) =>
+    case Header(tgt, tAs, tBare, src, sAs, sBare, rest) =>
       val tAlias = Option(tAs).orElse(Option(tBare)).getOrElse(tgt.split('.').last)
       val sAlias = Option(sAs).orElse(Option(sBare)).getOrElse(src.split('.').last)
       require(tAlias.toLowerCase != sAlias.toLowerCase,
         s"target and source aliases collide ('$tAlias') — alias one side")
+      val (cond, clauseTexts) = splitClauses(rest)
       val keys = cond.split("(?i)\\s+AND\\s+").toSeq.map {
         case Equality(a1, c1, a2, c2) =>
           val byAlias = Map(a1.toLowerCase -> c1, a2.toLowerCase -> c2)
@@ -60,11 +176,12 @@ object MergeInto {
           throw new IllegalArgumentException(
             s"unsupported ON term '${other.trim}': only conjunctions of alias.col = alias.col equalities are supported")
       }
-      Statement(tgt, tAlias, src, sAlias, keys, syncDelete = syncDel != null)
+      Statement(tgt, tAlias, src, sAlias, keys,
+        clauseTexts.map(parseClause(_, tAlias)))
     case _ =>
       throw new IllegalArgumentException(
-        "unsupported MERGE statement — supported shape is: MERGE INTO t USING s ON t.k = s.k " +
-          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+        "unsupported MERGE statement — expected: MERGE INTO t USING s ON t.k = s.k " +
+          "followed by WHEN clauses")
   }
 
   /** Target table name if `sql` is a supported MERGE INTO statement — a
@@ -76,8 +193,10 @@ object MergeInto {
     else None
 
   /** Execute `sql` — target resolved in `targets`, source in the session
-    * catalog. All of [[MergeTable.merge]]'s semantics apply (file-pruned
-    * rewrite, duplicate-source rejection, atomic commit).
+    * catalog. The plain upsert shape takes [[MergeTable.merge]]'s pruned
+    * fast path; conditional clauses run through
+    * [[MergeTable.mergeClauses]]. All commit semantics are shared
+    * (file-pruned rewrite, duplicate-source rejection, atomic commit).
     */
   def run(spark: SparkSession, sql: String,
           targets: Map[String, MergeTable],
@@ -86,8 +205,13 @@ object MergeInto {
     val table = targets.getOrElse(st.target,
       throw new IllegalArgumentException(
         s"unknown MERGE target '${st.target}' — registered targets: ${targets.keys.toSeq.sorted.mkString(", ")}"))
-    table.merge(spark, spark.table(st.source), st.keys,
-      keysDeterminePartitions = keysDeterminePartitions,
-      deleteNotMatchedBySource = st.syncDelete)
+    if (st.isSimpleUpsert)
+      table.merge(spark, spark.table(st.source), st.keys,
+        keysDeterminePartitions = keysDeterminePartitions,
+        deleteNotMatchedBySource = st.clauses.exists(_.isInstanceOf[BySourceDelete]))
+    else
+      table.mergeClauses(spark, spark.table(st.source), st.keys, st.clauses,
+        targetAlias = st.targetAlias, sourceAlias = st.sourceAlias,
+        keysDeterminePartitions = keysDeterminePartitions)
   }
 }

@@ -79,9 +79,11 @@ class SyncMergeSpec extends SparkSpec {
       Map("tbl" -> t))
     assert(t.read(spark).select("k", "v").as[(Int, String)].collect().toSet ===
       Set((3, "C"), (7, "g")))
-    // the plain two-clause shape still parses as a non-sync merge
-    assert(!MergeInto.parse(
+    // the plain two-clause shape still parses as the non-sync fast path
+    val plain = MergeInto.parse(
       "MERGE INTO a USING b ON a.k = b.k WHEN MATCHED THEN UPDATE SET * " +
-        "WHEN NOT MATCHED THEN INSERT *").syncDelete)
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert(plain.isSimpleUpsert &&
+      !plain.clauses.exists(_.isInstanceOf[MergeTable.BySourceDelete]))
   }
 }

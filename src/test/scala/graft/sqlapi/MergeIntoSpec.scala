@@ -12,7 +12,9 @@ class MergeIntoSpec extends SparkSpec {
   test("parses AS-aliases, bare aliases, defaults, multi-key, any case") {
     val st = MergeInto.parse(
       "MERGE INTO tgt AS t USING src AS s ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
-    assert(st == MergeInto.Statement("tgt", "t", "src", "s", Seq("k")))
+    assert(st == MergeInto.Statement("tgt", "t", "src", "s", Seq("k"),
+      Seq(MergeTable.MatchedUpdate(), MergeTable.NotMatchedInsert())))
+    assert(st.isSimpleUpsert)
 
     val bare = MergeInto.parse(
       "merge into tgt t using src s on t.a = s.a and s.b = t.b when matched then update set * when not matched then insert *;")
@@ -30,8 +32,11 @@ class MergeIntoSpec extends SparkSpec {
   test("rejects unsupported shapes with pointed messages") {
     def msg(sql: String): String =
       intercept[IllegalArgumentException](MergeInto.parse(sql)).getMessage
-    assert(msg("MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE")
-      .contains("supported shape"))
+    assert(msg("MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPSERT ALL")
+      .contains("unsupported MERGE clause"))
+    assert(msg("MERGE INTO t USING s ON t.k = s.k WHEN NOT MATCHED THEN " +
+        "INSERT (a, b) VALUES (1)")
+      .contains("count mismatch"))
     assert(msg("MERGE INTO t USING s ON t.k < s.k WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
       .contains("unsupported ON term"))
     assert(msg("MERGE INTO t USING s ON t.k = s.other WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
@@ -59,5 +64,59 @@ class MergeIntoSpec extends SparkSpec {
     val got = t.read(spark).select("k", "v", "p").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
     assert(got == Set((1, "a", "p1"), (2, "B", "p2"), (3, "c", "p1")))
+  }
+
+  test("parses the full conditional-clause grammar") {
+    val st = MergeInto.parse(
+      """MERGE INTO tgt AS t USING src AS s ON t.k = s.k
+        |WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v, note = 'bumped'
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.v > 0 THEN INSERT (k, v) VALUES (s.k, s.v + 1)
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.v < 0 THEN DELETE""".stripMargin)
+    assert(!st.isSimpleUpsert)
+    assert(st.clauses === Seq(
+      MergeTable.MatchedUpdate(Some("s.v > t.v"),
+        Seq("v" -> "s.v", "note" -> "'bumped'")),
+      MergeTable.MatchedDelete(None),
+      MergeTable.NotMatchedInsert(Some("s.v > 0"),
+        Seq("k" -> "s.k", "v" -> "s.v + 1")),
+      MergeTable.NotMatchedInsert(None, Nil),
+      MergeTable.BySourceDelete(Some("t.v < 0"))))
+    // a CASE WHEN inside an assignment must not split the clause list
+    val cw = MergeInto.parse(
+      "MERGE INTO tgt AS t USING src AS s ON t.k = s.k WHEN MATCHED THEN " +
+        "UPDATE SET v = CASE WHEN s.v > 0 THEN s.v ELSE t.v END")
+    assert(cw.clauses === Seq(MergeTable.MatchedUpdate(None,
+      Seq("v" -> "CASE WHEN s.v > 0 THEN s.v ELSE t.v END"))))
+    // qualified SET targets strip the target alias; source-alias targets fail
+    val q = MergeInto.parse(
+      "MERGE INTO tgt AS t USING src AS s ON t.k = s.k WHEN MATCHED THEN UPDATE SET t.v = s.v")
+    assert(q.clauses === Seq(MergeTable.MatchedUpdate(None, Seq("v" -> "s.v"))))
+    val ex = intercept[IllegalArgumentException](MergeInto.parse(
+      "MERGE INTO tgt AS t USING src AS s ON t.k = s.k WHEN MATCHED THEN UPDATE SET s.v = 1"))
+    assert(ex.getMessage.contains("must be a target column"))
+  }
+
+  test("conditional clauses execute end-to-end through run()") {
+    val t = new MergeTable(scratch("mi_cond"), Seq("p"))
+    t.overwrite(Seq((1, 10, "p1"), (2, 20, "p1"), (3, 30, "p2"), (4, 40, "p2"))
+      .toDF("k", "v", "p"))
+    // source: k=2 (lower v → matched, no clause claims → unchanged),
+    // k=3 (higher v → conditional update), k=4 (equal v → second matched
+    // clause deletes), k=5 (insert via column list), k=6 (insert *)
+    Seq((2, 5, "p1"), (3, 300, "p2"), (4, 40, "p2"), (5, 50, "p1"), (6, -1, "p2"))
+      .toDF("k", "v", "p").createOrReplaceTempView("mi_cond_src")
+    MergeInto.run(spark,
+      """MERGE INTO lake AS t USING mi_cond_src AS s ON t.k = s.k
+        |WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v * 2
+        |WHEN MATCHED AND s.v = t.v THEN DELETE
+        |WHEN NOT MATCHED AND s.v > 0 THEN INSERT (k, v, p) VALUES (s.k, s.v + 1, s.p)
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN UPDATE SET v = 0""".stripMargin,
+      Map("lake" -> t))
+    val got = t.read(spark).select("k", "v").as[(Int, Int)].collect().toSet
+    // k=1: by-source update → 0; k=2: unchanged (no matched clause true);
+    // k=3: 600; k=4: deleted; k=5: 51 inserted; k=6: dropped (v <= 0)
+    assert(got === Set((1, 0), (2, 20), (3, 600), (5, 51)))
   }
 }
