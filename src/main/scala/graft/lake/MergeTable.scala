@@ -68,7 +68,8 @@ import scala.jdk.CollectionConverters._
   */
 final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                        val statsCols: Seq[String] = Nil,
-                       val generatedCols: Seq[(String, String)] = Nil) {
+                       val generatedCols: Seq[(String, String)] = Nil,
+                       val identityCol: Option[(String, Long, Long)] = None) {
 
   private val logDir: Path = Paths.get(root, "_graft_log")
   private def latestPath: Path = logDir.resolve("_LATEST")
@@ -455,6 +456,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     require(!(deleteNotMatchedBySource && mergeSchema),
       "deleteNotMatchedBySource is a full synchronization of the scanned scope — " +
         "it cannot combine with mergeSchema; evolve the schema with addColumns first")
+    require(identityCol.isEmpty,
+      s"merge into $root: the table declares an identity column — id assignment is " +
+        "wired into overwrite/append/copyInto; use append for pure inserts")
     require(keys.nonEmpty, "merge requires at least one key column")
     if (!exists) {
       val gen = applyGenerated(source)
@@ -688,6 +692,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     import MergeTable.{ActionCol, BySourceDelete, BySourceUpdate, ChangeType,
       MatchedDelete, MatchedUpdate, MergeClause, NotMatchedInsert}
     require(exists, s"mergeClauses target $root does not exist — bootstrap with overwrite/merge")
+    require(identityCol.isEmpty,
+      s"mergeClauses into $root: the table declares an identity column — id assignment " +
+        "is wired into overwrite/append/copyInto; use append for pure inserts")
     require(keys.nonEmpty, "merge requires at least one key column")
     require(clauses.nonEmpty, "mergeClauses requires at least one WHEN clause")
     require(targetAlias.toLowerCase != sourceAlias.toLowerCase,
@@ -1368,7 +1375,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       if (partitionCols.nonEmpty)
         data.repartition(parallelism, partitionCols.map(col): _*)
       else data.coalesce(1)
-    writeVersion(packed, v + 1, op = "OPTIMIZE")
+    writeVersion(packed, v + 1, op = "OPTIMIZE", assignIds = false)
   }
 
   /** Zero-copy CLONE (Delta CLONE analog): the current snapshot's data
@@ -1581,7 +1588,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .repartitionByRange(parallelism, col("_graft_z"))
       .sortWithinPartitions("_graft_z")
       .drop("_graft_z")
-    writeVersion(packed, v + 1, op = "OPTIMIZE ZORDER")
+    writeVersion(packed, v + 1, op = "OPTIMIZE ZORDER", assignIds = false)
   }
 
   /** Finish a crashed publish rename (see [[writeChanges]]) on a reader's
@@ -1629,19 +1636,19 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                             op: String): Unit = {
     val v = currentVersion
     val c = readCommit(v) // ONE manifest decode; every old file is carried
-    val gen = applyGenerated(df)
-    val extra = gen.columns.toSet -- c.schema.fieldNames
+    val (withId, newHwm) = assignIdentity(applyGenerated(df))
+    val extra = withId.columns.toSet -- c.schema.fieldNames
     require(extra.isEmpty,
       s"append into $root: columns ${extra.mkString(", ")} are not in the table schema — " +
         "use merge(mergeSchema = true) to evolve the schema")
-    val aligned = gen.select(c.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val aligned = withId.select(c.schema.fieldNames.map(col).toIndexedSeq: _*)
     val newVersion = v + 1
     val dataDir = newDataDir(newVersion)
     writeData(aligned, dataDir, colmapOf(v))
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     commit(newVersion, c.files ++ newFiles, c.schema,
       c.statsLines ++ collectStats(df.sparkSession, newFiles, c.schema, colmapOf(v)),
-      ingestDelta = ingestDelta, op = op)
+      ingestDelta = ingestDelta, propsOverride = hwmProps(newHwm), op = op)
   }
 
   /** COPY INTO analog (Delta/Databricks `COPY INTO`, Auto Loader's batch
@@ -1661,12 +1668,12 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     if (fresh.isEmpty) return 0L
     val df = spark.read.parquet(fresh: _*)
     if (!exists) {
-      val gen = applyGenerated(df)
+      val (gen, newHwm) = assignIdentity(applyGenerated(df))
       val v0dir = newDataDir(0L)
       writeData(gen, v0dir, Map.empty)
       val newFiles = listParquet(Paths.get(root, v0dir)).map(relativize)
       commit(0L, newFiles, gen.schema, collectStats(spark, newFiles, gen.schema, Map.empty),
-        ingestDelta = fresh, op = "COPY INTO")
+        ingestDelta = fresh, propsOverride = hwmProps(newHwm), op = "COPY INTO")
       return fresh.size.toLong
     }
     appendAligned(df, ingestDelta = fresh, op = "COPY INTO")
@@ -1710,7 +1717,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * metadata-only commit at any scale, exactly like Delta's RESTORE which
     * re-adds the old files in a new log entry. The FULL logical state of
     * that version is restored, not just its rows: CHECK constraints, the
-    * copyInto ledger, and txn versions all roll back with it — carrying
+    * copyInto ledger, table properties (including the identity high-water
+    * mark), and txn versions all roll back with it — carrying
     * the tip's forward would strand constraints on columns the restored
     * schema lacks (every later write fails to resolve), silently refuse to
     * re-ingest rolled-back files, and make exactly-once sinks skip batches
@@ -1738,6 +1746,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       constraintsOverride = Some(c.constraints),
       ingestReset = Some(ledgerAt(version)),
       txnsOverride = Some(c.txns),
+      // properties roll back too — the identity high-water mark rides
+      // them, and a carried-forward mark would leak rolled-back ids
+      propsOverride = Some(c.props),
       dvsOverride = Some(c.dvs), // deletion masks roll back with the rows
       // the restored version's OWN mapping (the tip's may bind different
       // physicals); its retired set pairs with it — a physical revived by
@@ -2156,22 +2167,76 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * itself (compact / zorder, already validated at original write time)
     * never pay a redundant per-row generation re-evaluation.
     */
+  /** GENERATED ALWAYS AS IDENTITY assignment (Delta identity-columns
+    * analog, declared per handle like `generatedCols`): when the declared
+    * column is absent from a write, every row gets `start + step·k` with
+    * GAP-FREE, strictly monotone k continuing from the commit-carried
+    * high-water mark. Two metadata-cheap passes, no global sort and no
+    * driver data: (1) per-partition row counts (collected — one long per
+    * partition), (2) the write itself, where each row's id is the
+    * partition's cumulative offset plus its within-partition index
+    * (`monotonically_increasing_id`'s low 33 bits). The count pass assumes
+    * the frame's partitioning is deterministic across the two evaluations
+    * — true of file scans and deterministic transforms; cache the frame
+    * first otherwise. Explicit values are refused (Delta's ALWAYS
+    * contract). Returns the frame with ids and the new high-water mark.
+    */
+  private def assignIdentity(df: DataFrame): (DataFrame, Option[Long]) = identityCol match {
+    case None => (df, None)
+    case Some((name, start, step)) =>
+      require(step != 0, s"identity column '$name': step must be non-zero")
+      require(!df.columns.contains(name),
+        s"column '$name' is GENERATED ALWAYS AS IDENTITY — explicit values are not accepted")
+      val last: Long =
+        if (exists) properties.get(MergeTable.IdentityHwmProp).map(_.toLong)
+          .getOrElse(start - step)
+        else start - step
+      val withPid = df.withColumn("_graft_pid", spark_partition_id())
+      val counts = withPid.groupBy("_graft_pid").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = counts.map(_._1)
+        .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+      val total = counts.map(_._2).sum
+      val assigned = withPid.withColumn(name,
+        lit(last) + lit(step) * (element_at(typedLit(offsets), col("_graft_pid")) +
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + lit(1L)))
+        .drop("_graft_pid")
+      (assigned, Some(last + step * total))
+  }
+
+  /** Current properties with the identity high-water mark replaced — the
+    * propsOverride a data-writing commit passes when it assigned ids.
+    */
+  private def hwmProps(newHwm: Option[Long]): Option[Seq[(String, String)]] =
+    newHwm.map { h =>
+      val cur = if (exists) readCommit(currentVersion).props
+                else Seq.empty[(String, String)]
+      cur.filterNot(_._1 == MergeTable.IdentityHwmProp) :+
+        (MergeTable.IdentityHwmProp -> h.toString)
+    }
+
   private def writeVersion(df: DataFrame, version: Long,
                            changes: Option[DataFrame] = None,
                            txn: Option[(String, Long)] = None,
-                           op: String = "WRITE"): Unit = {
+                           op: String = "WRITE",
+                           assignIds: Boolean = true): Unit = {
+    // OPTIMIZE-family rewrites re-shuffle EXISTING rows — their ids must
+    // survive verbatim, never be re-assigned (assignIds = false)
+    val (data, newHwm) =
+      if (assignIds) assignIdentity(df) else (df, None)
     // the mapping carried into this commit, restricted to columns the new
     // schema keeps (commit() applies the same filter to the recorded lines)
     val cmap =
       if (version > 0 && Files.exists(commitPath(version - 1)))
-        colmapOf(version - 1).filter { case (lg, _) => df.schema.fieldNames.contains(lg) }
+        colmapOf(version - 1).filter { case (lg, _) => data.schema.fieldNames.contains(lg) }
       else Map.empty[String, String]
     val dataDir = newDataDir(version)
-    writeData(df, dataDir, cmap)
+    writeData(data, dataDir, cmap)
     val files = listParquet(Paths.get(root, dataDir)).map(relativize)
     val cdfDir = changes.map(c => writeChanges(c, version, dataDir))
-    commit(version, files, df.schema,
-      collectStats(df.sparkSession, files, df.schema, cmap), cdfDir, txn = txn, op = op)
+    commit(version, files, data.schema,
+      collectStats(data.sparkSession, files, data.schema, cmap), cdfDir, txn = txn,
+      propsOverride = hwmProps(newHwm), op = op)
   }
 
   /** One metadata-sized job: per-file min/max of every stats column the
@@ -2488,6 +2553,13 @@ object MergeTable {
     * computes which WHEN clause claims each row.
     */
   private[lake] val ActionCol = "_graft_merge_action"
+
+  /** Commit-carried table property holding an identity column's high-water
+    * mark (the LAST value assigned). Riding the property channel makes the
+    * mark atomic with the data commit, rolled back by RESTORE, and carried
+    * by CLONE — exactly the lifecycle Delta gives its identity metadata.
+    */
+  val IdentityHwmProp = "graft.identity.highWaterMark"
 
   /** Change-feed commit-version column. */
   val CommitVersion = "_commit_version"

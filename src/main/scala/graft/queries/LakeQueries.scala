@@ -817,6 +817,34 @@ object LakeQueries {
              |FROM final GROUP BY o_orderstatus""".stripMargin),
       "Delta's full conditional-clause MERGE: cond update/delete/insert, one pass"),
 
+    // Identity columns (Delta GENERATED ALWAYS AS IDENTITY): gap-free
+    // start/step assignment continuing across commits from the
+    // property-carried high-water mark — two metadata-cheap passes
+    // (per-partition counts + the write), no global sort. The gap-free
+    // guarantee is what makes this hash-oracled: with start=100, step=2
+    // over n rows the id set is EXACTLY {100, 102, …, 100+2(n-1)}, so
+    // count/distinct/min/max are all closed-form in DuckDB.
+    "m36_identity" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m36_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"),
+          identityCol = Some(("row_id", 100L, 2L)))
+        table.overwrite(orders.filter(col("o_orderkey") % 2 === 0))
+        table.append(orders.filter(col("o_orderkey") % 2 =!= 0))
+        table.read(s).agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("row_id")).as("n_ids"),
+          min("row_id").as("first_id"),
+          max("row_id").as("last_id"))
+      },
+      Some("""SELECT count(*) AS n, count(*) AS n_ids,
+             |       CAST(100 AS BIGINT) AS first_id,
+             |       CAST(100 + 2 * (count(*) - 1) AS BIGINT) AS last_id
+             |FROM orders""".stripMargin),
+      "identity columns: gap-free start/step ids from a commit-carried high-water mark"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -517,6 +517,48 @@ object SimilarityQueries {
       None,
       "PQ ANN: per-subspace codebooks, ADC code scan, fp32 re-rank"),
 
+    // Matryoshka-style prefix-dimension retrieval (Kusupati et al. '22:
+    // MRL-trained embeddings keep their leading dims usable as a coarse
+    // embedding): candidate scan scores only the FIRST 16 of 64 dims — a
+    // 4× cut in dot-product FLOPs and scan bandwidth — then the 50
+    // survivors are re-ranked with the exact full-dim cosine. The same
+    // two-stage shape as v8/v9 with a different cheap code: here the
+    // "code" is literally a prefix slice, so no codebook/training state
+    // exists at all, and the candidate stage stays fully codegen'd
+    // (`slice` + native float_dot). At 100 TB the prefix scan is the
+    // bandwidth story: 16 floats/vector read instead of 64.
+    "v11_matryoshka_search" -> GraftQuery(
+      (s, dir) => {
+        val base = emb(s, dir)
+          .withColumn("prefix", slice(col("embedding"), 1, 16))
+          .withColumn("pnorm", expr("sqrt(float_dot(prefix, prefix))"))
+        val probe = base.filter(col("vec_id") === 0)
+          .select(col("prefix").as("q_prefix"), col("pnorm").as("q_pnorm"),
+            col("embedding").as("q_emb"), col("norm").as("q_norm"))
+        base.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+          .withColumn("pcos",
+            round(cosineFast("prefix", "q_prefix", "pnorm", "q_pnorm"), 6))
+          .orderBy(col("pcos").desc, col("vec_id")).limit(50)
+          .withColumn("cosine",
+            round(cosineFast("embedding", "q_emb", "norm", "q_norm"), 6))
+          .select("vec_id", "label", "pcos", "cosine")
+          .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+             |         CAST(embedding[1:16] AS DOUBLE[]) AS pre
+             |  FROM embeddings),
+             |probe AS (SELECT pre AS qpre, emb AS qemb FROM e WHERE vec_id = 0),
+             |cands AS (
+             |  SELECT z.vec_id, z.label, z.emb,
+             |         round(list_cosine_similarity(z.pre, p.qpre), 6) AS pcos
+             |  FROM e z, probe p WHERE z.vec_id <> 0
+             |  ORDER BY pcos DESC, z.vec_id LIMIT 50)
+             |SELECT vec_id, label, pcos,
+             |       round(list_cosine_similarity(emb, (SELECT qemb FROM probe)), 6) AS cosine
+             |FROM cands ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+      "Matryoshka prefix retrieval: 16-dim candidate scan, full-dim re-rank of 50"),
+
     // Per-label embedding centroids through the native `vec_avg` Catalyst
     // aggregate (graft.functions.VecAvg): ONE (sums, count) buffer per
     // group — the shuffle carries groups × (dim+1) doubles, where the

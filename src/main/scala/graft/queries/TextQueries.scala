@@ -1053,6 +1053,55 @@ object TextQueries {
              |JOIN counts b ON b.source = src_b
              |ORDER BY src_a, src_b""".stripMargin),
       "cross-source duplication matrix: shared shingle census + containment"),
+
+    // PII redaction — the scrub pass every training-data pipeline runs
+    // before release: regex-detect emails / phone numbers / IPv4s, count
+    // per class, and replace with typed placeholders. The synthetic corpus
+    // carries no PII, so the query deterministically INJECTS it first with
+    // the same expression on both engines (doc_id-keyed, so the oracle
+    // replays it exactly). Map-only Column algebra — codegen'd regexes,
+    // zero shuffles at any corpus size; patterns are RE2-safe (no
+    // backrefs/lookahead) so Java and RE2 agree character-for-character.
+    "t28_pii_redaction" -> GraftQuery(
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val ipRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+        val injected = t(s, dir, "documents").withColumn("text2",
+          when(col("doc_id") % 3 === 0, concat(col("text"),
+            lit(" contact john.doe"), col("doc_id").cast("string"),
+            lit("@mail.example.com today")))
+          .when(col("doc_id") % 3 === 1, concat(col("text"),
+            lit(" call 555-867-5309 or ping 192.168.1.42 soon")))
+          .otherwise(col("text")))
+        injected.select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text2"), lit(emailRe), lit(0))).as("n_email"),
+          size(regexp_extract_all(col("text2"), lit(phoneRe), lit(0))).as("n_phone"),
+          size(regexp_extract_all(col("text2"), lit(ipRe), lit(0))).as("n_ip"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("text2"),
+            lit(emailRe), lit("<EMAIL>")),
+            lit(phoneRe), lit("<PHONE>")),
+            lit(ipRe), lit("<IP>"))).as("redacted_fp"))
+      },
+      Some("""WITH injected AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 3 = 0 THEN text || ' contact john.doe' ||
+             |                   CAST(doc_id AS VARCHAR) || '@mail.example.com today'
+             |              WHEN doc_id % 3 = 1 THEN text ||
+             |                   ' call 555-867-5309 or ping 192.168.1.42 soon'
+             |              ELSE text END AS text2
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+             |  CAST(len(regexp_extract_all(text2, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phone,
+             |  CAST(len(regexp_extract_all(text2, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ip,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(text2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS redacted_fp
+             |FROM injected""".stripMargin),
+      "PII scrub: regex email/phone/IP detect + count + typed-placeholder redaction"),
   )
 
   /** t23/t24's shared chunk derivation: per doc, content-defined chunk
