@@ -25,6 +25,8 @@ import graft.lake.MergeTable
   *   ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS c1 [, ...]
   *   ALTER TABLE t SET TBLPROPERTIES (k = v [, ...])
   *   ALTER TABLE t UNSET TBLPROPERTIES (k [, ...])
+  *   ALTER TABLE t ADD CONSTRAINT name CHECK (predicate)
+  *   ALTER TABLE t DROP CONSTRAINT name
   *   SHOW TBLPROPERTIES t                         -- key/value rows (query())
   *   SELECT ... FROM t VERSION AS OF <n> ...      -- time travel
   *   SELECT ... FROM t TIMESTAMP AS OF '<ts>' ... -- time travel by wall clock
@@ -110,6 +112,12 @@ object LakeSql {
 
   private val DropColumnShape =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
+
+  private val AddConstraintShape =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+
+  private val DropConstraintShape =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
 
   /** CTAS with an explicit `USING GRAFT` provider tag (Delta's
     * `USING DELTA` shape) — the tag is what makes parser interception
@@ -227,12 +235,17 @@ object LakeSql {
         resolve(tgt, targets).renameColumn(from, to)
       case DropColumnShape(tgt, colName) =>
         resolve(tgt, targets).dropColumn(colName)
+      case AddConstraintShape(tgt, name, pred) =>
+        resolve(tgt, targets).addCheckConstraint(spark, name, pred.trim)
+      case DropConstraintShape(tgt, name) =>
+        resolve(tgt, targets).dropCheckConstraint(name)
       case _ =>
         throw new IllegalArgumentException(
           "unsupported statement — supported shapes: DELETE FROM t WHERE p; " +
             "UPDATE t SET c = e [, ...] WHERE p; VACUUM t [RETAIN n VERSIONS]; " +
             "OPTIMIZE t [WHERE p]; ALTER TABLE t ADD COLUMNS (...) / " +
-            "RENAME COLUMN a TO b / DROP COLUMN a (MERGE INTO lives in MergeInto; " +
+            "RENAME COLUMN a TO b / DROP COLUMN a / ADD CONSTRAINT n CHECK (p) / " +
+            "DROP CONSTRAINT n (MERGE INTO lives in MergeInto; " +
             "time-travel SELECT and DESCRIBE HISTORY / SHOW PARTITIONS in LakeSql.query)")
     }
 
@@ -320,6 +333,8 @@ object LakeSql {
     case AddColumnsShape(tgt, _)   => Some(tgt)
     case RenameColumnShape(tgt, _, _) => Some(tgt)
     case DropColumnShape(tgt, _)   => Some(tgt)
+    case AddConstraintShape(tgt, _, _) => Some(tgt)
+    case DropConstraintShape(tgt, _) => Some(tgt)
     case SetPropsShape(tgt, _)     => Some(tgt)
     case UnsetPropsShape(tgt, _)   => Some(tgt)
     case DropTableShape(_, tgt)    => Some(tgt)

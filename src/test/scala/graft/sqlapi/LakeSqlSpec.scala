@@ -223,6 +223,19 @@ class LakeSqlSpec extends SparkSpec {
     } finally LakeCatalog.unregister("cat_tbl")
   }
 
+  test("ADD/DROP CONSTRAINT route to the API twins through the statement path") {
+    val t = seeded("lsql_chk")
+    LakeSql.run(spark, "ALTER TABLE tbl ADD CONSTRAINT k_pos CHECK (k > 0)",
+      Map("tbl" -> t))
+    assert(t.checkConstraints === Seq("k_pos" -> "k > 0"))
+    // enforcement rides the write: a violating append fails
+    intercept[Exception] { t.append(Seq((-1, "z", "p1")).toDF("k", "v", "p")) }
+    LakeSql.run(spark, "ALTER TABLE tbl DROP CONSTRAINT k_pos", Map("tbl" -> t))
+    assert(t.checkConstraints.isEmpty)
+    t.append(Seq((-1, "z", "p1")).toDF("k", "v", "p")) // now accepted
+    assert(asSet(t).contains((-1, "z", "p1")))
+  }
+
   test("statements outside the supported shapes fail loudly") {
     val t = seeded("lsql_bad")
     val ex = intercept[IllegalArgumentException] {
