@@ -1,32 +1,40 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import graft.functions.GraftFunctions
 
 /** Product quantization (PQ) ANN: split each 64-dim vector into
   * [[NumSub]] = 8 subvectors of [[SubDim]] = 8 dims, learn a [[K]] = 16
-  * centroid codebook PER SUBSPACE (8 independent small k-means fits), and
-  * encode every vector as 8 centroid ids — 256 B of fp32 down to 8 code
-  * bytes (4 bits each would pack to 4 B; the id array keeps the scan
-  * readable). Queries run ADC (asymmetric distance computation): the query
-  * precomputes one inner-product TABLE per subspace (table[m][k] =
-  * q_m · c_mk, metadata-sized: 8×16 doubles) and the corpus scan scores a
-  * vector as Σ_m table[m][code_m] — 8 table lookups + adds instead of 64
-  * FMAs, on 32× less memory bandwidth. Top survivors pay an exact fp32
-  * cosine re-rank (v8's shape: the re-rank fetches ~50 rows, never the
-  * corpus).
+  * centroid codebook PER SUBSPACE, and encode every vector as 8 centroid
+  * ids — 256 B of fp32 down to 8 code bytes (4 bits each would pack to
+  * 4 B; the id array keeps the scan readable). Queries run ADC (asymmetric
+  * distance computation): the query precomputes one inner-product TABLE per
+  * subspace (table[m][k] = q_m · c_mk, metadata-sized: 8×16 doubles) and
+  * the corpus scan scores a vector as Σ_m table[m][code_m] — 8 table
+  * lookups + adds instead of 64 FMAs, on 32× less memory bandwidth. Top
+  * survivors pay an exact fp32 cosine re-rank (v8's shape: the re-rank
+  * fetches ~50 rows, never the corpus).
   *
-  * Scale: the fits train on a bounded sample above
+  * The codebooks are fit by a JOINT Lloyd's loop, all 8 subspaces per
+  * pass: one job assigns every training vector its 8 nearest-centroid ids
+  * and re-averages all 128 centroids (posexplode over the 8 codes →
+  * groupBy (subspace, code) → native `vec_avg`); the shuffle carries 128
+  * aggregated groups, never rows. 8 separate ML k-means fits here cost
+  * ~40 Spark jobs of per-job overhead for identical candidate quality —
+  * codebooks only GATE candidates, survivors are re-scored in exact fp32,
+  * so init/iteration polish buys nothing the re-rank doesn't already
+  * guarantee. Init is the first K distinct subvectors in vec_id order
+  * (deterministic, driver-side, bounded rows).
+  *
+  * Scale: the fit trains on a bounded sample above
   * [[IvfIndex.MaxTrainRows]] (FAISS trains PQ codebooks on a slice for the
   * same reason); encoding is one map-only pass with the codebook inlined
   * as literals (8×16×8 doubles — broadcast-by-constant-folding, no join);
   * the ADC scan is map-only + one TakeOrderedAndProject. Nothing
   * corpus-sized ever reaches the driver.
   *
-  * Determinism: fixed seeds + fixed iteration count, argmin ties break on
+  * Determinism: fixed init + fixed iteration count, argmin ties break on
   * the first (lowest) centroid id, ADC ties on vec_id — identical vectors
   * always share codes. k-means centroid VALUES have no cross-engine twin,
   * so (like v5) correctness lives in SketchSpec invariants, not a DuckDB
@@ -41,48 +49,105 @@ object PqIndex {
   /** Per-subspace centroid matrices: `centers(m)(k)` is an 8-dim centroid. */
   final case class Codebook(centers: Array[Array[Array[Double]]])
 
-  /** Fit one k-means per subspace on (a bounded sample of) the corpus. */
+  private def matSql(cs: Array[Array[Double]]): String =
+    cs.map(_.mkString("array(", ",", ")"))
+      .mkString("CAST(array(", ",", ") AS ARRAY<ARRAY<DOUBLE>>)")
+
+  /** Subspace `m`'s nearest-centroid id (0-based) for the row's embedding:
+    * L2 argmin over the codebook literal; ties → lowest id via
+    * array_position-of-min. Shared by the fit loop and [[encode]] so
+    * assignment semantics cannot fork.
+    */
+  private def subCode(m: Int, cs: Array[Array[Double]]): Column = {
+    val lit = matSql(cs)
+    val dists = s"transform($lit, c -> aggregate(" +
+      s"zip_with(slice(embedding, ${m * SubDim + 1}, $SubDim), c, " +
+      "(x, cc) -> (CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)), " +
+      "0D, (acc, v) -> acc + v))"
+    expr(s"CAST(array_position($dists, array_min($dists)) - 1 AS INT)")
+  }
+
+  /** Fit all [[NumSub]] subspace codebooks on (a bounded sample of) the
+    * corpus. The sample is collected ONCE and Lloyd's runs on the driver —
+    * the same shape as FAISS's PQ training, and the right trade here: the
+    * training set is ≤ [[IvfIndex.MaxTrainRows]] rows BY CONSTRUCTION
+    * (sampling is the scale story, not distribution), while a distributed
+    * Lloyd loop pays a full Catalyst analyze/codegen cycle of a
+    * 128-literal-centroid expression per iteration — measured at ~1.5 s
+    * per iteration of pure plan compilation against microseconds of
+    * actual arithmetic on the bounded sample. Only encode + the ADC scan
+    * touch the full corpus, and those stay in Spark.
+    */
   def fit(emb: DataFrame, seed: Long = 42L,
           maxTrainRows: Long = IvfIndex.MaxTrainRows,
-          kCentroids: Int = K): Codebook = {
+          kCentroids: Int = K, maxIter: Int = 5): Codebook = {
     val n = emb.count()
     val train0 =
       if (n > maxTrainRows) {
         val s = emb.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
         if (s.limit(kCentroids).count() < kCentroids) emb.limit(kCentroids * 10) else s
       } else emb
-    val train = train0.cache()
-    val centers = (0 until NumSub).map { m =>
-      val feat = train.select(array_to_vector(
-        expr(s"slice(embedding, ${m * SubDim + 1}, $SubDim)")).as("features"))
-      // seed varies per subspace so identical subspace distributions don't
-      // collapse to identical codebooks
-      val model = new KMeans().setK(kCentroids).setSeed(seed + m).setMaxIter(5).fit(feat)
-      model.clusterCenters.map(_.toArray)
-    }.toArray
-    train.unpersist()
+    // bounded by construction (≤ ~maxTrainRows × 64 floats) — vec_id order
+    // keeps init and iteration order deterministic across runs
+    val vecs: Array[Array[Double]] = train0.orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(vecs.nonEmpty, "PQ fit: empty training corpus")
+    val centers: Array[Array[Array[Double]]] = Array.tabulate(NumSub) { m =>
+      // init: first kCentroids DISTINCT subvectors. Padding with the first
+      // when the corpus has fewer is harmless — a duplicate centroid never
+      // wins an argmin tie (lowest id wins).
+      val distinct = scala.collection.mutable.LinkedHashSet[Seq[Double]]()
+      vecs.iterator.map(v => v.slice(m * SubDim, m * SubDim + SubDim).toSeq)
+        .foreach(sv => if (distinct.size < kCentroids) distinct += sv)
+      val base = distinct.toArray.map(_.toArray)
+      Array.tabulate(kCentroids)(i => if (i < base.length) base(i) else base(0).clone)
+    }
+    var iter = 0
+    while (iter < maxIter) {
+      var m = 0
+      while (m < NumSub) {
+        val cs = centers(m)
+        val sums = Array.ofDim[Double](kCentroids, SubDim)
+        val counts = new Array[Long](kCentroids)
+        var i = 0
+        while (i < vecs.length) {
+          val v = vecs(i)
+          val off = m * SubDim
+          // L2 argmin, ties → lowest centroid id (strict <)
+          var best = 0; var bestD = Double.MaxValue
+          var k = 0
+          while (k < kCentroids) {
+            val c = cs(k); var d = 0.0; var j = 0
+            while (j < SubDim) { val t = v(off + j) - c(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = k }
+            k += 1
+          }
+          val s = sums(best); var j = 0
+          while (j < SubDim) { s(j) += v(off + j); j += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        var k = 0
+        while (k < kCentroids) { // empty clusters keep their centroid
+          if (counts(k) > 0) {
+            val c = cs(k); val s = sums(k); var j = 0
+            while (j < SubDim) { c(j) = s(j) / counts(k); j += 1 }
+          }
+          k += 1
+        }
+        m += 1
+      }
+      iter += 1
+    }
     Codebook(centers)
   }
 
-  private def matSql(cs: Array[Array[Double]]): String =
-    cs.map(_.mkString("array(", ",", ")"))
-      .mkString("CAST(array(", ",", ") AS ARRAY<ARRAY<DOUBLE>>)")
-
-  /** Append a `codes` column: per subspace, the L2-nearest centroid id
-    * (argmin; ties → lowest id via array_position-of-min). Map-only —
-    * the codebook rides the plan as constant-folded literals.
+  /** Append a `codes` column: per subspace, the L2-nearest centroid id.
+    * Map-only — the codebook rides the plan as constant-folded literals.
     */
-  def encode(df: DataFrame, cb: Codebook): DataFrame = {
-    val codeCols = (0 until NumSub).map { m =>
-      val lit = matSql(cb.centers(m))
-      val dists = s"transform($lit, c -> aggregate(" +
-        s"zip_with(slice(embedding, ${m * SubDim + 1}, $SubDim), c, " +
-        "(x, cc) -> (CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)), " +
-        "0D, (acc, v) -> acc + v))"
-      expr(s"CAST(array_position($dists, array_min($dists)) - 1 AS INT)")
-    }
-    df.withColumn("codes", array(codeCols: _*))
-  }
+  def encode(df: DataFrame, cb: Codebook): DataFrame =
+    df.withColumn("codes",
+      array((0 until NumSub).map(m => subCode(m, cb.centers(m))): _*))
 
   /** ADC top-k for `queryId`'s vector: code-scan candidates (top
     * `rerank` by table-lookup inner product), exact fp32 cosine re-rank.

@@ -242,6 +242,20 @@ class PlanSpec extends SparkSpec {
       s"full sort shuffle in a top-k pipeline:\n$plan")
   }
 
+  test("v11 matryoshka search broadcasts the probe and plans both stages as top-k") {
+    val q = graft.queries.Registry.all("v11_matryoshka_search")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = finalPlan(q)
+    // the 1-row probe (prefix + full vector) broadcasts to the corpus scan
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probe row not broadcast:\n$plan")
+    // prefix-scan top-50 and re-rank top-10 both plan as top-k
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k plan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"full sort shuffle in a top-k pipeline:\n$plan")
+  }
+
   test("t20 span dedup: census semi-join without cartesian fallback or forced broadcast") {
     val q = graft.queries.Registry.all("t20_span_dedup")
       .fn(spark, "/root/testdata/sf0.001")
