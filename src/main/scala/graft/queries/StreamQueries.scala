@@ -548,5 +548,76 @@ object StreamQueries {
              |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
              |FROM changes GROUP BY 1, 2 ORDER BY commit_version, change_type""".stripMargin),
       "the table as a streaming source: linked snapshot as inserts + CDF tail"),
+
+    // Debezium-style CDC APPLY — the canonical use of the conditional-
+    // clause MERGE: a stream of (row, op) change events lands on the lake
+    // table with one mergeClauses call per micro-batch — op='D' deletes
+    // matched rows, anything else upserts (SET * / INSERT *, the extra op
+    // column ignored by name-mapping), and a delete for an absent key is
+    // dropped by the INSERT clause's condition. Exactly-once under replay
+    // via the txn marker committed atomically with each batch's merge.
+    // Each key appears in at most one stream event, so the net state is
+    // independent of how AvailableNow splits the files into batches — the
+    // oracle replays the net effect relationally.
+    "st11_cdc_apply" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val srcDir = s"${Registry.scratchRoot}/st11_src_$id"
+        // raw read keeps ts as nanos-long; the staged files carry the op
+        // column so the stream IS the CDC feed
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        raw.filter(col("event_id") % 2 === 0)
+          .withColumn("op",
+            when(col("event_id") % 10 === 0, lit("D")).otherwise(lit("U")))
+          .withColumn("value", when(col("op") === "U", col("value") + 1000.0)
+            .otherwise(col("value")))
+          .repartition(4)
+          .write.mode("overwrite").parquet(srcDir)
+        val table = new MergeTable(s"${Registry.scratchRoot}/st11_lake_$id")
+        table.overwrite(raw.filter(col("event_id") % 3 === 0))
+        import org.apache.spark.sql.types._
+        val cdcSchema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType),
+          StructField("op", StringType)))
+        val q = ss.readStream.schema(cdcSchema).parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (!table.lastTxnVersion("st11").exists(_ >= batchId))
+              table.mergeClauses(batch.sparkSession, batch, Seq("event_id"), Seq(
+                MergeTable.MatchedDelete(Some("s.op = 'D'")),
+                MergeTable.MatchedUpdate(None, Nil),
+                MergeTable.NotMatchedInsert(Some("s.op <> 'D'"), Nil)),
+                txn = Some("st11" -> batchId))
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("maxFilesPerTrigger", "1")
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st11_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        table.read(s).groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               sum("event_id").as("id_sum"),
+               min("value").as("min_value"),
+               max("value").as("max_value"))
+      },
+      Some("""WITH seed AS (SELECT event_id, event_type, value FROM events
+             |              WHERE event_id % 3 = 0),
+             |cdc AS (SELECT event_id, event_type, value,
+             |               CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+             |        FROM events WHERE event_id % 2 = 0),
+             |final AS (
+             |  SELECT event_id, event_type, value FROM seed
+             |  WHERE event_id NOT IN (SELECT event_id FROM cdc)
+             |  UNION ALL
+             |  SELECT event_id, event_type, value + 1000.0 AS value
+             |  FROM cdc WHERE op = 'U')
+             |SELECT event_type, count(*) AS n,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |       min(value) AS min_value, max(value) AS max_value
+             |FROM final GROUP BY event_type""".stripMargin),
+      "streaming CDC apply: op-routed conditional merge per micro-batch, exactly-once"),
   )
 }
