@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import graft.functions.GraftFunctions
 
 /** IVF (inverted-file) approximate nearest neighbor: partition the corpus
@@ -13,23 +11,29 @@ import graft.functions.GraftFunctions
   * LSH path (v4): IVF adapts to the data's density, LSH is oblivious but
   * index-free.
   *
-  * Scale: the fit is one MLlib k-means — trained on a bounded sample above
-  * [[MaxTrainRows]] (assignment still covers every row); assignments
-  * persist as a `cell` column the query-side filters on — at 100 TB you'd
-  * write the corpus bucketed/partitioned by cell so a probe reads only its
-  * cells' files (partition pruning). Only CENTROIDS (nClusters × dim
-  * doubles) and the single query vector ever reach the driver —
-  * metadata-sized, never data.
+  * Scale: the coarse quantizer trains on a bounded sample above
+  * [[MaxTrainRows]], and (like [[PqIndex]]) Lloyd's runs on the DRIVER
+  * over the collected sample — FAISS's shape, and the right trade:
+  * sampling is the scale story, while a distributed loop pays a Catalyst
+  * analyze/codegen cycle per iteration against microseconds of arithmetic
+  * on the bounded sample. ASSIGNMENT covers every row and stays in Spark —
+  * one map-only pass with the centroid matrix inlined as constant-folded
+  * literals; at 100 TB you'd write the corpus bucketed/partitioned by
+  * `cell` so a probe reads only its cells' files (partition pruning). Only
+  * CENTROIDS (nClusters × dim doubles) and the single query vector ever
+  * reach the driver — metadata-sized, never data.
   *
-  * Determinism: fixed seed + fixed iteration count; identical vectors
-  * always share a cell, so recall at cosine 1.0 is exactly 1.
+  * Determinism: fixed init (first nClusters distinct vectors in vec_id
+  * order) + fixed iteration count, argmin ties to the lowest cell id;
+  * identical vectors always share a cell, so recall at cosine 1.0 is
+  * exactly 1.
   */
 object IvfIndex {
 
   /** Above this row count the k-means fit trains on a ~[[MaxTrainRows]]-row
     * sample instead of the full corpus: coarse-quantizer centroids converge
     * on a sample (FAISS trains IVF on a slice for the same reason), while
-    * MLlib k-means over 100 TB of vectors would be days per iteration.
+    * k-means over 100 TB of vectors would be days per iteration.
     * ASSIGNMENT still covers every row — only training is sampled.
     */
   val MaxTrainRows = 100000L
@@ -38,21 +42,66 @@ object IvfIndex {
     * centroid matrix).
     */
   def fit(emb: DataFrame, nClusters: Int, seed: Long = 42L,
-          maxTrainRows: Long = MaxTrainRows): (DataFrame, Array[Array[Double]]) = {
-    val feat = emb.withColumn("features", array_to_vector(col("embedding")))
-    val n = feat.count()
-    val train =
+          maxTrainRows: Long = MaxTrainRows, maxIter: Int = 5): (DataFrame, Array[Array[Double]]) = {
+    val n = emb.count()
+    val train0 =
       if (n > maxTrainRows) {
-        val s = feat.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+        val s = emb.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
         // Bernoulli sampling can undershoot on small corpora; k-means needs
         // at least nClusters training rows — fall back deterministically.
-        if (s.limit(nClusters).count() < nClusters) feat.limit(nClusters * 10)
+        if (s.limit(nClusters).count() < nClusters) emb.limit(nClusters * 10)
         else s
-      } else feat
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(5).fit(train)
-    val assigned = model.transform(feat)
-      .withColumn("cell", col("prediction")).drop("prediction", "features")
-    (assigned, model.clusterCenters.map(_.toArray))
+      } else emb
+    // bounded by construction — vec_id order keeps init deterministic
+    val vecs: Array[Array[Double]] = train0.orderBy("vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(vecs.nonEmpty, "IVF fit: empty training corpus")
+    val dim = vecs(0).length
+    val distinct = scala.collection.mutable.LinkedHashSet[Seq[Double]]()
+    vecs.iterator.foreach(v => if (distinct.size < nClusters) distinct += v.toSeq)
+    val base = distinct.toArray.map(_.toArray)
+    val centers: Array[Array[Double]] =
+      Array.tabulate(nClusters)(i => if (i < base.length) base(i) else base(0).clone)
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.ofDim[Double](nClusters, dim)
+      val counts = new Array[Long](nClusters)
+      var i = 0
+      while (i < vecs.length) {
+        val v = vecs(i)
+        var best = 0; var bestD = Double.MaxValue
+        var k = 0
+        while (k < nClusters) {
+          val c = centers(k); var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - c(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = k } // ties → lowest id
+          k += 1
+        }
+        val s = sums(best); var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var k = 0
+      while (k < nClusters) { // empty cells keep their centroid
+        if (counts(k) > 0) {
+          val c = centers(k); val s = sums(k); var j = 0
+          while (j < dim) { c(j) = s(j) / counts(k); j += 1 }
+        }
+        k += 1
+      }
+      iter += 1
+    }
+    // distributed assignment: L2 argmin against the centroid literal, ties
+    // → lowest cell id (array_position returns the FIRST minimum)
+    val lit = centers.map(_.mkString("array(", ",", ")"))
+      .mkString("CAST(array(", ",", ") AS ARRAY<ARRAY<DOUBLE>>)")
+    val dists = s"transform($lit, c -> aggregate(" +
+      "zip_with(embedding, c, (x, cc) -> (CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)), " +
+      "0D, (acc, v) -> acc + v))"
+    val assigned = emb.withColumn("cell",
+      expr(s"CAST(array_position($dists, array_min($dists)) - 1 AS INT)"))
+    (assigned, centers)
   }
 
   /** Exact-cosine top-k over the `nProbe` nearest cells to `queryId`'s
