@@ -107,6 +107,32 @@ class MergeClausesSpec extends SparkSpec {
     assert(t.read(spark).filter(col("k") === 1).select("v2").as[Int].head() === 198)
   }
 
+  test("dv-masked rows never resurrect through a conditional merge") {
+    val t = new MergeTable(scratch("mc_dv"), Nil)
+    t.overwrite(df(Seq((1, 10, "a"), (2, 20, "a"), (3, 30, "a"))))
+    t.deleteVectorized(spark, col("k") === 2) // masked, file NOT rewritten
+    // k=2 is masked: the merge must treat it as absent — its key inserts
+    // as a NEW row, and the rewrite of the touched file must not revive
+    // the masked original alongside it
+    t.mergeClauses(spark, df(Seq((1, 11, "a"), (2, 99, "a"))), Seq("k"), Seq(
+      MatchedUpdate(None, Seq("v" -> "s.v")),
+      NotMatchedInsert(None, Nil)))
+    assert(t.read(spark).select("k", "v").as[(Int, Int)].collect().toSet ===
+      Set((1, 11), (2, 99), (3, 30)))
+  }
+
+  test("conditional merge composes with column mapping (renamed column)") {
+    val t = new MergeTable(scratch("mc_cmap"), Nil)
+    t.overwrite(df(Seq((1, 10, "a"), (2, 20, "a"))))
+    t.renameColumn("v", "score") // metadata-only; files keep physical 'v'
+    t.mergeClauses(spark,
+      Seq((1, 100, "a"), (9, 90, "a")).toDF("k", "score", "p"), Seq("k"), Seq(
+        MatchedUpdate(Some("s.score > t.score"), Seq("score" -> "s.score")),
+        NotMatchedInsert(None, Nil)))
+    assert(t.read(spark).select("k", "score").as[(Int, Int)].collect().toSet ===
+      Set((1, 100), (2, 20), (9, 90)))
+  }
+
   test("contracts: dead clause, unknown column, duplicate source, no table") {
     val t = new MergeTable(scratch("mc_err"), Nil)
     t.overwrite(Seq((1, 10)).toDF("k", "v"))
