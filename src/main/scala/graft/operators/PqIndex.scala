@@ -149,17 +149,17 @@ object PqIndex {
     df.withColumn("codes",
       array((0 until NumSub).map(m => subCode(m, cb.centers(m))): _*))
 
-  /** ADC top-k for `queryId`'s vector: code-scan candidates (top
-    * `rerank` by table-lookup inner product), exact fp32 cosine re-rank.
-    */
-  def search(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
-             rerank: Int = 50, seed: Long = 42L,
-             kCentroids: Int = K): DataFrame = {
-    GraftFunctions.register(spark)
-    val cb = fit(emb, seed, kCentroids = kCentroids)
-    val corpus = encode(emb.filter(col("vec_id") =!= queryId), cb)
-    val q = emb.filter(col("vec_id") === queryId)
+  private def queryVec(emb: DataFrame, queryId: Long): Array[Double] =
+    emb.filter(col("vec_id") === queryId)
       .select("embedding").head.getSeq[Float](0).toArray.map(_.toDouble)
+
+  /** ADC candidate scan (top `rerank` by table-lookup inner product) +
+    * exact fp32 cosine re-rank — the shared tail of [[search]] and
+    * [[searchIvfPq]]. `corpus` must carry a `codes` column.
+    */
+  private def adcRerank(corpus: DataFrame, cb: Codebook, q: Array[Double],
+                        emb: DataFrame, queryId: Long,
+                        k: Int, rerank: Int): DataFrame = {
     val tables = cb.centers.zipWithIndex.map { case (cs, m) =>
       cs.map(c => c.zip(q.slice(m * SubDim, (m + 1) * SubDim))
         .map { case (a, b) => a * b }.sum)
@@ -182,5 +182,47 @@ object PqIndex {
       .select("vec_id", "label", "cosine")
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** ADC top-k for `queryId`'s vector: code-scan candidates (top
+    * `rerank` by table-lookup inner product), exact fp32 cosine re-rank.
+    */
+  def search(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
+             rerank: Int = 50, seed: Long = 42L,
+             kCentroids: Int = K): DataFrame = {
+    GraftFunctions.register(spark)
+    val cb = fit(emb, seed, kCentroids = kCentroids)
+    val corpus = encode(emb.filter(col("vec_id") =!= queryId), cb)
+    adcRerank(corpus, cb, queryVec(emb, queryId), emb, queryId, k, rerank)
+  }
+
+  /** IVF-PQ: the coarse quantizer picks the `nProbe` nearest cells
+    * ([[IvfIndex]]), the ADC code scan covers only those cells' rows, and
+    * survivors pay the exact re-rank — cell pruning multiplies with the
+    * code bandwidth cut (probe ¼ of the corpus at ¼ the bytes/vector ⇒
+    * ~16× less scan work than brute force). GLOBAL-codebook variant: one
+    * PQ codebook serves all cells, where FAISS's IVF-PQ encodes per-cell
+    * RESIDUALS for tighter quantization — the exact re-rank stage absorbs
+    * the coarser candidates here, and the cell/code machinery (the part
+    * that must scale) is identical. At 100 TB the corpus would be written
+    * partitioned by `cell` so a probe prunes to its cells' FILES.
+    */
+  def searchIvfPq(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
+                  nClusters: Int = 16, nProbe: Int = 4,
+                  rerank: Int = 50, seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(spark)
+    val (assigned, centers) = IvfIndex.fit(emb, nClusters, seed)
+    val cb = fit(emb, seed)
+    val q = queryVec(emb, queryId)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val probes = centers.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(q).map { case (a, b) => a * b }.sum
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      (i, if (norm == 0) -1.0 else dot / (norm * qNorm))
+    }.sortBy { case (i, cos) => (-cos, i) }.take(nProbe).map(_._1)
+    val corpus = encode(
+      assigned.filter(col("cell").isin(probes: _*))
+        .filter(col("vec_id") =!= queryId), cb)
+    adcRerank(corpus, cb, q, emb, queryId, k, rerank)
   }
 }

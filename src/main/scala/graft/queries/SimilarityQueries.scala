@@ -517,6 +517,18 @@ object SimilarityQueries {
       None,
       "PQ ANN: per-subspace codebooks, ADC code scan, fp32 re-rank"),
 
+    // IVF-PQ (graft.operators.PqIndex.searchIvfPq): coarse-quantizer cell
+    // probe × PQ code scan × exact re-rank — cell pruning multiplies with
+    // the 4× code bandwidth cut (~16× less scan work than brute force).
+    // k-means cells and codebooks → rows-only check (like v5/v10);
+    // SketchSpec pins full-probe equality with the exact ranking and the
+    // planted-twin invariant under real pruning.
+    "v12_ivfpq_search" -> GraftQuery(
+      (s, dir) => graft.operators.PqIndex.searchIvfPq(
+        s, emb(s, dir), queryId = 0, k = 10),
+      None,
+      "IVF-PQ ANN: probed cells only, ADC code scan, fp32 re-rank"),
+
     // Matryoshka-style prefix-dimension retrieval (Kusupati et al. '22:
     // MRL-trained embeddings keep their leading dims usable as a coarse
     // embedding): candidate scan scores only the FIRST 16 of 64 dims — a

@@ -134,6 +134,31 @@ class SketchSpec extends SparkSpec {
     assert(pq === expected, "full-corpus rerank ⇒ PQ must equal the exact ranking")
   }
 
+  test("v12 IVF-PQ: full probe equals exact; pruned probe still finds the twin") {
+    GraftFunctions.register(spark)
+    val e = Registry.t(spark, dir, "embeddings")
+    // probing EVERY cell with a corpus-covering rerank must equal the
+    // exact baseline (candidates can only reorder; the re-rank is exact)
+    val full = graft.operators.PqIndex
+      .searchIvfPq(spark, e, queryId = 0, k = 5, nClusters = 2, nProbe = 2, rerank = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val ex = e.withColumn("norm", expr("sqrt(float_dot(embedding, embedding))"))
+    val q = ex.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val expected = ex.filter(col("vec_id") =!= 0).crossJoin(q)
+      .withColumn("cosine",
+        round(expr("float_dot(embedding, q_emb)") / (col("norm") * col("q_norm")), 6))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === expected, "all-cell probe ⇒ IVF-PQ must equal the exact ranking")
+    // with half the cells pruned the identical twin co-clusters with the
+    // query and must still surface at rank 1, cosine exactly 1.0
+    val pruned = graft.operators.PqIndex
+      .searchIvfPq(spark, e, queryId = 0, k = 3, nClusters = 2, nProbe = 1, rerank = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(pruned.head === ((1L, 1.0)))
+  }
+
   test("v3 exact all-pairs refuses to run above its corpus-size bound") {
     GraftFunctions.register(spark)
     val e = Registry.t(spark, dir, "embeddings")
