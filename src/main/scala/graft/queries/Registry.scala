@@ -22,17 +22,26 @@ final case class GraftQuery(
 object Registry {
   /** `<sfDir>/<name>.parquet` reader used by every query.
     *
-    * `events.ts` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.tune]]),
-    * so nanos arrive as BIGINT and are truncated to micros here — exactly
-    * what DuckDB does when it reads the same file (TIMESTAMP_NS → TIMESTAMP).
+    * `events.ts` normalization — the physical parquet type has varied
+    * across driver-generated testdata generations, so BOTH are handled:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; Sessions
+    *    set `spark.sql.legacy.parquet.nanosAsLong=true`, nanos arrive as
+    *    BIGINT and are truncated to micros here — exactly what DuckDB does
+    *    (TIMESTAMP_NS → TIMESTAMP);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; cast to session-time TIMESTAMP (sessions pin
+    *    spark.sql.session.timeZone=UTC), which reproduces the same
+    *    instants DuckDB reads (its naive TIMESTAMP compared under
+    *    TimeZone=UTC).
+    * Either way every query downstream sees one type: TIMESTAMP.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None    => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) => df.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => df
     }
   }
 

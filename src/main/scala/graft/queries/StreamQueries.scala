@@ -317,8 +317,8 @@ object StreamQueries {
         val ss = streamSession(s)
         val id = runId.incrementAndGet()
         val srcDir = s"${Registry.scratchRoot}/st3_src_$id"
-        // raw read (ts stays nanos-as-long) so the staged files match
-        // readEventStream's declared schema
+        // raw read (ts keeps the file's physical type) so the staged files
+        // match readEventStream's probed schema
         s.read.parquet(s"$dir/events.parquet").repartition(4)
           .write.mode("overwrite").parquet(srcDir)
         val table = new MergeTable(s"${Registry.scratchRoot}/st3_lake_$id")
@@ -564,9 +564,10 @@ object StreamQueries {
         val ss = streamSession(s)
         val id = runId.incrementAndGet()
         val srcDir = s"${Registry.scratchRoot}/st11_src_$id"
-        // raw read keeps ts as nanos-long; the staged files carry the op
-        // column so the stream IS the CDC feed
-        val raw = s.read.parquet(s"$dir/events.parquet")
+        // normalized read (ts → TIMESTAMP): the staged files carry the op
+        // column so the stream IS the CDC feed, and both the stream's
+        // declared schema and the target table see one ts type
+        val raw = Registry.t(s, dir, "events")
         raw.filter(col("event_id") % 2 === 0)
           .withColumn("op",
             when(col("event_id") % 10 === 0, lit("D")).otherwise(lit("U")))
@@ -577,8 +578,10 @@ object StreamQueries {
         val table = new MergeTable(s"${Registry.scratchRoot}/st11_lake_$id")
         table.overwrite(raw.filter(col("event_id") % 3 === 0))
         import org.apache.spark.sql.types._
+        // the staged CDC batches are re-written from Registry.t output, so
+        // ts is already the normalized TIMESTAMP — not the raw file's type
         val cdcSchema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("event_id", LongType), StructField("ts", TimestampType),
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType),
           StructField("op", StringType)))

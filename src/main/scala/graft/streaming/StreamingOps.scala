@@ -87,18 +87,29 @@ object StreamingOps {
       }
   }
 
-  /** readStream source over a DIRECTORY of events parquet files
-    * (TIMESTAMP_NANOS → micros, same normalization as Registry.t). The
-    * streaming file source requires a directory — single-file test inputs
-    * must be staged into one first (see StreamQueries).
+  /** readStream source over a DIRECTORY of events parquet files (same ts
+    * normalization as Registry.t — the raw file's physical type has varied
+    * across testdata generations: TIMESTAMP(NANOS) read as BIGINT, or
+    * TIMESTAMP(MICROS, NTZ) cast under the session's UTC zone; downstream
+    * always sees TIMESTAMP). The streaming file source requires a
+    * directory — single-file test inputs must be staged into one first
+    * (see StreamQueries). The declared schema must match the file's
+    * PHYSICAL type, so it is probed from the staged file with a one-off
+    * batch read of its footer — metadata-sized, never a data scan.
     */
   def readEventStream(spark: SparkSession, eventsDir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    val physTs = spark.read.parquet(eventsDir).schema
+      .fields.find(_.name == "ts").map(_.dataType).getOrElse(LongType)
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", physTs),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    physTs match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => raw
+    }
   }
 }
