@@ -75,6 +75,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   private def latestPath: Path = logDir.resolve("_LATEST")
   private def commitPath(version: Long): Path = logDir.resolve(s"$version.commit")
 
+  /** Commit wall-clock source — injectable for deterministic tests (the
+    * same pattern as the pipeline's injected processing date). Production
+    * callers never touch it. [[commit]] records `max(clock(), prev+1)`, so
+    * even a clock running backwards (NTP step, cross-host writers) yields
+    * strictly increasing in-commit timestamps — Delta's inCommitTimestamp
+    * monotonicity rule, which is what makes `TIMESTAMP AS OF` well-defined.
+    */
+  private[graft] var clock: () => Long = () => System.currentTimeMillis()
+
   /** One commit = ONE log file (`<version>.commit`: schema + file list +
     * per-file stats), published atomically by hard-link put-if-absent — the
     * commit either fully exists or doesn't, there is no window where a
@@ -91,7 +100,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                             dvs: Seq[(String, String, Long)],
                             colmap: Seq[(String, String)],
                             retired: Seq[String],
-                            props: Seq[(String, String)])
+                            props: Seq[(String, String)],
+                            tsMillis: Option[Long])
 
   private def readCommit(version: Long): Commit = {
     val lines = Files.readString(commitPath(version)).split("\n").toSeq
@@ -130,7 +140,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // never drift on the line format
     val meta = parseMeta(lines.iterator)
     Commit(schema, files, stats, meta.cdfDir, meta.constraints, meta.txns, meta.dvs,
-      meta.colmap, meta.retired, meta.props)
+      meta.colmap, meta.retired, meta.props, meta.tsMillis)
   }
 
   /** The non-file metadata of a commit (cdf dir, constraints, this commit's
@@ -167,7 +177,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                                 dvs: Seq[(String, String, Long)],
                                 colmap: Seq[(String, String)],
                                 retired: Seq[String],
-                                props: Seq[(String, String)])
+                                props: Seq[(String, String)],
+                                tsMillis: Option[Long])
 
   private def parseMeta(lines: Iterator[String]): CommitMeta = {
     var cdf: Option[String] = None
@@ -180,8 +191,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val colmap = Seq.newBuilder[(String, String)]
     val retired = Seq.newBuilder[String]
     val props = Seq.newBuilder[(String, String)]
+    var tsMillis: Option[Long] = None
     lines.foreach {
       case l if l.startsWith("cdf\t") => cdf = Some(dec(l.stripPrefix("cdf\t")))
+      case l if l.startsWith("ts\t") => tsMillis = Some(l.stripPrefix("ts\t").toLong)
       case l if l.startsWith("check\t") =>
         val Array(n, p) = l.stripPrefix("check\t").split("\t", 2)
         checks += (dec(n) -> dec(p))
@@ -205,7 +218,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       case _ => ()
     }
     CommitMeta(cdf, checks.result(), ingested.result(), ingestReset, txns.result(), op,
-      dvs.result(), colmap.result(), retired.result(), props.result())
+      dvs.result(), colmap.result(), retired.result(), props.result(), tsMillis)
   }
 
   private def readMeta(version: Long): CommitMeta = {
@@ -226,20 +239,30 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     v
   }
 
+  /** A commit's publish time: the in-commit timestamp when recorded
+    * (every commit since the feature landed), else the commit file's mtime
+    * (pre-feature tables — files are never rewritten after publish, so
+    * mtime is a faithful fallback). The single time source for
+    * `TIMESTAMP AS OF`, `DESCRIBE HISTORY`, and `DESCRIBE DETAIL`.
+    */
+  def commitTimeMillis(version: Long): Long =
+    readMeta(version).tsMillis
+      .getOrElse(Files.getLastModifiedTime(commitPath(version)).toMillis)
+
   /** Latest version whose commit was published at or before `tsMillis`
     * (Delta's `TIMESTAMP AS OF` resolution rule: the snapshot a reader at
-    * that wall-clock instant would have seen). Commit files are never
-    * rewritten after publish, so their mtime IS the publish time. Fails
-    * when the timestamp precedes the first commit.
+    * that wall-clock instant would have seen). In-commit timestamps are
+    * strictly increasing ([[commit]] clamps), so a linear scan over
+    * metadata lines resolves it unambiguously. Fails when the timestamp
+    * precedes the first commit.
     */
   def versionAt(tsMillis: Long): Long = {
     require(exists, s"MergeTable at $root does not exist")
     val vs = (0L to currentVersion)
-      .filter(v => Files.exists(commitPath(v)) &&
-        Files.getLastModifiedTime(commitPath(v)).toMillis <= tsMillis)
+      .filter(v => Files.exists(commitPath(v)) && commitTimeMillis(v) <= tsMillis)
     require(vs.nonEmpty,
       s"no version of $root existed at timestamp $tsMillis — the first commit " +
-        s"was published at ${Files.getLastModifiedTime(commitPath(0)).toMillis}")
+        s"was published at ${commitTimeMillis(0)}")
     vs.max
   }
 
@@ -1474,6 +1497,38 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       op = "OPTIMIZE")
   }
 
+  /** Delta's `REORG TABLE ... APPLY (PURGE)` analog: rewrite ONLY the
+    * files that carry deletion-vector masks, materializing their surviving
+    * rows and shedding the bindings; every clean file is carried forward
+    * by manifest reference, stats included. The 100 TB point mirrors
+    * OPTIMIZE WHERE: dv deletes touch a sliver of a big table, so purging
+    * them must cost O(masked files), never a full-table rewrite. After the
+    * commit the sidecars are unreferenced by the NEW version (old versions
+    * still bind them — time travel stays exact) and are reclaimed by
+    * vacuum once the horizon passes.
+    */
+  def reorgPurge(spark: SparkSession, parallelism: Int = 8): Unit = {
+    require(parallelism > 0, "parallelism must be positive")
+    val v = currentVersion
+    val c = readCommit(v)
+    if (c.dvs.isEmpty) return // nothing masked — a no-op, not a new version
+    val masked = c.dvs.map(_._1).toSet
+    val (touchedRel, keptRel) = c.files.partition(masked.contains)
+    val newVersion = v + 1
+    val survivors = readFiles(spark, touchedRel, c.schema, colmapOf(v), dvsOf(v))
+    val packed =
+      if (partitionCols.nonEmpty)
+        survivors.repartition(parallelism, partitionCols.map(col): _*)
+      else survivors.repartition(parallelism)
+    val dataDir = newDataDir(newVersion)
+    writeData(packed, dataDir, colmapOf(v))
+    val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
+    commit(newVersion, keptRel ++ newFiles, c.schema,
+      carryStats(v, keptRel) ++ collectStats(spark, newFiles, c.schema, colmapOf(v)),
+      dvsOverride = Some(Nil), // purged: the new snapshot carries no masks
+      op = "REORG")
+  }
+
   // ---- data skipping (Delta file-statistics analog) ----
 
   /** Per-file min/max statistics of `statsCols` for a snapshot:
@@ -1758,12 +1813,12 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   }
 
   /** `DESCRIBE HISTORY` analog: one row per commit — version, commit
-    * timestamp (commit-file mtime: set when the commit was published, and
-    * commits are immutable afterwards), operation name, and the txn markers
-    * recorded as of that version (`appId=version`, comma-joined). Built
-    * from metadata lines only — O(versions) reads, never a manifest decode
-    * — so it stays affordable on any table. The audit surface RESTORE
-    * begs for: read it to pick the version to roll back to.
+    * timestamp (in-commit timestamp, mtime fallback for pre-feature
+    * commits — see [[commitTimeMillis]]), operation name, and the txn
+    * markers recorded as of that version (`appId=version`, comma-joined).
+    * Built from metadata lines only — O(versions) reads, never a manifest
+    * decode — so it stays affordable on any table. The audit surface
+    * RESTORE begs for: read it to pick the version to roll back to.
     */
   def history(spark: SparkSession): DataFrame = {
     require(exists, s"MergeTable at $root does not exist")
@@ -1772,8 +1827,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .filter(ver => Files.exists(commitPath(ver)))
       .map { ver =>
         val m = readMeta(ver)
-        val ts = new java.sql.Timestamp(
-          Files.getLastModifiedTime(commitPath(ver)).toMillis)
+        val ts = new java.sql.Timestamp(m.tsMillis.getOrElse(
+          Files.getLastModifiedTime(commitPath(ver)).toMillis))
         (ver, ts, m.operation,
           m.txns.toSeq.sortBy(_._1).map { case (a, t) => s"$a=$t" }.mkString(","))
       }
@@ -1795,8 +1850,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val v = currentVersion
     val c = readCommit(v)
     val sizeBytes = c.files.map(f => Files.size(Paths.get(root, f))).sum
-    val lastMod = new java.sql.Timestamp(
-      Files.getLastModifiedTime(commitPath(v)).toMillis)
+    val lastMod = new java.sql.Timestamp(commitTimeMillis(v))
     Seq((
       "graft-parquet", root, v, lastMod, c.files.size.toLong, sizeBytes,
       partitionCols, c.dvs.size.toLong, c.dvs.map(_._3).sum,
@@ -2070,6 +2124,35 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
              minAgeMs: Long = MergeTable.DefaultVacuumMinAgeMs): Unit = {
     require(retainVersions >= 1, "vacuum must retain at least the current version")
     if (!exists) return
+    val (floor, doomed) = reclaimable(retainVersions, minAgeMs)
+    doomed.foreach(deleteRecursively)
+    // same tmp + ATOMIC_MOVE care as _LATEST: a torn horizon write must not
+    // brick every subsequent read with an unparseable file
+    val ht = logDir.resolve(s"_VACUUM_HORIZON.tmp${System.nanoTime()}")
+    Files.writeString(ht, floor.toString)
+    Files.move(ht, logDir.resolve("_VACUUM_HORIZON"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delta's `VACUUM ... DRY RUN` analog: the root-relative paths a
+    * [[vacuum]] with the same arguments would reclaim, WITHOUT deleting
+    * anything or moving the horizon. One shared enumeration
+    * ([[reclaimable]]) backs both, so the preview can never drift from
+    * the deletion — the whole point of a dry run.
+    */
+  def vacuumDryRun(retainVersions: Int = 1,
+                   minAgeMs: Long = MergeTable.DefaultVacuumMinAgeMs): Seq[String] = {
+    require(retainVersions >= 1, "vacuum must retain at least the current version")
+    if (!exists) return Nil
+    reclaimable(retainVersions, minAgeMs)._2
+      .map(p => Paths.get(root).relativize(p).toString).sorted
+  }
+
+  /** The vacuum plan: the new horizon plus every directory the retention
+    * arguments doom — unreferenced data dirs, unreferenced dv sidecar
+    * dirs, and orphan change-feed dirs, each under the min-age safeguard.
+    */
+  private def reclaimable(retainVersions: Int, minAgeMs: Long): (Long, Seq[Path]) = {
     val cur = currentVersion
     // the horizon is MONOTONIC: a later vacuum with a larger retention
     // cannot move it backwards past versions whose files are already gone —
@@ -2082,6 +2165,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .filter(ver => Files.exists(commitPath(ver)))
       .flatMap(filesOf).map(_.takeWhile(_ != '/')).toSet
     val rootP = Paths.get(root)
+    val doomed = Seq.newBuilder[Path]
     Files.list(rootP).iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
@@ -2091,7 +2175,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       }
       .filterNot(p => live.contains(p.getFileName.toString))
       .filter(oldEnough)
-      .foreach(deleteRecursively)
+      .foreach(doomed += _)
     // reconcile dv sidecar dirs under the cdf rule: any commit's reference
     // keeps a dir (commits are never deleted; a restore may re-bind old
     // masks), unreferenced old-enough dirs are crashed/raced attempts
@@ -2107,7 +2191,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         .filter(Files.isDirectory(_))
         .filterNot(p => referenced.contains(p.getFileName.toString))
         .filter(oldEnough)
-        .foreach(deleteRecursively)
+        .foreach(doomed += _)
     }
     // reconcile orphan change-feed dirs: a feed dir no commit references is
     // a crashed/lost attempt's leftover; one any commit references must
@@ -2127,15 +2211,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           .filter(Files.isDirectory(_))
           .filterNot(p => referenced.contains(p.getFileName.toString))
           .filter(oldEnough)
-          .foreach(deleteRecursively)
+          .foreach(doomed += _)
       }
     }
-    // same tmp + ATOMIC_MOVE care as _LATEST: a torn horizon write must not
-    // brick every subsequent read with an unparseable file
-    val ht = logDir.resolve(s"_VACUUM_HORIZON.tmp${System.nanoTime()}")
-    Files.writeString(ht, floor.toString)
-    Files.move(ht, logDir.resolve("_VACUUM_HORIZON"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    (floor, doomed.result())
   }
 
   /** Oldest version still guaranteed readable (0 when never vacuumed).
@@ -2448,8 +2527,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         else fullManifest
       case _ => fullManifest
     }
+    // In-commit timestamp (Delta's inCommitTimestamp): the commit's OWN
+    // record of when it happened, immune to log-file copies/mtime churn
+    // (CLONE copies a log; a restored backup rewrites mtimes). Clamped to
+    // strictly-after the previous commit so TIMESTAMP AS OF resolution is
+    // total-ordered even under clock skew.
+    val tsMillis = math.max(clock(), prev.flatMap(_.tsMillis).getOrElse(Long.MinValue) + 1)
     val content = (s"schema\t${enc(schema.toDDL)}" +:
-      (Seq(s"op\t${enc(op)}") ++
+      (Seq(s"op\t${enc(op)}", s"ts\t$tsMillis") ++
         cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
         constraints.map { case (n, p) => s"check\t${enc(n)}\t${enc(p)}" } ++
         ingestReset.map(_ => "ingestreset").toSeq ++

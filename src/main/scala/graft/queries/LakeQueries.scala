@@ -845,6 +845,92 @@ object LakeQueries {
              |FROM orders""".stripMargin),
       "identity columns: gap-free start/step ids from a commit-carried high-water mark"),
 
+    // In-commit timestamps (Delta's inCommitTimestamp): every commit
+    // records its own wall clock in the log (clamped strictly-increasing
+    // by [[MergeTable.commit]]), so TIMESTAMP AS OF and DESCRIBE HISTORY
+    // are immune to log-file mtime churn (clones, backup restores) and to
+    // clock skew between writers. The clock is INJECTED here (the same
+    // pattern as the pipeline's processing date), which makes wall-clock
+    // travel fully deterministic — unlike m33, nothing depends on how
+    // fast the two writes actually ran. The gate travels to an instant
+    // BETWEEN the two injected ticks and must see exactly the v0 snapshot;
+    // the in-gate requires pin history()'s timestamps to the injected
+    // values (proving the mtime fallback was NOT used).
+    "m37_commit_timestamps" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m37_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        val base = 1754006400000L // 2025-08-01T00:00:00Z
+        var tick = 0L
+        table.clock = () => { tick += 1; base + tick * 60000L }
+        table.overwrite(orders.filter(col("o_orderkey") % 4 =!= 3)) // v0 @ base+1m
+        table.merge(s, orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M")), Seq("o_orderkey")) // v1 @ >= base+2m
+        require(table.versionAt(base + 90000L) == 0L,
+          "an instant between the injected ticks must resolve to v0")
+        val recorded = table.history(s).orderBy("version")
+          .collect().map(_.getTimestamp(1).getTime).toSeq
+        require(recorded.head == base + 60000L && recorded.forall(_ > base),
+          s"history must surface the injected in-commit timestamps, got $recorded")
+        val tsLit = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneId.systemDefault())
+          .format(java.time.Instant.ofEpochMilli(base + 90000L))
+        graft.sqlapi.LakeSql.query(s,
+          s"""SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS key_sum
+             |FROM tbl TIMESTAMP AS OF '$tsLit'
+             |GROUP BY o_orderstatus""".stripMargin, Map("tbl" -> table))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderkey % 4 <> 3
+             |GROUP BY o_orderstatus""".stripMargin),
+      "in-commit timestamps: injected-clock TIMESTAMP AS OF, mtime-free history"),
+
+    // Delta's REORG TABLE ... APPLY (PURGE): after dv deletes, rewrite ONLY
+    // the files carrying masks (materializing survivors, shedding the
+    // sidecar bindings); clean files carry forward by manifest REFERENCE —
+    // both properties are required in-gate. The delete predicate is
+    // restricted to one partition, so most of the table's files stay
+    // untouched: the purge costs O(masked files), the OPTIMIZE WHERE scale
+    // argument applied to dv compaction.
+    "m38_reorg_purge" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m38_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        table.deleteVectorized(s,
+          col("o_orderstatus") === "F" && col("o_totalprice") < 50000.0)
+        require(table.deletionVectors.nonEmpty, "expected dv bindings to purge")
+        val before = table.filesOf(table.currentVersion)
+        val masked = table.deletionVectors.map(_._1).toSet
+        require(masked.size < before.size,
+          "the partition-scoped delete must leave clean files to carry forward")
+        val name = s"m38_${sanitize(dir)}"
+        graft.sqlapi.LakeCatalog.register(name, table)
+        try s.sql(s"REORG TABLE $name APPLY (PURGE)")
+        finally graft.sqlapi.LakeCatalog.unregister(name)
+        val after = table.filesOf(table.currentVersion).toSet
+        require(table.deletionVectors.isEmpty, "purge must shed every dv binding")
+        require(before.filterNot(masked).forall(after.contains),
+          "clean files must carry forward by reference, not rewrite")
+        require(masked.forall(f => !after.contains(f)),
+          "every masked file must be rewritten")
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+               round(sum("o_totalprice"), 2).as("price_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       round(sum(o_totalprice), 2) AS price_sum
+             |FROM orders
+             |WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+             |GROUP BY o_orderstatus""".stripMargin),
+      "REORG APPLY (PURGE): dv-masked files rewritten, clean files carried by reference"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

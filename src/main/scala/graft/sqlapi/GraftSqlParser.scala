@@ -106,6 +106,8 @@ object GraftSqlParser {
         StructType(Seq(
           StructField("key", StringType, nullable = false),
           StructField("value", StringType, nullable = false)))
+      else if (LakeSql.isDryRunStatement(sql))
+        StructType(Seq(StructField("path", StringType, nullable = false)))
       else {
         val t = table.schemaOf(table.currentVersion)
         StructType(table.partitionCols.map(c => t(c)) :+

@@ -15,6 +15,8 @@ import graft.lake.MergeTable
   *   DELETE FROM t WHERE <predicate>
   *   UPDATE t SET c1 = <expr> [, c2 = <expr> ...] WHERE <predicate>
   *   VACUUM t [RETAIN <n> VERSIONS]
+  *   VACUUM t [RETAIN <n> VERSIONS] DRY RUN  -- reclaim preview (query())
+  *   REORG TABLE t APPLY (PURGE)             -- rewrite ONLY dv-masked files
   *   OPTIMIZE t [WHERE <partition predicate>]
   *   OPTIMIZE t ZORDER BY (c1 [, c2 ...])
   *   RESTORE [TABLE] t TO VERSION AS OF <n>
@@ -91,6 +93,12 @@ object LakeSql {
 
   private val VacuumShape =
     """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+
+  private val VacuumDryRunShape =
+    """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s+DRY\s+RUN\s*;?\s*$""".r
+
+  private val ReorgShape =
+    """(?is)^\s*REORG\s+TABLE\s+([\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
 
   private val OptimizeShape =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
@@ -195,6 +203,8 @@ object LakeSql {
       case VacuumShape(tgt, retain) =>
         resolve(tgt, targets).vacuum(
           retainVersions = Option(retain).map(_.toInt).getOrElse(1))
+      case ReorgShape(tgt) =>
+        resolve(tgt, targets).reorgPurge(spark)
       case RestoreShape(tgt, ver) =>
         resolve(tgt, targets).restore(ver.toLong)
       case ZorderShape(tgt, cols) =>
@@ -264,6 +274,11 @@ object LakeSql {
         import spark.implicits._
         return resolve(tgt, targets).properties.toSeq.sortBy(_._1)
           .toDF("key", "value")
+      case VacuumDryRunShape(tgt, retain) =>
+        import spark.implicits._
+        return resolve(tgt, targets)
+          .vacuumDryRun(retainVersions = Option(retain).map(_.toInt).getOrElse(1))
+          .toDF("path")
       case _                         => ()
     }
     spark.sql(rewriteReads(spark, sql, targets).getOrElse(sql))
@@ -326,6 +341,7 @@ object LakeSql {
     // registered yet, but a registered source marks the statement ours
     case CloneShape(_, _, src, _)  => Some(src)
     case VacuumShape(tgt, _)       => Some(tgt)
+    case ReorgShape(tgt)           => Some(tgt)
     case RestoreShape(tgt, _)      => Some(tgt)
     case ZorderShape(tgt, _)       => Some(tgt)
     case InsertShape(tgt, _)       => Some(tgt)
@@ -355,11 +371,18 @@ object LakeSql {
     * SHOW PARTITIONS / SHOW TBLPROPERTIES), if `sql` is one.
     */
   private[sqlapi] def metaStatementTarget(sql: String): Option[String] = sql match {
-    case DescribeHistoryShape(tgt)  => Some(tgt)
-    case DescribeDetailShape(tgt)   => Some(tgt)
-    case ShowPartitionsShape(tgt)   => Some(tgt)
-    case ShowPropertiesShape(tgt)   => Some(tgt)
-    case _                          => None
+    case DescribeHistoryShape(tgt)     => Some(tgt)
+    case DescribeDetailShape(tgt)      => Some(tgt)
+    case ShowPartitionsShape(tgt)      => Some(tgt)
+    case ShowPropertiesShape(tgt)      => Some(tgt)
+    case VacuumDryRunShape(tgt, _)     => Some(tgt)
+    case _                             => None
+  }
+
+  /** True when the metadata statement is VACUUM ... DRY RUN (path rows). */
+  private[sqlapi] def isDryRunStatement(sql: String): Boolean = sql match {
+    case VacuumDryRunShape(_, _) => true
+    case _                       => false
   }
 
   /** True when the metadata statement is SHOW TBLPROPERTIES (fixed k/v schema). */

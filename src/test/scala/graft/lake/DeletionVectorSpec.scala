@@ -179,4 +179,46 @@ class DeletionVectorSpec extends SparkSpec {
     val ops = t.history(spark).select("operation").as[String].collect().toSeq
     assert(ops.contains("DELETE (DV)"))
   }
+
+  test("reorgPurge rewrites ONLY masked files; clean files carry by reference") {
+    val t = new MergeTable(scratch("dv_reorg"), Seq("p"))
+    t.overwrite(df(base))
+    t.deleteVectorized(spark, col("p") === "p2" && col("v") === "a") // masks p2's file only
+    val before = t.filesOf(t.currentVersion)
+    val masked = t.deletionVectors.map(_._1).toSet
+    assert(masked.nonEmpty && masked.size < before.size)
+    t.reorgPurge(spark)
+    val after = t.filesOf(t.currentVersion).toSet
+    assert(t.deletionVectors.isEmpty, "purge must shed every dv binding")
+    assert(before.filterNot(masked).forall(after.contains),
+      "clean files must carry forward by reference")
+    assert(masked.forall(f => !after.contains(f)), "masked files must be rewritten")
+    assert(asSet(t.read(spark)) ===
+      Set((1, "a", "p1"), (2, "b", "p1"), (4, "b", "p2"), (5, "c", "p2")))
+    // the pre-purge masked snapshot is still exact under time travel
+    assert(asSet(t.readVersion(spark, 1)) ===
+      Set((1, "a", "p1"), (2, "b", "p1"), (4, "b", "p2"), (5, "c", "p2")))
+    // a mask-free table: purge is a no-op, not a new version
+    val v = t.currentVersion
+    t.reorgPurge(spark)
+    assert(t.currentVersion === v)
+  }
+
+  test("vacuum dry run previews exactly what vacuum reclaims, deleting nothing") {
+    val t = new MergeTable(scratch("dv_vac_dry"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))            // v0 → data dir A
+    t.overwrite(df(Seq((2, "b", "p1"))))            // v1 → dir B; A doomed at retain=1
+    val planned = t.vacuumDryRun(retainVersions = 1, minAgeMs = 0L)
+    assert(planned.nonEmpty)
+    // preview is side-effect-free: nothing deleted, horizon unmoved
+    assert(t.vacuumHorizon === 0L)
+    planned.foreach(p => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, p)), s"$p deleted by dry run"))
+    assert(asSet(t.readVersion(spark, 0)) === Set((1, "a", "p1")))
+    // the real vacuum deletes exactly the preview
+    t.vacuum(retainVersions = 1, minAgeMs = 0L)
+    planned.foreach(p => assert(
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, p)), s"$p not reclaimed"))
+    assert(asSet(t.read(spark)) === Set((2, "b", "p1")))
+  }
 }

@@ -891,6 +891,29 @@ class MergeTableSpec extends SparkSpec {
     assert(t.readRange(spark, "kk", 100, 100).count() === 1L)
   }
 
+  test("in-commit timestamps are strictly increasing even under a backwards clock") {
+    val t = new MergeTable(scratch("mt_ict"), Seq("p"))
+    // a clock that steps BACKWARDS between commits (NTP step / skewed
+    // second writer) — the table must still record a total order
+    val ticks = Iterator(5000L, 3000L, 3000L, 9000L)
+    t.clock = () => ticks.next()
+    t.overwrite(df(Seq((1, "a", "p1"))))                       // ts = 5000
+    t.append(df(Seq((2, "b", "p1"))))                          // clock 3000 → clamped 5001
+    t.append(df(Seq((3, "c", "p1"))))                          // clock 3000 → clamped 5002
+    t.append(df(Seq((4, "d", "p1"))))                          // ts = 9000
+    val ts = (0L to 3L).map(t.commitTimeMillis)
+    assert(ts === Seq(5000L, 5001L, 5002L, 9000L))
+    // TIMESTAMP AS OF resolution follows the recorded order, not mtimes
+    assert(t.versionAt(5001L) === 1L)
+    assert(t.versionAt(8999L) === 2L)
+    assert(t.versionAt(9000L) === 3L)
+    intercept[IllegalArgumentException](t.versionAt(4999L))
+    // history surfaces the in-commit values (no mtime fallback)
+    val hist = t.history(spark).orderBy("version").collect()
+      .map(_.getTimestamp(1).getTime).toSeq
+    assert(hist === ts)
+  }
+
   test("property: merged = source ∪ (target ∖ source-keys)") {
     val keySet: Gen[List[Int]] = Gen.listOfN(8, Gen.chooseNum(0, 30)).map(_.distinct)
     val params = Gen.Parameters.default
