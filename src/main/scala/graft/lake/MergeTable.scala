@@ -1949,6 +1949,65 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       colmapOverride = Some(c.colmap ++ newEntries), op = "ADD COLUMNS")
   }
 
+  /** `ALTER TABLE ALTER COLUMN c TYPE t` analog (Delta type widening): a
+    * METADATA-ONLY commit — the new schema declares the wider type, no
+    * data file is touched at any scale. Spark 4's parquet readers upcast
+    * a file's narrower stored type to the declared type at scan time
+    * ([[readFiles]] scans every file group with the snapshot's uniform
+    * schema), so files written before and after the widening coexist in
+    * one snapshot; writes after the widening store the wide type. Only
+    * WIDENING conversions are allowed (byte→short→int→long, float→double,
+    * byte/short/int→double) — anything else would corrupt or truncate on
+    * read. Partition columns cannot be widened: their values live in
+    * directory names, typed by the schema at parse time, and a width
+    * change would silently re-type every historical directory. Time
+    * travel still reads old versions under their own (narrow) schema, and
+    * carried-forward min/max stats compare numerically, so data skipping
+    * keeps pruning across the change.
+    */
+  def alterColumnType(colName: String, newType: org.apache.spark.sql.types.DataType): Unit = {
+    require(exists, s"MergeTable at $root does not exist")
+    val v = currentVersion
+    val c = readCommit(v)
+    val field = c.schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"alterColumnType on $root: no column '$colName' in " +
+          s"(${c.schema.fieldNames.mkString(", ")})"))
+    require(!partitionCols.contains(colName),
+      s"alterColumnType on $root: '$colName' is a partition column — " +
+        "partition values are directory names and cannot be re-typed")
+    require(MergeTable.widens(field.dataType, newType),
+      s"alterColumnType on $root: ${field.dataType.simpleString} → " +
+        s"${newType.simpleString} is not a widening conversion (supported: " +
+        "byte→short→int→long, float→double, byte/short/int→double)")
+    val evolved = StructType(c.schema.fields.map(f =>
+      if (f.name == colName) f.copy(dataType = newType) else f))
+    commit(v + 1, c.files, evolved, c.statsLines, op = "ALTER COLUMN")
+  }
+
+  /** Delta's `FSCK REPAIR TABLE`: drop manifest references to data files
+    * that are physically GONE (out-of-band deletion, storage loss), so
+    * scans stop failing mid-read on the missing files. Returns the number
+    * of references removed; 0 leaves the table untouched (no empty
+    * commit). The repair is a metadata-only commit — surviving files keep
+    * their stats and dv bindings (commit's carry-forward sheds bindings of
+    * dropped files automatically), and prior versions still reference the
+    * lost files, so time travel to them fails at scan time exactly as
+    * before the repair — fsck repairs the TIP, it cannot resurrect data.
+    * O(files) driver-side existence probes: metadata-sized, same cost
+    * class as DESCRIBE DETAIL.
+    */
+  def fsck(): Int = {
+    require(exists, s"MergeTable at $root does not exist")
+    val v = currentVersion
+    val c = readCommit(v)
+    val missing = c.files.filterNot(f => Files.exists(Paths.get(root, f)))
+    if (missing.isEmpty) return 0
+    val keep = c.files.filterNot(missing.toSet)
+    commit(v + 1, keep, c.schema, carryStats(v, keep), op = "FSCK")
+    missing.size
+  }
+
   /** `ALTER TABLE RENAME COLUMN` analog (Delta column-mapping rename): a
     * METADATA-ONLY commit — no data file is touched at any scale. The
     * column keeps its PHYSICAL name in every data file; the commit records
@@ -2598,6 +2657,25 @@ object MergeTable {
     * `update_postimage` / `delete` (the Delta CDF vocabulary).
     */
   val ChangeType = "_change_type"
+
+  /** True when `from → to` is a lossless widening Spark's parquet readers
+    * perform at scan time (the Delta type-widening allow-list this engine
+    * supports): strictly-wider integrals, float→double, and
+    * byte/short/int→double (every int32 value is exact in a double;
+    * long→double is NOT — it would silently lose precision past 2^53).
+    */
+  private[lake] def widens(from: org.apache.spark.sql.types.DataType,
+                           to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val ints = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    (from, to) match {
+      case (f, t) if ints.contains(f) && ints.contains(t) =>
+        ints.indexOf(f) < ints.indexOf(t)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+  }
 
   // ---- conditional-clause MERGE (see [[MergeTable.mergeClauses]]) ----
 

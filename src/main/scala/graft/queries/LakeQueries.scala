@@ -931,6 +931,78 @@ object LakeQueries {
              |GROUP BY o_orderstatus""".stripMargin),
       "REORG APPLY (PURGE): dv-masked files rewritten, clean files carried by reference"),
 
+    // Delta type widening: ALTER COLUMN ... TYPE is METADATA-ONLY — v0's
+    // files keep storing INT and are never rewritten (asserted); the
+    // widened snapshot reads them upcast (Spark 4 parquet readers widen at
+    // scan time) alongside post-widening BIGINT files holding values far
+    // beyond int range. Time travel still reads v0 under its own narrow
+    // schema.
+    "m39_type_widening" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m39_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_custkey", col("o_custkey").cast("int")))     // v0: INT files
+        val v0Files = table.filesOf(0)
+        val name = s"m39_${sanitize(dir)}"
+        graft.sqlapi.LakeCatalog.register(name, table)
+        try s.sql(s"ALTER TABLE $name ALTER COLUMN o_custkey TYPE bigint") // v1: metadata-only
+        finally graft.sqlapi.LakeCatalog.unregister(name)
+        require(table.filesOf(1) == v0Files, "widening must not rewrite any file")
+        require(table.schemaOf(1)("o_custkey").dataType ==
+          org.apache.spark.sql.types.LongType, "schema must declare the wide type")
+        require(table.schemaOf(0)("o_custkey").dataType ==
+          org.apache.spark.sql.types.IntegerType, "time travel keeps the narrow schema")
+        table.append(orders.filter(col("o_orderkey") % 2 =!= 0)
+          .withColumn("o_custkey", col("o_custkey").cast("bigint") + 5000000000L))
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+               sum("o_custkey").as("cust_sum"),
+               sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey
+             |                     ELSE o_custkey + 5000000000 END) AS BIGINT) AS cust_sum,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "type widening: metadata-only ALTER COLUMN TYPE, INT files upcast beside BIGINT files"),
+
+    // Delta's FSCK REPAIR TABLE: after out-of-band file loss, the tip is
+    // repaired by a metadata-only commit dropping the dead references —
+    // the table reads again without a rewrite. compact() first packs each
+    // partition into ONE file, so deleting exactly the 'F' partition's
+    // file makes the surviving row set deterministic (orders minus
+    // status F) and the oracle purely relational.
+    "m40_fsck" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m40_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        table.compact(s) // one file per o_orderstatus partition
+        val victims = table.filesOf(table.currentVersion)
+          .filter(_.contains("o_orderstatus=F"))
+        require(victims.size == 1, s"expected one packed F file, got $victims")
+        victims.foreach(f => java.nio.file.Files.delete(
+          java.nio.file.Paths.get(root, f)))
+        val name = s"m40_${sanitize(dir)}"
+        graft.sqlapi.LakeCatalog.register(name, table)
+        try s.sql(s"FSCK REPAIR TABLE $name")
+        finally graft.sqlapi.LakeCatalog.unregister(name)
+        require(table.filesOf(table.currentVersion).forall(f =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(root, f))),
+          "fsck must leave only existing files referenced")
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderstatus <> 'F'
+             |GROUP BY o_orderstatus""".stripMargin),
+      "FSCK REPAIR TABLE: metadata-only repair after out-of-band file loss"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

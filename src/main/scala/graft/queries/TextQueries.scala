@@ -1102,6 +1102,39 @@ object TextQueries {
              |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')) AS redacted_fp
              |FROM injected""".stripMargin),
       "PII scrub: regex email/phone/IP detect + count + typed-placeholder redaction"),
+
+    // Training-shard writer — the pipeline's last mile: pack the corpus
+    // into N fixed shards under a deterministic content-keyed assignment
+    // (md5 of doc_id — engine-agnostic, stable under re-ingest), write
+    // one directory per shard in ONE shuffle (repartition on the shard id,
+    // then partitionBy streams each task's shard to disk), and verify FROM
+    // THE WRITTEN FILES: the gate reads the shards back and aggregates, so
+    // the check covers the physical writer, not just the plan. At 100 TB
+    // this is the exact layout a dataloader wants: shard count fixed by
+    // the trainer's world size, shard membership reproducible from the id
+    // alone, no global sort anywhere.
+    "t29_shard_pack" -> GraftQuery(
+      (s, dir) => {
+        val out = s"${Registry.scratchRoot}/t29_${Registry.sanitize(dir)}"
+        Registry.cleanDir(out)
+        val docs = t(s, dir, "documents")
+        docs.withColumn("shard",
+            expr("CAST(pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT), 8) AS INT)"))
+          .repartition(col("shard"))
+          .write.partitionBy("shard").mode("overwrite").parquet(out)
+        val back = s.read.parquet(out)
+        back.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+               sum("doc_id").as("id_sum"),
+               sum(length(col("text"))).as("chars"))
+          .orderBy("shard")
+      },
+      Some("""SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 8 AS INTEGER) AS shard,
+             |       count(*) AS n_docs,
+             |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |       CAST(sum(length(text)) AS BIGINT) AS chars
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      "training-shard writer: one-shuffle deterministic N-shard pack, verified from disk"),
   )
 
   /** t23/t24's shared chunk derivation: per doc, content-defined chunk

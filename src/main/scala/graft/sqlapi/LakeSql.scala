@@ -17,12 +17,14 @@ import graft.lake.MergeTable
   *   VACUUM t [RETAIN <n> VERSIONS]
   *   VACUUM t [RETAIN <n> VERSIONS] DRY RUN  -- reclaim preview (query())
   *   REORG TABLE t APPLY (PURGE)             -- rewrite ONLY dv-masked files
+  *   FSCK REPAIR TABLE t                     -- drop refs to missing files
   *   OPTIMIZE t [WHERE <partition predicate>]
   *   OPTIMIZE t ZORDER BY (c1 [, c2 ...])
   *   RESTORE [TABLE] t TO VERSION AS OF <n>
   *   INSERT INTO t <SELECT ...|VALUES ...>        -- positional, Delta-style
   *   ALTER TABLE t ADD COLUMNS (c1 type1 [, ...])
   *   ALTER TABLE t RENAME COLUMN a TO b           -- metadata-only (column mapping)
+  *   ALTER TABLE t ALTER COLUMN c TYPE t          -- metadata-only type widening
   *   ALTER TABLE t DROP COLUMN a                  -- metadata-only (column mapping)
   *   ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS c1 [, ...]
   *   ALTER TABLE t SET TBLPROPERTIES (k = v [, ...])
@@ -100,6 +102,9 @@ object LakeSql {
   private val ReorgShape =
     """(?is)^\s*REORG\s+TABLE\s+([\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
 
+  private val FsckShape =
+    """(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+
   private val OptimizeShape =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
 
@@ -117,6 +122,9 @@ object LakeSql {
 
   private val RenameColumnShape =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
+
+  private val AlterColumnTypeShape =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w()., ]+?)\s*;?\s*$""".r
 
   private val DropColumnShape =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
@@ -205,6 +213,8 @@ object LakeSql {
           retainVersions = Option(retain).map(_.toInt).getOrElse(1))
       case ReorgShape(tgt) =>
         resolve(tgt, targets).reorgPurge(spark)
+      case FsckShape(tgt) =>
+        resolve(tgt, targets).fsck()
       case RestoreShape(tgt, ver) =>
         resolve(tgt, targets).restore(ver.toLong)
       case ZorderShape(tgt, cols) =>
@@ -243,6 +253,9 @@ object LakeSql {
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case RenameColumnShape(tgt, from, to) =>
         resolve(tgt, targets).renameColumn(from, to)
+      case AlterColumnTypeShape(tgt, colName, typeDdl) =>
+        resolve(tgt, targets).alterColumnType(colName,
+          org.apache.spark.sql.types.DataType.fromDDL(typeDdl.trim))
       case DropColumnShape(tgt, colName) =>
         resolve(tgt, targets).dropColumn(colName)
       case AddConstraintShape(tgt, name, pred) =>
@@ -342,12 +355,14 @@ object LakeSql {
     case CloneShape(_, _, src, _)  => Some(src)
     case VacuumShape(tgt, _)       => Some(tgt)
     case ReorgShape(tgt)           => Some(tgt)
+    case FsckShape(tgt)            => Some(tgt)
     case RestoreShape(tgt, _)      => Some(tgt)
     case ZorderShape(tgt, _)       => Some(tgt)
     case InsertShape(tgt, _)       => Some(tgt)
     case OptimizeShape(tgt, _)     => Some(tgt)
     case AddColumnsShape(tgt, _)   => Some(tgt)
     case RenameColumnShape(tgt, _, _) => Some(tgt)
+    case AlterColumnTypeShape(tgt, _, _) => Some(tgt)
     case DropColumnShape(tgt, _)   => Some(tgt)
     case AddConstraintShape(tgt, _, _) => Some(tgt)
     case DropConstraintShape(tgt, _) => Some(tgt)

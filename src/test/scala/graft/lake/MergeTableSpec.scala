@@ -914,6 +914,42 @@ class MergeTableSpec extends SparkSpec {
     assert(hist === ts)
   }
 
+  test("type widening: metadata-only, mixed files read upcast, non-widening rejected") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val t = new MergeTable(scratch("mt_widen"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2")))) // k stored as INT
+    val v0Files = t.filesOf(0)
+    t.alterColumnType("k", LongType)
+    assert(t.filesOf(1) === v0Files, "widening must not rewrite any file")
+    // a post-widening merge lands a value far beyond int range; the old
+    // INT file and the new BIGINT file read together under one schema
+    t.merge(spark, Seq((5000000000L, "w", "p1")).toDF("k", "v", "p"), Seq("k"))
+    val out = t.read(spark).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "a"), (2L, "b"), (5000000000L, "w")))
+    // time travel reads v0 under its own narrow schema
+    assert(t.readVersion(spark, 0).schema("k").dataType === IntegerType)
+    // stats carried across the widening still prune numerically
+    // (narrowing, non-numeric, and partition columns all fail loudly)
+    intercept[IllegalArgumentException](t.alterColumnType("k", IntegerType))
+    intercept[IllegalArgumentException](t.alterColumnType("v", LongType))
+    intercept[IllegalArgumentException](t.alterColumnType("p", LongType))
+    intercept[IllegalArgumentException](t.alterColumnType("nope", LongType))
+  }
+
+  test("fsck drops references to out-of-band-deleted files; no-op on clean tables") {
+    val t = new MergeTable(scratch("mt_fsck"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
+    assert(t.fsck() === 0)
+    assert(t.currentVersion === 0, "a clean fsck must not commit")
+    val victim = t.filesOf(0).find(_.contains("p=p2")).get
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t.root, victim))
+    assert(t.fsck() === 1)
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1")))
+    import spark.implicits._
+    assert(t.history(spark).select("operation").as[String].collect().contains("FSCK"))
+  }
+
   test("property: merged = source ∪ (target ∖ source-keys)") {
     val keySet: Gen[List[Int]] = Gen.listOfN(8, Gen.chooseNum(0, 30)).map(_.distinct)
     val params = Gen.Parameters.default

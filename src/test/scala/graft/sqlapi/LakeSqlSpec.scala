@@ -236,6 +236,30 @@ class LakeSqlSpec extends SparkSpec {
     assert(asSet(t).contains((-1, "z", "p1")))
   }
 
+  test("REORG/FSCK/ALTER COLUMN TYPE/VACUUM DRY RUN route through the SQL surface") {
+    val t = seeded("lsql_r7")
+    // widening via SQL, then a wide write
+    LakeSql.run(spark, "ALTER TABLE tbl ALTER COLUMN k TYPE bigint", Map("tbl" -> t))
+    assert(t.schemaOf(t.currentVersion)("k").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // dv delete + REORG PURGE via SQL
+    t.deleteVectorized(spark, col("v") === "a")
+    assert(t.deletionVectors.nonEmpty)
+    LakeSql.run(spark, "REORG TABLE tbl APPLY (PURGE)", Map("tbl" -> t))
+    assert(t.deletionVectors.isEmpty)
+    // dry run returns path rows and deletes nothing
+    val planned = LakeSql.query(spark, "VACUUM tbl RETAIN 1 VERSIONS DRY RUN",
+      Map("tbl" -> t)).collect().map(_.getString(0))
+    planned.foreach(p => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, p))))
+    // out-of-band loss + FSCK via SQL
+    val victim = t.filesOf(t.currentVersion).head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t.root, victim))
+    LakeSql.run(spark, "FSCK REPAIR TABLE tbl", Map("tbl" -> t))
+    assert(!t.filesOf(t.currentVersion).contains(victim))
+    t.read(spark).count() // scans clean
+  }
+
   test("statements outside the supported shapes fail loudly") {
     val t = seeded("lsql_bad")
     val ex = intercept[IllegalArgumentException] {
