@@ -69,7 +69,8 @@ import scala.jdk.CollectionConverters._
 final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                        val statsCols: Seq[String] = Nil,
                        val generatedCols: Seq[(String, String)] = Nil,
-                       val identityCol: Option[(String, Long, Long)] = None) {
+                       val identityCol: Option[(String, Long, Long)] = None,
+                       val rowTracking: Boolean = false) {
 
   private val logDir: Path = Paths.get(root, "_graft_log")
   private def latestPath: Path = logDir.resolve("_LATEST")
@@ -272,6 +273,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
   def read(spark: SparkSession): DataFrame = readVersion(spark, currentVersion)
 
+  /** Current snapshot WITH the row-tracking id column
+    * ([[MergeTable.RowIdCol]]) projected — the audit/lineage surface of
+    * `rowTracking`: ids are unique, assigned once at first write, and
+    * survive merge/update/compaction rewrites verbatim (fresh rows get
+    * fresh ids). Requires a `rowTracking = true` table.
+    */
+  def readWithRowIds(spark: SparkSession): DataFrame = {
+    require(rowTracking, s"MergeTable at $root was not created with rowTracking = true")
+    val v = currentVersion
+    readFiles(spark, filesOf(v), schemaOf(v), colmapOf(v), dvsOf(v), withRowIds = true)
+  }
+
   /** Time-travel read of any retained snapshot. Files may span several data
     * directories (untouched files are carried forward across versions), and
     * partition-column values live in directory names — so we group by data
@@ -362,12 +375,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                         colmap: Map[String, String],
                         dvs: Map[String, (String, Long)] = Map.empty,
                         keepPos: Boolean = false,
-                        fileCol: Option[String] = None): DataFrame = {
-    import MergeTable.{DvFileCol, DvIdxCol}
+                        fileCol: Option[String] = None,
+                        withRowIds: Boolean = false): DataFrame = {
+    import MergeTable.{DvFileCol, DvIdxCol, RowIdCol}
     val hit = fs.filter(dvs.contains)
     val needPos = keepPos || hit.nonEmpty
     val base = if (fs.isEmpty) {
       var s = schema
+      if (withRowIds) s = s.add(RowIdCol, org.apache.spark.sql.types.LongType)
       if (needPos)
         s = s.add(DvFileCol, org.apache.spark.sql.types.StringType)
           .add(DvIdxCol, org.apache.spark.sql.types.LongType)
@@ -379,9 +394,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       // A renamed column reads its original physical data; a column added
       // after a DROP asks for its fresh physical name, so dropped data can
       // never resurrect (old files simply lack the fresh name → NULL).
-      val physSchema =
+      // The hidden row-id column (never in `schema`, never colmapped) is
+      // appended to the scan only when the caller asked for it.
+      val physSchema0 =
         if (colmap.isEmpty) schema
         else StructType(schema.fields.map(f => f.copy(name = physOf(colmap, f.name))))
+      val physSchema =
+        if (withRowIds) physSchema0.add(RowIdCol, org.apache.spark.sql.types.LongType)
+        else physSchema0
       val byDataDir = fs.groupBy(f => f.takeWhile(_ != '/'))
       byDataDir.toSeq.sortBy(_._1).map { case (dataDir, rel) =>
         val df = spark.read
@@ -404,7 +424,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         // scan appends partition columns last, which would diverge from
         // the declared schema once ADD COLUMNS places one mid-schema
         val logicalCols =
-          schema.fields.toSeq.map(f => col(physOf(colmap, f.name)).as(f.name))
+          schema.fields.toSeq.map(f => col(physOf(colmap, f.name)).as(f.name)) ++
+            (if (withRowIds) Seq(col(RowIdCol)) else Nil)
         df.select(logicalCols ++ posCols: _*)
       }.reduce(_ unionByName _)
     }
@@ -557,11 +578,22 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       // resurrect deleted rows); survivors of those files + all source
       // rows form the rewrite. Rewritten files shed their dv bindings in
       // the new commit (the carry-forward keeps bindings only for files
-      // the manifest still lists).
+      // the manifest still lists). Row tracking rides the same read: the
+      // hidden id column travels with survivors, matched source rows
+      // INHERIT the target row's id through one extra (key, id) join, and
+      // inserts (id NULL) get fresh ids right before the write.
       val touchedData =
         if (touchedRel.isEmpty) None
-        else Some(readFiles(spark, touchedRel, schemaOf(v), cmap, dvs))
+        else Some(readFiles(spark, touchedRel, schemaOf(v), cmap, dvs,
+          withRowIds = rowTracking))
       val survivors = touchedData.map(_.join(srcKeys, keys, "left_anti"))
+      val srcIded =
+        if (!rowTracking) src
+        else touchedData match {
+          case Some(td) => src.join(
+            td.select((keys :+ MergeTable.RowIdCol).map(col): _*), keys, "left")
+          case None => src.withColumn(MergeTable.RowIdCol, lit(null).cast("long"))
+        }
       val newData =
         if (deleteNotMatchedBySource) {
           // full sync: the in-scope content becomes exactly the source
@@ -571,7 +603,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           require(missing.isEmpty,
             s"merge(deleteNotMatchedBySource) on $root: source lacks target " +
               s"columns ${missing.mkString(", ")}")
-          src.select(schemaOf(v).fieldNames.map(col).toIndexedSeq: _*)
+          srcIded.select((schemaOf(v).fieldNames.toIndexedSeq ++
+            (if (rowTracking) Seq(MergeTable.RowIdCol) else Nil)).map(col): _*)
         } else if (mergeSchema) {
           // Schema evolution (Delta autoMerge analog): the committed schema
           // becomes target ∪ source — survivors are null-filled for columns
@@ -590,16 +623,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           require(clash.isEmpty,
             s"merge(mergeSchema) on $root: new columns ${clash.mkString(", ")} collide " +
               "with retired/mapped physical names — add them via addColumns first")
-          val anchor = survivors.getOrElse(readFiles(spark, Nil, schemaOf(v), cmap))
-          anchor.unionByName(src, allowMissingColumns = true)
+          val anchor = survivors.getOrElse(
+            readFiles(spark, Nil, schemaOf(v), cmap, withRowIds = rowTracking))
+          anchor.unionByName(srcIded, allowMissingColumns = true)
         } else survivors match {
-          case Some(s) => s.unionByName(src.select(s.columns.map(col): _*))
-          case None    => src
+          case Some(s) => s.unionByName(srcIded.select(s.columns.map(col): _*))
+          case None    => srcIded
         }
 
       val newVersion = v + 1
+      val (newDataIded, rowHwm) = assignRowIds(newData)
       val dataDir = newDataDir(newVersion)
-      writeData(newData, dataDir, cmap)
+      writeData(newDataIded, dataDir, cmap)
       val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
 
       // Change data feed (Delta CDF analog): recorded AT WRITE TIME from the
@@ -632,12 +667,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             else None
           val all = (pre.toSeq ++ post.toSeq ++ del.toSeq :+ ins)
             .reduce(_.unionByName(_, allowMissingColumns = true))
+            .drop(MergeTable.RowIdCol) // the feed speaks user columns only
           Some(writeChanges(all, newVersion, dataDir))
         } else None
 
-      commit(newVersion, keptRel ++ newFiles, newData.schema,
-        carryStats(v, keptRel) ++ collectStats(spark, newFiles, newData.schema, cmap),
-        cdfDir, txn = txn, op = "MERGE")
+      val commitSchema = StructType(
+        newData.schema.fields.filterNot(_.name == MergeTable.RowIdCol))
+      commit(newVersion, keptRel ++ newFiles, commitSchema,
+        carryStats(v, keptRel) ++ collectStats(spark, newFiles, commitSchema, cmap),
+        cdfDir, txn = txn,
+        propsOverride = propsWith(
+          rowHwm.toSeq.map(h => MergeTable.RowIdHwmProp -> h.toString)),
+        op = "MERGE")
     } finally src.unpersist()
   }
 
@@ -826,16 +867,23 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
       val touchedData =
         if (touchedRel.isEmpty) None
-        else Some(readFiles(spark, touchedRel, schema, cmap, dvs))
+        else Some(readFiles(spark, touchedRel, schema, cmap, dvs,
+          withRowIds = rowTracking))
       val joinCond = keys.map(k =>
         col(s"$targetAlias.$k") === col(s"$sourceAlias.$k")).reduce(_ && _)
+      // row tracking: updated rows keep the TARGET row's id; insert-claimed
+      // rows carry NULL and get fresh ids right before the write
+      val tId: Seq[Column] =
+        if (rowTracking) Seq(col(s"$targetAlias.${MergeTable.RowIdCol}")
+          .as(MergeTable.RowIdCol))
+        else Nil
 
       // matched pairs: one inner join, one action column, one select
       val matchedOut: Option[DataFrame] = touchedData.map { td =>
         val withA = td.as(targetAlias).join(src.as(sourceAlias), joinCond, "inner")
           .withColumn(ActionCol, actionOf(matched))
         val rows = dropClaimedDeletes(withA, matched)
-          .select(tCols.map(c => outColumn(c, matched)): _*)
+          .select(tCols.map(c => outColumn(c, matched)) ++ tId: _*)
         applyGenerated(rows) // all columns present → consistency validation
       }
 
@@ -846,7 +894,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         else {
           val withA = ut.as(targetAlias).withColumn(ActionCol, actionOf(bySource))
           val rows = dropClaimedDeletes(withA, bySource)
-            .select(tCols.map(c => outColumn(c, bySource)): _*)
+            .select(tCols.map(c => outColumn(c, bySource)) ++ tId: _*)
           applyGenerated(rows)
         }
       }
@@ -875,17 +923,21 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
               if (d.columns.contains(c)) d
               else d.withColumn(c, lit(null).cast(typeOf(c)))
             }
-            full.select(tCols.map(c => col(c).cast(typeOf(c)).as(c)): _*)
+            val idCol =
+              if (rowTracking) Seq(lit(null).cast("long").as(MergeTable.RowIdCol))
+              else Nil
+            full.select(tCols.map(c => col(c).cast(typeOf(c)).as(c)) ++ idCol: _*)
           }
         }
 
       val pieces = matchedOut.toSeq ++ unmatchedOut.toSeq ++ insertOut
       val newData = pieces.reduceOption(_ unionByName _)
-        .getOrElse(readFiles(spark, Nil, schema, cmap))
+        .getOrElse(readFiles(spark, Nil, schema, cmap, withRowIds = rowTracking))
 
       val newVersion = v + 1
+      val (newDataIded, rowHwm) = assignRowIds(newData)
       val dataDir = newDataDir(newVersion)
-      writeData(newData, dataDir, cmap)
+      writeData(newDataIded, dataDir, cmap)
       val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
 
       // CDF at write time from the already-pruned frames (same discipline
@@ -924,13 +976,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           val insertImgs = insertOut.map(_.withColumn(ChangeType, lit("insert")))
           val all = matchedImgs ++ bySourceImgs ++ insertImgs
           if (all.isEmpty) None
-          else Some(writeChanges(all.reduce(_.unionByName(_, allowMissingColumns = true)),
-            newVersion, dataDir))
+          else Some(writeChanges(all.reduce(_.unionByName(_, allowMissingColumns = true))
+            .drop(MergeTable.RowIdCol), newVersion, dataDir))
         }
 
       commit(newVersion, keptRel ++ newFiles, schema,
         carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema, cmap),
-        cdfDir, txn = txn, op = "MERGE")
+        cdfDir, txn = txn,
+        propsOverride = propsWith(
+          rowHwm.toSeq.map(h => MergeTable.RowIdHwmProp -> h.toString)),
+        op = "MERGE")
     } finally src.unpersist()
   }
 
@@ -1125,8 +1180,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     }
 
     // dv-masked read: a rewrite must never resurrect rows an earlier
-    // vectorized delete masked out of these same files
-    val tdf = readFiles(spark, touchedRel, schemaOf(v), colmapOf(v), dvsOf(v))
+    // vectorized delete masked out of these same files (surviving rows
+    // keep their row-tracking ids — the id column rides the read)
+    val tdf = readFiles(spark, touchedRel, schemaOf(v), colmapOf(v), dvsOf(v),
+      withRowIds = rowTracking)
     // survivors: predicate FALSE or NULL (NOT(pred) alone would drop NULLs)
     val survivors = tdf.filter(coalesce(predicate, lit(false)) =!= true)
 
@@ -1137,6 +1194,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val cdfDir =
       if (changeFeed) Some(writeChanges(
         tdf.filter(coalesce(predicate, lit(false)) === true)
+          .drop(MergeTable.RowIdCol)
           .withColumn(MergeTable.ChangeType, lit("delete")),
         newVersion, dataDir))
       else None
@@ -1282,12 +1340,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       return
     }
 
-    val tdf = readFiles(spark, touchedRel, schema, colmapOf(v), dvsOf(v))
+    val tdf = readFiles(spark, touchedRel, schema, colmapOf(v), dvsOf(v),
+      withRowIds = rowTracking)
     val hit = coalesce(predicate, lit(false)) === true
     // all SET expressions evaluate against the pre-update row in ONE select
-    val applySet = (d: DataFrame) => d.select(schema.fieldNames.map { c =>
+    // (the row-tracking id passes through untouched — an UPDATE may never
+    // re-identify a row)
+    val applySet = (d: DataFrame) => d.select((schema.fieldNames.map { c =>
       set.get(c).fold(col(c))(e => when(hit, e.cast(schema(c).dataType)).otherwise(col(c))).as(c)
-    }.toIndexedSeq: _*)
+    } ++ (if (rowTracking) Seq(col(MergeTable.RowIdCol)) else Nil)).toIndexedSeq: _*)
     // re-derive generated columns not explicitly SET: identity on untouched
     // rows, consistency on updated ones
     val regen = (d: DataFrame) => generatedCols.foldLeft(d) {
@@ -1304,8 +1365,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val cdfDir =
       if (changeFeed) {
         import MergeTable.ChangeType
-        val pre = tdf.filter(hit).withColumn(ChangeType, lit("update_preimage"))
-        val post = regen(applySet(tdf.filter(hit)))
+        val pre = tdf.filter(hit).drop(MergeTable.RowIdCol)
+          .withColumn(ChangeType, lit("update_preimage"))
+        val post = regen(applySet(tdf.filter(hit))).drop(MergeTable.RowIdCol)
           .withColumn(ChangeType, lit("update_postimage"))
         Some(writeChanges(pre.unionByName(post), newVersion, dataDir))
       } else None
@@ -1357,10 +1419,17 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val newVersion = v + 1
     val survivors =
       if (touchedRel.isEmpty) None
-      else Some(readFiles(spark, touchedRel, schema, colmapOf(v), dvsOf(v))
+      else Some(readFiles(spark, touchedRel, schema, colmapOf(v), dvsOf(v),
+          withRowIds = rowTracking)
         .filter(coalesce(predicate, lit(false)) =!= true))
+    // survivors keep their ids; the replacement rows are all fresh
+    val alignedIded =
+      if (!rowTracking) aligned
+      else aligned.withColumn(MergeTable.RowIdCol, lit(null).cast("long"))
+    val (outData, rowHwm) =
+      assignRowIds(survivors.fold(alignedIded)(_ unionByName alignedIded))
     val dataDir = newDataDir(newVersion)
-    writeData(survivors.fold(aligned)(_ unionByName aligned), dataDir, colmapOf(v))
+    writeData(outData, dataDir, colmapOf(v))
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     // CDF before the commit that records it — see merge()
     val cdfDir =
@@ -1377,7 +1446,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       } else None
     commit(newVersion, keptRel ++ newFiles, schema,
       carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema, colmapOf(v)),
-      cdfDir, op = "REPLACE WHERE")
+      cdfDir,
+      propsOverride = propsWith(
+        rowHwm.toSeq.map(h => MergeTable.RowIdHwmProp -> h.toString)),
+      op = "REPLACE WHERE")
   }
 
   /** Compaction (Delta OPTIMIZE analog): rewrite the CURRENT snapshot so
@@ -1393,7 +1465,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   def compact(spark: SparkSession, parallelism: Int = 8): Unit = {
     require(parallelism > 0, "parallelism must be positive")
     val v = currentVersion
-    val data = readVersion(spark, v)
+    val data = readFiles(spark, filesOf(v), schemaOf(v), colmapOf(v), dvsOf(v),
+      withRowIds = rowTracking) // row ids survive the rewrite verbatim
     val packed =
       if (partitionCols.nonEmpty)
         data.repartition(parallelism, partitionCols.map(col): _*)
@@ -1415,7 +1488,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   def cloneTo(targetRoot: String): MergeTable = {
     val v = currentVersion
     val c = readCommit(v)
-    val target = new MergeTable(targetRoot, partitionCols, statsCols, generatedCols)
+    val target = new MergeTable(targetRoot, partitionCols, statsCols, generatedCols,
+      identityCol, rowTracking)
     require(!target.exists, s"clone target $targetRoot already exists")
     // dv sidecars travel with the data files they mask (same zero-copy link)
     val dvFiles = c.dvs.map(_._2).distinct.sorted
@@ -1487,7 +1561,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       commit(newVersion, oldFiles, schema, carryStats(v, oldFiles), op = "OPTIMIZE")
       return
     }
-    val packed = readFiles(spark, touchedRel, schema, colmapOf(v), dvsOf(v))
+    val packed = readFiles(spark, touchedRel, schema, colmapOf(v), dvsOf(v),
+        withRowIds = rowTracking)
       .repartition(parallelism, partitionCols.map(col): _*)
     val dataDir = newDataDir(newVersion)
     writeData(packed, dataDir, colmapOf(v))
@@ -1515,7 +1590,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val masked = c.dvs.map(_._1).toSet
     val (touchedRel, keptRel) = c.files.partition(masked.contains)
     val newVersion = v + 1
-    val survivors = readFiles(spark, touchedRel, c.schema, colmapOf(v), dvsOf(v))
+    val survivors = readFiles(spark, touchedRel, c.schema, colmapOf(v), dvsOf(v),
+      withRowIds = rowTracking)
     val packed =
       if (partitionCols.nonEmpty)
         survivors.repartition(parallelism, partitionCols.map(col): _*)
@@ -1618,7 +1694,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     require(zCols.nonEmpty, "zorderCompact requires at least one column")
     require(parallelism > 0, "parallelism must be positive")
     val v = currentVersion
-    val data = readVersion(spark, v)
+    val data = readFiles(spark, filesOf(v), schemaOf(v), colmapOf(v), dvsOf(v),
+      withRowIds = rowTracking) // row ids survive the rewrite verbatim
     val bounds = data.agg(
       zCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"mn_$c"),
                              max(col(c).cast("double")).as(s"mx_$c"))).head,
@@ -1697,13 +1774,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       s"append into $root: columns ${extra.mkString(", ")} are not in the table schema — " +
         "use merge(mergeSchema = true) to evolve the schema")
     val aligned = withId.select(c.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val (ided, rowHwm) = assignRowIds(aligned) // appended rows are all fresh
     val newVersion = v + 1
     val dataDir = newDataDir(newVersion)
-    writeData(aligned, dataDir, colmapOf(v))
+    writeData(ided, dataDir, colmapOf(v))
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     commit(newVersion, c.files ++ newFiles, c.schema,
       c.statsLines ++ collectStats(df.sparkSession, newFiles, c.schema, colmapOf(v)),
-      ingestDelta = ingestDelta, propsOverride = hwmProps(newHwm), op = op)
+      ingestDelta = ingestDelta,
+      propsOverride = propsWith(
+        newHwm.toSeq.map(h => MergeTable.IdentityHwmProp -> h.toString) ++
+          rowHwm.toSeq.map(h => MergeTable.RowIdHwmProp -> h.toString)),
+      op = op)
   }
 
   /** COPY INTO analog (Delta/Databricks `COPY INTO`, Auto Loader's batch
@@ -1724,11 +1806,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val df = spark.read.parquet(fresh: _*)
     if (!exists) {
       val (gen, newHwm) = assignIdentity(applyGenerated(df))
+      val (genIded, rowHwm) = assignRowIds(gen)
       val v0dir = newDataDir(0L)
-      writeData(gen, v0dir, Map.empty)
+      writeData(genIded, v0dir, Map.empty)
       val newFiles = listParquet(Paths.get(root, v0dir)).map(relativize)
       commit(0L, newFiles, gen.schema, collectStats(spark, newFiles, gen.schema, Map.empty),
-        ingestDelta = fresh, propsOverride = hwmProps(newHwm), op = "COPY INTO")
+        ingestDelta = fresh,
+        propsOverride = propsWith(
+          newHwm.toSeq.map(h => MergeTable.IdentityHwmProp -> h.toString) ++
+            rowHwm.toSeq.map(h => MergeTable.RowIdHwmProp -> h.toString)),
+        op = "COPY INTO")
       return fresh.size.toLong
     }
     appendAligned(df, ingestDelta = fresh, op = "COPY INTO")
@@ -2342,16 +2429,59 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       (assigned, Some(last + step * total))
   }
 
+  /** Row-tracking assignment (Delta row-ids analog): every row whose
+    * [[MergeTable.RowIdCol]] is NULL (or absent) receives a fresh unique id
+    * continuing from the commit-carried high-water mark; rows that already
+    * carry an id keep it VERBATIM — that is the whole feature (merge /
+    * update / compact preserve identity of surviving rows). The mechanics
+    * are [[assignIdentity]]'s: per-partition counts (one long per
+    * partition collected), then offset + within-partition index — no
+    * global sort, no driver data. Ids are unique and stable, NOT dense or
+    * ordered (Delta's are neither). Returns the df with the column fully
+    * populated plus the new hwm when anything was assigned.
+    */
+  private def assignRowIds(df: DataFrame): (DataFrame, Option[Long]) = {
+    if (!rowTracking) return (df, None)
+    import MergeTable.RowIdCol
+    val base: Long =
+      if (exists) properties.get(MergeTable.RowIdHwmProp).map(_.toLong).getOrElse(0L)
+      else 0L
+    val withCol =
+      if (df.columns.contains(RowIdCol)) df
+      else df.withColumn(RowIdCol, lit(null).cast("long"))
+    val keep = withCol.filter(col(RowIdCol).isNotNull)
+    val need = withCol.filter(col(RowIdCol).isNull)
+    val withPid = need.withColumn("_graft_pid", spark_partition_id())
+    val counts = withPid.groupBy("_graft_pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty) return (withCol, None)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    val total = counts.map(_._2).sum
+    val assigned = withPid.withColumn(RowIdCol,
+      lit(base) + element_at(typedLit(offsets), col("_graft_pid")) +
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .drop("_graft_pid")
+    (keep.unionByName(assigned), Some(base + total))
+  }
+
+  /** Current properties with the given keys replaced — the propsOverride a
+    * data-writing commit passes when it advanced one or more high-water
+    * marks (identity ids, row-tracking ids).
+    */
+  private def propsWith(updates: Seq[(String, String)]): Option[Seq[(String, String)]] =
+    if (updates.isEmpty) None
+    else {
+      val cur = if (exists) readCommit(currentVersion).props
+                else Seq.empty[(String, String)]
+      Some(cur.filterNot(p => updates.exists(_._1 == p._1)) ++ updates)
+    }
+
   /** Current properties with the identity high-water mark replaced — the
     * propsOverride a data-writing commit passes when it assigned ids.
     */
   private def hwmProps(newHwm: Option[Long]): Option[Seq[(String, String)]] =
-    newHwm.map { h =>
-      val cur = if (exists) readCommit(currentVersion).props
-                else Seq.empty[(String, String)]
-      cur.filterNot(_._1 == MergeTable.IdentityHwmProp) :+
-        (MergeTable.IdentityHwmProp -> h.toString)
-    }
+    propsWith(newHwm.toSeq.map(h => MergeTable.IdentityHwmProp -> h.toString))
 
   private def writeVersion(df: DataFrame, version: Long,
                            changes: Option[DataFrame] = None,
@@ -2359,22 +2489,32 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                            op: String = "WRITE",
                            assignIds: Boolean = true): Unit = {
     // OPTIMIZE-family rewrites re-shuffle EXISTING rows — their ids must
-    // survive verbatim, never be re-assigned (assignIds = false)
-    val (data, newHwm) =
+    // survive verbatim, never be re-assigned (assignIds = false; row ids
+    // ride along in the df the rewrite read with withRowIds)
+    val (data0, newHwm) =
       if (assignIds) assignIdentity(df) else (df, None)
+    val (data, rowHwm) =
+      if (assignIds) assignRowIds(data0) else (data0, None)
+    // the committed schema NEVER includes the hidden row-id column — it is
+    // physical-file state, like the colmap's physical names
+    val commitSchema = StructType(
+      data.schema.fields.filterNot(_.name == MergeTable.RowIdCol))
     // the mapping carried into this commit, restricted to columns the new
     // schema keeps (commit() applies the same filter to the recorded lines)
     val cmap =
       if (version > 0 && Files.exists(commitPath(version - 1)))
-        colmapOf(version - 1).filter { case (lg, _) => data.schema.fieldNames.contains(lg) }
+        colmapOf(version - 1).filter { case (lg, _) => commitSchema.fieldNames.contains(lg) }
       else Map.empty[String, String]
     val dataDir = newDataDir(version)
     writeData(data, dataDir, cmap)
     val files = listParquet(Paths.get(root, dataDir)).map(relativize)
     val cdfDir = changes.map(c => writeChanges(c, version, dataDir))
-    commit(version, files, data.schema,
-      collectStats(data.sparkSession, files, data.schema, cmap), cdfDir, txn = txn,
-      propsOverride = hwmProps(newHwm), op = op)
+    commit(version, files, commitSchema,
+      collectStats(data.sparkSession, files, commitSchema, cmap), cdfDir, txn = txn,
+      propsOverride = propsWith(
+        newHwm.toSeq.map(h => MergeTable.IdentityHwmProp -> h.toString) ++
+          rowHwm.toSeq.map(h => MergeTable.RowIdHwmProp -> h.toString)),
+      op = op)
   }
 
   /** One metadata-sized job: per-file min/max of every stats column the
@@ -2463,8 +2603,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * re-applying it here would re-evaluate every generation expression
     * per row a second time on the hot write path for no added safety.
     */
-  private def writeData(df: DataFrame, dataDir: String,
+  private def writeData(df0: DataFrame, dataDir: String,
                         colmap: Map[String, String]): Unit = {
+    // the hidden row-id column is RESERVED: only rowTracking tables may
+    // store it (a user column under that name would silently vanish from
+    // the committed schema)
+    require(rowTracking || !df0.columns.contains(MergeTable.RowIdCol),
+      s"column ${MergeTable.RowIdCol} is reserved for rowTracking tables")
+    val df = df0
     // constraint enforcement rides the write itself: a per-row codegen'd
     // filter whose violation branch raises — never a second scan
     val checked = checkConstraints.foldLeft(df) { case (d, (name, pred)) =>
@@ -2657,6 +2803,16 @@ object MergeTable {
     * `update_postimage` / `delete` (the Delta CDF vocabulary).
     */
   val ChangeType = "_change_type"
+
+  /** Row-tracking id column (Delta row-tracking analog, see the
+    * constructor's `rowTracking`): the HIDDEN physical column data files
+    * store ids under. Never part of the committed schema — default reads
+    * don't see it; [[MergeTable.readWithRowIds]] projects it.
+    */
+  val RowIdCol = "_graft_row_id"
+
+  /** Commit-carried row-id high-water mark (next id = hwm). */
+  val RowIdHwmProp = "graft.rowid.hwm"
 
   /** True when `from → to` is a lossless widening Spark's parquet readers
     * perform at scan time (the Delta type-widening allow-list this engine

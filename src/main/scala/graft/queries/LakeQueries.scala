@@ -1003,6 +1003,54 @@ object LakeQueries {
              |GROUP BY o_orderstatus""".stripMargin),
       "FSCK REPAIR TABLE: metadata-only repair after out-of-band file loss"),
 
+    // Row tracking (Delta row-tracking analog): ids assigned once at first
+    // write from a commit-carried high-water mark, hidden from default
+    // reads, PRESERVED verbatim by the merge's rewrite (updated rows keep
+    // the target row's id even across a partition move), fresh for
+    // inserts. The gate proves preservation RELATIONALLY: per final
+    // status, n_preserved counts rows whose post-merge id equals their
+    // pre-merge id (exactly the v0 rows), n_fresh the rows with no v0 id
+    // (exactly the inserts) — both replayed by the oracle from the key
+    // structure alone. n_ids = n pins per-group uniqueness; the in-gate
+    // require pins it globally.
+    "m41_row_tracking" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m41_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"), rowTracking = true)
+        table.overwrite(orders.filter(col("o_orderkey") % 2 === 0))
+        val before = table.readWithRowIds(s)
+          .select(col("o_orderkey"), col(MergeTable.RowIdCol).as("rid0"))
+        table.merge(s,
+          orders.filter(col("o_orderkey") % 4 === 0)
+            .withColumn("o_orderstatus", lit("M"))
+            .unionByName(orders.filter(col("o_orderkey") % 2 =!= 0)),
+          Seq("o_orderkey"))
+        val after = table.readWithRowIds(s)
+          .select(col("o_orderkey"), col(MergeTable.RowIdCol).as("rid1"),
+            col("o_orderstatus"))
+        require(after.select("rid1").distinct().count() == after.count(),
+          "row ids must be globally unique")
+        after.join(before, Seq("o_orderkey"), "left")
+          .groupBy("o_orderstatus").agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("rid1")).as("n_ids"),
+            sum(when(col("rid0") === col("rid1"), 1).otherwise(0)).as("n_preserved"),
+            sum(when(col("rid0").isNull, 1).otherwise(0)).as("n_fresh"))
+      },
+      Some("""WITH final AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 4 = 0 THEN 'M' ELSE o_orderstatus END
+             |           AS o_orderstatus,
+             |         o_orderkey % 2 = 0 AS preserved
+             |  FROM orders)
+             |SELECT o_orderstatus, count(*) AS n, count(*) AS n_ids,
+             |       CAST(sum(CASE WHEN preserved THEN 1 ELSE 0 END) AS BIGINT) AS n_preserved,
+             |       CAST(sum(CASE WHEN preserved THEN 0 ELSE 1 END) AS BIGINT) AS n_fresh
+             |FROM final GROUP BY o_orderstatus""".stripMargin),
+      "row tracking: merge-stable hidden row ids, fresh for inserts, unique globally"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.
