@@ -1681,6 +1681,86 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .filter(col(column).between(lit(lo), lit(hi)))
   }
 
+  // ---- per-file Bloom index (Delta bloom-filter-index analog) ----
+
+  private def bloomPath(colName: String, rel: String): Path =
+    // URL-encoded rel path: filename-safe and collision-free ('/' → %2F)
+    Paths.get(root, "bloomidx", colName, enc(rel) + ".bloom")
+
+  /** Build (or rebuild) a per-file Bloom filter index over `colName` —
+    * point-lookup file skipping for high-cardinality columns min/max
+    * stats can't prune (Delta's bloom filter index, as SIDECAR files:
+    * `bloomidx/<col>/<flattened file path>.bloom`, one per data file,
+    * nothing in the commit log). One file-grouped aggregation pass
+    * (the [[collectStats]] shape): xxhash64 per value, `bloom_agg` per
+    * file, KB-sized filters collected driver-side — metadata, never data.
+    * A file REWRITTEN after indexing simply has no sidecar and is kept by
+    * [[bloomCandidateFiles]] unpruned — degradation, never wrong answers;
+    * re-run after large rewrites. Requires a session with GraftExtensions
+    * (the library's standard session — `bloom_agg` is registered there).
+    */
+  def buildBloomIndex(spark: SparkSession, colName: String,
+                      estItemsPerFile: Long = 100000L): Unit = {
+    require(exists, s"MergeTable at $root does not exist")
+    val v = currentVersion
+    val c = readCommit(v)
+    require(c.schema.fieldNames.contains(colName),
+      s"buildBloomIndex on $root: no column '$colName' in " +
+        s"(${c.schema.fieldNames.mkString(", ")})")
+    val dir = Paths.get(root, "bloomidx", colName)
+    if (Files.exists(dir)) deleteRecursively(dir) // rebuild covers the snapshot
+    Files.createDirectories(dir)
+    val filters = readFiles(spark, c.files, c.schema, colmapOf(v), dvsOf(v),
+        fileCol = Some("_graft_file"))
+      .select(col("_graft_file"), xxhash64(col(colName)).as("h"))
+      .groupBy("_graft_file")
+      .agg(expr(s"bloom_agg(h, ${estItemsPerFile}L)").as("bf"))
+      .collect()
+    filters.foreach { r =>
+      // _graft_file is relPathCol — already the manifest-relative string
+      val p = bloomPath(colName, r.getString(0))
+      Files.write(p, r.getAs[Array[Byte]]("bf"))
+    }
+  }
+
+  /** The current snapshot's files that MIGHT contain `column = value`:
+    * a file is skipped when its Bloom sidecar definitively excludes the
+    * value's hash; files without a sidecar (never indexed, or rewritten
+    * since) are kept — pruning is an optimization, never a correctness
+    * assumption (the [[candidateFiles]] discipline).
+    */
+  def bloomCandidateFiles(spark: SparkSession, column: String, value: Any): Seq[String] = {
+    val v = currentVersion
+    val dt = schemaOf(v)(column).dataType
+    // hash the lookup value EXACTLY as the index did: Spark's own xxhash64
+    // over the column's type (a JVM-side reimplementation would silently
+    // diverge on type widths)
+    val h = spark.range(1)
+      .select(xxhash64(lit(value).cast(dt)).as("h")).head().getLong(0)
+    filesOf(v).filter { f =>
+      val p = bloomPath(column, f)
+      !Files.exists(p) || {
+        val in = Files.newInputStream(p)
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in).mightContainLong(h)
+        finally in.close()
+      }
+    }
+  }
+
+  /** Point lookup with Bloom + min/max file skipping: scan only files
+    * that both stat-ranges and Bloom sidecars admit, then filter exactly.
+    * Semantics = `read(spark).filter(col === value)`; cost = O(admitted
+    * files) — on a high-cardinality key with a built index, typically one
+    * file per lookup instead of a full scan.
+    */
+  def readPoint(spark: SparkSession, column: String, value: Any): DataFrame = {
+    val v = currentVersion
+    val byStats = candidateFiles(column, value, value).toSet
+    val admitted = bloomCandidateFiles(spark, column, value).filter(byStats.contains)
+    readFiles(spark, admitted, schemaOf(v), colmapOf(v), dvsOf(v))
+      .filter(col(column) === lit(value))
+  }
+
   /** Z-order clustering compaction (Delta OPTIMIZE ZORDER analog): rewrite
     * the current snapshot ordered by the interleaved bits of the rank-
     * normalized `zCols`, so each output file covers a tight hyper-rectangle

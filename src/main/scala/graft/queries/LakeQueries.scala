@@ -1051,6 +1051,32 @@ object LakeQueries {
              |FROM final GROUP BY o_orderstatus""".stripMargin),
       "row tracking: merge-stable hidden row ids, fresh for inserts, unique globally"),
 
+    // Per-file Bloom index (Delta bloom-filter-index analog, as sidecar
+    // files): the table is laid out so every file spans the FULL key range
+    // (repartition by key hash → min/max stats prune nothing) — the exact
+    // case Delta ships bloom indexes for. The in-gate require proves the
+    // sidecars admit fewer files than the manifest; the result is the
+    // point lookup itself, hash-checked against the relational answer.
+    "m42_bloom_index" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m42_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"),
+          statsCols = Seq("o_orderkey"))
+        table.overwrite(orders.repartition(8, col("o_orderkey")))
+        val k = orders.agg(max("o_orderkey")).head().get(0)
+        table.buildBloomIndex(s, "o_orderkey")
+        val all = table.filesOf(table.currentVersion).size
+        val cand = table.bloomCandidateFiles(s, "o_orderkey", k).size
+        require(cand < all, s"bloom sidecars must prune files ($cand of $all admitted)")
+        table.readPoint(s, "o_orderkey", k)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)""".stripMargin),
+      "per-file Bloom sidecar index: point-lookup file skipping where min/max can't prune"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -950,6 +950,24 @@ class MergeTableSpec extends SparkSpec {
     assert(t.history(spark).select("operation").as[String].collect().contains("FSCK"))
   }
 
+  test("bloom index prunes point lookups; missing sidecars degrade, never lie") {
+    val t = new MergeTable(scratch("mt_bloom"), Seq("p"))
+    t.overwrite(df((1 to 200).map(k => (k, s"v$k", if (k % 2 == 0) "pe" else "po")))
+      .repartition(4, col("k")))
+    t.buildBloomIndex(spark, "v")
+    val all = t.filesOf(t.currentVersion).size
+    val cand = t.bloomCandidateFiles(spark, "v", "v17")
+    assert(cand.nonEmpty && cand.size < all, s"expected pruning, got ${cand.size}/$all")
+    assert(t.readPoint(spark, "v", "v17").collect().map(_.getInt(0)).toSeq === Seq(17))
+    // an unindexed column: no sidecars → everything admitted, result exact
+    assert(t.readPoint(spark, "k", 17).count() === 1L)
+    // a rewrite invalidates nothing: the new file has no sidecar and is
+    // admitted unpruned — lookups stay exact
+    t.merge(spark, df(Seq((17, "V17", "po"), (201, "v17", "pe"))), Seq("k"))
+    assert(t.readPoint(spark, "v", "v17").collect().map(_.getInt(0)).toSeq === Seq(201))
+    assert(t.readPoint(spark, "v", "V17").collect().map(_.getInt(0)).toSeq === Seq(17))
+  }
+
   test("property: merged = source ∪ (target ∖ source-keys)") {
     val keySet: Gen[List[Int]] = Gen.listOfN(8, Gen.chooseNum(0, 30)).map(_.distinct)
     val params = Gen.Parameters.default
