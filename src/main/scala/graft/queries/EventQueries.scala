@@ -431,5 +431,36 @@ object EventQueries {
              |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
              |GROUP BY user_id""".stripMargin),
       "trailing-1h RANGE frame on epoch micros; peak rolling density per user"),
+
+    // Spark's NATIVE session_window — the idiomatic twin of e7's
+    // lag-gap sessionization (and of st2's stateful streaming form): one
+    // groupBy over (user, session_window(ts, gap)) and Catalyst plans the
+    // merge itself, no window-function pass. Semantics pinned by the
+    // oracle replay: a gap of EXACTLY the 30-minute threshold starts a
+    // new session (Spark merges only events strictly inside the previous
+    // window's end), and a session's window END is last event + gap.
+    // One shuffle on (user_id) — the same scale shape as e7.
+    "e19_session_window" -> GraftQuery(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events")),
+      Some("""SELECT user_id, min(us) AS start_us,
+             |       max(us) + 1800000000 AS end_us, count(*) AS n_events
+             |FROM (
+             |  SELECT user_id, us,
+             |         CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM (
+             |    SELECT user_id, event_id, epoch_us(ts) AS us,
+             |           epoch_us(ts) - lag(epoch_us(ts), 1)
+             |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |    FROM events))
+             |GROUP BY user_id, session_id""".stripMargin),
+      "native session_window sessionization: Catalyst-planned gap merge, one shuffle"),
   )
 }

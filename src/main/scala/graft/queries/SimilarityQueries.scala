@@ -293,6 +293,36 @@ object SimilarityQueries {
              |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
       "exact ANN baseline: broadcast query vector, distributed scan + top-k"),
 
+    // FILTERED vector search — the vector-DB pattern every retrieval
+    // stack needs (metadata predicate ∧ nearest-neighbor): top-k cosine
+    // restricted to rows whose label passes the filter. Spark-first the
+    // composition is free AND optimal: the predicate is a plain Column
+    // filter BELOW the vector math, so Catalyst pushes it into the
+    // parquet scan (PlanSpec asserts PushedFilters) and the codegen'd
+    // dot product runs only over the filtered subset — pre-filtering,
+    // which at high selectivity beats any post-filtered ANN probe (no
+    // recall loss, no over-fetch). TakeOrderedAndProject keeps the top-k
+    // a streaming heap, never a full sort.
+    "v13_filtered_topk" -> GraftQuery(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+        e.filter(col("label") === 3 && col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cosine", round(cosineFast("embedding", "q_emb", "norm", "q_norm"), 6))
+          .select("vec_id", "label", "cosine")
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""SELECT vec_id, label,
+             |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+             |         AS cosine
+             |FROM embeddings WHERE label = 3 AND vec_id <> 0
+             |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin),
+      "filtered vector search: predicate pushed below the dot product, pre-filter top-k"),
+
     // k-NN for a batch of query vectors (vec_id < 5): per-query top-3 via
     // window rank over the candidate cross product (broadcast queries).
     "v2_knn_batch" -> GraftQuery(

@@ -21,6 +21,7 @@ import graft.lake.MergeTable
   *   OPTIMIZE t [WHERE <partition predicate>]
   *   OPTIMIZE t ZORDER BY (c1 [, c2 ...])
   *   RESTORE [TABLE] t TO VERSION AS OF <n>
+  *   RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'
   *   INSERT INTO t <SELECT ...|VALUES ...>        -- positional, Delta-style
   *   ALTER TABLE t ADD COLUMNS (c1 type1 [, ...])
   *   ALTER TABLE t RENAME COLUMN a TO b           -- metadata-only (column mapping)
@@ -110,6 +111,10 @@ object LakeSql {
 
   private val RestoreShape =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+
+  private val RestoreTsShape =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+""" +
+     """(?:'([^']+)'|"([^"]+)")\s*;?\s*$""").r
 
   private val ZorderShape =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*$""".r
@@ -217,6 +222,12 @@ object LakeSql {
         resolve(tgt, targets).fsck()
       case RestoreShape(tgt, ver) =>
         resolve(tgt, targets).restore(ver.toLong)
+      case RestoreTsShape(tgt, q1, q2) =>
+        // Delta's RESTORE ... TIMESTAMP AS OF: resolve the wall-clock
+        // instant against the in-commit timestamps, then roll back
+        val table = resolve(tgt, targets)
+        table.restore(table.versionAt(
+          parseTsMillis(Option(q1).getOrElse(q2))))
       case ZorderShape(tgt, cols) =>
         resolve(tgt, targets).zorderCompact(spark,
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -357,6 +368,7 @@ object LakeSql {
     case ReorgShape(tgt)           => Some(tgt)
     case FsckShape(tgt)            => Some(tgt)
     case RestoreShape(tgt, _)      => Some(tgt)
+    case RestoreTsShape(tgt, _, _) => Some(tgt)
     case ZorderShape(tgt, _)       => Some(tgt)
     case InsertShape(tgt, _)       => Some(tgt)
     case OptimizeShape(tgt, _)     => Some(tgt)

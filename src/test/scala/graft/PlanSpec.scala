@@ -256,6 +256,19 @@ class PlanSpec extends SparkSpec {
       s"full sort shuffle in a top-k pipeline:\n$plan")
   }
 
+  test("v13 filtered search pushes the predicate below the dot product") {
+    val q = graft.queries.Registry.all("v13_filtered_topk")
+      .fn(spark, "/root/testdata/sf0.001")
+    // inspect the INITIAL plan (materialized AQE stages are leaf nodes —
+    // scans inside them are invisible to a tree collect)
+    val s = scans(q)
+    assert(s.exists(_.metadata("PushedFilters").contains("EqualTo(label,3)")),
+      s.map(_.metadata("PushedFilters")).mkString("; "))
+    q.collect()
+    val plan = finalPlan(q)
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k plan:\n$plan")
+  }
+
   test("t20 span dedup: census semi-join without cartesian fallback or forced broadcast") {
     val q = graft.queries.Registry.all("t20_span_dedup")
       .fn(spark, "/root/testdata/sf0.001")

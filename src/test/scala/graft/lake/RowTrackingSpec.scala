@@ -107,6 +107,45 @@ class RowTrackingSpec extends SparkSpec {
     assert(ids(t) === m, "the source is untouched")
   }
 
+  test("property: random op sequences never re-identify, reuse, or collide ids") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val keyGen = Gen.listOfN(6, Gen.chooseNum(0, 24)).map(_.distinct)
+    val params = Gen.Parameters.default
+    (0 until 3).foreach { trial =>
+      val t = new MergeTable(scratch(s"rt_prop_$trial"), Seq("p"), rowTracking = true)
+      t.overwrite(df((0 to 24).map(k => (k, s"v$k", if (k % 2 == 0) "pe" else "po"))))
+      var prev = ids(t)
+      var everAssigned = prev.values.toSet
+      (0 until 4).foreach { step =>
+        val ks = keyGen.apply(params, Seed(trial * 100L + step)).get
+        step % 4 match {
+          case 0 => t.merge(spark, // update ks, insert shifted keys
+            df(ks.map(k => (k, s"m$k", "pe")) ++ ks.map(k => (k + 1000 * (step + 1), "i", "po"))),
+            Seq("k"))
+          case 1 => t.delete(spark, col("k").isin(ks.map(Int.box): _*))
+          case 2 => t.update(spark, col("k").isin(ks.map(Int.box): _*),
+            Map("v" -> lit(s"u$step")))
+          case 3 => t.compact(spark)
+        }
+        val cur = ids(t)
+        // ids are globally unique within the snapshot
+        assert(cur.values.toSeq.distinct.size === cur.size, s"trial $trial step $step")
+        // every row that survived the op kept its id
+        prev.foreach { case (k, id) =>
+          cur.get(k).foreach(nid => assert(nid === id,
+            s"trial $trial step $step: row $k re-identified $id → $nid"))
+        }
+        // fresh rows never reuse ANY previously assigned id
+        val freshIds = cur.filterNot { case (k, _) => prev.contains(k) }.values
+        freshIds.foreach(id => assert(!everAssigned.contains(id),
+          s"trial $trial step $step: id $id reused"))
+        everAssigned ++= cur.values
+        prev = cur
+      }
+    }
+  }
+
   test("a non-tracking table rejects the reserved column and readWithRowIds") {
     val t = new MergeTable(scratch("rt_off"), Seq("p"))
     intercept[IllegalArgumentException] {

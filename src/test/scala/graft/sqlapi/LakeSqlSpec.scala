@@ -260,6 +260,26 @@ class LakeSqlSpec extends SparkSpec {
     t.read(spark).count() // scans clean
   }
 
+  test("RESTORE ... TIMESTAMP AS OF resolves in-commit time and rolls back") {
+    // clock injected BEFORE v0 — a later real-clock v0 would clamp the
+    // injected ticks away (in-commit timestamps are strictly increasing)
+    val t = new MergeTable(scratch("lsql_rts"), Seq("p"))
+    val base = 1754006400000L
+    var tick = 0L
+    t.clock = () => { tick += 1; base + tick * 60000L }
+    t.overwrite(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))
+      .toDF("k", "v", "p"))                             // v0 @ base+1m
+    t.delete(spark, col("k") === 1)                     // v1 @ base+2m
+    t.update(spark, col("k") === 2, Map("v" ->
+      org.apache.spark.sql.functions.lit("Z")))         // v2 @ base+3m
+    val tsLit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneId.systemDefault())
+      .format(java.time.Instant.ofEpochMilli(base + 150000L)) // between v1 and v2
+    LakeSql.run(spark, s"RESTORE TABLE tbl TO TIMESTAMP AS OF '$tsLit'", Map("tbl" -> t))
+    assert(asSet(t) === Set((2, "b", "p1"), (3, "c", "p2"))) // v1's state
+  }
+
   test("statements outside the supported shapes fail loudly") {
     val t = seeded("lsql_bad")
     val ex = intercept[IllegalArgumentException] {
