@@ -1163,7 +1163,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   def delete(spark: SparkSession, predicate: Column, changeFeed: Boolean = false): Unit = {
     val v = currentVersion
 
-    val touched: Set[String] = readFiles(spark, filesOf(v), schemaOf(v), colmapOf(v), dvsOf(v),
+    val probe = partitionCandidates(spark, filesOf(v), schemaOf(v), predicate)
+    val touched: Set[String] = readFiles(spark, probe, schemaOf(v), colmapOf(v), dvsOf(v),
         fileCol = Some("_graft_file"))
       .filter(predicate)
       .select("_graft_file").distinct()
@@ -1243,7 +1244,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val dvs = dvsOf(v)
     val newVersion = v + 1
 
-    val live = readFiles(spark, files, schema, colmapOf(v), dvs, keepPos = true)
+    val probe = partitionCandidates(spark, files, schema, predicate)
+    val live = readFiles(spark, probe, schema, colmapOf(v), dvs, keepPos = true)
     val matched = live.filter(coalesce(predicate, lit(false)) === true)
 
     // Stage the new positions first (one scan); counts then come from the
@@ -1324,7 +1326,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     require(unknown.isEmpty,
       s"update on $root: SET columns ${unknown.mkString(", ")} are not in the table schema")
 
-    val touched: Set[String] = readFiles(spark, filesOf(v), schema, colmapOf(v), dvsOf(v),
+    val probe = partitionCandidates(spark, filesOf(v), schema, predicate)
+    val touched: Set[String] = readFiles(spark, probe, schema, colmapOf(v), dvsOf(v),
         fileCol = Some("_graft_file"))
       .filter(predicate)
       .select("_graft_file").distinct()
@@ -1407,7 +1410,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       s"overwriteWhere on $root: incoming rows do not all satisfy the replace " +
         "predicate — they would land outside the slice being replaced")
 
-    val touched: Set[String] = readFiles(spark, filesOf(v), schema, colmapOf(v), dvsOf(v),
+    val probe = partitionCandidates(spark, filesOf(v), schema, predicate)
+    val touched: Set[String] = readFiles(spark, probe, schema, colmapOf(v), dvsOf(v),
         fileCol = Some("_graft_file"))
       .filter(predicate)
       .select("_graft_file").distinct()
@@ -1679,6 +1683,56 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val v = currentVersion
     readFiles(spark, candidateFiles(column, lo, hi), schemaOf(v), colmapOf(v), dvsOf(v))
       .filter(col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** The subset of `files` whose PARTITION VALUES could satisfy
+    * `predicate` — automatic, SOUND probe pruning for the rewriting
+    * operators (DELETE / UPDATE / dv-DELETE / replaceWhere): the FULL
+    * predicate is evaluated over the manifest's distinct partition tuples
+    * (metadata-sized, no data scan), and a file is skipped only when its
+    * partition's rows cannot be predicate-TRUE. Pruning is only possible
+    * when the predicate references partition columns alone — a reference
+    * to any data column fails resolution against the tuple frame and
+    * falls back to every file (the conservative default; the probe is an
+    * optimization, never a correctness assumption). At 100 TB this turns
+    * `DELETE WHERE day = X` from a full-table probe into a one-partition
+    * scan with zero caller opt-in — the contrast with merge's
+    * `keysDeterminePartitions`, which needs a promise because merge's
+    * predicate is a key equality, not a partition predicate.
+    */
+  private[lake] def partitionCandidates(spark: SparkSession, files: Seq[String],
+                                        schema: StructType,
+                                        predicate: Column): Seq[String] = {
+    if (partitionCols.isEmpty || files.isEmpty) return files
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.types.{StringType, StructField}
+    def partDir(f: String): String = {
+      val segs = f.split('/')
+      segs.slice(1, segs.length - 1).mkString("/")
+    }
+    val rows = files.map(partDir).distinct.map { d =>
+      val vals = d.split('/').toSeq.map { seg =>
+        val raw = seg.substring(seg.indexOf('=') + 1)
+        if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+        else ExternalCatalogUtils.unescapePathName(raw)
+      }
+      org.apache.spark.sql.Row.fromSeq(d +: vals)
+    }
+    val strSchema = StructType(StructField("_dir", StringType) +:
+      partitionCols.map(c => StructField(c, StringType)))
+    val typed = spark.createDataFrame(rows.asJava, strSchema)
+      .select(col("_dir") +: partitionCols.map(c =>
+        col(c).cast(schema(c).dataType).as(c)): _*)
+    // rows act only when the predicate is TRUE (NULL keeps/skips rows in
+    // every caller), so a partition is needed only if it can be TRUE
+    val matching: Option[Set[String]] =
+      try Some(typed.filter(coalesce(predicate, lit(false)) === true)
+        .select("_dir").collect().map(_.getString(0)).toSet)
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    matching match {
+      case None       => files // predicate reads data columns: no pruning
+      case Some(dirs) => files.filter(f => dirs.contains(partDir(f)))
+    }
   }
 
   // ---- per-file Bloom index (Delta bloom-filter-index analog) ----

@@ -950,6 +950,26 @@ class MergeTableSpec extends SparkSpec {
     assert(t.history(spark).select("operation").as[String].collect().contains("FSCK"))
   }
 
+  test("rewrite probes prune by partition predicate, fall back on data columns") {
+    val t = new MergeTable(scratch("mt_probe_prune"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3"))))
+    val files = t.filesOf(0)
+    // partition-only predicate: only the matching partition's files probed
+    val pruned = t.partitionCandidates(spark, files, t.schemaOf(0), col("p") === "p2")
+    assert(pruned.nonEmpty && pruned.forall(_.contains("p=p2")), pruned)
+    // compound partition predicates still prune
+    val pr2 = t.partitionCandidates(spark, files, t.schemaOf(0),
+      col("p").isin("p1", "p3") && col("p") =!= "p1")
+    assert(pr2.nonEmpty && pr2.forall(_.contains("p=p3")), pr2)
+    // a data-column reference disables pruning (conservative fallback)
+    assert(t.partitionCandidates(spark, files, t.schemaOf(0), col("v") === "a") === files)
+    // the rewrite operators stay exact through the pruned probe
+    t.delete(spark, col("p") === "p2")
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (3, "c", "p3")))
+    t.update(spark, col("p") === "p3", Map("v" -> lit("C")))
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (3, "C", "p3")))
+  }
+
   test("bloom index prunes point lookups; missing sidecars degrade, never lie") {
     val t = new MergeTable(scratch("mt_bloom"), Seq("p"))
     t.overwrite(df((1 to 200).map(k => (k, s"v$k", if (k % 2 == 0) "pe" else "po")))
