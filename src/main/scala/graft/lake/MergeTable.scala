@@ -179,7 +179,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                                 colmap: Seq[(String, String)],
                                 retired: Seq[String],
                                 props: Seq[(String, String)],
-                                tsMillis: Option[Long])
+                                tsMillis: Option[Long],
+                                opMetrics: Option[(Long, Long, Long)])
 
   private def parseMeta(lines: Iterator[String]): CommitMeta = {
     var cdf: Option[String] = None
@@ -193,9 +194,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val retired = Seq.newBuilder[String]
     val props = Seq.newBuilder[(String, String)]
     var tsMillis: Option[Long] = None
+    var opMetrics: Option[(Long, Long, Long)] = None
     lines.foreach {
       case l if l.startsWith("cdf\t") => cdf = Some(dec(l.stripPrefix("cdf\t")))
       case l if l.startsWith("ts\t") => tsMillis = Some(l.stripPrefix("ts\t").toLong)
+      case l if l.startsWith("opm\t") =>
+        val Array(a, r, n) = l.stripPrefix("opm\t").split("\t", 3)
+        opMetrics = Some((a.toLong, r.toLong, n.toLong))
       case l if l.startsWith("check\t") =>
         val Array(n, p) = l.stripPrefix("check\t").split("\t", 2)
         checks += (dec(n) -> dec(p))
@@ -219,7 +224,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       case _ => ()
     }
     CommitMeta(cdf, checks.result(), ingested.result(), ingestReset, txns.result(), op,
-      dvs.result(), colmap.result(), retired.result(), props.result(), tsMillis)
+      dvs.result(), colmap.result(), retired.result(), props.result(), tsMillis,
+      opMetrics)
   }
 
   private def readMeta(version: Long): CommitMeta = {
@@ -2050,10 +2056,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         val m = readMeta(ver)
         val ts = new java.sql.Timestamp(m.tsMillis.getOrElse(
           Files.getLastModifiedTime(commitPath(ver)).toMillis))
+        // operation metrics (Delta's operationMetrics): nullable for
+        // commits that predate the feature
         (ver, ts, m.operation,
-          m.txns.toSeq.sortBy(_._1).map { case (a, t) => s"$a=$t" }.mkString(","))
+          m.txns.toSeq.sortBy(_._1).map { case (a, t) => s"$a=$t" }.mkString(","),
+          m.opMetrics.map(_._1), m.opMetrics.map(_._2), m.opMetrics.map(_._3))
       }
-      .toDF("version", "timestamp", "operation", "txns")
+      .toDF("version", "timestamp", "operation", "txns",
+        "num_added_files", "num_removed_files", "num_files")
       .orderBy(col("version").desc)
   }
 
@@ -2872,8 +2882,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // strictly-after the previous commit so TIMESTAMP AS OF resolution is
     // total-ordered even under clock skew.
     val tsMillis = math.max(clock(), prev.flatMap(_.tsMillis).getOrElse(Long.MinValue) + 1)
+    // operation metrics (Delta's operationMetrics): file-delta counts
+    // recorded AT COMMIT TIME (both lists are already in hand — set ops
+    // over names, never a data read), surfaced by DESCRIBE HISTORY
+    val prevFileSet = prev.fold(Seq.empty[String])(_.files).toSet
+    val numAdded = files.count(f => !prevFileSet.contains(f))
+    val numRemoved = prevFileSet.size - (files.size - numAdded)
     val content = (s"schema\t${enc(schema.toDDL)}" +:
-      (Seq(s"op\t${enc(op)}", s"ts\t$tsMillis") ++
+      (Seq(s"op\t${enc(op)}", s"ts\t$tsMillis",
+        s"opm\t$numAdded\t$numRemoved\t${files.size}") ++
         cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
         constraints.map { case (n, p) => s"check\t${enc(n)}\t${enc(p)}" } ++
         ingestReset.map(_ => "ingestreset").toSeq ++

@@ -89,7 +89,10 @@ object GraftSqlParser {
           StructField("version", LongType, nullable = false),
           StructField("timestamp", TimestampType, nullable = false),
           StructField("operation", StringType, nullable = false),
-          StructField("txns", StringType, nullable = false)))
+          StructField("txns", StringType, nullable = false),
+          StructField("num_added_files", LongType, nullable = true),
+          StructField("num_removed_files", LongType, nullable = true),
+          StructField("num_files", LongType, nullable = true)))
       else if (LakeSql.isDetailStatement(sql))
         StructType(Seq(
           StructField("format", StringType, nullable = false),

@@ -970,6 +970,20 @@ class MergeTableSpec extends SparkSpec {
     assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (3, "C", "p3")))
   }
 
+  test("history surfaces per-commit operation metrics (file deltas)") {
+    val t = new MergeTable(scratch("mt_opm"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))        // v0: all added
+    t.merge(spark, df(Seq((2, "B", "p2"))), Seq("k"))           // v1: p2 rewritten
+    t.setProperties(Map("x" -> "1"))                            // v2: metadata-only
+    val h = t.history(spark).orderBy("version")
+      .select("version", "num_added_files", "num_removed_files", "num_files")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(h(0)._2 > 0 && h(0)._3 === 0L)
+    assert(h(1)._2 > 0 && h(1)._3 > 0, s"merge must add and remove files: ${h(1)}")
+    assert(h(2)._2 === 0L && h(2)._3 === 0L && h(2)._4 === h(1)._4,
+      s"a metadata-only commit has no file delta: ${h(2)}")
+  }
+
   test("bloom index prunes point lookups; missing sidecars degrade, never lie") {
     val t = new MergeTable(scratch("mt_bloom"), Seq("p"))
     t.overwrite(df((1 to 200).map(k => (k, s"v$k", if (k % 2 == 0) "pe" else "po")))
