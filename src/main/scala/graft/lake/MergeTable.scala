@@ -1783,6 +1783,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     }
   }
 
+  /** Drop the Bloom sidecar index for `column` — or every column's when
+    * none is given (`DROP BLOOMFILTER INDEX`). Pure sidecar deletion:
+    * no commit, and lookups simply stop pruning.
+    */
+  def dropBloomIndex(column: Option[String] = None): Unit = {
+    val base = Paths.get(root, "bloomidx")
+    val target = column.fold(base)(base.resolve)
+    if (Files.exists(target)) deleteRecursively(target)
+  }
+
   /** The current snapshot's files that MIGHT contain `column = value`:
     * a file is skipped when its Bloom sidecar definitively excludes the
     * value's hash; files without a sidecar (never indexed, or rewritten

@@ -18,6 +18,8 @@ import graft.lake.MergeTable
   *   VACUUM t [RETAIN <n> VERSIONS] DRY RUN  -- reclaim preview (query())
   *   REORG TABLE t APPLY (PURGE)             -- rewrite ONLY dv-masked files
   *   FSCK REPAIR TABLE t                     -- drop refs to missing files
+  *   CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS (c)
+  *   DROP BLOOMFILTER INDEX ON [TABLE] t [FOR COLUMNS (c)]
   *   OPTIMIZE t [WHERE <partition predicate>]
   *   OPTIMIZE t ZORDER BY (c1 [, c2 ...])
   *   RESTORE [TABLE] t TO VERSION AS OF <n>
@@ -105,6 +107,14 @@ object LakeSql {
 
   private val FsckShape =
     """(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+
+  private val CreateBloomShape =
+    ("""(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+""" +
+     """FOR\s+COLUMNS\s*\(\s*(\w+)\s*\)\s*;?\s*$""").r
+
+  private val DropBloomShape =
+    ("""(?is)^\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([\w.]+)""" +
+     """(?:\s+FOR\s+COLUMNS\s*\(\s*(\w+)\s*\))?\s*;?\s*$""").r
 
   private val OptimizeShape =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
@@ -220,6 +230,10 @@ object LakeSql {
         resolve(tgt, targets).reorgPurge(spark)
       case FsckShape(tgt) =>
         resolve(tgt, targets).fsck()
+      case CreateBloomShape(tgt, colName) =>
+        resolve(tgt, targets).buildBloomIndex(spark, colName)
+      case DropBloomShape(tgt, colName) =>
+        resolve(tgt, targets).dropBloomIndex(Option(colName))
       case RestoreShape(tgt, ver) =>
         resolve(tgt, targets).restore(ver.toLong)
       case RestoreTsShape(tgt, q1, q2) =>
@@ -367,6 +381,8 @@ object LakeSql {
     case VacuumShape(tgt, _)       => Some(tgt)
     case ReorgShape(tgt)           => Some(tgt)
     case FsckShape(tgt)            => Some(tgt)
+    case CreateBloomShape(tgt, _)  => Some(tgt)
+    case DropBloomShape(tgt, _)    => Some(tgt)
     case RestoreShape(tgt, _)      => Some(tgt)
     case RestoreTsShape(tgt, _, _) => Some(tgt)
     case ZorderShape(tgt, _)       => Some(tgt)

@@ -280,6 +280,21 @@ class LakeSqlSpec extends SparkSpec {
     assert(asSet(t) === Set((2, "b", "p1"), (3, "c", "p2"))) // v1's state
   }
 
+  test("CREATE/DROP BLOOMFILTER INDEX route through the SQL surface") {
+    val t = seeded("lsql_bloom")
+    LakeSql.run(spark, "CREATE BLOOMFILTER INDEX ON TABLE tbl FOR COLUMNS (v)",
+      Map("tbl" -> t))
+    val all = t.filesOf(t.currentVersion).size
+    val cand = t.bloomCandidateFiles(spark, "v", "a")
+    assert(cand.size < all, s"expected pruning, got ${cand.size}/$all")
+    assert(t.readPoint(spark, "v", "a").count() === 1L)
+    LakeSql.run(spark, "DROP BLOOMFILTER INDEX ON TABLE tbl FOR COLUMNS (v)",
+      Map("tbl" -> t))
+    assert(t.bloomCandidateFiles(spark, "v", "a").size === all,
+      "dropped index must stop pruning")
+    assert(t.readPoint(spark, "v", "a").count() === 1L)
+  }
+
   test("statements outside the supported shapes fail loudly") {
     val t = seeded("lsql_bad")
     val ex = intercept[IllegalArgumentException] {
