@@ -1077,6 +1077,48 @@ object LakeQueries {
              |FROM orders WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)""".stripMargin),
       "per-file Bloom sidecar index: point-lookup file skipping where min/max can't prune"),
 
+    // Delta's table_changes('t', from, to) TVF through spark.sql: the CDF
+    // range read as a SQL-composable rewrite (temp view over changes()),
+    // here aggregated INSIDE the same statement — proving the TVF result
+    // joins the full SELECT surface, not just a bare scan. Same change
+    // rows as m7; the oracle replays the merge's pre/post/insert images
+    // relationally and aggregates identically.
+    "m43_table_changes" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m43_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders.filter(col("o_orderkey") % 4 =!= 3))
+        val source = orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        table.merge(s, source, Seq("o_orderkey"), changeFeed = true)
+        val name = s"m43_${sanitize(dir)}"
+        graft.sqlapi.LakeCatalog.register(name, table)
+        try s.sql(
+          s"""SELECT _change_type AS change_type, count(*) AS n,
+             |       sum(o_orderkey) AS key_sum
+             |FROM table_changes('$name', 1, 1)
+             |GROUP BY _change_type""".stripMargin)
+        finally graft.sqlapi.LakeCatalog.unregister(name)
+      },
+      Some("""WITH tgt AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 3),
+             |     src AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+             |changes AS (
+             |  SELECT 'update_preimage' AS change_type, o_orderkey FROM tgt
+             |  WHERE o_orderkey IN (SELECT o_orderkey FROM src)
+             |  UNION ALL
+             |  SELECT 'update_postimage', o_orderkey FROM src
+             |  WHERE o_orderkey IN (SELECT o_orderkey FROM tgt)
+             |  UNION ALL
+             |  SELECT 'insert', o_orderkey FROM src
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM tgt))
+             |SELECT change_type, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM changes GROUP BY change_type""".stripMargin),
+      "table_changes TVF: the CDF range as SQL, composable inside a full SELECT"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -327,10 +327,28 @@ object LakeSql {
     * Returns None when the statement references no registered table —
     * callers (query(), the injected parser) then leave the SQL untouched.
     */
+  private val TableChangesRef =
+    """(?i)table_changes\s*\(\s*'([\w.]+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
   private[sqlapi] def rewriteReads(spark: SparkSession, sql: String,
                                    targets: Map[String, MergeTable]): Option[String] = {
     var any = false
-    var rewritten = TimeTravelRef.replaceAllIn(sql, m => {
+    // Delta's table_changes('t', from, to) TVF: the change-data-feed rows
+    // of the commit range, as a rewrite to a temp view over changes() —
+    // composable inside arbitrary SELECTs like the time-travel dialects
+    var rewritten = TableChangesRef.replaceAllIn(sql, m => {
+      val name = m.group(1)
+      targets.get(name) match {
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        case Some(table) =>
+          val (from, to) = (m.group(2).toLong, m.group(3).toLong)
+          val view = s"${name.replace('.', '_')}__c${from}_$to"
+          table.changes(spark, from, to).createOrReplaceTempView(view)
+          any = true
+          java.util.regex.Matcher.quoteReplacement(view)
+      }
+    })
+    rewritten = TimeTravelRef.replaceAllIn(rewritten, m => {
       val (name, ver) = (m.group(1), m.group(2).toLong)
       val table = resolve(name, targets)
       val view = s"${name.replace('.', '_')}__v$ver"
