@@ -1472,6 +1472,22 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * at real scale you'd bin-pack to a file-size budget instead of
     * one-file-per-partition.
     */
+  /** Parameterless OPTIMIZE with clustering awareness (the liquid-
+    * clustering shape): when the table carries a
+    * [[MergeTable.ClusterByProp]] property (comma-joined numeric columns,
+    * set at CREATE time or any ALTER ... SET TBLPROPERTIES), optimize
+    * re-clusters by Z-ordering on those columns — layout maintenance is a
+    * TABLE property, not something every maintenance job must re-specify;
+    * without the property it is a plain bin-packing compaction.
+    */
+  def optimize(spark: SparkSession, parallelism: Int = 8): Unit =
+    properties.get(MergeTable.ClusterByProp) match {
+      case Some(cols) =>
+        zorderCompact(spark,
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, parallelism)
+      case None => compact(spark, parallelism)
+    }
+
   def compact(spark: SparkSession, parallelism: Int = 8): Unit = {
     require(parallelism > 0, "parallelism must be positive")
     val v = currentVersion
@@ -2974,6 +2990,12 @@ object MergeTable {
 
   /** Commit-carried row-id high-water mark (next id = hwm). */
   val RowIdHwmProp = "graft.rowid.hwm"
+
+  /** Table property naming the clustering columns (comma-joined) a
+    * parameterless OPTIMIZE re-clusters by — the liquid-clustering shape:
+    * declared once on the table, honored by every maintenance run.
+    */
+  val ClusterByProp = "graft.clusterBy"
 
   /** True when `from → to` is a lossless widening Spark's parquet readers
     * perform at scan time (the Delta type-widening allow-list this engine

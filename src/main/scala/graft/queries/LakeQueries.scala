@@ -1119,6 +1119,39 @@ object LakeQueries {
              |FROM changes GROUP BY change_type""".stripMargin),
       "table_changes TVF: the CDF range as SQL, composable inside a full SELECT"),
 
+    // Liquid-clustering shape: CLUSTER BY declared ONCE at CREATE time as
+    // a table property; every later parameterless OPTIMIZE re-clusters by
+    // those columns (Z-order) instead of plain bin-packing — layout
+    // maintenance follows the table, not the maintenance job. The in-gate
+    // require proves the re-clustered layout actually prunes: after
+    // OPTIMIZE + ANALYZE, a narrow key-range read admits fewer files than
+    // the manifest holds.
+    "m44_cluster_by" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m44_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val src = s"m44_src_${sanitize(dir)}"
+        orders.createOrReplaceTempView(src)
+        val name = s"m44_${sanitize(dir)}"
+        try {
+          s.sql(s"""CREATE TABLE $name USING GRAFT CLUSTER BY (o_orderkey)
+                   |LOCATION '$root/tbl' AS SELECT * FROM $src""".stripMargin)
+          s.sql(s"OPTIMIZE $name") // property-driven: Z-orders on o_orderkey
+          val table = graft.sqlapi.LakeCatalog.targets(name)
+          table.analyze(s, Seq("o_orderkey"))
+          val all = table.filesOf(table.currentVersion).size
+          val cand = table.candidateFiles("o_orderkey", 1, 100).size
+          require(all > 1 && cand < all,
+            s"clustered layout must prune range reads ($cand of $all admitted)")
+          table.read(s).groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+        } finally graft.sqlapi.LakeCatalog.unregister(name)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "CLUSTER BY: declared once, parameterless OPTIMIZE re-clusters, range reads prune"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

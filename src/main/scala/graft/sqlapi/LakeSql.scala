@@ -10,7 +10,8 @@ import graft.lake.MergeTable
   *
   * {{{
   *   CREATE TABLE [IF NOT EXISTS] t USING GRAFT [PARTITIONED BY (...)]
-  *     LOCATION '<path>' [TBLPROPERTIES (k = v, ...)] AS <SELECT ...>
+  *     [CLUSTER BY (...)] LOCATION '<path>' [TBLPROPERTIES (k = v, ...)]
+  *     AS <SELECT ...>
   *   DROP TABLE [IF EXISTS] t                     -- unregisters; data stays
   *   DELETE FROM t WHERE <predicate>
   *   UPDATE t SET c1 = <expr> [, c2 = <expr> ...] WHERE <predicate>
@@ -158,7 +159,8 @@ object LakeSql {
     */
   private val CreateTableShape =
     ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+USING\s+GRAFT""" +
-     """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s+LOCATION\s+'([^']+)'""" +
+     """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?""" +
+     """\s+LOCATION\s+'([^']+)'""" +
      """(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s+AS\s+(.+?)\s*;?\s*$""").r
 
   private val DropTableShape =
@@ -176,7 +178,7 @@ object LakeSql {
     */
   def run(spark: SparkSession, sql: String, targets: Map[String, MergeTable]): Unit =
     sql match {
-      case CreateTableShape(ifNotExists, name, parts, loc, propKvs, query) =>
+      case CreateTableShape(ifNotExists, name, parts, clusterBy, loc, propKvs, query) =>
         val known = targets.keySet ++ LakeCatalog.targets.keySet
         if (known.contains(name)) {
           require(ifNotExists != null,
@@ -191,10 +193,19 @@ object LakeSql {
           pcols.foreach(c => require(rows.columns.contains(c),
             s"CREATE TABLE $name: partition column '$c' is not in the query output " +
               s"(${rows.columns.mkString(", ")})"))
+          val ccols = Option(clusterBy).toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+          ccols.foreach(c => require(rows.columns.contains(c),
+            s"CREATE TABLE $name: cluster column '$c' is not in the query output " +
+              s"(${rows.columns.mkString(", ")})"))
           val created = new MergeTable(loc, pcols)
           require(!created.exists,
             s"CREATE TABLE $name: a MergeTable already exists at $loc")
           created.overwrite(rows)
+          // CLUSTER BY lands as the liquid-clustering property: every
+          // later parameterless OPTIMIZE re-clusters by these columns
+          if (ccols.nonEmpty) created.setProperties(
+            Map(MergeTable.ClusterByProp -> ccols.mkString(",")))
           Option(propKvs).foreach(kvs => created.setProperties(parsePropList(kvs)))
           // registered so follow-up statements resolve the new name through
           // the same session — the whole point of a CTAS
@@ -263,7 +274,8 @@ object LakeSql {
         val table = resolve(tgt, targets)
         Option(pred) match {
           case Some(p) => table.compactPartitions(spark, expr(p))
-          case None    => table.compact(spark)
+          // clustering-aware: a CLUSTER BY table re-Z-orders, others pack
+          case None    => table.optimize(spark)
         }
       case AddColumnsShape(tgt, ddl) =>
         resolve(tgt, targets).addColumns(
@@ -424,8 +436,8 @@ object LakeSql {
     * not registered yet, so the injected parser routes on shape alone.
     */
   private[sqlapi] def isCreateStatement(sql: String): Boolean = sql match {
-    case CreateTableShape(_, _, _, _, _, _) => true
-    case _                                  => false
+    case CreateTableShape(_, _, _, _, _, _, _) => true
+    case _                                     => false
   }
 
   /** Target of a rows-returning metadata statement (DESCRIBE HISTORY /
