@@ -1,9 +1,11 @@
 package graft
 
-/** Benchmark main: every registry query against SPARK_GRAFT_SF_DIR, each run
-  * SPARK_GRAFT_ITERS times (default 3; the disk-bound m-family gets at least
-  * 5) reporting the per-query MEDIAN (the merge-path cost proved run-to-run
-  * volatile; medians de-noise it). A query that throws is printed to stderr
+/** Benchmark main: every registry query against SPARK_GRAFT_SF_DIR — ONE
+  * untimed warm-up execution (JIT/codegen/page-cache, the round-7 noise
+  * source), then SPARK_GRAFT_ITERS timed runs (default 3; the disk-bound
+  * m-family gets at least 5) reporting the per-query MEDIAN plus the MIN
+  * (`queries_min`/`min_total` — the least-noise statistic for
+  * round-over-round comparison). A query that throws is printed to stderr
   * and surfaced in the JSON `failed` list — never silently counted as a
   * fast success. The config actually used (master / shuffle partitions /
   * iterations) is recorded in the output so BENCH numbers are attributable
@@ -41,7 +43,18 @@ object Bench {
       .map { case (name, fn) =>
       // the m-family rewrites real files — the noisiest queries get ≥5 iters
       val qIters = if (name.matches("^m\\d.*")) iters.max(5) else iters
-      val times = (1 to qIters).flatMap { _ =>
+      // untimed warm-up: the first execution pays JIT + codegen compilation
+      // + page-cache fill that no steady-state iteration pays — two
+      // same-code full runs differed 1.2× round-7 purely on this noise
+      val warmOk =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            if (!failed.contains(name)) failed ::= name
+            false
+        }
+      val times = if (!warmOk) Seq.empty[Double] else (1 to qIters).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
@@ -51,12 +64,19 @@ object Bench {
             None
         }
       }.sorted
-      name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
+      (name,
+        if (times.isEmpty) -1.0 else times(times.size / 2),
+        if (times.isEmpty) -1.0 else times.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // min-of-N alongside the median: the min is the least-noise-contaminated
+    // statistic on a shared sandbox, so round-over-round comparisons can
+    // use it when the medians disagree within the noise band
+    val qsMin = results.map { case (k, _, m) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalMin = results.map(_._3).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"master":"local[$cpus]","shuffle_partitions":$cpus,"failed":$failedJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","min_total":$totalMin,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","iters":$iters,"warmup":1,"master":"local[$cpus]","shuffle_partitions":$cpus,"failed":$failedJson}"""
     println(line)
     // the driver's BENCH record keeps only a 2000-char tail of stdout — the
     // per-query map loses its first ~57 entries. Persist the FULL line in

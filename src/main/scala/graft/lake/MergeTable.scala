@@ -70,7 +70,21 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                        val statsCols: Seq[String] = Nil,
                        val generatedCols: Seq[(String, String)] = Nil,
                        val identityCol: Option[(String, Long, Long)] = None,
-                       val rowTracking: Boolean = false) {
+                       rowTracking: Boolean = false) {
+
+  /** Row tracking IN FORCE: the constructor flag OR the persisted
+    * `graft.rowTracking` table property. Delta records row tracking as a
+    * table feature in the log precisely so the flag cannot be dropped by
+    * accident — a handle opened WITHOUT the constructor flag on a tracked
+    * table must still write id-bearing files, or later tracked readers
+    * would see NULL ids and the uniqueness/stability invariants would
+    * degrade silently. The property is persisted by the first commit a
+    * tracking handle publishes (see [[commit]]); derived once per handle
+    * (the property is never unset by any supported operation).
+    */
+  lazy val rowTrackingEnabled: Boolean =
+    rowTracking || (exists && readMeta(currentVersion).props.toMap
+      .get(MergeTable.RowTrackingProp).contains("true"))
 
   private val logDir: Path = Paths.get(root, "_graft_log")
   private def latestPath: Path = logDir.resolve("_LATEST")
@@ -286,7 +300,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * fresh ids). Requires a `rowTracking = true` table.
     */
   def readWithRowIds(spark: SparkSession): DataFrame = {
-    require(rowTracking, s"MergeTable at $root was not created with rowTracking = true")
+    require(rowTrackingEnabled, s"MergeTable at $root was not created with rowTracking = true")
     val v = currentVersion
     readFiles(spark, filesOf(v), schemaOf(v), colmapOf(v), dvsOf(v), withRowIds = true)
   }
@@ -467,6 +481,31 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     writeVersion(applyGenerated(df), v, txn = txn)
   }
 
+  /** Create the table EMPTY: a version-0 commit holding the schema and no
+    * data files (Delta's `CREATE TABLE t (c1 INT, …) USING delta` — the
+    * standard first statement of any tutorial; data arrives later via
+    * INSERT INTO / append / merge). Purely a metadata write: no Spark job
+    * runs. Declared partition / generated / identity columns are validated
+    * against the schema here, since no write path will get the chance
+    * before the first data lands.
+    */
+  def createEmpty(schema: StructType): Unit = {
+    require(!exists, s"MergeTable at $root already exists")
+    val names = schema.fieldNames.toSet
+    val missingParts = partitionCols.filterNot(names.contains)
+    require(missingParts.isEmpty,
+      s"createEmpty on $root: partition column(s) ${missingParts.mkString(", ")} " +
+        s"not in the declared schema (${schema.fieldNames.mkString(", ")})")
+    val missingGen = generatedCols.map(_._1).filterNot(names.contains)
+    require(missingGen.isEmpty,
+      s"createEmpty on $root: generated column(s) ${missingGen.mkString(", ")} " +
+        "not in the declared schema")
+    identityCol.foreach { case (c, _, _) =>
+      require(names.contains(c),
+        s"createEmpty on $root: identity column '$c' not in the declared schema") }
+    commit(0L, Nil, schema, Nil, op = "CREATE TABLE")
+  }
+
   /** Highest transaction version recorded for `appId` (see [[overwrite]]'s
     * `txn` doc), or None if the app never committed here.
     */
@@ -591,13 +630,24 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val touchedData =
         if (touchedRel.isEmpty) None
         else Some(readFiles(spark, touchedRel, schemaOf(v), cmap, dvs,
-          withRowIds = rowTracking))
+          withRowIds = rowTrackingEnabled))
       val survivors = touchedData.map(_.join(srcKeys, keys, "left_anti"))
       val srcIded =
-        if (!rowTracking) src
+        if (!rowTrackingEnabled) src
         else touchedData match {
+          // One inherited id per key, NEVER a fan-out join: duplicate target
+          // keys would otherwise multiply matched source rows (changing the
+          // merge's own row count vs rowTracking=false), and duplicate source
+          // keys would mint several rows sharing one id — min() per key keeps
+          // the join 1:1 on the target side and deterministic, so the global
+          // row-id uniqueness invariant survives non-unique inputs too (the
+          // duplicate source rows themselves are still rejected by
+          // checkUniqueSource when enabled, matching Delta's multiple-match
+          // error).
           case Some(td) => src.join(
-            td.select((keys :+ MergeTable.RowIdCol).map(col): _*), keys, "left")
+            td.groupBy(keys.map(col): _*)
+              .agg(min(MergeTable.RowIdCol).as(MergeTable.RowIdCol)),
+            keys, "left")
           case None => src.withColumn(MergeTable.RowIdCol, lit(null).cast("long"))
         }
       val newData =
@@ -610,7 +660,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             s"merge(deleteNotMatchedBySource) on $root: source lacks target " +
               s"columns ${missing.mkString(", ")}")
           srcIded.select((schemaOf(v).fieldNames.toIndexedSeq ++
-            (if (rowTracking) Seq(MergeTable.RowIdCol) else Nil)).map(col): _*)
+            (if (rowTrackingEnabled) Seq(MergeTable.RowIdCol) else Nil)).map(col): _*)
         } else if (mergeSchema) {
           // Schema evolution (Delta autoMerge analog): the committed schema
           // becomes target ∪ source — survivors are null-filled for columns
@@ -630,7 +680,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             s"merge(mergeSchema) on $root: new columns ${clash.mkString(", ")} collide " +
               "with retired/mapped physical names — add them via addColumns first")
           val anchor = survivors.getOrElse(
-            readFiles(spark, Nil, schemaOf(v), cmap, withRowIds = rowTracking))
+            readFiles(spark, Nil, schemaOf(v), cmap, withRowIds = rowTrackingEnabled))
           anchor.unionByName(srcIded, allowMissingColumns = true)
         } else survivors match {
           case Some(s) => s.unionByName(srcIded.select(s.columns.map(col): _*))
@@ -874,13 +924,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val touchedData =
         if (touchedRel.isEmpty) None
         else Some(readFiles(spark, touchedRel, schema, cmap, dvs,
-          withRowIds = rowTracking))
+          withRowIds = rowTrackingEnabled))
       val joinCond = keys.map(k =>
         col(s"$targetAlias.$k") === col(s"$sourceAlias.$k")).reduce(_ && _)
       // row tracking: updated rows keep the TARGET row's id; insert-claimed
       // rows carry NULL and get fresh ids right before the write
       val tId: Seq[Column] =
-        if (rowTracking) Seq(col(s"$targetAlias.${MergeTable.RowIdCol}")
+        if (rowTrackingEnabled) Seq(col(s"$targetAlias.${MergeTable.RowIdCol}")
           .as(MergeTable.RowIdCol))
         else Nil
 
@@ -930,7 +980,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
               else d.withColumn(c, lit(null).cast(typeOf(c)))
             }
             val idCol =
-              if (rowTracking) Seq(lit(null).cast("long").as(MergeTable.RowIdCol))
+              if (rowTrackingEnabled) Seq(lit(null).cast("long").as(MergeTable.RowIdCol))
               else Nil
             full.select(tCols.map(c => col(c).cast(typeOf(c)).as(c)) ++ idCol: _*)
           }
@@ -938,7 +988,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
       val pieces = matchedOut.toSeq ++ unmatchedOut.toSeq ++ insertOut
       val newData = pieces.reduceOption(_ unionByName _)
-        .getOrElse(readFiles(spark, Nil, schema, cmap, withRowIds = rowTracking))
+        .getOrElse(readFiles(spark, Nil, schema, cmap, withRowIds = rowTrackingEnabled))
 
       val newVersion = v + 1
       val (newDataIded, rowHwm) = assignRowIds(newData)
@@ -1190,7 +1240,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // vectorized delete masked out of these same files (surviving rows
     // keep their row-tracking ids — the id column rides the read)
     val tdf = readFiles(spark, touchedRel, schemaOf(v), colmapOf(v), dvsOf(v),
-      withRowIds = rowTracking)
+      withRowIds = rowTrackingEnabled)
     // survivors: predicate FALSE or NULL (NOT(pred) alone would drop NULLs)
     val survivors = tdf.filter(coalesce(predicate, lit(false)) =!= true)
 
@@ -1350,14 +1400,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     }
 
     val tdf = readFiles(spark, touchedRel, schema, colmapOf(v), dvsOf(v),
-      withRowIds = rowTracking)
+      withRowIds = rowTrackingEnabled)
     val hit = coalesce(predicate, lit(false)) === true
     // all SET expressions evaluate against the pre-update row in ONE select
     // (the row-tracking id passes through untouched — an UPDATE may never
     // re-identify a row)
     val applySet = (d: DataFrame) => d.select((schema.fieldNames.map { c =>
       set.get(c).fold(col(c))(e => when(hit, e.cast(schema(c).dataType)).otherwise(col(c))).as(c)
-    } ++ (if (rowTracking) Seq(col(MergeTable.RowIdCol)) else Nil)).toIndexedSeq: _*)
+    } ++ (if (rowTrackingEnabled) Seq(col(MergeTable.RowIdCol)) else Nil)).toIndexedSeq: _*)
     // re-derive generated columns not explicitly SET: identity on untouched
     // rows, consistency on updated ones
     val regen = (d: DataFrame) => generatedCols.foldLeft(d) {
@@ -1430,11 +1480,11 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val survivors =
       if (touchedRel.isEmpty) None
       else Some(readFiles(spark, touchedRel, schema, colmapOf(v), dvsOf(v),
-          withRowIds = rowTracking)
+          withRowIds = rowTrackingEnabled)
         .filter(coalesce(predicate, lit(false)) =!= true))
     // survivors keep their ids; the replacement rows are all fresh
     val alignedIded =
-      if (!rowTracking) aligned
+      if (!rowTrackingEnabled) aligned
       else aligned.withColumn(MergeTable.RowIdCol, lit(null).cast("long"))
     val (outData, rowHwm) =
       assignRowIds(survivors.fold(alignedIded)(_ unionByName alignedIded))
@@ -1483,8 +1533,25 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   def optimize(spark: SparkSession, parallelism: Int = 8): Unit =
     properties.get(MergeTable.ClusterByProp) match {
       case Some(cols) =>
-        zorderCompact(spark,
-          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, parallelism)
+        val requested = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        // the property is free text settable by ALTER TABLE SET
+        // TBLPROPERTIES (only the CTAS path validates) — verify against the
+        // CURRENT schema here or every later parameterless OPTIMIZE fails
+        // deep inside zorderCompact's rank math with no usable error
+        val fields = schemaOf(currentVersion).fields.map(f => f.name -> f.dataType).toMap
+        val missing = requested.filterNot(fields.contains)
+        require(missing.isEmpty,
+          s"OPTIMIZE on $root: ${MergeTable.ClusterByProp} names column(s) " +
+            s"${missing.mkString(", ")} absent from the table schema — fix the " +
+            "property with ALTER TABLE ... SET TBLPROPERTIES or unset it")
+        val nonNumeric = requested.filter(c =>
+          !fields(c).isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+            !fields(c).isInstanceOf[org.apache.spark.sql.types.TimestampType])
+        require(nonNumeric.isEmpty,
+          s"OPTIMIZE on $root: ${MergeTable.ClusterByProp} column(s) " +
+            s"${nonNumeric.mkString(", ")} are not numeric/timestamp — Z-order " +
+            "clustering rank-normalizes through a double cast")
+        zorderCompact(spark, requested, parallelism)
       case None => compact(spark, parallelism)
     }
 
@@ -1492,7 +1559,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     require(parallelism > 0, "parallelism must be positive")
     val v = currentVersion
     val data = readFiles(spark, filesOf(v), schemaOf(v), colmapOf(v), dvsOf(v),
-      withRowIds = rowTracking) // row ids survive the rewrite verbatim
+      withRowIds = rowTrackingEnabled) // row ids survive the rewrite verbatim
     val packed =
       if (partitionCols.nonEmpty)
         data.repartition(parallelism, partitionCols.map(col): _*)
@@ -1515,7 +1582,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val v = currentVersion
     val c = readCommit(v)
     val target = new MergeTable(targetRoot, partitionCols, statsCols, generatedCols,
-      identityCol, rowTracking)
+      identityCol, rowTrackingEnabled)
     require(!target.exists, s"clone target $targetRoot already exists")
     // dv sidecars travel with the data files they mask (same zero-copy link)
     val dvFiles = c.dvs.map(_._2).distinct.sorted
@@ -1588,7 +1655,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       return
     }
     val packed = readFiles(spark, touchedRel, schema, colmapOf(v), dvsOf(v),
-        withRowIds = rowTracking)
+        withRowIds = rowTrackingEnabled)
       .repartition(parallelism, partitionCols.map(col): _*)
     val dataDir = newDataDir(newVersion)
     writeData(packed, dataDir, colmapOf(v))
@@ -1617,7 +1684,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val (touchedRel, keptRel) = c.files.partition(masked.contains)
     val newVersion = v + 1
     val survivors = readFiles(spark, touchedRel, c.schema, colmapOf(v), dvsOf(v),
-      withRowIds = rowTracking)
+      withRowIds = rowTrackingEnabled)
     val packed =
       if (partitionCols.nonEmpty)
         survivors.repartition(parallelism, partitionCols.map(col): _*)
@@ -1745,12 +1812,26 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val typed = spark.createDataFrame(rows.asJava, strSchema)
       .select(col("_dir") +: partitionCols.map(c =>
         col(c).cast(schema(c).dataType).as(c)): _*)
+    // A NON-DETERMINISTIC predicate (rand() < p, …) evaluated once per
+    // distinct partition tuple is a different sample than the per-row scan
+    // the caller is about to run — pruning on it would be UNSOUND (a file
+    // the scan would touch could be skipped). Deterministic-only, checked
+    // on the resolved plan.
+    val deterministic =
+      try typed.filter(predicate).queryExecution.analyzed.expressions.forall(_.deterministic)
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!deterministic) return files
     // rows act only when the predicate is TRUE (NULL keeps/skips rows in
-    // every caller), so a partition is needed only if it can be TRUE
+    // every caller), so a partition is needed only if it can be TRUE.
+    // The catch is deliberately broad: resolution failures (data-column
+    // references) AND runtime evaluation failures (ANSI cast errors that
+    // the full scan would surface per-row, with its own error context)
+    // both fall back to no pruning — the probe is an optimization and
+    // must never be the place an error first appears.
     val matching: Option[Set[String]] =
       try Some(typed.filter(coalesce(predicate, lit(false)) === true)
         .select("_dir").collect().map(_.getString(0)).toSet)
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     matching match {
       case None       => files // predicate reads data columns: no pruning
       case Some(dirs) => files.filter(f => dirs.contains(partDir(f)))
@@ -1786,17 +1867,32 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val dir = Paths.get(root, "bloomidx", colName)
     if (Files.exists(dir)) deleteRecursively(dir) // rebuild covers the snapshot
     Files.createDirectories(dir)
-    val filters = readFiles(spark, c.files, c.schema, colmapOf(v), dvsOf(v),
+    // Sidecars are written EXECUTOR-SIDE, straight out of the grouped
+    // aggregate — at 100 TB (~10⁶ files) collecting one KB-sized filter
+    // per file would put GBs on the driver and serialize 10⁶ Files.write
+    // calls; foreachPartition keeps the driver at zero filter bytes and
+    // writes with the aggregation's own parallelism. Sidecars live outside
+    // the commit log, so executor-side (non-atomic, per-file) publication
+    // loses no atomicity — a torn run is just an unindexed/partially
+    // indexed column, which bloomCandidateFiles already treats as
+    // "keep the file" (degradation, never wrong answers).
+    // Local copies only: the closure must not capture `this` (MergeTable
+    // is not serializable — by design, handles are driver objects).
+    val rootStr = root
+    val colStr = colName
+    readFiles(spark, c.files, c.schema, colmapOf(v), dvsOf(v),
         fileCol = Some("_graft_file"))
       .select(col("_graft_file"), xxhash64(col(colName)).as("h"))
       .groupBy("_graft_file")
       .agg(expr(s"bloom_agg(h, ${estItemsPerFile}L)").as("bf"))
-      .collect()
-    filters.foreach { r =>
-      // _graft_file is relPathCol — already the manifest-relative string
-      val p = bloomPath(colName, r.getString(0))
-      Files.write(p, r.getAs[Array[Byte]]("bf"))
-    }
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          // _graft_file is relPathCol — already the manifest-relative string
+          val p = Paths.get(rootStr, "bloomidx", colStr,
+            java.net.URLEncoder.encode(r.getString(0), StandardCharsets.UTF_8) + ".bloom")
+          Files.write(p, r.getAs[Array[Byte]]("bf"))
+        }
+      }
   }
 
   /** Drop the Bloom sidecar index for `column` — or every column's when
@@ -1861,7 +1957,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     require(parallelism > 0, "parallelism must be positive")
     val v = currentVersion
     val data = readFiles(spark, filesOf(v), schemaOf(v), colmapOf(v), dvsOf(v),
-      withRowIds = rowTracking) // row ids survive the rewrite verbatim
+      withRowIds = rowTrackingEnabled) // row ids survive the rewrite verbatim
     val bounds = data.agg(
       zCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"mn_$c"),
                              max(col(c).cast("double")).as(s"mx_$c"))).head,
@@ -2456,6 +2552,43 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * ([[reclaimable]]) backs both, so the preview can never drift from
     * the deletion — the whole point of a dry run.
     */
+  /** Delta's `VACUUM ... RETAIN n HOURS` (the common production form):
+    * time-based retention resolved against the IN-COMMIT timestamps —
+    * every version committed within the window stays time-travel-readable,
+    * plus always the current snapshot. The same injectable [[clock]] that
+    * stamps commits resolves "now", so the window is exact (and testable)
+    * rather than mtime-approximate; pre-feature commits fall back to their
+    * mtime, the same resolution `TIMESTAMP AS OF` uses.
+    */
+  def vacuumRetainHours(hours: Double,
+                        minAgeMs: Long = MergeTable.DefaultVacuumMinAgeMs): Unit = {
+    require(hours >= 0, "vacuumRetainHours requires a non-negative window")
+    if (!exists) return
+    vacuum(retainVersionsFor(hours), minAgeMs)
+  }
+
+  /** [[vacuumDryRun]] for the time-based form — same shared enumeration. */
+  def vacuumDryRunRetainHours(hours: Double,
+                              minAgeMs: Long = MergeTable.DefaultVacuumMinAgeMs): Seq[String] = {
+    require(hours >= 0, "vacuumRetainHours requires a non-negative window")
+    if (!exists) return Nil
+    vacuumDryRun(retainVersionsFor(hours), minAgeMs)
+  }
+
+  /** The version-count equivalent of an hours window: how many newest
+    * versions have a commit time inside it (at least 1 — the current
+    * snapshot is always retained, Delta's rule too).
+    */
+  private def retainVersionsFor(hours: Double): Int = {
+    val cur = currentVersion
+    val cutoff = clock() - (hours * 3600000.0).toLong
+    val oldestRetained = (math.max(0L, vacuumHorizon) to cur)
+      .filter(ver => Files.exists(commitPath(ver)))
+      .find(ver => commitTimeMillis(ver) >= cutoff)
+      .getOrElse(cur)
+    math.max(1L, cur - oldestRetained + 1).toInt
+  }
+
   def vacuumDryRun(retainVersions: Int = 1,
                    minAgeMs: Long = MergeTable.DefaultVacuumMinAgeMs): Seq[String] = {
     require(retainVersions >= 1, "vacuum must retain at least the current version")
@@ -2611,7 +2744,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * populated plus the new hwm when anything was assigned.
     */
   private def assignRowIds(df: DataFrame): (DataFrame, Option[Long]) = {
-    if (!rowTracking) return (df, None)
+    if (!rowTrackingEnabled) return (df, None)
     import MergeTable.RowIdCol
     val base: Long =
       if (exists) properties.get(MergeTable.RowIdHwmProp).map(_.toLong).getOrElse(0L)
@@ -2778,7 +2911,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // the hidden row-id column is RESERVED: only rowTracking tables may
     // store it (a user column under that name would silently vanish from
     // the committed schema)
-    require(rowTracking || !df0.columns.contains(MergeTable.RowIdCol),
+    require(rowTrackingEnabled || !df0.columns.contains(MergeTable.RowIdCol),
       s"column ${MergeTable.RowIdCol} is reserved for rowTracking tables")
     val df = df0
     // constraint enforcement rides the write itself: a per-row codegen'd
@@ -2871,7 +3004,19 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .getOrElse(prev.fold(Seq.empty[(String, String)])(_.colmap))
       .filter { case (lg, ph) => schemaNames.contains(lg) && lg != ph }
     val retiredLines = retiredOverride.getOrElse(prev.fold(Seq.empty[String])(_.retired))
-    val propLines = propsOverride.getOrElse(prev.fold(Seq.empty[(String, String)])(_.props))
+    val propLines0 = propsOverride.getOrElse(prev.fold(Seq.empty[(String, String)])(_.props))
+    // row tracking and the partition layout are TABLE properties, not
+    // handle state: the first commit pins them in the log, so every later
+    // handle — a constructor with different args, or the DSv2 connector
+    // opening by bare path — derives the same in-force values
+    val propLines1 =
+      if (rowTrackingEnabled && !propLines0.exists(_._1 == MergeTable.RowTrackingProp))
+        propLines0 :+ (MergeTable.RowTrackingProp -> "true")
+      else propLines0
+    val propLines =
+      if (partitionCols.nonEmpty && !propLines1.exists(_._1 == MergeTable.PartitionColsProp))
+        propLines1 :+ (MergeTable.PartitionColsProp -> partitionCols.mkString(","))
+      else propLines1
     // Manifest encoding: FULL (every `file`/`stat` line) on version 0, on
     // every CheckpointEvery-th version (bounds the reader's base chain),
     // and whenever the delta wouldn't be smaller or a retained file's
@@ -2905,9 +3050,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // In-commit timestamp (Delta's inCommitTimestamp): the commit's OWN
     // record of when it happened, immune to log-file copies/mtime churn
     // (CLONE copies a log; a restored backup rewrites mtimes). Clamped to
-    // strictly-after the previous commit so TIMESTAMP AS OF resolution is
-    // total-ordered even under clock skew.
-    val tsMillis = math.max(clock(), prev.flatMap(_.tsMillis).getOrElse(Long.MinValue) + 1)
+    // strictly-after the previous commit's EFFECTIVE publish time — its
+    // in-commit ts when recorded, else its mtime fallback (the same
+    // resolution commitTimeMillis/versionAt use) — so the first
+    // post-upgrade commit of a pre-feature table cannot record a time
+    // earlier than the mtime its predecessor already resolves to, and
+    // TIMESTAMP AS OF stays total-ordered across the feature boundary.
+    val tsMillis = math.max(clock(),
+      (if (prev.isDefined) commitTimeMillis(version - 1) else Long.MinValue) + 1)
     // operation metrics (Delta's operationMetrics): file-delta counts
     // recorded AT COMMIT TIME (both lists are already in hand — set ops
     // over names, never a data read), surfaced by DESCRIBE HISTORY
@@ -2990,6 +3140,42 @@ object MergeTable {
 
   /** Commit-carried row-id high-water mark (next id = hwm). */
   val RowIdHwmProp = "graft.rowid.hwm"
+
+  /** Table property pinning row tracking in the log (Delta persists the
+    * feature in the protocol for the same reason — see
+    * [[MergeTable.rowTrackingEnabled]]).
+    */
+  val RowTrackingProp = "graft.rowTracking"
+
+  /** Table property recording the partition columns (Delta stores them in
+    * the metaData action): lets a handle opened by BARE PATH — the DSv2
+    * connector's `spark.read/write.format("graft").load/save(path)` —
+    * reconstruct the layout without the caller re-declaring it.
+    */
+  val PartitionColsProp = "graft.partitionCols"
+
+  /** Open an existing table by path alone, deriving partition columns
+    * (and thereby row tracking, which is log-derived) from the commit log:
+    * the property when recorded, else a probe of the manifest's directory
+    * shapes (pre-property tables). The DSv2 entry point.
+    */
+  def open(root: String): MergeTable = {
+    val probe = new MergeTable(root)
+    require(probe.exists, s"MergeTable at $root does not exist")
+    val props = probe.properties
+    val pcols = props.get(PartitionColsProp) match {
+      case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None =>
+        // manifest probe: partition dirs are the k=v segments between the
+        // data dir and the file name — identical across files by layout
+        probe.filesOf(probe.currentVersion).headOption.toSeq.flatMap { f =>
+          val segs = f.split('/')
+          segs.slice(1, segs.length - 1).toSeq.takeWhile(_.contains('='))
+            .map(_.takeWhile(_ != '='))
+        }
+    }
+    if (pcols.isEmpty) probe else new MergeTable(root, pcols)
+  }
 
   /** Table property naming the clustering columns (comma-joined) a
     * parameterless OPTIMIZE re-clusters by — the liquid-clustering shape:

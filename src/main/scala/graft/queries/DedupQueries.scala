@@ -82,8 +82,9 @@ object DedupQueries {
   /** Iterative min-label propagation over a symmetric edge list
     * `(src, dst)` → connected-component labels `(id, label)`. One
     * join + min-combine per round, convergence probed by a metadata-sized
-    * count; fails loudly past `maxIter` (component diameter exceeded the
-    * bound — switch to large-star/small-star). Exposed for the plan-depth
+    * count; past `maxIter` (component diameter exceeded the bound) it
+    * hands the cached edges to [[largeSmallStarLabels]], whose round count
+    * is O(log n) regardless of diameter. Exposed for the plan-depth
     * spec: lineage is checkpoint-truncated every few rounds, so the final
     * plan is bounded regardless of how many iterations ran.
     */
@@ -119,12 +120,84 @@ object DedupQueries {
       labels = updated
       iter += 1
     }
-    // a silent non-converged exit would emit split components that look
-    // plausible — fail loudly instead (diameter > maxIter means the corpus
-    // needs the large-star/small-star O(log n) variant)
-    require(converged,
-      s"label propagation did not converge in $iter iterations — component diameter exceeds the bound")
+    // diameter > maxIter: a silent non-converged exit would emit split
+    // components that look plausible — switch to the O(log n)-round
+    // large-star/small-star variant instead (correct at any diameter; it
+    // costs ~2 shuffles per round, so plain LP stays the fast path for
+    // the short-diameter components dup graphs almost always are)
+    if (!converged) {
+      labels.unpersist()
+      val out = largeSmallStarLabels(edges)
+      edges.unpersist()
+      return out
+    }
     edges.unpersist()
+    labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    * the O(log n)-round algorithm): each round hangs every node off the
+    * minimum of its neighborhood, halving tree heights, so a path graph
+    * of ANY diameter converges in logarithmically many rounds where plain
+    * min-label propagation needs diameter-many. Same contract as
+    * [[propagateMinLabels]]: symmetric `(src, dst)` edges in →
+    * `(id, label)` out, label = component minimum.
+    */
+  private[graft] def largeSmallStarLabels(
+      edgeList: org.apache.spark.sql.DataFrame,
+      maxRounds: Int = 60): org.apache.spark.sql.DataFrame = {
+    val allIds = edgeList.select(col("src").as("id")).distinct().cache()
+    // canonical undirected form (hi > lo), self-loops dropped
+    var edges = edgeList
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct().cache()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // LARGE-STAR: over symmetric neighborhoods, link every neighbor
+      // LARGER than u to min(N(u) ∪ {u}) — each original edge is emitted
+      // exactly once (from its smaller endpoint's perspective)
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val nbrMin = sym.groupBy("u").agg(min(col("v")).as("mv"))
+      val large = sym.join(nbrMin, Seq("u"))
+        .withColumn("m", least(col("mv"), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // SMALL-STAR: over the now hi→lo directed edges, re-hang u and all
+      // its smaller neighbors off the minimum of that down-neighborhood
+      val downMin = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val nextRaw = large.join(downMin, Seq("hi"))
+        .select(col("lo").as("a"), col("m"))
+        .union(downMin.select(col("hi").as("a"), col("m")))
+        .filter(col("a") =!= col("m"))
+        .select(greatest(col("a"), col("m")).as("hi"),
+          least(col("a"), col("m")).as("lo"))
+        .distinct()
+      // lineage truncation, same reasoning as propagateMinLabels
+      val next = if (round % 3 == 2) nextRaw.localCheckpoint() else nextRaw.cache()
+      // fixpoint: the edge set stopped changing (both stars idempotent)
+      converged =
+        next.exceptAll(edges).limit(1).count() == 0L &&
+        edges.exceptAll(next).limit(1).count() == 0L
+      edges.unpersist()
+      edges = next
+      round += 1
+    }
+    require(converged,
+      s"large-star/small-star did not converge in $round rounds — " +
+        "this should be impossible below 2^60 nodes; investigate the edge input")
+    // converged stars: every non-root node carries exactly (node, root);
+    // roots (component minima) appear only on the lo side → label = self
+    val labels = allIds
+      .join(edges.select(col("hi").as("id"), col("lo").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("label"))
+    allIds.unpersist()
     labels
   }
 

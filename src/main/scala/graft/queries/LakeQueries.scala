@@ -1152,6 +1152,167 @@ object LakeQueries {
              |FROM orders GROUP BY o_orderstatus""".stripMargin),
       "CLUSTER BY: declared once, parameterless OPTIMIZE re-clusters, range reads prune"),
 
+    // DSv2 connector (graft.sources.GraftDataSource): the reference's OWN
+    // integration call-shape — glue_jobs/01_silver_delta_upsert.py:115-121
+    // writes `format("delta")`, 02_gold_analytics.py:33 reads it — mirrored
+    // as `format("graft")` over MergeTable: partitioned write bootstrap,
+    // bare-path append, bare-path load. Every write is a commit (the
+    // in-gate require pins the version count), and the read path is THE
+    // MergeTable snapshot read (dvs, column mapping, type widening all
+    // compose — see GraftDataSourceSpec for those axes).
+    "m45_dsv2" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m45_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .write.format("graft").partitionBy("o_orderstatus")
+          .mode("overwrite").save(root)
+        orders.filter(col("o_orderkey") % 2 =!= 0)
+          .write.format("graft").mode("append").save(root)
+        val table = MergeTable.open(root)
+        require(table.currentVersion == 1L,
+          "two connector writes must be exactly two commits")
+        require(table.partitionCols == Seq("o_orderstatus"),
+          "partitionBy must land in the table layout")
+        s.read.format("graft").load(root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "DSv2 connector: spark.read/write.format(\"graft\") — the reference's format(\"delta\") shape"),
+
+    // Empty-table DDL (Delta's tutorial-first statement): CREATE TABLE with
+    // a column list and NO data — a schema-only v0 commit — then INSERT
+    // INTO fills it. The in-gate require pins that v0 really is empty.
+    "m46_create_empty" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m46_${sanitize(dir)}"
+        cleanDir(root)
+        val name = s"m46_${sanitize(dir)}"
+        val src = s"m46_src_${sanitize(dir)}"
+        t(s, dir, "orders").createOrReplaceTempView(src)
+        try {
+          s.sql(s"""CREATE TABLE $name (o_orderkey BIGINT, o_orderstatus STRING,
+                   |o_totalprice DOUBLE) USING GRAFT
+                   |PARTITIONED BY (o_orderstatus) LOCATION '$root/tbl'""".stripMargin)
+          val table = graft.sqlapi.LakeCatalog.targets(name)
+          require(table.read(s).count() == 0L, "CREATE TABLE (cols) must be empty")
+          s.sql(s"INSERT INTO $name SELECT o_orderkey, o_orderstatus, o_totalprice FROM $src")
+          s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+                   |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   |       round(sum(o_totalprice), 2) AS price_sum
+                   |FROM $name GROUP BY o_orderstatus""".stripMargin)
+        } finally graft.sqlapi.LakeCatalog.unregister(name)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       round(sum(o_totalprice), 2) AS price_sum
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "CREATE TABLE (cols) USING GRAFT: schema-only v0, filled by INSERT INTO"),
+
+    // MERGE WITH SCHEMA EVOLUTION (Delta's clause, m6's API twin in SQL):
+    // the source carries a column the target lacks; the statement evolves
+    // the committed schema to target ∪ source — survivors read NULL for
+    // the new column, matched/inserted rows carry its values.
+    "m47_merge_evolution_sql" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m47_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        val name = s"m47_${sanitize(dir)}"
+        val src = s"m47_src_${sanitize(dir)}"
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_flag", lit(1)).createOrReplaceTempView(src)
+        graft.sqlapi.LakeCatalog.register(name, table)
+        try {
+          s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $name USING $src
+                   |ON $name.o_orderkey = $src.o_orderkey
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          table.read(s).groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"),
+              count(col("o_flag")).as("n_flagged"),
+              sum("o_orderkey").as("key_sum"))
+        } finally graft.sqlapi.LakeCatalog.unregister(name)
+      },
+      Some("""WITH final AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN o_orderkey % 5 = 0 THEN 1 END AS o_flag
+             |  FROM orders)
+             |SELECT o_orderstatus, count(*) AS n,
+             |       count(o_flag) AS n_flagged,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM final GROUP BY o_orderstatus""".stripMargin),
+      "MERGE INTO ... WITH SCHEMA EVOLUTION: the SQL clause over merge(mergeSchema)"),
+
+    // Time-based VACUUM (Delta's RETAIN n HOURS, the production form) on
+    // the m37 in-commit timestamps with the injected clock: versions
+    // committed inside the window stay readable, older ones are reclaimed
+    // — the in-gate requires pin the horizon and the dead read.
+    "m48_vacuum_hours" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m48_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        val ticks = Iterator(1000L, 3600000L, 7200000L) ++
+          Iterator.continually(7300000L)
+        table.clock = () => ticks.next()
+        table.overwrite(orders.filter(col("o_orderkey") % 3 === 0)) // v0 @ ~0h
+        table.overwrite(orders.filter(col("o_orderkey") % 3 =!= 0)) // v1 @ 1h
+        table.overwrite(orders)                                     // v2 @ 2h
+        val name = s"m48_${sanitize(dir)}"
+        graft.sqlapi.LakeCatalog.register(name, table)
+        try s.sql(s"VACUUM $name RETAIN 1 HOURS")
+        finally graft.sqlapi.LakeCatalog.unregister(name)
+        require(table.vacuumHorizon == 2L,
+          s"1h window at t≈2h must retain only v2 (horizon ${table.vacuumHorizon})")
+        require(scala.util.Try(table.readVersion(s, 1)).isFailure,
+          "a vacuumed version must fail loudly, not read stale data")
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "VACUUM ... RETAIN n HOURS: time-window retention on in-commit timestamps"),
+
+    // Full-table DML + statement tokenizing: UPDATE whose SET list contains
+    // a quoted 'where' (the tokenizer must split at the REAL keyword),
+    // UPDATE with no WHERE at all (every row), and DELETE FROM with no
+    // WHERE (table reset, required empty in-gate).
+    "m49_full_table_dml" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m49_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        val tgts = Map("orders_lake" -> table)
+        graft.sqlapi.LakeSql.run(s,
+          "UPDATE orders_lake SET o_orderpriority = 'where' WHERE o_orderkey % 2 = 0", tgts)
+        graft.sqlapi.LakeSql.run(s,
+          "UPDATE orders_lake SET o_custkey = o_custkey + 1", tgts) // no WHERE: all rows
+        val reset = new MergeTable(s"$root/reset", Nil)
+        reset.overwrite(orders.limit(100))
+        graft.sqlapi.LakeSql.run(s, "DELETE FROM r_lake", Map("r_lake" -> reset))
+        require(reset.read(s).count() == 0L, "DELETE FROM without WHERE must empty the table")
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderpriority") === "where", 1).otherwise(0)).as("n_where"),
+            sum("o_custkey").as("cust_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_where,
+             |       CAST(sum(o_custkey + 1) AS BIGINT) AS cust_sum
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "full-table UPDATE/DELETE (no WHERE) + tokenized SET/WHERE split"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

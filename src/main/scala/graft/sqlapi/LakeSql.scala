@@ -58,11 +58,16 @@ import graft.lake.MergeTable
   */
 object LakeSql {
 
+  // WHERE is optional in both shapes (Delta semantics: no predicate = all
+  // rows — `DELETE FROM t` is the standard table reset). UPDATE captures
+  // everything after SET as one blob and splits SET list from WHERE with a
+  // real tokenizer ([[splitSetsWhere]]) — a regex split on the first WHERE
+  // would mis-parse `SET c = (SELECT … WHERE …) WHERE p`.
   private val DeleteShape =
-    """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
 
   private val UpdateShape =
-    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*$""".r
 
   private val TimeTravelRef =
     """(?i)([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
@@ -98,10 +103,10 @@ object LakeSql {
     """(?is)^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$""".r
 
   private val VacuumShape =
-    """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*;?\s*$""".r
 
   private val VacuumDryRunShape =
-    """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s+DRY\s+RUN\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s+DRY\s+RUN\s*;?\s*$""".r
 
   private val ReorgShape =
     """(?is)^\s*REORG\s+TABLE\s+([\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
@@ -162,6 +167,18 @@ object LakeSql {
      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?""" +
      """\s+LOCATION\s+'([^']+)'""" +
      """(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s+AS\s+(.+?)\s*;?\s*$""").r
+
+  /** Schema-only DDL (Delta's `CREATE TABLE t (c1 INT, …) USING delta` —
+    * the tutorial-first statement): a column list instead of AS SELECT,
+    * creating an EMPTY version-0 table whose data arrives via later
+    * INSERT INTO / MERGE. The column list may nest parens (decimal(10,2)),
+    * so it is captured lazily up to the distinctive `) USING GRAFT`.
+    */
+  private val CreateEmptyShape =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+?)\)\s+USING\s+GRAFT""" +
+     """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?""" +
+     """\s+LOCATION\s+'([^']+)'""" +
+     """(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s*;?\s*$""").r
 
   private val DropTableShape =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
@@ -229,14 +246,45 @@ object LakeSql {
           s"DROP TABLE $name: not a registered lake table — " +
             "use DROP TABLE IF EXISTS for drop-if-present semantics")
         LakeCatalog.unregister(name)
+      case CreateEmptyShape(ifNotExists, name, colsDdl, parts, clusterBy, loc, propKvs) =>
+        val known = targets.keySet ++ LakeCatalog.targets.keySet
+        if (known.contains(name)) {
+          require(ifNotExists != null,
+            s"CREATE TABLE $name: the name is already registered — " +
+              "use CREATE TABLE IF NOT EXISTS for create-if-absent semantics")
+        } else {
+          val schema = org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+          val pcols = Option(parts).toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+          val ccols = Option(clusterBy).toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+          ccols.foreach(c => require(schema.fieldNames.contains(c),
+            s"CREATE TABLE $name: cluster column '$c' is not in the declared schema " +
+              s"(${schema.fieldNames.mkString(", ")})"))
+          val created = new MergeTable(loc, pcols)
+          require(!created.exists,
+            s"CREATE TABLE $name: a MergeTable already exists at $loc")
+          created.createEmpty(schema) // validates pcols against the schema
+          if (ccols.nonEmpty) created.setProperties(
+            Map(MergeTable.ClusterByProp -> ccols.mkString(",")))
+          Option(propKvs).foreach(kvs => created.setProperties(parsePropList(kvs)))
+          LakeCatalog.register(name, created)
+        }
       case DeleteShape(tgt, pred) =>
-        resolve(tgt, targets).delete(spark, expr(pred))
-      case UpdateShape(tgt, sets, pred) =>
-        resolve(tgt, targets).update(spark, expr(pred),
+        // no WHERE = all rows (Delta's DELETE FROM t table reset)
+        resolve(tgt, targets).delete(spark,
+          Option(pred).map(expr).getOrElse(org.apache.spark.sql.functions.lit(true)))
+      case UpdateShape(tgt, rest) =>
+        val (sets, pred) = splitSetsWhere(rest)
+        // no WHERE = every row updated (Delta semantics)
+        resolve(tgt, targets).update(spark,
+          pred.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true)),
           parseSetList(sets).map { case (c, e) => c -> expr(e) }.toMap)
-      case VacuumShape(tgt, retain) =>
-        resolve(tgt, targets).vacuum(
-          retainVersions = Option(retain).map(_.toInt).getOrElse(1))
+      case VacuumShape(tgt, retain, unit) =>
+        val table = resolve(tgt, targets)
+        if (retain != null && unit != null && unit.equalsIgnoreCase("HOURS"))
+          table.vacuumRetainHours(retain.toDouble)
+        else table.vacuum(retainVersions = Option(retain).map(_.toInt).getOrElse(1))
       case ReorgShape(tgt) =>
         resolve(tgt, targets).reorgPurge(spark)
       case FsckShape(tgt) =>
@@ -324,11 +372,14 @@ object LakeSql {
         import spark.implicits._
         return resolve(tgt, targets).properties.toSeq.sortBy(_._1)
           .toDF("key", "value")
-      case VacuumDryRunShape(tgt, retain) =>
+      case VacuumDryRunShape(tgt, retain, unit) =>
         import spark.implicits._
-        return resolve(tgt, targets)
-          .vacuumDryRun(retainVersions = Option(retain).map(_.toInt).getOrElse(1))
-          .toDF("path")
+        val table = resolve(tgt, targets)
+        val paths =
+          if (retain != null && unit != null && unit.equalsIgnoreCase("HOURS"))
+            table.vacuumDryRunRetainHours(retain.toDouble)
+          else table.vacuumDryRun(retainVersions = Option(retain).map(_.toInt).getOrElse(1))
+        return paths.toDF("path")
       case _                         => ()
     }
     spark.sql(rewriteReads(spark, sql, targets).getOrElse(sql))
@@ -404,11 +455,11 @@ object LakeSql {
     */
   private[sqlapi] def runStatementTarget(sql: String): Option[String] = sql match {
     case DeleteShape(tgt, _)    => Some(tgt)
-    case UpdateShape(tgt, _, _) => Some(tgt)
+    case UpdateShape(tgt, _)    => Some(tgt)
     // routed on the SOURCE: the clone's own name is by definition not
     // registered yet, but a registered source marks the statement ours
     case CloneShape(_, _, src, _)  => Some(src)
-    case VacuumShape(tgt, _)       => Some(tgt)
+    case VacuumShape(tgt, _, _)    => Some(tgt)
     case ReorgShape(tgt)           => Some(tgt)
     case FsckShape(tgt)            => Some(tgt)
     case CreateBloomShape(tgt, _)  => Some(tgt)
@@ -436,8 +487,9 @@ object LakeSql {
     * not registered yet, so the injected parser routes on shape alone.
     */
   private[sqlapi] def isCreateStatement(sql: String): Boolean = sql match {
-    case CreateTableShape(_, _, _, _, _, _, _) => true
-    case _                                     => false
+    case CreateTableShape(_, _, _, _, _, _, _)      => true
+    case CreateEmptyShape(_, _, _, _, _, _, _)      => true
+    case _                                          => false
   }
 
   /** Target of a rows-returning metadata statement (DESCRIBE HISTORY /
@@ -448,14 +500,14 @@ object LakeSql {
     case DescribeDetailShape(tgt)      => Some(tgt)
     case ShowPartitionsShape(tgt)      => Some(tgt)
     case ShowPropertiesShape(tgt)      => Some(tgt)
-    case VacuumDryRunShape(tgt, _)     => Some(tgt)
+    case VacuumDryRunShape(tgt, _, _)  => Some(tgt)
     case _                             => None
   }
 
   /** True when the metadata statement is VACUUM ... DRY RUN (path rows). */
   private[sqlapi] def isDryRunStatement(sql: String): Boolean = sql match {
-    case VacuumDryRunShape(_, _) => true
-    case _                       => false
+    case VacuumDryRunShape(_, _, _) => true
+    case _                          => false
   }
 
   /** True when the metadata statement is SHOW TBLPROPERTIES (fixed k/v schema). */
@@ -500,6 +552,39 @@ object LakeSql {
   private[sqlapi] def isDetailStatement(sql: String): Boolean = sql match {
     case DescribeDetailShape(_) => true
     case _                      => false
+  }
+
+  /** Split an UPDATE's post-SET blob into (SET list, optional WHERE
+    * predicate) at the FIRST top-level `WHERE` keyword — "top-level"
+    * meaning outside parens and string literals, so
+    * `SET c = (SELECT max(x) FROM s WHERE y = 1) WHERE p` splits at the
+    * second WHERE, and a `'where'` inside a string literal never splits.
+    * No top-level WHERE means the update applies to every row.
+    */
+  private[sqlapi] def splitSetsWhere(rest: String): (String, Option[String]) = {
+    var depth = 0
+    var inStr: Option[Char] = None
+    var i = 0
+    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    while (i < rest.length) {
+      val ch = rest.charAt(i)
+      inStr match {
+        case Some(q) => if (ch == q) inStr = None
+        case None => ch match {
+          case '\'' | '"' => inStr = Some(ch)
+          case '('        => depth += 1
+          case ')'        => depth -= 1
+          case 'w' | 'W' if depth == 0 && i + 5 <= rest.length &&
+              rest.substring(i, i + 5).equalsIgnoreCase("where") &&
+              (i == 0 || !isWordChar(rest.charAt(i - 1))) &&
+              (i + 5 == rest.length || !isWordChar(rest.charAt(i + 5))) =>
+            return (rest.take(i).trim, Some(rest.drop(i + 5).trim))
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    (rest.trim, None)
   }
 
   /** Split `c1 = e1, c2 = e2, ...` on top-level commas only — a comma

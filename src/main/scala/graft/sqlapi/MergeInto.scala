@@ -33,7 +33,8 @@ object MergeInto {
 
   final case class Statement(target: String, targetAlias: String,
                              source: String, sourceAlias: String,
-                             keys: Seq[String], clauses: Seq[MergeClause]) {
+                             keys: Seq[String], clauses: Seq[MergeClause],
+                             schemaEvolution: Boolean = false) {
     /** True iff this is exactly the reference's update-all/insert-all
       * upsert (with or without an unconditional full-sync delete) — the
       * shape [[MergeTable.merge]] runs file-pruned in one pass.
@@ -46,8 +47,11 @@ object MergeInto {
     }
   }
 
+  // Delta's `MERGE WITH SCHEMA EVOLUTION INTO …` — the clause rides
+  // between MERGE and INTO (Delta's grammar position) and turns on the
+  // API's mergeSchema (target schema becomes target ∪ source)
   private val Header =
-    """(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+USING\s+([\w.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+ON\s+(.+)$""".r
+    """(?is)^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+([\w.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+USING\s+([\w.]+)(?:\s+AS\s+(\w+)|\s+(\w+))?\s+ON\s+(.+)$""".r
 
   private val Equality = """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
 
@@ -157,7 +161,7 @@ object MergeInto {
     * pointed message on anything outside the supported shape.
     */
   def parse(sql: String): Statement = sql match {
-    case Header(tgt, tAs, tBare, src, sAs, sBare, rest) =>
+    case Header(evo, tgt, tAs, tBare, src, sAs, sBare, rest) =>
       val tAlias = Option(tAs).orElse(Option(tBare)).getOrElse(tgt.split('.').last)
       val sAlias = Option(sAs).orElse(Option(sBare)).getOrElse(src.split('.').last)
       require(tAlias.toLowerCase != sAlias.toLowerCase,
@@ -177,7 +181,7 @@ object MergeInto {
             s"unsupported ON term '${other.trim}': only conjunctions of alias.col = alias.col equalities are supported")
       }
       Statement(tgt, tAlias, src, sAlias, keys,
-        clauseTexts.map(parseClause(_, tAlias)))
+        clauseTexts.map(parseClause(_, tAlias)), schemaEvolution = evo != null)
     case _ =>
       throw new IllegalArgumentException(
         "unsupported MERGE statement — expected: MERGE INTO t USING s ON t.k = s.k " +
@@ -188,7 +192,7 @@ object MergeInto {
     * cheap probe for the injected parser (never throws, never executes).
     */
   private[sqlapi] def targetOf(sql: String): Option[String] =
-    if (sql.matches("(?is)^\\s*MERGE\\s+INTO\\b.*"))
+    if (sql.matches("(?is)^\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\b.*"))
       scala.util.Try(parse(sql)).toOption.map(_.target)
     else None
 
@@ -207,11 +211,21 @@ object MergeInto {
         s"unknown MERGE target '${st.target}' — registered targets: ${targets.keys.toSeq.sorted.mkString(", ")}"))
     if (st.isSimpleUpsert)
       table.merge(spark, spark.table(st.source), st.keys,
+        mergeSchema = st.schemaEvolution,
         keysDeterminePartitions = keysDeterminePartitions,
         deleteNotMatchedBySource = st.clauses.exists(_.isInstanceOf[BySourceDelete]))
-    else
+    else {
+      // schema evolution is wired through merge()'s union path only; the
+      // clause-dispatch rewrite selects the committed schema column-by-
+      // column, so silently accepting the flag would drop source-only
+      // columns — refuse rather than half-apply
+      require(!st.schemaEvolution,
+        "MERGE WITH SCHEMA EVOLUTION supports the update-all/insert-all shape " +
+          "(WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *) — " +
+          "add new columns via ALTER TABLE ... ADD COLUMNS before a conditional-clause merge")
       table.mergeClauses(spark, spark.table(st.source), st.keys, st.clauses,
         targetAlias = st.targetAlias, sourceAlias = st.sourceAlias,
         keysDeterminePartitions = keysDeterminePartitions)
+    }
   }
 }

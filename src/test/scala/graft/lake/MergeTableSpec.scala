@@ -1017,4 +1017,69 @@ class MergeTableSpec extends SparkSpec {
       assert(asSet(t.read(spark)) === expected, s"case $i: target=$tks source=$sks")
     }
   }
+
+  test("vacuumRetainHours resolves the window against in-commit timestamps") {
+    val t = new MergeTable(scratch("mt_vac_hours"), Seq("p"))
+    val ticks = Iterator(1000L, 3600000L, 7200000L) ++ Iterator.continually(7300000L)
+    t.clock = () => ticks.next()
+    t.overwrite(df(Seq((1, "a", "p1"))))  // v0 @ t≈0
+    t.overwrite(df(Seq((2, "b", "p1"))))  // v1 @ 1h
+    t.overwrite(df(Seq((3, "c", "p1"))))  // v2 @ 2h
+    // now ≈ 2.03h, window 1.5h → v1 (1h) and v2 retained, v0 reclaimable
+    assert(t.vacuumDryRunRetainHours(1.5, minAgeMs = 0).nonEmpty)
+    t.vacuumRetainHours(1.5, minAgeMs = 0)
+    assert(t.vacuumHorizon === 1L)
+    intercept[IllegalArgumentException](t.readVersion(spark, 0))
+    assert(asSet(t.read(spark)) === Set((3, "c", "p1")))
+    // a window wider than the table's whole life reclaims nothing more
+    t.vacuumRetainHours(100.0, minAgeMs = 0)
+    assert(t.vacuumHorizon === 1L)
+    assert(asSet(t.readVersion(spark, 1)) === Set((2, "b", "p1")))
+  }
+
+  test("first post-upgrade commit clamps to the previous commit's mtime") {
+    val t = new MergeTable(scratch("mt_ict_upgrade"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    // simulate a PRE-FEATURE table: strip v0's recorded in-commit ts, so
+    // commitTimeMillis(0) resolves through the mtime fallback (now-ish)
+    val c0 = java.nio.file.Paths.get(t.root, "_graft_log", "0.commit")
+    val stripped = java.nio.file.Files.readString(c0)
+      .linesIterator.filterNot(_.startsWith("ts\t")).mkString("\n")
+    java.nio.file.Files.writeString(c0, stripped)
+    val mtime = t.commitTimeMillis(0)
+    // an upgrading writer with an ancient clock must not record a ts
+    // BEFORE the boundary — versionAt would become ambiguous
+    t.clock = () => 1234L
+    t.append(df(Seq((2, "b", "p1"))))
+    assert(t.commitTimeMillis(1) === mtime + 1)
+    assert(t.versionAt(mtime) === 0L)
+    assert(t.versionAt(mtime + 1) === 1L)
+  }
+
+  test("partitionCandidates never prunes on a non-deterministic predicate") {
+    val t = new MergeTable(scratch("mt_probe_rand"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
+    val files = t.filesOf(0)
+    // rand() evaluated once per partition TUPLE is a different sample than
+    // the per-row scan — pruning on it would unsoundly skip files
+    assert(t.partitionCandidates(spark, files, t.schemaOf(0),
+      org.apache.spark.sql.functions.rand() < lit(0.5) && col("p") === "p1") === files)
+  }
+
+  test("OPTIMIZE validates a tampered graft.clusterBy property loudly") {
+    import spark.implicits._
+    val t = new MergeTable(scratch("mt_clprop"), Nil)
+    t.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    // ALTER ... SET TBLPROPERTIES can plant anything — optimize() must
+    // fail with a targeted message, not degrade inside the rank math
+    t.setProperties(Map(MergeTable.ClusterByProp -> "nope"))
+    val e1 = intercept[IllegalArgumentException](t.optimize(spark))
+    assert(e1.getMessage.contains("absent from the table schema"))
+    t.setProperties(Map(MergeTable.ClusterByProp -> "v"))
+    val e2 = intercept[IllegalArgumentException](t.optimize(spark))
+    assert(e2.getMessage.contains("not numeric"))
+    t.setProperties(Map(MergeTable.ClusterByProp -> "k"))
+    t.optimize(spark) // valid property re-clusters fine
+    assert(t.read(spark).select("k").as[Int].collect().toSet === Set(1, 2))
+  }
 }

@@ -155,4 +155,36 @@ class RowTrackingSpec extends SparkSpec {
     t.overwrite(df(Seq((1, "a", "p1"))))
     intercept[IllegalArgumentException](t.readWithRowIds(spark))
   }
+
+  test("row tracking is a persisted table property: flagless handles keep it in force") {
+    val root = scratch("rt_persist")
+    val t1 = new MergeTable(root, Seq("p"), rowTracking = true)
+    t1.overwrite(df(Seq((1, "a", "p1"))))
+    assert(t1.properties.get(MergeTable.RowTrackingProp).contains("true"))
+    // reopened WITHOUT the constructor flag: the log keeps tracking on —
+    // this handle's writes must still mint ids, or later tracked readers
+    // would see NULLs and uniqueness would degrade silently
+    val t2 = new MergeTable(root, Seq("p"))
+    assert(t2.rowTrackingEnabled)
+    t2.append(df(Seq((2, "b", "p1"))))
+    val out = t2.readWithRowIds(spark)
+    assert(out.filter(col(MergeTable.RowIdCol).isNull).count() === 0L)
+    val allIds = out.select(MergeTable.RowIdCol).collect().map(_.getLong(0))
+    assert(allIds.length === 2 && allIds.distinct.length === 2)
+  }
+
+  test("merge id inheritance never fans out on duplicate target keys") {
+    val t = new MergeTable(scratch("rt_dupkeys"), Seq("p"), rowTracking = true)
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p1"))))
+    t.append(df(Seq((1, "a2", "p1")))) // key 1 now DUPLICATED in the target
+    t.merge(spark, df(Seq((1, "A", "p1"))), Seq("k"))
+    // same row count as rowTracking = false semantics: both duplicate
+    // target rows are replaced by exactly ONE source row (a fan-out join
+    // on the (keys, id) frame would produce two)
+    val rows = t.readWithRowIds(spark).select("k", MergeTable.RowIdCol)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.count(_._1 == 1) === 1, s"expected one row for key 1, got $rows")
+    assert(rows.map(_._2).distinct.length === rows.length,
+      "row ids must stay globally unique")
+  }
 }

@@ -1,0 +1,98 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.lake.MergeTable
+import org.apache.spark.sql.functions.col
+
+/** The `format("graft")` connector — the reference's own integration
+  * call-shape (`format("delta")` reads/writes in both Glue jobs) over
+  * MergeTable: path-based read and write, partitioned bootstrap, append
+  * vs overwrite modes, agreement with API handles on the same root, and
+  * pushdown reaching the inner parquet scan.
+  */
+class GraftDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows3 = Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))
+
+  test("write bootstrap + read back by bare path; modes append and overwrite") {
+    val root = scratch("dsv2_rw")
+    rows3.toDF("k", "v", "p").write.format("graft").mode("overwrite").save(root)
+    val back = spark.read.format("graft").load(root)
+    assert(back.select("k", "v", "p").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet === rows3.toSet)
+    // append through the connector — same commit protocol as the API
+    Seq((4, "d", "p2")).toDF("k", "v", "p")
+      .write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() === 4L)
+    val api = new MergeTable(root)
+    assert(api.currentVersion === 1L, "connector writes are commits, not file drops")
+    // overwrite replaces the whole table in one new version
+    Seq((9, "z", "p9")).toDF("k", "v", "p")
+      .write.format("graft").mode("overwrite").save(root)
+    assert(spark.read.format("graft").load(root)
+      .select("k").as[Int].collect().toSeq === Seq(9))
+    assert(api.currentVersion === 2L)
+  }
+
+  test("partitionBy bootstrap records the layout; later appends keep it") {
+    val root = scratch("dsv2_part")
+    rows3.toDF("k", "v", "p")
+      .write.format("graft").partitionBy("p").mode("overwrite").save(root)
+    val t = MergeTable.open(root)
+    assert(t.partitionCols === Seq("p"), "layout must come from the write")
+    assert(t.filesOf(t.currentVersion).exists(_.contains("p=p1")))
+    assert(t.properties.get(MergeTable.PartitionColsProp).contains("p"))
+    // a path-only append (no partitionBy) must NOT re-layout the table
+    Seq((4, "d", "p2")).toDF("k", "v", "p")
+      .write.format("graft").mode("append").save(root)
+    val t2 = MergeTable.open(root)
+    assert(t2.filesOf(t2.currentVersion).filter(_.contains("/d1u"))
+      .forall(_.contains("p=")), "appended files must follow the recorded layout")
+    assert(spark.read.format("graft").load(root).count() === 4L)
+  }
+
+  test("connector reads honor deletion vectors and API writes on the same root") {
+    val root = scratch("dsv2_dv")
+    rows3.toDF("k", "v", "p")
+      .write.format("graft").partitionBy("p").mode("overwrite").save(root)
+    val api = MergeTable.open(root)
+    api.deleteVectorized(spark, col("k") === 2)
+    assert(spark.read.format("graft").load(root)
+      .select("k").as[Int].collect().toSet === Set(1, 3),
+      "a dv-masked row must be invisible through the connector")
+    api.merge(spark, Seq((5, "e", "p1")).toDF("k", "v", "p"), Seq("k"))
+    assert(spark.read.format("graft").load(root).count() === 3L)
+  }
+
+  test("pushdown: pruned columns and filters reach the inner parquet scan") {
+    val root = scratch("dsv2_push")
+    (1 to 1000).map(k => (k, s"v$k", if (k % 2 == 0) "pe" else "po"))
+      .toDF("k", "v", "p")
+      .write.format("graft").partitionBy("p").mode("overwrite").save(root)
+    val q = spark.read.format("graft").load(root)
+      .filter(col("k") > 990).select("k", "v")
+    assert(q.count() === 10L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [GreaterThan(k,990)]"),
+      s"the filter must be pushed into the graft scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<k:int,v:string>"),
+      s"the scan must prune to the projected columns (no p):\n$plan")
+  }
+
+  test("SaveMode.ErrorIfExists refuses an existing root; Ignore is a no-op") {
+    val root = scratch("dsv2_modes")
+    rows3.toDF("k", "v", "p").write.format("graft").mode("overwrite").save(root)
+    intercept[Exception] {
+      rows3.toDF("k", "v", "p").write.format("graft").save(root) // default errorifexists
+    }
+    Seq((9, "z", "p9")).toDF("k", "v", "p")
+      .write.format("graft").mode("ignore").save(root)
+    assert(spark.read.format("graft").load(root).count() === 3L, "ignore must not write")
+  }
+
+  test("reading a nonexistent path fails loudly, not with an empty frame") {
+    intercept[Exception](
+      spark.read.format("graft").load(scratch("dsv2_missing")).collect())
+  }
+}

@@ -103,23 +103,26 @@ class LakeSqlSpec extends SparkSpec {
 
   test("TBLPROPERTIES: SET / UNSET / SHOW, dotted and quoted keys, clone carry") {
     val t = seeded("lsql_props")
+    // user-visible properties only: the engine records its own under the
+    // graft. prefix (partition layout, row tracking, hwms)
+    def userProps(m: Map[String, String]) = m.filterNot(_._1.startsWith("graft."))
     LakeSql.run(spark,
       "ALTER TABLE tbl SET TBLPROPERTIES ('owner.team' = 'data-eng', quality = 'gold')",
       Map("tbl" -> t))
-    assert(t.properties === Map("owner.team" -> "data-eng", "quality" -> "gold"))
+    assert(userProps(t.properties) === Map("owner.team" -> "data-eng", "quality" -> "gold"))
     val shown = LakeSql.query(spark, "SHOW TBLPROPERTIES tbl", Map("tbl" -> t))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(shown === t.properties)
     LakeSql.run(spark, "ALTER TABLE tbl UNSET TBLPROPERTIES (quality, missing)",
       Map("tbl" -> t))
-    assert(t.properties === Map("owner.team" -> "data-eng"))
+    assert(userProps(t.properties) === Map("owner.team" -> "data-eng"))
     // through the injected parser, and the value is stored verbatim
     LakeCatalog.register("props_tbl", t)
     try {
       spark.sql("ALTER TABLE props_tbl SET TBLPROPERTIES (stage = 'prod, v2')")
       val rows = spark.sql("SHOW TBLPROPERTIES props_tbl")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-      assert(rows === Map("owner.team" -> "data-eng", "stage" -> "prod, v2"))
+      assert(userProps(rows) === Map("owner.team" -> "data-eng", "stage" -> "prod, v2"))
     } finally LakeCatalog.unregister("props_tbl")
     // clone carries properties; a data write carries them forward
     val c = t.cloneTo(t.root + "_props_clone")
@@ -139,7 +142,9 @@ class LakeSqlSpec extends SparkSpec {
                    |AS SELECT k, v, p FROM ctas_src WHERE k <= 2""".stripMargin)
       val dst = LakeCatalog.targets("ctas_dst")
       assert(dst.partitionCols === Seq("p"))
-      assert(dst.properties === Map("origin" -> "ctas_src"))
+      assert(dst.properties.filterNot(_._1.startsWith("graft.")) ===
+        Map("origin" -> "ctas_src"))
+      assert(dst.properties.get(MergeTable.PartitionColsProp).contains("p"))
       assert(spark.sql("SELECT k FROM ctas_dst").collect().map(_.getInt(0)).toSet === Set(1, 2))
       // same name again: plain CREATE fails, IF NOT EXISTS is a no-op
       val ex = intercept[IllegalArgumentException] {
@@ -362,5 +367,76 @@ class LakeSqlSpec extends SparkSpec {
       LakeSql.parseSetList("t.a = 1")
     }
     assert(ex.getMessage.contains("plain column name"))
+  }
+
+  test("DELETE FROM / UPDATE without WHERE touch every row (Delta semantics)") {
+    val t = seeded("lsql_delall")
+    LakeSql.run(spark, "DELETE FROM tbl", Map("tbl" -> t))
+    assert(t.read(spark).count() === 0L)
+    assert(t.currentVersion === 1L, "the full delete is a recorded commit")
+    val u = seeded("lsql_updall")
+    LakeSql.run(spark, "UPDATE tbl SET v = 'x'", Map("tbl" -> u))
+    assert(asSet(u) === Set((1, "x", "p1"), (2, "x", "p1"), (3, "x", "p2")))
+  }
+
+  test("splitSetsWhere: parens and string literals shield the WHERE keyword") {
+    assert(LakeSql.splitSetsWhere("c = (SELECT max(x) FROM s WHERE y = 1) WHERE p = 2") ===
+      ("c = (SELECT max(x) FROM s WHERE y = 1)", Some("p = 2")))
+    assert(LakeSql.splitSetsWhere("v = 'where'") === ("v = 'where'", None))
+    assert(LakeSql.splitSetsWhere("v = 'where', w = 2 WHERE k = 1") ===
+      ("v = 'where', w = 2", Some("k = 1")))
+    assert(LakeSql.splitSetsWhere("v = nowhere") === ("v = nowhere", None))
+    // end-to-end: a 'where' STRING in the SET list must not eat the real WHERE
+    val t = seeded("lsql_updtok")
+    LakeSql.run(spark, "UPDATE tbl SET v = 'where' WHERE k = 2", Map("tbl" -> t))
+    assert(asSet(t) === Set((1, "a", "p1"), (2, "where", "p1"), (3, "c", "p2")))
+  }
+
+  test("CREATE TABLE (cols) USING GRAFT creates an empty v0; INSERT INTO fills it") {
+    val loc = scratch("lsql_emptyddl")
+    try {
+      LakeSql.run(spark,
+        s"""CREATE TABLE etab (k INT, v STRING, p STRING) USING GRAFT
+           |PARTITIONED BY (p) LOCATION '$loc'
+           |TBLPROPERTIES ('owner' = 'graft')""".stripMargin, Map.empty)
+      val t = LakeCatalog.targets("etab")
+      assert(t.currentVersion === 1L) // v0 schema + v1 properties commit
+      assert(t.read(spark).count() === 0L)
+      assert(t.schemaOf(0).fieldNames.toSeq === Seq("k", "v", "p"))
+      assert(t.properties.get("owner").contains("graft"))
+      LakeSql.run(spark, "INSERT INTO etab VALUES (1, 'a', 'p1'), (2, 'b', 'p2')",
+        Map("etab" -> t))
+      assert(asSet(t) === Set((1, "a", "p1"), (2, "b", "p2")))
+      // partition layout honored from the first data write
+      assert(t.filesOf(t.currentVersion).exists(_.contains("p=p1")))
+      // a second CREATE collides loudly; IF NOT EXISTS is a no-op
+      intercept[Exception](LakeSql.run(spark,
+        s"CREATE TABLE etab (k INT) USING GRAFT LOCATION '${scratch("lsql_e2")}'", Map.empty))
+      LakeSql.run(spark,
+        s"CREATE TABLE IF NOT EXISTS etab (k INT) USING GRAFT LOCATION '${scratch("lsql_e3")}'",
+        Map.empty)
+      assert(asSet(t).size === 2)
+      // a bogus partition column fails at CREATE time, not first write
+      intercept[IllegalArgumentException](LakeSql.run(spark,
+        s"CREATE TABLE etab2 (k INT) USING GRAFT PARTITIONED BY (nope) LOCATION '${scratch("lsql_e4")}'",
+        Map.empty))
+    } finally LakeCatalog.unregister("etab")
+  }
+
+  test("VACUUM ... RETAIN n HOURS routes time-based retention (injected clock)") {
+    val t = new MergeTable(scratch("lsql_vach"), Seq("p"))
+    import spark.implicits._
+    val ticks = Iterator(1000L, 3600000L, 7200000L) ++ Iterator.continually(7300000L)
+    t.clock = () => ticks.next()
+    t.overwrite(Seq((1, "a", "p1")).toDF("k", "v", "p")) // v0 @ ≈0h
+    t.overwrite(Seq((2, "b", "p1")).toDF("k", "v", "p")) // v1 @ 1h
+    t.overwrite(Seq((3, "c", "p1")).toDF("k", "v", "p")) // v2 @ 2h
+    // now ≈ 2.03h, window 1h → only v2's commit is inside it
+    val preview = LakeSql.query(spark, "VACUUM tbl RETAIN 1 HOURS DRY RUN", Map("tbl" -> t))
+    assert(preview.columns.toSeq === Seq("path"))
+    LakeSql.run(spark, "VACUUM tbl RETAIN 1 HOURS", Map("tbl" -> t))
+    assert(t.vacuumHorizon === 2L)
+    intercept[IllegalArgumentException](t.readVersion(spark, 1))
+    assert(t.read(spark).count() === 1L)
   }
 }

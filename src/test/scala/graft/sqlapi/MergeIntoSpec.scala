@@ -119,4 +119,32 @@ class MergeIntoSpec extends SparkSpec {
     // k=3: 600; k=4: deleted; k=5: 51 inserted; k=6: dropped (v <= 0)
     assert(got === Set((1, 0), (2, 20), (3, 600), (5, 51)))
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION evolves the target schema on the upsert shape") {
+    val st = MergeInto.parse(
+      "MERGE WITH SCHEMA EVOLUTION INTO tgt USING src ON tgt.k = src.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(st.schemaEvolution && st.isSimpleUpsert)
+    assert(!MergeInto.parse(
+      "MERGE INTO tgt USING src ON tgt.k = src.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *").schemaEvolution)
+
+    val t = new MergeTable(scratch("mi_evo"), Seq("p"))
+    t.overwrite(Seq((1, "a", "p1"), (2, "b", "p1")).toDF("k", "v", "p"))
+    Seq((2, "B", "p1", 9), (3, "c", "p2", 7)).toDF("k", "v", "p", "extra")
+      .createOrReplaceTempView("mi_evo_src")
+    MergeInto.run(spark,
+      "MERGE WITH SCHEMA EVOLUTION INTO lake USING mi_evo_src ON lake.k = mi_evo_src.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      Map("lake" -> t))
+    val out = t.read(spark).select("k", "v", "extra").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(out === Set((1, "a", None), (2, "B", Some(9)), (3, "c", Some(7))))
+    // the clause on a conditional-clause merge is refused, not half-applied
+    val e = intercept[IllegalArgumentException](MergeInto.run(spark,
+      "MERGE WITH SCHEMA EVOLUTION INTO lake USING mi_evo_src ON lake.k = mi_evo_src.k " +
+        "WHEN MATCHED AND lake.v = 'zzz' THEN DELETE",
+      Map("lake" -> t)))
+    assert(e.getMessage.contains("SCHEMA EVOLUTION"))
+  }
 }
