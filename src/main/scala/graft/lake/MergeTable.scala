@@ -2015,9 +2015,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * Stats for carried files are inherited; only the appended files are
     * scanned for theirs. Columns are aligned by name to the table schema.
     */
-  def append(df: DataFrame): Unit = {
-    if (!exists) { overwrite(df); return }
-    appendAligned(df, ingestDelta = Nil, op = "APPEND")
+  def append(df: DataFrame, txn: Option[(String, Long)] = None): Unit = {
+    if (!exists) { overwrite(df, txn); return }
+    appendAligned(df, ingestDelta = Nil, op = "APPEND", txn = txn)
   }
 
   /** Shared exists-path of [[append]] and [[copyInto]]: align columns to
@@ -2027,7 +2027,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * commit it alongside the carried-forward manifest.
     */
   private def appendAligned(df: DataFrame, ingestDelta: Seq[String],
-                            op: String): Unit = {
+                            op: String,
+                            txn: Option[(String, Long)] = None): Unit = {
     val v = currentVersion
     val c = readCommit(v) // ONE manifest decode; every old file is carried
     val (withId, newHwm) = assignIdentity(applyGenerated(df))
@@ -2043,7 +2044,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     commit(newVersion, c.files ++ newFiles, c.schema,
       c.statsLines ++ collectStats(df.sparkSession, newFiles, c.schema, colmapOf(v)),
-      ingestDelta = ingestDelta,
+      ingestDelta = ingestDelta, txn = txn,
       propsOverride = propsWith(
         newHwm.toSeq.map(h => MergeTable.IdentityHwmProp -> h.toString) ++
           rowHwm.toSeq.map(h => MergeTable.RowIdHwmProp -> h.toString)),

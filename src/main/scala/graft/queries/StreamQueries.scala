@@ -622,5 +622,48 @@ object StreamQueries {
              |       min(value) AS min_value, max(value) AS max_value
              |FROM final GROUP BY event_type""".stripMargin),
       "streaming CDC apply: op-routed conditional merge per micro-batch, exactly-once"),
+
+    // The st3 ingest loop through the CONNECTOR instead of foreachBatch:
+    // `writeStream.format("graft")` with merge keys — Delta's streaming
+    // sink call-shape (`writeStream.format("delta")`). Exactly-once rides
+    // the (appId, batchId) txn marker committed atomically with each
+    // micro-batch; the table is pre-seeded with stale rows the keyed
+    // upsert must overwrite, and maxFilesPerTrigger forces 4 real
+    // incremental rounds. min(value) would expose any missed seed row.
+    "st12_sink_connector" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val srcDir = s"${Registry.scratchRoot}/st12_src_$id"
+        s.read.parquet(s"$dir/events.parquet").repartition(4)
+          .write.mode("overwrite").parquet(srcDir)
+        val root = s"${Registry.scratchRoot}/st12_lake_$id"
+        val table = new MergeTable(root)
+        table.overwrite(Registry.t(s, dir, "events")
+          .filter(col("event_id") % 10 === 0)
+          .withColumn("value", lit(-1.0)))
+        val q = StreamingOps.readEventStream(ss, srcDir)
+          .writeStream.format("graft")
+          .option("path", root)
+          .option("keys", "event_id")
+          .option("txnAppId", "st12")
+          .trigger(Trigger.AvailableNow())
+          .option("maxFilesPerTrigger", "1")
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st12_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        require(table.lastTxnVersion("st12").isDefined,
+          "the sink must record its exactly-once txn marker")
+        table.read(s).groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+               sum("event_id").as("id_sum"),
+               min("value").as("min_value"),
+               max("value").as("max_value"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |       min(value) AS min_value, max(value) AS max_value
+             |FROM events GROUP BY event_type""".stripMargin),
+      "writeStream.format(\"graft\"): the connector as an exactly-once streaming merge sink"),
   )
 }

@@ -50,9 +50,39 @@ import graft.lake.MergeTable
   * never silently re-layout a table.
   */
 final class GraftDataSource extends TableProvider with DataSourceRegister
-    with RelationProvider with CreatableRelationProvider {
+    with RelationProvider with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `writeStream.format("graft")` — Delta's streaming-sink call-shape.
+    * Exactly-once by construction: every micro-batch commits with a
+    * `(appId, batchId)` txn marker atomic with the data (the same
+    * mechanism the foreachBatch recipes in StreamQueries use), so a
+    * restarted query re-offering a committed batch is a no-op. Options:
+    * `keys` (comma-separated) switches the per-batch write from append to
+    * MERGE upsert; `txnAppId` overrides the exactly-once ledger id
+    * (defaults to one derived from the checkpoint's queryId at runtime is
+    * not available here, so the sink falls back to the table path —
+    * override when two independent queries feed one table).
+    */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "writeStream.format(\"graft\") requires .option(\"path\", <table root>)"))
+    val keys = parameters.get("keys").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val pcols =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.get("partitionCols").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val appId = parameters.getOrElse("txnAppId", s"graft-sink-$root")
+    new GraftStreamSink(root, pcols, keys, appId,
+      complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 
@@ -254,6 +284,49 @@ final class GraftV1BridgeScan(table: MergeTable, pruned: Option[StructType],
       readSchema().fieldNames.map(col).toIndexedSeq: _*)
     GraftDataSource.relationFor(context, projected, readSchema()).asInstanceOf[T]
   }
+}
+
+/** The streaming sink behind `writeStream.format("graft")`: one
+  * MergeTable commit per micro-batch, carrying the `(appId, batchId)`
+  * txn marker ATOMICALLY with the data — replayed batches (restart from
+  * checkpoint, speculative re-offer) are detected by the ledger and
+  * skipped, Delta's idempotent-sink contract. `keys` nonEmpty upserts
+  * (late/duplicate events fold in by key); empty appends; Complete mode
+  * overwrites the table with each batch (aggregate results).
+  *
+  * The incoming frame is detached through its rdd before writing —
+  * Sink.addBatch hands over a plan wired to the incremental execution,
+  * which MergeTable's multi-action writes (probe + write) must not
+  * re-trigger.
+  */
+final class GraftStreamSink(root: String, pcols: Seq[String], keys: Seq[String],
+                            appId: String, complete: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val probe = new MergeTable(root)
+    val table = if (probe.exists) MergeTable.open(root) else new MergeTable(root, pcols)
+    if (table.exists && table.lastTxnVersion(appId).exists(_ >= batchId)) return
+    val spark = data.sparkSession
+    // the handed-over frame is wired to the INCREMENTAL execution (its
+    // logical plan still carries the streaming flag, so .rdd refuses);
+    // detach by deserializing the already-planned physical rows — stays
+    // fully distributed, and MergeTable's multi-action writes (probe +
+    // rewrite) re-evaluate the detached plan, not the stream
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(data.schema)).resolveAndBind()
+    val rows = data.queryExecution.toRdd.mapPartitions { it =>
+      val de = enc.createDeserializer()
+      it.map(r => de(r.copy()))
+    }
+    val batch = spark.createDataFrame(rows, data.schema)
+    if (complete) table.overwrite(batch, txn = Some(appId -> batchId))
+    else if (keys.nonEmpty)
+      table.merge(spark, batch, keys, txn = Some(appId -> batchId))
+    else table.append(batch, txn = Some(appId -> batchId))
+  }
+
+  override def toString: String = s"GraftStreamSink[$root]"
 }
 
 /** Append by default; `truncate()` (Spark's overwrite-mode hook for

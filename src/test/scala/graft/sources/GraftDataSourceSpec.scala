@@ -95,4 +95,24 @@ class GraftDataSourceSpec extends SparkSpec {
     intercept[Exception](
       spark.read.format("graft").load(scratch("dsv2_missing")).collect())
   }
+
+  test("streaming sink: keyed merge per batch; replayed batch ids are no-ops") {
+    val root = scratch("dsv2_sink")
+    val sink = new GraftStreamSink(root, Seq("p"), Seq("k"), "t1", complete = false)
+    sink.addBatch(0, rows3.toDF("k", "v", "p"))
+    val t = MergeTable.open(root)
+    assert(t.lastTxnVersion("t1").contains(0L))
+    // a replayed batch id (checkpoint restart) must not double-apply
+    sink.addBatch(0, Seq((9, "z", "p9")).toDF("k", "v", "p"))
+    assert(t.read(spark).count() === 3L)
+    sink.addBatch(1, Seq((1, "A", "p1"), (4, "d", "p2")).toDF("k", "v", "p"))
+    assert(t.read(spark).select("k", "v", "p").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet ===
+      Set((1, "A", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p2")))
+    assert(t.lastTxnVersion("t1").contains(1L))
+    // keyless sink appends; a second appId keeps its own ledger
+    val app = new GraftStreamSink(root, Nil, Nil, "t2", complete = false)
+    app.addBatch(0, Seq((5, "e", "p1")).toDF("k", "v", "p"))
+    assert(t.read(spark).count() === 5L)
+  }
 }
