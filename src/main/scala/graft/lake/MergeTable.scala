@@ -1512,15 +1512,19 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       op = "REPLACE WHERE")
   }
 
-  /** Compaction (Delta OPTIMIZE analog): rewrite the CURRENT snapshot so
-    * each partition directory holds ONE file (same-partition rows hash to
-    * one of `parallelism` write tasks), committing a new version with
-    * identical data. MERGE leaves behind whatever file count the shuffle
-    * produced; on a long-lived table that accretes small files until
-    * scan/listing overhead dominates — compaction amortizes it away.
-    * Readers are unaffected mid-compact (snapshot isolation via `_LATEST`);
-    * at real scale you'd bin-pack to a file-size budget instead of
-    * one-file-per-partition.
+  /** Compaction (Delta OPTIMIZE analog): rewrite the CURRENT snapshot
+    * BIN-PACKED to a file-size budget — each partition directory ends up
+    * with ceil(partitionBytes / targetFileBytes) files (Delta's 1 GiB
+    * default), so a 100 TB table compacts to ~10⁵ right-sized files
+    * instead of one unwritable file per partition, while a toy-scale
+    * partition still collapses to a single file. Current sizes come from
+    * one stat pass over the manifest (metadata, no data read); rows route
+    * to sub-files by a DETERMINISTIC hash salt (a rand() salt would break
+    * the shuffle-retry contract). MERGE leaves behind whatever file count
+    * the shuffle produced; on a long-lived table that accretes small
+    * files until scan/listing overhead dominates — compaction amortizes
+    * it away. Readers are unaffected mid-compact (snapshot isolation via
+    * `_LATEST`).
     */
   /** Parameterless OPTIMIZE with clustering awareness (the liquid-
     * clustering shape): when the table carries a
@@ -1555,16 +1559,50 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       case None => compact(spark, parallelism)
     }
 
-  def compact(spark: SparkSession, parallelism: Int = 8): Unit = {
+  def compact(spark: SparkSession, parallelism: Int = 8,
+              targetFileBytes: Long = MergeTable.DefaultTargetFileBytes): Unit = {
     require(parallelism > 0, "parallelism must be positive")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
     val v = currentVersion
-    val data = readFiles(spark, filesOf(v), schemaOf(v), colmapOf(v), dvsOf(v),
+    val files = filesOf(v)
+    val data = readFiles(spark, files, schemaOf(v), colmapOf(v), dvsOf(v),
       withRowIds = rowTrackingEnabled) // row ids survive the rewrite verbatim
-    val packed =
-      if (partitionCols.nonEmpty)
-        data.repartition(parallelism, partitionCols.map(col): _*)
-      else data.coalesce(1)
-    writeVersion(packed, v + 1, op = "OPTIMIZE", assignIds = false)
+    def dirOf(f: String): String = {
+      val segs = f.split('/'); segs.slice(1, segs.length - 1).mkString("/")
+    }
+    def size(f: String): Long =
+      try Files.size(Paths.get(root, f)) catch { case _: java.io.IOException => 0L }
+    // files-per-partition budget from CURRENT on-disk bytes (one stat pass)
+    val nFilesByDir: Map[String, Int] = files.groupBy(dirOf).map { case (d, fs) =>
+      d -> math.max(1L, (fs.map(size).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    }
+    if (partitionCols.isEmpty) {
+      val n = nFilesByDir.values.headOption.getOrElse(1)
+      writeVersion(data.repartition(n), v + 1, op = "OPTIMIZE", assignIds = false)
+    } else {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      // dir "p=a/q=b" → the same key a row's values build below: decoded
+      // partition values joined on \u0001, null encoded as \u0000 — both
+      // sides go through Spark's own cast-to-string, so they agree
+      val nByKey: Map[String, Int] = nFilesByDir.map { case (d, n) =>
+        d.split('/').map { seg =>
+          val raw = seg.substring(seg.indexOf('=') + 1)
+          if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) "\u0000"
+          else ExternalCatalogUtils.unescapePathName(raw)
+        }.mkString("\u0001") -> n
+      }
+      val rowKey = concat_ws("\u0001",
+        partitionCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+      val nFiles = coalesce(
+        element_at(typedLit(nByKey), rowKey).cast("long"), lit(1L))
+      // deterministic sub-file bucket — stable under task retries
+      val salt = pmod(xxhash64(struct(data.columns.map(col).toIndexedSeq: _*)), nFiles)
+      val total = math.max(parallelism, nFilesByDir.values.sum)
+      val packed = data.withColumn("_graft_bucket", salt)
+        .repartition(total, (partitionCols.map(col) :+ col("_graft_bucket")): _*)
+        .drop("_graft_bucket")
+      writeVersion(packed, v + 1, op = "OPTIMIZE", assignIds = false)
+    }
   }
 
   /** Zero-copy CLONE (Delta CLONE analog): the current snapshot's data
@@ -3147,6 +3185,11 @@ object MergeTable {
     * [[MergeTable.rowTrackingEnabled]]).
     */
   val RowTrackingProp = "graft.rowTracking"
+
+  /** OPTIMIZE's bin-packing budget (Delta's optimize.maxFileSize default):
+    * partitions compact to ceil(bytes / this) files.
+    */
+  val DefaultTargetFileBytes: Long = 1L << 30
 
   /** Table property recording the partition columns (Delta stores them in
     * the metaData action): lets a handle opened by BARE PATH — the DSv2

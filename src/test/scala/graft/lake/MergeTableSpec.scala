@@ -1066,6 +1066,30 @@ class MergeTableSpec extends SparkSpec {
       org.apache.spark.sql.functions.rand() < lit(0.5) && col("p") === "p1") === files)
   }
 
+  test("compact bin-packs to the file-size budget, not one-file-per-partition") {
+    val t = new MergeTable(scratch("mt_binpack"), Seq("p"))
+    // ~200 rows per partition across 8 small files each
+    t.overwrite(df((1 to 400).map(k => (k, "v" * 50, if (k % 2 == 0) "pe" else "po")))
+      .repartition(8))
+    val before = t.filesOf(t.currentVersion)
+    assert(before.size > 4, s"seed should be fragmented, got ${before.size}")
+    val perPartBytes = before.filter(_.contains("p=pe"))
+      .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(t.root, f))).sum
+    // budget ≈ half a partition's bytes → expect ~2-3 files per partition
+    t.compact(spark, targetFileBytes = perPartBytes / 2)
+    val after = t.filesOf(t.currentVersion)
+    val pe = after.count(_.contains("p=pe"))
+    val po = after.count(_.contains("p=po"))
+    assert(pe >= 2 && pe <= 4, s"pe should split to ~2-3 files, got $pe")
+    assert(po >= 2 && po <= 4, s"po should split to ~2-3 files, got $po")
+    assert(asSet(t.read(spark)).size === 400, "compaction preserves the data")
+    // a huge budget still collapses each partition to one file
+    t.compact(spark, targetFileBytes = 1L << 30)
+    val one = t.filesOf(t.currentVersion)
+    assert(one.count(_.contains("p=pe")) === 1 && one.count(_.contains("p=po")) === 1)
+    assert(t.read(spark).count() === 400L)
+  }
+
   test("OPTIMIZE validates a tampered graft.clusterBy property loudly") {
     import spark.implicits._
     val t = new MergeTable(scratch("mt_clprop"), Nil)
