@@ -305,6 +305,35 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     readFiles(spark, filesOf(v), schemaOf(v), colmapOf(v), dvsOf(v), withRowIds = true)
   }
 
+  /** Rows ADDED between `fromVersion` (exclusive; pass -1 for "nothing
+    * yet" — the whole snapshot becomes the first batch, Delta's
+    * initial-snapshot semantics) and `toVersion` (inclusive), for the
+    * append-only streaming source: the files `toVersion` lists that
+    * `fromVersion` didn't, read under `toVersion`'s schema. A range that
+    * is NOT append-only — files removed (merge/delete/compact rewrote
+    * them) or dv bindings changed — fails loudly unless `ignoreChanges`
+    * (Delta's own readStream contract: updates need the change feed,
+    * [[changesStream]]).
+    */
+  private[graft] def addedBetween(spark: SparkSession, fromVersion: Long,
+                                  toVersion: Long,
+                                  ignoreChanges: Boolean = false): DataFrame = {
+    val newFiles = filesOf(toVersion)
+    val oldFiles = if (fromVersion < 0) Seq.empty[String] else filesOf(fromVersion)
+    val oldSet = oldFiles.toSet
+    if (!ignoreChanges) {
+      val removed = oldFiles.filterNot(newFiles.toSet)
+      val dvMoved = fromVersion >= 0 && dvsOf(fromVersion) != dvsOf(toVersion)
+      require(removed.isEmpty && !dvMoved,
+        s"stream source on $root: versions $fromVersion→$toVersion rewrote or " +
+          "dv-masked existing files — an append-only stream cannot represent " +
+          "updates/deletes; read the change feed (changesStream) or set " +
+          "ignoreChanges to skip rewritten data")
+    }
+    readFiles(spark, newFiles.filterNot(oldSet), schemaOf(toVersion),
+      colmapOf(toVersion), dvsOf(toVersion))
+  }
+
   /** Time-travel read of any retained snapshot. Files may span several data
     * directories (untouched files are carried forward across versions), and
     * partition-column values live in directory names — so we group by data

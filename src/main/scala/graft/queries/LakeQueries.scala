@@ -1539,7 +1539,8 @@ object LakeQueries {
           val created = graft.sqlapi.LakeCatalog.targets(dstName)
           require(created.partitionCols == Seq("o_orderstatus"),
             "CTAS must apply PARTITIONED BY")
-          require(created.properties == Map("source" -> srcName),
+          require(created.properties.filterNot(_._1.startsWith("graft.")) ==
+              Map("source" -> srcName),
             "CTAS must record TBLPROPERTIES")
           s.sql(s"SELECT o_orderstatus, o_custkey, n, key_sum FROM $dstName WHERE n >= 2")
         } finally {

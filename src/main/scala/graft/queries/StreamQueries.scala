@@ -665,5 +665,46 @@ object StreamQueries {
              |       min(value) AS min_value, max(value) AS max_value
              |FROM events GROUP BY event_type""".stripMargin),
       "writeStream.format(\"graft\"): the connector as an exactly-once streaming merge sink"),
+
+    // readStream.format("graft") → writeStream.format("graft"): the FULL
+    // Delta streaming loop through the connector alone. Offsets are commit
+    // versions: drain #1 delivers the seeded snapshot as batch 0; the
+    // append commits a new version; drain #2 RESUMES from the checkpoint
+    // and delivers only the appended files — re-delivering the snapshot
+    // would double every count and hash-fail. The sink side appends with
+    // its txn marker, so the whole loop is exactly-once end to end.
+    "st13_source_connector" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val events = Registry.t(s, dir, "events")
+        val root = s"${Registry.scratchRoot}/st13_lake_$id"
+        val outRoot = s"${Registry.scratchRoot}/st13_out_$id"
+        val ckpt = s"${Registry.scratchRoot}/st13_ckpt_$id"
+        val src = new MergeTable(root)
+        src.overwrite(events.filter(col("event_id") % 2 === 0))
+        def drain(): Unit = {
+          val q = ss.readStream.format("graft").option("path", root).load()
+            .writeStream.format("graft")
+            .option("path", outRoot).option("txnAppId", "st13")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .start()
+          q.awaitTermination()
+        }
+        drain() // batch: the initial snapshot
+        src.append(events.filter(col("event_id") % 2 =!= 0))
+        drain() // resumed: ONLY the appended files
+        new MergeTable(outRoot).read(s).groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+               sum("event_id").as("id_sum"),
+               min("value").as("min_value"),
+               max("value").as("max_value"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |       min(value) AS min_value, max(value) AS max_value
+             |FROM events GROUP BY event_type""".stripMargin),
+      "readStream.format(\"graft\"): version-offset streaming source, snapshot + append tail"),
   )
 }

@@ -51,9 +51,36 @@ import graft.lake.MergeTable
   */
 final class GraftDataSource extends TableProvider with DataSourceRegister
     with RelationProvider with CreatableRelationProvider
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  /** `readStream.format("graft")` — Delta's streaming-source call-shape:
+    * the current snapshot as the first micro-batch, then every later
+    * commit's APPENDED files incrementally (offsets are table versions,
+    * so restarts resume exactly). Rewrites/deletes in the offset range
+    * fail loudly — append-only is the contract, Delta's too; updates
+    * stream through the change feed ([[graft.lake.MergeTable.changesStream]])
+    * or `option("ignoreChanges", true)`.
+    */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val table = MergeTable.open(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "readStream.format(\"graft\") requires .option(\"path\", <table root>)")))
+    (shortName(), schema.getOrElse(table.schemaOf(table.currentVersion)))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(ctx.sparkSession,
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "readStream.format(\"graft\") requires .option(\"path\", <table root>)")),
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
 
   /** `writeStream.format("graft")` — Delta's streaming-sink call-shape.
     * Exactly-once by construction: every micro-batch commits with a
@@ -284,6 +311,45 @@ final class GraftV1BridgeScan(table: MergeTable, pruned: Option[StructType],
       readSchema().fieldNames.map(col).toIndexedSeq: _*)
     GraftDataSource.relationFor(context, projected, readSchema()).asInstanceOf[T]
   }
+}
+
+/** The streaming source behind `readStream.format("graft")`: offsets are
+  * COMMIT VERSIONS (no bespoke bookkeeping — the table's own log is the
+  * offset space, Delta's reservoir-version design), each batch is the
+  * files added in the offset range read under the range-end schema, and
+  * the initial batch is the full snapshot. Per-batch work is
+  * O(new files), never a table rescan, which is what makes a 100 TB
+  * table streamable: the tail costs only what each commit appended.
+  */
+final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
+                              root: String, ignoreChanges: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.Offset
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val table = MergeTable.open(root)
+
+  override val schema: StructType = table.schemaOf(table.currentVersion)
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other         => other.json().trim.toLong // SerializedOffset replay
+  }
+
+  override def getOffset: Option[Offset] = Some(LongOffset(table.currentVersion))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val batch = table.addedBetween(spark,
+      start.map(versionOf).getOrElse(-1L), versionOf(end), ignoreChanges)
+    // MicroBatchExecution asserts the returned plan carries the streaming
+    // flag — rewrap the batch plan's rows (lazy; nothing executes here)
+    org.apache.spark.sql.GraftSqlShims.streamingDataFrame(
+      spark, batch.queryExecution.toRdd, batch.schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource[$root]"
 }
 
 /** The streaming sink behind `writeStream.format("graft")`: one

@@ -1,0 +1,20 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** The one `private[sql]` bridge a V1 streaming Source needs: a DataFrame
+  * whose plan carries the streaming flag (MicroBatchExecution asserts it
+  * on every `getBatch` result). Spark's own built-in sources construct
+  * their batches through exactly this call, and connector libraries that
+  * ship V1 streaming sources (Delta among them) host their access in an
+  * `org.apache.spark.sql` subpackage the same way. Nothing else from the
+  * private surface is touched.
+  */
+object GraftSqlShims {
+  def streamingDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+                         schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+}

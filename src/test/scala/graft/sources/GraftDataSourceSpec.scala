@@ -96,6 +96,37 @@ class GraftDataSourceSpec extends SparkSpec {
       spark.read.format("graft").load(scratch("dsv2_missing")).collect())
   }
 
+  test("streaming source: snapshot, then appends only; rewrites fail loudly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = scratch("dsv2_srcstream")
+    rows3.toDF("k", "v", "p").write.format("graft").mode("overwrite").save(root)
+    val ckpt = scratch("dsv2_srcstream_ckpt")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").option("path", root).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen ++= b.select("k").collect().map(_.getInt(0)); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(seen.sorted === Seq(1, 2, 3), "batch 0 is the full snapshot")
+    MergeTable.open(root).append(Seq((4, "d", "p2")).toDF("k", "v", "p"))
+    drain()
+    assert(seen.sorted === Seq(1, 2, 3, 4), "the resume delivers only the append")
+    // a rewrite (delete) breaks append-only — the source must refuse, not
+    // silently re-deliver or skip
+    MergeTable.open(root).delete(spark, col("k") === 2)
+    MergeTable.open(root).append(Seq((5, "e", "p1")).toDF("k", "v", "p"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    assert(ex.getMessage.contains("append-only") ||
+      Option(ex.getCause).exists(_.getMessage.contains("append-only")))
+  }
+
   test("streaming sink: keyed merge per batch; replayed batch ids are no-ops") {
     val root = scratch("dsv2_sink")
     val sink = new GraftStreamSink(root, Seq("p"), Seq("k"), "t1", complete = false)
