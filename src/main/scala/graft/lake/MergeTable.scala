@@ -2103,7 +2103,11 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     require(extra.isEmpty,
       s"append into $root: columns ${extra.mkString(", ")} are not in the table schema — " +
         "use merge(mergeSchema = true) to evolve the schema")
-    val aligned = withId.select(c.schema.fieldNames.map(col).toIndexedSeq: _*)
+    // store-assignment casts: a derived column's expression type (e.g. a
+    // generated decimal product) must land under the DECLARED schema type,
+    // or the parquet bytes and the committed DDL disagree on read
+    val aligned = withId.select(c.schema.fields.toIndexedSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
     val (ided, rowHwm) = assignRowIds(aligned) // appended rows are all fresh
     val newVersion = v + 1
     val dataDir = newDataDir(newVersion)

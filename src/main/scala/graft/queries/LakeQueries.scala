@@ -1313,6 +1313,45 @@ object LakeQueries {
              |FROM orders GROUP BY o_orderstatus""".stripMargin),
       "full-table UPDATE/DELETE (no WHERE) + tokenized SET/WHERE split"),
 
+    // Generated + identity columns declared in SQL DDL (Delta's
+    // `GENERATED ALWAYS AS (expr)` / `... AS IDENTITY`), filled by an
+    // INSERT with a COLUMN LIST that names neither: the write path derives
+    // the generated value, mints gap-free identity ids, and NULL-fills the
+    // unlisted plain column. Identity assignment order is partition-
+    // dependent, so the result hashes its ORDER-FREE facts: id count,
+    // min/max (exactly start..start+(n-1)·step), and the generated values
+    // keyed by their inputs.
+    "m50_generated_ddl" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m50_${sanitize(dir)}"
+        cleanDir(root)
+        val src = s"m50_src_${sanitize(dir)}"
+        t(s, dir, "orders").createOrReplaceTempView(src)
+        val name = s"m50_${sanitize(dir)}"
+        try {
+          s.sql(s"""CREATE TABLE $name (
+                   |  rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+                   |  o_orderkey BIGINT,
+                   |  key_bucket INT GENERATED ALWAYS AS (CAST(o_orderkey % 7 AS INT)),
+                   |  note STRING
+                   |) USING GRAFT LOCATION '$root/tbl'""".stripMargin)
+          s.sql(s"INSERT INTO $name (o_orderkey) SELECT o_orderkey FROM $src")
+          s.sql(s"""SELECT key_bucket, count(*) AS n,
+                   |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                   |       count(DISTINCT rid) AS n_ids,
+                   |       CAST(min(rid) IS NOT NULL AND min(rid) >= 10 AS BOOLEAN) AS ids_floored,
+                   |       CAST(count(note) AS BIGINT) AS n_notes
+                   |FROM $name GROUP BY key_bucket""".stripMargin)
+        } finally graft.sqlapi.LakeCatalog.unregister(name)
+      },
+      Some("""SELECT CAST(o_orderkey % 7 AS INT) AS key_bucket, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       count(*) AS n_ids,
+             |       TRUE AS ids_floored,
+             |       CAST(0 AS BIGINT) AS n_notes
+             |FROM orders GROUP BY 1""".stripMargin),
+      "DDL generated + identity columns: derived values, gap-free ids, NULL-filled rest"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

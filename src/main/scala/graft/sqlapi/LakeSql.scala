@@ -85,7 +85,7 @@ object LakeSql {
      """SHALLOW\s+CLONE\s+([\w.]+)\s+LOCATION\s+'([^']+)'\s*;?\s*$""").r
 
   private val DescribeHistoryShape =
-    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*$""".r
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w.]+)(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
 
   private val DescribeDetailShape =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*$""".r
@@ -135,8 +135,14 @@ object LakeSql {
   private val ZorderShape =
     """(?is)^\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(([^)]+)\)\s*;?\s*$""".r
 
+  // optional column list (Spark/Delta's `INSERT INTO t (c1, c2) ...`):
+  // listed columns arrive by position, unlisted ones NULL-fill (generated
+  // and identity columns instead derive in the write path)
   private val InsertShape =
-    """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s+((?:SELECT|VALUES|TABLE|FROM)\b.+?)\s*;?\s*$""".r
+    """(?is)^\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([\w\s,]*)\)\s*)?((?:SELECT|VALUES|TABLE|FROM)\b.+?)\s*;?\s*$""".r
+
+  private val InsertOverwriteShape =
+    """(?is)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([\w.]+)\s*(?:\(([\w\s,]*)\)\s*)?((?:SELECT|VALUES|TABLE|FROM)\b.+?)\s*;?\s*$""".r
 
   private val AddColumnsShape =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMNS\s*\((.+?)\)\s*;?\s*$""".r
@@ -253,7 +259,7 @@ object LakeSql {
             s"CREATE TABLE $name: the name is already registered — " +
               "use CREATE TABLE IF NOT EXISTS for create-if-absent semantics")
         } else {
-          val schema = org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+          val (schema, gens, ident) = parseColumnDefs(name, colsDdl)
           val pcols = Option(parts).toSeq
             .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
           val ccols = Option(clusterBy).toSeq
@@ -261,7 +267,8 @@ object LakeSql {
           ccols.foreach(c => require(schema.fieldNames.contains(c),
             s"CREATE TABLE $name: cluster column '$c' is not in the declared schema " +
               s"(${schema.fieldNames.mkString(", ")})"))
-          val created = new MergeTable(loc, pcols)
+          val created = new MergeTable(loc, pcols,
+            generatedCols = gens, identityCol = ident)
           require(!created.exists,
             s"CREATE TABLE $name: a MergeTable already exists at $loc")
           created.createEmpty(schema) // validates pcols against the schema
@@ -304,20 +311,12 @@ object LakeSql {
       case ZorderShape(tgt, cols) =>
         resolve(tgt, targets).zorderCompact(spark,
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      case InsertShape(tgt, query) =>
-        // Delta-style INSERT INTO: by POSITION with store-assignment casts;
-        // the source query may itself reference registered tables (bare or
-        // VERSION AS OF) — rewriteReads resolves them to snapshot views
-        val table = resolve(tgt, targets)
-        val rows = spark.sql(rewriteReads(spark, query, targets).getOrElse(query))
-        val schema = table.schemaOf(table.currentVersion)
-        require(rows.columns.length == schema.fields.length,
-          s"INSERT INTO $tgt: query produces ${rows.columns.length} columns, " +
-            s"table has ${schema.fields.length}")
-        val aligned = rows.toDF(schema.fieldNames.toIndexedSeq: _*)
-          .select(schema.fields.toIndexedSeq.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)): _*)
-        table.append(aligned)
+      case InsertOverwriteShape(tgt, colList, query) =>
+        runInsert(spark, tgt, resolve(tgt, targets), colList, query, targets,
+          overwrite = true)
+      case InsertShape(tgt, colList, query) =>
+        runInsert(spark, tgt, resolve(tgt, targets), colList, query, targets,
+          overwrite = false)
       case OptimizeShape(tgt, pred) =>
         val table = resolve(tgt, targets)
         Option(pred) match {
@@ -365,7 +364,9 @@ object LakeSql {
     */
   def query(spark: SparkSession, sql: String, targets: Map[String, MergeTable]): DataFrame = {
     sql match {
-      case DescribeHistoryShape(tgt) => return resolve(tgt, targets).history(spark)
+      case DescribeHistoryShape(tgt, limit) =>
+        val h = resolve(tgt, targets).history(spark)
+        return Option(limit).map(n => h.limit(n.toInt)).getOrElse(h)
       case DescribeDetailShape(tgt)  => return resolve(tgt, targets).detail(spark)
       case ShowPartitionsShape(tgt)  => return resolve(tgt, targets).partitions(spark)
       case ShowPropertiesShape(tgt)  =>
@@ -467,7 +468,8 @@ object LakeSql {
     case RestoreShape(tgt, _)      => Some(tgt)
     case RestoreTsShape(tgt, _, _) => Some(tgt)
     case ZorderShape(tgt, _)       => Some(tgt)
-    case InsertShape(tgt, _)       => Some(tgt)
+    case InsertShape(tgt, _, _)    => Some(tgt)
+    case InsertOverwriteShape(tgt, _, _) => Some(tgt)
     case OptimizeShape(tgt, _)     => Some(tgt)
     case AddColumnsShape(tgt, _)   => Some(tgt)
     case RenameColumnShape(tgt, _, _) => Some(tgt)
@@ -496,7 +498,7 @@ object LakeSql {
     * SHOW PARTITIONS / SHOW TBLPROPERTIES), if `sql` is one.
     */
   private[sqlapi] def metaStatementTarget(sql: String): Option[String] = sql match {
-    case DescribeHistoryShape(tgt)     => Some(tgt)
+    case DescribeHistoryShape(tgt, _)  => Some(tgt)
     case DescribeDetailShape(tgt)      => Some(tgt)
     case ShowPartitionsShape(tgt)      => Some(tgt)
     case ShowPropertiesShape(tgt)      => Some(tgt)
@@ -544,14 +546,94 @@ object LakeSql {
     * rather than SHOW PARTITIONS (table-dependent schema).
     */
   private[sqlapi] def isHistoryStatement(sql: String): Boolean = sql match {
-    case DescribeHistoryShape(_) => true
-    case _                       => false
+    case DescribeHistoryShape(_, _) => true
+    case _                          => false
   }
 
   /** True when the metadata statement is DESCRIBE DETAIL (fixed schema). */
   private[sqlapi] def isDetailStatement(sql: String): Boolean = sql match {
     case DescribeDetailShape(_) => true
     case _                      => false
+  }
+
+  private val IdentityColDef =
+    ("""(?is)^\s*(\w+)\s+([\w()., ]+?)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY""" +
+     """(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+(-?\d+)\s*\))?\s*$""").r
+
+  private val GeneratedColDef =
+    """(?is)^\s*(\w+)\s+([\w()., ]+?)\s+GENERATED\s+ALWAYS\s+AS\s+\((.+)\)\s*$""".r
+
+  /** Parse a CREATE TABLE column list with Delta's generated/identity
+    * column syntax: plain `name TYPE` entries pass to Spark's DDL parser;
+    * `GENERATED ALWAYS AS (expr)` lands as a generated column (derived on
+    * every write, validated on update); `GENERATED ALWAYS AS IDENTITY
+    * [(START WITH n INCREMENT BY m)]` as the identity column (gap-free
+    * ids minted by the write path, explicit values refused). Split on
+    * top-level commas — a decimal(10,2) or an expression comma must not
+    * split an entry.
+    */
+  private[sqlapi] def parseColumnDefs(name: String, colsDdl: String)
+      : (org.apache.spark.sql.types.StructType,
+         Seq[(String, String)], Option[(String, Long, Long)]) = {
+    import org.apache.spark.sql.types.StructType
+    val entries = splitTopLevel(colsDdl).map(_.trim).filter(_.nonEmpty)
+    var gens = Seq.empty[(String, String)]
+    var ident: Option[(String, Long, Long)] = None
+    val plain = entries.map {
+      case IdentityColDef(c, tpe, start, step) =>
+        require(ident.isEmpty,
+          s"CREATE TABLE $name: at most one IDENTITY column is supported")
+        ident = Some((c, Option(start).map(_.toLong).getOrElse(1L),
+          Option(step).map(_.toLong).getOrElse(1L)))
+        s"$c $tpe"
+      case GeneratedColDef(c, tpe, genExpr) =>
+        gens :+= c -> genExpr.trim
+        s"$c $tpe"
+      case other => other
+    }
+    (StructType.fromDDL(plain.mkString(", ")), gens, ident)
+  }
+
+  /** Delta-style INSERT INTO / INSERT OVERWRITE: by POSITION with
+    * store-assignment casts; with a column list, listed columns arrive by
+    * position, unlisted plain columns NULL-fill, and unlisted GENERATED /
+    * IDENTITY columns are left absent so the write path derives them (a
+    * NULL there would defeat the feature and trip the ALWAYS contract).
+    * The source query may reference registered tables (bare or VERSION AS
+    * OF) — rewriteReads resolves them to snapshot views.
+    */
+  private def runInsert(spark: SparkSession, tgt: String, table: MergeTable,
+                        colList: String, query: String,
+                        targets: Map[String, MergeTable],
+                        overwrite: Boolean): Unit = {
+    val rows = spark.sql(rewriteReads(spark, query, targets).getOrElse(query))
+    val schema = table.schemaOf(table.currentVersion)
+    val aligned = Option(colList)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
+      case None =>
+        require(rows.columns.length == schema.fields.length,
+          s"INSERT INTO $tgt: query produces ${rows.columns.length} columns, " +
+            s"table has ${schema.fields.length}")
+        rows.toDF(schema.fieldNames.toIndexedSeq: _*)
+          .select(schema.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+      case Some(listed) =>
+        val unknown = listed.filterNot(schema.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"INSERT INTO $tgt: column(s) ${unknown.mkString(", ")} not in the " +
+            s"table schema (${schema.fieldNames.mkString(", ")})")
+        require(rows.columns.length == listed.length,
+          s"INSERT INTO $tgt: query produces ${rows.columns.length} columns, " +
+            s"the column list names ${listed.length}")
+        val auto = table.generatedCols.map(_._1).toSet ++ table.identityCol.map(_._1)
+        val renamed = rows.toDF(listed.toIndexedSeq: _*)
+        renamed.select(schema.fields.toIndexedSeq.flatMap { f =>
+          if (listed.contains(f.name)) Some(col(f.name).cast(f.dataType).as(f.name))
+          else if (auto.contains(f.name)) None // derived inside the write
+          else Some(org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name))
+        }: _*)
+    }
+    if (overwrite) table.overwrite(aligned) else table.append(aligned)
   }
 
   /** Split an UPDATE's post-SET blob into (SET list, optional WHERE

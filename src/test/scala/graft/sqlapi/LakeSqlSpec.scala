@@ -423,6 +423,43 @@ class LakeSqlSpec extends SparkSpec {
     } finally LakeCatalog.unregister("etab")
   }
 
+  test("INSERT with a column list NULL-fills unlisted; INSERT OVERWRITE replaces") {
+    val t = seeded("lsql_inslist")
+    LakeSql.run(spark, "INSERT INTO tbl (p, k) VALUES ('p3', 7)", Map("tbl" -> t))
+    assert(asSet(t).contains((7, null, "p3")), s"got ${asSet(t)}")
+    assert(t.read(spark).count() === 4L)
+    val ex = intercept[IllegalArgumentException](LakeSql.run(spark,
+      "INSERT INTO tbl (nope) VALUES (1)", Map("tbl" -> t)))
+    assert(ex.getMessage.contains("not in the"))
+    LakeSql.run(spark, "INSERT OVERWRITE tbl SELECT 9, 'z', 'p9'", Map("tbl" -> t))
+    assert(asSet(t) === Set((9, "z", "p9")))
+  }
+
+  test("CREATE TABLE DDL with GENERATED and IDENTITY columns derives on insert") {
+    val loc = scratch("lsql_genddl")
+    try {
+      LakeSql.run(spark,
+        s"""CREATE TABLE gtab (
+           |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+           |  amount DECIMAL(10,2),
+           |  doubled DOUBLE GENERATED ALWAYS AS (amount * 2),
+           |  note STRING
+           |) USING GRAFT LOCATION '$loc'""".stripMargin, Map.empty)
+      val t = LakeCatalog.targets("gtab")
+      // unlisted id + doubled derive in the write; note NULL-fills
+      LakeSql.run(spark, "INSERT INTO gtab (amount) VALUES (1.50), (2.25), (4.00)",
+        Map("gtab" -> t))
+      val out = t.read(spark).select("id", "amount", "doubled", "note").collect()
+      assert(out.map(_.getLong(0)).sorted === Array(10L, 12L, 14L))
+      assert(out.map(r => (r.getDecimal(1).toPlainString, r.getDouble(2))).toSet ===
+        Set(("1.50", 3.0), ("2.25", 4.5), ("4.00", 8.0)))
+      assert(out.forall(_.isNullAt(3)))
+      // DESCRIBE HISTORY LIMIT n caps the audit rows
+      assert(LakeSql.query(spark, "DESCRIBE HISTORY gtab LIMIT 1", Map("gtab" -> t))
+        .count() === 1L)
+    } finally LakeCatalog.unregister("gtab")
+  }
+
   test("VACUUM ... RETAIN n HOURS routes time-based retention (injected clock)") {
     val t = new MergeTable(scratch("lsql_vach"), Seq("p"))
     import spark.implicits._
