@@ -1352,6 +1352,37 @@ object LakeQueries {
              |FROM orders GROUP BY 1""".stripMargin),
       "DDL generated + identity columns: derived values, gap-free ids, NULL-filled rest"),
 
+    // Connector reader options (Delta's read-side option surface):
+    // `versionAsOf` pins a snapshot, `readChangeFeed`+`startingVersion`
+    // reads the CDF range, and a bare load reads the tip — all three
+    // through `spark.read.format("graft")`, folded into one row so the
+    // hash pins every mode at once.
+    "m51_reader_options" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m51_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders.filter(col("o_orderkey") % 2 === 0))   // v0
+        table.merge(s, orders.filter(col("o_orderkey") % 2 =!= 0),
+          Seq("o_orderkey"), changeFeed = true)                        // v1: inserts
+        val v0 = s.read.format("graft").option("versionAsOf", "0").load(root)
+        val cdf = s.read.format("graft").option("readChangeFeed", "true")
+          .option("startingVersion", "1").load(root)
+        val cur = s.read.format("graft").load(root)
+        v0.agg(count(lit(1)).as("n_v0"))
+          .crossJoin(cdf.filter(col(MergeTable.ChangeType) === "insert")
+            .agg(count(lit(1)).as("n_cdf_inserts")))
+          .crossJoin(cur.agg(count(lit(1)).as("n_cur"),
+            sum("o_orderkey").as("key_sum")))
+      },
+      Some("""SELECT (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_v0,
+             |       (SELECT count(*) FROM orders WHERE o_orderkey % 2 <> 0) AS n_cdf_inserts,
+             |       count(*) AS n_cur,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders""".stripMargin),
+      "connector reader options: versionAsOf time travel + readChangeFeed CDF range"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -76,11 +76,20 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String])
-      : org.apache.spark.sql.execution.streaming.Source =
-    new GraftStreamSource(ctx.sparkSession,
-      parameters.getOrElse("path", throw new IllegalArgumentException(
-        "readStream.format(\"graft\") requires .option(\"path\", <table root>)")),
-      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "readStream.format(\"graft\") requires .option(\"path\", <table root>)"))
+    // Delta's startingVersion: begin the tail AT that version (no initial
+    // snapshot); "latest" = only commits after stream start
+    val startFrom = parameters.get("startingVersion") match {
+      case Some(v) if v.equalsIgnoreCase("latest") => MergeTable.open(path).currentVersion
+      case Some(v)                                 => v.toLong - 1
+      case None                                    => -1L
+    }
+    new GraftStreamSource(ctx.sparkSession, path,
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      startFrom = startFrom)
+  }
 
   /** `writeStream.format("graft")` — Delta's streaming-sink call-shape.
     * Exactly-once by construction: every micro-batch commits with a
@@ -121,9 +130,11 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val probe = new MergeTable(pathOf(options))
-    if (probe.exists) probe.schemaOf(probe.currentVersion)
-    else new StructType() // write bootstrap: schema arrives with the data
+    val root = pathOf(options)
+    val probe = new MergeTable(root)
+    if (!probe.exists) new StructType() // write bootstrap: schema arrives with the data
+    else new GraftTable(root, Nil, new StructType(), options.asScala.toMap)
+      .resolvedSchema // honors versionAsOf / timestampAsOf / readChangeFeed
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -133,7 +144,8 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       .flatMap(t => t.references().headOption.map(_.fieldNames().mkString(".")))
     val optioned = Option(properties.get("partitionCols")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    new GraftTable(root, if (declared.nonEmpty) declared else optioned, schema)
+    new GraftTable(root, if (declared.nonEmpty) declared else optioned, schema,
+      properties.asScala.toMap).asV2
   }
 
   // ---- V1 route (ErrorIfExists/Ignore saves, partitionBy writes) ----
@@ -150,6 +162,13 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
                               data: DataFrame): BaseRelation = {
     val root = parameters.getOrElse("path",
       throw new IllegalArgumentException("format(\"graft\") requires a path"))
+    // reader-only options must never silently target a write (a
+    // versionAsOf append would write to the CURRENT version regardless)
+    val readerOnly = Seq("versionasof", "timestampasof", "readchangefeed")
+      .filter(k => parameters.keys.exists(_.equalsIgnoreCase(k)))
+    require(readerOnly.isEmpty,
+      s"cannot write to $root with reader option(s) ${readerOnly.mkString(", ")} — " +
+        "time travel and the change feed are read-side features")
     val probe = new MergeTable(root)
     val exists = probe.exists
     // partitionBy lands V1 writes here with the columns in this option
@@ -238,33 +257,71 @@ object GraftDataSource {
   * table whose schema does not exist yet.
   */
 final class GraftTable(root: String, declaredParts: Seq[String],
-                       declaredSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+                       declaredSchema: StructType,
+                       options: Map[String, String] = Map.empty) {
+  private val opts = options.map { case (k, v) => k.toLowerCase -> v }
 
   private def handle: MergeTable = {
     val probe = new MergeTable(root)
     if (probe.exists) MergeTable.open(root) else new MergeTable(root, declaredParts)
   }
 
-  override def name(): String = s"graft.`$root`"
+  /** The snapshot version the reader options pin — `versionAsOf` /
+    * `timestampAsOf` (Delta's reader-option time travel) — or the current
+    * version. CDF mode (`readChangeFeed`) reads the commit range
+    * `startingVersion..endingVersion` of the feed instead.
+    */
+  private def pinnedVersion(t: MergeTable): Long =
+    opts.get("versionasof").map(_.toLong)
+      .orElse(opts.get("timestampasof")
+        .map(ts => t.versionAt(graft.sqlapi.LakeSql.parseTsMillis(ts))))
+      .getOrElse(t.currentVersion)
 
-  override def schema(): StructType = {
-    val probe = new MergeTable(root)
-    if (probe.exists) probe.schemaOf(probe.currentVersion) else declaredSchema
+  private def cdfMode: Boolean = opts.get("readchangefeed").exists(_.toBoolean)
+
+  private[sources] def baseFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val t = MergeTable.open(root)
+    if (cdfMode)
+      t.changes(spark,
+        opts.get("startingversion").map(_.toLong).getOrElse(0L),
+        opts.get("endingversion").map(_.toLong).getOrElse(t.currentVersion))
+    else t.readVersion(spark, pinnedVersion(t))
   }
 
-  override def partitioning(): Array[Transform] =
-    handle.partitionCols.map(Expressions.identity).toArray
+  private[sources] def resolvedSchema: StructType = {
+    val probe = new MergeTable(root)
+    if (!probe.exists) declaredSchema
+    else if (cdfMode)
+      // feed frames carry the user columns plus the CDF markers; resolve
+      // the exact shape from the feed itself (metadata-sized analysis)
+      baseFrame(org.apache.spark.sql.SparkSession.active).schema
+    else probe.schemaOf(pinnedVersion(probe))
+  }
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+  private[sources] def asV2: Table = new Table
+      with SupportsRead with SupportsWrite {
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(MergeTable.open(root))
+    override def name(): String = s"graft.`$root`"
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(handle)
+    override def schema(): StructType = resolvedSchema
+
+    override def partitioning(): Array[Transform] =
+      handle.partitionCols.map(Expressions.identity).toArray
+
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new GraftScanBuilder(GraftTable.this)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      require(!cdfMode && opts.get("versionasof").isEmpty &&
+          opts.get("timestampasof").isEmpty,
+        s"cannot write to $root through a time-travel/change-feed read option")
+      new GraftWriteBuilder(handle)
+    }
+  }
 }
 
 /** Column pruning + filter pushdown land in the bridged DataFrame plan —
@@ -274,7 +331,7 @@ final class GraftTable(root: String, declaredParts: Seq[String],
   * exact predicate above the scan (pushdown is an optimization, never a
   * correctness dependency — the [[MergeTable.candidateFiles]] discipline).
   */
-final class GraftScanBuilder(table: MergeTable)
+final class GraftScanBuilder(table: GraftTable)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -294,15 +351,15 @@ final class GraftScanBuilder(table: MergeTable)
   override def build(): Scan = new GraftV1BridgeScan(table, required, pushed)
 }
 
-final class GraftV1BridgeScan(table: MergeTable, pruned: Option[StructType],
+final class GraftV1BridgeScan(table: GraftTable, pruned: Option[StructType],
                               filters: Array[Filter]) extends V1Scan {
 
   override def readSchema(): StructType =
-    pruned.getOrElse(table.schemaOf(table.currentVersion))
+    pruned.getOrElse(table.resolvedSchema)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
-    val base = table.read(context.sparkSession)
+    val base = table.baseFrame(context.sparkSession)
     val filtered = filters.flatMap(GraftDataSource.translate)
       .foldLeft(base)(_ filter _)
     // an empty required schema (count(*)) projects zero columns — the
@@ -322,7 +379,8 @@ final class GraftV1BridgeScan(table: MergeTable, pruned: Option[StructType],
   * table streamable: the tail costs only what each commit appended.
   */
 final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
-                              root: String, ignoreChanges: Boolean)
+                              root: String, ignoreChanges: Boolean,
+                              startFrom: Long = -1L)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.Offset
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -340,7 +398,7 @@ final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val batch = table.addedBetween(spark,
-      start.map(versionOf).getOrElse(-1L), versionOf(end), ignoreChanges)
+      start.map(versionOf).getOrElse(startFrom), versionOf(end), ignoreChanges)
     // MicroBatchExecution asserts the returned plan carries the streaming
     // flag — rewrap the batch plan's rows (lazy; nothing executes here)
     org.apache.spark.sql.GraftSqlShims.streamingDataFrame(

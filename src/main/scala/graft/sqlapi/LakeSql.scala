@@ -527,7 +527,7 @@ object LakeSql {
     * local-filesystem mtimes, so the same clock must read both sides of
     * the comparison.
     */
-  private[sqlapi] def parseTsMillis(s: String): Long = {
+  private[graft] def parseTsMillis(s: String): Long = {
     val t = s.trim
     val local =
       if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()

@@ -96,6 +96,34 @@ class GraftDataSourceSpec extends SparkSpec {
       spark.read.format("graft").load(scratch("dsv2_missing")).collect())
   }
 
+  test("reader options: versionAsOf, timestampAsOf, readChangeFeed") {
+    val root = scratch("dsv2_opts")
+    rows3.toDF("k", "v", "p").write.format("graft").mode("overwrite").save(root) // v0
+    val t = MergeTable.open(root)
+    t.merge(spark, Seq((1, "A", "p1"), (4, "d", "p2")).toDF("k", "v", "p"),
+      Seq("k"), changeFeed = true) // v1
+    // time travel through the reader option (Delta's versionAsOf shape)
+    assert(spark.read.format("graft").option("versionAsOf", "0").load(root)
+      .count() === 3L)
+    assert(spark.read.format("graft").load(root).count() === 4L)
+    val ts0 = new java.sql.Timestamp(t.commitTimeMillis(0)).toString
+    assert(spark.read.format("graft").option("timestampAsOf", ts0).load(root)
+      .count() === 3L)
+    // the change feed as a reader option (Delta's readChangeFeed shape)
+    val cdf = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(root)
+    assert(cdf.columns.contains(MergeTable.ChangeType))
+    val byType = cdf.groupBy(MergeTable.ChangeType).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map(
+      "update_preimage" -> 1L, "update_postimage" -> 1L, "insert" -> 1L))
+    // a time-travel handle must refuse writes
+    intercept[Exception] {
+      Seq((9, "z", "p9")).toDF("k", "v", "p").write.format("graft")
+        .option("versionAsOf", "0").mode("append").save(root)
+    }
+  }
+
   test("streaming source: snapshot, then appends only; rewrites fail loudly") {
     import org.apache.spark.sql.streaming.Trigger
     val root = scratch("dsv2_srcstream")
