@@ -1390,6 +1390,123 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       dvsOverride = Some(newDvs), op = "DELETE (DV)")
   }
 
+  /** MERGE with DELETION VECTORS (Delta's DV-enabled MERGE, its flagship
+    * write-amplification fix): instead of REWRITING every file that holds
+    * a matched key, the matched target rows are masked out by dv sidecar
+    * positions and ALL source rows land in one new data dir — the commit
+    * keeps every old file. Cost goes from O(touched file bytes) to
+    * O(matched rows + source rows): a 10-row upsert into a 100 TB table
+    * writes KBs of positions + one small file, where [[merge]] re-writes
+    * every touched file whole. The trade is read-side masks until the
+    * next compaction — exactly Delta's, and the same [[deleteVectorized]]
+    * bounds apply: more than `maxNewDvRows` matches falls back to the
+    * rewriting [[merge]] (a mass update is cheaper rewritten once than
+    * carried as a huge mask on every scan).
+    *
+    * Same semantics as [[merge]] (source wins, unmatched target untouched,
+    * duplicate-source rejection, CDF, txn markers). Not available for
+    * `rowTracking` tables — matched rows get fresh ids in the new file,
+    * which would break id stability; those tables use the rewriting merge
+    * (which preserves ids). `mergeSchema` likewise routes to [[merge]].
+    */
+  def mergeVectorized(spark: SparkSession, source: DataFrame, keys: Seq[String],
+                      checkUniqueSource: Boolean = true,
+                      changeFeed: Boolean = false,
+                      txn: Option[(String, Long)] = None,
+                      maxNewDvRows: Long = MergeTable.DefaultMaxDvRows): Unit = {
+    import MergeTable.{ChangeType, DvFileCol, DvIdxCol}
+    require(keys.nonEmpty, "merge requires at least one key column")
+    require(!rowTrackingEnabled,
+      s"mergeVectorized on $root: row tracking requires the rewriting merge() — " +
+        "a dv-masked update cannot preserve the matched rows' ids")
+    require(identityCol.isEmpty,
+      s"merge into $root: the table declares an identity column — use append for pure inserts")
+    if (!exists) { merge(spark, source, keys, checkUniqueSource, changeFeed = changeFeed,
+      txn = txn); return }
+    val v = currentVersion
+    val schema = schemaOf(v)
+    require(!schema.fieldNames.contains(DvFileCol) && !schema.fieldNames.contains(DvIdxCol),
+      s"mergeVectorized on $root: schema collides with reserved columns $DvFileCol/$DvIdxCol")
+    val src = applyGenerated(source).cache()
+    try {
+      if (checkUniqueSource) {
+        val dup = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+        require(dup == 0L,
+          s"merge source has duplicate keys on (${keys.mkString(",")}) — Delta MERGE " +
+            "would fail (multiple source rows matched one target row)")
+      }
+      val files = filesOf(v)
+      val dvs = dvsOf(v)
+      val newVersion = v + 1
+      val srcKeys = src.select(keys.map(col): _*)
+
+      // matched target rows WITH their file/position — these become masks
+      val live = readFiles(spark, files, schema, colmapOf(v), dvs, keepPos = true)
+      val matched = live.join(srcKeys, keys, "left_semi").cache()
+
+      val attempt = newDataDir(newVersion)
+      val dvRel = s"dv/$attempt"
+      matched.select(DvFileCol, DvIdxCol)
+        .repartition(1).write.parquet(s"$root/$dvRel")
+      val staged = spark.read.schema(MergeTable.DvSchema).parquet(s"$root/$dvRel")
+      val newCnt = staged.count()
+      if (newCnt > maxNewDvRows) {
+        // a mass update: one rewrite now beats a giant mask on every scan
+        matched.unpersist()
+        deleteRecursively(Paths.get(root, dvRel))
+        merge(spark, source, keys, checkUniqueSource, changeFeed = changeFeed, txn = txn)
+        return
+      }
+      // union-on-rewrite invariant (see deleteVectorized): a touched
+      // file's binding points at ONE dir holding ALL its masked positions
+      val touchedFiles = staged.select(DvFileCol).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val priorBound = touchedFiles.filter(dvs.contains)
+      if (priorBound.nonEmpty) {
+        val oldDirs = priorBound.map(f => dvs(f)._1).distinct.sorted
+        spark.read.schema(MergeTable.DvSchema)
+          .parquet(oldDirs.map(d => s"$root/$d"): _*)
+          .filter(col(DvFileCol).isin(priorBound: _*))
+          .repartition(1).write.mode("append").parquet(s"$root/$dvRel")
+      }
+      val cum = spark.read.schema(MergeTable.DvSchema).parquet(s"$root/$dvRel")
+        .groupBy(DvFileCol).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val newDvs: Seq[(String, String, Long)] = files.flatMap { f =>
+        cum.get(f) match {
+          case Some(n) => Some((f, dvRel, n))
+          case None    => dvs.get(f).map { case (d, n) => (f, d, n) }
+        }
+      }
+
+      // ALL source rows land in one new dir (updates + inserts alike —
+      // their old images are masked, so no join splits them)
+      val dataDir = s"${attempt}m"
+      writeData(src.select(schema.fieldNames.toIndexedSeq.map(col): _*),
+        dataDir, colmapOf(v))
+      val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
+
+      val cdfDir =
+        if (changeFeed) {
+          val pre = matched.drop(DvFileCol, DvIdxCol)
+            .withColumn(ChangeType, lit("update_preimage"))
+          val matchedKeys = matched.select(keys.map(col): _*).distinct()
+          val post = src.join(matchedKeys, keys, "left_semi")
+            .withColumn(ChangeType, lit("update_postimage"))
+          val ins = src.join(matchedKeys, keys, "left_anti")
+            .withColumn(ChangeType, lit("insert"))
+          Some(writeChanges(
+            pre.unionByName(post, allowMissingColumns = true)
+              .unionByName(ins, allowMissingColumns = true), newVersion, dataDir))
+        } else None
+
+      matched.unpersist()
+      commit(newVersion, files ++ newFiles, schema,
+        carryStats(v, files) ++ collectStats(spark, newFiles, schema, colmapOf(v)),
+        cdfDir, dvsOverride = Some(newDvs), txn = txn, op = "MERGE (DV)")
+    } finally src.unpersist()
+  }
+
   /** Delta `UPDATE SET` analog: apply `set` (column → new-value expression)
     * to every row matching `predicate`, rewriting ONLY the data files that
     * contain at least one matching row — the same file-pruned shape as
@@ -3218,6 +3335,14 @@ object MergeTable {
     * [[MergeTable.rowTrackingEnabled]]).
     */
   val RowTrackingProp = "graft.rowTracking"
+
+  /** Table property opting MERGE INTO into the dv path (Delta's
+    * `delta.enableDeletionVectors` analog): when `true`, the SQL simple
+    * upsert routes through [[MergeTable.mergeVectorized]] instead of the
+    * rewriting merge (unless row tracking or schema evolution force the
+    * rewrite).
+    */
+  val DeletionVectorsProp = "graft.enableDeletionVectors"
 
   /** OPTIMIZE's bin-packing budget (Delta's optimize.maxFileSize default):
     * partitions compact to ceil(bytes / this) files.

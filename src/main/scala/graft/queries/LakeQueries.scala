@@ -1383,6 +1383,46 @@ object LakeQueries {
              |FROM orders""".stripMargin),
       "connector reader options: versionAsOf time travel + readChangeFeed CDF range"),
 
+    // Deletion-vector MERGE (Delta's DV-enabled MERGE — its flagship
+    // write-amplification fix): the table property routes MERGE INTO
+    // through mask-based upsert — matched rows are dv-masked, all source
+    // rows land in ONE new dir, and EVERY pre-merge file survives in the
+    // manifest (the in-gate require pins exactly that: zero rewritten
+    // files). Result and CDF semantics are identical to the rewriting
+    // merge, which is what the hash proves.
+    "m52_dv_merge" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m52_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        table.setProperties(Map(MergeTable.DeletionVectorsProp -> "true"))
+        val before = table.filesOf(table.currentVersion).toSet
+        val src = s"m52_src_${sanitize(dir)}"
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_orderpriority", lit("DV"))
+          .createOrReplaceTempView(src)
+        val name = s"m52_${sanitize(dir)}"
+        graft.sqlapi.LakeCatalog.register(name, table)
+        try s.sql(s"""MERGE INTO $name USING $src ON $name.o_orderkey = $src.o_orderkey
+                     |WHEN MATCHED THEN UPDATE SET *
+                     |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        finally graft.sqlapi.LakeCatalog.unregister(name)
+        val after = table.filesOf(table.currentVersion).toSet
+        require(before.subsetOf(after),
+          "dv merge must keep every pre-merge file in the manifest (no rewrite)")
+        require((after -- before).nonEmpty, "the source rows need a new file")
+        table.read(s).groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus,
+             |       CASE WHEN o_orderkey % 3 = 0 THEN 'DV' ELSE o_orderpriority END
+             |         AS o_orderpriority,
+             |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders GROUP BY 1, 2""".stripMargin),
+      "deletion-vector MERGE: mask-based upsert, zero file rewrites, O(matched rows)"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -209,11 +209,20 @@ object MergeInto {
     val table = targets.getOrElse(st.target,
       throw new IllegalArgumentException(
         s"unknown MERGE target '${st.target}' — registered targets: ${targets.keys.toSeq.sorted.mkString(", ")}"))
-    if (st.isSimpleUpsert)
+    val fullSync = st.clauses.exists(_.isInstanceOf[BySourceDelete])
+    // Delta's delta.enableDeletionVectors: the table property routes the
+    // plain upsert to the mask-based merge (O(matched rows), no file
+    // rewrite); shapes the dv path can't express keep the rewriting merge
+    val dvRoute = st.isSimpleUpsert && !fullSync && !st.schemaEvolution &&
+      !table.rowTrackingEnabled &&
+      table.properties.get(MergeTable.DeletionVectorsProp).contains("true")
+    if (dvRoute)
+      table.mergeVectorized(spark, spark.table(st.source), st.keys)
+    else if (st.isSimpleUpsert)
       table.merge(spark, spark.table(st.source), st.keys,
         mergeSchema = st.schemaEvolution,
         keysDeterminePartitions = keysDeterminePartitions,
-        deleteNotMatchedBySource = st.clauses.exists(_.isInstanceOf[BySourceDelete]))
+        deleteNotMatchedBySource = fullSync)
     else {
       // schema evolution is wired through merge()'s union path only; the
       // clause-dispatch rewrite selects the committed schema column-by-

@@ -1018,6 +1018,40 @@ class MergeTableSpec extends SparkSpec {
     }
   }
 
+  test("mergeVectorized: masked updates, one new file, rewrite fallback on mass match") {
+    val t = new MergeTable(scratch("mt_dvmerge"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))))
+    val before = t.filesOf(t.currentVersion).toSet
+    t.mergeVectorized(spark, df(Seq((2, "B", "p2"), (4, "d", "p3"))), Seq("k"),
+      changeFeed = true)
+    // identical semantics to merge(): source wins, partition move included
+    assert(asSet(t.read(spark)) ===
+      Set((1, "a", "p1"), (2, "B", "p2"), (3, "c", "p2"), (4, "d", "p3")))
+    // zero rewrites: every old file survives; the CDF speaks merge's language
+    assert(before.subsetOf(t.filesOf(t.currentVersion).toSet))
+    val changes = t.changes(spark, 1, 1)
+      .select("k", MergeTable.ChangeType).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(changes === Set((2, "update_preimage"), (2, "update_postimage"),
+      (4, "insert")))
+    // a second dv merge composes with the existing masks
+    t.mergeVectorized(spark, df(Seq((1, "A", "p1"))), Seq("k"))
+    assert(asSet(t.read(spark)).contains((1, "A", "p1")))
+    assert(t.read(spark).count() === 4L)
+    // a mass match (every row) falls back to the rewriting merge
+    val mass = new MergeTable(scratch("mt_dvmerge_mass"), Seq("p"))
+    mass.overwrite(df((1 to 50).map(k => (k, s"v$k", "p1"))))
+    val massBefore = mass.filesOf(mass.currentVersion).toSet
+    mass.mergeVectorized(spark, df((1 to 50).map(k => (k, "X", "p1"))), Seq("k"),
+      maxNewDvRows = 10)
+    assert(mass.read(spark).select("v").distinct().collect().map(_.getString(0)).toSeq === Seq("X"))
+    assert(mass.filesOf(mass.currentVersion).toSet.intersect(massBefore).isEmpty,
+      "past the dv bound the touched files must be rewritten, not masked")
+    // compaction drops the masks: same data, no dv bindings
+    t.compact(spark)
+    assert(t.read(spark).count() === 4L)
+  }
+
   test("vacuumRetainHours resolves the window against in-commit timestamps") {
     val t = new MergeTable(scratch("mt_vac_hours"), Seq("p"))
     val ticks = Iterator(1000L, 3600000L, 7200000L) ++ Iterator.continually(7300000L)
