@@ -1507,6 +1507,104 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     } finally src.unpersist()
   }
 
+  /** UPDATE with DELETION VECTORS (the [[mergeVectorized]] shape for
+    * predicate updates): predicate-TRUE rows are dv-masked in place and
+    * their post-SET images land in one new data dir — no touched file is
+    * rewritten, so the commit costs O(updated rows), not O(touched file
+    * bytes). Same semantics as [[update]] (NULL predicate rows untouched,
+    * SET sees the pre-update row, generated columns re-derived, CHECK
+    * constraints enforced in the write); same bounds and fallbacks as the
+    * other dv writers (`maxNewDvRows` → rewriting [[update]]); not
+    * available on rowTracking tables (masked rows' ids cannot survive
+    * into the new file).
+    */
+  def updateVectorized(spark: SparkSession, predicate: Column, set: Map[String, Column],
+                       changeFeed: Boolean = false,
+                       maxNewDvRows: Long = MergeTable.DefaultMaxDvRows): Unit = {
+    import MergeTable.{ChangeType, DvFileCol, DvIdxCol}
+    require(set.nonEmpty, "update requires at least one SET column")
+    require(!rowTrackingEnabled,
+      s"updateVectorized on $root: row tracking requires the rewriting update() — " +
+        "a dv-masked update cannot preserve the matched rows' ids")
+    val v = currentVersion
+    val schema = schemaOf(v)
+    val unknown = set.keySet -- schema.fieldNames
+    require(unknown.isEmpty,
+      s"update on $root: SET columns ${unknown.mkString(", ")} are not in the table schema")
+    require(!schema.fieldNames.contains(DvFileCol) && !schema.fieldNames.contains(DvIdxCol),
+      s"updateVectorized on $root: schema collides with reserved columns $DvFileCol/$DvIdxCol")
+    val files = filesOf(v)
+    val dvs = dvsOf(v)
+    val newVersion = v + 1
+    val probe = partitionCandidates(spark, files, schema, predicate)
+    val live = readFiles(spark, probe, schema, colmapOf(v), dvs, keepPos = true)
+    val matched = live.filter(coalesce(predicate, lit(false)) === true).cache()
+
+    val attempt = newDataDir(newVersion)
+    val dvRel = s"dv/$attempt"
+    matched.select(DvFileCol, DvIdxCol)
+      .repartition(1).write.parquet(s"$root/$dvRel")
+    val staged = spark.read.schema(MergeTable.DvSchema).parquet(s"$root/$dvRel")
+    val newCnt = staged.count()
+    if (newCnt == 0L) {
+      matched.unpersist()
+      deleteRecursively(Paths.get(root, dvRel))
+      commit(newVersion, files, schema, carryStats(v, files), op = "UPDATE")
+      return
+    }
+    if (newCnt > maxNewDvRows) {
+      matched.unpersist()
+      deleteRecursively(Paths.get(root, dvRel))
+      update(spark, predicate, set, changeFeed)
+      return
+    }
+    val touchedFiles = staged.select(DvFileCol).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val priorBound = touchedFiles.filter(dvs.contains)
+    if (priorBound.nonEmpty) {
+      val oldDirs = priorBound.map(f => dvs(f)._1).distinct.sorted
+      spark.read.schema(MergeTable.DvSchema)
+        .parquet(oldDirs.map(d => s"$root/$d"): _*)
+        .filter(col(DvFileCol).isin(priorBound: _*))
+        .repartition(1).write.mode("append").parquet(s"$root/$dvRel")
+    }
+    val cum = spark.read.schema(MergeTable.DvSchema).parquet(s"$root/$dvRel")
+      .groupBy(DvFileCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val newDvs: Seq[(String, String, Long)] = files.flatMap { f =>
+      cum.get(f) match {
+        case Some(n) => Some((f, dvRel, n))
+        case None    => dvs.get(f).map { case (d, n) => (f, d, n) }
+      }
+    }
+
+    // post-SET images of exactly the masked rows (pre-update row visible
+    // to every SET expression in one select), generated columns re-derived
+    val pre = matched.drop(DvFileCol, DvIdxCol)
+    val applied = pre.select(schema.fieldNames.map { c =>
+      set.get(c).fold(col(c))(e => e.cast(schema(c).dataType)).as(c)
+    }.toIndexedSeq: _*)
+    val regen = generatedCols.foldLeft(applied) {
+      case (acc, (name, genExpr)) if !set.contains(name) =>
+        acc.withColumn(name, expr(genExpr))
+      case (acc, _) => acc
+    }
+    val dataDir = s"${attempt}u"
+    writeData(regen, dataDir, colmapOf(v))
+    val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
+
+    val cdfDir =
+      if (changeFeed) Some(writeChanges(
+        pre.withColumn(ChangeType, lit("update_preimage"))
+          .unionByName(regen.withColumn(ChangeType, lit("update_postimage")),
+            allowMissingColumns = true), newVersion, dataDir))
+      else None
+    matched.unpersist()
+    commit(newVersion, files ++ newFiles, schema,
+      carryStats(v, files) ++ collectStats(spark, newFiles, schema, colmapOf(v)),
+      cdfDir, dvsOverride = Some(newDvs), op = "UPDATE (DV)")
+  }
+
   /** Delta `UPDATE SET` analog: apply `set` (column → new-value expression)
     * to every row matching `predicate`, rewriting ONLY the data files that
     * contain at least one matching row — the same file-pruned shape as

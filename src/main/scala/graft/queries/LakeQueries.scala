@@ -1423,6 +1423,37 @@ object LakeQueries {
              |FROM orders GROUP BY 1, 2""".stripMargin),
       "deletion-vector MERGE: mask-based upsert, zero file rewrites, O(matched rows)"),
 
+    // DV-routed SQL DML: with graft.enableDeletionVectors set, DELETE and
+    // UPDATE statements run the mask-based writers — same answers as the
+    // rewriting twins (the hash), zero old-file rewrites (the require).
+    "m53_dv_dml_sql" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m53_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        table.setProperties(Map(MergeTable.DeletionVectorsProp -> "true"))
+        val before = table.filesOf(table.currentVersion).toSet
+        val tgts = Map("orders_lake" -> table)
+        graft.sqlapi.LakeSql.run(s,
+          "DELETE FROM orders_lake WHERE o_orderkey % 10 = 3", tgts)
+        graft.sqlapi.LakeSql.run(s,
+          "UPDATE orders_lake SET o_orderpriority = 'DVU' WHERE o_orderkey % 10 = 4",
+          tgts)
+        require(before.subsetOf(table.filesOf(table.currentVersion).toSet),
+          "dv-routed DML must keep every original file in the manifest")
+        table.read(s).groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus,
+             |       CASE WHEN o_orderkey % 10 = 4 THEN 'DVU' ELSE o_orderpriority END
+             |         AS o_orderpriority,
+             |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderkey % 10 <> 3
+             |GROUP BY 1, 2""".stripMargin),
+      "DV-routed SQL DELETE/UPDATE: property-driven mask writers, zero rewrites"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -278,15 +278,24 @@ object LakeSql {
           LakeCatalog.register(name, created)
         }
       case DeleteShape(tgt, pred) =>
-        // no WHERE = all rows (Delta's DELETE FROM t table reset)
-        resolve(tgt, targets).delete(spark,
-          Option(pred).map(expr).getOrElse(org.apache.spark.sql.functions.lit(true)))
+        // no WHERE = all rows (Delta's DELETE FROM t table reset); the
+        // graft.enableDeletionVectors property routes through the mask-
+        // based writer (Delta's DV routing), rewrite otherwise
+        val table = resolve(tgt, targets)
+        val predicate =
+          Option(pred).map(expr).getOrElse(org.apache.spark.sql.functions.lit(true))
+        if (dvRouted(table)) table.deleteVectorized(spark, predicate)
+        else table.delete(spark, predicate)
       case UpdateShape(tgt, rest) =>
         val (sets, pred) = splitSetsWhere(rest)
         // no WHERE = every row updated (Delta semantics)
-        resolve(tgt, targets).update(spark,
-          pred.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true)),
-          parseSetList(sets).map { case (c, e) => c -> expr(e) }.toMap)
+        val table = resolve(tgt, targets)
+        val predicate =
+          pred.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true))
+        val assignments =
+          parseSetList(sets).map { case (c, e) => c -> expr(e) }.toMap
+        if (dvRouted(table)) table.updateVectorized(spark, predicate, assignments)
+        else table.update(spark, predicate, assignments)
       case VacuumShape(tgt, retain, unit) =>
         val table = resolve(tgt, targets)
         if (retain != null && unit != null && unit.equalsIgnoreCase("HOURS"))
@@ -716,6 +725,15 @@ object LakeSql {
       require(i > 0, s"unsupported TBLPROPERTIES entry '${a.trim}': expected k = v")
       stripQuotes(a.take(i).trim) -> stripQuotes(a.drop(i + 1).trim)
     }.toMap
+
+  /** Delta's `delta.enableDeletionVectors` routing: the property opts the
+    * table's SQL DELETE/UPDATE (and MERGE, see [[MergeInto.run]]) into the
+    * mask-based writers; rowTracking tables stay on the id-preserving
+    * rewrites.
+    */
+  private def dvRouted(table: MergeTable): Boolean =
+    table.properties.get(MergeTable.DeletionVectorsProp).contains("true") &&
+      !table.rowTrackingEnabled
 
   private def resolve(name: String, targets: Map[String, MergeTable]): MergeTable =
     targets.getOrElse(name,

@@ -1052,6 +1052,29 @@ class MergeTableSpec extends SparkSpec {
     assert(t.read(spark).count() === 4L)
   }
 
+  test("updateVectorized: masked pre-images, one new file, fallbacks") {
+    val t = new MergeTable(scratch("mt_dvupdate"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))))
+    val before = t.filesOf(t.currentVersion).toSet
+    t.updateVectorized(spark, col("k") <= 2, Map("v" -> upper(col("v"))),
+      changeFeed = true)
+    assert(asSet(t.read(spark)) ===
+      Set((1, "A", "p1"), (2, "B", "p1"), (3, "c", "p2")))
+    assert(before.subsetOf(t.filesOf(t.currentVersion).toSet),
+      "dv update must not rewrite any old file")
+    val changes = t.changes(spark, 1, 1)
+      .select("k", "v", MergeTable.ChangeType).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(changes === Set((1, "a", "update_preimage"), (2, "b", "update_preimage"),
+      (1, "A", "update_postimage"), (2, "B", "update_postimage")))
+    // no-match: metadata-only commit; NULL predicate rows untouched
+    t.updateVectorized(spark, col("k") > 99, Map("v" -> lit("z")))
+    assert(t.currentVersion === 2L && t.read(spark).count() === 3L)
+    // mass update past the bound falls back to the rewrite
+    t.updateVectorized(spark, lit(true), Map("v" -> lit("w")), maxNewDvRows = 1)
+    assert(t.read(spark).select("v").distinct().collect().map(_.getString(0)).toSeq === Seq("w"))
+  }
+
   test("vacuumRetainHours resolves the window against in-commit timestamps") {
     val t = new MergeTable(scratch("mt_vac_hours"), Seq("p"))
     val ticks = Iterator(1000L, 3600000L, 7200000L) ++ Iterator.continually(7300000L)
