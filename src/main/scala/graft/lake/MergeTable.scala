@@ -3434,6 +3434,13 @@ object MergeTable {
     */
   val RowTrackingProp = "graft.rowTracking"
 
+  /** Table property turning the change data feed ON for every SQL DML
+    * statement against the table (Delta's `delta.enableChangeDataFeed`):
+    * DELETE / UPDATE / MERGE INTO record their CDF rows without each call
+    * site opting in. API callers keep the explicit `changeFeed` flag.
+    */
+  val ChangeFeedProp = "graft.enableChangeDataFeed"
+
   /** Table property opting MERGE INTO into the dv path (Delta's
     * `delta.enableDeletionVectors` analog): when `true`, the SQL simple
     * upsert routes through [[MergeTable.mergeVectorized]] instead of the

@@ -1454,6 +1454,49 @@ object LakeQueries {
              |GROUP BY 1, 2""".stripMargin),
       "DV-routed SQL DELETE/UPDATE: property-driven mask writers, zero rewrites"),
 
+    // Property-driven CDF (Delta's delta.enableChangeDataFeed): once the
+    // table property is set, every SQL DML statement records change rows
+    // with no per-call flag — proven by replaying a DELETE + UPDATE +
+    // MERGE through table_changes over exactly those commits.
+    "m54_cdf_property" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m54_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders.filter(col("o_orderkey") % 4 =!= 3))      // v0
+        table.setProperties(Map(MergeTable.ChangeFeedProp -> "true"))    // v1
+        val name = s"m54_${sanitize(dir)}"
+        val src = s"m54_src_${sanitize(dir)}"
+        orders.filter(col("o_orderkey") % 4 === 3).createOrReplaceTempView(src)
+        graft.sqlapi.LakeCatalog.register(name, table)
+        try {
+          s.sql(s"DELETE FROM $name WHERE o_orderkey % 10 = 7")          // v2
+          s.sql(s"UPDATE $name SET o_orderpriority = 'CDF' WHERE o_orderkey % 10 = 2") // v3
+          s.sql(s"""MERGE INTO $name USING $src ON $name.o_orderkey = $src.o_orderkey
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)       // v4
+          s.sql(s"""SELECT _change_type AS change_type, count(*) AS n,
+                   |       sum(o_orderkey) AS key_sum
+                   |FROM table_changes('$name', 2, 4)
+                   |GROUP BY _change_type""".stripMargin)
+        } finally graft.sqlapi.LakeCatalog.unregister(name)
+      },
+      Some("""WITH base AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 3),
+             |changes AS (
+             |  SELECT 'delete' AS change_type, o_orderkey FROM base
+             |  WHERE o_orderkey % 10 = 7
+             |  UNION ALL
+             |  SELECT 'update_preimage', o_orderkey FROM base WHERE o_orderkey % 10 = 2
+             |  UNION ALL
+             |  SELECT 'update_postimage', o_orderkey FROM base WHERE o_orderkey % 10 = 2
+             |  UNION ALL
+             |  SELECT 'insert', o_orderkey FROM orders WHERE o_orderkey % 4 = 3)
+             |SELECT change_type, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM changes GROUP BY change_type""".stripMargin),
+      "property-driven CDF: enableChangeDataFeed turns the feed on for all SQL DML"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

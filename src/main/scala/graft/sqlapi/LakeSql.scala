@@ -12,11 +12,18 @@ import graft.lake.MergeTable
   *   CREATE TABLE [IF NOT EXISTS] t USING GRAFT [PARTITIONED BY (...)]
   *     [CLUSTER BY (...)] LOCATION '<path>' [TBLPROPERTIES (k = v, ...)]
   *     AS <SELECT ...>
+  *   CREATE TABLE [IF NOT EXISTS] t (c1 T1 [GENERATED ALWAYS AS (expr)
+  *     | GENERATED ALWAYS AS IDENTITY [(START WITH n INCREMENT BY m)]], ...)
+  *     USING GRAFT [PARTITIONED BY ...] LOCATION '<path>' [TBLPROPERTIES ...]
+  *                                                -- schema-only empty v0
   *   DROP TABLE [IF EXISTS] t                     -- unregisters; data stays
-  *   DELETE FROM t WHERE <predicate>
-  *   UPDATE t SET c1 = <expr> [, c2 = <expr> ...] WHERE <predicate>
-  *   VACUUM t [RETAIN <n> VERSIONS]
-  *   VACUUM t [RETAIN <n> VERSIONS] DRY RUN  -- reclaim preview (query())
+  *   DELETE FROM t [WHERE <predicate>]            -- no WHERE = all rows
+  *   UPDATE t SET c1 = <expr> [, ...] [WHERE <predicate>]
+  *     -- both route through deletion vectors when the table sets
+  *     -- graft.enableDeletionVectors, and record CDF rows when it sets
+  *     -- graft.enableChangeDataFeed (Delta's property routing)
+  *   VACUUM t [RETAIN <n> VERSIONS | RETAIN <n> HOURS]
+  *   VACUUM t [RETAIN ...] DRY RUN           -- reclaim preview (query())
   *   REORG TABLE t APPLY (PURGE)             -- rewrite ONLY dv-masked files
   *   FSCK REPAIR TABLE t                     -- drop refs to missing files
   *   CREATE BLOOMFILTER INDEX ON [TABLE] t FOR COLUMNS (c)
@@ -25,7 +32,9 @@ import graft.lake.MergeTable
   *   OPTIMIZE t ZORDER BY (c1 [, c2 ...])
   *   RESTORE [TABLE] t TO VERSION AS OF <n>
   *   RESTORE [TABLE] t TO TIMESTAMP AS OF '<ts>'
-  *   INSERT INTO t <SELECT ...|VALUES ...>        -- positional, Delta-style
+  *   INSERT INTO t [(c1, c2, ...)] <SELECT ...|VALUES ...>
+  *     -- positional; unlisted columns NULL-fill, generated/identity derive
+  *   INSERT OVERWRITE [TABLE] t [(c1, ...)] <SELECT ...|VALUES ...>
   *   ALTER TABLE t ADD COLUMNS (c1 type1 [, ...])
   *   ALTER TABLE t RENAME COLUMN a TO b           -- metadata-only (column mapping)
   *   ALTER TABLE t ALTER COLUMN c TYPE t          -- metadata-only type widening
@@ -38,8 +47,9 @@ import graft.lake.MergeTable
   *   SHOW TBLPROPERTIES t                         -- key/value rows (query())
   *   SELECT ... FROM t VERSION AS OF <n> ...      -- time travel
   *   SELECT ... FROM t TIMESTAMP AS OF '<ts>' ... -- time travel by wall clock
+  *   SELECT ... FROM table_changes('t', from, to) -- the CDF range as a TVF
   *   CREATE TABLE t2 SHALLOW CLONE t LOCATION '<path>'  -- zero-copy clone
-  *   DESCRIBE HISTORY t                           -- audit log (query())
+  *   DESCRIBE HISTORY t [LIMIT n]                 -- audit log (query())
   *   DESCRIBE DETAIL t                            -- table facts (query())
   *   SHOW PARTITIONS t                            -- manifest partitions (query())
   * }}}
@@ -284,8 +294,8 @@ object LakeSql {
         val table = resolve(tgt, targets)
         val predicate =
           Option(pred).map(expr).getOrElse(org.apache.spark.sql.functions.lit(true))
-        if (dvRouted(table)) table.deleteVectorized(spark, predicate)
-        else table.delete(spark, predicate)
+        if (dvRouted(table)) table.deleteVectorized(spark, predicate, cdfOn(table))
+        else table.delete(spark, predicate, cdfOn(table))
       case UpdateShape(tgt, rest) =>
         val (sets, pred) = splitSetsWhere(rest)
         // no WHERE = every row updated (Delta semantics)
@@ -294,8 +304,9 @@ object LakeSql {
           pred.map(expr).getOrElse(org.apache.spark.sql.functions.lit(true))
         val assignments =
           parseSetList(sets).map { case (c, e) => c -> expr(e) }.toMap
-        if (dvRouted(table)) table.updateVectorized(spark, predicate, assignments)
-        else table.update(spark, predicate, assignments)
+        if (dvRouted(table)) table.updateVectorized(spark, predicate, assignments,
+          cdfOn(table))
+        else table.update(spark, predicate, assignments, cdfOn(table))
       case VacuumShape(tgt, retain, unit) =>
         val table = resolve(tgt, targets)
         if (retain != null && unit != null && unit.equalsIgnoreCase("HOURS"))
@@ -734,6 +745,12 @@ object LakeSql {
   private def dvRouted(table: MergeTable): Boolean =
     table.properties.get(MergeTable.DeletionVectorsProp).contains("true") &&
       !table.rowTrackingEnabled
+
+  /** Delta's `delta.enableChangeDataFeed`: the property turns the CDF on
+    * for every SQL DML statement against the table.
+    */
+  private[sqlapi] def cdfOn(table: MergeTable): Boolean =
+    table.properties.get(MergeTable.ChangeFeedProp).contains("true")
 
   private def resolve(name: String, targets: Map[String, MergeTable]): MergeTable =
     targets.getOrElse(name,

@@ -216,11 +216,15 @@ object MergeInto {
     val dvRoute = st.isSimpleUpsert && !fullSync && !st.schemaEvolution &&
       !table.rowTrackingEnabled &&
       table.properties.get(MergeTable.DeletionVectorsProp).contains("true")
+    // Delta's delta.enableChangeDataFeed: the property turns the CDF on
+    // for the statement without a per-call flag
+    val cdf = table.properties.get(MergeTable.ChangeFeedProp).contains("true")
     if (dvRoute)
-      table.mergeVectorized(spark, spark.table(st.source), st.keys)
+      table.mergeVectorized(spark, spark.table(st.source), st.keys, changeFeed = cdf)
     else if (st.isSimpleUpsert)
       table.merge(spark, spark.table(st.source), st.keys,
         mergeSchema = st.schemaEvolution,
+        changeFeed = cdf,
         keysDeterminePartitions = keysDeterminePartitions,
         deleteNotMatchedBySource = fullSync)
     else {
@@ -234,6 +238,7 @@ object MergeInto {
           "add new columns via ALTER TABLE ... ADD COLUMNS before a conditional-clause merge")
       table.mergeClauses(spark, spark.table(st.source), st.keys, st.clauses,
         targetAlias = st.targetAlias, sourceAlias = st.sourceAlias,
+        changeFeed = cdf,
         keysDeterminePartitions = keysDeterminePartitions)
     }
   }
