@@ -3434,6 +3434,64 @@ object MergeTable {
     */
   val RowTrackingProp = "graft.rowTracking"
 
+  /** CONVERT TO GRAFT (Delta's `CONVERT TO DELTA parquet.\`path\``):
+    * adopt an EXISTING plain-parquet directory — hive-partitioned or flat
+    * — as a MergeTable, in place and zero-copy: every data file is
+    * HARD-LINKED into a version-0 data directory (O(files) metadata ops,
+    * no bytes move; per-file copy fallback off-filesystem) and committed
+    * as the initial snapshot. The original loose files stay untouched, so
+    * plain-parquet readers of the directory keep working — storage is
+    * shared through the links, exactly the cloneTo discipline. From the
+    * commit on, the directory is a full MergeTable: MERGE/DELETE/time
+    * travel/OPTIMIZE all apply; a 100 TB parquet lake converts without
+    * rewriting a byte.
+    *
+    * Partition columns come from `partitionColsHint` when given, else
+    * from the `k=v` directory segments of the first data file; their
+    * TYPES (and the schema) come from Spark's own read of the directory,
+    * so the committed DDL matches what any parquet reader infers.
+    */
+  def convertParquet(spark: SparkSession, root: String,
+                     partitionColsHint: Seq[String] = Nil): MergeTable = {
+    import scala.jdk.CollectionConverters._
+    val rootP = Paths.get(root)
+    require(Files.isDirectory(rootP), s"CONVERT TO GRAFT: $root is not a directory")
+    val srcFiles = Files.walk(rootP).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")
+        && !p.getFileName.toString.startsWith("."))
+      .map(p => rootP.toAbsolutePath.relativize(p.toAbsolutePath).toString)
+      .toSeq.sorted
+    require(srcFiles.nonEmpty, s"CONVERT TO GRAFT: no parquet files under $root")
+    val pcols =
+      if (partitionColsHint.nonEmpty) partitionColsHint
+      else srcFiles.head.split('/').dropRight(1).toSeq
+        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+    val table = new MergeTable(root, pcols)
+    require(!table.exists, s"CONVERT TO GRAFT: $root is already a MergeTable")
+    // depth must be exactly the partition dirs + the file: a nested
+    // NON-hive subdir would break the manifest-relative dv keying
+    // (relPathCol takes partitionCols+2 trailing segments)
+    require(srcFiles.forall(_.split('/').length == pcols.size + 1),
+      s"CONVERT TO GRAFT: $root mixes directory depths — the layout must be " +
+        "flat or uniformly hive-partitioned (k=v directories)")
+    val schema = spark.read.parquet(root).schema // partition types inferred
+    val missing = pcols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"CONVERT TO GRAFT: partition column(s) ${missing.mkString(", ")} not found " +
+        s"in the directory layout of $root")
+    val dataDir = table.newDataDir(0L)
+    srcFiles.foreach { rel =>
+      val dst = rootP.resolve(dataDir).resolve(rel)
+      Files.createDirectories(dst.getParent)
+      val srcP = rootP.resolve(rel)
+      try Files.createLink(dst, srcP)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException
+                if !Files.exists(dst) => Files.copy(srcP, dst) }
+    }
+    table.commit(0L, srcFiles.map(rel => s"$dataDir/$rel"), schema, Nil, op = "CONVERT")
+    table
+  }
+
   /** Table property turning the change data feed ON for every SQL DML
     * statement against the table (Delta's `delta.enableChangeDataFeed`):
     * DELETE / UPDATE / MERGE INTO record their CDF rows without each call

@@ -1497,6 +1497,44 @@ object LakeQueries {
              |FROM changes GROUP BY change_type""".stripMargin),
       "property-driven CDF: enableChangeDataFeed turns the feed on for all SQL DML"),
 
+    // CONVERT TO GRAFT (Delta's CONVERT TO DELTA): an existing hive-
+    // partitioned plain-parquet directory becomes a MergeTable in place —
+    // zero-copy links, no data rewrite — and is immediately a full lake
+    // table: the gate follows the convert with a MERGE and a time-travel
+    // read of the pre-merge snapshot. The require pins that conversion
+    // added no data bytes (same file count in the v0 manifest as on disk).
+    "m55_convert" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m55_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        // the pre-existing plain parquet lake (hive-partitioned)
+        orders.write.partitionBy("o_orderstatus").parquet(root)
+        s.sql(s"CONVERT TO GRAFT parquet.`$root` AS m55_${sanitize(dir)}")
+        graft.sqlapi.LakeCatalog.unregister(s"m55_${sanitize(dir)}")
+        val table = MergeTable.open(root)
+        require(table.currentVersion == 0L && table.partitionCols == Seq("o_orderstatus"),
+          "convert must commit v0 with the hive layout as partition columns")
+        // a converted table is a FULL lake table: merge + time travel work
+        table.merge(s, orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderpriority", lit("CONV")), Seq("o_orderkey"))
+        val v0 = table.readVersion(s, 0).agg(count(lit(1)).as("n0"),
+          sum("o_orderkey").as("ks0"))
+        table.read(s).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+          .crossJoin(v0)
+      },
+      Some("""WITH cur AS (
+             |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'CONV' ELSE o_orderpriority END
+             |           AS o_orderpriority, o_orderkey
+             |  FROM orders)
+             |SELECT o_orderpriority, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       (SELECT count(*) FROM orders) AS n0,
+             |       (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders) AS ks0
+             |FROM cur GROUP BY o_orderpriority""".stripMargin),
+      "CONVERT TO GRAFT: zero-copy adoption of a plain-parquet lake, then full DML"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

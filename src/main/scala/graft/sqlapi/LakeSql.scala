@@ -196,6 +196,14 @@ object LakeSql {
      """\s+LOCATION\s+'([^']+)'""" +
      """(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s*;?\s*$""").r
 
+  /** Delta's `CONVERT TO DELTA parquet.\`path\``: adopt a plain-parquet
+    * directory in place (zero-copy link into a v0 layout). An optional
+    * `AS <name>` registers the converted table for follow-up statements.
+    */
+  private val ConvertShape =
+    ("""(?is)^\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`""" +
+     """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?(?:\s+AS\s+([\w.]+))?\s*;?\s*$""").r
+
   private val DropTableShape =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
 
@@ -244,6 +252,11 @@ object LakeSql {
           // the same session — the whole point of a CTAS
           LakeCatalog.register(name, created)
         }
+      case ConvertShape(path, parts, name) =>
+        val pcols = Option(parts).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        val converted = MergeTable.convertParquet(spark, path, pcols)
+        Option(name).foreach(LakeCatalog.register(_, converted))
       case CloneShape(ifNotExists, name, src, loc) =>
         val known = targets.keySet ++ LakeCatalog.targets.keySet
         if (known.contains(name)) {
@@ -511,6 +524,9 @@ object LakeSql {
   private[sqlapi] def isCreateStatement(sql: String): Boolean = sql match {
     case CreateTableShape(_, _, _, _, _, _, _)      => true
     case CreateEmptyShape(_, _, _, _, _, _, _)      => true
+    // CONVERT routes on shape alone too: its target is a PATH, never a
+    // registered name
+    case ConvertShape(_, _, _)                      => true
     case _                                          => false
   }
 

@@ -1052,6 +1052,31 @@ class MergeTableSpec extends SparkSpec {
     assert(t.read(spark).count() === 4L)
   }
 
+  test("convertParquet adopts flat and hive layouts zero-copy; DML works after") {
+    import spark.implicits._
+    // hive-partitioned source
+    val hive = scratch("mt_convert_hive")
+    df(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")))
+      .write.mode("overwrite").partitionBy("p").parquet(hive)
+    val t = MergeTable.convertParquet(spark, hive)
+    assert(t.partitionCols === Seq("p") && t.currentVersion === 0L)
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")))
+    // the original loose parquet files still read as plain parquet
+    assert(spark.read.parquet(s"$hive/p=p1").count() === 2L)
+    t.delete(spark, col("k") === 2)
+    assert(asSet(t.read(spark)) === Set((1, "a", "p1"), (3, "c", "p2")))
+    assert(asSet(t.readVersion(spark, 0)).size === 3)
+    // flat (unpartitioned) source
+    val flat = scratch("mt_convert_flat")
+    Seq((1, "x"), (2, "y")).toDF("k", "v").repartition(2).write.mode("overwrite").parquet(flat)
+    val f = MergeTable.convertParquet(spark, flat)
+    assert(f.partitionCols.isEmpty && f.read(spark).count() === 2L)
+    // double-convert and empty dirs fail loudly
+    intercept[IllegalArgumentException](MergeTable.convertParquet(spark, hive))
+    intercept[IllegalArgumentException](
+      MergeTable.convertParquet(spark, scratch("mt_convert_empty")))
+  }
+
   test("updateVectorized: masked pre-images, one new file, fallbacks") {
     val t = new MergeTable(scratch("mt_dvupdate"), Seq("p"))
     t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))))
