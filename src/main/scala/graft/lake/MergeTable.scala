@@ -1099,6 +1099,26 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** [[changes]] with each row stamped by its COMMIT VERSION
+    * ([[MergeTable.CommitVersion]]), and None instead of an error when the
+    * range recorded no feed — the shape the streaming CDF source needs
+    * (an offset range may span feed-less metadata commits).
+    */
+  private[graft] def changesWithVersion(spark: SparkSession, fromVersion: Long,
+                                        toVersion: Long): Option[DataFrame] = {
+    val frames = (fromVersion to toVersion).flatMap { ver =>
+      if (!Files.exists(commitPath(ver))) None
+      else readMeta(ver).cdfDir.map { d =>
+        if (!healFeed(d)) throw new IllegalStateException(
+          s"version $ver of $root recorded a change feed at $d but the directory is " +
+            "missing — the change feed for this range is incomplete")
+        spark.read.parquet(Paths.get(root, d).toString)
+          .withColumn(MergeTable.CommitVersion, lit(ver))
+      }
+    }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** STREAMING read of the change feed (the Delta `readChangeFeed`
     * streaming-source analog): a file source over the cdf directories, so
     * the rows of every future `changeFeed = true` commit arrive as a new

@@ -706,5 +706,64 @@ object StreamQueries {
              |       min(value) AS min_value, max(value) AS max_value
              |FROM events GROUP BY event_type""".stripMargin),
       "readStream.format(\"graft\"): version-offset streaming source, snapshot + append tail"),
+
+    // Streaming CDF through the connector (Delta's
+    // readStream.option("readChangeFeed")): the table records its feed via
+    // the enableChangeDataFeed property, three SQL DML commits write
+    // change rows, and the stream replays them grouped by
+    // (change_type, commit_version) — st6's semantics, but driven entirely
+    // by the connector + property surface instead of API calls.
+    "st14_cdf_connector" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val orders = Registry.t(s, dir, "orders")
+        val root = s"${Registry.scratchRoot}/st14_lake_$id"
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders.filter(col("o_orderkey") % 4 =!= 3))      // v0
+        table.setProperties(Map(MergeTable.ChangeFeedProp -> "true"))    // v1
+        val name = s"st14_$id"
+        val src = s"st14_src_$id"
+        orders.filter(col("o_orderkey") % 4 === 3).createOrReplaceTempView(src)
+        graft.sqlapi.LakeCatalog.register(name, table)
+        try {
+          s.sql(s"DELETE FROM $name WHERE o_orderkey % 10 = 7")          // v2
+          s.sql(s"UPDATE $name SET o_orderpriority = 'CDF' WHERE o_orderkey % 10 = 2") // v3
+          s.sql(s"""MERGE INTO $name USING $src ON $name.o_orderkey = $src.o_orderkey
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)       // v4
+        } finally graft.sqlapi.LakeCatalog.unregister(name)
+        val outDir = s"${Registry.scratchRoot}/st14_out_$id"
+        val q = ss.readStream.format("graft")
+          .option("path", root).option("readChangeFeed", "true").load()
+          .groupBy(col(MergeTable.ChangeType).as("change_type"),
+            col(MergeTable.CommitVersion).as("commit_version"))
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+          .writeStream.outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st14_ckpt_$id")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(outDir); ()
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .orderBy("commit_version", "change_type")
+      },
+      Some("""WITH base AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 3),
+             |changes AS (
+             |  SELECT 'delete' AS change_type, 2 AS commit_version, o_orderkey
+             |  FROM base WHERE o_orderkey % 10 = 7
+             |  UNION ALL
+             |  SELECT 'update_preimage', 3, o_orderkey FROM base WHERE o_orderkey % 10 = 2
+             |  UNION ALL
+             |  SELECT 'update_postimage', 3, o_orderkey FROM base WHERE o_orderkey % 10 = 2
+             |  UNION ALL
+             |  SELECT 'insert', 4, o_orderkey FROM orders WHERE o_orderkey % 4 = 3)
+             |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+             |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM changes GROUP BY 1, 2
+             |ORDER BY commit_version, change_type""".stripMargin),
+      "streaming CDF via the connector: readChangeFeed option, version-stamped rows"),
   )
 }

@@ -70,7 +70,13 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     val table = MergeTable.open(parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "readStream.format(\"graft\") requires .option(\"path\", <table root>)")))
-    (shortName(), schema.getOrElse(table.schemaOf(table.currentVersion)))
+    val base = schema.getOrElse(table.schemaOf(table.currentVersion))
+    val s =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        base.add(MergeTable.ChangeType, org.apache.spark.sql.types.StringType)
+          .add(MergeTable.CommitVersion, org.apache.spark.sql.types.LongType)
+      else base
+    (shortName(), s)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -86,7 +92,9 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       case Some(v)                                 => v.toLong - 1
       case None                                    => -1L
     }
-    new GraftStreamSource(ctx.sparkSession, path,
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      new GraftCdfStreamSource(ctx.sparkSession, path, startFrom)
+    else new GraftStreamSource(ctx.sparkSession, path,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       startFrom = startFrom)
   }
@@ -408,6 +416,54 @@ final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftStreamSource[$root]"
+}
+
+/** The streaming CDF source (`readStream.format("graft")
+  * .option("readChangeFeed", true)` — Delta's streaming CDF shape):
+  * offsets are commit versions, each batch is the change rows the offset
+  * range's commits recorded, stamped with their commit version.
+  * Feed-less commits (metadata, non-CDF writes) contribute nothing;
+  * per-batch cost is O(changed rows), never a snapshot diff.
+  */
+final class GraftCdfStreamSource(spark: org.apache.spark.sql.SparkSession,
+                                 root: String, startFrom: Long)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.Offset
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val table = MergeTable.open(root)
+
+  // the LATEST snapshot's columns plus the CDF markers — early feed files
+  // null-fill columns a later schema evolution added (parquet projection)
+  override val schema: StructType = {
+    var s = table.schemaOf(table.currentVersion)
+    s = s.add(MergeTable.ChangeType, org.apache.spark.sql.types.StringType)
+    s.add(MergeTable.CommitVersion, org.apache.spark.sql.types.LongType)
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other         => other.json().trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = Some(LongOffset(table.currentVersion))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(startFrom)
+    // an empty anchor of the source schema pins column order and
+    // null-fills pre-evolution feed files
+    val anchor = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val batch = table.changesWithVersion(spark, from + 1, versionOf(end))
+      .map(df => anchor.unionByName(df, allowMissingColumns = true))
+      .getOrElse(anchor)
+    org.apache.spark.sql.GraftSqlShims.streamingDataFrame(
+      spark, batch.queryExecution.toRdd, batch.schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftCdfStreamSource[$root]"
 }
 
 /** The streaming sink behind `writeStream.format("graft")`: one
