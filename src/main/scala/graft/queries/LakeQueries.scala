@@ -1535,6 +1535,69 @@ object LakeQueries {
              |FROM cur GROUP BY o_orderpriority""".stripMargin),
       "CONVERT TO GRAFT: zero-copy adoption of a plain-parquet lake, then full DML"),
 
+    // The DSv2 catalog plugin (Delta's DeltaCatalog integration shape):
+    // Spark-native CREATE NAMESPACE / CREATE TABLE / INSERT INTO / SELECT
+    // over multi-part identifiers, zero parser extension involved. The
+    // read side must agree with DuckDB on the source table exactly.
+    "m56_catalog" -> GraftQuery(
+      (s, dir) => {
+        val tag = sanitize(dir)
+        val cat = s"gc56_$tag"
+        val wh = s"$scratchRoot/m56_$tag"
+        cleanDir(wh)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+        s.sql(s"""CREATE TABLE $cat.lake.ords (
+                 |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+                 |  o_totalprice DOUBLE, o_orderpriority STRING)
+                 |PARTITIONED BY (o_orderstatus)""".stripMargin)
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderpriority")
+          .createOrReplaceTempView(s"m56_src_$tag")
+        s.sql(s"INSERT INTO $cat.lake.ords SELECT * FROM m56_src_$tag")
+        s.sql(s"""SELECT o_orderstatus, count(*) AS n,
+                 |       round(sum(o_totalprice), 2) AS revenue,
+                 |       sum(o_orderkey) AS key_sum
+                 |FROM $cat.lake.ords GROUP BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS revenue,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "DSv2 catalog plugin: native CREATE TABLE/INSERT/SELECT through spark.sql.catalog"),
+
+    // Catalog-routed DML: CTAS then DELETE FROM through SupportsDelete —
+    // the delete must route through the same predicate semantics as the
+    // rewriting DML surface (oracle = the complement aggregate).
+    "m57_catalog_dml" -> GraftQuery(
+      (s, dir) => {
+        val tag = sanitize(dir)
+        val cat = s"gc57_$tag"
+        val wh = s"$scratchRoot/m57_$tag"
+        cleanDir(wh)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dml")
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_quantity",
+            "l_extendedprice", "l_returnflag")
+          .createOrReplaceTempView(s"m57_src_$tag")
+        s.sql(s"CREATE TABLE $cat.dml.li AS SELECT * FROM m57_src_$tag")
+        s.sql(s"DELETE FROM $cat.dml.li WHERE l_returnflag = 'R'")
+        s.sql(s"""SELECT l_returnflag, count(*) AS n,
+                 |       round(sum(l_extendedprice), 2) AS revenue,
+                 |       sum(l_quantity) AS sum_qty
+                 |FROM $cat.dml.li GROUP BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |       round(sum(l_extendedprice), 2) AS revenue,
+             |       sum(l_quantity) AS sum_qty
+             |FROM lineitem WHERE l_returnflag <> 'R'
+             |GROUP BY l_returnflag""".stripMargin),
+      "catalog DML: CTAS + DELETE FROM via SupportsDelete, complement-aggregate oracle"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -307,18 +307,52 @@ final class GraftTable(root: String, declaredParts: Seq[String],
   }
 
   private[sources] def asV2: Table = new Table
-      with SupportsRead with SupportsWrite {
+      with SupportsRead with SupportsWrite
+      with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
     override def name(): String = s"graft.`$root`"
+
+    /** `DELETE FROM <catalog table> WHERE p` / `TRUNCATE TABLE` (Spark
+      * plans the latter as a delete-all through [[truncateTable]]'s
+      * default). Only fully-translatable predicates are accepted —
+      * Spark then fails loudly instead of silently deleting the wrong
+      * rows. Routing mirrors the SQL DML surface: the
+      * `graft.enableDeletionVectors` property masks instead of
+      * rewriting, `graft.enableChangeDataFeed` records change rows.
+      */
+    override def canDeleteWhere(filters: Array[Filter]): Boolean =
+      !cdfMode && opts.get("versionasof").isEmpty &&
+        opts.get("timestampasof").isEmpty &&
+        filters.forall(f => GraftDataSource.translate(f).isDefined)
+
+    override def deleteWhere(filters: Array[Filter]): Unit = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val t = MergeTable.open(root)
+      val pred = filters.flatMap(GraftDataSource.translate(_))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val cdf = t.properties.get(MergeTable.ChangeFeedProp).contains("true")
+      val dv = t.properties.get(MergeTable.DeletionVectorsProp).contains("true") &&
+        !t.rowTrackingEnabled
+      if (dv) t.deleteVectorized(spark, pred, cdf)
+      else t.delete(spark, pred, cdf)
+    }
 
     override def schema(): StructType = resolvedSchema
 
     override def partitioning(): Array[Transform] =
       handle.partitionCols.map(Expressions.identity).toArray
 
-    override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-        TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+    override def capabilities(): util.Set[TableCapability] = {
+      val caps = util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      // ACCEPT_ANY_SCHEMA only while the table has no schema yet (write
+      // bootstrap): once one exists, Spark's own by-name/position output
+      // resolution must run — it is what gives INSERT ... VALUES its
+      // column names and implicit casts. Advertising it unconditionally
+      // would hand every insert raw col1/col2/... names.
+      if (!new MergeTable(root).exists) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+      caps
+    }
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new GraftScanBuilder(GraftTable.this)

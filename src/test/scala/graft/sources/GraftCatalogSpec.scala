@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.lake.MergeTable
+
+/** The DSv2 catalog plugin (`spark.sql.catalog.x = GraftCatalog`) —
+  * Spark's native multi-part-identifier SQL driving MergeTable: DDL,
+  * DML, metadata commands, namespaces, renames, and catalog-routed
+  * deletes, all with zero parser-extension involvement.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val cat: String = {
+    val name = "gtest"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", scratch("catalog_wh"))
+    name
+  }
+
+  test("CREATE NAMESPACE / CREATE TABLE / INSERT / SELECT round-trip") {
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (k BIGINT, v STRING, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $cat.lake.t VALUES (1, 'a', 'p1'), (2, 'b', 'p2')")
+    assert(spark.sql(s"SELECT k, v, p FROM $cat.lake.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((1L, "a", "p1"), (2L, "b", "p2")))
+    // the catalog's state IS the commit log — an API handle on the same
+    // warehouse path sees the identical table, partition layout included
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val api = MergeTable.open(s"$wh/lake/t")
+    assert(api.partitionCols === Seq("p"))
+    assert(api.filesOf(api.currentVersion).exists(_.contains("p=p1")))
+  }
+
+  test("CTAS, INSERT OVERWRITE, and DELETE FROM via SupportsDelete") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dml")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE $cat.dml.c AS SELECT * FROM ctas_src")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.dml.c").head.getLong(0) === 3L)
+    spark.sql(s"DELETE FROM $cat.dml.c WHERE id = 2")
+    assert(spark.sql(s"SELECT sum(x) FROM $cat.dml.c").head.getDouble(0) === 40.0)
+    spark.sql(s"INSERT OVERWRITE $cat.dml.c SELECT * FROM ctas_src WHERE id = 1")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.dml.c").head.getLong(0) === 1L)
+    spark.sql(s"TRUNCATE TABLE $cat.dml.c")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.dml.c").head.getLong(0) === 0L)
+  }
+
+  test("ALTER TABLE: add / rename / drop column and table properties") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.alter")
+    spark.sql(s"CREATE TABLE $cat.alter.t (a INT, b STRING)")
+    spark.sql(s"INSERT INTO $cat.alter.t VALUES (1, 'x')")
+    spark.sql(s"ALTER TABLE $cat.alter.t ADD COLUMN c DOUBLE")
+    spark.sql(s"INSERT INTO $cat.alter.t VALUES (2, 'y', 2.5)")
+    assert(spark.sql(s"SELECT c FROM $cat.alter.t WHERE a = 1").head.isNullAt(0),
+      "pre-evolution rows null-fill the added column")
+    spark.sql(s"ALTER TABLE $cat.alter.t RENAME COLUMN b TO label")
+    assert(spark.sql(s"SELECT label FROM $cat.alter.t WHERE a = 2")
+      .head.getString(0) === "y")
+    spark.sql(s"ALTER TABLE $cat.alter.t DROP COLUMN c")
+    assert(!spark.table(s"$cat.alter.t").columns.contains("c"))
+    spark.sql(s"ALTER TABLE $cat.alter.t SET TBLPROPERTIES ('graft.note' = 'hi')")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    assert(MergeTable.open(s"$wh/alter/t").properties.get("graft.note")
+      .contains("hi"))
+    spark.sql(s"ALTER TABLE $cat.alter.t UNSET TBLPROPERTIES ('graft.note')")
+    assert(!MergeTable.open(s"$wh/alter/t").properties.contains("graft.note"))
+  }
+
+  test("SHOW TABLES / SHOW NAMESPACES / RENAME TO / DROP TABLE") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.meta")
+    spark.sql(s"CREATE TABLE $cat.meta.one (x INT)")
+    assert(spark.sql(s"SHOW TABLES IN $cat.meta").select("tableName")
+      .as[String].collect().contains("one"))
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").select("namespace")
+      .as[String].collect().contains("meta"))
+    // the rename target is resolved inside the same catalog (Spark's
+    // multi-part RENAME TO contract: no catalog prefix on the new name)
+    spark.sql(s"ALTER TABLE $cat.meta.one RENAME TO meta.two")
+    spark.sql(s"INSERT INTO $cat.meta.two VALUES (7)")
+    assert(spark.sql(s"SELECT x FROM $cat.meta.two").head.getInt(0) === 7)
+    assert(intercept[Exception](spark.table(s"$cat.meta.one").collect())
+      .getMessage.toLowerCase.contains("table"))
+    spark.sql(s"DROP TABLE $cat.meta.two")
+    assert(spark.sql(s"SHOW TABLES IN $cat.meta").count() === 0L,
+      "managed drop removes the table")
+  }
+
+  test("catalog DELETE routes through deletion vectors when the property is set") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dv")
+    spark.sql(s"CREATE TABLE $cat.dv.t (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')")
+    spark.sql(s"INSERT INTO $cat.dv.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val before = MergeTable.open(s"$wh/dv/t")
+    val filesBefore = before.filesOf(before.currentVersion).toSet
+    spark.sql(s"DELETE FROM $cat.dv.t WHERE id = 2")
+    val after = MergeTable.open(s"$wh/dv/t")
+    assert(after.filesOf(after.currentVersion).toSet === filesBefore,
+      "dv-routed delete masks rows without rewriting any data file")
+    assert(spark.sql(s"SELECT id FROM $cat.dv.t ORDER BY id").as[Long]
+      .collect().toSeq === Seq(1L, 3L))
+  }
+
+  test("native time-travel SQL: VERSION AS OF / TIMESTAMP AS OF") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.tt")
+    spark.sql(s"CREATE TABLE $cat.tt.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.tt.t VALUES (1)")       // v1
+    spark.sql(s"INSERT INTO $cat.tt.t VALUES (2), (3)")  // v2
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tt.t VERSION AS OF 1")
+      .head.getLong(0) === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tt.t VERSION AS OF 2")
+      .head.getLong(0) === 3L)
+    // a far-future timestamp resolves to the current version
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tt.t " +
+      "TIMESTAMP AS OF '2100-01-01 00:00:00'").head.getLong(0) === 3L)
+  }
+
+  test("scan pruning and filter pushdown survive the catalog route") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.plan")
+    spark.sql(s"CREATE TABLE $cat.plan.t (k BIGINT, v STRING, w STRING)")
+    spark.sql(s"INSERT INTO $cat.plan.t VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    val plan = spark.sql(s"SELECT v FROM $cat.plan.t WHERE k = 2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("k"),
+      s"catalog scans must push filters to parquet:\n$plan")
+  }
+}
