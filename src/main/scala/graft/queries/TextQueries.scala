@@ -1135,6 +1135,116 @@ object TextQueries {
              |       CAST(sum(length(text)) AS BIGINT) AS chars
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
       "training-shard writer: one-shuffle deterministic N-shard pack, verified from disk"),
+
+    // Exact stratified sampling — the training-mix primitive: per-stratum
+    // quota k, membership decided by a DETERMINISTIC hash order (md5 of
+    // the doc id), so the sample is reproducible on any cluster size and
+    // re-runs select the identical rows (no seed/partitioning
+    // dependence, unlike df.sampleBy). One shuffle (the per-stratum
+    // window); at 100 TB the rank prune happens before the wide text
+    // column is ever aggregated.
+    "t30_stratified_sample" -> GraftQuery(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 120
+        t(s, dir, "documents")
+          .withColumn("h", md5(col("doc_id").cast("string")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+          .filter(col("rk") <= k)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+            sum("n_chars").as("char_sum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |       CAST(sum(n_chars) AS BIGINT) AS char_sum
+             |FROM (SELECT lang, doc_id, n_chars,
+             |             row_number() OVER (PARTITION BY lang
+             |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |      FROM documents)
+             |WHERE rk <= 120 GROUP BY lang ORDER BY lang""".stripMargin),
+      "exact stratified sampling: per-stratum quota by deterministic hash order"),
+
+    // Temperature-scaled domain mixing (the Pile/LLaMA recipe shape):
+    // per-source quota = ceil(K * sqrt(share-of-largest)) capped at the
+    // source's size — alpha = 0.5 flattening, so small sources are
+    // up-weighted relative to proportional sampling. Every arithmetic
+    // step is a SINGLE IEEE op on deterministic inputs (divide, sqrt,
+    // multiply, ceil), so the quota — and therefore the exact selected
+    // set — is bit-identical across engines; selection is the same
+    // hash-order rank as t30. The quota frame is #domains rows:
+    // broadcast by construction.
+    "t31_temperature_mix" -> GraftQuery(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bigK = 400
+        val docs = t(s, dir, "documents")
+        val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+          .withColumn("n_max", max("n_src").over(Window.partitionBy()))
+          .withColumn("quota", least(col("n_src"),
+            ceil(lit(bigK) * sqrt(col("n_src").cast("double") / col("n_max")))))
+          .select("source", "n_src", "quota")
+        docs.withColumn("rk", row_number().over(
+            Window.partitionBy(col("source")).orderBy(
+              md5(col("doc_id").cast("string")), col("doc_id"))))
+          .join(broadcast(quotas), "source")
+          .filter(col("rk") <= col("quota"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_sampled"), max("quota").as("quota"),
+            max("n_src").as("n_src"), sum("doc_id").as("id_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH q AS (
+             |  SELECT source, count(*) AS n_src,
+             |         least(count(*), CAST(ceil(400 * sqrt(
+             |           CAST(count(*) AS DOUBLE) / (SELECT max(cnt) FROM (
+             |             SELECT count(*) AS cnt FROM documents GROUP BY source))))
+             |           AS BIGINT)) AS quota
+             |  FROM documents GROUP BY source),
+             |r AS (
+             |  SELECT source, doc_id,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |SELECT r.source, count(*) AS n_sampled, max(q.quota) AS quota,
+             |       max(q.n_src) AS n_src, CAST(sum(r.doc_id) AS BIGINT) AS id_sum
+             |FROM r JOIN q ON r.source = q.source
+             |WHERE r.rk <= q.quota
+             |GROUP BY r.source ORDER BY r.source""".stripMargin),
+      "temperature-scaled domain mixing: alpha=0.5 quotas, hash-order selection"),
+
+    // Deterministic epoch shuffle + split assignment: the training-data
+    // reproducibility primitive. Order and splits both derive from a
+    // seed-keyed md5 (seed 'epoch1'), so shard layout, cluster size, and
+    // re-runs cannot change either; per-split min/max of the shuffle key
+    // pins the global order without materializing it. Map-only until the
+    // 3-group aggregate — no sort ships any data anywhere.
+    "t32_epoch_shuffle" -> GraftQuery(
+      (s, dir) => {
+        t(s, dir, "documents")
+          .withColumn("h", md5(concat(lit("epoch1:"), col("doc_id").cast("string"))))
+          .withColumn("bucket",
+            expr("pmod(CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT), 100)"))
+          .withColumn("split",
+            when(col("bucket") < 5, "val")
+              .when(col("bucket") < 10, "test").otherwise("train"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+            min("h").as("first_key"), max("h").as("last_key"))
+          .orderBy("split")
+      },
+      Some("""SELECT CASE WHEN b < 5 THEN 'val' WHEN b < 10 THEN 'test'
+             |            ELSE 'train' END AS split,
+             |       count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+             |       min(h) AS first_key, max(h) AS last_key
+             |FROM (SELECT doc_id,
+             |             md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS h,
+             |             ('0x' || substring(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "deterministic epoch shuffle: seed-keyed order + train/val/test split assignment"),
   )
 
   /** t23/t24's shared chunk derivation: per doc, content-defined chunk
