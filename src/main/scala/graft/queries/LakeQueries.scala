@@ -1598,6 +1598,48 @@ object LakeQueries {
              |GROUP BY l_returnflag""".stripMargin),
       "catalog DML: CTAS + DELETE FROM via SupportsDelete, complement-aggregate oracle"),
 
+    // Catalog-routed UPDATE and MERGE INTO: the statements Spark has no
+    // native v2 executor for resolve their `cat.ns.t` targets through the
+    // configured GraftCatalog and run the lake DML surface — the oracle
+    // replays both mutations as a CASE over the source.
+    "m58_catalog_upsert" -> GraftQuery(
+      (s, dir) => {
+        val tag = sanitize(dir)
+        val cat = s"gc58_$tag"
+        val wh = s"$scratchRoot/m58_$tag"
+        cleanDir(wh)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+        t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+          .createOrReplaceTempView(s"m58_src_$tag")
+        s.sql(s"CREATE TABLE $cat.lake.cust AS SELECT * FROM m58_src_$tag")
+        s.sql(s"UPDATE $cat.lake.cust SET c_acctbal = c_acctbal + 100.0 " +
+          "WHERE c_mktsegment = 'BUILDING'")
+        s.sql(s"""SELECT c_custkey, c_name, c_acctbal, 'VIP' AS c_mktsegment
+                 |FROM m58_src_$tag WHERE c_custkey % 10 = 0""".stripMargin)
+          .createOrReplaceTempView(s"m58_delta_$tag")
+        s.sql(s"""MERGE INTO $cat.lake.cust AS t USING m58_delta_$tag AS s
+                 |ON t.c_custkey = s.c_custkey
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql(s"""SELECT c_mktsegment, count(*) AS n,
+                 |       round(sum(c_acctbal), 2) AS bal
+                 |FROM $cat.lake.cust GROUP BY c_mktsegment
+                 |ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT seg AS c_mktsegment, count(*) AS n,
+             |       round(sum(bal), 2) AS bal
+             |FROM (SELECT CASE WHEN c_custkey % 10 = 0 THEN 'VIP'
+             |                  ELSE c_mktsegment END AS seg,
+             |             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal
+             |                  WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100.0
+             |                  ELSE c_acctbal END AS bal
+             |      FROM customer)
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "catalog-routed UPDATE + MERGE INTO on cat.ns.t names, CASE-replay oracle"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -177,6 +177,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(d.fieldNames.length == 1,
           s"ALTER TABLE ${ident.name}: nested column drops are not supported")
         t.dropColumn(d.fieldNames.head)
+      case w: TableChange.UpdateColumnType =>
+        require(w.fieldNames.length == 1,
+          s"ALTER TABLE ${ident.name}: nested column type changes are not supported")
+        t.alterColumnType(w.fieldNames.head, w.newDataType)
       case s: TableChange.SetProperty =>
         t.setProperties(Map(s.property -> s.value))
       case rm: TableChange.RemoveProperty =>

@@ -339,6 +339,14 @@ final class GraftTable(root: String, declaredParts: Seq[String],
 
     override def schema(): StructType = resolvedSchema
 
+    // surfaced so native DESCRIBE TABLE EXTENDED / catalog inspection
+    // sees the persisted table properties (Delta does the same)
+    override def properties(): util.Map[String, String] = {
+      val probe = new MergeTable(root)
+      if (!probe.exists) java.util.Collections.emptyMap()
+      else probe.properties.asJava
+    }
+
     override def partitioning(): Array[Transform] =
       handle.partitionCols.map(Expressions.identity).toArray
 

@@ -48,6 +48,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         return delegate.parsePlan(rewritten)
       }
     }
+    // Catalog-qualified lake statements Spark has NO native executor for
+    // (UPDATE / MERGE INTO / VACUUM / OPTIMIZE / RESTORE / DESCRIBE
+    // HISTORY …): `cat.ns.t` resolves through a configured GraftCatalog.
+    // Everything the native v2 surface runs (SELECT, INSERT, DELETE,
+    // ALTER DDL, DROP) deliberately stays with the delegate.
+    LakeSql.catalogRoutableTarget(sqlText).orElse(MergeInto.targetOf(sqlText))
+      .foreach { tgt =>
+        LakeCatalog.resolveViaCatalog(session, tgt).foreach { table =>
+          return if (LakeSql.metaStatementTarget(sqlText).isDefined)
+            GraftMetaCommand(sqlText, GraftSqlParser.metaAttributes(sqlText, table))
+          else GraftDmlCommand(sqlText)
+        }
+      }
     delegate.parsePlan(sqlText)
   }
 

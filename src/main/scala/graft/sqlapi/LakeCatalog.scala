@@ -34,4 +34,29 @@ object LakeCatalog {
 
   /** Immutable snapshot for one statement's resolution. */
   def targets: Map[String, MergeTable] = tables.asScala.toMap
+
+  /** Resolve a MULTI-PART name (`cat.ns….table`) against a configured
+    * [[graft.sources.GraftCatalog]]: when the first part names a session
+    * catalog whose implementation is GraftCatalog, the rest maps to
+    * `warehouse/ns…/table`. This is what lets the lake statements Spark
+    * has no native executor for (UPDATE, MERGE INTO, VACUUM, OPTIMIZE,
+    * DESCRIBE HISTORY, …) address catalog tables with the same
+    * multi-part names the native surface uses. Metadata-only: one conf
+    * lookup + one directory probe, no Spark job.
+    */
+  def resolveViaCatalog(spark: org.apache.spark.sql.SparkSession,
+                        name: String): Option[MergeTable] = {
+    val parts = name.split('.')
+    if (parts.length < 2) return None
+    val impl =
+      try spark.conf.getOption(s"spark.sql.catalog.${parts.head}")
+      catch { case _: Exception => None }
+    if (!impl.contains(classOf[graft.sources.GraftCatalog].getName)) return None
+    spark.conf.getOption(s"spark.sql.catalog.${parts.head}.warehouse").flatMap { wh =>
+      val p = java.nio.file.Paths.get(wh, parts.tail.toIndexedSeq: _*)
+      if (java.nio.file.Files.isDirectory(p.resolve("_graft_log")))
+        Some(MergeTable.open(p.toString))
+      else None
+    }
+  }
 }

@@ -517,6 +517,31 @@ object LakeSql {
     case _                         => None
   }
 
+  /** Target of a statement Spark has NO native executor for on a v2
+    * catalog table — the set eligible for catalog-name routing through
+    * the injected parser. Deliberately EXCLUDES everything the native
+    * catalog surface already runs (INSERT, DELETE via SupportsDelete,
+    * ALTER column/property DDL, DROP TABLE): those must keep reaching
+    * Spark's own analyzer, which owns name resolution and casts there.
+    */
+  private[sqlapi] def catalogRoutableTarget(sql: String): Option[String] = sql match {
+    case UpdateShape(tgt, _)       => Some(tgt)
+    case CloneShape(_, _, src, _)  => Some(src)
+    case VacuumShape(tgt, _, _)    => Some(tgt)
+    case ReorgShape(tgt)           => Some(tgt)
+    case FsckShape(tgt)            => Some(tgt)
+    case CreateBloomShape(tgt, _)  => Some(tgt)
+    case DropBloomShape(tgt, _)    => Some(tgt)
+    case RestoreShape(tgt, _)      => Some(tgt)
+    case RestoreTsShape(tgt, _, _) => Some(tgt)
+    case ZorderShape(tgt, _)       => Some(tgt)
+    case OptimizeShape(tgt, _)     => Some(tgt)
+    case AddConstraintShape(tgt, _, _) => Some(tgt)
+    case DropConstraintShape(tgt, _)   => Some(tgt)
+    case AnalyzeShape(tgt, _)      => Some(tgt)
+    case _                         => metaStatementTarget(sql)
+  }
+
   /** True for `CREATE TABLE … USING GRAFT … AS SELECT` — the provider tag
     * means the statement is ours even though its target is (by definition)
     * not registered yet, so the injected parser routes on shape alone.
@@ -770,6 +795,8 @@ object LakeSql {
 
   private def resolve(name: String, targets: Map[String, MergeTable]): MergeTable =
     targets.getOrElse(name,
-      throw new IllegalArgumentException(
-        s"unknown table '$name' — registered targets: ${targets.keys.toSeq.sorted.mkString(", ")}"))
+      LakeCatalog.resolveViaCatalog(org.apache.spark.sql.SparkSession.active, name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown table '$name' — registered targets: " +
+            targets.keys.toSeq.sorted.mkString(", "))))
 }

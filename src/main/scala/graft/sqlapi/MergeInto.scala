@@ -207,8 +207,10 @@ object MergeInto {
           keysDeterminePartitions: Boolean = false): Unit = {
     val st = parse(sql)
     val table = targets.getOrElse(st.target,
-      throw new IllegalArgumentException(
-        s"unknown MERGE target '${st.target}' — registered targets: ${targets.keys.toSeq.sorted.mkString(", ")}"))
+      LakeCatalog.resolveViaCatalog(spark, st.target)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown MERGE target '${st.target}' — registered targets: " +
+            targets.keys.toSeq.sorted.mkString(", "))))
     val fullSync = st.clauses.exists(_.isInstanceOf[BySourceDelete])
     // Delta's delta.enableDeletionVectors: the table property routes the
     // plain upsert to the mask-based merge (O(matched rows), no file

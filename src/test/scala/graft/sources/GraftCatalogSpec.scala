@@ -118,6 +118,41 @@ class GraftCatalogSpec extends SparkSpec {
       "TIMESTAMP AS OF '2100-01-01 00:00:00'").head.getLong(0) === 3L)
   }
 
+  test("catalog-qualified UPDATE / MERGE INTO route through the lake DML surface") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rdml")
+    spark.sql(s"CREATE TABLE $cat.rdml.t (id BIGINT, v STRING, amt DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.rdml.t VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    // UPDATE has no native v2 executor — the parser resolves cat.ns.t
+    // through the configured GraftCatalog and runs MergeTable.update
+    spark.sql(s"UPDATE $cat.rdml.t SET amt = amt + 5 WHERE id = 2")
+    assert(spark.sql(s"SELECT amt FROM $cat.rdml.t WHERE id = 2")
+      .head.getDouble(0) === 25.0)
+    Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("id", "v", "amt")
+      .createOrReplaceTempView("cat_merge_src")
+    spark.sql(s"""MERGE INTO $cat.rdml.t AS t USING cat_merge_src AS s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT id, v FROM $cat.rdml.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // maintenance + audit statements resolve the same way
+    spark.sql(s"OPTIMIZE $cat.rdml.t")
+    val hist = spark.sql(s"DESCRIBE HISTORY $cat.rdml.t")
+    assert(hist.select("operation").as[String].collect().contains("MERGE"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.rdml.t").head.getLong(0) === 3L)
+  }
+
+  test("native ALTER COLUMN TYPE widens through the catalog") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.widen")
+    spark.sql(s"CREATE TABLE $cat.widen.t (id INT, x INT)")
+    spark.sql(s"INSERT INTO $cat.widen.t VALUES (1, 100)")
+    spark.sql(s"ALTER TABLE $cat.widen.t ALTER COLUMN x TYPE BIGINT")
+    spark.sql(s"INSERT INTO $cat.widen.t VALUES (2, 3000000000)")
+    assert(spark.sql(s"SELECT sum(x) FROM $cat.widen.t").head.getLong(0) ===
+      3000000100L)
+  }
+
   test("scan pruning and filter pushdown survive the catalog route") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.plan")
     spark.sql(s"CREATE TABLE $cat.plan.t (k BIGINT, v STRING, w STRING)")
