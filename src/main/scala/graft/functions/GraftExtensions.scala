@@ -83,6 +83,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // parser extension (unregistered names delegate untouched)
     e.injectParser((session, delegate) =>
       new graft.sqlapi.GraftSqlParser(session, delegate))
+    // dynamic partition overwrite on graft V2 tables: the node has no V1
+    // write bridge, so a post-hoc resolution rule (Delta's mechanism)
+    // rewrites it to an overwriteWhere command over the touched partitions
+    e.injectPostHocResolutionRule(session =>
+      graft.sources.GraftWriteRewrites(session))
   }
 }
 

@@ -507,7 +507,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val v = if (exists) currentVersion + 1 else 0L
     // generated columns must exist BEFORE the schema is committed — the
     // commit's DDL and the written files must agree
-    writeVersion(applyGenerated(df), v, txn = txn)
+    writeVersion(optimizeWriteIfEnabled(applyGenerated(df)), v, txn = txn)
   }
 
   /** Create the table EMPTY: a version-0 commit holding the schema and no
@@ -2322,6 +2322,57 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     appendAligned(df, ingestDelta = Nil, op = "APPEND", txn = txn)
   }
 
+  /** Optimized write (Delta's `autoOptimize.optimizeWrite`): an AQE
+    * REBALANCE hint pre-shuffles the rows so each partition dir receives
+    * advisory-sized files instead of one sliver per upstream task. The
+    * hint — not a plain `repartition(partitionCols)` — is deliberate:
+    * AQE splits skewed partition values across tasks
+    * (optimizeSkewsInRebalancePartitions), so one hot partition can't
+    * OOM a writer, which is exactly the failure mode of the naive
+    * repartition at 100 TB. Applies to append/overwrite only: compaction
+    * paths pack files themselves, and a rebalance would destroy
+    * Z-order's in-file row ordering.
+    */
+  private def optimizeWriteIfEnabled(df: DataFrame): DataFrame =
+    if (!exists || !properties.get(MergeTable.OptimizeWriteProp).contains("true")) df
+    else if (partitionCols.nonEmpty) df.hint("rebalance", partitionCols: _*)
+    else df.hint("rebalance")
+
+  /** Post-append auto-compaction (Delta's `autoOptimize.autoCompact`),
+    * scoped to the partitions THIS append touched: any of them holding
+    * ≥ minNumFiles files is bin-packed via [[compactPartitions]];
+    * untouched partitions are never rewritten — at scale the hot
+    * ingest partitions stay packed while the cold ones stay untouched.
+    */
+  private def autoCompactIfEnabled(spark: SparkSession,
+                                   newFiles: Seq[String]): Unit = {
+    val props = properties
+    if (!props.get(MergeTable.AutoCompactProp).contains("true")) return
+    val minN = props.get(MergeTable.AutoCompactMinFilesProp)
+      .map(_.toInt).getOrElse(50)
+    def dirOf(f: String): String = {
+      val segs = f.split('/'); segs.slice(1, segs.length - 1).mkString("/")
+    }
+    if (partitionCols.isEmpty) {
+      if (filesOf(currentVersion).size >= minN) compact(spark)
+    } else {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val byDir = filesOf(currentVersion).groupBy(dirOf)
+      val hot = newFiles.map(dirOf).distinct
+        .filter(d => byDir.getOrElse(d, Nil).size >= minN)
+      if (hot.nonEmpty) {
+        val pred = hot.map { d =>
+          d.split('/').toSeq.zip(partitionCols).map { case (seg, c) =>
+            val raw = seg.substring(seg.indexOf('=') + 1)
+            if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) col(c).isNull
+            else col(c) === lit(ExternalCatalogUtils.unescapePathName(raw))
+          }.reduce(_ && _)
+        }.reduce(_ || _)
+        compactPartitions(spark, pred)
+      }
+    }
+  }
+
   /** Shared exists-path of [[append]] and [[copyInto]]: align columns to
     * the table schema (extra source columns FAIL LOUDLY — silently
     * dropping ingested data is worse than an error; evolve with
@@ -2346,7 +2397,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val (ided, rowHwm) = assignRowIds(aligned) // appended rows are all fresh
     val newVersion = v + 1
     val dataDir = newDataDir(newVersion)
-    writeData(ided, dataDir, colmapOf(v))
+    writeData(optimizeWriteIfEnabled(ided), dataDir, colmapOf(v))
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
     commit(newVersion, c.files ++ newFiles, c.schema,
       c.statsLines ++ collectStats(df.sparkSession, newFiles, c.schema, colmapOf(v)),
@@ -2355,6 +2406,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         newHwm.toSeq.map(h => MergeTable.IdentityHwmProp -> h.toString) ++
           rowHwm.toSeq.map(h => MergeTable.RowIdHwmProp -> h.toString)),
       op = op)
+    autoCompactIfEnabled(df.sparkSession, newFiles)
   }
 
   /** COPY INTO analog (Delta/Databricks `COPY INTO`, Auto Loader's batch
@@ -3531,6 +3583,27 @@ object MergeTable {
     * partitions compact to ceil(bytes / this) files.
     */
   val DefaultTargetFileBytes: Long = 1L << 30
+
+  /** Table property enabling optimized writes (Delta's
+    * `delta.autoOptimize.optimizeWrite`): appends/overwrites pre-shuffle
+    * with an AQE REBALANCE so each partition dir receives
+    * advisory-sized files instead of one small file per write task —
+    * THE small-files defense at 100 TB ingest rates.
+    */
+  val OptimizeWriteProp = "graft.autoOptimize.optimizeWrite"
+
+  /** Table property enabling post-append auto-compaction (Delta's
+    * `delta.autoOptimize.autoCompact`): after an append commits, any
+    * TOUCHED partition holding ≥ [[AutoCompactMinFilesProp]] files is
+    * bin-packed in place (untouched partitions are never rewritten).
+    */
+  val AutoCompactProp = "graft.autoOptimize.autoCompact"
+
+  /** Auto-compact trigger threshold (files per touched partition, or
+    * whole-table count when unpartitioned). Delta's
+    * `autoCompact.minNumFiles`, default 50.
+    */
+  val AutoCompactMinFilesProp = "graft.autoCompact.minNumFiles"
 
   /** Table property recording the partition columns (Delta stores them in
     * the metaData action): lets a handle opened by BARE PATH — the DSv2

@@ -1640,6 +1640,45 @@ object LakeQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       "catalog-routed UPDATE + MERGE INTO on cat.ns.t names, CASE-replay oracle"),
 
+    // Delta's autoOptimize pair as table properties: optimizeWrite
+    // (AQE-REBALANCE-shuffled appends — advisory-sized files, not one
+    // sliver per write task) and autoCompact (post-append bin-packing of
+    // the touched partitions at minNumFiles). The gate proves the
+    // layout invariant in-query (every partition dir ends packed) and
+    // the oracle proves the content is untouched by the rewrites.
+    "m59_auto_optimize" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m59_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.createEmpty(orders.schema)
+        table.setProperties(Map(
+          MergeTable.OptimizeWriteProp -> "true",
+          MergeTable.AutoCompactProp -> "true",
+          MergeTable.AutoCompactMinFilesProp -> "3"))
+        // three scattered appends: 8 upstream tasks each, so without
+        // optimizeWrite every append would write up to 8 slivers per
+        // partition dir and nothing would ever pack them
+        (0 to 2).foreach { i =>
+          table.append(orders.filter(col("o_orderkey") % 3 === i).repartition(8))
+        }
+        val perDir = table.filesOf(table.currentVersion).groupBy { f =>
+          val segs = f.split('/'); segs.slice(1, segs.length - 1).mkString("/")
+        }.map { case (d, fs) => d -> fs.size }
+        require(perDir.values.forall(_ <= 2),
+          s"auto-optimize must leave every partition packed, got $perDir")
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       round(sum(o_totalprice), 2) AS revenue
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      "autoOptimize properties: rebalanced writes + touched-partition auto-compact"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

@@ -307,8 +307,10 @@ final class GraftTable(root: String, declaredParts: Seq[String],
   }
 
   private[sources] def asV2: Table = new Table
-      with SupportsRead with SupportsWrite
+      with SupportsRead with SupportsWrite with GraftV2Marker
       with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+    override def graftRoot: String = root
 
     override def name(): String = s"graft.`$root`"
 
@@ -352,7 +354,8 @@ final class GraftTable(root: String, declaredParts: Seq[String],
 
     override def capabilities(): util.Set[TableCapability] = {
       val caps = util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER)
       // ACCEPT_ANY_SCHEMA only while the table has no schema yet (write
       // bootstrap): once one exists, Spark's own by-name/position output
       // resolution must run — it is what gives INSERT ... VALUES its
@@ -551,24 +554,51 @@ final class GraftStreamSink(root: String, pcols: Seq[String], keys: Seq[String],
   override def toString: String = s"GraftStreamSink[$root]"
 }
 
+/** Marks the V2 table as graft's, with enough state for the analyzer
+  * rewrites ([[GraftWriteRewrites]]) to reach the MergeTable underneath —
+  * the pattern Delta uses to claim plan nodes Spark has no V1 bridge for.
+  */
+trait GraftV2Marker { def graftRoot: String }
+
 /** Append by default; `truncate()` (Spark's overwrite-mode hook for
-  * path-based saves) swaps the commit to a full overwrite. Both run the
-  * standard MergeTable write paths: identity/generated columns, CHECK
-  * constraints, row-id assignment, and the atomic `_LATEST` publish all
-  * apply exactly as API writes.
+  * path-based saves) swaps the commit to a full overwrite; an
+  * `overwrite(filters)` — `INSERT OVERWRITE t PARTITION (p = v)` in
+  * static mode, `df.writeTo(t).overwrite(cond)` — runs
+  * [[MergeTable.overwriteWhere]]: the matching slice is deleted and the
+  * new rows land in ONE atomic commit. All paths run the standard
+  * MergeTable writes: identity/generated columns, CHECK constraints,
+  * row-id assignment, and the atomic `_LATEST` publish apply exactly as
+  * API writes.
   */
 final class GraftWriteBuilder(table: MergeTable)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
-  private var overwrite = false
+  private var overwriteAll = false
+  private var overwriteFilters: Array[Filter] = Array.empty
 
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftDataSource.translate(f).isDefined)
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.forall(_ == sources.AlwaysTrue()))
+      overwriteAll = true
+    else overwriteFilters = filters
+    this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit =
-          if (overwrite || legacyOverwrite) table.overwrite(data)
+          if (overwriteFilters.nonEmpty) {
+            val pred = overwriteFilters.flatMap(GraftDataSource.translate(_))
+              .reduce(_ && _) // canOverwrite vouched every filter translates
+            table.overwriteWhere(data.sparkSession, pred, data)
+          }
+          else if (overwriteAll || legacyOverwrite) table.overwrite(data)
           else table.append(data)
       }
   }

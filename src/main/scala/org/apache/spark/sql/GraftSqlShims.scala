@@ -17,4 +17,14 @@ object GraftSqlShims {
                          schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** An analyzed logical plan as a DataFrame (`Dataset.ofRows`) — what a
+    * command node injected by a resolution rule needs to execute the
+    * query subtree it captured (Delta's command rewrites use the same
+    * call from their own sql subpackage).
+    */
+  def dataFrame(spark: SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

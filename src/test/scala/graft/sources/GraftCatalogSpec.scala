@@ -153,6 +153,31 @@ class GraftCatalogSpec extends SparkSpec {
       3000000100L)
   }
 
+  test("INSERT OVERWRITE: dynamic mode replaces only touched partitions") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dyn")
+    spark.sql(s"CREATE TABLE $cat.dyn.t (k BIGINT, v STRING, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $cat.dyn.t VALUES (1, 'a', 'p1'), (2, 'b', 'p2')")
+    val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // touches p1 only — p2 must survive (static mode would drop it)
+      spark.sql(s"INSERT OVERWRITE $cat.dyn.t VALUES (9, 'z', 'p1')")
+      assert(spark.sql(s"SELECT k, v, p FROM $cat.dyn.t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+        Seq((2L, "b", "p2"), (9L, "z", "p1")))
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // static PARTITION clause overwrite: SupportsOverwrite → overwriteWhere
+    spark.sql(s"INSERT OVERWRITE $cat.dyn.t PARTITION (p = 'p2') " +
+      "VALUES (7, 'q')")
+    assert(spark.sql(s"SELECT k, v, p FROM $cat.dyn.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((7L, "q", "p2"), (9L, "z", "p1")))
+  }
+
   test("scan pruning and filter pushdown survive the catalog route") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.plan")
     spark.sql(s"CREATE TABLE $cat.plan.t (k BIGINT, v STRING, w STRING)")
