@@ -120,7 +120,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
   private def readCommit(version: Long): Commit = {
     val lines = Files.readString(commitPath(version)).split("\n").toSeq
-    val schema = StructType.fromDDL(dec(lines.head.stripPrefix("schema\t")))
+    val schema = MergeTable.parseSchema(dec(lines.head.stripPrefix("schema\t")))
     // An INCREMENTAL commit (Delta add/remove-action analog) records a
     // `base` version plus this commit's file delta instead of the full
     // manifest; the base chain is bounded by the checkpoint cadence
@@ -3068,12 +3068,24 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * first otherwise. Explicit values are refused (Delta's ALWAYS
     * contract). Returns the frame with ids and the new high-water mark.
     */
-  private def assignIdentity(df: DataFrame): (DataFrame, Option[Long]) = identityCol match {
-    case None => (df, None)
+  private def assignIdentity(df0: DataFrame): (DataFrame, Option[Long]) = identityCol match {
+    case None => (df0, None)
     case Some((name, start, step)) =>
       require(step != 0, s"identity column '$name': step must be non-zero")
-      require(!df.columns.contains(name),
-        s"column '$name' is GENERATED ALWAYS AS IDENTITY — explicit values are not accepted")
+      // an all-NULL identity column counts as absent — Spark's analyzer
+      // null-fills omitted columns before a v2 write reaches the
+      // connector (INSERT INTO t (other_cols) …), and those NULLs mean
+      // "assign", not "store NULL"; any non-NULL value is still refused
+      // (Delta's GENERATED ALWAYS contract). The probe is a
+      // short-circuit limit(1) scan, not a full pass.
+      val df =
+        if (!df0.columns.contains(name)) df0
+        else {
+          require(df0.filter(col(name).isNotNull).limit(1).count() == 0L,
+            s"column '$name' is GENERATED ALWAYS AS IDENTITY — explicit values " +
+              "are not accepted")
+          df0.drop(name)
+        }
       val last: Long =
         if (exists) properties.get(MergeTable.IdentityHwmProp).map(_.toLong)
           .getOrElse(start - step)
@@ -3253,11 +3265,17 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   private def applyGenerated(df: DataFrame): DataFrame =
     generatedCols.foldLeft(df) { case (d, (name, genExpr)) =>
       if (!d.columns.contains(name)) d.withColumn(name, expr(genExpr))
-      else d.filter(
-        when(col(name) <=> expr(genExpr), lit(true))
-          .otherwise(raise_error(concat(
-            lit(s"generated column '$name' != $genExpr on row: "),
-            to_json(struct(d.columns.map(col): _*)))).cast("boolean")))
+      else
+        // a NULL means "derive" — Spark's analyzer null-fills omitted
+        // columns before a v2 write reaches the connector, so NULLs here
+        // are column-list INSERTs, not stored values; explicit non-NULL
+        // values must still match the expression (Delta's contract)
+        d.filter(
+          when(col(name).isNull || (col(name) <=> expr(genExpr)), lit(true))
+            .otherwise(raise_error(concat(
+              lit(s"generated column '$name' != $genExpr on row: "),
+              to_json(struct(d.columns.map(col): _*)))).cast("boolean")))
+          .withColumn(name, coalesce(col(name), expr(genExpr)))
     }
 
   /** All writers route here AFTER [[applyGenerated]] ran at their entry
@@ -3372,10 +3390,28 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       if (rowTrackingEnabled && !propLines0.exists(_._1 == MergeTable.RowTrackingProp))
         propLines0 :+ (MergeTable.RowTrackingProp -> "true")
       else propLines0
-    val propLines =
+    val propLines2 =
       if (partitionCols.nonEmpty && !propLines1.exists(_._1 == MergeTable.PartitionColsProp))
         propLines1 :+ (MergeTable.PartitionColsProp -> partitionCols.mkString(","))
       else propLines1
+    // generated / identity DECLARATIONS are table state exactly like the
+    // partition layout: a handle reopened by bare path (the catalog, the
+    // connector) must re-derive them or later writes would silently skip
+    // derivation / id assignment. Components are URL-encoded, so the
+    // expression text can contain any delimiter.
+    def urlenc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+    val propLines3 =
+      if (generatedCols.nonEmpty &&
+          !propLines2.exists(_._1 == MergeTable.GeneratedColsProp))
+        propLines2 :+ (MergeTable.GeneratedColsProp ->
+          generatedCols.map { case (n, e) => urlenc(n) + "=" + urlenc(e) }.mkString(","))
+      else propLines2
+    val propLines = identityCol match {
+      case Some((n, start, step))
+          if !propLines3.exists(_._1 == MergeTable.IdentityColProp) =>
+        propLines3 :+ (MergeTable.IdentityColProp -> s"${urlenc(n)},$start,$step")
+      case _ => propLines3
+    }
     // Manifest encoding: FULL (every `file`/`stat` line) on version 0, on
     // every CheckpointEvery-th version (bounds the reader's base chain),
     // and whenever the delta wouldn't be smaller or a retained file's
@@ -3423,7 +3459,12 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val prevFileSet = prev.fold(Seq.empty[String])(_.files).toSet
     val numAdded = files.count(f => !prevFileSet.contains(f))
     val numRemoved = prevFileSet.size - (files.size - numAdded)
-    val content = (s"schema\t${enc(schema.toDDL)}" +:
+    // JSON, not toDDL: field METADATA must survive the round-trip —
+    // column DEFAULT values (CURRENT_DEFAULT/EXISTS_DEFAULT, what makes
+    // the catalog's SUPPORT_COLUMN_DEFAULT_VALUE real) and COMMENTs ride
+    // in metadata that DDL strings drop. parseSchema still reads the DDL
+    // form, so every pre-existing commit stays readable.
+    val content = (s"schema\t${enc(schema.json)}" +:
       (Seq(s"op\t${enc(op)}", s"ts\t$tsMillis",
         s"opm\t$numAdded\t$numRemoved\t${files.size}") ++
         cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
@@ -3505,6 +3546,18 @@ object MergeTable {
     * [[MergeTable.rowTrackingEnabled]]).
     */
   val RowTrackingProp = "graft.rowTracking"
+
+  /** Table property pinning the GENERATED ALWAYS AS declarations
+    * (`urlenc(name)=urlenc(expr)`, comma-joined) — persisted by the first
+    * commit of a declaring handle so bare-path reopens keep deriving.
+    */
+  val GeneratedColsProp = "graft.generatedCols"
+
+  /** Table property pinning the identity-column declaration
+    * (`urlenc(name),start,step`) — the declaration twin of
+    * [[IdentityHwmProp]]'s running state.
+    */
+  val IdentityColProp = "graft.identityCol"
 
   /** CONVERT TO GRAFT (Delta's `CONVERT TO DELTA parquet.\`path\``):
     * adopt an EXISTING plain-parquet directory — hive-partitioned or flat
@@ -3605,6 +3658,17 @@ object MergeTable {
     */
   val AutoCompactMinFilesProp = "graft.autoCompact.minNumFiles"
 
+  /** Commit-log schema decode: JSON (the current format — preserves field
+    * metadata: column DEFAULTs, comments) with a DDL fallback for commits
+    * written before the format carried metadata. A JSON schema string
+    * always starts with '{', a DDL column list never does, so the branch
+    * is unambiguous — no try/catch control flow.
+    */
+  private[lake] def parseSchema(s: String): StructType =
+    if (s.startsWith("{"))
+      org.apache.spark.sql.types.DataType.fromJson(s).asInstanceOf[StructType]
+    else StructType.fromDDL(s)
+
   /** Table property recording the partition columns (Delta stores them in
     * the metaData action): lets a handle opened by BARE PATH — the DSv2
     * connector's `spark.read/write.format("graft").load/save(path)` —
@@ -3632,7 +3696,20 @@ object MergeTable {
             .map(_.takeWhile(_ != '='))
         }
     }
-    if (pcols.isEmpty) probe else new MergeTable(root, pcols)
+    def urldec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+    // generated / identity declarations restore from the log alongside the
+    // layout — a bare-path handle writes exactly like the creating one
+    val gens = props.get(GeneratedColsProp).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        urldec(kv.substring(0, i)) -> urldec(kv.substring(i + 1))
+      }
+    val ident = props.get(IdentityColProp).map { s =>
+      val parts = s.split(',')
+      (urldec(parts(0)), parts(1).toLong, parts(2).toLong)
+    }
+    if (pcols.isEmpty && gens.isEmpty && ident.isEmpty) probe
+    else new MergeTable(root, pcols, generatedCols = gens, identityCol = ident)
   }
 
   /** Table property naming the clustering columns (comma-joined) a

@@ -1679,6 +1679,39 @@ object LakeQueries {
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
       "autoOptimize properties: rebalanced writes + touched-partition auto-compact"),
 
+    // Native column DDL through the catalog: GENERATED ALWAYS AS
+    // IDENTITY (gap-free 1,2,…,n → id_sum = n(n+1)/2, order-free),
+    // GENERATED ALWAYS AS (expr) derivation, and DEFAULT fill for an
+    // omitted column — all three declared in one CREATE and exercised by
+    // a column-list INSERT … SELECT.
+    "m60_catalog_columns" -> GraftQuery(
+      (s, dir) => {
+        val tag = sanitize(dir)
+        val cat = s"gc60_$tag"
+        val wh = s"$scratchRoot/m60_$tag"
+        cleanDir(wh)
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+        s.sql(s"""CREATE TABLE $cat.lake.n (
+                 |  id BIGINT GENERATED ALWAYS AS IDENTITY,
+                 |  n_name STRING,
+                 |  region STRING DEFAULT 'unknown',
+                 |  name_len INT GENERATED ALWAYS AS (length(n_name)))""".stripMargin)
+        t(s, dir, "nation").createOrReplaceTempView(s"m60_src_$tag")
+        s.sql(s"INSERT INTO $cat.lake.n (n_name) " +
+          s"SELECT n_name FROM m60_src_$tag")
+        s.sql(s"""SELECT count(*) AS n, sum(id) AS id_sum,
+                 |       sum(name_len) AS len_sum, max(region) AS region
+                 |FROM $cat.lake.n""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n,
+             |       CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS id_sum,
+             |       CAST(sum(length(n_name)) AS BIGINT) AS len_sum,
+             |       'unknown' AS region
+             |FROM nation""".stripMargin),
+      "native identity + generated + DEFAULT columns through the catalog DDL"),
+
     // MERGE idempotency: applying the same source twice must equal applying
     // it once (README.md:105-118 re-run semantics). Output = final snapshot
     // aggregated per status for a compact, order-free compare.

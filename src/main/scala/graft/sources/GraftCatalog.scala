@@ -71,6 +71,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  /** Column DEFAULT values are accepted at CREATE time: Spark encodes
+    * `c INT DEFAULT 5` as field metadata (CURRENT_DEFAULT /
+    * EXISTS_DEFAULT), the commit log persists it (schemas serialize as
+    * JSON precisely for this), and the analyzer then fills omitted
+    * columns and the DEFAULT keyword on every INSERT natively.
+    */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCatalogCapability._
+    util.EnumSet.of(SUPPORT_COLUMN_DEFAULT_VALUE,
+      SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+  }
+
   private def dirOf(ns: Seq[String]): Path = ns.foldLeft(warehouse)(_ resolve _)
   private def tableDir(ident: Identifier): Path =
     dirOf(ident.namespace.toIndexedSeq).resolve(ident.name)
@@ -135,9 +148,36 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     TableCatalog.PROP_COMMENT, TableCatalog.PROP_COLLATION,
     TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER)
 
-  override def createTable(ident: Identifier, schema: StructType,
+  /** Native `GENERATED ALWAYS AS (expr)` / `AS IDENTITY` column DDL: the
+    * Column[] variant carries the declarations, which map onto
+    * MergeTable's own generated/identity machinery and persist in the
+    * commit log (so any later handle keeps deriving/assigning).
+    */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    val gens = columns.toSeq.filter(_.generationExpression() != null)
+      .map(c => c.name() -> c.generationExpression())
+    val identity = columns.toSeq.find(_.identityColumnSpec() != null).map { c =>
+      val s = c.identityColumnSpec()
+      (c.name(), s.getStart, s.getStep)
+    }
+    createTableImpl(ident,
+      org.apache.spark.sql.GraftSqlShims.v2ColumnsToStructType(columns),
+      partitions, properties, gens, identity)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    createTableImpl(ident, schema, partitions, properties, Nil, None)
+
+  private def createTableImpl(ident: Identifier, schema: StructType,
+                              partitions: Array[Transform],
+                              properties: util.Map[String, String],
+                              gens: Seq[(String, String)],
+                              identity: Option[(String, Long, Long)]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val nsDir = dirOf(ident.namespace.toIndexedSeq)
     if (!Files.isDirectory(nsDir)) throw new NoSuchNamespaceException(ident.namespace)
@@ -150,7 +190,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // table is managed under the warehouse and DROP removes its data
     val root = Option(properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse(tableDir(ident).toString)
-    val created = new MergeTable(root, pcols)
+    val created = new MergeTable(root, pcols,
+      generatedCols = gens, identityCol = identity)
     require(!created.exists,
       s"CREATE TABLE ${ident.name}: a MergeTable already exists at $root")
     created.createEmpty(schema)

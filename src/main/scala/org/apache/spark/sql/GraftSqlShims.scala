@@ -27,4 +27,12 @@ object GraftSqlShims {
                 plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Spark's own v2 Column[] → StructType conversion (metadata-encoding
+    * defaults and comments exactly as the analyzer expects) — the util is
+    * `private[sql]`, hence bridged here for the catalog's createTable.
+    */
+  def v2ColumnsToStructType(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.v2ColumnsToStructType(columns)
 }

@@ -178,6 +178,47 @@ class GraftCatalogSpec extends SparkSpec {
       Seq((7L, "q", "p2"), (9L, "z", "p1")))
   }
 
+  test("column DEFAULT values: omitted columns and the DEFAULT keyword fill in") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.defs")
+    spark.sql(s"CREATE TABLE $cat.defs.t (id BIGINT, status STRING DEFAULT 'new', " +
+      "score INT DEFAULT 0)")
+    spark.sql(s"INSERT INTO $cat.defs.t (id) VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.defs.t VALUES (2, DEFAULT, 9)")
+    spark.sql(s"INSERT INTO $cat.defs.t VALUES (3, 'done', DEFAULT)")
+    assert(spark.sql(s"SELECT id, status, score FROM $cat.defs.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ===
+      Seq((1L, "new", 0), (2L, "new", 9), (3L, "done", 0)))
+    // the default survives the commit-log round trip, not just the session
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val meta = MergeTable.open(s"$wh/defs/t")
+      .read(spark).schema("status").metadata
+    assert(meta.contains("CURRENT_DEFAULT") || meta.contains("default"),
+      s"default metadata must persist in the log, got $meta")
+  }
+
+  test("native GENERATED ALWAYS AS and IDENTITY column DDL through the catalog") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gen")
+    spark.sql(s"CREATE TABLE $cat.gen.t (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2), " +
+      "amt DOUBLE, doubled DOUBLE GENERATED ALWAYS AS (amt * 2))")
+    spark.sql(s"INSERT INTO $cat.gen.t (amt) VALUES (1.5), (4.0)")
+    val rows = spark.sql(s"SELECT id, amt, doubled FROM $cat.gen.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((10L, 1.5, 3.0), (12L, 4.0, 8.0)))
+    // declarations persist in the log: a bare-path reopen keeps assigning
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val reopened = MergeTable.open(s"$wh/gen/t")
+    assert(reopened.identityCol.map(_._1).contains("id"))
+    assert(reopened.generatedCols.map(_._1) === Seq("doubled"))
+    import spark.implicits._
+    reopened.append(Seq(9.0).toDF("amt")
+      .selectExpr("CAST(NULL AS BIGINT) AS id", "amt",
+        "CAST(NULL AS DOUBLE) AS doubled"))
+    val again = spark.sql(s"SELECT id, doubled FROM $cat.gen.t WHERE amt = 9.0")
+      .head
+    assert(again.getLong(0) === 14L && again.getDouble(1) === 18.0)
+  }
+
   test("scan pruning and filter pushdown survive the catalog route") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.plan")
     spark.sql(s"CREATE TABLE $cat.plan.t (k BIGINT, v STRING, w STRING)")
