@@ -2,6 +2,7 @@ package graft.lake
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.types.StructType
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
@@ -349,6 +350,176 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         "re-run vacuum with a larger retainVersions to keep longer time-travel windows")
     readFiles(spark, filesOf(version), schemaOf(version), colmapOf(version), dvsOf(version))
   }
+
+  /** [[readVersion]] with Delta-style AUTOMATIC data skipping: `filters`
+    * (a scan's pushed predicates, `org.apache.spark.sql.sources.Filter`
+    * form) prune the snapshot's FILE LIST before any data file is opened —
+    * the manifest-level skipping Delta applies to every read, composed
+    * from the three metadata indexes the log already maintains (partition
+    * values, per-file min/max stats, Bloom sidecars). Pruning selects
+    * files, never rows: the caller still applies the exact predicate above
+    * the scan, and a file is dropped only when NO row in it can satisfy
+    * the conjunction — so skipping is an optimization, never a
+    * correctness dependency. At 100 TB this is the difference between
+    * opening 10^6 parquet footers and opening the handful a selective
+    * predicate admits, with zero caller opt-in (the connector wires every
+    * `format("graft")` / catalog-table scan through here).
+    */
+  private[graft] def readVersionWhere(spark: SparkSession, version: Long,
+                                      filters: Seq[sources.Filter]): DataFrame = {
+    val horizon = vacuumHorizon
+    require(version >= horizon,
+      s"version $version of $root was vacuumed (oldest retained version is $horizon) — " +
+        "re-run vacuum with a larger retainVersions to keep longer time-travel windows")
+    readFiles(spark, pruneFilesFor(spark, version, filters), schemaOf(version),
+      colmapOf(version), dvsOf(version))
+  }
+
+  /** The subset of `version`'s files that could hold a row satisfying the
+    * conjunction of `filters` — the automatic-data-skipping core behind
+    * [[readVersionWhere]]. Three sound-conservative prunes compose, each
+    * falling back to "keep" on anything it cannot decide:
+    *
+    *  1. partition pruning — the translatable conjuncts evaluate over the
+    *     manifest's distinct partition tuples ([[partitionCandidates]]:
+    *     metadata-sized, falls back on data-column references and
+    *     non-deterministic predicates);
+    *  2. per-file min/max pruning — each single-column conjunct checks the
+    *     commit-recorded stat range ([[statsOf]]); files without stats are
+    *     kept, all-NULL files are skipped for null-rejecting predicates
+    *     (`=`, ranges, IN, IS NOT NULL can never match a NULL);
+    *  3. Bloom pruning — equality conjuncts consult per-file Bloom
+    *     sidecars when an index was built ([[buildBloomIndex]]); files
+    *     without a sidecar are kept.
+    *
+    * Stat strings compare under the column's type: numerics as decimals,
+    * strings lexically, dates/timestamps parsed back to epoch numbers (the
+    * stringified external JVM values [[collectStatsFor]] recorded) — an
+    * unparsable value keeps the file.
+    */
+  private[graft] def pruneFilesFor(spark: SparkSession, version: Long,
+                                   filters: Seq[sources.Filter]): Seq[String] = {
+    val all = filesOf(version)
+    if (filters.isEmpty || all.isEmpty) return all
+    val conjuncts = MergeTable.flattenAnd(filters)
+    // partition-prune on the conjuncts that reference partition columns
+    // ALONE — a mixed predicate still prunes through its partition-only
+    // conjuncts (sound: every conjunct must hold independently), where
+    // handing the whole conjunction to the tuple probe would fail
+    // resolution on the first data column and prune nothing
+    val pred = conjuncts
+      .filter(c => c.references.nonEmpty && c.references.forall(partitionCols.contains))
+      .flatMap(MergeTable.translateFilter).reduceOption(_ && _)
+    var files = pred.fold(all)(p => partitionCandidates(spark, all, schemaOf(version), p))
+    val stats = statsOf(version)
+    val types = schemaOf(version).fields.map(f => f.name -> f.dataType).toMap
+    def entry(f: String, a: String): Option[(String, String)] =
+      stats.get(f).flatMap(_.get(a))
+    // range(...) = can any NON-NULL value of `a` in this file pass `check`?
+    // All-NULL files (recorded empty min/max) fail every null-rejecting
+    // predicate; an undecidable comparison (no stats, no type, unparsable
+    // stat string) keeps the file.
+    def range(f: String, a: String)(
+        check: (String, String, org.apache.spark.sql.types.DataType) => Option[Boolean]): Boolean =
+      entry(f, a) match {
+        case Some((mn, mx)) if mn.isEmpty || mx.isEmpty => false
+        case Some((mn, mx)) => types.get(a).flatMap(dt => check(mn, mx, dt)).getOrElse(true)
+        case None => true
+      }
+    def pointAdmit(mn: String, mx: String, dt: org.apache.spark.sql.types.DataType,
+                   v: Any): Option[Boolean] =
+      for (l <- statCmp(dt, mn, v.toString); u <- statCmp(dt, v.toString, mx))
+        yield l <= 0 && u <= 0
+    def admit(f: String, c: sources.Filter): Boolean = c match {
+      case sources.EqualTo(a, v) if v != null =>
+        range(f, a)((mn, mx, dt) => pointAdmit(mn, mx, dt, v))
+      case sources.EqualNullSafe(a, v) if v != null =>
+        range(f, a)((mn, mx, dt) => pointAdmit(mn, mx, dt, v))
+      case sources.In(a, vs) =>
+        val nn = vs.filter(_ != null)
+        // `a IN (NULL, …)` with no non-null values never evaluates TRUE
+        nn.nonEmpty && range(f, a) { (mn, mx, dt) =>
+          val admits = nn.map(v => pointAdmit(mn, mx, dt, v))
+          if (admits.exists(_.isEmpty)) Some(true) else Some(admits.flatten.exists(identity))
+        }
+      case sources.GreaterThan(a, v) if v != null =>
+        range(f, a)((_, mx, dt) => statCmp(dt, v.toString, mx).map(_ < 0))
+      case sources.GreaterThanOrEqual(a, v) if v != null =>
+        range(f, a)((_, mx, dt) => statCmp(dt, v.toString, mx).map(_ <= 0))
+      case sources.LessThan(a, v) if v != null =>
+        range(f, a)((mn, _, dt) => statCmp(dt, mn, v.toString).map(_ < 0))
+      case sources.LessThanOrEqual(a, v) if v != null =>
+        range(f, a)((mn, _, dt) => statCmp(dt, mn, v.toString).map(_ <= 0))
+      case sources.IsNotNull(a) =>
+        entry(f, a).forall { case (mn, mx) => mn.nonEmpty && mx.nonEmpty }
+      case _ => true
+    }
+    files = files.filter(f => conjuncts.forall(c => admit(f, c)))
+    val eqs = conjuncts.collect {
+      case sources.EqualTo(a, v) if v != null       => (a, v)
+      case sources.EqualNullSafe(a, v) if v != null => (a, v)
+    }
+    eqs.foreach { case (a, v) =>
+      if (types.contains(a) && files.exists(f => Files.exists(bloomPath(a, f))))
+        try files = bloomAdmitted(spark, a, v, types(a), files)
+        catch { case scala.util.control.NonFatal(_) => () } // prune is optional
+    }
+    files
+  }
+
+  /** Order two stat strings under the column's type — None = refuse to
+    * decide (the pruner then keeps the file). Dates/timestamps parse the
+    * exact stringifications their external JVM values produce
+    * (`java.sql.Date`/`LocalDate`, `java.sql.Timestamp`/`Instant`/
+    * `LocalDateTime`), normalized to epoch numbers before comparing.
+    */
+  private def statCmp(dt: org.apache.spark.sql.types.DataType,
+                      a: String, b: String): Option[Int] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(a.compareTo(b))
+      case _ => for (x <- statKey(dt, a); y <- statKey(dt, b)) yield x.compare(y)
+    }
+  }
+
+  private def statKey(dt: org.apache.spark.sql.types.DataType,
+                      s: String): Option[BigDecimal] = {
+    import org.apache.spark.sql.types._
+    def tsMicros: BigDecimal =
+      try {
+        val t = java.sql.Timestamp.valueOf(s)
+        BigDecimal(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
+      } catch {
+        case _: IllegalArgumentException =>
+          val i = try java.time.Instant.parse(s)
+                  catch {
+                    case _: java.time.format.DateTimeParseException =>
+                      java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+                  }
+          BigDecimal(i.getEpochSecond * 1000000L + i.getNano / 1000)
+      }
+    try dt match {
+      case _: NumericType => Some(BigDecimal(s))
+      case DateType =>
+        val d = try java.time.LocalDate.parse(s)
+                catch { case _: java.time.format.DateTimeParseException =>
+                  java.sql.Date.valueOf(s).toLocalDate }
+        Some(BigDecimal(d.toEpochDay))
+      case TimestampType | TimestampNTZType => Some(tsMicros)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Files a commit ADDED vs its predecessor — the recorded per-commit
+    * operation metrics when present (one metadata-line parse), a manifest
+    * diff otherwise. The streaming source's rate-limit walk
+    * (`maxFilesPerTrigger`) runs on this, so it must stay metadata-sized.
+    */
+  private[graft] def addedFilesCount(version: Long): Long =
+    readMeta(version).opMetrics.map(_._1).getOrElse {
+      val prev = if (version == 0) Set.empty[String] else filesOf(version - 1).toSet
+      filesOf(version).count(f => !prev.contains(f))
+    }
 
   /** The snapshot's deletion-vector bindings: data file → (dv dir, count). */
   private def dvsOf(version: Long): Map[String, (String, Long)] =
@@ -2215,13 +2386,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   def bloomCandidateFiles(spark: SparkSession, column: String, value: Any): Seq[String] = {
     val v = currentVersion
-    val dt = schemaOf(v)(column).dataType
+    bloomAdmitted(spark, column, value, schemaOf(v)(column).dataType, filesOf(v))
+  }
+
+  private def bloomAdmitted(spark: SparkSession, column: String, value: Any,
+                            dt: org.apache.spark.sql.types.DataType,
+                            files: Seq[String]): Seq[String] = {
     // hash the lookup value EXACTLY as the index did: Spark's own xxhash64
     // over the column's type (a JVM-side reimplementation would silently
     // diverge on type widths)
     val h = spark.range(1)
       .select(xxhash64(lit(value).cast(dt)).as("h")).head().getLong(0)
-    filesOf(v).filter { f =>
+    files.filter { f =>
       val p = bloomPath(column, f)
       !Files.exists(p) || {
         val in = Files.newInputStream(p)
@@ -3735,6 +3911,46 @@ object MergeTable {
       case (ByteType | ShortType | IntegerType, DoubleType) => true
       case _ => false
     }
+  }
+
+  /** Top-level conjuncts of a pushed-filter array (Spark hands a scan the
+    * predicate as an implicitly-ANDed array whose elements may themselves
+    * be `And` trees).
+    */
+  private[graft] def flattenAnd(fs: Seq[sources.Filter]): Seq[sources.Filter] =
+    fs.flatMap {
+      case sources.And(l, r) => flattenAnd(Seq(l, r))
+      case f                 => Seq(f)
+    }
+
+  /** `sources.Filter` → `Column` — the ONE translation shared by the
+    * connector's bridge re-push (filters reach the inner parquet scan's
+    * `PushedFilters`), the partition prune of [[MergeTable.pruneFilesFor]],
+    * and the connector's `canDeleteWhere`/`canOverwrite` guards. Partial on
+    * purpose: an untranslatable filter is simply not pushed/pruned — Spark
+    * always re-evaluates the full predicate above the scan.
+    */
+  private[graft] def translateFilter(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sources.In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v)     => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- translateFilter(l); rc <- translateFilter(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- translateFilter(l); rc <- translateFilter(r)) yield lc || rc
+    case sources.Not(c)        => translateFilter(c).map(!_)
+    case sources.AlwaysTrue()  => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _                     => None
   }
 
   // ---- conditional-clause MERGE (see [[MergeTable.mergeClauses]]) ----

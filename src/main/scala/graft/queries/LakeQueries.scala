@@ -1980,5 +1980,48 @@ object LakeQueries {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
              |WHERE o_orderkey BETWEEN 100 AND 200""".stripMargin),
       "ANALYZE TABLE: stats backfill on a stats-less table, then pruned range read"),
+
+    // AUTOMATIC data skipping (Delta's manifest-level file pruning on
+    // every read): a selective filter on a connector scan prunes the file
+    // list through partition values AND per-file min/max stats with zero
+    // caller opt-in — the in-gate requires pin that the pruner admits a
+    // strict subset on both axes, and the hash proves the pruned scan
+    // returns exactly the rows the predicate selects.
+    "m61_data_skipping" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m61_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"),
+          statsCols = Seq("o_orderkey"))
+        // range-partitioned upstream → each partition dir gets several
+        // files covering DISJOINT key ranges: stats pruning has to act
+        // within partitions, partition pruning across them
+        table.overwrite(orders.repartitionByRange(8, col("o_orderkey")))
+        // scale-relative key range (a quarter of the key domain) so the
+        // within-partition prune bites at every test sf — both engines
+        // derive identical integer bounds from max(o_orderkey)
+        val maxKey = orders.agg(max(col("o_orderkey")).cast("long")).head.getLong(0)
+        val (lo, hi) = (maxKey / 4, maxKey / 2)
+        val all = table.filesOf(table.currentVersion)
+        val pruned = table.pruneFilesFor(s, table.currentVersion, Seq(
+          org.apache.spark.sql.sources.EqualTo("o_orderstatus", "F"),
+          org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderkey", lo),
+          org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", hi)))
+        require(pruned.nonEmpty && pruned.size < all.size &&
+          pruned.forall(_.contains("o_orderstatus=F")),
+          s"data skipping must prune on both axes (${pruned.size} of ${all.size})")
+        require(pruned.size < all.count(_.contains("o_orderstatus=F")),
+          "stats must prune within the admitted partition")
+        s.read.format("graft").load(root)
+          .filter(col("o_orderstatus") === "F" &&
+            col("o_orderkey").between(lo, hi))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |WHERE o_orderstatus = 'F'
+             |  AND o_orderkey BETWEEN (SELECT max(o_orderkey) // 4 FROM orders)
+             |                     AND (SELECT max(o_orderkey) // 2 FROM orders)""".stripMargin),
+      "automatic data skipping: partition + stats file pruning on every connector scan"),
   )
 }

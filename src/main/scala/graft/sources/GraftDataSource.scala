@@ -96,7 +96,9 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
       new GraftCdfStreamSource(ctx.sparkSession, path, startFrom)
     else new GraftStreamSource(ctx.sparkSession, path,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      startFrom = startFrom)
+      startFrom = startFrom,
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger")
+        .orElse(parameters.get("maxfilespertrigger")).map(_.toInt))
   }
 
   /** `writeStream.format("graft")` — Delta's streaming-sink call-shape.
@@ -231,30 +233,12 @@ object GraftDataSource {
   }
 
   /** sources.Filter → Column, for re-applying pushed filters inside the
-    * bridged DataFrame (where parquet pushdown can act on them). Partial
-    * on purpose: an untranslatable filter is simply not pushed — Spark
-    * always re-evaluates the full predicate above the scan.
+    * bridged DataFrame (where parquet pushdown can act on them). One
+    * shared implementation with the data-skipping pruner —
+    * [[MergeTable.translateFilter]].
     */
-  private[sources] def translate(f: Filter): Option[Column] = f match {
-    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
-    case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
-    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
-    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
-    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
-    case sources.In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case sources.IsNull(a)                => Some(col(a).isNull)
-    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
-    case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
-    case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
-    case sources.StringContains(a, v)     => Some(col(a).contains(v))
-    case sources.And(l, r)   => for (lc <- translate(l); rc <- translate(r)) yield lc && rc
-    case sources.Or(l, r)    => for (lc <- translate(l); rc <- translate(r)) yield lc || rc
-    case sources.Not(c)      => translate(c).map(!_)
-    case sources.AlwaysTrue()  => Some(lit(true))
-    case sources.AlwaysFalse() => Some(lit(false))
-    case _ => None
-  }
+  private[sources] def translate(f: Filter): Option[Column] =
+    MergeTable.translateFilter(f)
 }
 
 /** The V2 [[Table]] over one MergeTable root: current-snapshot reads
@@ -287,13 +271,21 @@ final class GraftTable(root: String, declaredParts: Seq[String],
 
   private def cdfMode: Boolean = opts.get("readchangefeed").exists(_.toBoolean)
 
-  private[sources] def baseFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  /** The scan's base DataFrame. `filters` (the builder's pushed
+    * predicates) drive MergeTable's automatic data skipping on the
+    * snapshot path — partition values, per-file min/max stats, and Bloom
+    * sidecars prune the file list before any footer is opened
+    * ([[MergeTable.readVersionWhere]]). CDF reads ignore them (feed files
+    * carry no stats).
+    */
+  private[sources] def baseFrame(spark: org.apache.spark.sql.SparkSession,
+                                 filters: Seq[Filter] = Nil): DataFrame = {
     val t = MergeTable.open(root)
     if (cdfMode)
       t.changes(spark,
         opts.get("startingversion").map(_.toLong).getOrElse(0L),
         opts.get("endingversion").map(_.toLong).getOrElse(t.currentVersion))
-    else t.readVersion(spark, pinnedVersion(t))
+    else t.readVersionWhere(spark, pinnedVersion(t), filters)
   }
 
   private[sources] def resolvedSchema: StructType = {
@@ -412,7 +404,7 @@ final class GraftV1BridgeScan(table: GraftTable, pruned: Option[StructType],
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
-    val base = table.baseFrame(context.sparkSession)
+    val base = table.baseFrame(context.sparkSession, filters.toSeq)
     val filtered = filters.flatMap(GraftDataSource.translate)
       .foldLeft(base)(_ filter _)
     // an empty required schema (count(*)) projects zero columns — the
@@ -433,7 +425,8 @@ final class GraftV1BridgeScan(table: GraftTable, pruned: Option[StructType],
   */
 final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
                               root: String, ignoreChanges: Boolean,
-                              startFrom: Long = -1L)
+                              startFrom: Long = -1L,
+                              maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.Offset
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -442,14 +435,46 @@ final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
 
   override val schema: StructType = table.schemaOf(table.currentVersion)
 
+  /** High-water mark of offsets the engine has consumed — advanced by
+    * every getBatch and by commit (which MicroBatchExecution also replays
+    * for recovered offsets on restart), so the rate-limit walk below
+    * never re-counts versions an earlier trigger already took.
+    */
+  @volatile private var lastEnd: Long = startFrom
+
   private def versionOf(o: Offset): Long = o match {
     case LongOffset(v) => v
     case other         => other.json().trim.toLong // SerializedOffset replay
   }
 
-  override def getOffset: Option[Offset] = Some(LongOffset(table.currentVersion))
+  /** Delta's `maxFilesPerTrigger`: cap each micro-batch at the largest
+    * version range whose ADDED file count stays within the limit (always
+    * at least one version, or a single commit could never be consumed).
+    * The walk reads per-commit metadata only — O(versions) commit-line
+    * parses, no manifests. Without the option: the tip, one batch per
+    * trigger covering everything new.
+    */
+  override def getOffset: Option[Offset] = {
+    val tip = table.currentVersion
+    val end = maxFilesPerTrigger match {
+      case None => tip
+      case Some(cap) =>
+        var v = lastEnd
+        var n = 0L
+        while (v < tip && (n == 0 || n + table.addedFilesCount(v + 1) <= cap)) {
+          n += table.addedFilesCount(v + 1)
+          v += 1
+        }
+        v
+    }
+    Some(LongOffset(end))
+  }
+
+  override def commit(end: Offset): Unit =
+    lastEnd = math.max(lastEnd, versionOf(end))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    lastEnd = math.max(lastEnd, versionOf(end))
     val batch = table.addedBetween(spark,
       start.map(versionOf).getOrElse(startFrom), versionOf(end), ignoreChanges)
     // MicroBatchExecution asserts the returned plan carries the streaming

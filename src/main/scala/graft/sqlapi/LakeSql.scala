@@ -445,11 +445,20 @@ object LakeSql {
           java.util.regex.Matcher.quoteReplacement(view)
       }
     })
+    // Snapshot views route through the CONNECTOR (version pinned at
+    // rewrite time, so semantics stay eager): a V2 relation participates
+    // in Spark's filter pushdown, which hands the outer query's
+    // predicates to MergeTable's automatic data skipping — SQL reads
+    // prune files exactly like format("graft") reads do.
+    def snapshotView(table: MergeTable, ver: Long, view: String): Unit =
+      spark.read.format("graft").option("path", table.root)
+        .option("versionAsOf", ver.toString).load()
+        .createOrReplaceTempView(view)
     rewritten = TimeTravelRef.replaceAllIn(rewritten, m => {
       val (name, ver) = (m.group(1), m.group(2).toLong)
       val table = resolve(name, targets)
       val view = s"${name.replace('.', '_')}__v$ver"
-      table.readVersion(spark, ver).createOrReplaceTempView(view)
+      snapshotView(table, ver, view)
       any = true
       java.util.regex.Matcher.quoteReplacement(view)
     })
@@ -464,7 +473,7 @@ object LakeSql {
           val millis = parseTsMillis(Option(m.group(2)).getOrElse(m.group(3)))
           val ver = table.versionAt(millis)
           val view = s"${name.replace('.', '_')}__t$ver"
-          table.readVersion(spark, ver).createOrReplaceTempView(view)
+          snapshotView(table, ver, view)
           any = true
           java.util.regex.Matcher.quoteReplacement(view)
       }
@@ -474,7 +483,7 @@ object LakeSql {
       val bare = s"""(?i)(?<![\\w.])${java.util.regex.Pattern.quote(name)}(?![\\w.])""".r
       if (bare.findFirstIn(rewritten).isDefined) {
         val view = s"${name.replace('.', '_')}__cur"
-        table.read(spark).createOrReplaceTempView(view)
+        snapshotView(table, table.currentVersion, view)
         any = true
         rewritten = bare.replaceAllIn(rewritten,
           java.util.regex.Matcher.quoteReplacement(view))

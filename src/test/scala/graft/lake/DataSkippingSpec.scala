@@ -1,0 +1,170 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
+
+/** Automatic data skipping ([[MergeTable.pruneFilesFor]] /
+  * [[MergeTable.readVersionWhere]]) — Delta's manifest-level file pruning
+  * applied to every connector scan with zero caller opt-in. The invariant
+  * under test everywhere: pruning selects FILES, never rows — for any
+  * filter set, (pruned scan + exact predicate) ≡ (full scan + exact
+  * predicate), and a file is dropped only when no row in it can match.
+  */
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A 3-partition table with per-file k/v stats: k is file-disjoint by
+    * construction (one file per partition, k ranges 0-9 / 10-19 / 20-29).
+    */
+  private def statsTable(name: String): MergeTable = {
+    val root = scratch(name)
+    val df = spark.range(30).select(
+      col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"),
+      (col("id") / 10).cast("int").cast("string").as("p"))
+    val t = new MergeTable(root, Seq("p"), statsCols = Seq("k", "v"))
+    t.overwrite(df.repartition(1))
+    t
+  }
+
+  test("stats ranges prune files; results match the unpruned scan exactly") {
+    val t = statsTable("skip_stats")
+    val all = t.filesOf(t.currentVersion)
+    assert(all.size === 3)
+
+    val eq = t.pruneFilesFor(spark, t.currentVersion,
+      Seq(sources.EqualTo("k", 15L)))
+    assert(eq.size === 1 && eq.head.contains("p=1"))
+
+    val range = t.pruneFilesFor(spark, t.currentVersion,
+      Seq(sources.GreaterThanOrEqual("k", 9L), sources.LessThan("k", 11L)))
+    assert(range.size === 2)
+
+    val in = t.pruneFilesFor(spark, t.currentVersion,
+      Seq(sources.In("k", Array(3L, 25L))))
+    assert(in.size === 2 && in.forall(f => f.contains("p=0") || f.contains("p=2")))
+
+    // equivalence: pruned read + predicate == full read + predicate
+    val full = t.read(spark).filter(col("k") >= 9 && col("k") < 11)
+      .select("k", "v", "p").collect().map(_.toString).sorted.toSeq
+    val pruned = t.readVersionWhere(spark, t.currentVersion,
+        Seq(sources.GreaterThanOrEqual("k", 9L), sources.LessThan("k", 11L)))
+      .filter(col("k") >= 9 && col("k") < 11)
+      .select("k", "v", "p").collect().map(_.toString).sorted.toSeq
+    assert(pruned === full)
+  }
+
+  test("string stats prune lexically; boundary values stay admitted") {
+    val t = statsTable("skip_str")
+    // v ranges are lexical per file: p=0 holds v0..v9, p=1 v10..v19 —
+    // lexically v10 < v2, so "v15" admits BOTH p=0 (v0..v9 ∋? v15 > v9?
+    // lexically "v15" < "v9" → yes) and p=1; the point is soundness, not
+    // tightness: no admitted-file check may drop a matching row
+    val hit = t.pruneFilesFor(spark, t.currentVersion,
+      Seq(sources.EqualTo("v", "v15")))
+    val viaRead = t.readVersionWhere(spark, t.currentVersion,
+      Seq(sources.EqualTo("v", "v15"))).filter(col("v") === "v15").count()
+    assert(viaRead === 1L)
+    assert(hit.nonEmpty)
+  }
+
+  test("files without stats and undecidable filters are kept (conservative)") {
+    val root = scratch("skip_nostats")
+    val t = new MergeTable(root, Nil) // no statsCols → no stat lines
+    t.overwrite(spark.range(10).select(col("id").as("k")))
+    val kept = t.pruneFilesFor(spark, t.currentVersion,
+      Seq(sources.EqualTo("k", 5L)))
+    assert(kept === t.filesOf(t.currentVersion))
+    // untranslatable / unsupported filters: no pruning either
+    val t2 = statsTable("skip_weird")
+    val kept2 = t2.pruneFilesFor(spark, t2.currentVersion,
+      Seq(sources.Or(sources.EqualTo("k", 1L), sources.EqualTo("v", "v25"))))
+    assert(kept2 === t2.filesOf(t2.currentVersion))
+  }
+
+  test("all-NULL files are skipped for null-rejecting predicates only") {
+    val root = scratch("skip_nulls")
+    val t = new MergeTable(root, Seq("p"), statsCols = Seq("k"))
+    val df = Seq((Some(1L), "a"), (Some(2L), "a")).toDF("k", "p")
+      .union(Seq((Option.empty[Long], "b"), (Option.empty[Long], "b")).toDF("k", "p"))
+    t.overwrite(df.repartition(1))
+    val forEq = t.pruneFilesFor(spark, t.currentVersion, Seq(sources.EqualTo("k", 1L)))
+    assert(forEq.size === 1 && forEq.head.contains("p=a"))
+    val forNotNull = t.pruneFilesFor(spark, t.currentVersion, Seq(sources.IsNotNull("k")))
+    assert(forNotNull.size === 1 && forNotNull.head.contains("p=a"))
+    // IS NULL cannot prune on min/max (a mixed file still holds NULLs)
+    val forIsNull = t.pruneFilesFor(spark, t.currentVersion, Seq(sources.IsNull("k")))
+    assert(forIsNull === t.filesOf(t.currentVersion))
+    assert(t.readVersionWhere(spark, t.currentVersion, Seq(sources.IsNull("k")))
+      .filter(col("k").isNull).count() === 2L)
+  }
+
+  test("timestamp and date stats prune after parsing their stringified forms") {
+    val root = scratch("skip_ts")
+    val t = new MergeTable(root, Seq("p"), statsCols = Seq("ts", "d"))
+    val df = spark.range(4).select(
+      expr("timestamp_micros(1700000000000000 + id * 86400000000)").as("ts"),
+      expr("date_add(date'2026-01-01', cast(id as int))").as("d"),
+      (col("id") % 2).cast("string").as("p")) // p=0: id 0,2; p=1: id 1,3
+    t.overwrite(df.repartition(1))
+    val cutTs = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700000000L + 3 * 86400 - 1))
+    val lateTs = t.pruneFilesFor(spark, t.currentVersion,
+      Seq(sources.GreaterThan("ts", cutTs)))
+    assert(lateTs.size === 1 && lateTs.head.contains("p=1")) // only id=3 is later
+    val lateD = t.pruneFilesFor(spark, t.currentVersion,
+      Seq(sources.GreaterThan("d", java.sql.Date.valueOf("2026-01-03"))))
+    assert(lateD.size === 1 && lateD.head.contains("p=1"))
+    // equivalence on the timestamp cut
+    assert(t.readVersionWhere(spark, t.currentVersion,
+        Seq(sources.GreaterThan("ts", cutTs)))
+      .filter(col("ts") > lit(cutTs)).count() ===
+      t.read(spark).filter(col("ts") > lit(cutTs)).count())
+  }
+
+  test("bloom sidecars prune equality scans beyond min/max overlap") {
+    val root = scratch("skip_bloom")
+    val t = new MergeTable(root, Seq("p"), statsCols = Seq("v"))
+    // v values INTERLEAVE across files (stats ranges fully overlap), so
+    // only the Bloom sidecar can distinguish the files
+    val df = spark.range(200).select(
+      concat(lit("key"), col("id")).as("v"),
+      (col("id") % 2).cast("string").as("p"))
+    t.overwrite(df.repartition(1))
+    t.buildBloomIndex(spark, "v")
+    val hit = t.pruneFilesFor(spark, t.currentVersion,
+      Seq(sources.EqualTo("v", "key42")))
+    assert(hit.size === 1 && hit.head.contains("p=0"))
+    assert(t.readVersionWhere(spark, t.currentVersion,
+        Seq(sources.EqualTo("v", "key42")))
+      .filter(col("v") === "key42").count() === 1L)
+  }
+
+  test("the connector scan prunes automatically and stays exact") {
+    val t = statsTable("skip_conn")
+    val root = t.root
+    val viaConn = spark.read.format("graft").load(root)
+      .filter(col("k") === 15).select("k", "v", "p")
+    assert(viaConn.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq === Seq((15L, "v15", "1")))
+    // the bridged plan's parquet scan reads ONLY the admitted file: the
+    // pruned frame is what the V1 bridge wraps, so its inputFiles are the
+    // file-skipping result, not the full manifest
+    val pruned = t.readVersionWhere(spark, t.currentVersion,
+      Seq(sources.EqualTo("k", 15L)))
+    assert(pruned.inputFiles.length === 1)
+    assert(t.read(spark).inputFiles.length === 3)
+  }
+
+  test("pruning survives rename (re-keyed stats) and stays off for dropped columns") {
+    val t = statsTable("skip_rename")
+    t.renameColumn("k", "kk")
+    val hit = t.pruneFilesFor(spark, t.currentVersion,
+      Seq(sources.EqualTo("kk", 15L)))
+    assert(hit.size === 1 && hit.head.contains("p=1"))
+    assert(t.readVersionWhere(spark, t.currentVersion,
+        Seq(sources.EqualTo("kk", 15L)))
+      .filter(col("kk") === 15).count() === 1L)
+  }
+}
