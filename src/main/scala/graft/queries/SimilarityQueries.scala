@@ -623,5 +623,66 @@ object SimilarityQueries {
              |      FROM embeddings)
              |GROUP BY label, ord""".stripMargin),
       "native vector-mean aggregate: centroid shuffle is groups-sized, not rows×dim"),
+
+    // MaxSim late interaction (the ColBERT retrieval scoring shape):
+    // query = the multi-vector set vec_id < 5, docs = the label groups of
+    // the rest; score(doc) = Σ_q max_d cos(q, d). Spark-first this is TWO
+    // aggregations, both with map-side partial max/sum: the broadcast
+    // cross product never shuffles — the first groupBy reduces it to
+    // |docs|×|Q| rows in the map stage, the second to |docs|. At 100 TB
+    // the shuffle carries per-(doc, query-token) maxima, never the token
+    // cross product. max over round(6) values is exact cross-engine; the
+    // 5-term score sum rounds to 4dp (multi-term double sum).
+    "v14_maxsim" -> GraftQuery(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("norm").as("q_norm"))
+        e.filter(col("vec_id") >= 5)
+          .crossJoin(broadcast(q))
+          .withColumn("cosine", round(cosineFast("embedding", "q_emb", "norm", "q_norm"), 6))
+          .groupBy(col("label"), col("q_id"))
+          .agg(max(col("cosine")).as("mx"))
+          .groupBy(col("label"))
+          .agg(round(sum(col("mx")), 4).as("maxsim"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT label, round(sum(mx), 4) AS maxsim FROM (
+             |  SELECT e.label, q.vec_id AS q_id,
+             |         max(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             |                                          CAST(q.embedding AS DOUBLE[])), 6)) AS mx
+             |  FROM embeddings e, embeddings q
+             |  WHERE q.vec_id < 5 AND e.vec_id >= 5
+             |  GROUP BY e.label, q.vec_id)
+             |GROUP BY label ORDER BY label""".stripMargin),
+      "MaxSim late-interaction scoring: two-stage agg, shuffle carries doc×token maxima"),
+
+    // Radius (range) search: every vector within a similarity floor of
+    // the query — the dedup/recall-audit twin of top-k (v1). Map-only:
+    // broadcast query, one corpus scan, the threshold filter sits ON the
+    // scan with no heap, no sort barrier until the final (result-sized)
+    // orderBy. Result cardinality is bounded by the floor, not k.
+    "v15_radius_search" -> GraftQuery(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cosine", round(cosineFast("embedding", "q_emb", "norm", "q_norm"), 6))
+          .filter(col("cosine") >= 0.2)
+          .select("vec_id", "label", "cosine")
+          .orderBy(col("cosine").desc, col("vec_id"))
+      },
+      Some("""SELECT vec_id, label, cosine FROM (
+             |  SELECT vec_id, label,
+             |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+             |           AS cosine
+             |  FROM embeddings WHERE vec_id <> 0)
+             |WHERE cosine >= 0.2
+             |ORDER BY cosine DESC, vec_id""".stripMargin),
+      "radius similarity search: thresholded map-only scan, no top-k heap"),
   )
 }

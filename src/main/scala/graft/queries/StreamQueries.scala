@@ -765,5 +765,50 @@ object StreamQueries {
              |FROM changes GROUP BY 1, 2
              |ORDER BY commit_version, change_type""".stripMargin),
       "streaming CDF via the connector: readChangeFeed option, version-stamped rows"),
+
+    // Rate-limited streaming ingest (Delta's maxFilesPerTrigger): four
+    // single-file commits are consumed ONE VERSION PER MICRO-BATCH — the
+    // offset walk caps each batch at the version range whose added-file
+    // count fits the limit, so a backlogged table drains in bounded
+    // batches instead of one cluster-sized gulp (the 100 TB restart
+    // story: a stream catching up over 10^4 commits must not plan one
+    // batch over all of them). The in-gate require pins >= 4 batches;
+    // the hash proves rate limiting loses and duplicates nothing.
+    "st15_rate_limited" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val events = Registry.t(s, dir, "events")
+        val root = s"${Registry.scratchRoot}/st15_lake_$id"
+        val outRoot = s"${Registry.scratchRoot}/st15_out_$id"
+        val src = new MergeTable(root)
+        src.overwrite(events.filter(col("event_id") % 4 === 0).repartition(1)) // v0
+        (1 to 3).foreach { i =>                                                // v1..v3
+          src.append(events.filter(col("event_id") % 4 === i).repartition(1))
+        }
+        val batches = new java.util.concurrent.atomic.AtomicLong()
+        val q = ss.readStream.format("graft")
+          .option("path", root).option("maxFilesPerTrigger", "1").load()
+          .writeStream
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st15_ckpt_$id")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            batches.incrementAndGet()
+            val out = new MergeTable(outRoot)
+            if (!out.exists || !out.lastTxnVersion("st15").exists(_ >= batchId))
+              out.append(b, txn = Some("st15" -> batchId))
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        require(batches.get >= 4,
+          s"maxFilesPerTrigger=1 over 4 single-file commits must yield >= 4 " +
+            s"micro-batches, got ${batches.get}")
+        new MergeTable(outRoot).read(s).groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("event_id").as("id_sum"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events GROUP BY event_type""".stripMargin),
+      "maxFilesPerTrigger: bounded micro-batches over a backlogged table, exactly-once"),
   )
 }
