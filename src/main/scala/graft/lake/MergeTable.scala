@@ -411,20 +411,21 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .filter(c => c.references.nonEmpty && c.references.forall(partitionCols.contains))
       .flatMap(MergeTable.translateFilter).reduceOption(_ && _)
     var files = pred.fold(all)(p => partitionCandidates(spark, all, schemaOf(version), p))
-    val stats = statsOf(version)
+    val stats = statsDetail(version)
     val types = schemaOf(version).fields.map(f => f.name -> f.dataType).toMap
-    def entry(f: String, a: String): Option[(String, String)] =
+    def entry(f: String, a: String): Option[(String, String, Char)] =
       stats.get(f).flatMap(_.get(a))
     // range(...) = can any NON-NULL value of `a` in this file pass `check`?
-    // All-NULL files (recorded empty min/max) fail every null-rejecting
-    // predicate; an undecidable comparison (no stats, no type, unparsable
-    // stat string) keeps the file.
+    // All-NULL files (flag 'N') fail every null-rejecting predicate; an
+    // undecidable case (no stats, no type, unparsable stat string, or a
+    // legacy line whose empty bound is ambiguous) keeps the file.
     def range(f: String, a: String)(
         check: (String, String, org.apache.spark.sql.types.DataType) => Option[Boolean]): Boolean =
       entry(f, a) match {
-        case Some((mn, mx)) if mn.isEmpty || mx.isEmpty => false
-        case Some((mn, mx)) => types.get(a).flatMap(dt => check(mn, mx, dt)).getOrElse(true)
-        case None => true
+        case Some((_, _, 'N')) => false
+        case Some((mn, mx, fl)) if fl == 'V' || (mn.nonEmpty && mx.nonEmpty) =>
+          types.get(a).flatMap(dt => check(mn, mx, dt)).getOrElse(true)
+        case _ => true
       }
     def pointAdmit(mn: String, mx: String, dt: org.apache.spark.sql.types.DataType,
                    v: Any): Option[Boolean] =
@@ -451,7 +452,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       case sources.LessThanOrEqual(a, v) if v != null =>
         range(f, a)((mn, _, dt) => statCmp(dt, mn, v.toString).map(_ <= 0))
       case sources.IsNotNull(a) =>
-        entry(f, a).forall { case (mn, mx) => mn.nonEmpty && mx.nonEmpty }
+        entry(f, a).forall(_._3 != 'N') // only a definitive all-NULL flag skips
       case _ => true
     }
     files = files.filter(f => conjuncts.forall(c => admit(f, c)))
@@ -2180,11 +2181,23 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * never touched would defeat the point.
     */
   def statsOf(version: Long): Map[String, Map[String, (String, String)]] =
+    statsDetail(version).map { case (f, m) =>
+      f -> m.map { case (c, (mn, mx, _)) => c -> (mn, mx) }
+    }
+
+  /** [[statsOf]] plus each entry's null flag: `N` = the column is
+    * all-NULL in the file, `V` = non-null values present, `?` = legacy
+    * 4-field line (pre-flag commits) where an empty bound is ambiguous —
+    * the pruners keep those files rather than guess.
+    */
+  private[lake] def statsDetail(version: Long)
+      : Map[String, Map[String, (String, String, Char)]] =
     readCommit(version).statsLines.map { line =>
-      val Array(f, c, mn, mx) = line.split("\t", -1)
-      (dec(f), dec(c), dec(mn), dec(mx))
+      val parts = line.split("\t", -1)
+      val flag = if (parts.length >= 5 && parts(4).nonEmpty) parts(4).charAt(0) else '?'
+      (dec(parts(0)), dec(parts(1)), dec(parts(2)), dec(parts(3)), flag)
     }.groupBy(_._1).map { case (f, rows) =>
-      f -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+      f -> rows.map(r => r._2 -> ((r._3, r._4, r._5))).toMap
     }
 
   /** ANALYZE TABLE analog: (re)compute per-file min/max statistics of
@@ -2209,6 +2222,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     require(cols.nonEmpty && missing.isEmpty,
       s"analyze of $root: columns ${missing.mkString(", ")} not in schema " +
         s"(${c.schema.fieldNames.mkString(", ")})")
+    val unorderable = cols.filter(cl => !MergeTable.statsSupported(c.schema(cl).dataType))
+    require(unorderable.isEmpty,
+      s"analyze of $root: column(s) ${unorderable.mkString(", ")} have types the " +
+        "pruner cannot order (binary/array/struct) — min/max stats would never skip a file")
     val stats = collectStatsFor(spark, c.files, c.schema, colmapOf(v), cols)
     commit(v + 1, c.files, c.schema, stats, op = "ANALYZE")
   }
@@ -2222,17 +2239,20 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   def candidateFiles(column: String, lo: Any, hi: Any): Seq[String] = {
     val v = currentVersion
-    val stats = statsOf(v)
+    val stats = statsDetail(v)
     val numeric = schemaOf(v).fields.find(_.name == column).exists(f =>
       f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     def le(a: String, b: String): Boolean =
       if (numeric) BigDecimal(a) <= BigDecimal(b) else a <= b
     filesOf(v).filter { f =>
       stats.get(f).flatMap(_.get(column)) match {
-        case Some((mn, mx)) if mn.nonEmpty && mx.nonEmpty =>
-          le(mn, hi.toString) && le(lo.toString, mx)
-        case Some(_) => false // all-NULL file: no row can match a range
-        case None    => true  // no stats recorded for this file
+        case Some((_, _, 'N')) => false // all-NULL file: no row can match a range
+        case Some((mn, mx, fl)) if fl == 'V' || (mn.nonEmpty && mx.nonEmpty) =>
+          // 'V' makes an EMPTY-STRING bound a real value, not a null marker
+          try le(mn, hi.toString) && le(lo.toString, mx)
+          catch { case _: NumberFormatException => true } // unparsable: keep
+        case Some(_) => true // legacy line, empty bound: ambiguous — keep
+        case None    => true // no stats recorded for this file
       }
     }
   }
@@ -2944,8 +2964,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // (metadata-sized: the commit rewrites these lines anyway)
     val restat = c.statsLines.map { l =>
       val parts = l.split("\t", -1)
-      if (parts.length == 4 && dec(parts(1)) == oldName)
-        s"${parts(0)}\t${enc(newName)}\t${parts(2)}\t${parts(3)}"
+      if (parts.length >= 4 && dec(parts(1)) == oldName)
+        (Seq(parts(0), enc(newName)) ++ parts.drop(2)).mkString("\t")
       else l
     }
     commit(v + 1, c.files, newSchema, restat,
@@ -2983,7 +3003,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val newSchema = StructType(c.schema.fields.filterNot(_.name == name))
     val kept = c.statsLines.filter { l =>
       val parts = l.split("\t", -1)
-      !(parts.length == 4 && dec(parts(1)) == name)
+      !(parts.length >= 4 && dec(parts(1)) == name)
     }
     commit(v + 1, c.files, newSchema, kept,
       colmapOverride = Some((cmap - name).toSeq.sortBy(_._1)),
@@ -3375,12 +3395,28 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                            colmap: Map[String, String]): Seq[String] =
     collectStatsFor(spark, relFiles, schema, colmap, statsCols)
 
+  /** Stat line format: `file \t col \t min \t max \t flag` with flag `N`
+    * (column is all-NULL in the file) or `V` (non-null values present) —
+    * the flag is what makes an empty-string MINIMUM distinguishable from
+    * "no values" (encoding null as "" alone is ambiguous, and resolving
+    * the ambiguity toward skip would be unsound). Legacy 4-field lines
+    * (no flag) are read conservatively: an empty bound keeps the file.
+    *
+    * String bounds are TRUNCATED to [[MergeTable.StatsMaxLen]] chars the
+    * sound way (Delta's): min to a prefix (≤ every value), max to the
+    * prefix with its last incrementable char bumped (> every value) — so
+    * a `documents`-scale text column costs the log 64 chars per file, not
+    * the document. Only types the pruner can order are collected at all.
+    */
   private def collectStatsFor(spark: SparkSession, relFiles: Seq[String],
                               schema: StructType,
                               colmap: Map[String, String],
                               wantCols: Seq[String]): Seq[String] = {
-    val cols = wantCols.filter(c => schema.fieldNames.contains(c))
+    import org.apache.spark.sql.types.StringType
+    val cols = wantCols.filter(c => schema.fieldNames.contains(c) &&
+      MergeTable.statsSupported(schema(c).dataType))
     if (cols.isEmpty || relFiles.isEmpty) return Nil
+    val strCols = cols.filter(c => schema(c).dataType == StringType).toSet
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
     readFiles(spark, relFiles, schema, colmap)
       .withColumn("_graft_file", input_file_name())
@@ -3389,9 +3425,12 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .collect().toSeq.flatMap { r =>
         val rel = relativize(normalize(r.getString(0)))
         cols.map { c =>
-          val mn = Option(r.getAs[Any](s"mn_$c")).map(_.toString).getOrElse("")
-          val mx = Option(r.getAs[Any](s"mx_$c")).map(_.toString).getOrElse("")
-          s"${enc(rel)}\t${enc(c)}\t${enc(mn)}\t${enc(mx)}"
+          val mnV = Option(r.getAs[Any](s"mn_$c")).map(_.toString)
+          val mxV = Option(r.getAs[Any](s"mx_$c")).map(_.toString)
+          val flag = if (mnV.isEmpty) "N" else "V"
+          val mn = mnV.map(s => if (strCols(c)) MergeTable.truncStatMin(s) else s).getOrElse("")
+          val mx = mxV.map(s => if (strCols(c)) MergeTable.truncStatMax(s) else s).getOrElse("")
+          s"${enc(rel)}\t${enc(c)}\t${enc(mn)}\t${enc(mx)}\t$flag"
         }
       }
   }
@@ -3912,6 +3951,44 @@ object MergeTable {
       case _ => false
     }
   }
+
+  /** Stats are collected only for types the pruner can order back from
+    * their stringified form — anything else (binary, arrays, structs)
+    * would record JVM `toString` garbage that can never prune soundly.
+    */
+  private[lake] def statsSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => true
+      case StringType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  /** Max stored length of a STRING stat bound (Delta truncates at 32;
+    * 64 keeps a little more pruning power at still-negligible log cost).
+    */
+  private[lake] val StatsMaxLen = 64
+
+  /** Sound lower bound under truncation: a prefix is lexically ≤ every
+    * string it prefixes.
+    */
+  private[lake] def truncStatMin(s: String): String =
+    if (s.length <= StatsMaxLen) s else s.take(StatsMaxLen)
+
+  /** Sound upper bound under truncation: bump the last incrementable char
+    * of the prefix and drop the tail — strictly greater than every string
+    * sharing the prefix. A prefix of all U+FFFF (no bump possible) keeps
+    * the full value: correctness over compactness in the pathological
+    * case.
+    */
+  private[lake] def truncStatMax(s: String): String =
+    if (s.length <= StatsMaxLen) s
+    else {
+      val p = s.take(StatsMaxLen)
+      val i = p.lastIndexWhere(_ != '\uffff')
+      if (i < 0) s else p.substring(0, i) + (p.charAt(i) + 1).toChar
+    }
 
   /** Top-level conjuncts of a pushed-filter array (Spark hands a scan the
     * predicate as an implicitly-ANDed array whose elements may themselves

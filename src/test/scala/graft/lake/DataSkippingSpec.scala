@@ -157,6 +157,57 @@ class DataSkippingSpec extends SparkSpec {
     assert(t.read(spark).inputFiles.length === 3)
   }
 
+  test("empty-string minimum is a value, not a null marker") {
+    val root = scratch("skip_empty")
+    val t = new MergeTable(root, Seq("p"), statsCols = Seq("v"))
+    // p=a's min v IS the empty string — the file must stay admitted for
+    // any value predicate (the old ""-means-null encoding would skip it)
+    val df = Seq(("", "a"), ("zebra", "a"), ("mm", "b"), ("nn", "b")).toDF("v", "p")
+    t.overwrite(df.repartition(1))
+    val forEq = t.pruneFilesFor(spark, t.currentVersion, Seq(sources.EqualTo("v", "zebra")))
+    assert(forEq.exists(_.contains("p=a")), "the empty-min file holds 'zebra'")
+    assert(t.readVersionWhere(spark, t.currentVersion,
+      Seq(sources.EqualTo("v", "zebra"))).filter(col("v") === "zebra").count() === 1L)
+    assert(t.readVersionWhere(spark, t.currentVersion,
+      Seq(sources.EqualTo("v", ""))).filter(col("v") === "").count() === 1L)
+    // and candidateFiles (the readRange path) agrees
+    assert(t.candidateFiles("v", "zebra", "zebra").exists(_.contains("p=a")))
+  }
+
+  test("long string bounds truncate soundly and stay off the log") {
+    val root = scratch("skip_trunc")
+    val t = new MergeTable(root, Seq("p"), statsCols = Seq("v"))
+    val longA = "a" * 500 + "END"
+    val longZ = "z" * 500 + "END"
+    val df = Seq((longA, "a"), (longZ, "a"), ("k" * 500, "b"), ("m", "b")).toDF("v", "p")
+    t.overwrite(df.repartition(1))
+    // stored bounds are truncated, never document-sized
+    val bounds = t.statsOf(t.currentVersion).values.flatMap(_.get("v")).toSeq
+    assert(bounds.nonEmpty && bounds.forall { case (mn, mx) =>
+      mn.length <= MergeTable.StatsMaxLen && mx.length <= MergeTable.StatsMaxLen + 1 })
+    // soundness: every stored value is still found through a pruned read
+    for (v <- Seq(longA, longZ, "k" * 500, "m"))
+      assert(t.readVersionWhere(spark, t.currentVersion,
+        Seq(sources.EqualTo("v", v))).filter(col("v") === v).count() === 1L, s"lost $v")
+    // tightness: "j" sits inside p=a's a..z span but below p=b's
+    // truncated "kkk…" minimum — truncation still prunes p=b
+    val only = t.pruneFilesFor(spark, t.currentVersion, Seq(sources.EqualTo("v", "j")))
+    assert(only.size === 1 && only.head.contains("p=a"))
+  }
+
+  test("unorderable column types are never collected; analyze refuses them") {
+    val root = scratch("skip_types")
+    val t = new MergeTable(root, Nil, statsCols = Seq("b", "k"))
+    val df = spark.range(4).select(col("id").as("k"),
+      expr("cast(concat('x', id) as binary)").as("b"))
+    t.overwrite(df)
+    // binary silently skipped, numeric collected
+    val cols = t.statsOf(t.currentVersion).values.flatMap(_.keys).toSet
+    assert(cols === Set("k"))
+    val ex = intercept[IllegalArgumentException](t.analyze(spark, Seq("b")))
+    assert(ex.getMessage.contains("cannot order"))
+  }
+
   test("pruning survives rename (re-keyed stats) and stays off for dropped columns") {
     val t = statsTable("skip_rename")
     t.renameColumn("k", "kk")
