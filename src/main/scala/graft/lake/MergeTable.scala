@@ -2752,6 +2752,46 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * data scan (Delta likewise answers DESCRIBE DETAIL from the log; at
     * 100 TB a storage listing would be the slowest call in the system).
     */
+  /** Delta's `GENERATE symlink_format_manifest`: write
+    * `_symlink_format_manifest/[<p>=<v>/...]manifest` text files listing
+    * the CURRENT snapshot's data files as absolute paths — the format
+    * Presto/Trino/Athena external tables consume to read a
+    * versioned-manifest lake without understanding its log (the
+    * reference's own read side is Athena). One manifest file per
+    * partition directory, mirroring the Hive layout, so `MSCK`-style
+    * partition discovery and partition pruning work unchanged on the
+    * external side; the whole write is manifest-sized metadata.
+    *
+    * Refuses snapshots an external raw-file reader would MISREAD:
+    * deletion vectors (masked rows would resurrect — `REORG TABLE …
+    * APPLY (PURGE)` first) and column mapping, current or historical
+    * (files store physical names / dropped-column data the external
+    * schema must not see).
+    */
+  def generateSymlinkManifest(): Unit = {
+    require(exists, s"MergeTable at $root does not exist")
+    val v = currentVersion
+    val c = readCommit(v)
+    require(c.dvs.isEmpty,
+      s"generateSymlinkManifest on $root: the snapshot carries deletion vectors — " +
+        "an external engine reading raw files would resurrect masked rows; run " +
+        "REORG TABLE ... APPLY (PURGE) first")
+    require(c.colmap.isEmpty && c.retired.isEmpty,
+      s"generateSymlinkManifest on $root: column mapping is (or was) active — " +
+        "data files store physical column names an external schema would misread")
+    val base = Paths.get(root).toAbsolutePath.normalize
+    val mroot = base.resolve(MergeTable.SymlinkManifestDir)
+    if (Files.exists(mroot)) deleteRecursively(mroot) // stale partitions must vanish
+    c.files.groupBy { f =>
+      val segs = f.split('/'); segs.slice(1, segs.length - 1).mkString("/")
+    }.foreach { case (part, fs) =>
+      val dir = if (part.isEmpty) mroot else mroot.resolve(part)
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("manifest"),
+        fs.sorted.map(f => base.resolve(f).toString).mkString("", "\n", "\n"))
+    }
+  }
+
   def detail(spark: SparkSession): DataFrame = {
     require(exists, s"MergeTable at $root does not exist")
     import spark.implicits._
@@ -3722,6 +3762,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val t2 = logDir.resolve(s"_LATEST.tmp${System.nanoTime()}")
     Files.write(t2, version.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(t2, latestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // Delta's delta.compatibility.symlinkFormatManifest.enabled: keep the
+    // external-engine manifests in lockstep with every commit. Skipped —
+    // never failed — when the snapshot isn't externally readable (dvs /
+    // column mapping): the commit is already published, so raising here
+    // would report a durable write as failed; a manual generate gives the
+    // loud explanation instead.
+    if (propLines.exists { case (k, vl) =>
+          k == MergeTable.SymlinkManifestProp && vl == "true" } &&
+        dvLines.isEmpty && colmapLines.isEmpty && retiredLines.isEmpty)
+      generateSymlinkManifest()
   }
 
   private def listParquet(dir: Path): Seq[String] =
@@ -3932,6 +3982,15 @@ object MergeTable {
     * declared once on the table, honored by every maintenance run.
     */
   val ClusterByProp = "graft.clusterBy"
+
+  /** Table property that keeps [[MergeTable.generateSymlinkManifest]]
+    * output in lockstep with every commit (Delta's
+    * `delta.compatibility.symlinkFormatManifest.enabled`).
+    */
+  val SymlinkManifestProp = "graft.compatibility.symlinkFormatManifest.enabled"
+
+  /** Root directory of the generated external-engine manifests. */
+  val SymlinkManifestDir = "_symlink_format_manifest"
 
   /** True when `from → to` is a lossless widening Spark's parquet readers
     * perform at scan time (the Delta type-widening allow-list this engine

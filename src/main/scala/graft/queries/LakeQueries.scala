@@ -2023,5 +2023,56 @@ object LakeQueries {
              |  AND o_orderkey BETWEEN (SELECT max(o_orderkey) // 4 FROM orders)
              |                     AND (SELECT max(o_orderkey) // 2 FROM orders)""".stripMargin),
       "automatic data skipping: partition + stats file pruning on every connector scan"),
+
+    // GENERATE symlink_format_manifest (Delta's Presto/Trino/Athena
+    // compatibility surface — the reference's own read side is Athena):
+    // per-partition manifest files list the snapshot's data files as
+    // absolute paths, regenerated in LOCKSTEP with every commit once the
+    // property is set. The gate then plays the EXTERNAL ENGINE: plain
+    // parquet reads over exactly the manifest-listed paths, partition
+    // values recovered from the manifest's Hive dirs — and the hash
+    // proves that read equals the logical table.
+    "m62_symlink_manifest" -> GraftQuery(
+      (s, dir) => {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val root = s"$scratchRoot/m62_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders.filter(col("o_orderkey") % 2 === 0))
+        table.setProperties(Map(MergeTable.SymlinkManifestProp -> "true"))
+        graft.sqlapi.LakeSql.run(s, "GENERATE symlink_format_manifest FOR TABLE tbl",
+          Map("tbl" -> table))
+        table.merge(s, orders.filter(col("o_orderkey") % 2 =!= 0), Seq("o_orderkey"))
+        val mroot = Paths.get(root, MergeTable.SymlinkManifestDir)
+        val manifests = Files.walk(mroot).iterator().asScala
+          .filter(p => p.getFileName.toString == "manifest").toSeq
+        val listed = manifests.flatMap(p => Files.readAllLines(p).asScala)
+        val snapshot = table.filesOf(table.currentVersion)
+          .map(f => Paths.get(root).toAbsolutePath.normalize.resolve(f).toString).toSet
+        require(listed.toSet == snapshot && listed.size == snapshot.size,
+          s"manifests must track the post-merge snapshot in lockstep " +
+            s"(${listed.size} listed vs ${snapshot.size} files)")
+        manifests.map { m =>
+          val part = mroot.relativize(m.getParent).toString
+          var df = s.read.parquet(Files.readAllLines(m).asScala.toSeq: _*)
+          if (part.nonEmpty) part.split('/').foreach { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            df = df.withColumn(k,
+              lit(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(v)))
+          }
+          df
+        }.reduce(_ unionByName _)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       round(sum(o_totalprice), 2) AS revenue
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "symlink manifests for external engines: per-partition file lists, commit-lockstep"),
   )
 }

@@ -124,6 +124,9 @@ object LakeSql {
   private val FsckShape =
     """(?is)^\s*FSCK\s+REPAIR\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
 
+  private val GenerateManifestShape =
+    """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+
   private val CreateBloomShape =
     ("""(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+""" +
      """FOR\s+COLUMNS\s*\(\s*(\w+)\s*\)\s*;?\s*$""").r
@@ -329,6 +332,8 @@ object LakeSql {
         resolve(tgt, targets).reorgPurge(spark)
       case FsckShape(tgt) =>
         resolve(tgt, targets).fsck()
+      case GenerateManifestShape(tgt) =>
+        resolve(tgt, targets).generateSymlinkManifest()
       case CreateBloomShape(tgt, colName) =>
         resolve(tgt, targets).buildBloomIndex(spark, colName)
       case DropBloomShape(tgt, colName) =>
@@ -505,6 +510,7 @@ object LakeSql {
     case VacuumShape(tgt, _, _)    => Some(tgt)
     case ReorgShape(tgt)           => Some(tgt)
     case FsckShape(tgt)            => Some(tgt)
+    case GenerateManifestShape(tgt) => Some(tgt)
     case CreateBloomShape(tgt, _)  => Some(tgt)
     case DropBloomShape(tgt, _)    => Some(tgt)
     case RestoreShape(tgt, _)      => Some(tgt)
@@ -539,6 +545,7 @@ object LakeSql {
     case VacuumShape(tgt, _, _)    => Some(tgt)
     case ReorgShape(tgt)           => Some(tgt)
     case FsckShape(tgt)            => Some(tgt)
+    case GenerateManifestShape(tgt) => Some(tgt)
     case CreateBloomShape(tgt, _)  => Some(tgt)
     case DropBloomShape(tgt, _)    => Some(tgt)
     case RestoreShape(tgt, _)      => Some(tgt)
