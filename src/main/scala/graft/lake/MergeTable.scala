@@ -401,7 +401,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                                    filters: Seq[sources.Filter]): Seq[String] = {
     val all = filesOf(version)
     if (filters.isEmpty || all.isEmpty) return all
-    val conjuncts = MergeTable.flattenAnd(filters)
+    val conjuncts0 = MergeTable.flattenAnd(filters)
+    val types = schemaOf(version).fields.map(f => f.name -> f.dataType).toMap
+    // Delta's generated-column partition pruning: when a partition column
+    // is GENERATED from a data column (the reference's year/month-from-
+    // date pattern), filters on the BASE column derive partition
+    // conjuncts — `WHERE d = X` on a (y = year(d))-partitioned table
+    // prunes to y = year(X) with zero caller involvement.
+    val derived =
+      if (generatedCols.isEmpty) Nil
+      else MergeTable.derivedPartitionConjuncts(spark, conjuncts0,
+        generatedCols.filter { case (p, _) => partitionCols.contains(p) }, types)
+    val conjuncts = conjuncts0 ++ derived
     // partition-prune on the conjuncts that reference partition columns
     // ALONE — a mixed predicate still prunes through its partition-only
     // conjuncts (sound: every conjunct must hold independently), where
@@ -412,7 +423,6 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .flatMap(MergeTable.translateFilter).reduceOption(_ && _)
     var files = pred.fold(all)(p => partitionCandidates(spark, all, schemaOf(version), p))
     val stats = statsDetail(version)
-    val types = schemaOf(version).fields.map(f => f.name -> f.dataType).toMap
     def entry(f: String, a: String): Option[(String, String, Char)] =
       stats.get(f).flatMap(_.get(a))
     // range(...) = can any NON-NULL value of `a` in this file pass `check`?
@@ -4048,6 +4058,90 @@ object MergeTable {
       val i = p.lastIndexWhere(_ != '\uffff')
       if (i < 0) s else p.substring(0, i) + (p.charAt(i) + 1).toChar
     }
+
+  /** One whitelisted generated-partition-expression shape: the regex
+    * (over the normalized expr text) captures the base column, `monotone`
+    * says whether the shape is order-preserving AND null-safe for the
+    * base column's type — the precondition for deriving RANGE conjuncts.
+    * Equality derivation needs neither: `c = v ⇒ p = E(v)` holds for any
+    * deterministic E (and every whitelisted shape is), provided E(v)
+    * itself evaluates non-null.
+    */
+  private final case class GenShape(
+      re: scala.util.matching.Regex,
+      monotone: org.apache.spark.sql.types.DataType => Boolean)
+
+  private val genShapes: Seq[GenShape] = {
+    import org.apache.spark.sql.types._
+    val onDate: DataType => Boolean =
+      dt => dt == DateType || dt == TimestampType || dt == TimestampNTZType
+    val onString: DataType => Boolean = _ == StringType
+    val onNumeric: DataType => Boolean = _.isInstanceOf[NumericType]
+    val never: DataType => Boolean = _ => false
+    Seq(
+      GenShape("""^year\((\w+)\)$""".r, onDate),
+      GenShape("""^(?:month|day|dayofmonth|hour)\((\w+)\)$""".r, never), // cyclic
+      GenShape("""^to_date\((\w+)\)$""".r, onDate),
+      GenShape("""^cast\((\w+)asdate\)$""".r, onDate),
+      GenShape("""^date_trunc\('(?:year|quarter|month|week|day|hour)',(\w+)\)$""".r, onDate),
+      GenShape("""^trunc\((\w+),'(?:year|yyyy|yy|quarter|month|mm|mon|week)'\)$""".r, onDate),
+      GenShape("""^date_format\((\w+),'yyyy(?:-mm(?:-dd)?)?'\)$""".r, onDate),
+      GenShape("""^substr(?:ing)?\((\w+),1,\d+\)$""".r, onString),
+      GenShape("""^floor\((\w+)/\d+(?:\.\d+)?\)$""".r, onNumeric))
+  }
+
+  /** Partition conjuncts DERIVED from base-column conjuncts through the
+    * table's generated-column definitions (Delta's generated-column
+    * partition pruning). Sound by construction:
+    *  - equality: `c = v ⇒ p = E(v)` for the deterministic whitelisted
+    *    shapes, skipped when E(v) evaluates NULL (those rows live in the
+    *    null partition the derived equality would wrongly exclude);
+    *  - ranges: only for shapes monotone (and non-null-for-non-null) over
+    *    the base column's actual type, and always widened to inclusive
+    *    bounds (E need not be injective).
+    * E(v) evaluates through Spark itself on a one-row frame — the exact
+    * semantics the write path used to derive the partition values.
+    */
+  private[lake] def derivedPartitionConjuncts(
+      spark: SparkSession, conjuncts: Seq[sources.Filter],
+      gens: Seq[(String, String)],
+      types: Map[String, org.apache.spark.sql.types.DataType]): Seq[sources.Filter] = {
+    def eval(exprText: String, c: String, v: Any): Option[Any] =
+      try {
+        val dt = types(c)
+        Option(spark.range(1).select(lit(v).cast(dt).as(c))
+          .select(expr(exprText).as("r")).head.get(0))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    gens.flatMap { case (p, exprText) =>
+      val t = exprText.toLowerCase.replaceAll("[\\s`]", "")
+      genShapes.flatMap { shape =>
+        t match {
+          case shape.re(c) if types.contains(c) =>
+            val monotone = shape.monotone(types(c))
+            conjuncts.flatMap {
+              case sources.EqualTo(`c`, v) if v != null =>
+                eval(exprText, c, v).map(r => sources.EqualTo(p, r)).toSeq
+              case sources.EqualNullSafe(`c`, v) if v != null =>
+                eval(exprText, c, v).map(r => sources.EqualTo(p, r)).toSeq
+              case sources.In(`c`, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+                val rs = vs.toSeq.map(v => eval(exprText, c, v))
+                if (rs.exists(_.isEmpty)) Nil
+                else Seq(sources.In(p, rs.flatten.distinct.toArray))
+              case sources.GreaterThan(`c`, v) if v != null && monotone =>
+                eval(exprText, c, v).map(r => sources.GreaterThanOrEqual(p, r)).toSeq
+              case sources.GreaterThanOrEqual(`c`, v) if v != null && monotone =>
+                eval(exprText, c, v).map(r => sources.GreaterThanOrEqual(p, r)).toSeq
+              case sources.LessThan(`c`, v) if v != null && monotone =>
+                eval(exprText, c, v).map(r => sources.LessThanOrEqual(p, r)).toSeq
+              case sources.LessThanOrEqual(`c`, v) if v != null && monotone =>
+                eval(exprText, c, v).map(r => sources.LessThanOrEqual(p, r)).toSeq
+              case _ => Nil
+            }
+          case _ => Nil
+        }
+      }
+    }
+  }
 
   /** Top-level conjuncts of a pushed-filter array (Spark hands a scan the
     * predicate as an implicitly-ANDed array whose elements may themselves

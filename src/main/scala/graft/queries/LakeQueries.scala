@@ -2074,5 +2074,48 @@ object LakeQueries {
              |       round(sum(o_totalprice), 2) AS revenue
              |FROM orders GROUP BY o_orderstatus""".stripMargin),
       "symlink manifests for external engines: per-partition file lists, commit-lockstep"),
+
+    // Generated-column partition pruning (Delta's derived partition
+    // filters — the reference's own year/month-from-date layout): the
+    // table partitions on y GENERATED AS year(od), the query filters on
+    // od alone, and the pruner derives y-bounds through the generation
+    // expression — `WHERE od IN 1994` scans only y=1994 directories with
+    // zero caller opt-in. The require pins the derivation; the hash
+    // proves the pruned connector scan returns exactly the year's rows.
+    "m63_generated_partition_pruning" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m63_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+          .withColumn("od", to_date(col("o_orderdate"))).drop("o_orderdate")
+        val table = new MergeTable(root, Seq("y"),
+          generatedCols = Seq("y" -> "year(od)"))
+        table.overwrite(orders)
+        // scale-independent target year: min(year) + 1, derived by both
+        // engines from the data
+        val yr = orders.agg((min(year(col("od"))) + 1).cast("int")).head.getInt(0)
+        val all = table.filesOf(table.currentVersion)
+        val pruned = table.pruneFilesFor(s, table.currentVersion, Seq(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("od",
+            java.sql.Date.valueOf(s"$yr-01-01")),
+          org.apache.spark.sql.sources.LessThanOrEqual("od",
+            java.sql.Date.valueOf(s"$yr-12-31"))))
+        require(pruned.nonEmpty && pruned.size < all.size &&
+          pruned.forall(_.contains(s"y=$yr")),
+          s"the od range must derive y=$yr pruning (${pruned.size} of ${all.size})")
+        s.read.format("graft").load(root)
+          .filter(col("od").between(s"$yr-01-01", s"$yr-12-31"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       round(sum(o_totalprice), 2) AS revenue
+             |FROM orders
+             |WHERE year(CAST(o_orderdate AS DATE)) =
+             |      (SELECT min(year(CAST(o_orderdate AS DATE))) + 1 FROM orders)
+             |GROUP BY o_orderstatus""".stripMargin),
+      "generated-column partition pruning: base-column filters derive partition bounds"),
   )
 }

@@ -208,6 +208,38 @@ class DataSkippingSpec extends SparkSpec {
     assert(ex.getMessage.contains("cannot order"))
   }
 
+  test("generated partition columns derive pruning from base-column filters") {
+    val root = scratch("skip_gen")
+    val t = new MergeTable(root, Seq("y", "m"),
+      generatedCols = Seq("y" -> "year(d)", "m" -> "month(d)"))
+    val df = spark.range(36).select(
+      expr("add_months(date'2024-01-15', cast(id as int))").as("d"),
+      col("id").as("k"))
+    t.overwrite(df) // y, m derive in the write path
+    // equality on the BASE column prunes through BOTH generated columns
+    val eq = t.pruneFilesFor(spark, t.currentVersion,
+      Seq(sources.EqualTo("d", java.sql.Date.valueOf("2025-06-15"))))
+    assert(eq.nonEmpty && eq.forall(f => f.contains("y=2025") && f.contains("m=6")))
+    // a range derives only through year (month is cyclic — no range shape)
+    val rg = t.pruneFilesFor(spark, t.currentVersion,
+      Seq(sources.GreaterThanOrEqual("d", java.sql.Date.valueOf("2026-01-01"))))
+    assert(rg.nonEmpty && rg.forall(_.contains("y=2026")))
+    // soundness: pruned read + exact predicate ≡ full read + predicate
+    val pred = col("d") >= lit(java.sql.Date.valueOf("2026-01-01"))
+    assert(t.readVersionWhere(spark, t.currentVersion,
+        Seq(sources.GreaterThanOrEqual("d", java.sql.Date.valueOf("2026-01-01"))))
+      .filter(pred).count() === t.read(spark).filter(pred).count())
+    // IN derives a value set PER generated column — the admitted files are
+    // the cross product of the derived sets (sound; per-column derivation
+    // cannot know which (y, m) pairs co-occur)
+    val in = t.pruneFilesFor(spark, t.currentVersion,
+      Seq(sources.In("d", Array[Any](java.sql.Date.valueOf("2024-02-15"),
+        java.sql.Date.valueOf("2026-09-15")))))
+    assert(in.nonEmpty && in.size <= 4 &&
+      in.forall(f => (f.contains("y=2024") || f.contains("y=2026")) &&
+        (f.contains("m=2") || f.contains("m=9"))))
+  }
+
   test("pruning survives rename (re-keyed stats) and stays off for dropped columns") {
     val t = statsTable("skip_rename")
     t.renameColumn("k", "kk")
