@@ -2381,19 +2381,42 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // "keep the file" (degradation, never wrong answers).
     // Local copies only: the closure must not capture `this` (MergeTable
     // is not serializable — by design, handles are driver objects).
+    buildBloomSidecars(spark, c.files, c.schema, colmapOf(v), Seq(colName),
+      dvsOf(v), estItemsPerFile)
+  }
+
+  /** Sidecar builder shared by the one-shot [[buildBloomIndex]] and the
+    * write path's INCREMENTAL maintenance ([[writeData]]): once an index
+    * exists for a column, every newly-written file gets its sidecar at
+    * write time (Delta's arrangement — the index stays fresh instead of
+    * silently degrading to "keep" for post-build files). One scan of just
+    * the given files, all indexed columns aggregated together.
+    */
+  private def buildBloomSidecars(spark: SparkSession, relFiles: Seq[String],
+                                 schema: StructType, colmap: Map[String, String],
+                                 cols: Seq[String],
+                                 dvs: Map[String, (String, Long)] = Map.empty,
+                                 estItemsPerFile: Long = 100000L): Unit = {
+    if (cols.isEmpty || relFiles.isEmpty) return
+    cols.foreach(c => Files.createDirectories(Paths.get(root, "bloomidx", c)))
+    // Local copies only: the closure must not capture `this` (MergeTable
+    // is not serializable — by design, handles are driver objects).
     val rootStr = root
-    val colStr = colName
-    readFiles(spark, c.files, c.schema, colmapOf(v), dvsOf(v),
-        fileCol = Some("_graft_file"))
-      .select(col("_graft_file"), xxhash64(col(colName)).as("h"))
+    val colsStr = cols
+    val aggs = cols.map(c => expr(s"bloom_agg(`h_$c`, ${estItemsPerFile}L)").as(s"bf_$c"))
+    readFiles(spark, relFiles, schema, colmap, dvs, fileCol = Some("_graft_file"))
+      .select(col("_graft_file") +: cols.map(c => xxhash64(col(c)).as(s"h_$c")): _*)
       .groupBy("_graft_file")
-      .agg(expr(s"bloom_agg(h, ${estItemsPerFile}L)").as("bf"))
+      .agg(aggs.head, aggs.tail: _*)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.foreach { r =>
           // _graft_file is relPathCol — already the manifest-relative string
-          val p = Paths.get(rootStr, "bloomidx", colStr,
-            java.net.URLEncoder.encode(r.getString(0), StandardCharsets.UTF_8) + ".bloom")
-          Files.write(p, r.getAs[Array[Byte]]("bf"))
+          colsStr.foreach { c =>
+            val p = Paths.get(rootStr, "bloomidx", c,
+              java.net.URLEncoder.encode(r.getAs[String]("_graft_file"),
+                StandardCharsets.UTF_8) + ".bloom")
+            Files.write(p, r.getAs[Array[Byte]](s"bf_$c"))
+          }
         }
       }
   }
@@ -3576,6 +3599,22 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val w = physical.write.mode("overwrite")
     val pw = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
     pw.parquet(s"$root/$dataDir")
+    // Bloom index freshness: once an index exists for a column (the
+    // bloomidx/<col> dir), every write builds sidecars for ITS new files
+    // right here — one extra scan of just-written data, the price Delta
+    // pays inline too. Without this, post-build files silently degrade to
+    // "keep" on every point lookup and the index decays with table churn.
+    val idx = Paths.get(root, "bloomidx")
+    if (Files.exists(idx)) {
+      val logical = StructType(df0.schema.fields.filterNot(_.name == MergeTable.RowIdCol))
+      val bloomCols = Files.list(idx).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(logical.fieldNames.contains).toSeq.sorted
+      if (bloomCols.nonEmpty) {
+        val newRel = listParquet(Paths.get(root, dataDir)).map(relativize)
+        buildBloomSidecars(df0.sparkSession, newRel, logical, colmap, bloomCols)
+      }
+    }
   }
 
   /** Atomic commit with optimistic concurrency, Delta's N-th-log-file

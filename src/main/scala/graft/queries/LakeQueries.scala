@@ -2117,5 +2117,40 @@ object LakeQueries {
              |      (SELECT min(year(CAST(o_orderdate AS DATE))) + 1 FROM orders)
              |GROUP BY o_orderstatus""".stripMargin),
       "generated-column partition pruning: base-column filters derive partition bounds"),
+
+    // Bloom index MAINTENANCE (Delta builds filters at write time once an
+    // index exists): files written AFTER the one-shot build — appends and
+    // merge rewrites alike — index themselves, so point-lookup pruning
+    // never decays with table churn. The require pins that EVERY snapshot
+    // file carries a sidecar post-append; the hash proves the pruned
+    // point read returns exactly the key's row.
+    "m64_bloom_maintenance" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m64_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders.filter(col("o_orderkey") % 2 === 0))
+        graft.sqlapi.LakeSql.run(s,
+          "CREATE BLOOMFILTER INDEX ON TABLE tbl FOR COLUMNS (o_orderkey)",
+          Map("tbl" -> table))
+        table.append(orders.filter(col("o_orderkey") % 2 =!= 0)) // post-build files
+        val probe = orders.filter(col("o_orderkey") % 2 =!= 0)
+          .agg(max(col("o_orderkey")).cast("long")).head.getLong(0)
+        val enc = (f: String) => java.net.URLEncoder
+          .encode(f, java.nio.charset.StandardCharsets.UTF_8)
+        require(table.filesOf(table.currentVersion).forall(f => Files.exists(
+          Paths.get(root, "bloomidx", "o_orderkey", enc(f) + ".bloom"))),
+          "every snapshot file must carry a sidecar after the append")
+        require(table.bloomCandidateFiles(s, "o_orderkey", probe).size <
+          table.filesOf(table.currentVersion).size,
+          "the fresh sidecars must prune the point lookup")
+        table.readPoint(s, "o_orderkey", probe)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders
+             |                    WHERE o_orderkey % 2 <> 0)""".stripMargin),
+      "bloom index maintenance: post-build writes self-index, lookups never decay"),
   )
 }

@@ -141,6 +141,30 @@ class DataSkippingSpec extends SparkSpec {
       .filter(col("v") === "key42").count() === 1L)
   }
 
+  test("bloom sidecars stay fresh: writes after the build index their own files") {
+    val root = scratch("skip_bloom_fresh")
+    val t = new MergeTable(root, Seq("p"))
+    t.overwrite(spark.range(100)
+      .select(concat(lit("k"), col("id")).as("v"), lit("a").as("p")).repartition(1))
+    t.buildBloomIndex(spark, "v")
+    // a write AFTER the build: its file must index itself
+    t.append(spark.range(100, 200)
+      .select(concat(lit("k"), col("id")).as("v"), lit("b").as("p")).repartition(1))
+    val hit = t.pruneFilesFor(spark, t.currentVersion, Seq(sources.EqualTo("v", "k150")))
+    assert(hit.size === 1 && hit.head.contains("p=b"))
+    // a merge rewrite: the rewritten and inserted files re-index too
+    t.merge(spark, Seq(("k5", "zz")).toDF("v", "p"), Seq("v"))
+    val hit2 = t.pruneFilesFor(spark, t.currentVersion, Seq(sources.EqualTo("v", "k7")))
+    assert(hit2.size === 1 && hit2.head.contains("p=a"))
+    val moved = t.pruneFilesFor(spark, t.currentVersion, Seq(sources.EqualTo("v", "k5")))
+    assert(moved.size === 1 && moved.head.contains("p=zz"))
+    // every snapshot file carries a sidecar — the index never decays
+    val enc = (f: String) =>
+      java.net.URLEncoder.encode(f, java.nio.charset.StandardCharsets.UTF_8)
+    assert(t.filesOf(t.currentVersion).forall(f => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "bloomidx", "v", enc(f) + ".bloom"))))
+  }
+
   test("the connector scan prunes automatically and stays exact") {
     val t = statsTable("skip_conn")
     val root = t.root

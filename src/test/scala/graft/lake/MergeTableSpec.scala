@@ -995,8 +995,9 @@ class MergeTableSpec extends SparkSpec {
     assert(t.readPoint(spark, "v", "v17").collect().map(_.getInt(0)).toSeq === Seq(17))
     // an unindexed column: no sidecars → everything admitted, result exact
     assert(t.readPoint(spark, "k", 17).count() === 1L)
-    // a rewrite invalidates nothing: the new file has no sidecar and is
-    // admitted unpruned — lookups stay exact
+    // a rewrite invalidates nothing: the write path re-indexes its new
+    // files (and a missing sidecar would only degrade to "keep") —
+    // lookups stay exact either way
     t.merge(spark, df(Seq((17, "V17", "po"), (201, "v17", "pe"))), Seq("k"))
     assert(t.readPoint(spark, "v", "v17").collect().map(_.getInt(0)).toSeq === Seq(201))
     assert(t.readPoint(spark, "v", "V17").collect().map(_.getInt(0)).toSeq === Seq(17))
