@@ -2152,5 +2152,47 @@ object LakeQueries {
              |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders
              |                    WHERE o_orderkey % 2 <> 0)""".stripMargin),
       "bloom index maintenance: post-build writes self-index, lookups never decay"),
+
+    // NOT NULL column constraints (Delta's `ALTER COLUMN ... SET NOT
+    // NULL`), carried on the CHECK machinery: existing data validates on
+    // add, enforcement is the same fused per-row raising filter every
+    // write already runs, a violating write fails ATOMICALLY (no commit),
+    // and DROP NOT NULL lifts it. The final state — original rows plus
+    // one post-drop NULL row — is the hash.
+    "m65_not_null" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m65_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        graft.sqlapi.LakeSql.run(s,
+          "ALTER TABLE tbl ALTER COLUMN o_orderpriority SET NOT NULL",
+          Map("tbl" -> table))
+        val minKey = orders.agg(min(col("o_orderkey")).cast("long")).head.getLong(0)
+        val bad = orders.filter(col("o_orderkey") === minKey)
+          .withColumn("o_orderpriority", lit(null).cast("string"))
+        val before = table.currentVersion
+        val failed =
+          try { table.append(bad); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        require(failed && table.currentVersion == before,
+          "a NULL insert must fail atomically under SET NOT NULL")
+        graft.sqlapi.LakeSql.run(s,
+          "ALTER TABLE tbl ALTER COLUMN o_orderpriority DROP NOT NULL",
+          Map("tbl" -> table))
+        table.append(bad) // allowed again
+        table.read(s)
+          .groupBy(col("o_orderpriority").isNull.as("pri_null"))
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""WITH aug AS (SELECT o_orderkey, o_orderpriority FROM orders
+             |             UNION ALL
+             |             SELECT o_orderkey, NULL FROM orders
+             |             WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders))
+             |SELECT o_orderpriority IS NULL AS pri_null, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM aug GROUP BY 1""".stripMargin),
+      "NOT NULL column constraints: validated on add, fused enforcement, atomic failure"),
   )
 }

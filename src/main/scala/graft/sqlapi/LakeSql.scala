@@ -44,6 +44,9 @@ import graft.lake.MergeTable
   *   ALTER TABLE t UNSET TBLPROPERTIES (k [, ...])
   *   ALTER TABLE t ADD CONSTRAINT name CHECK (predicate)
   *   ALTER TABLE t DROP CONSTRAINT name
+  *   ALTER TABLE t ALTER COLUMN c SET NOT NULL   -- validated, then fused
+  *   ALTER TABLE t ALTER COLUMN c DROP NOT NULL
+  *   GENERATE symlink_format_manifest FOR TABLE t -- external-engine manifests
   *   SHOW TBLPROPERTIES t                         -- key/value rows (query())
   *   SELECT ... FROM t VERSION AS OF <n> ...      -- time travel
   *   SELECT ... FROM t TIMESTAMP AS OF '<ts>' ... -- time travel by wall clock
@@ -174,6 +177,16 @@ object LakeSql {
 
   private val DropConstraintShape =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+
+  // Delta's NOT NULL column constraints, carried on the one CHECK
+  // machinery (validated against existing data on add, enforcement fused
+  // into every write, surviving overwrites): SET NOT NULL is sugar for a
+  // reserved-name CHECK, DROP NOT NULL drops it.
+  private val SetNotNullShape =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL\s*;?\s*$""".r
+
+  private val DropNotNullShape =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*$""".r
 
   /** CTAS with an explicit `USING GRAFT` provider tag (Delta's
     * `USING DELTA` shape) — the tag is what makes parser interception
@@ -384,6 +397,11 @@ object LakeSql {
         resolve(tgt, targets).addCheckConstraint(spark, name, pred.trim)
       case DropConstraintShape(tgt, name) =>
         resolve(tgt, targets).dropCheckConstraint(name)
+      case SetNotNullShape(tgt, colName) =>
+        resolve(tgt, targets)
+          .addCheckConstraint(spark, s"graft_notnull_$colName", s"$colName IS NOT NULL")
+      case DropNotNullShape(tgt, colName) =>
+        resolve(tgt, targets).dropCheckConstraint(s"graft_notnull_$colName")
       case _ =>
         throw new IllegalArgumentException(
           "unsupported statement — supported shapes: DELETE FROM t WHERE p; " +
@@ -525,6 +543,8 @@ object LakeSql {
     case DropColumnShape(tgt, _)   => Some(tgt)
     case AddConstraintShape(tgt, _, _) => Some(tgt)
     case DropConstraintShape(tgt, _) => Some(tgt)
+    case SetNotNullShape(tgt, _)   => Some(tgt)
+    case DropNotNullShape(tgt, _)  => Some(tgt)
     case SetPropsShape(tgt, _)     => Some(tgt)
     case UnsetPropsShape(tgt, _)   => Some(tgt)
     case DropTableShape(_, tgt)    => Some(tgt)
@@ -554,6 +574,8 @@ object LakeSql {
     case OptimizeShape(tgt, _)     => Some(tgt)
     case AddConstraintShape(tgt, _, _) => Some(tgt)
     case DropConstraintShape(tgt, _)   => Some(tgt)
+    case SetNotNullShape(tgt, _)   => Some(tgt)
+    case DropNotNullShape(tgt, _)  => Some(tgt)
     case AnalyzeShape(tgt, _)      => Some(tgt)
     case _                         => metaStatementTarget(sql)
   }
