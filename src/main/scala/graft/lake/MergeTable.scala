@@ -1994,13 +1994,19 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           s"OPTIMIZE on $root: ${MergeTable.ClusterByProp} names column(s) " +
             s"${missing.mkString(", ")} absent from the table schema — fix the " +
             "property with ALTER TABLE ... SET TBLPROPERTIES or unset it")
-        val nonNumeric = requested.filter(c =>
-          !fields(c).isInstanceOf[org.apache.spark.sql.types.NumericType] &&
-            !fields(c).isInstanceOf[org.apache.spark.sql.types.TimestampType])
-        require(nonNumeric.isEmpty,
+        val unorderable = requested.filter { c =>
+          import org.apache.spark.sql.types._
+          fields(c) match {
+            case _: NumericType => false
+            case TimestampType | TimestampNTZType | DateType | StringType |
+                 BooleanType => false
+            case _ => true
+          }
+        }
+        require(unorderable.isEmpty,
           s"OPTIMIZE on $root: ${MergeTable.ClusterByProp} column(s) " +
-            s"${nonNumeric.mkString(", ")} are not numeric/timestamp — Z-order " +
-            "clustering rank-normalizes through a double cast")
+            s"${unorderable.mkString(", ")} have no Z-orderable projection " +
+            "(supported: numeric, timestamp, date, string, boolean)")
         zorderCompact(spark, requested, parallelism)
       case None => compact(spark, parallelism)
     }
@@ -2481,7 +2487,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * the clustered columns — a plain sort would serve only its leading
     * column. Normalization bounds come from one metadata-sized min/max agg;
     * 16 bits per column (files ≫ 2^16 never happens per snapshot here).
-    * NULLs rank lowest. Columns must be numeric.
+    * NULLs rank lowest. Any orderable column type works — numerics and
+    * timestamps directly, dates by day number, strings through their
+    * zero-padded 8-byte lexicographic prefix, booleans as 0/1.
     */
   def zorderCompact(spark: SparkSession, zCols: Seq[String], parallelism: Int = 8): Unit = {
     require(zCols.nonEmpty, "zorderCompact requires at least one column")
@@ -2489,11 +2497,29 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val v = currentVersion
     val data = readFiles(spark, filesOf(v), schemaOf(v), colmapOf(v), dvsOf(v),
       withRowIds = rowTrackingEnabled) // row ids survive the rewrite verbatim
+    // Per-type ORDER-PRESERVING projection to double (the rank-normalize
+    // input): numerics/timestamps cast directly; dates via their day
+    // number; strings via their zero-padded first-8-bytes as an integer —
+    // monotone with the lexicographic order (the padding matters: without
+    // it "b" > "ab" numerically reverses), precise enough for 16-bit
+    // bucketing. This is what makes OPTIMIZE ZORDER BY work on ANY
+    // orderable column, not silently only on numerics.
+    val schemaV = schemaOf(v)
+    def zkey(c: String): Column = {
+      import org.apache.spark.sql.types._
+      schemaV(c).dataType match {
+        case StringType =>
+          expr(s"conv(hex(rpad(cast(`$c` as binary), 8, x'00')), 16, 10)").cast("double")
+        case DateType    => expr(s"unix_date(`$c`)").cast("double")
+        case BooleanType => col(c).cast("int").cast("double")
+        case _           => col(c).cast("double")
+      }
+    }
     val bounds = data.agg(
-      zCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"mn_$c"),
-                             max(col(c).cast("double")).as(s"mx_$c"))).head,
-      zCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"mn_$c"),
-                             max(col(c).cast("double")).as(s"mx_$c"))).tail: _*)
+      zCols.flatMap(c => Seq(min(zkey(c)).as(s"mn_$c"),
+                             max(zkey(c)).as(s"mx_$c"))).head,
+      zCols.flatMap(c => Seq(min(zkey(c)).as(s"mn_$c"),
+                             max(zkey(c)).as(s"mx_$c"))).tail: _*)
       .collect().head
     val n = zCols.length
     val zBits = zCols.zipWithIndex.map { case (c, k) =>
@@ -2502,7 +2528,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val span = if (mx > mn) mx - mn else 1.0
       // rank-normalize to 16 bits; NULL → 0 (lowest)
       val scaled = coalesce(
-        ((col(c).cast("double") - lit(mn)) / lit(span) * lit(65535.0)).cast("long"),
+        ((zkey(c) - lit(mn)) / lit(span) * lit(65535.0)).cast("long"),
         lit(0L))
       (0 until 16).map(i =>
         shiftleft(shiftright(scaled, i).bitwiseAND(lit(1L)), i * n + k))

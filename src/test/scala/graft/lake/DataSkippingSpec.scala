@@ -232,6 +232,26 @@ class DataSkippingSpec extends SparkSpec {
     assert(ex.getMessage.contains("cannot order"))
   }
 
+  test("string z-order clusters lexicographically; range reads prune after it") {
+    val root = scratch("skip_zstr")
+    val t = new MergeTable(root, Nil, statsCols = Seq("v"))
+    // shuffled interleaved strings: before clustering every file spans the
+    // whole range, after OPTIMIZE ZORDER BY (v) files cover tight slices
+    val shuffled = spark.range(400).select(
+      concat(lit("u"), lpad(expr("cast((id * 7919) % 400 as string)"), 4, "0")).as("v"))
+      .repartition(4)
+    t.overwrite(shuffled)
+    val before = t.candidateFiles("v", "u0100", "u0150").size
+    t.zorderCompact(spark, Seq("v"), parallelism = 4)
+    val after = t.candidateFiles("v", "u0100", "u0150")
+    assert(after.size < t.filesOf(t.currentVersion).size,
+      s"string z-order must let stats prune (${after.size} admitted)")
+    // exactness through the pruned read
+    assert(t.readRange(spark, "v", "u0100", "u0150").count() ===
+      t.read(spark).filter(col("v").between("u0100", "u0150")).count())
+    assert(before >= after.size || before == 4) // clustering never worsens pruning
+  }
+
   test("generated partition columns derive pruning from base-column filters") {
     val root = scratch("skip_gen")
     val t = new MergeTable(root, Seq("y", "m"),

@@ -1176,15 +1176,18 @@ class MergeTableSpec extends SparkSpec {
   test("OPTIMIZE validates a tampered graft.clusterBy property loudly") {
     import spark.implicits._
     val t = new MergeTable(scratch("mt_clprop"), Nil)
-    t.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.overwrite(Seq((1, "a", Seq(1, 2)), (2, "b", Seq(3))).toDF("k", "v", "arr"))
     // ALTER ... SET TBLPROPERTIES can plant anything — optimize() must
     // fail with a targeted message, not degrade inside the rank math
     t.setProperties(Map(MergeTable.ClusterByProp -> "nope"))
     val e1 = intercept[IllegalArgumentException](t.optimize(spark))
     assert(e1.getMessage.contains("absent from the table schema"))
-    t.setProperties(Map(MergeTable.ClusterByProp -> "v"))
+    t.setProperties(Map(MergeTable.ClusterByProp -> "arr"))
     val e2 = intercept[IllegalArgumentException](t.optimize(spark))
-    assert(e2.getMessage.contains("not numeric"))
+    assert(e2.getMessage.contains("no Z-orderable projection"))
+    // strings ARE z-orderable (8-byte lexicographic prefix projection)
+    t.setProperties(Map(MergeTable.ClusterByProp -> "v"))
+    t.optimize(spark)
     t.setProperties(Map(MergeTable.ClusterByProp -> "k"))
     t.optimize(spark) // valid property re-clusters fine
     assert(t.read(spark).select("k").as[Int].collect().toSet === Set(1, 2))
