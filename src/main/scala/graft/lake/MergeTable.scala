@@ -2243,7 +2243,11 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       s"analyze of $root: column(s) ${unorderable.mkString(", ")} have types the " +
         "pruner cannot order (binary/array/struct) — min/max stats would never skip a file")
     val stats = collectStatsFor(spark, c.files, c.schema, colmapOf(v), cols)
-    commit(v + 1, c.files, c.schema, stats, op = "ANALYZE")
+    // pin the analyzed columns forward: subsequent writes keep collecting
+    // for them (without this, analyze covers one snapshot and then decays)
+    commit(v + 1, c.files, c.schema, stats, op = "ANALYZE",
+      propsOverride = propsWith(Seq(MergeTable.StatsColsProp ->
+        cols.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))))
   }
 
   /** The current snapshot's files that MIGHT contain a row with
@@ -3492,7 +3496,28 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   private def collectStats(spark: SparkSession, relFiles: Seq[String],
                            schema: StructType,
                            colmap: Map[String, String]): Seq[String] =
-    collectStatsFor(spark, relFiles, schema, colmap, statsCols)
+    collectStatsFor(spark, relFiles, schema, colmap, statsColsEffective(schema))
+
+  /** Stats columns IN FORCE for a write: the constructor's, else the
+    * log-pinned `graft.statsCols` (bare-path reopens keep collecting —
+    * see the property pinning in [[commit]]), else the first
+    * `graft.dataSkippingNumIndexedCols` supported columns of the current
+    * schema (Delta's `delta.dataSkippingNumIndexedCols` shape: one
+    * TBLPROPERTY turns data skipping on for a table created without
+    * explicit stats columns).
+    */
+  private def statsColsEffective(schema: StructType): Seq[String] =
+    if (statsCols.nonEmpty || !exists) statsCols
+    else {
+      val props = readMeta(currentVersion).props.toMap
+      props.get(MergeTable.StatsColsProp)
+        .map(_.split(",").toSeq.map(dec).filter(_.nonEmpty))
+        .orElse(props.get(MergeTable.NumIndexedColsProp).flatMap(_.toIntOption).map { n =>
+          schema.fields.filter(f => MergeTable.statsSupported(f.dataType))
+            .take(n).map(_.name).toSeq
+        })
+        .getOrElse(Nil)
+    }
 
   /** Stat line format: `file \t col \t min \t max \t flag` with flag `N`
     * (column is all-NULL in the file) or `V` (non-null values present) —
@@ -3736,12 +3761,19 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         propLines2 :+ (MergeTable.GeneratedColsProp ->
           generatedCols.map { case (n, e) => urlenc(n) + "=" + urlenc(e) }.mkString(","))
       else propLines2
-    val propLines = identityCol match {
+    val propLines4 = identityCol match {
       case Some((n, start, step))
           if !propLines3.exists(_._1 == MergeTable.IdentityColProp) =>
         propLines3 :+ (MergeTable.IdentityColProp -> s"${urlenc(n)},$start,$step")
       case _ => propLines3
     }
+    // stats columns are table state too: a bare-path reopen (connector,
+    // catalog) must KEEP collecting or data skipping silently decays as
+    // the table churns — the same class of bug as unpinned row tracking
+    val propLines =
+      if (statsCols.nonEmpty && !propLines4.exists(_._1 == MergeTable.StatsColsProp))
+        propLines4 :+ (MergeTable.StatsColsProp -> statsCols.map(urlenc).mkString(","))
+      else propLines4
     // Manifest encoding: FULL (every `file`/`stat` line) on version 0, on
     // every CheckpointEvery-th version (bounds the reader's base chain),
     // and whenever the delta wouldn't be smaller or a retained file's
@@ -4066,6 +4098,18 @@ object MergeTable {
 
   /** Root directory of the generated external-engine manifests. */
   val SymlinkManifestDir = "_symlink_format_manifest"
+
+  /** Log-pinned stats columns (comma-joined, URL-encoded names) — set by
+    * the first commit of a `statsCols` constructor and by ANALYZE, or
+    * directly via ALTER TABLE SET TBLPROPERTIES.
+    */
+  val StatsColsProp = "graft.statsCols"
+
+  /** Delta's `delta.dataSkippingNumIndexedCols` analog: when set (and no
+    * explicit stats columns exist), writes collect min/max for the first
+    * N supported columns of the schema.
+    */
+  val NumIndexedColsProp = "graft.dataSkippingNumIndexedCols"
 
   /** True when `from → to` is a lossless widening Spark's parquet readers
     * perform at scan time (the Delta type-widening allow-list this engine

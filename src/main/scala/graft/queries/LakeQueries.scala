@@ -2194,5 +2194,45 @@ object LakeQueries {
              |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
              |FROM aug GROUP BY 1""".stripMargin),
       "NOT NULL column constraints: validated on add, fused enforcement, atomic failure"),
+
+    // Stats-column PERSISTENCE: the collection set is table state pinned
+    // in the log (graft.statsCols), so a bare-path reopen — here the
+    // connector's append — keeps collecting and data skipping never
+    // decays as the table churns. The require pins full stat coverage
+    // after the connector write; the hash proves the pruned read over
+    // BOTH halves stays exact.
+    "m66_stats_pinning" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m66_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"),
+          statsCols = Seq("o_orderkey"))
+        table.overwrite(orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")))
+        // the CONNECTOR appends — a bare-path reopen with no statsCols arg
+        orders.filter(col("o_orderkey") % 2 =!= 0)
+          .repartitionByRange(4, col("o_orderkey"))
+          .write.format("graft").mode("append").save(root)
+        val stats = table.statsOf(table.currentVersion)
+        require(table.filesOf(table.currentVersion).forall(f =>
+          stats.get(f).exists(_.contains("o_orderkey"))),
+          "the connector append must keep collecting the pinned stats columns")
+        val maxKey = orders.agg(max(col("o_orderkey")).cast("long")).head.getLong(0)
+        val (lo, hi) = (maxKey / 4, maxKey / 2)
+        val all = table.filesOf(table.currentVersion)
+        val pruned = table.pruneFilesFor(s, table.currentVersion, Seq(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderkey", lo),
+          org.apache.spark.sql.sources.LessThanOrEqual("o_orderkey", hi)))
+        require(pruned.nonEmpty && pruned.size < all.size,
+          s"stats from both writes must prune (${pruned.size} of ${all.size})")
+        s.read.format("graft").load(root)
+          .filter(col("o_orderkey").between(lo, hi))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |WHERE o_orderkey BETWEEN (SELECT max(o_orderkey) // 4 FROM orders)
+             |                     AND (SELECT max(o_orderkey) // 2 FROM orders)""".stripMargin),
+      "stats-column persistence: connector reopens keep collecting, skipping never decays"),
   )
 }

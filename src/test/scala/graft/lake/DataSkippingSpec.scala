@@ -232,6 +232,45 @@ class DataSkippingSpec extends SparkSpec {
     assert(ex.getMessage.contains("cannot order"))
   }
 
+  test("stats columns persist in the log: reopened handles keep collecting") {
+    val root = scratch("skip_statspin")
+    val t = new MergeTable(root, Seq("p"), statsCols = Seq("k"))
+    t.overwrite(spark.range(10).select(col("id").as("k"), lit("a").as("p")))
+    // bare-path reopen — exactly what the connector/catalog do
+    val reopened = MergeTable.open(root)
+    reopened.append(spark.range(100, 110).select(col("id").as("k"), lit("b").as("p")))
+    val stats = reopened.statsOf(reopened.currentVersion)
+    val bFiles = reopened.filesOf(reopened.currentVersion).filter(_.contains("p=b"))
+    assert(bFiles.nonEmpty && bFiles.forall(f => stats.get(f).exists(_.contains("k"))),
+      "the reopened handle must keep collecting for the pinned columns")
+    val hit = reopened.pruneFilesFor(spark, reopened.currentVersion,
+      Seq(sources.EqualTo("k", 105L)))
+    assert(hit.nonEmpty && hit.forall(_.contains("p=b")))
+  }
+
+  test("dataSkippingNumIndexedCols collects for the first N supported columns") {
+    val root = scratch("skip_numidx")
+    val t = new MergeTable(root, Nil)
+    t.overwrite(spark.range(5).select(col("id").as("a"), col("id").as("b"),
+      col("id").as("c")))
+    t.setProperties(Map(MergeTable.NumIndexedColsProp -> "2"))
+    t.append(spark.range(100, 105).select(col("id").as("a"), col("id").as("b"),
+      col("id").as("c")))
+    val collected = t.statsOf(t.currentVersion).values.flatMap(_.keys).toSet
+    assert(collected === Set("a", "b"))
+  }
+
+  test("analyze pins its columns: later writes keep collecting them") {
+    val root = scratch("skip_anpin")
+    val t = new MergeTable(root, Nil)
+    t.overwrite(spark.range(10).select(col("id").as("k")))
+    t.analyze(spark, Seq("k"))
+    t.append(spark.range(10, 20).select(col("id").as("k")))
+    val stats = t.statsOf(t.currentVersion)
+    assert(t.filesOf(t.currentVersion).forall(f => stats.get(f).exists(_.contains("k"))),
+      "post-analyze writes must keep collecting for the analyzed columns")
+  }
+
   test("string z-order clusters lexicographically; range reads prune after it") {
     val root = scratch("skip_zstr")
     val t = new MergeTable(root, Nil, statsCols = Seq("v"))
