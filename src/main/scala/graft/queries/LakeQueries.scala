@@ -2234,5 +2234,34 @@ object LakeQueries {
              |WHERE o_orderkey BETWEEN (SELECT max(o_orderkey) // 4 FROM orders)
              |                     AND (SELECT max(o_orderkey) // 2 FROM orders)""".stripMargin),
       "stats-column persistence: connector reopens keep collecting, skipping never decays"),
+
+    // Idempotent batch writes (Delta's txnAppId/txnVersion WRITER
+    // options): a restart-replayed write with an already-applied version
+    // is a NO-OP — the marker commits atomically with the data, so batch
+    // jobs get exactly-once with zero external state. The replay inside
+    // the gate would double every odd key if the option were ignored;
+    // the hash proves it did not.
+    "m67_idempotent_writes" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m67_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .write.format("graft").mode("overwrite").save(root)
+        def appendOdds(): Unit = orders.filter(col("o_orderkey") % 2 =!= 0)
+          .write.format("graft").mode("append")
+          .option("txnAppId", "m67").option("txnVersion", "1").save(root)
+        appendOdds()
+        appendOdds() // the restart replay: must be a no-op
+        val table = MergeTable.open(root)
+        require(table.lastTxnVersion("m67").contains(1L),
+          "the txn marker must ride the applied commit")
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "idempotent writer options: replayed txnVersion is a no-op, marker atomic"),
   )
 }

@@ -86,11 +86,21 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "readStream.format(\"graft\") requires .option(\"path\", <table root>)"))
     // Delta's startingVersion: begin the tail AT that version (no initial
-    // snapshot); "latest" = only commits after stream start
+    // snapshot); "latest" = only commits after stream start.
+    // startingTimestamp (Delta's twin): the first commit published AT or
+    // AFTER the instant; earlier than the first commit = everything.
     val startFrom = parameters.get("startingVersion") match {
       case Some(v) if v.equalsIgnoreCase("latest") => MergeTable.open(path).currentVersion
       case Some(v)                                 => v.toLong - 1
-      case None                                    => -1L
+      case None =>
+        parameters.get("startingTimestamp").map { ts =>
+          val t = MergeTable.open(path)
+          val ms = graft.sqlapi.LakeSql.parseTsMillis(ts)
+          try {
+            val v = t.versionAt(ms)
+            if (t.commitTimeMillis(v) >= ms) v - 1 else v
+          } catch { case _: IllegalArgumentException => -1L } // before first commit
+        }.getOrElse(-1L)
     }
     if (parameters.get("readChangeFeed").exists(_.toBoolean))
       new GraftCdfStreamSource(ctx.sparkSession, path, startFrom)
@@ -192,15 +202,24 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     val table =
       if (exists) MergeTable.open(root)
       else new MergeTable(root, pcols)
-    mode match {
-      case SaveMode.Overwrite                 => table.overwrite(data)
-      case SaveMode.Append                    => table.append(data)
+    // Delta's idempotent-writer options (txnAppId + txnVersion): an
+    // already-applied version is a NO-OP, and an applied write records
+    // the marker atomically with its commit — restart-safe batch jobs
+    // with zero external state
+    val txn = for (a <- parameters.get("txnAppId"); v <- parameters.get("txnVersion"))
+      yield a -> v.toLong
+    val alreadyApplied = txn.exists { case (a, ver) =>
+      exists && table.lastTxnVersion(a).exists(_ >= ver)
+    }
+    if (!alreadyApplied) mode match {
+      case SaveMode.Overwrite                 => table.overwrite(data, txn)
+      case SaveMode.Append                    => table.append(data, txn)
       case SaveMode.ErrorIfExists if exists   =>
         throw new IllegalArgumentException(
           s"a graft table already exists at $root (SaveMode.ErrorIfExists)")
-      case SaveMode.ErrorIfExists             => table.overwrite(data)
+      case SaveMode.ErrorIfExists             => table.overwrite(data, txn)
       case SaveMode.Ignore if exists          => () // no-op by contract
-      case SaveMode.Ignore                    => table.overwrite(data)
+      case SaveMode.Ignore                    => table.overwrite(data, txn)
     }
     GraftDataSource.relationFor(ctx, table.read(ctx.sparkSession))
   }
@@ -281,10 +300,26 @@ final class GraftTable(root: String, declaredParts: Seq[String],
   private[sources] def baseFrame(spark: org.apache.spark.sql.SparkSession,
                                  filters: Seq[Filter] = Nil): DataFrame = {
     val t = MergeTable.open(root)
-    if (cdfMode)
-      t.changes(spark,
-        opts.get("startingversion").map(_.toLong).getOrElse(0L),
-        opts.get("endingversion").map(_.toLong).getOrElse(t.currentVersion))
+    if (cdfMode) {
+      // Delta's CDF range options: version bounds directly, or timestamp
+      // bounds resolved against the commit clock (start = first commit AT
+      // or AFTER the instant, end = last commit AT or BEFORE it)
+      def tsVer(ts: String): Long =
+        t.versionAt(graft.sqlapi.LakeSql.parseTsMillis(ts))
+      val from = opts.get("startingversion").map(_.toLong)
+        .orElse(opts.get("startingtimestamp").map { s =>
+          try {
+            val v = tsVer(s)
+            if (t.commitTimeMillis(v) >= graft.sqlapi.LakeSql.parseTsMillis(s)) v
+            else v + 1
+          } catch { case _: IllegalArgumentException => 0L }
+        })
+        .getOrElse(0L)
+      val to = opts.get("endingversion").map(_.toLong)
+        .orElse(opts.get("endingtimestamp").map(tsVer))
+        .getOrElse(t.currentVersion)
+      t.changes(spark, from, to)
+    }
     else t.readVersionWhere(spark, pinnedVersion(t), filters)
   }
 
@@ -364,7 +399,10 @@ final class GraftTable(root: String, declaredParts: Seq[String],
       require(!cdfMode && opts.get("versionasof").isEmpty &&
           opts.get("timestampasof").isEmpty,
         s"cannot write to $root through a time-travel/change-feed read option")
-      new GraftWriteBuilder(handle)
+      val wopts = opts ++ info.options.asScala.map { case (k, v) => k.toLowerCase -> v }
+      val txn = for (a <- wopts.get("txnappid"); v <- wopts.get("txnversion"))
+        yield a -> v.toLong
+      new GraftWriteBuilder(handle, txn)
     }
   }
 }
@@ -595,7 +633,8 @@ trait GraftV2Marker { def graftRoot: String }
   * row-id assignment, and the atomic `_LATEST` publish apply exactly as
   * API writes.
   */
-final class GraftWriteBuilder(table: MergeTable)
+final class GraftWriteBuilder(table: MergeTable,
+                              txn: Option[(String, Long)] = None)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
@@ -617,14 +656,23 @@ final class GraftWriteBuilder(table: MergeTable)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
-        override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit =
+        override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
+          // Delta's idempotent-writer options: an already-applied
+          // (txnAppId, txnVersion) is a NO-OP; otherwise the marker
+          // commits atomically with the data
+          if (txn.exists { case (a, ver) =>
+                table.exists && table.lastTxnVersion(a).exists(_ >= ver) }) return
           if (overwriteFilters.nonEmpty) {
+            require(txn.isEmpty,
+              "txnAppId/txnVersion are not supported on filtered overwrites — " +
+                "use append/overwrite, or the API's replaceWhere")
             val pred = overwriteFilters.flatMap(GraftDataSource.translate(_))
               .reduce(_ && _) // canOverwrite vouched every filter translates
             table.overwriteWhere(data.sparkSession, pred, data)
           }
-          else if (overwriteAll || legacyOverwrite) table.overwrite(data)
-          else table.append(data)
+          else if (overwriteAll || legacyOverwrite) table.overwrite(data, txn)
+          else table.append(data, txn)
+        }
       }
   }
 }

@@ -197,6 +197,59 @@ class GraftDataSourceSpec extends SparkSpec {
       s"1 file per trigger over 4 single-file commits needs >= 4 batches, got $batches")
   }
 
+  test("idempotent batch writes: txnAppId/txnVersion skip replayed versions") {
+    val root = scratch("dsv2_txn")
+    Seq(1).toDF("k").write.format("graft").mode("overwrite").save(root)
+    def w(ver: Int, ks: Seq[Int]): Unit =
+      ks.toDF("k").write.format("graft").mode("append")
+        .option("txnAppId", "job").option("txnVersion", ver.toString).save(root)
+    w(1, Seq(2))
+    w(1, Seq(99)) // replayed version 1: a no-op, rows never land
+    w(2, Seq(3))
+    val t = MergeTable.open(root)
+    assert(t.read(spark).select("k").collect().map(_.getInt(0)).sorted ===
+      Array(1, 2, 3))
+    assert(t.lastTxnVersion("job").contains(2L))
+  }
+
+  test("timestamp read options: streaming startingTimestamp, batch CDF bounds") {
+    def ts(ms: Long): String = new java.sql.Timestamp(ms).toString
+    val root = scratch("dsv2_sts")
+    val t = new MergeTable(root)
+    t.clock = () => 1000L
+    t.overwrite(Seq(1).toDF("k").repartition(1))  // v0 @1000
+    t.clock = () => 2000L
+    t.append(Seq(2).toDF("k").repartition(1))     // v1 @2000
+    t.clock = () => 3000L
+    t.append(Seq(3).toDF("k").repartition(1))     // v2 @3000
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = spark.readStream.format("graft").option("path", root)
+      .option("startingTimestamp", ts(1500)).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= b.select("k").collect().map(_.getInt(0)) }; ()
+      }
+      .option("checkpointLocation", scratch("dsv2_sts_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.sorted === Seq(2, 3), "only commits at/after the instant stream")
+
+    val cd = scratch("dsv2_cdfts")
+    val t2 = new MergeTable(cd)
+    t2.clock = () => 1000L
+    t2.overwrite(Seq(1, 2, 3, 4).toDF("k"))
+    t2.clock = () => 2000L
+    t2.delete(spark, col("k") === 1, changeFeed = true) // v1 @2000
+    t2.clock = () => 3000L
+    t2.delete(spark, col("k") === 2, changeFeed = true) // v2 @3000
+    val cdf = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingTimestamp", ts(1500)).option("endingTimestamp", ts(2500))
+      .load(cd)
+    assert(cdf.select("k").collect().map(_.getInt(0)).toSeq === Seq(1),
+      "the timestamp window covers exactly the v1 delete")
+  }
+
   test("streaming sink: keyed merge per batch; replayed batch ids are no-ops") {
     val root = scratch("dsv2_sink")
     val sink = new GraftStreamSink(root, Seq("p"), Seq("k"), "t1", complete = false)
