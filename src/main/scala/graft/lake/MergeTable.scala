@@ -2331,25 +2331,68 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // the scan would touch could be skipped). Deterministic-only, checked
     // on the resolved plan.
     val deterministic =
-      try typed.filter(predicate).queryExecution.analyzed.expressions.forall(_.deterministic)
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
-    if (!deterministic) return files
+      try Some(typed.filter(predicate).queryExecution.analyzed.expressions.forall(_.deterministic))
+      catch { case _: org.apache.spark.sql.AnalysisException => None } // data-column refs
     // rows act only when the predicate is TRUE (NULL keeps/skips rows in
     // every caller), so a partition is needed only if it can be TRUE.
-    // The catch is deliberately broad: resolution failures (data-column
-    // references) AND runtime evaluation failures (ANSI cast errors that
-    // the full scan would surface per-row, with its own error context)
-    // both fall back to no pruning — the probe is an optimization and
-    // must never be the place an error first appears.
-    val matching: Option[Set[String]] =
-      try Some(typed.filter(coalesce(predicate, lit(false)) === true)
+    // The catch is deliberately broad: runtime evaluation failures (ANSI
+    // cast errors that the full scan would surface per-row, with its own
+    // error context) fall back to no pruning — the probe is an
+    // optimization and must never be the place an error first appears.
+    def probe(p: Column): Seq[String] =
+      (try Some(typed.filter(coalesce(p, lit(false)) === true)
         .select("_dir").collect().map(_.getString(0)).toSet)
-      catch { case scala.util.control.NonFatal(_) => None }
-    matching match {
-      case None       => files // predicate reads data columns: no pruning
-      case Some(dirs) => files.filter(f => dirs.contains(partDir(f)))
+      catch { case scala.util.control.NonFatal(_) => None }) match {
+        case None       => files
+        case Some(dirs) => files.filter(f => dirs.contains(partDir(f)))
+      }
+    deterministic match {
+      case Some(false) => files // nondeterministic: pruning would be unsound
+      case Some(true)  => probe(predicate)
+      case None =>
+        // the WHOLE predicate reads data columns — but its partition-only
+        // conjuncts, plus conjuncts DERIVED through generated partition
+        // columns (`DELETE WHERE d = X` on a y = year(d) layout), are
+        // still implied by it and probe the tuples soundly. This is what
+        // partition-prunes the DML rewrite probes with zero opt-in.
+        derivedTuplePredicate(spark, schema, predicate).fold(files)(probe)
     }
   }
+
+  /** The partition-column predicate IMPLIED by `predicate` when the whole
+    * predicate cannot evaluate over partition tuples: its top-level
+    * conjuncts that reference partition columns alone, plus conjuncts
+    * derived through the generated-column shapes
+    * ([[MergeTable.derivedPartitionConjuncts]]). None when nothing
+    * translates — callers then skip pruning.
+    */
+  private def derivedTuplePredicate(spark: SparkSession, schema: StructType,
+                                    predicate: Column): Option[Column] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
+      val frame = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val cond = frame.filter(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+      if (cond.isEmpty || !cond.get.deterministic) None
+      else {
+        def split(e: Expression): Seq[Expression] = e match {
+          case CAnd(l, r) => split(l) ++ split(r)
+          case x          => Seq(x)
+        }
+        val fs = split(cond.get)
+          .flatMap(e => org.apache.spark.sql.GraftSqlShims.translateFilter(e))
+        val types = schema.fields.map(f => f.name -> f.dataType).toMap
+        val partOnly = fs.filter(f =>
+          f.references.nonEmpty && f.references.forall(partitionCols.contains))
+        val derived =
+          if (generatedCols.isEmpty) Nil
+          else MergeTable.derivedPartitionConjuncts(spark, fs,
+            generatedCols.filter { case (p, _) => partitionCols.contains(p) }, types)
+        (partOnly ++ derived).flatMap(MergeTable.translateFilter).reduceOption(_ && _)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   // ---- per-file Bloom index (Delta bloom-filter-index analog) ----
 

@@ -35,4 +35,14 @@ object GraftSqlShims {
   def v2ColumnsToStructType(
       columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
     org.apache.spark.sql.connector.catalog.CatalogV2Util.v2ColumnsToStructType(columns)
+
+  /** Spark's own Catalyst-expression → `sources.Filter` translation
+    * (`protected[sql]` on DataSourceStrategy) — what lets the DML probe
+    * pruning reuse the EXACT semantics the scan pushdown uses, instead of
+    * a hand-rolled re-translation that could drift.
+    */
+  def translateFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
 }

@@ -323,6 +323,30 @@ class DataSkippingSpec extends SparkSpec {
         (f.contains("m=2") || f.contains("m=9"))))
   }
 
+  test("DML probes prune through partition-only and generated conjuncts") {
+    val root = scratch("skip_dmlgen")
+    val t = new MergeTable(root, Seq("y"), generatedCols = Seq("y" -> "year(d)"))
+    val df = spark.range(24).select(
+      expr("add_months(date'2024-01-15', cast(id as int))").as("d"),
+      col("id").as("k"))
+    t.overwrite(df)
+    val all = t.filesOf(t.currentVersion)
+    val schema = t.schemaOf(t.currentVersion)
+    // a data-column predicate cannot evaluate over partition tuples — but
+    // the derived y-conjunct can: the rewrite probe scans one year
+    val eq = t.partitionCandidates(spark, all, schema,
+      col("d") === lit(java.sql.Date.valueOf("2025-06-15")) && col("k") >= 0)
+    assert(eq.nonEmpty && eq.forall(_.contains("y=2025")))
+    // mixed predicate with an explicit partition conjunct still prunes
+    // through that conjunct even when the rest reads data columns
+    val mixed = t.partitionCandidates(spark, all, schema,
+      col("y") === 2024 && col("k") % 2 === 0)
+    assert(mixed.nonEmpty && mixed.forall(_.contains("y=2024")))
+    // end-to-end: the delete is correct (the probe is only an optimization)
+    t.delete(spark, col("d") === lit(java.sql.Date.valueOf("2025-06-15")))
+    assert(t.read(spark).count() === 23)
+  }
+
   test("pruning survives rename (re-keyed stats) and stays off for dropped columns") {
     val t = statsTable("skip_rename")
     t.renameColumn("k", "kk")
