@@ -3239,6 +3239,22 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     if (!exists) return
     val (floor, doomed) = reclaimable(retainVersions, minAgeMs)
     doomed.foreach(deleteRecursively)
+    // reclaim bloom sidecars of files whose data dirs just vanished —
+    // sidecars are keyed by URL-encoded root-relative path, so a sidecar
+    // whose decoded path starts with a doomed dir is an orphan (without
+    // this, a churning indexed table leaks one sidecar per rewritten
+    // file forever). Metadata-sized: one directory listing per column.
+    val doomedDirs = doomed.map(_.getFileName.toString).toSet
+    val bloomRoot = Paths.get(root, "bloomidx")
+    if (doomedDirs.nonEmpty && Files.exists(bloomRoot))
+      Files.list(bloomRoot).iterator().asScala.filter(Files.isDirectory(_)).foreach { colDir =>
+        Files.list(colDir).iterator().asScala
+          .filter { p =>
+            val rel = dec(p.getFileName.toString.stripSuffix(".bloom"))
+            doomedDirs.contains(rel.takeWhile(_ != '/'))
+          }
+          .foreach(Files.deleteIfExists(_))
+      }
     // same tmp + ATOMIC_MOVE care as _LATEST: a torn horizon write must not
     // brick every subsequent read with an unparseable file
     val ht = logDir.resolve(s"_VACUUM_HORIZON.tmp${System.nanoTime()}")

@@ -165,6 +165,25 @@ class DataSkippingSpec extends SparkSpec {
       java.nio.file.Paths.get(root, "bloomidx", "v", enc(f) + ".bloom"))))
   }
 
+  test("vacuum reclaims bloom sidecars of vanished files; live ones survive") {
+    val root = scratch("skip_bloom_vac")
+    val t = new MergeTable(root, Nil)
+    t.overwrite(spark.range(50).select(concat(lit("k"), col("id")).as("v")))
+    t.buildBloomIndex(spark, "v")
+    t.overwrite(spark.range(50, 100).select(concat(lit("k"), col("id")).as("v"))) // v1
+    val dir = java.nio.file.Paths.get(root, "bloomidx", "v")
+    val before = java.nio.file.Files.list(dir).count()
+    t.vacuum(retainVersions = 1, minAgeMs = 0)
+    val after = java.nio.file.Files.list(dir).count()
+    assert(after < before, s"orphaned sidecars must be reclaimed ($before -> $after)")
+    // the live snapshot's sidecars stay and still prune
+    val enc = (f: String) =>
+      java.net.URLEncoder.encode(f, java.nio.charset.StandardCharsets.UTF_8)
+    assert(t.filesOf(t.currentVersion).forall(f =>
+      java.nio.file.Files.exists(dir.resolve(enc(f) + ".bloom"))))
+    assert(t.readPoint(spark, "v", "k75").count() === 1L)
+  }
+
   test("the connector scan prunes automatically and stays exact") {
     val t = statsTable("skip_conn")
     val root = t.root
