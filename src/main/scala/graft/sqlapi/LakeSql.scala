@@ -65,9 +65,12 @@ import graft.lake.MergeTable
   * half-parsing.
   *
   * Time travel rewrites every `name VERSION AS OF n` table reference in an
-  * arbitrary SELECT to a temp view over [[MergeTable.readVersion]] and runs
-  * the rewritten statement through `spark.sql` — the full SELECT surface
-  * (joins, windows, aggregates) composes with versioned reads.
+  * arbitrary SELECT to a temp view over a version-pinned CONNECTOR read
+  * (`format("graft")` + `versionAsOf`) and runs the rewritten statement
+  * through `spark.sql` — the full SELECT surface (joins, windows,
+  * aggregates) composes with versioned reads, and because the views are V2
+  * relations the outer query's filters reach MergeTable's automatic data
+  * skipping exactly like direct connector scans.
   */
 object LakeSql {
 
