@@ -320,6 +320,40 @@ class PlanSpec extends SparkSpec {
       s"bigram stream shuffled against a bounded census:\n$plan")
   }
 
+  test("v14 maxsim broadcasts the query tokens and combines map-side") {
+    val q = graft.queries.Registry.all("v14_maxsim")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = finalPlan(q)
+    // the 5-token query side broadcasts; the cross product never shuffles
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query tokens not broadcast:\n$plan")
+    // both aggregations combine map-side: the shuffle carries per-(doc,
+    // token) maxima, then per-doc partial sums — never the cross product
+    assert(plan.contains("partial_max"), s"no map-side max before the shuffle:\n$plan")
+    assert(plan.contains("partial_sum"), s"no map-side sum before the shuffle:\n$plan")
+  }
+
+  test("SQL snapshot views route through the connector: filters prune files") {
+    val root = scratch("plan_sqlskip")
+    val t = new MergeTable(root, Seq("p"), statsCols = Seq("k"))
+    t.overwrite(spark.range(30).select(col("id").as("k"),
+      (col("id") / 10).cast("int").cast("string").as("p")).repartition(1))
+    graft.sqlapi.LakeCatalog.register("plan_skip_t", t)
+    try {
+      val q = spark.sql("SELECT k FROM plan_skip_t WHERE p = '1' AND k = 15")
+      assert(q.collect().map(_.getLong(0)).toSeq === Seq(15L))
+      // the rewritten view is a V2 relation over the graft connector, and
+      // BOTH predicates reach it as pushed filters — the partition
+      // conjunct and the stats conjunct feed the manifest-level pruning
+      val plan = finalPlan(q)
+      assert(plan.contains("graft.sources.GraftDataSource"),
+        s"SQL view did not route through the connector:\n$plan")
+      assert(plan.contains("EqualTo(k,15)") && plan.contains("EqualTo(p,1)"),
+        s"predicates not pushed to the connector scan:\n$plan")
+    } finally graft.sqlapi.LakeCatalog.unregister("plan_skip_t")
+  }
+
   test("aggregation pipeline runs inside WholeStageCodegen") {
     val df = (1 to 5000).map(i => (i % 10, i.toLong)).toDF("g", "v")
     val q = df.filter($"v" > 10).groupBy("g")
