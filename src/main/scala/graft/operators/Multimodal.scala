@@ -77,6 +77,78 @@ object Multimodal {
     media.mapPartitions(_.map(featuresStub))
   }
 
+  /** REAL image decode — `javax.imageio` ships in the JDK, so the
+    * PNG/JPEG/BMP/GIF path needs no external codec library: batched per
+    * partition exactly like the stub. An unreadable payload decodes to
+    * `(width, height) = (-1, -1)` instead of throwing — corrupt media
+    * must not kill a 100 TB scan; filter `width >= 0` downstream and
+    * count the rejects.
+    */
+  def decodeImage(r: MediaRow): DecodedMeta = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) DecodedMeta(r.doc_id, r.payload.length.toLong, -1, -1, 0)
+    else DecodedMeta(r.doc_id, r.payload.length.toLong, img.getWidth, img.getHeight, 1)
+  }
+
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeImage))
+  }
+
+  /** REAL pixel features: decode, downsample to a 4×4 grid of mean
+    * grayscale values (nearest-pixel sampling — deterministic integer
+    * arithmetic), one 16-dim vector per image. The shape a CLIP-style
+    * encoder would fill; this one is an actual function of the pixels.
+    */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val feats = Array.tabulate(16) { i =>
+          val (gx, gy) = (i % 4, i / 4)
+          val x = math.min(w - 1, gx * w / 4 + w / 8)
+          val y = math.min(h - 1, gy * h / 4 + h / 8)
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+        }
+        Some(MediaFeatures(r.doc_id, feats))
+      }
+    })
+  }
+
+  /** Deterministic synthetic PNG for an id — the gates' media generator
+    * (executor-side; `BufferedImage` + `ImageIO.write` are JDK-only).
+    * Dimensions and the gray ramp are pure arithmetic over the id, so a
+    * SQL oracle can predict every DECODED property without touching
+    * image bytes.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (id % 50).toInt + 8
+    val h = (id % 30).toInt + 8
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((id + x + y) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Resize planning: scale so the SHORTEST side hits `target`, preserving
     * aspect ratio, in pure integer arithmetic (`div` — floor division — so
     * the oracle can mirror it exactly). Metadata-only: a real resize would

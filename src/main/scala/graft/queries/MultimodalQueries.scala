@@ -79,5 +79,41 @@ object MultimodalQueries {
              |             CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height
              |      FROM documents)""".stripMargin),
       "aspect-preserving resize planning in exact integer arithmetic"),
+
+    // REAL codec round trip — no stub: synthetic PNGs are encoded
+    // executor-side (BufferedImage + ImageIO.write, JDK-only), decoded
+    // back through javax.imageio in the mapPartitions batch shape, and a
+    // 4×4 grayscale-grid feature vector is computed from the ACTUAL
+    // pixels. Every decoded property (dimensions, sampled grays) is pure
+    // arithmetic over doc_id, so the oracle predicts the whole pipeline
+    // without touching image bytes — a hash mismatch means the real
+    // encode→decode→sample path broke.
+    "mm6_image_decode" -> GraftQuery(
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids.mapPartitions(_.map(id =>
+          Multimodal.MediaRow(id, Multimodal.syntheticPng(id))))
+        val meta = Multimodal.decodeImages(media).toDF()
+          .select(col("doc_id"), col("width"), col("height"))
+        val feats = Multimodal.imageFeatures(media).toDF()
+          .select(col("doc_id"),
+            round(expr("aggregate(features, 0D, (a, x) -> a + x)"), 6).as("gray_sum"))
+        meta.join(feats, "doc_id")
+      },
+      Some("""SELECT d.doc_id,
+             |       CAST(d.doc_id % 50 + 8 AS INT) AS width,
+             |       CAST(d.doc_id % 30 + 8 AS INT) AS height,
+             |       round((SELECT sum(((d.doc_id
+             |                + least(d.doc_id % 50 + 8 - 1,
+             |                        (i.i % 4) * (d.doc_id % 50 + 8) // 4
+             |                          + (d.doc_id % 50 + 8) // 8)
+             |                + least(d.doc_id % 30 + 8 - 1,
+             |                        (i.i // 4) * (d.doc_id % 30 + 8) // 4
+             |                          + (d.doc_id % 30 + 8) // 8)) % 256) / 255.0)
+             |               FROM generate_series(0, 15) AS i(i)), 6) AS gray_sum
+             |FROM documents d WHERE d.doc_id % 7 = 0""".stripMargin),
+      "real ImageIO codec round trip: encode, batch-decode, pixel-grid features"),
   )
 }
