@@ -717,5 +717,110 @@ object DedupQueries {
              |SELECT doc_id, source, lang FROM batch b
              |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)""".stripMargin),
       "Bloom-filter bypass around the incremental-dedup anti-join"),
+
+    // INCREMENTAL fuzzy dedup against a PERSISTED LSH index — the
+    // production shape d4 is the batch twin of: the corpus's banded
+    // MinHash signatures live in a band-partitioned MergeTable, a new
+    // batch computes only ITS signatures (O(batch), the corpus is never
+    // re-shingled), the (band, sig) equi-join against the index surfaces
+    // candidates, minhash agreement estimates Jaccard, and the batch's
+    // signatures append into the index so the next batch sees them — the
+    // LSH state is lake data with the same commit/versioning guarantees
+    // as any table. est = agree/16 is an exact dyadic double, so the
+    // oracle compares unrounded.
+    "d13_incremental_lsh" -> GraftQuery(
+      (s, dir) => {
+        import graft.lake.MergeTable
+        val root = s"${Registry.scratchRoot}/d13_${Registry.sanitize(dir)}"
+        Registry.cleanDir(root)
+        val docs = t(s, dir, "documents")
+        val rowsPerBand = NumHashes / Bands
+        def bandedOf(df: org.apache.spark.sql.DataFrame) = {
+          val sh = shingled(df).withColumn("h",
+            expr(s"CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % $MinhashPrime"))
+          val hashCols = (0 until NumHashes).map(i =>
+            min((lit(affineA(i)) * col("h") + lit(affineB(i))) % lit(MinhashPrime)).as(s"h$i"))
+          val mh = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+          val bandCols = (0 until Bands).map { b =>
+            struct(lit(b).as("band"),
+              concat_ws("_",
+                (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+                .as("sig"))
+          }
+          // band rows CARRY the minhashes, so the candidate join already
+          // holds both sides' signatures — no second corpus join
+          mh.select(col("doc_id") +:
+              (0 until NumHashes).map(i => col(s"h$i")) :+
+              explode(array(bandCols: _*)).as("bs"): _*)
+            .select(col("doc_id") +:
+              (0 until NumHashes).map(i => col(s"h$i")) :+
+              col("bs.band").as("band") :+ col("bs.sig").as("sig"): _*)
+        }
+        val index = new MergeTable(root, Seq("band"))
+        index.overwrite(bandedOf(docs.filter(col("doc_id") % 3 =!= 0)))
+        val probe = bandedOf(docs.filter(col("doc_id") % 3 === 0))
+        val agree = (0 until NumHashes)
+          .map(i => when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val pairs = probe.alias("x")
+          .join(index.read(s).alias("y"),
+            col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+          .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("corpus_id"),
+            (agree.cast("double") / NumHashes).as("est"))
+          .distinct()
+        val out = pairs.filter(col("est") >= 0.5)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_dups"), max("est").as("best_jaccard"))
+          .orderBy("doc_id")
+        val rows = out.collect() // materialize before the index mutates
+        index.append(probe)     // the next batch sees this one's signatures
+        require(index.read(s).select("doc_id").distinct().count() ==
+          shingled(docs).select("doc_id").distinct().count(),
+          "the maintained index must cover every shingled document")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      },
+      Some {
+        val mins = (0 until NumHashes)
+          .map(i => s"min((${affineA(i)} * h + ${affineB(i)}) % $MinhashPrime) AS h$i")
+          .mkString(",\n|    ")
+        val rowsPerBand = NumHashes / Bands
+        val bandSelects = (0 until Bands).map { b =>
+          val sig = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i")
+            .mkString("concat_ws('_', ", ", ", ")")
+          s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+        }.mkString("\n|  UNION ALL ")
+        val agree = (0 until NumHashes)
+          .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH d AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |           generate_series(1, len(words) - 2),
+           |           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shs
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+           |  WHERE len(words) >= 3),
+           |sh AS (SELECT doc_id,
+           |              ('0x' || substring(md5(sh), 1, 15))::BIGINT % $MinhashPrime AS h
+           |       FROM (SELECT doc_id, unnest(shs) AS sh FROM d)),
+           |mh AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT y.doc_id AS doc_id, x.doc_id AS corpus_id
+           |  FROM banded x JOIN banded y
+           |    ON x.band = y.band AND x.sig = y.sig
+           |  WHERE x.doc_id % 3 <> 0 AND y.doc_id % 3 = 0),
+           |est AS (
+           |  SELECT c.doc_id, c.corpus_id,
+           |         CAST($agree AS DOUBLE) / $NumHashes AS est
+           |  FROM cand c
+           |  JOIN mh a ON a.doc_id = c.corpus_id
+           |  JOIN mh b ON b.doc_id = c.doc_id)
+           |SELECT doc_id, count(*) AS n_dups, max(est) AS best_jaccard
+           |FROM est WHERE est >= 0.5
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      "incremental fuzzy dedup: persisted band-partitioned LSH index, O(batch) probes"),
   )
 }
