@@ -438,5 +438,32 @@ object CoreQueries {
              |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders) WHERE rn <= 3""".stripMargin),
       "window row_number; one shuffle on the partition key"),
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE): a per-key halving walk —
+    // each anchor key iterates cur → cur div 2 until 1, and the answer is
+    // the walk depth (⌊log2 key⌋). Linear recursion: every iteration is
+    // one distributed step over the frontier rows, never a driver loop,
+    // and the frontier SHRINKS as keys bottom out — the shape recursive
+    // hierarchies (org charts, thread trees) take at scale.
+    "q25_recursive_cte" -> GraftQuery(
+      (s, dir) => {
+        val v = s"q25_orders_${Registry.sanitize(dir)}"
+        t(s, dir, "orders").createOrReplaceTempView(v)
+        s.sql(s"""WITH RECURSIVE walk(key, cur, depth) AS (
+                 |  SELECT o_orderkey AS key, o_orderkey AS cur, 0 AS depth
+                 |  FROM $v WHERE o_orderkey % 100 = 1
+                 |  UNION ALL
+                 |  SELECT key, cur DIV 2, depth + 1 FROM walk WHERE cur > 1)
+                 |SELECT key, max(depth) AS depth
+                 |FROM walk GROUP BY key ORDER BY key""".stripMargin)
+      },
+      Some("""WITH RECURSIVE walk(key, cur, depth) AS (
+             |  SELECT o_orderkey AS key, o_orderkey AS cur, 0 AS depth
+             |  FROM orders WHERE o_orderkey % 100 = 1
+             |  UNION ALL
+             |  SELECT key, cur // 2, depth + 1 FROM walk WHERE cur > 1)
+             |SELECT key, max(depth) AS depth
+             |FROM walk GROUP BY key ORDER BY key""".stripMargin),
+      "recursive CTE: distributed frontier iteration, no driver loop"),
   )
 }
