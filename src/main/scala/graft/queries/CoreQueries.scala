@@ -465,5 +465,28 @@ object CoreQueries {
              |SELECT key, max(depth) AS depth
              |FROM walk GROUP BY key ORDER BY key""".stripMargin),
       "recursive CTE: distributed frontier iteration, no driver loop"),
+
+    // LATERAL correlated subquery join (Spark 4): per-customer most
+    // expensive order via a correlated TOP-1 subquery — Catalyst decorrelates
+    // it into a window/aggregate join, so the plan is one shuffle on the
+    // correlation key, never a per-row subquery execution.
+    "q26_lateral_join" -> GraftQuery(
+      (s, dir) => {
+        val v = s"q26_orders_${Registry.sanitize(dir)}"
+        t(s, dir, "orders").createOrReplaceTempView(v)
+        s.sql(s"""SELECT g.o_custkey, top.o_orderkey, top.o_totalprice
+                 |FROM (SELECT DISTINCT o_custkey FROM $v WHERE o_custkey % 10 = 3) g,
+                 |LATERAL (SELECT o_orderkey, o_totalprice FROM $v o
+                 |         WHERE o.o_custkey = g.o_custkey
+                 |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) top
+                 |ORDER BY g.o_custkey""".stripMargin)
+      },
+      Some("""SELECT g.o_custkey, top.o_orderkey, top.o_totalprice
+             |FROM (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 10 = 3) g,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             |         WHERE o.o_custkey = g.o_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) top
+             |ORDER BY g.o_custkey""".stripMargin),
+      "LATERAL correlated top-1 subquery, decorrelated to one shuffle"),
   )
 }
