@@ -226,6 +226,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         t.setProperties(Map(s.property -> s.value))
       case rm: TableChange.RemoveProperty =>
         t.unsetProperties(Seq(rm.property))
+      case n: TableChange.UpdateColumnNullability =>
+        // NOT NULL rides the CHECK machinery exactly like the LakeSql
+        // sugar: SET validates existing data then fuses enforcement into
+        // every write; DROP on a column never constrained is a no-op
+        // (Delta's tolerance)
+        require(n.fieldNames.length == 1,
+          s"ALTER TABLE ${ident.name}: nested column nullability changes are not supported")
+        val c = n.fieldNames.head
+        val cname = s"graft_notnull_$c"
+        if (!n.nullable)
+          t.addCheckConstraint(org.apache.spark.sql.SparkSession.active, cname,
+            s"$c IS NOT NULL")
+        else if (t.checkConstraints.exists(_._1 == cname))
+          t.dropCheckConstraint(cname)
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE ${ident.name}: unsupported change $other")

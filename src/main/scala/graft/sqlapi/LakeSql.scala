@@ -404,7 +404,11 @@ object LakeSql {
         resolve(tgt, targets)
           .addCheckConstraint(spark, s"graft_notnull_$colName", s"$colName IS NOT NULL")
       case DropNotNullShape(tgt, colName) =>
-        resolve(tgt, targets).dropCheckConstraint(s"graft_notnull_$colName")
+        // DROP NOT NULL on a never-constrained column is a no-op, not an
+        // error (Delta's tolerance — the desired end state already holds)
+        val nn = resolve(tgt, targets)
+        if (nn.checkConstraints.exists(_._1 == s"graft_notnull_$colName"))
+          nn.dropCheckConstraint(s"graft_notnull_$colName")
       case _ =>
         throw new IllegalArgumentException(
           "unsupported statement — supported shapes: DELETE FROM t WHERE p; " +

@@ -219,6 +219,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(again.getLong(0) === 14L && again.getDouble(1) === 18.0)
   }
 
+  test("native ALTER COLUMN SET/DROP NOT NULL route through the CHECK machinery") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.nn")
+    spark.sql(s"CREATE TABLE $cat.nn.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.nn.t VALUES (1, 'a')")
+    spark.sql(s"ALTER TABLE $cat.nn.t ALTER COLUMN v SET NOT NULL")
+    val ex = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.nn.t VALUES (2, CAST(NULL AS STRING))"))
+    assert(ex.getMessage.contains("graft_notnull_v") ||
+      Option(ex.getCause).exists(_.getMessage.contains("graft_notnull_v")))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.nn.t").head.getLong(0) === 1L)
+    spark.sql(s"ALTER TABLE $cat.nn.t ALTER COLUMN v DROP NOT NULL")
+    spark.sql(s"INSERT INTO $cat.nn.t VALUES (2, CAST(NULL AS STRING))")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.nn.t WHERE v IS NULL").head.getLong(0) === 1L)
+    // DROP on a never-constrained column is a no-op, not an error
+    spark.sql(s"ALTER TABLE $cat.nn.t ALTER COLUMN k DROP NOT NULL")
+  }
+
   test("scan pruning and filter pushdown survive the catalog route") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.plan")
     spark.sql(s"CREATE TABLE $cat.plan.t (k BIGINT, v STRING, w STRING)")
