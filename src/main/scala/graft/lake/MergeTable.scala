@@ -1013,6 +1013,30 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * The target must exist (Delta likewise refuses MERGE into nothing —
     * the reference's bootstrap path is [[merge]]'s).
     */
+  /** [[mergeClauses]] with Delta's `WITH SCHEMA EVOLUTION`: source-only
+    * columns first evolve the table schema through [[addColumns]] (which
+    * mints fresh physical names past retired/mapped ones), then the
+    * standard clause merge runs against the evolved schema — update-all
+    * and insert-all clauses pick the new columns up, untouched files
+    * null-fill via parquet projection. Two atomic commits, not one:
+    * a crash between them leaves an evolved schema over old data, which
+    * reads as all-NULL new columns — benign, and the retry completes.
+    */
+  def mergeClausesEvolve(spark: SparkSession, source: DataFrame, keys: Seq[String],
+                         clauses: Seq[MergeTable.MergeClause],
+                         targetAlias: String = "t", sourceAlias: String = "s",
+                         checkUniqueSource: Boolean = true,
+                         changeFeed: Boolean = false,
+                         keysDeterminePartitions: Boolean = false,
+                         txn: Option[(String, Long)] = None): Unit = {
+    require(exists, s"MergeTable at $root does not exist")
+    val have = schemaOf(currentVersion).fieldNames.toSet
+    val fresh = source.schema.fields.filterNot(f => have.contains(f.name))
+    if (fresh.nonEmpty) addColumns(StructType(fresh))
+    mergeClauses(spark, source, keys, clauses, targetAlias, sourceAlias,
+      checkUniqueSource, changeFeed, keysDeterminePartitions, txn)
+  }
+
   def mergeClauses(spark: SparkSession, source: DataFrame, keys: Seq[String],
                    clauses: Seq[MergeTable.MergeClause],
                    targetAlias: String = "t", sourceAlias: String = "s",

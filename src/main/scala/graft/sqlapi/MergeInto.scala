@@ -229,19 +229,18 @@ object MergeInto {
         changeFeed = cdf,
         keysDeterminePartitions = keysDeterminePartitions,
         deleteNotMatchedBySource = fullSync)
-    else {
-      // schema evolution is wired through merge()'s union path only; the
-      // clause-dispatch rewrite selects the committed schema column-by-
-      // column, so silently accepting the flag would drop source-only
-      // columns — refuse rather than half-apply
-      require(!st.schemaEvolution,
-        "MERGE WITH SCHEMA EVOLUTION supports the update-all/insert-all shape " +
-          "(WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *) — " +
-          "add new columns via ALTER TABLE ... ADD COLUMNS before a conditional-clause merge")
+    else if (st.schemaEvolution)
+      // conditional clauses + WITH SCHEMA EVOLUTION: pre-evolve the schema
+      // (addColumns mints fresh physicals), then the standard clause
+      // dispatch resolves update-all/insert-all against the evolved set
+      table.mergeClausesEvolve(spark, spark.table(st.source), st.keys, st.clauses,
+        targetAlias = st.targetAlias, sourceAlias = st.sourceAlias,
+        changeFeed = cdf,
+        keysDeterminePartitions = keysDeterminePartitions)
+    else
       table.mergeClauses(spark, spark.table(st.source), st.keys, st.clauses,
         targetAlias = st.targetAlias, sourceAlias = st.sourceAlias,
         changeFeed = cdf,
         keysDeterminePartitions = keysDeterminePartitions)
-    }
   }
 }

@@ -133,6 +133,36 @@ class MergeClausesSpec extends SparkSpec {
       Set((1, 100), (2, 20), (9, 90)))
   }
 
+  test("mergeClausesEvolve: source-only columns evolve the schema first") {
+    val t = new MergeTable(scratch("mc_evolve"), Seq("p"))
+    t.overwrite(df(Seq((1, 10, "a"), (2, 20, "a"), (3, 30, "b"))))
+    val src = Seq((1, 100, "a", "en"), (9, 90, "b", "fr")).toDF("k", "v", "p", "lang")
+    t.mergeClausesEvolve(spark, src, Seq("k"), Seq(
+      MatchedUpdate(Some("s.v > t.v"), Nil), // update-all picks up lang
+      NotMatchedInsert(None, Nil)))
+    assert(t.schemaOf(t.currentVersion).fieldNames.contains("lang"))
+    val got = t.read(spark).select("k", "v", "lang")
+      .collect().map(r => (r.getInt(0), r.getInt(1), Option(r.getString(2)))).toSet
+    // matched k=1 takes the source row incl. lang; untouched rows read the
+    // evolved column as NULL; the unmatched source row inserts with lang
+    assert(got === Set((1, 100, Some("en")), (2, 20, None), (3, 30, None),
+      (9, 90, Some("fr"))))
+    // the SQL grammar routes conditional WITH SCHEMA EVOLUTION here
+    val src2 = Seq((2, 200, "a", "de", 7L)).toDF("k", "v", "p", "lang", "score")
+    src2.createOrReplaceTempView("mc_evolve_src")
+    graft.sqlapi.LakeCatalog.register("mc_evolve_t", t)
+    try spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO mc_evolve_t USING mc_evolve_src
+        |ON mc_evolve_t.k = mc_evolve_src.k
+        |WHEN MATCHED AND mc_evolve_src.v > mc_evolve_t.v THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally graft.sqlapi.LakeCatalog.unregister("mc_evolve_t")
+    assert(t.schemaOf(t.currentVersion).fieldNames.contains("score"))
+    assert(t.read(spark).filter(col("k") === 2)
+      .select("v", "score").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((200, 7L)))
+  }
+
   test("contracts: dead clause, unknown column, duplicate source, no table") {
     val t = new MergeTable(scratch("mc_err"), Nil)
     t.overwrite(Seq((1, 10)).toDF("k", "v"))
