@@ -1102,7 +1102,11 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       cs.zipWithIndex.foldRight(base) {
         case ((MatchedUpdate(_, set), i), els) =>
           val value =
-            if (set.isEmpty) col(s"$sourceAlias.$c") // UPDATE SET *
+            if (set.isEmpty)
+              // UPDATE SET * expands over the SOURCE's columns (Delta's
+              // star semantics): a target column the source lacks — e.g.
+              // one added by an earlier schema evolution — keeps its value
+              if (source.columns.contains(c)) col(s"$sourceAlias.$c") else base
             else set.find(_._1 == c).map(p => expr(p._2)).getOrElse(base)
           when(col(ActionCol) === i, value).otherwise(els)
         case ((BySourceUpdate(_, set), i), els) =>
@@ -1205,8 +1209,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           inserts.zipWithIndex.map { case (NotMatchedInsert(_, values), i) =>
             val rows = withA.filter(col(ActionCol) === i)
             val named =
-              if (values.isEmpty) // INSERT *
-                rows.select(tCols.map(c => col(s"$sourceAlias.$c").as(c)): _*)
+              if (values.isEmpty) // INSERT * — star expands over the
+                // SOURCE's columns; target-only columns null-fill below
+                rows.select(tCols.filter(source.columns.contains)
+                  .map(c => col(s"$sourceAlias.$c").as(c)): _*)
               else rows.select(values.map { case (c, e) =>
                 expr(e).cast(typeOf(c)).as(c) }: _*)
             val gen = applyGenerated(named) // derives unspecified generated cols

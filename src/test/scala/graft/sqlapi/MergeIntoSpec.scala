@@ -140,11 +140,18 @@ class MergeIntoSpec extends SparkSpec {
     val out = t.read(spark).select("k", "v", "extra").collect()
       .map(r => (r.getInt(0), r.getString(1), Option(r.get(2)))).toSet
     assert(out === Set((1, "a", None), (2, "B", Some(9)), (3, "c", Some(7))))
-    // the clause on a conditional-clause merge is refused, not half-applied
-    val e = intercept[IllegalArgumentException](MergeInto.run(spark,
-      "MERGE WITH SCHEMA EVOLUTION INTO lake USING mi_evo_src ON lake.k = mi_evo_src.k " +
-        "WHEN MATCHED AND lake.v = 'zzz' THEN DELETE",
-      Map("lake" -> t)))
-    assert(e.getMessage.contains("SCHEMA EVOLUTION"))
+    // conditional clauses evolve too (mergeClausesEvolve): a source column
+    // the target lacks appears, conditional dispatch still applies
+    Seq((2, "B2", "p1", 1), (9, "i", "p2", 2)).toDF("k", "v", "p", "extra2")
+      .createOrReplaceTempView("mi_evo_src2")
+    MergeInto.run(spark,
+      "MERGE WITH SCHEMA EVOLUTION INTO lake USING mi_evo_src2 ON lake.k = mi_evo_src2.k " +
+        "WHEN MATCHED AND mi_evo_src2.extra2 > 0 THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *",
+      Map("lake" -> t))
+    val out2 = t.read(spark).select("k", "v", "extra2").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(out2 === Set((1, "a", None), (2, "B2", Some(1)), (3, "c", None),
+      (9, "i", Some(2))))
   }
 }
