@@ -2242,9 +2242,181 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val parts = line.split("\t", -1)
       val flag = if (parts.length >= 5 && parts(4).nonEmpty) parts(4).charAt(0) else '?'
       (dec(parts(0)), dec(parts(1)), dec(parts(2)), dec(parts(3)), flag)
-    }.groupBy(_._1).map { case (f, rows) =>
-      f -> rows.map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    }.filterNot(_._2 == MergeTable.CountStatKey) // row counts are not column bounds
+      .groupBy(_._1).map { case (f, rows) =>
+        f -> rows.map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+      }
+
+  /** Per-file ROW COUNTS recorded in the commit log (the count stat lines
+    * [[collectStatsFor]] writes alongside min/max — Delta's
+    * `stats.numRecords`). Files committed before count collection (or on a
+    * table that never collected stats) are simply absent — callers decide
+    * whether partial coverage is usable. `ANALYZE TABLE` retrofits counts
+    * onto any table.
+    */
+  def fileRowCounts(version: Long): Map[String, Long] =
+    readCommit(version).statsLines.flatMap { line =>
+      val parts = line.split("\t", -1)
+      if (parts.length >= 3 && dec(parts(1)) == MergeTable.CountStatKey)
+        parts(2).toLongOption.map(dec(parts(0)) -> _)
+      else None
+    }.toMap
+
+  /** Answer `count(*)` / `min(c)` / `max(c)` — optionally grouped by
+    * partition columns — ENTIRELY from the commit log, reading ZERO data
+    * files. This is what makes `SELECT count(*) FROM t` on a 100 TB table
+    * a metadata operation (Delta answers the same shapes from its
+    * `stats.numRecords`/min/max; the connector's aggregate pushdown routes
+    * here). Returns `None` whenever the log cannot answer EXACTLY, and the
+    * caller falls back to a real scan — pushdown is an optimization, never
+    * a correctness dependency:
+    *
+    *  - `count`: every live file must carry a recorded row count
+    *    ([[fileRowCounts]]); deletion-vector masked rows are subtracted
+    *    per file (the commit records exact masked-position counts).
+    *  - `min`/`max`: every live file must carry a `V`/`N`-flagged stats
+    *    line for the column (legacy `?` lines reject), the snapshot must
+    *    have NO deletion vectors (a mask could hide the extremal row), and
+    *    the column's type must round-trip exactly — strings are REJECTED
+    *    because their recorded bounds are truncated ([[truncStatMin]]:
+    *    sound for pruning, not actual values). A min/max over a PARTITION
+    *    column is answered from the directory values instead (exact at any
+    *    type, restricted to files with a recorded count > 0 so an empty
+    *    file's directory can't fabricate an extremum).
+    *  - `groupBy` columns must be partition columns: groups and their
+    *    member files come from the manifest's directory tuples.
+    *
+    * Aggs are `(op, column)` with op ∈ count|min|max (column ignored for
+    * count). Result rows are `groupBy values ++ agg values` in external
+    * JVM types (the caller builds Rows/schema).
+    */
+  def aggregateFromStats(version: Long, groupBy: Seq[String],
+                         aggs: Seq[(String, String)]): Option[Seq[Seq[Any]]] = {
+    import org.apache.spark.sql.types._
+    val schema = schemaOf(version)
+    val files = filesOf(version)
+    val dvs = dvsOf(version)
+    val counts = fileRowCounts(version)
+    lazy val stats = statsDetail(version)
+
+    if (!groupBy.forall(partitionCols.contains)) return None
+    if (aggs.isEmpty) return None
+
+    // external-string → external JVM value, by the CURRENT schema type
+    // (type widening is lossless, so an INT-era "5" parses as the widened
+    // LONG exactly); every returned value is Comparable within its type
+    def parse(s: String, dt: DataType): Option[Any] = try dt match {
+      case ByteType      => Some(java.lang.Byte.valueOf(s))
+      case ShortType     => Some(java.lang.Short.valueOf(s))
+      case IntegerType   => Some(java.lang.Integer.valueOf(s))
+      case LongType      => Some(java.lang.Long.valueOf(s))
+      case FloatType     => Some(java.lang.Float.valueOf(s))
+      case DoubleType    => Some(java.lang.Double.valueOf(s))
+      case _: DecimalType => Some(new java.math.BigDecimal(s))
+      case DateType      => Some(java.sql.Date.valueOf(s))
+      case TimestampType => Some(java.sql.Timestamp.valueOf(s))
+      case TimestampNTZType => Some(java.time.LocalDateTime.parse(s))
+      case StringType    => Some(s)
+      case BooleanType   => Some(java.lang.Boolean.valueOf(s))
+      case _             => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    // rel file → partition column → external value (null for the Hive
+    // DEFAULT partition); None when a partition dir is missing from the
+    // path or its value fails to parse as the column's type — either way
+    // the log can't answer exactly, so the caller falls back to a scan
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def partVals(f: String): Option[Map[String, Any]] = {
+      val segs = f.split('/')
+      val pairs = segs.slice(1, segs.length - 1).toSeq.filter(_.contains('='))
+        .map(seg => seg.takeWhile(_ != '=') ->
+          seg.substring(seg.indexOf('=') + 1)).toMap
+      val resolved = partitionCols.map { c =>
+        pairs.get(c) match {
+          case None => return None // layout anomaly
+          case Some(raw) if raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME =>
+            c -> (null: Any)
+          case Some(raw) =>
+            parse(ExternalCatalogUtils.unescapePathName(raw),
+              schema(c).dataType) match {
+              case None    => return None // unparsable dir value
+              case Some(v) => c -> v
+            }
+        }
+      }
+      Some(resolved.toMap)
     }
+
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+    // ---- per-agg feasibility over the whole snapshot ----
+    val countable = files.forall(counts.contains)
+    def minMaxFeasible(c: String): Boolean =
+      schema.fieldNames.contains(c) && {
+        val dt = schema(c).dataType
+        if (partitionCols.contains(c))
+          // dir-derived: exact for any parseable type, but needs counts to
+          // exclude empty files, and no masks anywhere
+          countable && dvs.isEmpty && (dt match {
+            case _: NumericType | StringType | DateType | TimestampType |
+                 TimestampNTZType | BooleanType => true
+            case _ => false
+          })
+        else (dt match {
+          case StringType => false // truncated bounds are not values
+          case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+          case _ => false
+        }) && dvs.isEmpty &&
+          files.forall(f => stats.get(f).flatMap(_.get(c)).exists(_._3 != '?'))
+      }
+    val ok = aggs.forall {
+      case ("count", _)  => countable
+      case ("min", c)    => minMaxFeasible(c)
+      case ("max", c)    => minMaxFeasible(c)
+      case _             => false
+    }
+    if (!ok) return None
+
+    // ---- group files by the groupBy partition tuple ----
+    val filePartVals: Map[String, Map[String, Any]] =
+      if (groupBy.isEmpty && !aggs.exists(a => a._1 != "count" &&
+          partitionCols.contains(a._2))) Map.empty.withDefaultValue(Map.empty)
+      else {
+        val parsed = files.map(f => f -> partVals(f))
+        if (parsed.exists(_._2.isEmpty)) return None
+        parsed.map { case (f, v) => f -> v.get }.toMap
+      }
+    val groups: Map[Seq[Any], Seq[String]] =
+      files.groupBy(f => groupBy.map(c => filePartVals(f).getOrElse(c, null)))
+
+    def liveCount(f: String): Long =
+      counts(f) - dvs.get(f).map(_._2).getOrElse(0L)
+
+    def aggValue(op: String, c: String, members: Seq[String]): Any = op match {
+      case "count" => java.lang.Long.valueOf(members.map(liveCount).sum)
+      case _ =>
+        val vals: Seq[Any] =
+          if (partitionCols.contains(c))
+            members.filter(f => counts(f) > 0)
+              .flatMap(f => Option(filePartVals(f).getOrElse(c, null)))
+          else members.flatMap { f =>
+            stats.get(f).flatMap(_.get(c)) match {
+              case Some((_, _, 'N'))  => None
+              case Some((mn, mx, _)) =>
+                parse(if (op == "min") mn else mx, schema(c).dataType)
+              case None => None
+            }
+          }
+        if (vals.isEmpty) null
+        else if (op == "min") vals.reduce((a, b) => if (cmp(a, b) <= 0) a else b)
+        else vals.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
+    }
+
+    Some(groups.toSeq.sortBy(_._1.mkString("\u0000")).map { case (gv, members) =>
+      gv ++ aggs.map { case (op, c) => aggValue(op, c, members) }
+    })
+  }
 
   /** ANALYZE TABLE analog: (re)compute per-file min/max statistics of
     * `cols` over every file of the current snapshot and commit them —
@@ -3630,14 +3802,21 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       MergeTable.statsSupported(schema(c).dataType))
     if (cols.isEmpty || relFiles.isEmpty) return Nil
     val strCols = cols.filter(c => schema(c).dataType == StringType).toSet
-    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    // the per-file ROW COUNT rides the same per-file aggregation pass for
+    // free (Delta's stats.numRecords) — it is what lets count(*) be
+    // answered from the log alone ([[aggregateFromStats]]); recorded as a
+    // stat line under the reserved pseudo-column [[MergeTable.CountStatKey]]
+    val aggs = count(lit(1)).as("_graft_cnt") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
     readFiles(spark, relFiles, schema, colmap)
       .withColumn("_graft_file", input_file_name())
       .groupBy("_graft_file")
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.flatMap { r =>
         val rel = relativize(normalize(r.getString(0)))
-        cols.map { c =>
+        val cnt = r.getAs[Long]("_graft_cnt")
+        val cntLine = s"${enc(rel)}\t${enc(MergeTable.CountStatKey)}\t$cnt\t$cnt\tV"
+        cntLine +: cols.map { c =>
           val mnV = Option(r.getAs[Any](s"mn_$c")).map(_.toString)
           val mxV = Option(r.getAs[Any](s"mx_$c")).map(_.toString)
           val flag = if (mnV.isEmpty) "N" else "V"
@@ -4193,6 +4372,13 @@ object MergeTable {
     * directly via ALTER TABLE SET TBLPROPERTIES.
     */
   val StatsColsProp = "graft.statsCols"
+
+  /** Reserved pseudo-column under which each file's ROW COUNT is recorded
+    * as a stat line (Delta's `stats.numRecords`). The colon keeps it out
+    * of any legal unquoted column namespace; [[statsDetail]] filters it
+    * from the min/max view, [[MergeTable.fileRowCounts]] reads it.
+    */
+  val CountStatKey = "_graft:count"
 
   /** Delta's `delta.dataSkippingNumIndexedCols` analog: when set (and no
     * explicit stats columns exist), writes collect min/max for the first
