@@ -2263,5 +2263,38 @@ object LakeQueries {
              |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
              |FROM orders GROUP BY o_orderstatus""".stripMargin),
       "idempotent writer options: replayed txnVersion is a no-op, marker atomic"),
+
+    // Aggregate pushdown (Delta/JDBC SupportsPushDownAggregates shape):
+    // count(*)/min/max grouped by the partition column answered ENTIRELY
+    // from the commit log's per-file row counts and min/max stats — the
+    // require() pins the plan (PushedAggregates, zero FileScans), so at
+    // 100 TB this query reads manifests, not data. Two commits prove the
+    // counts compose across carried + fresh files.
+    "m68_agg_pushdown" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m68_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"),
+          statsCols = Seq("o_orderkey", "o_totalprice"))
+        table.overwrite(orders.filter(col("o_orderkey") % 2 === 0))
+        table.append(orders.filter(col("o_orderkey") % 2 =!= 0))
+        val df = s.read.format("graft").load(root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+            min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("PushedAggregates"),
+          s"aggregate must be answered from the log, got:\n$plan")
+        require(!plan.contains("FileScan"),
+          "a pushed aggregate must not scan any data file")
+        df
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+             |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "aggregate pushdown: count/min/max per partition from the log, zero data files read"),
   )
 }

@@ -333,6 +333,63 @@ final class GraftTable(root: String, declaredParts: Seq[String],
     else probe.schemaOf(pinnedVersion(probe))
   }
 
+  /** Translate a pushed [[Aggregation]] and answer it from the commit log
+    * ([[MergeTable.aggregateFromStats]]). None whenever the shape or the
+    * log can't produce an EXACT answer: unsupported functions (anything
+    * beyond count(*)/min/max), non-column arguments, group-bys that aren't
+    * partition columns, CDF reads, missing row counts / stats coverage,
+    * deletion vectors under min/max. Time-travel reads ARE answerable —
+    * stats live in the pinned version's own commit.
+    */
+  private[sources] def metadataAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Row])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (cdfMode) return None
+    val probe = new MergeTable(root)
+    if (!probe.exists) return None
+    val t = MergeTable.open(root)
+    val v = pinnedVersion(t)
+    val schema = t.schemaOf(v)
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+          schema.fieldNames.contains(nr.fieldNames()(0)) => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+
+    val groupBy: Seq[String] = {
+      val gs = agg.groupByExpressions.toSeq.map(colOf)
+      if (gs.exists(_.isEmpty)) return None
+      gs.flatten
+    }
+    val aggs: Seq[(String, String)] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => ("count", null)
+      case m: Min => colOf(m.column) match {
+        case Some(c) => ("min", c)
+        case None    => return None
+      }
+      case m: Max => colOf(m.column) match {
+        case Some(c) => ("max", c)
+        case None    => return None
+      }
+      case _ => return None
+    }
+
+    t.aggregateFromStats(v, groupBy, aggs).map { rows =>
+      val fields =
+        groupBy.map(c => StructField(c, schema(c).dataType, nullable = true)) ++
+          aggs.map {
+            case ("count", _) => StructField("count(*)", LongType, nullable = false)
+            case (op, c) => StructField(s"$op($c)", schema(c).dataType, nullable = true)
+          }
+      (StructType(fields), rows.map(Row.fromSeq))
+    }
+  }
+
   private[sources] def asV2: Table = new Table
       with SupportsRead with SupportsWrite with GraftV2Marker
       with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -413,13 +470,26 @@ final class GraftTable(root: String, declaredParts: Seq[String],
   * Every filter is also returned as residual, so Spark re-applies the
   * exact predicate above the scan (pushdown is an optimization, never a
   * correctness dependency — the [[MergeTable.candidateFiles]] discipline).
+  *
+  * Aggregate pushdown ([[SupportsPushDownAggregates]], the JDBC-connector
+  * shape): `count(*)` / `min` / `max` — optionally grouped by partition
+  * columns — are answered ENTIRELY from the commit log via
+  * [[MergeTable.aggregateFromStats]] when the log can answer exactly
+  * (recorded row counts, full stats coverage, no deletion vectors for
+  * min/max). On a 100 TB table that turns `SELECT count(*) FROM t` into a
+  * metadata read of the manifest — zero data files opened, and the plan
+  * shows `PushedAggregates` over a local one-row relation instead of a
+  * distributed scan. Complete pushdown only: when the log can't answer,
+  * `pushAggregation` returns false and the normal scan runs.
   */
 final class GraftScanBuilder(table: GraftTable)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: Option[StructType] = None
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, Seq[Row])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftDataSource.translate(f).isDefined)
@@ -431,7 +501,36 @@ final class GraftScanBuilder(table: GraftTable)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan = new GraftV1BridgeScan(table, required, pushed)
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    table.metadataAggregate(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // complete pushdown only: partial (per-split intermediate rows) has no
+    // meaning for a metadata answer, so an unanswerable aggregation falls
+    // back to the ordinary scan instead of half-pushing
+    aggResult = table.metadataAggregate(agg)
+    aggResult.isDefined
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, rows)) => new GraftAggScan(schema, rows)
+    case None => new GraftV1BridgeScan(table, required, pushed)
+  }
+}
+
+/** The result of a completely-pushed aggregation: a LOCAL relation holding
+  * the pre-computed rows (driver metadata, no executor work at all).
+  */
+final class GraftAggScan(schema: StructType, rows: Seq[Row]) extends V1Scan {
+  override def readSchema(): StructType = schema
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val df = context.sparkSession.createDataFrame(
+      rows.asJava, schema)
+    GraftDataSource.relationFor(context, df, schema).asInstanceOf[T]
+  }
 }
 
 final class GraftV1BridgeScan(table: GraftTable, pruned: Option[StructType],
