@@ -2291,10 +2291,17 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * JVM types (the caller builds Rows/schema).
     */
   def aggregateFromStats(version: Long, groupBy: Seq[String],
-                         aggs: Seq[(String, String)]): Option[Seq[Seq[Any]]] = {
+                         aggs: Seq[(String, String)],
+                         restrictTo: Option[Set[String]] = None): Option[Seq[Seq[Any]]] = {
     import org.apache.spark.sql.types._
     val schema = schemaOf(version)
-    val files = filesOf(version)
+    // `restrictTo` is an EXACT file subset the caller derived from
+    // partition-only predicates ([[exactPartitionFiles]]): the per-file
+    // math composes unchanged over any subset of the snapshot
+    val files = restrictTo match {
+      case Some(keep) => filesOf(version).filter(keep)
+      case None       => filesOf(version)
+    }
     val dvs = dvsOf(version)
     val counts = fileRowCounts(version)
     lazy val stats = statsDetail(version)
@@ -2350,15 +2357,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     def cmp(a: Any, b: Any): Int =
       a.asInstanceOf[Comparable[Any]].compareTo(b)
 
-    // ---- per-agg feasibility over the whole snapshot ----
+    // ---- per-agg feasibility over the in-scope files ----
     val countable = files.forall(counts.contains)
+    val masked = files.exists(dvs.contains) // dvs outside the scope are moot
     def minMaxFeasible(c: String): Boolean =
       schema.fieldNames.contains(c) && {
         val dt = schema(c).dataType
         if (partitionCols.contains(c))
           // dir-derived: exact for any parseable type, but needs counts to
-          // exclude empty files, and no masks anywhere
-          countable && dvs.isEmpty && (dt match {
+          // exclude empty files, and no masks on any in-scope file
+          countable && !masked && (dt match {
             case _: NumericType | StringType | DateType | TimestampType |
                  TimestampNTZType | BooleanType => true
             case _ => false
@@ -2367,7 +2375,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           case StringType => false // truncated bounds are not values
           case _: NumericType | DateType | TimestampType | TimestampNTZType => true
           case _ => false
-        }) && dvs.isEmpty &&
+        }) && !masked &&
           files.forall(f => stats.get(f).flatMap(_.get(c)).exists(_._3 != '?'))
       }
     val ok = aggs.forall {
@@ -2413,9 +2421,48 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         else vals.reduce((a, b) => if (cmp(a, b) >= 0) a else b)
     }
 
+    // pre-flight min/max bounds: an unparsable V-flagged bound makes the
+    // answer inexact (silently dropping it could miss the extremum) → None
+    val boundsParse = aggs.forall {
+      case (op, c) if op != "count" && !partitionCols.contains(c) =>
+        files.forall(f => stats.get(f).flatMap(_.get(c)) match {
+          case Some((_, _, 'N'))  => true
+          case Some((mn, mx, _)) =>
+            parse(mn, schema(c).dataType).isDefined &&
+              parse(mx, schema(c).dataType).isDefined
+          case None => false
+        })
+      case _ => true
+    }
+    if (!boundsParse) return None
+
     Some(groups.toSeq.sortBy(_._1.mkString("\u0000")).map { case (gv, members) =>
       gv ++ aggs.map { case (op, c) => aggValue(op, c, members) }
     })
+  }
+
+  /** EXACT file restriction by PARTITION-ONLY filters — the scan-side
+    * companion of [[aggregateFromStats]]'s `restrictTo`. Unlike
+    * [[pruneFilesFor]] (conservative: keeps any file that MIGHT match),
+    * this keeps precisely the files whose partition tuple satisfies every
+    * filter, which is what a metadata-only `count(*) WHERE part = x`
+    * needs. None when any filter touches a non-partition column or fails
+    * to translate — callers then keep the real scan.
+    */
+  private[graft] def exactPartitionFiles(spark: SparkSession, version: Long,
+                                         filters: Seq[sources.Filter])
+      : Option[Set[String]] = {
+    if (filters.isEmpty) return Some(filesOf(version).toSet)
+    if (partitionCols.isEmpty) return None
+    if (!filters.forall(f => f.references.nonEmpty &&
+        f.references.forall(partitionCols.contains))) return None
+    val translated = filters.map(MergeTable.translateFilter)
+    if (translated.exists(_.isEmpty)) return None
+    val pred = translated.flatten.reduce(_ && _)
+    // partitionCandidates evaluates a fully-evaluable deterministic
+    // predicate EXACTLY over the distinct partition tuples (TRUE keeps,
+    // FALSE/NULL drops) — partition-only translated filters qualify
+    Some(partitionCandidates(spark, filesOf(version), schemaOf(version), pred).toSet)
   }
 
   /** ANALYZE TABLE analog: (re)compute per-file min/max statistics of

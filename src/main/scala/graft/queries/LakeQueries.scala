@@ -2296,5 +2296,36 @@ object LakeQueries {
              |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
              |FROM orders GROUP BY o_orderstatus""".stripMargin),
       "aggregate pushdown: count/min/max per partition from the log, zero data files read"),
+
+    // Aggregate pushdown UNDER a partition predicate: partition-only
+    // filters are CONSUMED by the scan (evaluated exactly at file level +
+    // re-applied inside the bridge), so no residual Filter blocks the
+    // aggregate offer — `count(*) WHERE part IN (…)` stays a metadata
+    // answer. The require() proves the filtered aggregate still pushed.
+    "m69_filtered_agg" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m69_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"),
+          statsCols = Seq("o_custkey"))
+        table.overwrite(orders)
+        val df = s.read.format("graft").load(root)
+          .filter(col("o_orderstatus").isin("F", "O"))
+          .agg(count(lit(1)).as("cnt"),
+            min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+            min("o_orderstatus").as("min_status"), max("o_orderstatus").as("max_status"))
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("PushedAggregates"),
+          s"partition-filtered aggregate must stay a metadata answer:\n$plan")
+        require(!plan.contains("FileScan"),
+          "a pushed aggregate must not scan any data file")
+        df
+      },
+      Some("""SELECT count(*) AS cnt,
+             |       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+             |       min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status
+             |FROM orders WHERE o_orderstatus IN ('F', 'O')""".stripMargin),
+      "filtered aggregate pushdown: partition WHERE consumed, count/min/max from the log"),
   )
 }

@@ -341,8 +341,17 @@ final class GraftTable(root: String, declaredParts: Seq[String],
     * deletion vectors under min/max. Time-travel reads ARE answerable —
     * stats live in the pinned version's own commit.
     */
+  /** Partition layout for the scan builder's filter-consumption decision:
+    * the log's once the table exists, the declared one before.
+    */
+  private[sources] def tablePartitionCols: Seq[String] = {
+    val probe = new MergeTable(root)
+    if (probe.exists) MergeTable.open(root).partitionCols else declaredParts
+  }
+
   private[sources] def metadataAggregate(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      partitionFilters: Seq[Filter] = Nil)
       : Option[(StructType, Seq[Row])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
@@ -353,6 +362,16 @@ final class GraftTable(root: String, declaredParts: Seq[String],
     val t = MergeTable.open(root)
     val v = pinnedVersion(t)
     val schema = t.schemaOf(v)
+    // consumed partition-only filters restrict the file set EXACTLY —
+    // None (untranslatable/non-partition, shouldn't happen for consumed
+    // filters) rejects the pushdown rather than risking a wrong answer
+    val restrict: Option[Set[String]] =
+      if (partitionFilters.isEmpty) None
+      else t.exactPartitionFiles(
+        org.apache.spark.sql.SparkSession.active, v, partitionFilters) match {
+        case None       => return None
+        case some       => some
+      }
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -379,7 +398,7 @@ final class GraftTable(root: String, declaredParts: Seq[String],
       case _ => return None
     }
 
-    t.aggregateFromStats(v, groupBy, aggs).map { rows =>
+    t.aggregateFromStats(v, groupBy, aggs, restrict).map { rows =>
       val fields =
         groupBy.map(c => StructField(c, schema(c).dataType, nullable = true)) ++
           aggs.map {
@@ -489,11 +508,22 @@ final class GraftScanBuilder(table: GraftTable)
 
   private var required: Option[StructType] = None
   private var pushed: Array[Filter] = Array.empty
+  private var consumed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, Seq[Row])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftDataSource.translate(f).isDefined)
-    filters // all residual: Spark re-evaluates, the bridge re-pushes
+    // PARTITION-ONLY filters are CONSUMED (not residual): the bridged frame
+    // re-applies every pushed filter with Spark's own evaluation, so
+    // correctness never depends on file pruning — and with no residual
+    // Filter left above the scan, Spark can offer the aggregate, keeping
+    // `count(*) WHERE part = x` a metadata answer
+    val pcols = table.tablePartitionCols.toSet
+    consumed =
+      if (pcols.isEmpty) Array.empty
+      else pushed.filter(f => f.references.nonEmpty &&
+        f.references.forall(pcols.contains))
+    filters.filterNot(consumed.contains)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -503,14 +533,14 @@ final class GraftScanBuilder(table: GraftTable)
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    table.metadataAggregate(agg).isDefined
+    table.metadataAggregate(agg, consumed.toSeq).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     // complete pushdown only: partial (per-split intermediate rows) has no
     // meaning for a metadata answer, so an unanswerable aggregation falls
     // back to the ordinary scan instead of half-pushing
-    aggResult = table.metadataAggregate(agg)
+    aggResult = table.metadataAggregate(agg, consumed.toSeq)
     aggResult.isDefined
   }
 

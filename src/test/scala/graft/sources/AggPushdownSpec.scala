@@ -127,6 +127,42 @@ class AggPushdownSpec extends SparkSpec {
     assert(mx.collect().head.getDouble(0) === 7.25)
   }
 
+  test("partition-only WHERE: consumed exactly, aggregate stays a metadata answer") {
+    val root = scratch("agg_pfilter")
+    val t = new MergeTable(root, Seq("p"), statsCols = Seq("k"))
+    t.overwrite(Seq((1, "p1"), (2, "p1"), (3, "p2"), (4, "p2"), (5, "p3")).toDF("k", "p"))
+    // count(*) WHERE p = 'p1': the filter is partition-only → consumed by
+    // the scan, no residual Filter blocks the aggregate offer
+    val cnt = spark.read.format("graft").load(root).filter(col("p") === "p1")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.max("k").as("mx"))
+    assert(isPushed(cnt), s"partition WHERE must still push:\n${planOf(cnt)}")
+    assert(cnt.collect().head.toSeq === Seq(2L, 2))
+    // compound partition predicates (IN / != / OR) consume too
+    val in = spark.read.format("graft").load(root)
+      .filter(col("p").isin("p1", "p3"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    assert(isPushed(in))
+    assert(in.collect().head.getLong(0) === 3L)
+    // a data-column conjunct keeps the real scan and exact results
+    val mixed = spark.read.format("graft").load(root)
+      .filter(col("p") === "p1" && col("k") > 1)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    assert(!isPushed(mixed))
+    assert(mixed.collect().head.getLong(0) === 1L)
+    // plain row reads under a consumed filter stay exact (the bridge
+    // re-applies every pushed filter inside the frame)
+    assert(spark.read.format("graft").load(root).filter(col("p") =!= "p2")
+      .select("k").as[Int].collect().toSet === Set(1, 2, 5))
+    // group-by + partition WHERE: per-group metadata answer on the subset
+    val grouped = spark.read.format("graft").load(root)
+      .filter(col("p") =!= "p3").groupBy("p")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    assert(isPushed(grouped))
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("p1", 2L), ("p2", 2L)))
+  }
+
   test("all-null and null-mixed columns: min/max handles N-flagged files") {
     val root = scratch("agg_null")
     val t = new MergeTable(root, Nil, statsCols = Seq("x"))
