@@ -810,5 +810,58 @@ object StreamQueries {
              |       CAST(sum(event_id) AS BIGINT) AS id_sum
              |FROM events GROUP BY event_type""".stripMargin),
       "maxFilesPerTrigger: bounded micro-batches over a backlogged table, exactly-once"),
+
+    // Trigger.AvailableNow over the connector source — Delta's scheduled
+    // batch-drain shape (run-on-cron instead of always-on): each run
+    // drains exactly the backlog present at start, honors the rate limit,
+    // TERMINATES ON ITS OWN, and the next run resumes from the checkpoint
+    // so re-drains pick up only the tail. Exactly-once across runs via
+    // batch-id txn markers on the sink table.
+    "st16_available_now" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val events = Registry.t(s, dir, "events")
+        val root = s"${Registry.scratchRoot}/st16_lake_$id"
+        val outRoot = s"${Registry.scratchRoot}/st16_out_$id"
+        val ckpt = s"${Registry.scratchRoot}/st16_ckpt_$id"
+        val src = new MergeTable(root)
+        src.overwrite(events.filter(col("event_id") % 4 === 0).repartition(1)) // v0
+        (1 to 2).foreach(i =>                                                  // v1, v2
+          src.append(events.filter(col("event_id") % 4 === i).repartition(1)))
+        def drain(): Long = {
+          val batches = new AtomicLong()
+          val q = ss.readStream.format("graft")
+            .option("path", root).option("maxFilesPerTrigger", "1").load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              batches.incrementAndGet()
+              val out = new MergeTable(outRoot)
+              if (!out.exists || !out.lastTxnVersion("st16").exists(_ >= batchId))
+                out.append(b, txn = Some("st16" -> batchId))
+              ()
+            }
+            .start()
+          require(q.awaitTermination(300000),
+            "AvailableNow must terminate on its own after draining the backlog")
+          batches.get
+        }
+        val first = drain()
+        require(first >= 3,
+          s"rate limit must split the 3-commit backlog into >= 3 batches, got $first")
+        // late tail lands AFTER the first drain; only the second run sees it
+        src.append(events.filter(col("event_id") % 4 === 3).repartition(1))    // v3
+        val second = drain()
+        require(second >= 1 && second <= 2,
+          s"the second drain must process only the tail commit, got $second")
+        new MergeTable(outRoot).read(s).groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("event_id").as("id_sum"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events GROUP BY event_type""".stripMargin),
+      "Trigger.AvailableNow: self-terminating backlog drain, checkpoint-resumed, exactly-once"),
   )
 }

@@ -594,7 +594,10 @@ final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
                               root: String, ignoreChanges: Boolean,
                               startFrom: Long = -1L,
                               maxFilesPerTrigger: Option[Int] = None)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxFiles}
   import org.apache.spark.sql.execution.streaming.Offset
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
@@ -609,33 +612,64 @@ final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
     */
   @volatile private var lastEnd: Long = startFrom
 
-  private def versionOf(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other         => other.json().trim.toLong // SerializedOffset replay
-  }
+  /** `Trigger.AvailableNow` drain target: the tip CAPTURED at query start
+    * (`prepareForTriggerAvailableNow`, the FileStreamSource shape). Each
+    * batch advances toward it under the rate limit and never beyond —
+    * commits landing mid-drain wait for the next scheduled run — so the
+    * query terminates by itself once the captured backlog is consumed.
+    */
+  @volatile private var availableNowTip: Long = -1L
+
+  private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case LongOffset(v) => v
+      case other         => other.json().trim.toLong // SerializedOffset replay
+    }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTip = table.currentVersion
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
   /** Delta's `maxFilesPerTrigger`: cap each micro-batch at the largest
     * version range whose ADDED file count stays within the limit (always
     * at least one version, or a single commit could never be consumed).
     * The walk reads per-commit metadata only — O(versions) commit-line
-    * parses, no manifests. Without the option: the tip, one batch per
+    * parses, no manifests. Without a limit: the tip, one batch per
     * trigger covering everything new.
     */
-  override def getOffset: Option[Offset] = {
-    val tip = table.currentVersion
-    val end = maxFilesPerTrigger match {
-      case None => tip
-      case Some(cap) =>
-        var v = lastEnd
+  override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
+                            limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(start).map(versionOf).getOrElse(lastEnd)
+    val tip =
+      if (availableNowTip >= 0) math.min(availableNowTip, table.currentVersion)
+      else table.currentVersion
+    val end = limit match {
+      case f: ReadMaxFiles =>
+        val cap = f.maxFiles()
+        var v = from
         var n = 0L
         while (v < tip && (n == 0 || n + table.addedFilesCount(v + 1) <= cap)) {
           n += table.addedFilesCount(v + 1)
           v += 1
         }
         v
+      case _: ReadAllAvailable => tip
+      case _                   => tip
     }
-    Some(LongOffset(end))
+    LongOffset(end)
   }
+
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(table.currentVersion)
+
+  /** Superseded by [[latestOffset]] (admission control) — the engine never
+    * calls getOffset on a SupportsAdmissionControl source; kept as its
+    * unlimited equivalent for direct callers.
+    */
+  override def getOffset: Option[Offset] =
+    Some(LongOffset(versionOf(latestOffset(null, ReadLimit.allAvailable()))))
 
   override def commit(end: Offset): Unit =
     lastEnd = math.max(lastEnd, versionOf(end))
