@@ -2395,8 +2395,12 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         if (parsed.exists(_._2.isEmpty)) return None
         parsed.map { case (f, v) => f -> v.get }.toMap
       }
+    // a GLOBAL aggregate over zero files must still emit ITS one row
+    // (count(*) = 0, min/max = NULL — SQL's no-group-by semantics); a
+    // grouped aggregate over zero files correctly emits none
     val groups: Map[Seq[Any], Seq[String]] =
-      files.groupBy(f => groupBy.map(c => filePartVals(f).getOrElse(c, null)))
+      if (files.isEmpty && groupBy.isEmpty) Map(Seq.empty[Any] -> Seq.empty)
+      else files.groupBy(f => groupBy.map(c => filePartVals(f).getOrElse(c, null)))
 
     def liveCount(f: String): Long =
       counts(f) - dvs.get(f).map(_._2).getOrElse(0L)

@@ -2327,5 +2327,60 @@ object LakeQueries {
              |       min(o_orderstatus) AS min_status, max(o_orderstatus) AS max_status
              |FROM orders WHERE o_orderstatus IN ('F', 'O')""".stripMargin),
       "filtered aggregate pushdown: partition WHERE consumed, count/min/max from the log"),
+
+    // DDL lifecycle closeout, all through spark.sql (the parser-extension
+    // path): CREATE OR REPLACE swaps schema AND partition layout in one
+    // commit with history intact; COMMENT ON + SHOW CREATE TABLE round-trip
+    // the table's DDL; TRUNCATE TABLE empties a SHALLOW CLONE without
+    // touching the original (copy-on-write isolation).
+    "m70_ddl_lifecycle" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m70_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val tName = s"m70t_${sanitize(dir)}"
+        val cName = s"m70c_${sanitize(dir)}"
+        val srcView = s"m70_orders_${sanitize(dir)}"
+        orders.createOrReplaceTempView(srcView)
+        try {
+          s.sql(s"""CREATE TABLE $tName USING GRAFT
+                   |PARTITIONED BY (o_orderstatus) LOCATION '$root/t'
+                   |AS SELECT o_orderkey, o_orderstatus FROM $srcView""".stripMargin)
+          // replace: different columns AND a different partition layout
+          s.sql(s"""CREATE OR REPLACE TABLE $tName USING GRAFT
+                   |PARTITIONED BY (o_orderpriority) LOCATION '$root/t'
+                   |AS SELECT o_orderkey, o_totalprice, o_orderpriority
+                   |   FROM $srcView WHERE o_orderkey % 3 = 0""".stripMargin)
+          val replaced = graft.sqlapi.LakeCatalog.targets(tName)
+          require(replaced.currentVersion == 1L,
+            "REPLACE must be one more commit on the existing log")
+          require(replaced.readVersion(s, 0).columns.toSeq ==
+              Seq("o_orderkey", "o_orderstatus"),
+            "the pre-replace snapshot must keep its own schema")
+          s.sql(s"COMMENT ON TABLE $tName IS 'orders slice'")
+          val stmt = s.sql(s"SHOW CREATE TABLE $tName").head().getString(0)
+          require(stmt.contains("PARTITIONED BY (o_orderpriority)") &&
+              stmt.contains("'comment' = 'orders slice'") &&
+              stmt.contains("USING GRAFT"),
+            s"SHOW CREATE TABLE must reflect the replaced layout, got:\n$stmt")
+          // clone + truncate: the clone empties, the original is untouched
+          s.sql(s"CREATE TABLE $cName SHALLOW CLONE $tName LOCATION '$root/c'")
+          s.sql(s"TRUNCATE TABLE $cName")
+          require(s.sql(s"SELECT count(*) AS n FROM $cName").head().getLong(0) == 0L,
+            "TRUNCATE must empty the clone")
+          s.sql(s"""SELECT o_orderpriority, count(*) AS cnt,
+                   |       sum(o_orderkey) AS key_sum
+                   |FROM $tName GROUP BY o_orderpriority""".stripMargin)
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS $cName")
+          s.sql(s"DROP TABLE IF EXISTS $tName")
+          s.catalog.dropTempView(srcView)
+        }
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |GROUP BY o_orderpriority""".stripMargin),
+      "CREATE OR REPLACE + COMMENT ON + SHOW CREATE + TRUNCATE via spark.sql"),
   )
 }

@@ -124,6 +124,8 @@ object GraftSqlParser {
           StructField("value", StringType, nullable = false)))
       else if (LakeSql.isDryRunStatement(sql))
         StructType(Seq(StructField("path", StringType, nullable = false)))
+      else if (LakeSql.isShowCreateStatement(sql))
+        StructType(Seq(StructField("createtab_stmt", StringType, nullable = false)))
       else {
         val t = table.schemaOf(table.currentVersion)
         StructType(table.partitionCols.map(c => t(c)) :+

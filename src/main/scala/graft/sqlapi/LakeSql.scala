@@ -226,6 +226,33 @@ object LakeSql {
   private val DropTableShape =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""".r
 
+  /** Spark's `TRUNCATE TABLE` over a lake table: delete-all as one commit
+    * (the same routing as a WHERE-less DELETE FROM, Delta's table reset).
+    */
+  private val TruncateShape =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+
+  /** `COMMENT ON TABLE t IS 'text'` — stored as the standard `comment`
+    * table property (Delta's description slot); `IS NULL` clears it.
+    */
+  private val CommentShape =
+    """(?is)^\s*COMMENT\s+ON\s+TABLE\s+([\w.]+)\s+IS\s+(?:'([^']*)'|(NULL))\s*;?\s*$""".r
+
+  private val ShowCreateShape =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
+
+  /** Delta's `CREATE OR REPLACE TABLE … AS SELECT`: an existing table is
+    * REPLACED in one commit — schema, data, even the partition layout —
+    * with full history preserved (time travel still reads the pre-replace
+    * versions); a missing one is created. The atomic-swap alternative to
+    * DROP + CREATE.
+    */
+  private val CreateOrReplaceShape =
+    ("""(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([\w.]+)\s+USING\s+GRAFT""" +
+     """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?""" +
+     """\s+LOCATION\s+'([^']+)'""" +
+     """(?:\s+TBLPROPERTIES\s*\((.+?)\))?\s+AS\s+(.+?)\s*;?\s*$""").r
+
   private val AnalyzeShape =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS\s+""" +
      """FOR\s+COLUMNS\s+\(?\s*([^);]+?)\s*\)?\s*;?\s*$""").r
@@ -319,6 +346,33 @@ object LakeSql {
           Option(propKvs).foreach(kvs => created.setProperties(parsePropList(kvs)))
           LakeCatalog.register(name, created)
         }
+      case CreateOrReplaceShape(name, parts, clusterBy, loc, propKvs, query) =>
+        val rows = spark.sql(rewriteReads(spark, query, targets).getOrElse(query))
+        val pcols = Option(parts).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        pcols.foreach(c => require(rows.columns.contains(c),
+          s"CREATE OR REPLACE TABLE $name: partition column '$c' is not in the " +
+            s"query output (${rows.columns.mkString(", ")})"))
+        val ccols = Option(clusterBy).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        ccols.foreach(c => require(rows.columns.contains(c),
+          s"CREATE OR REPLACE TABLE $name: cluster column '$c' is not in the " +
+            s"query output (${rows.columns.mkString(", ")})"))
+        // replace = one more commit on the existing log (history intact);
+        // create = a fresh v0 — either way the same overwrite call
+        val table = new MergeTable(loc, pcols)
+        table.overwrite(rows)
+        if (ccols.nonEmpty) table.setProperties(
+          Map(MergeTable.ClusterByProp -> ccols.mkString(",")))
+        Option(propKvs).foreach(kvs => table.setProperties(parsePropList(kvs)))
+        LakeCatalog.register(name, table)
+      case TruncateShape(tgt) =>
+        val table = resolve(tgt, targets)
+        table.delete(spark, org.apache.spark.sql.functions.lit(true), cdfOn(table))
+      case CommentShape(tgt, text, nul) =>
+        val table = resolve(tgt, targets)
+        if (nul != null) table.unsetProperties(Seq("comment"))
+        else table.setProperties(Map("comment" -> text))
       case DeleteShape(tgt, pred) =>
         // no WHERE = all rows (Delta's DELETE FROM t table reset); the
         // graft.enableDeletionVectors property routes through the mask-
@@ -436,6 +490,25 @@ object LakeSql {
         import spark.implicits._
         return resolve(tgt, targets).properties.toSeq.sortBy(_._1)
           .toDF("key", "value")
+      case ShowCreateShape(tgt) =>
+        import spark.implicits._
+        val table = resolve(tgt, targets)
+        val schema = table.schemaOf(table.currentVersion)
+        val cols = schema.fields.map { f =>
+          val nn = if (table.checkConstraints.exists(_._1 == s"graft_notnull_${f.name}"))
+            " NOT NULL" else ""
+          s"  ${f.name} ${f.dataType.sql}$nn"
+        }.mkString(",\n")
+        val parts =
+          if (table.partitionCols.isEmpty) ""
+          else s"\nPARTITIONED BY (${table.partitionCols.mkString(", ")})"
+        val props = table.properties.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"'$k' = '$v'" }
+        val propsClause =
+          if (props.isEmpty) "" else s"\nTBLPROPERTIES (${props.mkString(", ")})"
+        val stmt = s"CREATE TABLE $tgt (\n$cols\n) USING GRAFT$parts" +
+          s"\nLOCATION '${table.root}'$propsClause"
+        return Seq(stmt).toDF("createtab_stmt")
       case VacuumDryRunShape(tgt, retain, unit) =>
         import spark.implicits._
         val table = resolve(tgt, targets)
@@ -556,6 +629,8 @@ object LakeSql {
     case UnsetPropsShape(tgt, _)   => Some(tgt)
     case DropTableShape(_, tgt)    => Some(tgt)
     case AnalyzeShape(tgt, _)      => Some(tgt)
+    case TruncateShape(tgt)        => Some(tgt)
+    case CommentShape(tgt, _, _)   => Some(tgt)
     case _                         => None
   }
 
@@ -597,6 +672,9 @@ object LakeSql {
     // CONVERT routes on shape alone too: its target is a PATH, never a
     // registered name
     case ConvertShape(_, _, _)                      => true
+    // CREATE OR REPLACE carries the provider tag too — routable on shape
+    // alone whether or not the name is registered yet
+    case CreateOrReplaceShape(_, _, _, _, _, _)     => true
     case _                                          => false
   }
 
@@ -609,6 +687,7 @@ object LakeSql {
     case ShowPartitionsShape(tgt)      => Some(tgt)
     case ShowPropertiesShape(tgt)      => Some(tgt)
     case VacuumDryRunShape(tgt, _, _)  => Some(tgt)
+    case ShowCreateShape(tgt)          => Some(tgt)
     case _                             => None
   }
 
@@ -622,6 +701,12 @@ object LakeSql {
   private[sqlapi] def isPropertiesStatement(sql: String): Boolean = sql match {
     case ShowPropertiesShape(_) => true
     case _                      => false
+  }
+
+  /** True when the metadata statement is SHOW CREATE TABLE (one DDL row). */
+  private[sqlapi] def isShowCreateStatement(sql: String): Boolean = sql match {
+    case ShowCreateShape(_) => true
+    case _                  => false
   }
 
   /** Strip one layer of matching quotes from a literal-ish token; bare

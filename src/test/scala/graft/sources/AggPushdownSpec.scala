@@ -163,6 +163,21 @@ class AggPushdownSpec extends SparkSpec {
       Set(("p1", 2L), ("p2", 2L)))
   }
 
+  test("empty table: global aggregate emits its one row, grouped emits none") {
+    val root = scratch("agg_empty")
+    val t = new MergeTable(root, Seq("p"), statsCols = Seq("k"))
+    t.overwrite(Seq((1, "p1")).toDF("k", "p"))
+    t.delete(spark, col("k") === 1) // empties the table, keeps counts valid
+    val g = spark.read.format("graft").load(root)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.max("k").as("mx"))
+    assert(isPushed(g))
+    assert(g.collect().map(_.toSeq).toSeq === Seq(Seq(0L, null)))
+    val grouped = spark.read.format("graft").load(root).groupBy("p")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    assert(grouped.collect().isEmpty)
+  }
+
   test("all-null and null-mixed columns: min/max handles N-flagged files") {
     val root = scratch("agg_null")
     val t = new MergeTable(root, Nil, statsCols = Seq("x"))

@@ -303,7 +303,7 @@ class LakeSqlSpec extends SparkSpec {
   test("statements outside the supported shapes fail loudly") {
     val t = seeded("lsql_bad")
     val ex = intercept[IllegalArgumentException] {
-      LakeSql.run(spark, "TRUNCATE TABLE tbl", Map("tbl" -> t))
+      LakeSql.run(spark, "REFRESH TABLE tbl", Map("tbl" -> t))
     }
     assert(ex.getMessage.contains("unsupported"))
     val ex2 = intercept[IllegalArgumentException] {
@@ -475,5 +475,77 @@ class LakeSqlSpec extends SparkSpec {
     assert(t.vacuumHorizon === 2L)
     intercept[IllegalArgumentException](t.readVersion(spark, 1))
     assert(t.read(spark).count() === 1L)
+  }
+
+  test("TRUNCATE TABLE empties in one commit; history keeps the data") {
+    val t = seeded("lsql_trunc")
+    LakeSql.run(spark, "TRUNCATE TABLE tbl", Map("tbl" -> t))
+    assert(t.read(spark).count() === 0L)
+    assert(t.readVersion(spark, 0).count() === 3L, "pre-truncate snapshot intact")
+  }
+
+  test("COMMENT ON TABLE stores/clears the comment property") {
+    val t = seeded("lsql_comment")
+    LakeSql.run(spark, "COMMENT ON TABLE tbl IS 'call records'", Map("tbl" -> t))
+    assert(t.properties.get("comment").contains("call records"))
+    LakeSql.run(spark, "COMMENT ON TABLE tbl IS NULL", Map("tbl" -> t))
+    assert(!t.properties.contains("comment"))
+  }
+
+  test("SHOW CREATE TABLE reconstructs schema, layout, location, properties") {
+    val t = seeded("lsql_showcreate")
+    t.setProperties(Map("graft.enableChangeDataFeed" -> "true"))
+    LakeSql.run(spark, "ALTER TABLE tbl ALTER COLUMN v SET NOT NULL", Map("tbl" -> t))
+    val stmt = LakeSql.query(spark, "SHOW CREATE TABLE tbl", Map("tbl" -> t))
+      .head().getString(0)
+    assert(stmt.contains("CREATE TABLE tbl ("))
+    assert(stmt.contains("k INT") && stmt.contains("v STRING NOT NULL"))
+    assert(stmt.contains("USING GRAFT"))
+    assert(stmt.contains("PARTITIONED BY (p)"))
+    assert(stmt.contains(s"LOCATION '${t.root}'"))
+    assert(stmt.contains("'graft.enableChangeDataFeed' = 'true'"))
+  }
+
+  test("CREATE OR REPLACE TABLE swaps schema+layout in one commit, history intact") {
+    val t = seeded("lsql_cor")
+    val loc = t.root
+    LakeCatalog.register("cor_t", t)
+    try {
+      Seq((10, 1.5, "x"), (20, 2.5, "y")).toDF("id", "score", "grp")
+        .createOrReplaceTempView("cor_src")
+      LakeSql.run(spark,
+        s"CREATE OR REPLACE TABLE cor_t USING GRAFT PARTITIONED BY (grp) " +
+          s"LOCATION '$loc' AS SELECT * FROM cor_src",
+        Map.empty)
+      val replaced = LakeCatalog.targets("cor_t")
+      assert(replaced.read(spark).columns.toSet === Set("id", "score", "grp"))
+      assert(replaced.read(spark).count() === 2L)
+      assert(replaced.partitionCols === Seq("grp"), "layout replaced")
+      assert(replaced.currentVersion === 1L, "replace is a commit, not a reset")
+      // pre-replace snapshot still time-travels with its own schema
+      val v0 = replaced.readVersion(spark, 0)
+      assert(v0.columns.toSet === Set("k", "v", "p") && v0.count() === 3L)
+      // absent location = plain create
+      val loc2 = scratch("lsql_cor2")
+      LakeSql.run(spark,
+        s"CREATE OR REPLACE TABLE cor_new USING GRAFT LOCATION '$loc2' " +
+          "AS SELECT * FROM cor_src",
+        Map.empty)
+      assert(LakeCatalog.targets("cor_new").currentVersion === 0L)
+    } finally {
+      LakeCatalog.unregister("cor_t"); LakeCatalog.unregister("cor_new")
+    }
+  }
+
+  test("spark.sql path: SHOW CREATE TABLE / COMMENT ON / TRUNCATE route via the parser") {
+    val t = seeded("lsql_sqlpath")
+    LakeCatalog.register("sqlp_t", t)
+    try {
+      spark.sql("COMMENT ON TABLE sqlp_t IS 'via parser'")
+      val stmt = spark.sql("SHOW CREATE TABLE sqlp_t").head().getString(0)
+      assert(stmt.contains("'comment' = 'via parser'") && stmt.contains("USING GRAFT"))
+      spark.sql("TRUNCATE TABLE sqlp_t")
+      assert(t.read(spark).count() === 0L)
+    } finally LakeCatalog.unregister("sqlp_t")
   }
 }
