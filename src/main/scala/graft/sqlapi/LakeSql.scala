@@ -55,6 +55,11 @@ import graft.lake.MergeTable
   *   DESCRIBE HISTORY t [LIMIT n]                 -- audit log (query())
   *   DESCRIBE DETAIL t                            -- table facts (query())
   *   SHOW PARTITIONS t                            -- manifest partitions (query())
+  *   CREATE OR REPLACE TABLE t USING GRAFT ... AS <SELECT>  -- atomic swap
+  *   TRUNCATE TABLE t                             -- delete-all, one commit
+  *   COMMENT ON TABLE t IS 'text' | NULL          -- comment property
+  *   SHOW CREATE TABLE t                          -- DDL row (query())
+  *   ALTER TABLE t RENAME TO t2                   -- registry rename
   * }}}
   *
   * Targets resolve through a caller-supplied registry exactly like
@@ -241,6 +246,13 @@ object LakeSql {
   private val ShowCreateShape =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
 
+  /** `ALTER TABLE t RENAME TO t2` — a REGISTRY rename (MergeTables are
+    * paths; the name is the session-level handle, so renaming moves the
+    * registration, never data).
+    */
+  private val RenameTableShape =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$""".r
+
   /** Delta's `CREATE OR REPLACE TABLE … AS SELECT`: an existing table is
     * REPLACED in one commit — schema, data, even the partition layout —
     * with full history preserved (time travel still reads the pre-replace
@@ -366,6 +378,13 @@ object LakeSql {
           Map(MergeTable.ClusterByProp -> ccols.mkString(",")))
         Option(propKvs).foreach(kvs => table.setProperties(parsePropList(kvs)))
         LakeCatalog.register(name, table)
+      case RenameTableShape(tgt, to) =>
+        val table = resolve(tgt, targets)
+        val known = targets.keySet ++ LakeCatalog.targets.keySet
+        require(!known.contains(to),
+          s"ALTER TABLE $tgt RENAME TO $to: the new name is already registered")
+        LakeCatalog.register(to, table)
+        LakeCatalog.unregister(tgt)
       case TruncateShape(tgt) =>
         val table = resolve(tgt, targets)
         table.delete(spark, org.apache.spark.sql.functions.lit(true), cdfOn(table))
@@ -631,6 +650,7 @@ object LakeSql {
     case AnalyzeShape(tgt, _)      => Some(tgt)
     case TruncateShape(tgt)        => Some(tgt)
     case CommentShape(tgt, _, _)   => Some(tgt)
+    case RenameTableShape(tgt, _)  => Some(tgt)
     case _                         => None
   }
 

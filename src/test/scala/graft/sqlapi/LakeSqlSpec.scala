@@ -548,4 +548,22 @@ class LakeSqlSpec extends SparkSpec {
       assert(t.read(spark).count() === 0L)
     } finally LakeCatalog.unregister("sqlp_t")
   }
+
+  test("ALTER TABLE RENAME TO moves the registration, never data") {
+    val t = seeded("lsql_rename")
+    LakeCatalog.register("ren_a", t)
+    try {
+      spark.sql("ALTER TABLE ren_a RENAME TO ren_b")
+      assert(!LakeCatalog.targets.contains("ren_a"))
+      assert(LakeCatalog.targets("ren_b").root === t.root)
+      assert(spark.sql("SELECT count(*) AS n FROM ren_b").head().getLong(0) === 3L)
+      // collision is loud
+      LakeCatalog.register("ren_c", t)
+      val ex = intercept[IllegalArgumentException](
+        spark.sql("ALTER TABLE ren_b RENAME TO ren_c"))
+      assert(ex.getMessage.contains("already registered"))
+    } finally {
+      LakeCatalog.unregister("ren_b"); LakeCatalog.unregister("ren_c")
+    }
+  }
 }
