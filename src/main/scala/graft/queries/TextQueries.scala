@@ -1245,7 +1245,91 @@ object TextQueries {
              |      FROM documents)
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       "deterministic epoch shuffle: seed-keyed order + train/val/test split assignment"),
+
+    // BPE merge-rule LEARNING (Sennrich ACL'16 shape), distributed: the
+    // corpus collapses to a WORD CENSUS (vocab-sized — the one shuffle per
+    // round is over distinct words, never documents, which is what makes 4
+    // rounds affordable at 100 TB), each round counts weighted adjacent
+    // token pairs, takes the global argmax (count desc, pair asc — a total
+    // order), and applies the merge with left-to-right non-overlapping
+    // replace semantics on a ·-separated token string (the separator
+    // guarantees merges never match inside a token). The oracle replays
+    // all 4 rounds as chained CTEs with the same replace primitive, so the
+    // learned rules AND their counts hash-match exactly.
+    "t33_bpe_train" -> GraftQuery(
+      (s, dir) => {
+        import s.implicits._
+        val words = t(s, dir, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+          .filter(length(col("word")).between(2, 12))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+          .cache() // vocab-sized; each of the 4 rounds rescans it
+        try {
+          var state = words.select(
+            concat(lit("·"), regexp_replace(col("word"), "(.)", "$1·")).as("st"),
+            col("n"))
+          val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+          (1 to 4).foreach { i =>
+            val top = state
+              .withColumn("toks", split(expr("trim(BOTH '·' FROM st)"), "·"))
+              .select(explode(expr(
+                "CASE WHEN size(toks) < 2 THEN array() " +
+                  "ELSE transform(sequence(1, size(toks) - 1), " +
+                  "i -> concat(element_at(toks, i), '·', element_at(toks, i + 1))) END"))
+                .as("pr"), col("n"))
+              .groupBy("pr").agg(sum("n").as("cnt"))
+              .orderBy(col("cnt").desc, col("pr").asc)
+              .limit(1).collect().head
+            val pr = top.getString(0)
+            merges += ((i, pr.replace("·", ""), top.getLong(1)))
+            // THREE replace passes = the fixpoint for <= 12-char words
+            // (brute-force-verified): a single pass's continue-after-match
+            // skips consecutive occurrences ('banana' would keep an a·n)
+            val pat = "'·" + pr + "·'"
+            val rep = "'·" + pr.replace("·", "") + "·'"
+            state = state.withColumn("st",
+              expr(s"replace(replace(replace(st, $pat, $rep), $pat, $rep), $pat, $rep)"))
+          }
+          merges.toSeq.toDF("iter", "merged", "cnt")
+        } finally words.unpersist()
+      },
+      Some(bpeOracle),
+      "BPE merge learning: 4 rounds of vocab-census pair argmax + replay-exact merge application"),
   )
+
+  /** t33's DuckDB twin: the same 4 learn-apply rounds as chained CTEs. */
+  private lazy val bpeOracle: String = {
+    def pairs(src: String) =
+      s"""(SELECT pr, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(toks)),
+         |                  i -> toks[i] || '·' || toks[i+1])) AS pr, n
+         |    FROM (SELECT string_split(trim(st, '·'), '·') AS toks, n FROM $src))
+         |  GROUP BY pr)""".stripMargin
+    def applied(src: String, m: String) =
+      s"""(SELECT replace(replace(replace(st, pat, rep), pat, rep), pat, rep) AS st, n
+         |   FROM $src, (SELECT '·' || pr || '·' AS pat,
+         |               '·' || replace(pr, '·', '') || '·' AS rep FROM $m) x_$m)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT w AS word, count(*) AS n FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
+       |  WHERE length(w) BETWEEN 2 AND 12 GROUP BY w),
+       |s0 AS (SELECT '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS st, n FROM words),
+       |p1 AS ${pairs("s0")},
+       |m1 AS (SELECT pr, cnt FROM p1 ORDER BY cnt DESC, pr ASC LIMIT 1),
+       |s1 AS ${applied("s0", "m1")},
+       |p2 AS ${pairs("s1")},
+       |m2 AS (SELECT pr, cnt FROM p2 ORDER BY cnt DESC, pr ASC LIMIT 1),
+       |s2 AS ${applied("s1", "m2")},
+       |p3 AS ${pairs("s2")},
+       |m3 AS (SELECT pr, cnt FROM p3 ORDER BY cnt DESC, pr ASC LIMIT 1),
+       |s3 AS ${applied("s2", "m3")},
+       |p4 AS ${pairs("s3")},
+       |m4 AS (SELECT pr, cnt FROM p4 ORDER BY cnt DESC, pr ASC LIMIT 1)
+       |SELECT 1 AS iter, replace(pr, '·', '') AS merged, cnt FROM m1
+       |UNION ALL SELECT 2, replace(pr, '·', ''), cnt FROM m2
+       |UNION ALL SELECT 3, replace(pr, '·', ''), cnt FROM m3
+       |UNION ALL SELECT 4, replace(pr, '·', ''), cnt FROM m4""".stripMargin
+  }
 
   /** t23/t24's shared chunk derivation: per doc, content-defined chunk
     * spans from rolling 4-word-window hash boundaries (modulus 32), as
