@@ -532,6 +532,37 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       filesOf(version).count(f => !prev.contains(f))
     }
 
+  /** Bytes a commit ADDED (sum of its new files' sizes) — the
+    * `maxBytesPerTrigger` walk's unit. O(added files) size probes per
+    * version, metadata-speed; a vanished file counts zero (vacuumed
+    * history behind the stream's position).
+    */
+  private[graft] def addedBytes(version: Long): Long = {
+    val prev = if (version == 0) Set.empty[String] else filesOf(version - 1).toSet
+    filesOf(version).filterNot(prev.contains).map { f =>
+      try Files.size(Paths.get(root, f)) catch { case _: java.io.IOException => 0L }
+    }.sum
+  }
+
+  /** The (file count, byte) footprint of a commit's CHANGE-FEED dir —
+    * the CDF stream's rate-limit unit; (0, 0) when the commit recorded no
+    * feed.
+    */
+  private[graft] def cdfFootprint(version: Long): (Long, Long) =
+    readMeta(version).cdfDir match {
+      case None => (0L, 0L)
+      case Some(d) =>
+        val p = Paths.get(root, d)
+        if (!Files.exists(p)) (0L, 0L)
+        else {
+          val files = Files.walk(p).iterator().asScala
+            .filter(f => Files.isRegularFile(f) &&
+              f.getFileName.toString.endsWith(".parquet")).toSeq
+          (files.size.toLong, files.map(f =>
+            try Files.size(f) catch { case _: java.io.IOException => 0L }).sum)
+        }
+    }
+
   /** The snapshot's deletion-vector bindings: data file → (dv dir, count). */
   private def dvsOf(version: Long): Map[String, (String, Long)] =
     readCommit(version).dvs.map { case (f, d, n) => f -> (d, n) }.toMap

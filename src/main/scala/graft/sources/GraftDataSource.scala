@@ -102,13 +102,17 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
           } catch { case _: IllegalArgumentException => -1L } // before first commit
         }.getOrElse(-1L)
     }
+    val maxFiles = parameters.get("maxFilesPerTrigger")
+      .orElse(parameters.get("maxfilespertrigger")).map(_.toInt)
+    val maxBytes = parameters.get("maxBytesPerTrigger")
+      .orElse(parameters.get("maxbytespertrigger")).map(_.toLong)
     if (parameters.get("readChangeFeed").exists(_.toBoolean))
-      new GraftCdfStreamSource(ctx.sparkSession, path, startFrom)
+      new GraftCdfStreamSource(ctx.sparkSession, path, startFrom,
+        maxFilesPerTrigger = maxFiles)
     else new GraftStreamSource(ctx.sparkSession, path,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       startFrom = startFrom,
-      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger")
-        .orElse(parameters.get("maxfilespertrigger")).map(_.toInt))
+      maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
   }
 
   /** `writeStream.format("graft")` — Delta's streaming-sink call-shape.
@@ -593,11 +597,12 @@ final class GraftV1BridgeScan(table: GraftTable, pruned: Option[StructType],
 final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
                               root: String, ignoreChanges: Boolean,
                               startFrom: Long = -1L,
-                              maxFilesPerTrigger: Option[Int] = None)
+                              maxFilesPerTrigger: Option[Int] = None,
+                              maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
   import org.apache.spark.sql.execution.streaming.Offset
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
@@ -629,15 +634,23 @@ final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTip = table.currentVersion
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case ls     => ReadLimit.compositeLimit(ls.toArray)
+    }
+  }
 
-  /** Delta's `maxFilesPerTrigger`: cap each micro-batch at the largest
-    * version range whose ADDED file count stays within the limit (always
-    * at least one version, or a single commit could never be consumed).
-    * The walk reads per-commit metadata only — O(versions) commit-line
-    * parses, no manifests. Without a limit: the tip, one batch per
-    * trigger covering everything new.
+  /** Delta's `maxFilesPerTrigger` / `maxBytesPerTrigger`: cap each
+    * micro-batch at the largest version range whose ADDED file count and
+    * bytes stay within the limits (always at least one version, or a
+    * single commit could never be consumed). The walk reads per-commit
+    * metadata only — O(versions) commit-line parses plus size probes of
+    * the walked versions' new files, no manifest scans. Without a limit:
+    * the tip, one batch per trigger covering everything new.
     */
   override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
                             limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
@@ -645,19 +658,33 @@ final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
     val tip =
       if (availableNowTip >= 0) math.min(availableNowTip, table.currentVersion)
       else table.currentVersion
-    val end = limit match {
-      case f: ReadMaxFiles =>
-        val cap = f.maxFiles()
+    def caps(l: ReadLimit): (Option[Long], Option[Long]) = l match {
+      case f: ReadMaxFiles     => (Some(f.maxFiles().toLong), None)
+      case b: ReadMaxBytes     => (None, Some(b.maxBytes()))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(caps).reduce { (a, b) =>
+          (Seq(a._1, b._1).flatten.minOption, Seq(a._2, b._2).flatten.minOption)
+        }
+      case _: ReadAllAvailable => (None, None)
+      case _                   => (None, None)
+    }
+    val (fileCap, byteCap) = caps(limit)
+    val end =
+      if (fileCap.isEmpty && byteCap.isEmpty) tip
+      else {
         var v = from
-        var n = 0L
-        while (v < tip && (n == 0 || n + table.addedFilesCount(v + 1) <= cap)) {
-          n += table.addedFilesCount(v + 1)
-          v += 1
+        var nf = 0L
+        var nb = 0L
+        var fits = true
+        while (v < tip && fits) {
+          val df = table.addedFilesCount(v + 1)
+          val db = if (byteCap.isDefined) table.addedBytes(v + 1) else 0L
+          fits = (nf == 0L && nb == 0L) ||
+            (fileCap.forall(nf + df <= _) && byteCap.forall(nb + db <= _))
+          if (fits) { nf += df; nb += db; v += 1 }
         }
         v
-      case _: ReadAllAvailable => tip
-      case _                   => tip
-    }
+      }
     LongOffset(end)
   }
 
@@ -697,8 +724,12 @@ final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
   * per-batch cost is O(changed rows), never a snapshot diff.
   */
 final class GraftCdfStreamSource(spark: org.apache.spark.sql.SparkSession,
-                                 root: String, startFrom: Long)
-    extends org.apache.spark.sql.execution.streaming.Source {
+                                 root: String, startFrom: Long,
+                                 maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
   import org.apache.spark.sql.execution.streaming.Offset
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
@@ -712,14 +743,60 @@ final class GraftCdfStreamSource(spark: org.apache.spark.sql.SparkSession,
     s.add(MergeTable.CommitVersion, org.apache.spark.sql.types.LongType)
   }
 
-  private def versionOf(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other         => other.json().trim.toLong
+  private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case LongOffset(v) => v
+      case other         => other.json().trim.toLong
+    }
+
+  @volatile private var lastEnd: Long = startFrom
+  @volatile private var availableNowTip: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTip = table.currentVersion
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** Rate limit in FEED files ([[MergeTable.cdfFootprint]]) — the CDF
+    * twin of the snapshot source's walk: the batch covers the largest
+    * commit range whose change-feed file count fits (at least one commit
+    * per batch), and `Trigger.AvailableNow` clamps at the tip captured at
+    * query start so the drain self-terminates.
+    */
+  override def latestOffset(start: org.apache.spark.sql.connector.read.streaming.Offset,
+                            limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val from = Option(start).map(versionOf).getOrElse(lastEnd)
+    val tip =
+      if (availableNowTip >= 0) math.min(availableNowTip, table.currentVersion)
+      else table.currentVersion
+    val end = limit match {
+      case f: ReadMaxFiles =>
+        val cap = f.maxFiles().toLong
+        var v = from
+        var n = 0L
+        var fits = true
+        while (v < tip && fits) {
+          val df = table.cdfFootprint(v + 1)._1
+          fits = n == 0L || n + df <= cap
+          if (fits) { n += df; v += 1 }
+        }
+        v
+      case _ => tip
+    }
+    LongOffset(end)
   }
+
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(table.currentVersion)
+
+  override def commit(end: Offset): Unit =
+    lastEnd = math.max(lastEnd, versionOf(end))
 
   override def getOffset: Option[Offset] = Some(LongOffset(table.currentVersion))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    lastEnd = math.max(lastEnd, versionOf(end))
     val from = start.map(versionOf).getOrElse(startFrom)
     // an empty anchor of the source schema pins column order and
     // null-fills pre-evolution feed files
