@@ -2983,16 +2983,77 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val (ided, rowHwm) = assignRowIds(aligned) // appended rows are all fresh
     val newVersion = v + 1
     val dataDir = newDataDir(newVersion)
-    writeData(optimizeWriteIfEnabled(ided), dataDir, colmapOf(v))
+    val cmapUsed = colmapOf(v)
+    writeData(optimizeWriteIfEnabled(ided), dataDir, cmapUsed)
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
-    commit(newVersion, c.files ++ newFiles, c.schema,
-      c.statsLines ++ collectStats(df.sparkSession, newFiles, c.schema, colmapOf(v)),
-      ingestDelta = ingestDelta, txn = txn,
-      propsOverride = propsWith(
-        newHwm.toSeq.map(h => MergeTable.IdentityHwmProp -> h.toString) ++
-          rowHwm.toSeq.map(h => MergeTable.RowIdHwmProp -> h.toString)),
-      op = op)
+    val newStats = collectStats(df.sparkSession, newFiles, c.schema, cmapUsed)
+    val hwmProps = propsWith(
+      newHwm.toSeq.map(h => MergeTable.IdentityHwmProp -> h.toString) ++
+        rowHwm.toSeq.map(h => MergeTable.RowIdHwmProp -> h.toString))
+    try commit(newVersion, c.files ++ newFiles, c.schema, c.statsLines ++ newStats,
+      ingestDelta = ingestDelta, txn = txn, propsOverride = hwmProps, op = op)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        rebaseAppend(v, c, newFiles, newStats, cmapUsed, ingestDelta, txn, op,
+          usedIds = newHwm.isDefined || rowHwm.isDefined, first = e)
+    }
     autoCompactIfEnabled(df.sparkSession, newFiles)
+  }
+
+  /** Delta-style conflict-classified retry for a BLIND APPEND that lost
+    * the commit race: the rows read nothing, so when the winner is
+    * COMPATIBLE the already-written files are simply RE-COMMITTED against
+    * the winner's tip — zero data rewrite, the WriteSerializable append
+    * behavior (Delta auto-resolves blind appends the same way). The winner
+    * is compatible iff nothing it changed could invalidate the written
+    * bytes or their validation:
+    *
+    *  - same schema and column mapping (the files store physical names
+    *    under the base's mapping);
+    *  - same CHECK constraints (a concurrently-added constraint was never
+    *    validated against these rows);
+    *  - no identity / row-tracking ids were assigned (the winner may have
+    *    consumed the same high-water-mark range — re-running is the only
+    *    sound resolution there);
+    *  - the txn marker (if any) was not already applied by another writer
+    *    (then the whole append is a duplicate replay: drop it, done).
+    *
+    * Anything else rethrows the original conflict — the caller decides
+    * whether to re-run (mergeWithRetry-style full re-derivation).
+    */
+  private def rebaseAppend(baseV: Long, base: Commit, newFiles: Seq[String],
+                           newStats: Seq[String], cmapUsed: Map[String, String],
+                           ingestDelta: Seq[String], txn: Option[(String, Long)],
+                           op: String, usedIds: Boolean,
+                           first: java.util.ConcurrentModificationException,
+                           maxAttempts: Int = 10): Unit = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val tip = currentVersion
+      val cTip = readCommit(tip)
+      txn.foreach { case (app, ver) =>
+        if (cTip.txns.get(app).exists(_ >= ver)) {
+          // another writer already applied this exact batch — the append
+          // is a replay; the written dir is an unreferenced orphan vacuum
+          // reclaims
+          return
+        }
+      }
+      if (usedIds || cTip.schema != base.schema ||
+          colmapOf(tip) != cmapUsed ||
+          cTip.constraints.toSet != base.constraints.toSet)
+        throw first
+      try {
+        commit(tip + 1, cTip.files ++ newFiles, cTip.schema,
+          cTip.statsLines ++ newStats,
+          ingestDelta = ingestDelta, txn = txn, op = op)
+        return
+      } catch {
+        case _: java.util.ConcurrentModificationException
+          if attempt < maxAttempts => // another race — reclassify and retry
+      }
+    }
   }
 
   /** COPY INTO analog (Delta/Databricks `COPY INTO`, Auto Loader's batch

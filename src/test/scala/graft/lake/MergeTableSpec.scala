@@ -604,6 +604,60 @@ class MergeTableSpec extends SparkSpec {
     assert(t.changes(spark, 1, t.currentVersion).count() >= 2)
   }
 
+  test("blind appends auto-rebase on a lost race: all land, zero rewrites") {
+    val t = new MergeTable(scratch("mt_apprebase"), Seq("p"))
+    t.overwrite(df(Seq((0, "z", "p0"))))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    val go = new CountDownLatch(1)
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    (1 to 4).foreach { i =>
+      pool.execute { () =>
+        go.await()
+        try t.append(df(Seq((i, s"v$i", s"p$i"))))
+        catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    }
+    go.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.get === 0,
+      "a blind append losing the race must re-commit, not throw")
+    assert(t.currentVersion === 4L, "each append lands as its own commit")
+    assert(asSet(t.read(spark)) === Set((0, "z", "p0"), (1, "v1", "p1"),
+      (2, "v2", "p2"), (3, "v3", "p3"), (4, "v4", "p4")))
+    // every intermediate version stays readable (rebases reference, never
+    // clobber, the winners' files)
+    (0L to 4L).foreach(v => assert(t.readVersion(spark, v).count() === v + 1))
+  }
+
+  test("append rebase honors txn replay: a raced duplicate batch lands once") {
+    val t = new MergeTable(scratch("mt_apptxn"), Seq("p"))
+    t.overwrite(df(Seq((0, "z", "p0"))))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(3)
+    val go = new CountDownLatch(1)
+    // three writers race the SAME logical batch (same txn marker), each
+    // with the standard caller discipline (check-then-append): the race
+    // window between check and commit is closed by the rebase's in-race
+    // marker check, so the rows land exactly once
+    (1 to 3).foreach { _ =>
+      pool.execute { () =>
+        go.await()
+        try {
+          if (!t.lastTxnVersion("apptxn").exists(_ >= 1L))
+            t.append(df(Seq((7, "dup", "p7"))), txn = Some("apptxn" -> 1L))
+        } catch { case _: java.util.ConcurrentModificationException => () }
+      }
+    }
+    go.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(t.read(spark).filter(col("k") === 7).count() === 1L,
+      "the raced duplicate batch must land exactly once")
+    assert(t.lastTxnVersion("apptxn").contains(1L))
+  }
+
   test("a lost _LATEST update is recovered by forward-scanning commits") {
     val t = new MergeTable(scratch("mt_tipscan"), Seq("p"))
     t.overwrite(df(Seq((1, "a", "p1"))))
