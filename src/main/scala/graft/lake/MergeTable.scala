@@ -423,6 +423,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       .flatMap(MergeTable.translateFilter).reduceOption(_ && _)
     var files = pred.fold(all)(p => partitionCandidates(spark, all, schemaOf(version), p))
     val stats = statsDetail(version)
+    lazy val nullsByFile = nullCounts(version)
     def entry(f: String, a: String): Option[(String, String, Char)] =
       stats.get(f).flatMap(_.get(a))
     // range(...) = can any NON-NULL value of `a` in this file pass `check`?
@@ -463,6 +464,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         range(f, a)((mn, _, dt) => statCmp(dt, mn, v.toString).map(_ <= 0))
       case sources.IsNotNull(a) =>
         entry(f, a).forall(_._3 != 'N') // only a definitive all-NULL flag skips
+      case sources.IsNull(a) =>
+        // a recorded ZERO null count proves no row can match; unknown keeps
+        nullsByFile.get((f, a)).forall(_ > 0L)
       case _ => true
     }
     files = files.filter(f => conjuncts.forall(c => admit(f, c)))
@@ -2336,6 +2340,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val dvs = dvsOf(version)
     val counts = fileRowCounts(version)
     lazy val stats = statsDetail(version)
+    lazy val nulls = nullCounts(version)
 
     if (!groupBy.forall(partitionCols.contains)) return None
     if (aggs.isEmpty) return None
@@ -2409,17 +2414,27 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         }) && !masked &&
           files.forall(f => stats.get(f).flatMap(_.get(c)).exists(_._3 != '?'))
       }
+    // count(col) = rows minus recorded nulls: needs row counts AND a
+    // null count for every in-scope file, and no masks (a masked row's
+    // null-ness is unknown to the log). A PARTITION column's null count
+    // derives from the directory itself (the Hive DEFAULT dir holds
+    // exactly the NULL rows).
+    def countColFeasible(c: String): Boolean =
+      schema.fieldNames.contains(c) && countable && !masked &&
+        (partitionCols.contains(c) ||
+          files.forall(f => nulls.contains((f, c))))
     val ok = aggs.forall {
-      case ("count", _)  => countable
-      case ("min", c)    => minMaxFeasible(c)
-      case ("max", c)    => minMaxFeasible(c)
-      case _             => false
+      case ("count", null) => countable
+      case ("count", c)    => countColFeasible(c)
+      case ("min", c)      => minMaxFeasible(c)
+      case ("max", c)      => minMaxFeasible(c)
+      case _               => false
     }
     if (!ok) return None
 
     // ---- group files by the groupBy partition tuple ----
     val filePartVals: Map[String, Map[String, Any]] =
-      if (groupBy.isEmpty && !aggs.exists(a => a._1 != "count" &&
+      if (groupBy.isEmpty && !aggs.exists(a => a._2 != null &&
           partitionCols.contains(a._2))) Map.empty.withDefaultValue(Map.empty)
       else {
         val parsed = files.map(f => f -> partVals(f))
@@ -2437,7 +2452,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       counts(f) - dvs.get(f).map(_._2).getOrElse(0L)
 
     def aggValue(op: String, c: String, members: Seq[String]): Any = op match {
-      case "count" => java.lang.Long.valueOf(members.map(liveCount).sum)
+      case "count" if c == null => java.lang.Long.valueOf(members.map(liveCount).sum)
+      case "count" =>
+        // non-null count per file: partition columns from the dir value
+        // (NULL dir => zero non-nulls), data columns from the recorded
+        // null counts
+        java.lang.Long.valueOf(members.map { f =>
+          if (partitionCols.contains(c))
+            (if (filePartVals(f).getOrElse(c, null) == null) 0L else counts(f))
+          else counts(f) - nulls((f, c))
+        }.sum)
       case _ =>
         val vals: Seq[Any] =
           if (partitionCols.contains(c))
@@ -3953,7 +3977,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // answered from the log alone ([[aggregateFromStats]]); recorded as a
     // stat line under the reserved pseudo-column [[MergeTable.CountStatKey]]
     val aggs = count(lit(1)).as("_graft_cnt") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+      cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+        count(col(c)).as(s"nn_$c")))
     readFiles(spark, relFiles, schema, colmap)
       .withColumn("_graft_file", input_file_name())
       .groupBy("_graft_file")
@@ -3968,10 +3993,26 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           val flag = if (mnV.isEmpty) "N" else "V"
           val mn = mnV.map(s => if (strCols(c)) MergeTable.truncStatMin(s) else s).getOrElse("")
           val mx = mxV.map(s => if (strCols(c)) MergeTable.truncStatMax(s) else s).getOrElse("")
-          s"${enc(rel)}\t${enc(c)}\t${enc(mn)}\t${enc(mx)}\t$flag"
+          // 6th field: NULL COUNT (Delta's stats.nullCount) — count(col)
+          // pushdown and IsNull file skipping read it; old lines simply
+          // lack it (readers treat that as unknown)
+          val nulls = cnt - r.getAs[Long](s"nn_$c")
+          s"${enc(rel)}\t${enc(c)}\t${enc(mn)}\t${enc(mx)}\t$flag\t$nulls"
         }
       }
   }
+
+  /** Per-(file, column) NULL counts recorded in the stats lines' 6th
+    * field — absent for pre-feature lines (callers treat missing as
+    * unknown and fall back).
+    */
+  private[lake] def nullCounts(version: Long): Map[(String, String), Long] =
+    readCommit(version).statsLines.flatMap { line =>
+      val parts = line.split("\t", -1)
+      if (parts.length >= 6 && dec(parts(1)) != MergeTable.CountStatKey)
+        parts(5).toLongOption.map(n => (dec(parts(0)), dec(parts(1))) -> n)
+      else None
+    }.toMap
 
   /** Stats lines of a previous version restricted to the files a new commit
     * carries forward unrewritten.

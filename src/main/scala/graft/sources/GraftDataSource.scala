@@ -357,7 +357,7 @@ final class GraftTable(root: String, declaredParts: Seq[String],
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
       partitionFilters: Seq[Filter] = Nil)
       : Option[(StructType, Seq[Row])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types.{LongType, StructField}
     if (cdfMode) return None
@@ -391,6 +391,10 @@ final class GraftTable(root: String, declaredParts: Seq[String],
     }
     val aggs: Seq[(String, String)] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => ("count", null)
+      case c: Count if !c.isDistinct => colOf(c.column) match {
+        case Some(n) => ("count", n) // rows minus recorded null counts
+        case None    => return None
+      }
       case m: Min => colOf(m.column) match {
         case Some(c) => ("min", c)
         case None    => return None
@@ -406,7 +410,8 @@ final class GraftTable(root: String, declaredParts: Seq[String],
       val fields =
         groupBy.map(c => StructField(c, schema(c).dataType, nullable = true)) ++
           aggs.map {
-            case ("count", _) => StructField("count(*)", LongType, nullable = false)
+            case ("count", null) => StructField("count(*)", LongType, nullable = false)
+            case ("count", c)    => StructField(s"count($c)", LongType, nullable = false)
             case (op, c) => StructField(s"$op($c)", schema(c).dataType, nullable = true)
           }
       (StructType(fields), rows.map(Row.fromSeq))

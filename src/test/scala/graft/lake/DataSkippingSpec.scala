@@ -93,9 +93,10 @@ class DataSkippingSpec extends SparkSpec {
     assert(forEq.size === 1 && forEq.head.contains("p=a"))
     val forNotNull = t.pruneFilesFor(spark, t.currentVersion, Seq(sources.IsNotNull("k")))
     assert(forNotNull.size === 1 && forNotNull.head.contains("p=a"))
-    // IS NULL cannot prune on min/max (a mixed file still holds NULLs)
+    // IS NULL prunes on the recorded NULL COUNTS (not min/max): the
+    // nulls-free p=a file is proven out, the all-NULL p=b file stays
     val forIsNull = t.pruneFilesFor(spark, t.currentVersion, Seq(sources.IsNull("k")))
-    assert(forIsNull === t.filesOf(t.currentVersion))
+    assert(forIsNull.size === 1 && forIsNull.head.contains("p=b"))
     assert(t.readVersionWhere(spark, t.currentVersion, Seq(sources.IsNull("k")))
       .filter(col("k").isNull).count() === 2L)
   }
@@ -375,5 +376,20 @@ class DataSkippingSpec extends SparkSpec {
     assert(t.readVersionWhere(spark, t.currentVersion,
         Seq(sources.EqualTo("kk", 15L)))
       .filter(col("kk") === 15).count() === 1L)
+  }
+  test("IsNull skipping: a zero null count proves the file out") {
+    import spark.implicits._
+    val t = new MergeTable(scratch("ds_isnull"), Nil, statsCols = Seq("x"))
+    t.overwrite(Seq[(Int, Option[Int])]((1, Some(5)), (2, Some(6))).toDF("k", "x")
+      .repartition(1))
+    t.append(Seq[(Int, Option[Int])]((3, None), (4, Some(8))).toDF("k", "x")
+      .repartition(1))
+    val all = t.filesOf(t.currentVersion)
+    val pruned = t.pruneFilesFor(spark, t.currentVersion,
+      Seq(org.apache.spark.sql.sources.IsNull("x")))
+    assert(pruned.size === 1 && all.size === 2,
+      s"the nulls-free file must be skipped (kept: $pruned)")
+    // the read over the pruned scan still answers exactly
+    assert(t.read(spark).filter(col("x").isNull).count() === 1L)
   }
 }

@@ -178,6 +178,38 @@ class AggPushdownSpec extends SparkSpec {
     assert(grouped.collect().isEmpty)
   }
 
+  test("count(col) answers from recorded null counts; partition col from dirs") {
+    val root = scratch("agg_countcol")
+    val t = new MergeTable(root, Seq("p"), statsCols = Seq("x"))
+    t.overwrite(Seq[(Int, Option[Int], String)]((1, Some(5), "p1"), (2, None, "p1"),
+      (3, Some(7), "p2")).toDF("k", "x", "p"))
+    t.append(Seq[(Int, Option[Int], String)]((4, None, "p2"), (5, Some(9), "p2"))
+      .toDF("k", "x", "p"))
+    val df = spark.read.format("graft").load(root)
+      .agg(org.apache.spark.sql.functions.count(col("x")).as("nx"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    assert(isPushed(df), s"count(col) must push:\n${planOf(df)}")
+    assert(df.collect().head.toSeq === Seq(3L, 5L))
+    // count over the PARTITION column: the Hive DEFAULT dir holds the nulls
+    val t2root = scratch("agg_countpart")
+    val t2 = new MergeTable(t2root, Seq("p"), statsCols = Seq("k"))
+    t2.overwrite(Seq[(Int, Option[String])]((1, Some("a")), (2, None), (3, Some("b")))
+      .toDF("k", "p"))
+    val pc = spark.read.format("graft").load(t2root)
+      .agg(org.apache.spark.sql.functions.count(col("p")).as("np"))
+    assert(isPushed(pc))
+    assert(pc.collect().head.getLong(0) === 2L)
+    // a NULLABLE column with NO recorded stats falls back (a non-nullable
+    // one would be rewritten to count(*) by Catalyst and legitimately push)
+    val t3root = scratch("agg_countfb")
+    val t3 = new MergeTable(t3root, Nil, statsCols = Seq("k"))
+    t3.overwrite(Seq[(Int, Option[Int])]((1, Some(5)), (2, None)).toDF("k", "y"))
+    val ny = spark.read.format("graft").load(t3root)
+      .agg(org.apache.spark.sql.functions.count(col("y")).as("ny"))
+    assert(!isPushed(ny))
+    assert(ny.collect().head.getLong(0) === 1L)
+  }
+
   test("all-null and null-mixed columns: min/max handles N-flagged files") {
     val root = scratch("agg_null")
     val t = new MergeTable(root, Nil, statsCols = Seq("x"))
