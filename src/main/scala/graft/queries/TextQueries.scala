@@ -1295,6 +1295,70 @@ object TextQueries {
       },
       Some(bpeOracle),
       "BPE merge learning: 4 rounds of vocab-census pair argmax + replay-exact merge application"),
+
+    // BPE tokenizer APPLICATION (t33's payoff): tokenize the whole corpus
+    // with the learned merges and report per-source token statistics — the
+    // "how many training tokens do I have, per domain" question. The
+    // expensive part stays vocab-sized: merges apply to the DISTINCT
+    // (source, word) census, never per occurrence, and the per-doc total
+    // is a weighted sum — so the corpus-sized work is one tokenizing
+    // census shuffle, exactly how a production token counter runs at
+    // 100 TB. All-integer outputs hash-match the oracle's replay.
+    "t34_bpe_tokenize" -> GraftQuery(
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val learnCensus = docs
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+          .filter(length(col("word")).between(2, 12))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+          .cache()
+        val merges = try {
+          var state = learnCensus.select(
+            concat(lit("·"), regexp_replace(col("word"), "(.)", "$1·")).as("st"),
+            col("n"))
+          (1 to 4).map { _ =>
+            val top = state
+              .withColumn("toks", split(expr("trim(BOTH '·' FROM st)"), "·"))
+              .select(explode(expr(
+                "CASE WHEN size(toks) < 2 THEN array() " +
+                  "ELSE transform(sequence(1, size(toks) - 1), " +
+                  "i -> concat(element_at(toks, i), '·', element_at(toks, i + 1))) END"))
+                .as("pr"), col("n"))
+              .groupBy("pr").agg(sum("n").as("cnt"))
+              .orderBy(col("cnt").desc, col("pr").asc)
+              .limit(1).collect().head.getString(0)
+            val pat = "'·" + top + "·'"
+            val rep = "'·" + top.replace("·", "") + "·'"
+            state = state.withColumn("st",
+              expr(s"replace(replace(replace(st, $pat, $rep), $pat, $rep), $pat, $rep)"))
+            top
+          }
+        } finally learnCensus.unpersist()
+        // application: per-(source, word) census -> tokenize distinct words
+        val applied = merges.foldLeft(
+          docs.select(col("source"),
+              explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+            .filter(length(col("word")) >= 1)
+            .groupBy("source", "word").agg(count(lit(1)).as("n"))
+            .withColumn("st",
+              concat(lit("·"), regexp_replace(col("word"), "(.)", "$1·")))) {
+          case (df, m) =>
+            val pat = "'·" + m + "·'"
+            val rep = "'·" + m.replace("·", "") + "·'"
+            df.withColumn("st",
+              expr(s"replace(replace(replace(st, $pat, $rep), $pat, $rep), $pat, $rep)"))
+        }
+        applied
+          .withColumn("ntok", size(split(expr("trim(BOTH '·' FROM st)"), "·")))
+          .groupBy("source")
+          .agg(sum("n").as("n_words"),
+            sum(col("n") * col("ntok")).as("n_tokens"),
+            sum(col("n") * length(col("word"))).as("n_chars"))
+          .orderBy("source")
+      },
+      Some(bpeApplyOracle),
+      "BPE tokenizer application: vocab-sized merge application, per-source token counts"),
   )
 
   /** t33's DuckDB twin: the same 4 learn-apply rounds as chained CTEs. */
@@ -1329,6 +1393,55 @@ object TextQueries {
        |UNION ALL SELECT 2, replace(pr, '·', ''), cnt FROM m2
        |UNION ALL SELECT 3, replace(pr, '·', ''), cnt FROM m3
        |UNION ALL SELECT 4, replace(pr, '·', ''), cnt FROM m4""".stripMargin
+  }
+
+  /** t34's DuckDB twin: t33's learn CTEs, then the application census. */
+  private lazy val bpeApplyOracle: String = {
+    def pairs(src: String) =
+      s"""(SELECT pr, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(range(1, len(toks)),
+         |                  i -> toks[i] || '·' || toks[i+1])) AS pr, n
+         |    FROM (SELECT string_split(trim(st, '·'), '·') AS toks, n FROM $src))
+         |  GROUP BY pr)""".stripMargin
+    def applied(src: String, m: String) =
+      s"""(SELECT replace(replace(replace(st, pat, rep), pat, rep), pat, rep) AS st, n
+         |   FROM $src, (SELECT '·' || pr || '·' AS pat,
+         |               '·' || replace(pr, '·', '') || '·' AS rep FROM $m) x_$m)""".stripMargin
+    def appliedApp(src: String, m: String) =
+      s"""(SELECT source, word, n,
+         |        replace(replace(replace(st, pat, rep), pat, rep), pat, rep) AS st
+         |   FROM $src, (SELECT '·' || pr || '·' AS pat,
+         |               '·' || replace(pr, '·', '') || '·' AS rep FROM $m) y_$m)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT w AS word, count(*) AS n FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
+       |  WHERE length(w) BETWEEN 2 AND 12 GROUP BY w),
+       |s0 AS (SELECT '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS st, n FROM words),
+       |p1 AS ${pairs("s0")},
+       |m1 AS (SELECT pr, cnt FROM p1 ORDER BY cnt DESC, pr ASC LIMIT 1),
+       |s1 AS ${applied("s0", "m1")},
+       |p2 AS ${pairs("s1")},
+       |m2 AS (SELECT pr, cnt FROM p2 ORDER BY cnt DESC, pr ASC LIMIT 1),
+       |s2 AS ${applied("s1", "m2")},
+       |p3 AS ${pairs("s2")},
+       |m3 AS (SELECT pr, cnt FROM p3 ORDER BY cnt DESC, pr ASC LIMIT 1),
+       |s3 AS ${applied("s2", "m3")},
+       |p4 AS ${pairs("s3")},
+       |m4 AS (SELECT pr, cnt FROM p4 ORDER BY cnt DESC, pr ASC LIMIT 1),
+       |app AS (
+       |  SELECT source, word, count(*) AS n,
+       |         '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS st
+       |  FROM (SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+       |        FROM documents)
+       |  WHERE length(word) >= 1 GROUP BY source, word),
+       |a1 AS ${appliedApp("app", "m1")},
+       |a2 AS ${appliedApp("a1", "m2")},
+       |a3 AS ${appliedApp("a2", "m3")},
+       |a4 AS ${appliedApp("a3", "m4")}
+       |SELECT source, CAST(sum(n) AS BIGINT) AS n_words,
+       |       CAST(sum(n * len(string_split(trim(st, '·'), '·'))) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n * length(word)) AS BIGINT) AS n_chars
+       |FROM a4 GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** t23/t24's shared chunk derivation: per doc, content-defined chunk
