@@ -2382,5 +2382,39 @@ object LakeQueries {
              |FROM orders WHERE o_orderkey % 3 = 0
              |GROUP BY o_orderpriority""".stripMargin),
       "CREATE OR REPLACE + COMMENT ON + SHOW CREATE + TRUNCATE via spark.sql"),
+
+    // The aggregate pushdown reaching plain SQL: a registered lake name
+    // inside spark.sql resolves to a connector-backed view, so
+    // `SELECT count(*)/count(c)/min/max ... WHERE <partition filter>`
+    // is answered FROM THE LOG — the "how big is this 100 TB table"
+    // query as a metadata read, through the exact SQL a user would type.
+    "m71_sql_metadata_agg" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m71_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"),
+          statsCols = Seq("o_custkey"))
+        table.overwrite(orders.filter(col("o_orderkey") % 2 === 0))
+        table.append(orders.filter(col("o_orderkey") % 2 =!= 0))
+        val name = s"m71t_${sanitize(dir)}"
+        graft.sqlapi.LakeCatalog.register(name, table)
+        try {
+          val df = s.sql(
+            s"""SELECT count(*) AS cnt, count(o_custkey) AS n_cust,
+               |       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+               |FROM $name WHERE o_orderstatus IN ('F', 'O')""".stripMargin)
+          val plan = df.queryExecution.executedPlan.toString
+          require(plan.contains("PushedAggregates"),
+            s"the SQL aggregate must be answered from the log, got:\n$plan")
+          require(!plan.contains("FileScan"),
+            "a pushed SQL aggregate must not scan any data file")
+          df
+        } finally graft.sqlapi.LakeCatalog.unregister(name)
+      },
+      Some("""SELECT count(*) AS cnt, count(o_custkey) AS n_cust,
+             |       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+             |FROM orders WHERE o_orderstatus IN ('F', 'O')""".stripMargin),
+      "SQL metadata aggregates: count/min/max under a partition WHERE, from the log"),
   )
 }
