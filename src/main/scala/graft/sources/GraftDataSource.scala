@@ -540,16 +540,28 @@ final class GraftScanBuilder(table: GraftTable)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
+  // supportCompletePushDown and pushAggregation receive the same
+  // Aggregation back-to-back — compute the metadata answer once
+  private var memo: Option[(AnyRef, Option[(StructType, Seq[Row])])] = None
+  private def answer(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Row])] = memo match {
+    case Some((key, res)) if key eq agg => res
+    case _ =>
+      val res = table.metadataAggregate(agg, consumed.toSeq)
+      memo = Some((agg, res))
+      res
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    table.metadataAggregate(agg, consumed.toSeq).isDefined
+    answer(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     // complete pushdown only: partial (per-split intermediate rows) has no
     // meaning for a metadata answer, so an unanswerable aggregation falls
     // back to the ordinary scan instead of half-pushing
-    aggResult = table.metadataAggregate(agg, consumed.toSeq)
+    aggResult = answer(agg)
     aggResult.isDefined
   }
 
