@@ -513,19 +513,47 @@ object LakeSql {
         import spark.implicits._
         val table = resolve(tgt, targets)
         val schema = table.schemaOf(table.currentVersion)
+        val props0 = table.properties
+        def dec0(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+        // column decorations reconstructed from the log-pinned properties —
+        // the emitted DDL is EXECUTABLE (CreateEmptyShape parses it back;
+        // see the round-trip test), so every clause-expressible fact is a
+        // clause and stays OUT of TBLPROPERTIES
+        val gens: Map[String, String] = props0.get(MergeTable.GeneratedColsProp)
+          .toSeq.flatMap(_.split(',')).filter(_.nonEmpty).map { kv =>
+            val i = kv.indexOf('=')
+            dec0(kv.substring(0, i)) -> dec0(kv.substring(i + 1))
+          }.toMap
+        val ident: Option[(String, Long, Long)] =
+          props0.get(MergeTable.IdentityColProp).map { v =>
+            val p = v.split(',')
+            (dec0(p(0)), p(1).toLong, p(2).toLong)
+          }
         val cols = schema.fields.map { f =>
+          val deco =
+            if (ident.exists(_._1 == f.name)) {
+              val (_, st, inc) = ident.get
+              s" GENERATED ALWAYS AS IDENTITY (START WITH $st INCREMENT BY $inc)"
+            } else gens.get(f.name).map(e => s" GENERATED ALWAYS AS ($e)").getOrElse("")
           val nn = if (table.checkConstraints.exists(_._1 == s"graft_notnull_${f.name}"))
             " NOT NULL" else ""
-          s"  ${f.name} ${f.dataType.sql}$nn"
+          s"  ${f.name} ${f.dataType.sql}$deco$nn"
         }.mkString(",\n")
         val parts =
           if (table.partitionCols.isEmpty) ""
           else s"\nPARTITIONED BY (${table.partitionCols.mkString(", ")})"
-        val props = table.properties.toSeq.sortBy(_._1)
+        val cluster = props0.get(MergeTable.ClusterByProp)
+          .map(c => s"\nCLUSTER BY ($c)").getOrElse("")
+        // layout/definition props are emitted as clauses above; mutable
+        // high-water marks are table STATE, not definition — both stay out
+        val asClauses = Set(MergeTable.PartitionColsProp, MergeTable.ClusterByProp,
+          MergeTable.GeneratedColsProp, MergeTable.IdentityColProp,
+          MergeTable.IdentityHwmProp, MergeTable.RowIdHwmProp)
+        val props = props0.filterNot(p => asClauses(p._1)).toSeq.sortBy(_._1)
           .map { case (k, v) => s"'$k' = '$v'" }
         val propsClause =
           if (props.isEmpty) "" else s"\nTBLPROPERTIES (${props.mkString(", ")})"
-        val stmt = s"CREATE TABLE $tgt (\n$cols\n) USING GRAFT$parts" +
+        val stmt = s"CREATE TABLE $tgt (\n$cols\n) USING GRAFT$parts$cluster" +
           s"\nLOCATION '${table.root}'$propsClause"
         return Seq(stmt).toDF("createtab_stmt")
       case VacuumDryRunShape(tgt, retain, unit) =>

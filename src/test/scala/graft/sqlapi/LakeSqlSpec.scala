@@ -549,6 +549,48 @@ class LakeSqlSpec extends SparkSpec {
     } finally LakeCatalog.unregister("sqlp_t")
   }
 
+  test("SHOW CREATE TABLE output is executable and recreates the definition") {
+    import org.apache.spark.sql.functions.lit
+    val loc = scratch("lsql_rt_src")
+    LakeSql.run(spark,
+      s"""CREATE TABLE rt_src (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+         |  k INT, v STRING, yr INT GENERATED ALWAYS AS (k % 10), p STRING)
+         |USING GRAFT PARTITIONED BY (p) CLUSTER BY (k)
+         |LOCATION '$loc' TBLPROPERTIES (quality = 'gold')""".stripMargin, Map.empty)
+    try {
+      val stmt = LakeSql.query(spark, "SHOW CREATE TABLE rt_src", LakeCatalog.targets)
+        .head().getString(0)
+      assert(stmt.contains("GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2)"))
+      assert(stmt.contains("GENERATED ALWAYS AS (k % 10)"))
+      assert(stmt.contains("CLUSTER BY (k)"))
+      assert(stmt.contains("'quality' = 'gold'"))
+      assert(!stmt.contains("graft.partitionCols"),
+        "clause-expressible facts must not leak into TBLPROPERTIES")
+      // the emitted DDL is runnable: retarget name + location, execute
+      val loc2 = scratch("lsql_rt_dst")
+      LakeSql.run(spark,
+        stmt.replace("CREATE TABLE rt_src", "CREATE TABLE rt_dst")
+          .replace(s"LOCATION '$loc'", s"LOCATION '$loc2'"), LakeCatalog.targets)
+      val dst = LakeCatalog.targets("rt_dst")
+      val src = LakeCatalog.targets("rt_src")
+      assert(dst.partitionCols === src.partitionCols)
+      assert(dst.schemaOf(0).fieldNames.toSeq === src.schemaOf(0).fieldNames.toSeq)
+      assert(dst.properties.get("quality").contains("gold"))
+      assert(dst.properties.get(graft.lake.MergeTable.ClusterByProp)
+        === src.properties.get(graft.lake.MergeTable.ClusterByProp))
+      assert(dst.properties.get(graft.lake.MergeTable.GeneratedColsProp)
+        === src.properties.get(graft.lake.MergeTable.GeneratedColsProp))
+      // identity + generated columns derive on insert, with the declared seed
+      LakeSql.run(spark, "INSERT INTO rt_dst (k, v, p) VALUES (7, 'x', 'p1')",
+        LakeCatalog.targets)
+      val row = dst.read(spark).select("id", "yr").head()
+      assert(row.getLong(0) === 10L && row.getInt(1) === 7)
+    } finally {
+      LakeCatalog.unregister("rt_src"); LakeCatalog.unregister("rt_dst")
+    }
+  }
+
   test("ALTER TABLE RENAME TO moves the registration, never data") {
     val t = seeded("lsql_rename")
     LakeCatalog.register("ren_a", t)
