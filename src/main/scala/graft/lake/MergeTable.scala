@@ -2341,6 +2341,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val counts = fileRowCounts(version)
     lazy val stats = statsDetail(version)
     lazy val nulls = nullCounts(version)
+    lazy val sums = fileSums(version)
 
     if (!groupBy.forall(partitionCols.contains)) return None
     if (aggs.isEmpty) return None
@@ -2423,11 +2424,22 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       schema.fieldNames.contains(c) && countable && !masked &&
         (partitionCols.contains(c) ||
           files.forall(f => nulls.contains((f, c))))
+    // sum(col): integral columns only (the recorded partial sums are exact
+    // decimal(38,0) arithmetic — order-independent, unlike FP); every
+    // in-scope file must record either a sum or an all-NULL flag, and no
+    // file may be masked
+    def sumFeasible(c: String): Boolean =
+      schema.fieldNames.contains(c) && !masked && (schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }) && files.forall(f => sums.contains((f, c)) ||
+        stats.get(f).flatMap(_.get(c)).exists(_._3 == 'N'))
     val ok = aggs.forall {
       case ("count", null) => countable
       case ("count", c)    => countColFeasible(c)
       case ("min", c)      => minMaxFeasible(c)
       case ("max", c)      => minMaxFeasible(c)
+      case ("sum", c)      => sumFeasible(c)
       case _               => false
     }
     if (!ok) return None
@@ -2451,8 +2463,23 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     def liveCount(f: String): Long =
       counts(f) - dvs.get(f).map(_._2).getOrElse(0L)
 
+    // raised when a value-level check (sum overflow) proves the log cannot
+    // answer exactly — the caller falls back to the real scan
+    object Unanswerable extends RuntimeException
+
     def aggValue(op: String, c: String, members: Seq[String]): Any = op match {
       case "count" if c == null => java.lang.Long.valueOf(members.map(liveCount).sum)
+      case "sum" =>
+        // Spark's Sum over integrals keeps a LONG buffer: a result beyond
+        // Long range would make the real scan raise/wrap — fall back to it
+        // rather than answer differently
+        val contrib = members.flatMap(f => sums.get((f, c)))
+        if (contrib.isEmpty) null
+        else {
+          val total = contrib.sum
+          if (total.isValidLong) java.lang.Long.valueOf(total.toLong)
+          else throw Unanswerable
+        }
       case "count" =>
         // non-null count per file: partition columns from the dir value
         // (NULL dir => zero non-nulls), data columns from the recorded
@@ -2483,7 +2510,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // pre-flight min/max bounds: an unparsable V-flagged bound makes the
     // answer inexact (silently dropping it could miss the extremum) → None
     val boundsParse = aggs.forall {
-      case (op, c) if op != "count" && !partitionCols.contains(c) =>
+      case (op, c) if (op == "min" || op == "max") && !partitionCols.contains(c) =>
         files.forall(f => stats.get(f).flatMap(_.get(c)) match {
           case Some((_, _, 'N'))  => true
           case Some((mn, mx, _)) =>
@@ -2495,9 +2522,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     }
     if (!boundsParse) return None
 
-    Some(groups.toSeq.sortBy(_._1.mkString("\u0000")).map { case (gv, members) =>
+    try Some(groups.toSeq.sortBy(_._1.mkString("\u0000")).map { case (gv, members) =>
       gv ++ aggs.map { case (op, c) => aggValue(op, c, members) }
-    })
+    }) catch { case e: RuntimeException if e eq Unanswerable => None }
   }
 
   /** EXACT file restriction by PARTITION-ONLY filters — the scan-side
@@ -3976,9 +4003,17 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // free (Delta's stats.numRecords) — it is what lets count(*) be
     // answered from the log alone ([[aggregateFromStats]]); recorded as a
     // stat line under the reserved pseudo-column [[MergeTable.CountStatKey]]
+    val intCols = cols.filter(c => schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }).toSet
     val aggs = count(lit(1)).as("_graft_cnt") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
-        count(col(c)).as(s"nn_$c")))
+        count(col(c)).as(s"nn_$c")) ++
+        // exact per-file SUM for integral columns (decimal(38,0): no
+        // overflow, order-independent) — sum(col) pushdown reads it
+        (if (intCols(c)) Seq(sum(col(c).cast("decimal(38,0)")).as(s"sm_$c")) else Nil))
     readFiles(spark, relFiles, schema, colmap)
       .withColumn("_graft_file", input_file_name())
       .groupBy("_graft_file")
@@ -3994,10 +4029,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           val mn = mnV.map(s => if (strCols(c)) MergeTable.truncStatMin(s) else s).getOrElse("")
           val mx = mxV.map(s => if (strCols(c)) MergeTable.truncStatMax(s) else s).getOrElse("")
           // 6th field: NULL COUNT (Delta's stats.nullCount) — count(col)
-          // pushdown and IsNull file skipping read it; old lines simply
-          // lack it (readers treat that as unknown)
+          // pushdown and IsNull file skipping read it; 7th: the exact
+          // integral SUM ("" for non-integral/all-NULL) — sum(col)
+          // pushdown reads it; old lines simply lack the fields (readers
+          // treat missing as unknown)
           val nulls = cnt - r.getAs[Long](s"nn_$c")
-          s"${enc(rel)}\t${enc(c)}\t${enc(mn)}\t${enc(mx)}\t$flag\t$nulls"
+          val sm =
+            if (!intCols(c)) ""
+            else Option(r.getAs[java.math.BigDecimal](s"sm_$c"))
+              .map(_.toBigInteger.toString).getOrElse("")
+          s"${enc(rel)}\t${enc(c)}\t${enc(mn)}\t${enc(mx)}\t$flag\t$nulls\t${enc(sm)}"
         }
       }
   }
@@ -4011,6 +4052,20 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val parts = line.split("\t", -1)
       if (parts.length >= 6 && dec(parts(1)) != MergeTable.CountStatKey)
         parts(5).toLongOption.map(n => (dec(parts(0)), dec(parts(1))) -> n)
+      else None
+    }.toMap
+
+  /** Per-(file, column) EXACT integral sums from the stats lines' 7th
+    * field; a file whose column is all-NULL records "" and is absent here
+    * (its contribution to a sum is vacuous).
+    */
+  private[lake] def fileSums(version: Long): Map[(String, String), BigInt] =
+    readCommit(version).statsLines.flatMap { line =>
+      val parts = line.split("\t", -1)
+      if (parts.length >= 7 && dec(parts(1)) != MergeTable.CountStatKey &&
+          dec(parts(6)).nonEmpty)
+        scala.util.Try(BigInt(dec(parts(6)))).toOption
+          .map(v => (dec(parts(0)), dec(parts(1))) -> v)
       else None
     }.toMap
 

@@ -2283,6 +2283,7 @@ object LakeQueries {
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("cnt"),
             min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+            sum("o_orderkey").as("key_sum"),
             min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
         val plan = df.queryExecution.executedPlan.toString
         require(plan.contains("PushedAggregates"),
@@ -2293,6 +2294,7 @@ object LakeQueries {
       },
       Some("""SELECT o_orderstatus, count(*) AS cnt,
              |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
              |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
              |FROM orders GROUP BY o_orderstatus""".stripMargin),
       "aggregate pushdown: count/min/max per partition from the log, zero data files read"),

@@ -357,7 +357,7 @@ final class GraftTable(root: String, declaredParts: Seq[String],
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
       partitionFilters: Seq[Filter] = Nil)
       : Option[(StructType, Seq[Row])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types.{LongType, StructField}
     if (cdfMode) return None
@@ -403,6 +403,10 @@ final class GraftTable(root: String, declaredParts: Seq[String],
         case Some(c) => ("max", c)
         case None    => return None
       }
+      case sm: Sum if !sm.isDistinct => colOf(sm.column) match {
+        case Some(c) => ("sum", c) // exact integral partial sums in the log
+        case None    => return None
+      }
       case _ => return None
     }
 
@@ -412,6 +416,7 @@ final class GraftTable(root: String, declaredParts: Seq[String],
           aggs.map {
             case ("count", null) => StructField("count(*)", LongType, nullable = false)
             case ("count", c)    => StructField(s"count($c)", LongType, nullable = false)
+            case ("sum", c)      => StructField(s"sum($c)", LongType, nullable = true)
             case (op, c) => StructField(s"$op($c)", schema(c).dataType, nullable = true)
           }
       (StructType(fields), rows.map(Row.fromSeq))

@@ -210,6 +210,41 @@ class AggPushdownSpec extends SparkSpec {
     assert(ny.collect().head.getLong(0) === 1L)
   }
 
+  test("sum(col) answers exactly from recorded integral partial sums") {
+    val root = scratch("agg_sum")
+    val t = new MergeTable(root, Seq("p"), statsCols = Seq("x"))
+    t.overwrite(Seq[(Option[Long], String)]((Some(5L), "p1"), (Some(-2L), "p1"),
+      (None, "p2")).toDF("x", "p"))
+    t.append(Seq[(Option[Long], String)]((Some(100L), "p2")).toDF("x", "p"))
+    val df = spark.read.format("graft").load(root)
+      .agg(org.apache.spark.sql.functions.sum("x").as("sx"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    assert(isPushed(df), s"sum must push:\n${planOf(df)}")
+    assert(df.collect().head.toSeq === Seq(103L, 4L))
+    // grouped + partition-filtered sums compose
+    val g = spark.read.format("graft").load(root)
+      .filter(col("p") === "p1").groupBy("p")
+      .agg(org.apache.spark.sql.functions.sum("x").as("sx"))
+    assert(isPushed(g))
+    assert(g.collect().map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("p1", 3L)))
+    // an all-NULL column sums to NULL, still metadata-answered
+    val t2root = scratch("agg_sumnull")
+    val t2 = new MergeTable(t2root, Nil, statsCols = Seq("x"))
+    t2.overwrite(Seq[Option[Long]](None, None).toDF("x"))
+    val n = spark.read.format("graft").load(t2root)
+      .agg(org.apache.spark.sql.functions.sum("x").as("sx"))
+    assert(isPushed(n))
+    assert(n.collect().head.isNullAt(0))
+    // DOUBLE columns never push (FP accumulation is order-dependent)
+    val t3root = scratch("agg_sumdbl")
+    val t3 = new MergeTable(t3root, Nil, statsCols = Seq("d"))
+    t3.overwrite(Seq(1.5, 2.5).toDF("d"))
+    val d = spark.read.format("graft").load(t3root)
+      .agg(org.apache.spark.sql.functions.sum("d").as("sd"))
+    assert(!isPushed(d))
+    assert(d.collect().head.getDouble(0) === 4.0)
+  }
+
   test("all-null and null-mixed columns: min/max handles N-flagged files") {
     val root = scratch("agg_null")
     val t = new MergeTable(root, Nil, statsCols = Seq("x"))
