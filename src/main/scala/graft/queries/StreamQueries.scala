@@ -863,5 +863,79 @@ object StreamQueries {
              |       CAST(sum(event_id) AS BIGINT) AS id_sum
              |FROM events GROUP BY event_type""".stripMargin),
       "Trigger.AvailableNow: self-terminating backlog drain, checkpoint-resumed, exactly-once"),
+
+    // Scheduled CDF drains: the change-feed source under Trigger
+    // .AvailableNow + maxFilesPerTrigger — each run consumes exactly the
+    // feed backlog present at start in bounded micro-batches and stops;
+    // the next run resumes from the checkpoint and sees only the new
+    // commits. This is the cron-shaped CDC consumer (nightly downstream
+    // sync) as opposed to st6/st14's always-on stream.
+    "st17_cdf_drain" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val orders = Registry.t(s, dir, "orders")
+        val root = s"${Registry.scratchRoot}/st17_lake_$id"
+        val outRoot = s"${Registry.scratchRoot}/st17_out_$id"
+        val ckpt = s"${Registry.scratchRoot}/st17_ckpt_$id"
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)                                          // v0
+        table.setProperties(Map(MergeTable.ChangeFeedProp -> "true"))    // v1
+        table.delete(s, col("o_orderkey") % 10 === 7, changeFeed = true) // v2
+        table.update(s, col("o_orderkey") % 10 === 2,
+          Map("o_orderpriority" -> lit("CDF")), changeFeed = true)       // v3
+        def drain(): Long = {
+          val batches = new AtomicLong()
+          val q = ss.readStream.format("graft")
+            .option("path", root).option("readChangeFeed", "true")
+            .option("maxFilesPerTrigger", "1").load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              batches.incrementAndGet()
+              val out = new MergeTable(outRoot)
+              if (!out.exists || !out.lastTxnVersion("st17").exists(_ >= batchId))
+                out.append(b.select(col(MergeTable.ChangeType),
+                  col(MergeTable.CommitVersion), col("o_orderkey")),
+                  txn = Some("st17" -> batchId))
+              ()
+            }
+            .start()
+          require(q.awaitTermination(300000),
+            "the CDF drain must terminate on its own")
+          batches.get
+        }
+        val first = drain()
+        require(first >= 2,
+          s"maxFilesPerTrigger=1 over two feed commits must take >= 2 batches, got $first")
+        // a commit landing after the first drain is only seen by the next
+        table.delete(s, col("o_orderkey") % 10 === 4, changeFeed = true) // v4
+        val second = drain()
+        require(second >= 1 && second <= 2,
+          s"the second drain must cover only the tail feed, got $second")
+        new MergeTable(outRoot).read(s)
+          .groupBy(col(MergeTable.ChangeType).as("change_type"),
+            col(MergeTable.CommitVersion).as("commit_version"))
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+          .orderBy("commit_version", "change_type")
+      },
+      Some("""WITH changes AS (
+             |  SELECT 'delete' AS change_type, 2 AS commit_version, o_orderkey
+             |  FROM orders WHERE o_orderkey % 10 = 7
+             |  UNION ALL
+             |  SELECT 'update_preimage', 3, o_orderkey FROM orders
+             |  WHERE o_orderkey % 10 = 2 AND o_orderkey % 10 <> 7
+             |  UNION ALL
+             |  SELECT 'update_postimage', 3, o_orderkey FROM orders
+             |  WHERE o_orderkey % 10 = 2 AND o_orderkey % 10 <> 7
+             |  UNION ALL
+             |  SELECT 'delete', 4, o_orderkey FROM orders
+             |  WHERE o_orderkey % 10 = 4 AND o_orderkey % 10 NOT IN (7))
+             |SELECT change_type, commit_version, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM changes GROUP BY change_type, commit_version
+             |ORDER BY commit_version, change_type""".stripMargin),
+      "scheduled CDF drains: AvailableNow + rate limit, checkpoint-resumed, exactly-once"),
   )
 }
