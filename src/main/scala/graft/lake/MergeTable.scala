@@ -121,6 +121,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
   private def readCommit(version: Long): Commit = {
     val lines = Files.readString(commitPath(version)).split("\n").toSeq
+    // protocol guard (Delta's protocol action): a commit written by a
+    // FUTURE format version must fail loudly here, not be half-read —
+    // pre-feature commits carry no line and read as version 1
+    lines.find(_.startsWith("protocol\t")).foreach { l =>
+      val v = l.stripPrefix("protocol\t").trim.takeWhile(_.isDigit)
+      require(v.nonEmpty && v.toInt <= MergeTable.ReaderVersion,
+        s"commit $version of $root requires reader protocol $v, this build " +
+          s"supports <= ${MergeTable.ReaderVersion} — upgrade the library to read this table")
+    }
     val schema = MergeTable.parseSchema(dec(lines.head.stripPrefix("schema\t")))
     // An INCREMENTAL commit (Delta add/remove-action analog) records a
     // `base` version plus this commit's file delta instead of the full
@@ -4337,7 +4346,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // in metadata that DDL strings drop. parseSchema still reads the DDL
     // form, so every pre-existing commit stays readable.
     val content = (s"schema\t${enc(schema.json)}" +:
-      (Seq(s"op\t${enc(op)}", s"ts\t$tsMillis",
+      (Seq(s"protocol\t${MergeTable.ReaderVersion}",
+        s"op\t${enc(op)}", s"ts\t$tsMillis",
         s"opm\t$numAdded\t$numRemoved\t${files.size}") ++
         cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
         constraints.map { case (n, p) => s"check\t${enc(n)}\t${enc(p)}" } ++
@@ -4621,6 +4631,15 @@ object MergeTable {
     * from the min/max view, [[MergeTable.fileRowCounts]] reads it.
     */
   val CountStatKey = "_graft:count"
+
+  /** The log format version this build reads/writes (Delta's protocol
+    * action analog): every commit records it, and [[readCommit]] refuses
+    * commits stamped by a future version instead of half-reading them.
+    * Bump when a change would make old readers return WRONG results
+    * (not merely miss an optimization — optional fields like null counts
+    * and sums degrade gracefully and do not bump it).
+    */
+  val ReaderVersion = 1
 
   /** Delta's `delta.dataSkippingNumIndexedCols` analog: when set (and no
     * explicit stats columns exist), writes collect min/max for the first

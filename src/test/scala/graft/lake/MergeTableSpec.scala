@@ -658,6 +658,20 @@ class MergeTableSpec extends SparkSpec {
     assert(t.lastTxnVersion("apptxn").contains(1L))
   }
 
+  test("protocol guard: a future-version commit is refused, not half-read") {
+    val t = new MergeTable(scratch("mt_protocol"))
+    t.overwrite(df(Seq((1, "a", "p1"))).drop("p"))
+    // every commit records the protocol line
+    import java.nio.file.{Files => F, Paths => P}
+    val log = P.get(t.root, "_graft_log", "0.commit")
+    val content = F.readString(log)
+    assert(content.contains("protocol\t1"))
+    // forge a future-version commit: the reader must refuse LOUDLY
+    F.writeString(log, content.replace("protocol\t1", "protocol\t99"))
+    val ex = intercept[IllegalArgumentException](t.read(spark))
+    assert(ex.getMessage.contains("reader protocol 99"))
+  }
+
   test("a lost _LATEST update is recovered by forward-scanning commits") {
     val t = new MergeTable(scratch("mt_tipscan"), Seq("p"))
     t.overwrite(df(Seq((1, "a", "p1"))))
