@@ -501,7 +501,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                       a: String, b: String): Option[Int] = {
     import org.apache.spark.sql.types._
     dt match {
-      case StringType => Some(a.compareTo(b))
+      // the recorded bounds are Spark min/max extremes, i.e. UTF-8 BINARY
+      // order — compare the same way (String.compareTo is UTF-16 code-unit
+      // order, which disagrees for supplementary chars vs U+E000–U+FFFF;
+      // deciding a skip under the wrong order would be UNSOUND)
+      case StringType => Some(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)))
       case _ => for (x <- statKey(dt, a); y <- statKey(dt, b)) yield x.compare(y)
     }
   }
@@ -1116,6 +1122,11 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val schema = schemaOf(v)
     val tCols = schema.fieldNames.toSeq
     val typeOf = schema.fields.map(f => f.name -> f.dataType).toMap
+    // star expansion resolves source columns under the SESSION's resolver
+    // (case-insensitive by default) — a source column differing only in
+    // case must still assign, exactly as Spark's own analysis would bind it
+    val resolver = spark.sessionState.conf.resolver
+    def sourceColFor(c: String): Option[String] = source.columns.find(resolver(_, c))
     (matched ++ bySource).foreach {
       case MatchedUpdate(_, set)  => set.foreach { case (c, _) =>
         require(typeOf.contains(c), s"UPDATE SET targets unknown column '$c'") }
@@ -1150,7 +1161,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
               // UPDATE SET * expands over the SOURCE's columns (Delta's
               // star semantics): a target column the source lacks — e.g.
               // one added by an earlier schema evolution — keeps its value
-              if (source.columns.contains(c)) col(s"$sourceAlias.$c") else base
+              sourceColFor(c).fold(base)(sc => col(s"$sourceAlias.$sc"))
             else set.find(_._1 == c).map(p => expr(p._2)).getOrElse(base)
           when(col(ActionCol) === i, value).otherwise(els)
         case ((BySourceUpdate(_, set), i), els) =>
@@ -1255,8 +1266,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             val named =
               if (values.isEmpty) // INSERT * — star expands over the
                 // SOURCE's columns; target-only columns null-fill below
-                rows.select(tCols.filter(source.columns.contains)
-                  .map(c => col(s"$sourceAlias.$c").as(c)): _*)
+                rows.select(tCols.flatMap(c =>
+                  sourceColFor(c).map(sc => col(s"$sourceAlias.$sc").as(c))): _*)
               else rows.select(values.map { case (c, e) =>
                 expr(e).cast(typeOf(c)).as(c) }: _*)
             val gen = applyGenerated(named) // derives unspecified generated cols
@@ -2400,8 +2411,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       Some(resolved.toMap)
     }
 
-    def cmp(a: Any, b: Any): Int =
-      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // Spark orders StringType by UTF-8 BINARY (UTF8String), not UTF-16
+    // code units (String.compareTo) — the two disagree when supplementary
+    // characters (surrogate pairs ≥ U+10000) mix with U+E000–U+FFFF, so
+    // partition-string min/max must compare the way the real scan would
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
 
     // ---- per-agg feasibility over the in-scope files ----
     val countable = files.forall(counts.contains)
@@ -2554,10 +2573,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val translated = filters.map(MergeTable.translateFilter)
     if (translated.exists(_.isEmpty)) return None
     val pred = translated.flatten.reduce(_ && _)
-    // partitionCandidates evaluates a fully-evaluable deterministic
-    // predicate EXACTLY over the distinct partition tuples (TRUE keeps,
-    // FALSE/NULL drops) — partition-only translated filters qualify
-    Some(partitionCandidates(spark, filesOf(version), schemaOf(version), pred).toSet)
+    // exact-mode tuple probe: TRUE keeps, FALSE/NULL drops, and ANY
+    // evaluation fallback (e.g. an ANSI cast failure on a directory
+    // value) returns None so the caller keeps the real scan — the
+    // conservative keep-all fallback that is sound for pruning would
+    // silently aggregate over unfiltered files here
+    partitionCandidatesExact(spark, filesOf(version), schemaOf(version), pred)
+      .map(_.toSet)
   }
 
   /** ANALYZE TABLE analog: (re)compute per-file min/max statistics of
@@ -2648,8 +2670,29 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   private[lake] def partitionCandidates(spark: SparkSession, files: Seq[String],
                                         schema: StructType,
-                                        predicate: Column): Seq[String] = {
-    if (partitionCols.isEmpty || files.isEmpty) return files
+                                        predicate: Column): Seq[String] =
+    // exact=false always yields Some: every fallback keeps all files
+    tupleProbe(spark, files, schema, predicate, exact = false).get
+
+  /** EXACT-mode companion of [[partitionCandidates]]: Some(kept) only when
+    * the WHOLE predicate was evaluated exactly over every distinct
+    * partition tuple — None on ANY fallback (tuple evaluation failure such
+    * as an ANSI cast error on a directory value, a nondeterministic
+    * predicate, or data-column references). Callers that answer queries
+    * from metadata ([[exactPartitionFiles]] → [[metadataAggregate]]) MUST
+    * use this: the conservative keep-everything fallback that is sound for
+    * pruning would silently aggregate over unfiltered files there.
+    */
+  private[lake] def partitionCandidatesExact(spark: SparkSession, files: Seq[String],
+                                             schema: StructType,
+                                             predicate: Column): Option[Seq[String]] =
+    tupleProbe(spark, files, schema, predicate, exact = true)
+
+  private def tupleProbe(spark: SparkSession, files: Seq[String],
+                         schema: StructType, predicate: Column,
+                         exact: Boolean): Option[Seq[String]] = {
+    if (files.isEmpty) return Some(files)
+    if (partitionCols.isEmpty) return if (exact) None else Some(files)
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.types.{StringType, StructField}
     def partDir(f: String): String = {
@@ -2683,23 +2726,29 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // cast errors that the full scan would surface per-row, with its own
     // error context) fall back to no pruning — the probe is an
     // optimization and must never be the place an error first appears.
-    def probe(p: Column): Seq[String] =
+    def probe(p: Column): Option[Seq[String]] =
       (try Some(typed.filter(coalesce(p, lit(false)) === true)
         .select("_dir").collect().map(_.getString(0)).toSet)
       catch { case scala.util.control.NonFatal(_) => None }) match {
-        case None       => files
-        case Some(dirs) => files.filter(f => dirs.contains(partDir(f)))
+        case None       => if (exact) None else Some(files)
+        case Some(dirs) => Some(files.filter(f => dirs.contains(partDir(f))))
       }
     deterministic match {
-      case Some(false) => files // nondeterministic: pruning would be unsound
+      case Some(false) => // nondeterministic: pruning would be unsound
+        if (exact) None else Some(files)
       case Some(true)  => probe(predicate)
       case None =>
         // the WHOLE predicate reads data columns — but its partition-only
         // conjuncts, plus conjuncts DERIVED through generated partition
         // columns (`DELETE WHERE d = X` on a y = year(d) layout), are
         // still implied by it and probe the tuples soundly. This is what
-        // partition-prunes the DML rewrite probes with zero opt-in.
-        derivedTuplePredicate(spark, schema, predicate).fold(files)(probe)
+        // partition-prunes the DML rewrite probes with zero opt-in. An
+        // IMPLIED predicate is never exact — exact mode refuses instead.
+        if (exact) None
+        else derivedTuplePredicate(spark, schema, predicate) match {
+          case None    => Some(files)
+          case Some(p) => probe(p)
+        }
     }
   }
 
@@ -4700,7 +4749,14 @@ object MergeTable {
     if (s.length <= StatsMaxLen) s
     else {
       val p = s.take(StatsMaxLen)
-      val i = p.lastIndexWhere(_ != '\uffff')
+      // bump only chars whose successor is still a valid non-surrogate BMP
+      // scalar: incrementing U+D7FF yields a lone high surrogate ('?' under
+      // UTF-8 encoding \u2014 SMALLER than the original, an unsound max), and a
+      // surrogate-pair half must never be bumped (its neighbor would be
+      // orphaned). Under code-point (= UTF-8 binary) order the bumped
+      // prefix stays > every value extending the untouched prefix.
+      def bumpable(c: Char): Boolean = c < '\ud7ff' || (c >= '\ue000' && c < '\uffff')
+      val i = p.lastIndexWhere(bumpable)
       if (i < 0) s else p.substring(0, i) + (p.charAt(i) + 1).toChar
     }
 

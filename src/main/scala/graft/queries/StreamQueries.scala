@@ -76,14 +76,20 @@ object StreamQueries {
       .select(col(groupCol),
         (coalesce(col("n"), lit(0L)) + col("dn")).as("n"),
         (coalesce(col("key_sum"), lit(0L)) + col("dkey")).as("key_sum"))
-    val gone = newVals.filter(col("n") <= 0)
-      .select(groupCol).collect().map(_.get(0))
-    if (gone.nonEmpty) gold.delete(batch.sparkSession, col(groupCol).isin(gone.toSeq: _*))
+    // ONE clause-merge carries upserts AND gone-group deletes: a group
+    // whose count reaches zero deletes through WHEN MATCHED AND n <= 0,
+    // fully distributed — no driver collect(), no literal-list predicate
+    // (a CDC batch that mass-deletes, e.g. a source truncation flowing
+    // through the feed, would otherwise build a million-key isin). Also
+    // one commit instead of two, so the txn gate covers the whole batch.
     // gold is partitioned BY the merge key, so the key trivially determines
     // the partition — the probe and rewrite prune to the changed groups'
     // files, which is what makes the sink delta-sized on disk too
-    gold.merge(batch.sparkSession, newVals.filter(col("n") > 0),
-      Seq(groupCol), txn = Some(appId -> batchId),
+    gold.mergeClauses(batch.sparkSession, newVals, Seq(groupCol),
+      Seq(MergeTable.MatchedDelete(Some("s.n <= 0")),
+          MergeTable.MatchedUpdate(),
+          MergeTable.NotMatchedInsert(Some("s.n > 0"))),
+      txn = Some(appId -> batchId),
       keysDeterminePartitions = gold.partitionCols == Seq(groupCol))
   }
 

@@ -241,7 +241,8 @@ object LakeSql {
     * table property (Delta's description slot); `IS NULL` clears it.
     */
   private val CommentShape =
-    """(?is)^\s*COMMENT\s+ON\s+TABLE\s+([\w.]+)\s+IS\s+(?:'([^']*)'|(NULL))\s*;?\s*$""".r
+    // the literal admits SQL-standard '' escapes: ('')* pairs inside the body
+    """(?is)^\s*COMMENT\s+ON\s+TABLE\s+([\w.]+)\s+IS\s+(?:'((?:[^']|'')*)'|(NULL))\s*;?\s*$""".r
 
   private val ShowCreateShape =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$""".r
@@ -379,6 +380,15 @@ object LakeSql {
         Option(propKvs).foreach(kvs => table.setProperties(parsePropList(kvs)))
         LakeCatalog.register(name, table)
       case RenameTableShape(tgt, to) =>
+        // a per-call `targets` binding is caller state this statement
+        // cannot mutate — renaming such a table would leave BOTH names
+        // addressing it (the old one through the caller's map), so refuse
+        // unless the name is also registry-backed (the spark.sql parser
+        // path passes a SNAPSHOT of the registry as the per-call map)
+        require(!targets.contains(tgt) || LakeCatalog.targets.contains(tgt),
+          s"ALTER TABLE $tgt RENAME TO $to: '$tgt' is bound through the " +
+            "per-call targets map, which RENAME cannot rewrite — register " +
+            "the table in the LakeCatalog (or re-invoke without the binding) to rename it")
         val table = resolve(tgt, targets)
         val known = targets.keySet ++ LakeCatalog.targets.keySet
         require(!known.contains(to),
@@ -391,7 +401,7 @@ object LakeSql {
       case CommentShape(tgt, text, nul) =>
         val table = resolve(tgt, targets)
         if (nul != null) table.unsetProperties(Seq("comment"))
-        else table.setProperties(Map("comment" -> text))
+        else table.setProperties(Map("comment" -> text.replace("''", "'")))
       case DeleteShape(tgt, pred) =>
         // no WHERE = all rows (Delta's DELETE FROM t table reset); the
         // graft.enableDeletionVectors property routes through the mask-
@@ -549,8 +559,12 @@ object LakeSql {
         val asClauses = Set(MergeTable.PartitionColsProp, MergeTable.ClusterByProp,
           MergeTable.GeneratedColsProp, MergeTable.IdentityColProp,
           MergeTable.IdentityHwmProp, MergeTable.RowIdHwmProp)
+        // SQL-standard quote escaping ('' = embedded ') keeps the emitted
+        // DDL executable when a comment/property value holds an apostrophe;
+        // parsePropList mirrors the unescape on the way back in
+        def q(s: String): String = s"'${s.replace("'", "''")}'"
         val props = props0.filterNot(p => asClauses(p._1)).toSeq.sortBy(_._1)
-          .map { case (k, v) => s"'$k' = '$v'" }
+          .map { case (k, v) => s"${q(k)} = ${q(v)}" }
         val propsClause =
           if (props.isEmpty) "" else s"\nTBLPROPERTIES (${props.mkString(", ")})"
         val stmt = s"CREATE TABLE $tgt (\n$cols\n) USING GRAFT$parts$cluster" +
@@ -947,14 +961,25 @@ object LakeSql {
   }
 
   /** `k = v` property pairs: keys may be dotted or quoted; values are
-    * stored VERBATIM (one quote layer stripped), never evaluated.
+    * stored VERBATIM (one quote layer stripped, SQL-standard doubled
+    * quotes inside it unescaped — the inverse of SHOW CREATE TABLE's
+    * emission), never evaluated.
     */
-  private def parsePropList(kvs: String): Map[String, String] =
+  private def parsePropList(kvs: String): Map[String, String] = {
+    def unq(s0: String): String = {
+      val t = s0.trim
+      if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+        t.substring(1, t.length - 1).replace("''", "'")
+      else if (t.length >= 2 && t.head == '"' && t.last == '"')
+        t.substring(1, t.length - 1).replace("\"\"", "\"")
+      else t
+    }
     splitTopLevel(kvs).map { a =>
       val i = a.indexOf('=')
       require(i > 0, s"unsupported TBLPROPERTIES entry '${a.trim}': expected k = v")
-      stripQuotes(a.take(i).trim) -> stripQuotes(a.drop(i + 1).trim)
+      unq(a.take(i).trim) -> unq(a.drop(i + 1).trim)
     }.toMap
+  }
 
   /** Delta's `delta.enableDeletionVectors` routing: the property opts the
     * table's SQL DELETE/UPDATE (and MERGE, see [[MergeInto.run]]) into the

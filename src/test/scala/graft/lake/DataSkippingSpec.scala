@@ -392,4 +392,32 @@ class DataSkippingSpec extends SparkSpec {
     // the read over the pruned scan still answers exactly
     assert(t.read(spark).filter(col("x").isNull).count() === 1L)
   }
+
+  test("partitionCandidatesExact: Some only when the WHOLE predicate evaluated exactly") {
+    val t = statsTable("skip_exact")
+    val v = t.currentVersion
+    val files = t.filesOf(v)
+    val schema = t.schemaOf(v)
+    // exact partition predicate → exactly the one matching partition's file
+    val exact = t.partitionCandidatesExact(spark, files, schema, col("p") === "1")
+    assert(exact.isDefined && exact.get.forall(_.contains("p=1")) && exact.get.nonEmpty)
+    // data-column references: the tuple probe cannot evaluate the WHOLE
+    // predicate — exact mode must refuse (the pruning path would fall back
+    // to keeping everything, which is sound for pruning but NOT exact)
+    assert(t.partitionCandidatesExact(spark, files, schema,
+      col("p") === "1" && col("k") > 5).isEmpty)
+    // nondeterministic predicates can never be exact over tuples
+    assert(t.partitionCandidatesExact(spark, files, schema,
+      rand() < 0.5).isEmpty)
+    // the pruning-mode companion keeps its conservative fallback on the
+    // same inputs (subset-prunes via the implied partition conjunct)
+    val pruned = t.partitionCandidates(spark, files, schema,
+      col("p") === "1" && col("k") > 5)
+    assert(pruned.forall(_.contains("p=1")))
+    // exactPartitionFiles: partition-only filters answer exactly; any
+    // data-column filter refuses so metadata aggregates fall back to a scan
+    assert(t.exactPartitionFiles(spark, v, Seq(sources.EqualTo("p", "1")))
+      .exists(_.forall(_.contains("p=1"))))
+    assert(t.exactPartitionFiles(spark, v, Seq(sources.GreaterThan("k", 5))).isEmpty)
+  }
 }

@@ -188,4 +188,17 @@ class MergeClausesSpec extends SparkSpec {
     }
     assert(nx.getMessage.contains("does not exist"))
   }
+
+  test("star expansion resolves source columns case-insensitively (session resolver)") {
+    val t = new MergeTable(scratch("mc_case"), Nil)
+    t.overwrite(Seq((1, 10), (2, 20)).toDF("k", "v"))
+    // source spells the value column "V" — Spark's default case-insensitive
+    // resolution must still bind it for UPDATE SET * and INSERT *
+    val src = Seq((1, 100), (3, 300)).toDF("k", "V")
+    t.mergeClauses(spark, src, Seq("k"), Seq(
+      MatchedUpdate(None, Nil), NotMatchedInsert(None, Nil)))
+    val got = t.read(spark).select("k", "v").as[(Int, Int)].collect().toSet
+    assert(got === Set((1, 100), (2, 20), (3, 300)),
+      "a source column differing only in case must assign, not keep/null-fill")
+  }
 }

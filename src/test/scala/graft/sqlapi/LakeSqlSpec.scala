@@ -608,4 +608,28 @@ class LakeSqlSpec extends SparkSpec {
       LakeCatalog.unregister("ren_b"); LakeCatalog.unregister("ren_c")
     }
   }
+
+  test("SHOW CREATE TABLE escapes apostrophes in property values; DDL round-trips") {
+    val loc = scratch("lsql_quote_src")
+    LakeSql.run(spark,
+      s"CREATE TABLE qt_src (k INT, v STRING) USING GRAFT LOCATION '$loc'",
+      Map.empty)
+    try {
+      LakeSql.run(spark,
+        "COMMENT ON TABLE qt_src IS 'the caller''s table'", LakeCatalog.targets)
+      assert(LakeCatalog.targets("qt_src").properties("comment") === "the caller's table")
+      val stmt = LakeSql.query(spark, "SHOW CREATE TABLE qt_src", LakeCatalog.targets)
+        .head().getString(0)
+      assert(stmt.contains("'comment' = 'the caller''s table'"),
+        s"apostrophe must be ''-escaped in the emitted DDL, got:\n$stmt")
+      // the emitted DDL stays executable and the value survives the round trip
+      val loc2 = scratch("lsql_quote_dst")
+      LakeSql.run(spark,
+        stmt.replace("CREATE TABLE qt_src", "CREATE TABLE qt_dst")
+          .replace(s"LOCATION '$loc'", s"LOCATION '$loc2'"), LakeCatalog.targets)
+      assert(LakeCatalog.targets("qt_dst").properties("comment") === "the caller's table")
+    } finally {
+      LakeCatalog.unregister("qt_src"); LakeCatalog.unregister("qt_dst")
+    }
+  }
 }

@@ -116,6 +116,29 @@ class StreamingSpec extends SparkSpec {
     assert(state() === Map("A" -> (1L, 2L), "C" -> (2L, 21L)))
   }
 
+  test("st7 IVM sink: a mass-delete batch zeroes MANY groups in one distributed merge") {
+    import spark.implicits._
+    import graft.lake.MergeTable
+    val gold = new MergeTable(scratch("ivm_mass"), Seq("o_orderstatus"))
+    val n = 500
+    // bootstrap: one row per group
+    val boot = (0 until n).map(i => (s"g$i", i.toLong, "insert"))
+      .toDF("o_orderstatus", "o_orderkey", MergeTable.ChangeType)
+    graft.queries.StreamQueries.applyGoldDelta(gold, boot, 0L, appId = "mass")
+    assert(gold.read(spark).count() === n.toLong)
+    // a source-truncation CDC batch deletes EVERY row: all groups reach
+    // zero. This must flow through the single clause-merge (no driver
+    // collect of the gone keys, no literal isin list) and land in ONE
+    // commit for the batch — the old delete-then-merge path took two.
+    val vBefore = gold.currentVersion
+    val wipe = (0 until n).map(i => (s"g$i", i.toLong, "delete"))
+      .toDF("o_orderstatus", "o_orderkey", MergeTable.ChangeType)
+    graft.queries.StreamQueries.applyGoldDelta(gold, wipe, 1L, appId = "mass")
+    assert(gold.read(spark).count() === 0L, "every zeroed group must be deleted")
+    assert(gold.currentVersion === vBefore + 1,
+      "gone-group deletes must ride the SAME merge commit as the upserts")
+  }
+
   test("st9 fan-out: per-sink txn markers heal a crash between the two applies") {
     import spark.implicits._
     import graft.lake.MergeTable
