@@ -100,6 +100,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   private[graft] var clock: () => Long = () => System.currentTimeMillis()
 
+  /** Which pruning engine the LAST [[pruneFilesFor]] call used —
+    * `"checkpoint"` (distributed Catalyst filter over the columnar
+    * checkpoint) or `"driver"` (per-file loop). Observability for gates
+    * and specs that assert the scale path engaged; never read by the
+    * engine itself.
+    */
+  @volatile private[graft] var lastPruneVia: String = ""
+
   /** One commit = ONE log file (`<version>.commit`: schema + file list +
     * per-file stats), published atomically by hard-link put-if-absent — the
     * commit either fully exists or doesn't, there is no window where a
@@ -422,16 +430,28 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       else MergeTable.derivedPartitionConjuncts(spark, conjuncts0,
         generatedCols.filter { case (p, _) => partitionCols.contains(p) }, types)
     val conjuncts = conjuncts0 ++ derived
-    // partition-prune on the conjuncts that reference partition columns
-    // ALONE — a mixed predicate still prunes through its partition-only
-    // conjuncts (sound: every conjunct must hold independently), where
-    // handing the whole conjunction to the tuple probe would fail
-    // resolution on the first data column and prune nothing
-    val pred = conjuncts
-      .filter(c => c.references.nonEmpty && c.references.forall(partitionCols.contains))
-      .flatMap(MergeTable.translateFilter).reduceOption(_ && _)
-    var files = pred.fold(all)(p => partitionCandidates(spark, all, schemaOf(version), p))
-    val stats = statsDetail(version)
+    // At large file counts the per-file driver loop below becomes the
+    // bottleneck (O(files) stat-string parses + predicate evals PER READ).
+    // When a columnar checkpoint covers this version, the same pruning
+    // runs as a Catalyst filter over the checkpoint DataFrame instead —
+    // distributed, codegen'd, O(kept + tail churn) on the driver.
+    val viaCheckpoint: Option[Seq[String]] =
+      if (all.size >= MergeTable.checkpointThreshold(spark))
+        pruneFilesDistributed(spark, version, all, conjuncts, types)
+      else None
+    lastPruneVia = if (viaCheckpoint.isDefined) "checkpoint" else "driver"
+    var files = viaCheckpoint.getOrElse {
+      // partition-prune on the conjuncts that reference partition columns
+      // ALONE — a mixed predicate still prunes through its partition-only
+      // conjuncts (sound: every conjunct must hold independently), where
+      // handing the whole conjunction to the tuple probe would fail
+      // resolution on the first data column and prune nothing
+      val pred = conjuncts
+        .filter(c => c.references.nonEmpty && c.references.forall(partitionCols.contains))
+        .flatMap(MergeTable.translateFilter).reduceOption(_ && _)
+      pred.fold(all)(p => partitionCandidates(spark, all, schemaOf(version), p))
+    }
+    lazy val stats = statsDetail(version)
     lazy val nullsByFile = nullCounts(version)
     def entry(f: String, a: String): Option[(String, String, Char)] =
       stats.get(f).flatMap(_.get(a))
@@ -478,7 +498,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         nullsByFile.get((f, a)).forall(_ > 0L)
       case _ => true
     }
-    files = files.filter(f => conjuncts.forall(c => admit(f, c)))
+    // the checkpoint path already applied partition + stats pruning inside
+    // Catalyst — re-running the driver admit loop would only repeat work
+    if (viaCheckpoint.isEmpty)
+      files = files.filter(f => conjuncts.forall(c => admit(f, c)))
     val eqs = conjuncts.collect {
       case sources.EqualTo(a, v) if v != null       => (a, v)
       case sources.EqualNullSafe(a, v) if v != null => (a, v)
@@ -489,6 +512,288 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         catch { case scala.util.control.NonFatal(_) => () } // prune is optional
     }
     files
+  }
+
+  // ---- columnar checkpoint (Delta checkpoint.parquet + _last_checkpoint) ----
+
+  private[graft] def checkpointDir(version: Long): Path =
+    logDir.resolve(s"$version.checkpoint.parquet")
+  private def lastCheckpointPath: Path = logDir.resolve("_last_checkpoint")
+
+  /** Fixed checkpoint frame schema: internal columns are `_graft_`-prefixed
+    * so the table's PARTITION columns can ride under their own (typed)
+    * names — which is what lets [[MergeTable.translateFilter]]'s Columns
+    * resolve against the frame unchanged. Raw partition strings are kept
+    * beside the typed casts: a cast failure must KEEP the file (the text
+    * path's conservative fallback), and raw-non-null + typed-null is how
+    * the filter detects it.
+    */
+  private def checkpointSchema: StructType = {
+    import org.apache.spark.sql.types._
+    val statStruct = StructType(Seq(
+      StructField("mn", StringType), StructField("mx", StringType),
+      StructField("flag", StringType), StructField("nulls", LongType),
+      StructField("sum", StringType)))
+    StructType(Seq(
+      StructField("_graft_path", StringType, nullable = false),
+      StructField("_graft_rows", LongType),
+      StructField("_graft_pok", BooleanType, nullable = false),
+      StructField("_graft_stats", MapType(StringType, statStruct))) ++
+      partitionCols.map(c => StructField(s"_graft_raw_$c", StringType)))
+  }
+
+  /** Driver-side row build for a set of manifest files + their stat lines —
+    * shared by the checkpoint writer (full manifest, once per cadence) and
+    * the tail-delta frame (churn-sized, per pruned read).
+    */
+  private def checkpointRows(files: Seq[String], statsLines: Seq[String])
+      : Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val parsed = statsLines.map { line =>
+      val p = line.split("\t", -1)
+      (dec(p(0)), dec(p(1)), if (p.length > 2) dec(p(2)) else "",
+        if (p.length > 3) dec(p(3)) else "",
+        if (p.length > 4 && p(4).nonEmpty) p(4) else "?",
+        if (p.length > 5) p(5).toLongOption else None,
+        if (p.length > 6 && dec(p(6)).nonEmpty) Some(dec(p(6))) else None)
+    }.groupBy(_._1)
+    files.map { f =>
+      val lines = parsed.getOrElse(f, Nil)
+      val rowCount = lines.collectFirst {
+        case (_, c, mn, _, _, _, _) if c == MergeTable.CountStatKey => mn.toLongOption
+      }.flatten
+      val statMap: Map[String, org.apache.spark.sql.Row] = lines.collect {
+        case (_, c, mn, mx, fl, nl, sm) if c != MergeTable.CountStatKey =>
+          c -> org.apache.spark.sql.Row(mn, mx, fl, nl.map(Long.box).orNull, sm.orNull)
+      }.toMap
+      // keyed (not positional) partition-value parse: any anomaly — missing
+      // key, no '=' segment — flips pok off, and the pruning filter keeps
+      // the file unconditionally (mirrors partVals' return-None contract)
+      val segs = f.split('/')
+      val pairs = segs.slice(1, segs.length - 1).filter(_.contains('='))
+        .map(seg => seg.takeWhile(_ != '=') -> seg.substring(seg.indexOf('=') + 1)).toMap
+      var pok = true
+      val raws = partitionCols.map { c =>
+        pairs.get(c) match {
+          case None => pok = false; null
+          case Some(raw) if raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME => null
+          case Some(raw) => ExternalCatalogUtils.unescapePathName(raw)
+        }
+      }
+      org.apache.spark.sql.Row.fromSeq(
+        Seq(f, rowCount.map(Long.box).orNull, pok, statMap) ++ raws)
+    }
+  }
+
+  /** Typed view of a checkpoint frame: each partition column cast from its
+    * raw dir string under its schema type (try_cast — a failure reads as
+    * NULL beside a non-null raw, which the pruning filter treats as
+    * keep-the-file).
+    */
+  private def typedCheckpointFrame(df: DataFrame, schema: StructType): DataFrame =
+    df.select(
+      Seq(col("_graft_path"), col("_graft_rows"), col("_graft_pok"),
+        col("_graft_stats")) ++
+      partitionCols.flatMap(c => Seq(col(s"_graft_raw_$c"),
+        col(s"_graft_raw_$c").try_cast(schema(c).dataType).as(c))): _*)
+
+  /** Write the columnar checkpoint for a just-published full-manifest
+    * commit, then move the `_last_checkpoint` pointer (atomic rename, so a
+    * reader never sees a pointer to a half-written checkpoint). BEST
+    * EFFORT by design: the text log stays the source of truth, a crash
+    * before the pointer move simply leaves the previous checkpoint in
+    * force, and any failure here must never fail a durably committed
+    * write. Old checkpoints beyond [[MergeTable.CheckpointKeep]] are
+    * dropped (time-travel pruning of older versions falls back to the
+    * driver path).
+    */
+  private def writeCheckpoint(spark: SparkSession, version: Long,
+                              files: Seq[String], schema: StructType,
+                              statsLines: Seq[String]): Unit = try {
+    if (partitionCols.exists(_.startsWith("_graft_"))) return
+    val rows = checkpointRows(files, statsLines)
+    val raw = spark.createDataFrame(rows.asJava, checkpointSchema)
+    // ~1M manifest rows per output partition: the checkpoint read stays a
+    // handful of splits even at 100 TB file counts
+    val parts = math.max(1, (files.size / 1000000.0).ceil.toInt)
+    typedCheckpointFrame(raw, schema).repartition(parts)
+      .write.mode("overwrite").parquet(checkpointDir(version).toString)
+    val tmp = logDir.resolve(s"_last_checkpoint.tmp${System.nanoTime()}")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, lastCheckpointPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    val stale = Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".checkpoint.parquet"))
+      .flatMap(p => p.getFileName.toString.stripSuffix(".checkpoint.parquet")
+        .toLongOption.map(_ -> p))
+      .toSeq.sortBy(-_._1).drop(MergeTable.CheckpointKeep)
+    stale.foreach { case (_, p) => deleteRecursively(p) }
+  } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The newest usable checkpoint at or below `version`: the
+    * `_last_checkpoint` pointer when it qualifies, else a directory scan
+    * (the pointer is a cache exactly like `_LATEST`).
+    */
+  private def latestCheckpointAtOrBefore(version: Long): Option[Long] = {
+    def usable(v: Long): Boolean =
+      v <= version && Files.exists(checkpointDir(v).resolve("_SUCCESS"))
+    val pointed =
+      if (!Files.exists(lastCheckpointPath)) None
+      else Files.readString(lastCheckpointPath).trim.toLongOption.filter(usable)
+    pointed.orElse {
+      if (!Files.isDirectory(logDir)) None
+      else Files.list(logDir).iterator().asScala
+        .flatMap(p => p.getFileName.toString match {
+          case n if n.endsWith(".checkpoint.parquet") =>
+            n.stripSuffix(".checkpoint.parquet").toLongOption
+          case _ => None
+        })
+        .filter(usable).foldLeft(Option.empty[Long])((a, v) =>
+          Some(a.fold(v)(math.max(_, v))))
+    }
+  }
+
+  /** The RAW add/remove delta of one incremental commit: added files with
+    * their stat lines, and removed paths. None when the commit is a full
+    * manifest (no `base` line) or chains to an unexpected base — callers
+    * fall back to the driver path.
+    */
+  private def rawDelta(version: Long)
+      : Option[(Seq[(String, Seq[String])], Seq[String])] = {
+    val lines = Files.readString(commitPath(version)).split("\n").toSeq
+    val base = lines.collectFirst {
+      case l if l.startsWith("base\t") => l.stripPrefix("base\t").toLong
+    }
+    if (!base.contains(version - 1)) return None
+    val added = lines.collect {
+      case l if l.startsWith("add\t") => dec(l.stripPrefix("add\t"))
+    }
+    val removed = lines.collect {
+      case l if l.startsWith("remove\t") => dec(l.stripPrefix("remove\t"))
+    }
+    val statByFile = lines.collect {
+      case l if l.startsWith("stat\t") => l.stripPrefix("stat\t")
+    }.groupBy(l => dec(l.takeWhile(_ != '\t')))
+    Some((added.map(f => f -> statByFile.getOrElse(f, Nil)), removed))
+  }
+
+  /** Distributed data skipping: evaluate partition + min/max/null pruning
+    * as ONE Catalyst filter over (checkpoint frame − tail removes + tail
+    * adds) and collect only the kept paths. Driver cost is O(tail churn +
+    * kept), never O(total files); the filter itself is codegen'd and runs
+    * wherever the checkpoint's splits are scheduled. None whenever the
+    * checkpoint chain cannot be resolved incrementally — the caller then
+    * runs the (sound, slower) driver loop. Every decision here mirrors the
+    * driver path's conservatism: an undecidable case keeps the file.
+    */
+  private def pruneFilesDistributed(spark: SparkSession, version: Long,
+                                    all: Seq[String],
+                                    conjuncts: Seq[sources.Filter],
+                                    types: Map[String, org.apache.spark.sql.types.DataType])
+      : Option[Seq[String]] = try {
+    import org.apache.spark.sql.types.{DataType, StringType}
+    if (partitionCols.exists(_.startsWith("_graft_"))) return None
+    val cpV = latestCheckpointAtOrBefore(version) match {
+      case Some(v) => v
+      case None    => return None
+    }
+    // fold the tail's add/removes driver-side (bounded by checkpoint
+    // cadence × per-commit churn — the same lines readCommit resolves)
+    val addedMap = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    val removedSet = scala.collection.mutable.LinkedHashSet.empty[String]
+    var v = cpV + 1
+    while (v <= version) {
+      rawDelta(v) match {
+        case None => return None
+        case Some((adds, rems)) =>
+          rems.foreach { r => if (addedMap.remove(r).isEmpty) removedSet += r }
+          adds.foreach { case (f, st) => addedMap(f) = st; removedSet -= f }
+      }
+      v += 1
+    }
+    val schema = schemaOf(version)
+    val cp = spark.read.parquet(checkpointDir(cpV).toString)
+    val minusRemoved =
+      if (removedSet.isEmpty) cp
+      else {
+        val rem = spark.createDataset(removedSet.toSeq)(
+          org.apache.spark.sql.Encoders.STRING).toDF("_graft_removed")
+        cp.join(broadcast(rem), col("_graft_path") === col("_graft_removed"), "left_anti")
+      }
+    val full =
+      if (addedMap.isEmpty) minusRemoved
+      else minusRemoved.unionByName(typedCheckpointFrame(
+        spark.createDataFrame(
+          checkpointRows(addedMap.keys.toSeq,
+            addedMap.values.flatten.toSeq).asJava, checkpointSchema), schema))
+
+    // partition predicate: same translateFilter Columns as the tuple probe,
+    // resolved against the frame's typed partition columns. NULL (a truly
+    // null partition value) drops; a cast-failure or parse anomaly keeps.
+    val partPred = conjuncts
+      .filter(c => c.references.nonEmpty && c.references.forall(partitionCols.contains))
+      .flatMap(MergeTable.translateFilter).reduceOption(_ && _)
+    val castFailed = partitionCols.map(c =>
+      col(s"_graft_raw_$c").isNotNull && col(c).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val partKeep = partPred.fold(lit(true))(p =>
+      !col("_graft_pok") || castFailed || coalesce(p, lit(false)))
+
+    // stats exclusions: one column-expression per single-column conjunct,
+    // each the Catalyst transliteration of the driver admit() cases
+    def statExcluded(conj: sources.Filter): Option[Column] = {
+      val a = conj.references.headOption.getOrElse(return None)
+      if (conj.references.length != 1 || partitionCols.contains(a)) return None
+      val dt: DataType = types.getOrElse(a, return None)
+      val s = element_at(col("_graft_stats"), lit(a))
+      val flag = s.getField("flag")
+      val mnS = s.getField("mn"); val mxS = s.getField("mx")
+      def tc(c: Column): Column =
+        if (dt == StringType) c else c.try_cast(dt)
+      val mn = tc(mnS); val mx = tc(mxS)
+      val allNull = flag === "N"
+      val usable = (flag === "V") || (length(mnS) > 0 && length(mxS) > 0)
+      def exc(cond: Column): Column =
+        coalesce(allNull, lit(false)) || (coalesce(usable, lit(false)) &&
+          coalesce(cond, lit(false)))
+      conj match {
+        case sources.EqualTo(_, vv) if vv != null =>
+          Some(exc(mn > lit(vv) || mx < lit(vv)))
+        case sources.EqualNullSafe(_, vv) if vv != null =>
+          Some(exc(mn > lit(vv) || mx < lit(vv)))
+        case sources.In(_, vs) =>
+          val nn = vs.filter(_ != null)
+          if (nn.isEmpty) Some(lit(true)) // IN over only NULLs: never TRUE
+          else Some(coalesce(allNull, lit(false)) ||
+            (coalesce(usable, lit(false)) && !nn.map(vv =>
+              coalesce(mn <= lit(vv) && lit(vv) <= mx, lit(true)))
+              .reduce(_ || _)))
+        case sources.GreaterThan(_, vv) if vv != null =>
+          Some(exc(lit(vv) >= mx))
+        case sources.GreaterThanOrEqual(_, vv) if vv != null =>
+          Some(exc(lit(vv) > mx))
+        case sources.LessThan(_, vv) if vv != null =>
+          Some(exc(lit(vv) <= mn))
+        case sources.LessThanOrEqual(_, vv) if vv != null =>
+          Some(exc(lit(vv) < mn))
+        case sources.IsNotNull(_) => Some(coalesce(allNull, lit(false)))
+        case sources.IsNull(_) =>
+          Some(coalesce(s.getField("nulls") === 0L, lit(false)))
+        case _ => None
+      }
+    }
+    val statKeep = conjuncts.flatMap(statExcluded)
+      .reduceOption(_ || _).map(e => !coalesce(e, lit(false)))
+      .getOrElse(lit(true))
+
+    val keptSet = full.filter(partKeep && statKeep)
+      .select("_graft_path").collect().map(_.getString(0)).toSet
+    // preserve the manifest's file order (scan determinism): O(all) set
+    // lookups, no parsing
+    Some(all.filter(keptSet))
+  } catch { case scala.util.control.NonFatal(e) =>
+    if (sys.env.contains("GRAFT_DEBUG_CHECKPOINT")) e.printStackTrace()
+    None
   }
 
   /** Order two stat strings under the column's type — None = refuse to
@@ -4438,6 +4743,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val t2 = logDir.resolve(s"_LATEST.tmp${System.nanoTime()}")
     Files.write(t2, version.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(t2, latestPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // Columnar checkpoint (Delta's checkpoint.parquet): piggyback on the
+    // full-manifest cadence — the file/stat lists are already in hand, so
+    // the only added cost is one parquet write per CheckpointEvery commits,
+    // and only once the manifest is big enough for the distributed prune
+    // path to matter. Best-effort (the commit is already durable), and
+    // skipped entirely when no session is active (never the case on the
+    // engine's own write paths).
+    if ((manifest eq fullManifest) &&
+        files.size >= org.apache.spark.sql.SparkSession.getActiveSession
+          .map(MergeTable.checkpointThreshold).getOrElse(Int.MaxValue))
+      org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+        writeCheckpoint(s, version, files, schema, statsLines))
     // Delta's delta.compatibility.symlinkFormatManifest.enabled: keep the
     // external-engine manifests in lockstep with every commit. Skipped —
     // never failed — when the snapshot isn't externally readable (dvs /
@@ -4961,6 +5278,25 @@ object MergeTable {
     * checkpoint.parquet serves the same role at its default interval 10).
     */
   val CheckpointEvery: Long = 10L
+
+  /** How many columnar checkpoints to retain (newest first). Time-travel
+    * pruning of versions older than the oldest retained checkpoint falls
+    * back to the driver loop — correctness never depends on a checkpoint.
+    */
+  val CheckpointKeep: Int = 3
+
+  /** Session conf: minimum manifest size (file count) at which (a) a
+    * full-manifest commit also writes a columnar checkpoint and (b) a
+    * pruned read routes through the distributed checkpoint filter instead
+    * of the per-file driver loop. Below it, the driver loop is faster
+    * than a Spark job. Tests/gates lower it to exercise the scale path.
+    */
+  val CheckpointThresholdConf = "spark.graft.checkpointThreshold"
+  val CheckpointThresholdDefault = 1024
+
+  private[lake] def checkpointThreshold(spark: SparkSession): Int =
+    spark.conf.getOption(CheckpointThresholdConf)
+      .flatMap(_.toIntOption).getOrElse(CheckpointThresholdDefault)
 
   // ---- deletion vectors ----
 

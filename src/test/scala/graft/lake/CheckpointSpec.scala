@@ -1,0 +1,130 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
+import java.nio.file.Files
+
+/** Columnar checkpoint (Delta checkpoint.parquet + `_last_checkpoint`
+  * analog): full-manifest commits above `spark.graft.checkpointThreshold`
+  * files also write a parquet checkpoint, and pruned reads route through a
+  * distributed Catalyst filter over it instead of the per-file driver
+  * loop. The invariant under test: BOTH paths select the same files for
+  * the same filters (the checkpoint path may only ever be equally or less
+  * aggressive — never skip a file the driver path keeps AND would match).
+  */
+class CheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withThreshold[A](n: Int)(body: => A): A = {
+    val key = MergeTable.CheckpointThresholdConf
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  /** 3 partitions × several files with k/v stats; k disjoint per file. */
+  private def seeded(name: String): MergeTable = {
+    val df = spark.range(30).select(
+      col("id").as("k"),
+      concat(lit("v"), lpad(col("id").cast("string"), 2, "0")).as("v"),
+      (col("id") / 10).cast("int").cast("string").as("p"))
+    val t = new MergeTable(scratch(name), Seq("p"), statsCols = Seq("k", "v"))
+    t.overwrite(df.repartition(1))
+    t
+  }
+
+  test("full-manifest commit above threshold writes checkpoint + pointer") {
+    withThreshold(1) {
+      val t = seeded("cp_write")
+      assert(Files.exists(t.checkpointDir(0).resolve("_SUCCESS")),
+        "v0 is a full manifest — the checkpoint must exist")
+      // incremental commits do NOT checkpoint; the pointer stays at v0
+      t.append(Seq((100L, "vx", "9")).toDF("k", "v", "p"))
+      assert(!Files.exists(t.checkpointDir(1)))
+    }
+  }
+
+  test("distributed prune ≡ driver prune across filter shapes, adds and removes applied") {
+    withThreshold(1) {
+      val t = seeded("cp_prune")
+      // tail churn after the v0 checkpoint: an append (add) and a
+      // partition delete (removes) — both incremental commits
+      t.append(Seq((40L, "v40", "3"), (41L, (null: String), "3")).toDF("k", "v", "p")
+        .repartition(1))
+      t.delete(spark, col("p") === "0")
+      val v = t.currentVersion
+      val filterSets: Seq[Seq[sources.Filter]] = Seq(
+        Seq(sources.EqualTo("p", "1")),                       // partition eq
+        Seq(sources.EqualTo("k", 15L)),                       // stats point
+        Seq(sources.GreaterThan("k", 25L)),                   // stats range
+        Seq(sources.In("k", Array[Any](5L, 40L))),            // stats IN
+        Seq(sources.LessThanOrEqual("v", "v09")),             // string bounds
+        Seq(sources.IsNull("v")),                             // null-count skip
+        Seq(sources.IsNotNull("k")),
+        Seq(sources.EqualTo("p", "3"), sources.GreaterThan("k", 39L)), // mixed
+        Seq(sources.EqualTo("p", "0")))                       // removed partition
+      for (fs <- filterSets) {
+        val viaCp = t.pruneFilesFor(spark, v, fs)
+        assert(t.lastPruneVia === "checkpoint",
+          s"distributed path must engage for $fs")
+        val viaDriver = withThreshold(Int.MaxValue)(t.pruneFilesFor(spark, v, fs))
+        assert(t.lastPruneVia === "driver")
+        assert(viaCp === viaDriver, s"paths disagree for $fs")
+      }
+      // and the filtered READ answers identically through both paths
+      val q = t.readVersionWhere(spark, v, Seq(sources.EqualTo("p", "1")))
+        .select("k").as[Long].collect().sorted
+      assert(q === (10L to 19L).toArray)
+    }
+  }
+
+  test("no usable checkpoint or non-incremental tail: silent driver fallback") {
+    // threshold never met → no checkpoint written → driver path
+    val t = seeded("cp_fallback")
+    t.pruneFilesFor(spark, t.currentVersion, Seq(sources.EqualTo("p", "1")))
+    assert(t.lastPruneVia === "driver")
+    // checkpoint exists but the pointer is corrupt → directory scan finds it
+    withThreshold(1) {
+      val t2 = seeded("cp_badptr")
+      Files.writeString(
+        java.nio.file.Paths.get(t2.root, "_graft_log", "_last_checkpoint"), "garbage")
+      t2.pruneFilesFor(spark, t2.currentVersion, Seq(sources.EqualTo("p", "1")))
+      assert(t2.lastPruneVia === "checkpoint",
+        "a corrupt pointer must fall back to the directory scan, not to the driver loop")
+    }
+  }
+
+  test("time travel: pruning an old version via an old checkpoint stays exact") {
+    withThreshold(1) {
+      val t = seeded("cp_travel")
+      val v0 = t.currentVersion
+      t.append(Seq((50L, "v50", "4")).toDF("k", "v", "p"))
+      // pruning AT v0 uses the v0 checkpoint with an empty tail
+      val got = t.pruneFilesFor(spark, v0, Seq(sources.EqualTo("p", "4")))
+      assert(t.lastPruneVia === "checkpoint")
+      assert(got.isEmpty, "partition 4 does not exist at v0")
+      val now = t.pruneFilesFor(spark, t.currentVersion, Seq(sources.EqualTo("p", "4")))
+      assert(now.nonEmpty)
+    }
+  }
+
+  test("checkpoint retention keeps the newest CheckpointKeep") {
+    withThreshold(1) {
+      val df = Seq((1L, "a", "0")).toDF("k", "v", "p")
+      val t = new MergeTable(scratch("cp_retain"), Seq("p"), statsCols = Seq("k"))
+      t.overwrite(df)
+      // force many checkpoint-cadence commits (every 10th is full)
+      (1 to 41).foreach(i => t.append(Seq((i.toLong + 1, "b", "0")).toDF("k", "v", "p")))
+      val cps = Files.list(java.nio.file.Paths.get(t.root, "_graft_log"))
+        .iterator()
+      val names = new scala.collection.mutable.ArrayBuffer[String]
+      while (cps.hasNext) { val p = cps.next(); names += p.getFileName.toString }
+      val kept = names.filter(_.endsWith(".checkpoint.parquet"))
+        .map(_.stripSuffix(".checkpoint.parquet").toLong).sorted
+      assert(kept.size <= MergeTable.CheckpointKeep)
+      assert(kept.contains(40L), s"newest checkpoint must survive (kept: $kept)")
+    }
+  }
+}
