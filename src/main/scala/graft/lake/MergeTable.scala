@@ -108,6 +108,12 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   @volatile private[graft] var lastPruneVia: String = ""
 
+  /** How the LAST merge on this handle published — `"commit"` (won the
+    * race first try) or `"rebase"` (lost it, re-committed its output with
+    * zero recomputation via [[rebaseMerge]]). Observability only.
+    */
+  @volatile private[graft] var lastMergeCommitVia: String = ""
+
   /** One commit = ONE log file (`<version>.commit`: schema + file list +
     * per-file stats), published atomically by hard-link put-if-absent — the
     * commit either fully exists or doesn't, there is no window where a
@@ -1152,6 +1158,12 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       // trailing ".0" and decimal scales) and escaped/null-mapped by
       // Spark's own partition-path rules, so the probe resolves exactly
       // the directories Spark actually wrote.
+      // scopeDirs doubles as the merge's READ-SET record for conflict
+      // resolution: a race-winning commit whose adds are disjoint from
+      // these directories provably could not change what this merge read,
+      // so the already-written output re-commits against the tip with zero
+      // recomputation (see [[rebaseMerge]]).
+      var scopeDirs: Option[Set[String]] = None
       val probeRel: Seq[String] =
         if (keysDeterminePartitions && partitionCols.nonEmpty) {
           import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -1163,6 +1175,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
               val seg = ExternalCatalogUtils.getPartitionValueString(r.getString(i))
               s"${partitionCols(i)}=$seg"
             }.mkString("/")).toSet
+          scopeDirs = Some(dirs)
           oldFiles.filter(f => dirs.exists(d => f.contains(s"/$d/")))
         } else oldFiles
 
@@ -1295,13 +1308,103 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
       val commitSchema = StructType(
         newData.schema.fields.filterNot(_.name == MergeTable.RowIdCol))
-      commit(newVersion, keptRel ++ newFiles, commitSchema,
-        carryStats(v, keptRel) ++ collectStats(spark, newFiles, commitSchema, cmap),
+      val newStats = collectStats(spark, newFiles, commitSchema, cmap)
+      lastMergeCommitVia = "commit"
+      try commit(newVersion, keptRel ++ newFiles, commitSchema,
+        carryStats(v, keptRel) ++ newStats,
         cdfDir, txn = txn,
         propsOverride = propsWith(
           rowHwm.toSeq.map(h => MergeTable.RowIdHwmProp -> h.toString)),
         op = "MERGE")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          rebaseMerge(v, scopeDirs, touchedRel, newFiles, newStats,
+            commitSchema, cmap, cdfDefined = cdfDir.isDefined,
+            usedIds = rowHwm.isDefined, txn = txn, first = e)
+      }
     } finally src.unpersist()
+  }
+
+  /** Delta's WriteSerializable conflict resolution for a PARTITION-SCOPED
+    * merge that lost the commit race: when the winner's changes are
+    * provably disjoint from everything this merge READ, the already-written
+    * output files re-commit against the winner's tip — zero recomputation,
+    * the same resolution [[rebaseAppend]] gives blind appends. The read
+    * set is the scope-directory set a `keysDeterminePartitions` merge
+    * probed (an unscoped merge read the whole table, so any winner add
+    * conflicts and the original exception rethrows for mergeWithRetry's
+    * full re-derivation). Compatible iff:
+    *
+    *  - the winner added NO file inside the loser's scope directories (a
+    *    new in-scope file could hold rows matching the loser's keys that
+    *    its probe never saw);
+    *  - every file the loser REWROTE is still live at the tip (a winner
+    *    rewriting/deleting one means both writers changed the same rows —
+    *    the lost-update case that MUST re-derive);
+    *  - no deletion-vector binding changed on those rewritten files (a dv
+    *    is a row-level rewrite in disguise);
+    *  - schema, column mapping, and CHECK constraints are unchanged (the
+    *    written bytes/validation would be stale otherwise);
+    *  - the merge assigned no row-tracking ids (the winner may have
+    *    consumed the same high-water range) and recorded no change feed
+    *    (its rows are stamped with the lost version number);
+    *  - the txn marker was not applied meanwhile (then the whole merge is
+    *    a replayed batch: drop it — the written dir is vacuum's orphan).
+    *
+    * The rebased manifest is tip − rewritten + new: winner deletes of
+    * UNTOUCHED in-scope files are honored automatically (those files held
+    * no matching key, so the loser's output never depended on them).
+    */
+  private def rebaseMerge(baseV: Long, scopeDirs: Option[Set[String]],
+                          touchedRel: Seq[String], newFiles: Seq[String],
+                          newStats: Seq[String], commitSchema: StructType,
+                          cmapUsed: Map[String, String], cdfDefined: Boolean,
+                          usedIds: Boolean, txn: Option[(String, Long)],
+                          first: java.util.ConcurrentModificationException,
+                          maxAttempts: Int = 10): Unit = {
+    val dirs = scopeDirs.getOrElse(throw first)
+    if (cdfDefined || usedIds || rowTrackingEnabled) throw first
+    val base = readCommit(baseV)
+    val baseSet = base.files.toSet
+    val touchedSet = touchedRel.toSet
+    val baseDvs = dvsOf(baseV).view.filterKeys(touchedSet).toMap
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val tip = currentVersion
+      val cTip = readCommit(tip)
+      txn.foreach { case (app, ver) =>
+        if (cTip.txns.get(app).exists(_ >= ver)) return // replayed batch
+      }
+      // schema compatibility is by SHAPE (names + types): merge commits
+      // union-derived schemas whose nullability flags drift from the
+      // declared ones, and a nullability-only difference invalidates
+      // nothing about the written files
+      def shape(s: StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
+        s.fields.map(f => (f.name, f.dataType)).toSeq
+      if (shape(cTip.schema) != shape(base.schema) || colmapOf(tip) != cmapUsed ||
+          cTip.constraints.toSet != base.constraints.toSet)
+        throw first
+      val tipSet = cTip.files.toSet
+      if (!touchedRel.forall(tipSet.contains)) throw first
+      def inScope(f: String): Boolean = dirs.exists(d => f.contains(s"/$d/"))
+      if (cTip.files.exists(f => !baseSet.contains(f) && inScope(f)))
+        throw first
+      if (dvsOf(tip).view.filterKeys(touchedSet).toMap != baseDvs)
+        throw first
+      try {
+        commit(tip + 1, cTip.files.filterNot(touchedSet) ++ newFiles,
+          commitSchema,
+          cTip.statsLines.filterNot(l =>
+            touchedSet.contains(dec(l.takeWhile(_ != '\t')))) ++ newStats,
+          txn = txn, op = "MERGE")
+        lastMergeCommitVia = "rebase"
+        return
+      } catch {
+        case _: java.util.ConcurrentModificationException
+          if attempt < maxAttempts => // another race — reclassify and retry
+      }
+    }
   }
 
   /** [[merge]] with optimistic-concurrency retry (Delta's conflict-retry

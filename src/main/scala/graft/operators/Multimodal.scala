@@ -160,4 +160,94 @@ object Multimodal {
       .withColumn("new_width", expr(s"CAST((width * $target) DIV min_side AS INT)"))
       .withColumn("new_height", expr(s"CAST((height * $target) DIV min_side AS INT)"))
       .select("doc_id", "width", "height", "new_width", "new_height")
+
+  // ---- REAL audio codec (javax.sound.sampled — JDK-only, like ImageIO) ----
+
+  /** One row per (audio document, channel): container-level metadata plus
+    * EXACT integer sample aggregates (sum of squares and peak absolute
+    * value — integer so a SQL oracle can hash-match them; RMS is
+    * `sqrt(sum_sq / frames)`, derivable downstream without float drift).
+    */
+  final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                             frames: Long, ch: Int, sum_sq: Long, peak_abs: Long)
+
+  /** Deterministic synthetic 16-bit PCM WAV for an id, ENCODED by the
+    * JDK's own `AudioSystem` writer (RIFF/fmt/data chunks), so the decode
+    * side exercises a real codec round trip. Rate, channel count, frame
+    * count, and every sample value are pure arithmetic over the id:
+    * sample(frame i, channel c) = ((id + 7i + 13c) mod 2001) − 1000.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rate = 8000 + (id % 3).toInt * 4000
+    val channels = 1 + (id % 2).toInt
+    val frames = (id % 500).toInt + 100
+    val data = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < channels) {
+        val v = (((id + i.toLong * 7 + c.toLong * 13) % 2001) - 1000).toShort
+        val off = (i * channels + c) * 2
+        data(off) = (v & 0xff).toByte          // little-endian PCM
+        data(off + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels,
+      true /* signed */, false /* little-endian */)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV decode: `AudioSystem` parses the container (format, rate,
+    * channel count, frame length), then one pass over the PCM bytes
+    * accumulates the per-channel aggregates. Unreadable or non-16-bit-PCM
+    * payloads yield a single `sample_rate = -1` marker row instead of
+    * throwing — corrupt media must not kill a 100 TB scan.
+    */
+  def decodeWav(r: MediaRow): Seq[AudioMeta] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return Seq(AudioMeta(r.doc_id, -1, 0, 0L, 0, 0L, 0L))
+      val channels = fmt.getChannels
+      val rate = fmt.getSampleRate.toInt
+      val frames = ais.getFrameLength
+      val bytes = ais.readAllBytes()
+      val sumSq = new Array[Long](channels)
+      val peak = new Array[Long](channels)
+      var i = 0
+      val n = bytes.length / 2
+      while (i < n) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1)
+        val v = (((hi << 8) | lo).toShort).toLong
+        val c = i % channels
+        sumSq(c) += v * v
+        val a = math.abs(v)
+        if (a > peak(c)) peak(c) = a
+        i += 1
+      }
+      (0 until channels).map(c =>
+        AudioMeta(r.doc_id, rate, channels, frames, c, sumSq(c), peak(c)))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        Seq(AudioMeta(r.doc_id, -1, 0, 0L, 0, 0L, 0L))
+    }
+
+  /** Batch audio decode — the same `mapPartitions` shape as the image
+    * path; one row out per (document, channel).
+    */
+  def decodeWavs(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(decodeWav))
+  }
 }

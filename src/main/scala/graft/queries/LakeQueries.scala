@@ -2478,5 +2478,55 @@ object LakeQueries {
              |  AND o_orderkey BETWEEN (SELECT max(o_orderkey) // 4 FROM orders)
              |                     AND (SELECT max(o_orderkey) // 2 FROM orders)""".stripMargin),
       "columnar checkpoint: distributed Catalyst file pruning over checkpoint.parquet"),
+
+    // Partition-disjoint OCC (Delta WriteSerializable conflict resolution):
+    // two merges scoped to DIFFERENT partitions race one commit slot; the
+    // loser's read set (its keysDeterminePartitions scope dirs) is disjoint
+    // from the winner's adds, so its already-written output RE-COMMITS
+    // against the tip — zero recomputation. The gate asserts zero thrown
+    // conflicts, both merges landing as their own commits, and exactly one
+    // data dir per writer on disk (an orphan dir would mean the loser
+    // re-derived); the hash proves the combined result.
+    "m73_occ_merge" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m73_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+        val pool = Executors.newFixedThreadPool(2)
+        val go = new CountDownLatch(1)
+        val failures = new java.util.concurrent.atomic.AtomicInteger
+        Seq(("F", 1000.0), ("O", 2000.0)).foreach { case (st, bump) =>
+          pool.execute { () =>
+            go.await()
+            try table.merge(s,
+              orders.filter(col("o_orderstatus") === st &&
+                col("o_orderkey") % 3 === 0)
+                .withColumn("o_totalprice", col("o_totalprice") + bump),
+              Seq("o_orderkey"), keysDeterminePartitions = true)
+            catch { case _: Throwable => failures.incrementAndGet() }
+          }
+        }
+        go.countDown()
+        pool.shutdown()
+        require(pool.awaitTermination(300, TimeUnit.SECONDS), "merge race timed out")
+        require(failures.get == 0,
+          "a partition-disjoint merge losing the race must rebase, not throw")
+        require(table.currentVersion == 2L, "both merges must land as commits")
+        val dataDirs = Files.list(Paths.get(root)).iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("d")).toSeq
+        require(dataDirs.size == 3,
+          s"zero re-derivation: one data dir per writer, got $dataDirs")
+        table.read(s).select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").as("price"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  CASE WHEN o_orderstatus = 'F' AND o_orderkey % 3 = 0 THEN o_totalprice + 1000
+             |       WHEN o_orderstatus = 'O' AND o_orderkey % 3 = 0 THEN o_totalprice + 2000
+             |       ELSE o_totalprice END AS price
+             |FROM orders""".stripMargin),
+      "WriteSerializable OCC: partition-disjoint merges rebase a lost race with zero recomputation"),
   )
 }

@@ -115,5 +115,43 @@ object MultimodalQueries {
              |               FROM generate_series(0, 15) AS i(i)), 6) AS gray_sum
              |FROM documents d WHERE d.doc_id % 7 = 0""".stripMargin),
       "real ImageIO codec round trip: encode, batch-decode, pixel-grid features"),
+
+    // REAL audio codec beside the image one: synthesize 16-bit PCM WAVs
+    // with the JDK's own AudioSystem ENCODER (RIFF container), batch-decode
+    // them with its DECODER, and aggregate the samples per channel with
+    // exact integer arithmetic. Every decoded property — rate, channels,
+    // frames, duration, per-channel sum-of-squares and peak — is pure
+    // arithmetic over doc_id, so the DuckDB oracle predicts the whole
+    // encode→decode→aggregate pipeline without touching audio bytes.
+    "mm7_audio_decode" -> GraftQuery(
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids.mapPartitions(_.map(id =>
+          Multimodal.MediaRow(id, Multimodal.syntheticWav(id))))
+        Multimodal.decodeWavs(media).toDF()
+          .withColumn("duration_ms",
+            expr("frames * 1000 DIV sample_rate"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id AS id,
+             |         8000 + (doc_id % 3) * 4000 AS rate,
+             |         1 + (doc_id % 2) AS nch,
+             |         (doc_id % 500) + 100 AS frames
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |s AS (
+             |  SELECT p.id, p.rate, p.nch, p.frames, c.ch,
+             |         ((p.id + g.i * 7 + c.ch * 13) % 2001) - 1000 AS v
+             |  FROM p
+             |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, p.nch - 1)) AS ch) c
+             |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, p.frames - 1)) AS i) g)
+             |SELECT id AS doc_id, CAST(rate AS INT) AS sample_rate,
+             |       CAST(nch AS INT) AS channels, CAST(frames AS BIGINT) AS frames,
+             |       CAST(ch AS INT) AS ch, CAST(sum(v * v) AS BIGINT) AS sum_sq,
+             |       CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+             |       CAST(frames * 1000 // rate AS BIGINT) AS duration_ms
+             |FROM s GROUP BY id, rate, nch, frames, ch""".stripMargin),
+      "real WAV codec round trip: AudioSystem encode, batch-decode, exact per-channel aggregates"),
   )
 }

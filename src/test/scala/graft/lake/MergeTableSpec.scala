@@ -631,6 +631,97 @@ class MergeTableSpec extends SparkSpec {
     (0L to 4L).foreach(v => assert(t.readVersion(spark, v).count() === v + 1))
   }
 
+  test("partition-disjoint merges auto-rebase on a lost race: zero recomputation") {
+    val t = new MergeTable(scratch("mt_mergerebase"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3"))))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    // two merges, each scoped to ITS OWN partition (keysDeterminePartitions):
+    // read sets are disjoint, so the race loser must re-commit its written
+    // files against the winner's tip — never recompute, never throw
+    Seq(("p1", 1, "A1", 11), ("p2", 2, "B2", 12)).foreach { case (p, k, v, nk) =>
+      pool.execute { () =>
+        go.await()
+        try t.merge(spark, df(Seq((k, v, p), (nk, s"n$v", p))), Seq("k"),
+          keysDeterminePartitions = true)
+        catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    }
+    go.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.get === 0,
+      "a partition-disjoint merge losing the race must rebase, not throw")
+    assert(t.currentVersion === 2L)
+    assert(asSet(t.read(spark)) === Set((1, "A1", "p1"), (11, "nA1", "p1"),
+      (2, "B2", "p2"), (12, "nB2", "p2"), (3, "c", "p3")))
+    // ZERO recomputation: each writer wrote exactly one data dir (plus v0's)
+    val dataDirs = java.nio.file.Files.list(java.nio.file.Paths.get(t.root))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("d")).toSeq
+    assert(dataDirs.size === 3,
+      s"an orphan data dir means the loser re-derived instead of rebasing: $dataDirs")
+    // intermediate versions stay readable (the rebase references, never
+    // clobbers, the winner's files)
+    (0L to 2L).foreach(v => assert(t.readVersion(spark, v).count() >= 3))
+  }
+
+  test("overlapping-scope merge race re-derives (no unsound rebase), result exact") {
+    val t = new MergeTable(scratch("mt_mergeconflict"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p1"))))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    // both merges write INTO p1: the loser's read set includes the winner's
+    // adds, so rebase must refuse and mergeWithRetry re-derives instead
+    Seq((1, "A"), (2, "B")).foreach { case (k, v) =>
+      pool.execute { () =>
+        go.await()
+        try t.mergeWithRetry(spark, df(Seq((k, v, "p1"))), Seq("k"),
+          maxAttempts = 5, keysDeterminePartitions = true)
+        catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    }
+    go.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.get === 0)
+    assert(asSet(t.read(spark)) === Set((1, "A", "p1"), (2, "B", "p1")),
+      "both same-partition merges must apply exactly (serialized re-derivation)")
+  }
+
+  test("merge rebase honors txn replay: racing duplicate batches land once") {
+    val t = new MergeTable(scratch("mt_mergetxn"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"))))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(3)
+    val go = new CountDownLatch(1)
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    (1 to 3).foreach { _ =>
+      pool.execute { () =>
+        go.await()
+        try {
+          if (!t.lastTxnVersion("mtxn").exists(_ >= 1L))
+            t.merge(spark, df(Seq((7, "dup", "p7"))), Seq("k"),
+              keysDeterminePartitions = true, txn = Some("mtxn" -> 1L))
+        } catch {
+          case _: java.util.ConcurrentModificationException => ()
+          case _: Throwable => failures.incrementAndGet()
+        }
+      }
+    }
+    go.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.get === 0)
+    assert(t.read(spark).filter(col("k") === 7).count() === 1L,
+      "the raced duplicate merge batch must land exactly once")
+    assert(t.lastTxnVersion("mtxn").contains(1L))
+  }
+
   test("append rebase honors txn replay: a raced duplicate batch lands once") {
     val t = new MergeTable(scratch("mt_apptxn"), Seq("p"))
     t.overwrite(df(Seq((0, "z", "p0"))))
