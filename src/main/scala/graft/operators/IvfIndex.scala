@@ -92,16 +92,23 @@ object IvfIndex {
       }
       iter += 1
     }
-    // distributed assignment: L2 argmin against the centroid literal, ties
-    // → lowest cell id (array_position returns the FIRST minimum)
+    (assign(emb, centers), centers)
+  }
+
+  /** Distributed cell assignment against a FIXED centroid matrix: L2
+    * argmin with the centroids inlined as constant-folded literals, ties →
+    * lowest cell id (array_position returns the FIRST minimum). Map-only;
+    * shared by [[fit]] and the persisted index's no-refit batch encode
+    * ([[PersistedAnnIndex.append]]) so assignment semantics cannot fork.
+    */
+  def assign(emb: DataFrame, centers: Array[Array[Double]]): DataFrame = {
     val lit = centers.map(_.mkString("array(", ",", ")"))
       .mkString("CAST(array(", ",", ") AS ARRAY<ARRAY<DOUBLE>>)")
     val dists = s"transform($lit, c -> aggregate(" +
       "zip_with(embedding, c, (x, cc) -> (CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)), " +
       "0D, (acc, v) -> acc + v))"
-    val assigned = emb.withColumn("cell",
+    emb.withColumn("cell",
       expr(s"CAST(array_position($dists, array_min($dists)) - 1 AS INT)"))
-    (assigned, centers)
   }
 
   /** Exact-cosine top-k over the `nProbe` nearest cells to `queryId`'s

@@ -684,5 +684,34 @@ object SimilarityQueries {
              |WHERE cosine >= 0.2
              |ORDER BY cosine DESC, vec_id""".stripMargin),
       "radius similarity search: thresholded map-only scan, no top-k heap"),
+
+    // PERSISTED IVF-PQ index (FAISS-on-disk shape, the d13 discipline for
+    // vectors): centroids + codebooks + cell-partitioned codes live as
+    // MergeTables. Build trains ONCE on the first batch; the second batch
+    // appends by encoding against the PERSISTED models (zero refit); the
+    // search re-opens the index from disk with a FRESH handle — no
+    // in-memory state — and its cell probe partition-prunes the codes
+    // table's files. Engine-specific state (k-means fits) → rows-only
+    // check like v5/v10/v12; SketchSpec pins the recall invariants.
+    "v16_persisted_ann" -> GraftQuery(
+      (s, dir) => {
+        val root = s"${Registry.scratchRoot}/v16_${Registry.sanitize(dir)}"
+        Registry.cleanDir(root)
+        val e = emb(s, dir)
+        val h = graft.operators.PersistedAnnIndex.build(
+          s, e.filter(col("vec_id") % 2 === 0), root)
+        graft.operators.PersistedAnnIndex.append(
+          s, h, e.filter(col("vec_id") % 2 =!= 0))
+        val total = e.count()
+        val indexed = h.codesTable.read(s).count()
+        require(indexed == total,
+          s"append must bring the index to full coverage ($indexed of $total)")
+        // fresh handle = re-open from disk, no refit, no carried state
+        graft.operators.PersistedAnnIndex.search(
+          s, graft.operators.PersistedAnnIndex.Handle(root), e,
+          queryId = 0, k = 10)
+      },
+      None,
+      "persisted IVF-PQ ANN index: train once, O(batch) append, partition-pruned probes"),
   )
 }

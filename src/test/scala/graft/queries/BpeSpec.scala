@@ -65,4 +65,36 @@ class BpeSpec extends SparkSpec {
           "i -> concat(element_at(toks, i), '·', element_at(toks, i + 1))) END")).as("pr"))
     assert(df.count() === 0L)
   }
+
+  test("persisted BPE model: train once, idempotent retrain, reproducible apply") {
+    import graft.operators.BpeModel
+    val census = Seq(("banana", 3L), ("bandana", 2L), ("cabana", 1L))
+      .toDF("word", "n")
+    val root = scratch("bpe_model")
+    val merges = BpeModel.train(census, rounds = 3)
+    assert(merges.map(_.iter) === Seq(1, 2, 3))
+    val t = BpeModel.persist(spark, root, merges)
+    val v0 = t.currentVersion
+    // retraining the SAME census yields the same rules — persisting them
+    // must be a NO-OP commit (the model's history records real changes only)
+    BpeModel.persist(spark, root, BpeModel.train(census, rounds = 3))
+    assert(t.currentVersion === v0, "identical rules must not commit a new version")
+    // a DIFFERENT census commits a new model version
+    BpeModel.persist(spark, root,
+      BpeModel.train(Seq(("zzxx", 10L)).toDF("word", "n"), rounds = 3))
+    assert(t.currentVersion === v0 + 1)
+    // load-from-disk reproduces the application exactly (old version's
+    // rules via the versioned table = the old tokenizer)
+    val reloaded = BpeModel.load(spark, root)
+    assert(reloaded.size === 3)
+    val applied = BpeModel.applyMerges(
+      census.withColumn("st", expr("concat('·', regexp_replace(word, '(.)', '$1·'))")),
+      "st", merges.map(_.pair))
+      .select("word", "st").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // 'an' is overwhelmingly the first merge on this census; later rounds
+    // fuse further — after 3 merges 'banana' is down to 2 symbols
+    assert(merges.head.pair === "a·n")
+    assert(applied("banana").stripPrefix("·").stripSuffix("·")
+      .split('·').length === 2, s"got ${applied("banana")}")
+  }
 }

@@ -276,4 +276,45 @@ class SketchSpec extends SparkSpec {
     val r = spark.sql("SELECT float_dot(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))").collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("v16 persisted ANN: train once, append without refit, reopen-from-disk search") {
+    import graft.operators.PersistedAnnIndex
+    GraftFunctions.register(spark)
+    val e = Registry.t(spark, dir, "embeddings")
+    val root = scratch("v16_idx")
+    // build on the EVEN half (includes the query 0 and its twin... twin is
+    // vec 1, odd — so the append genuinely matters for recall)
+    val h = PersistedAnnIndex.build(spark, e.filter(col("vec_id") % 2 === 0),
+      root, nClusters = 2)
+    val cbV0 = h.codebookTable.currentVersion
+    val ctV0 = h.centroidsTable.currentVersion
+    PersistedAnnIndex.append(spark, h, e.filter(col("vec_id") % 2 =!= 0))
+    // no refit: append must not touch the model tables
+    assert(h.codebookTable.currentVersion === cbV0)
+    assert(h.centroidsTable.currentVersion === ctV0)
+    assert(h.codesTable.read(spark).count() === e.count())
+    // reopen from disk: a FRESH handle, full probe + corpus-covering
+    // rerank must EQUAL the exact ranking (candidates only reorder, the
+    // re-rank is exact)
+    val got = PersistedAnnIndex.search(spark, PersistedAnnIndex.Handle(root),
+      e, queryId = 0, k = 5, nProbe = 2, rerank = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val ex = e.withColumn("norm", expr("sqrt(float_dot(embedding, embedding))"))
+    val q = ex.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val expected = ex.filter(col("vec_id") =!= 0).crossJoin(q)
+      .withColumn("cosine",
+        round(expr("float_dot(embedding, q_emb)") / (col("norm") * col("q_norm")), 6))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expected,
+      "full probe + full rerank over the persisted index must equal the exact ranking")
+    // the identical twin (vec 1, appended batch) must surface at rank 1
+    // with cosine exactly 1.0 even under a pruned single-cell probe
+    val pruned = PersistedAnnIndex.search(spark, PersistedAnnIndex.Handle(root),
+      e, queryId = 0, k = 3, nProbe = 1, rerank = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(pruned.head === ((1L, 1.0)),
+      "the appended identical twin must co-cluster with the query and re-rank at 1.0")
+  }
 }
