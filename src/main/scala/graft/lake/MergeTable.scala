@@ -3976,8 +3976,23 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         (Seq(parts(0), enc(newName)) ++ parts.drop(2)).mkString("\t")
       else l
     }
+    // the PINNED stats columns follow the rename too — otherwise every
+    // later write silently stops collecting for the renamed column and
+    // data skipping decays (the same staleness class as unpinned
+    // rowTracking). The CONSTRUCTOR's statsCols list cannot be rewritten;
+    // statsColsEffective prefers it, so handles constructed with the old
+    // name keep a stale list until reopened — the pinned property covers
+    // every bare-path reopen.
+    val props = readMeta(v).props.toMap
+    val restatProps = props.get(MergeTable.StatsColsProp).flatMap { enc0 =>
+      val renamed = enc0.split(",").toSeq.map(dec).filter(_.nonEmpty)
+        .map(n => if (n == oldName) newName else n)
+      propsWith(Seq(MergeTable.StatsColsProp ->
+        renamed.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")))
+    }
     commit(v + 1, c.files, newSchema, restat,
-      colmapOverride = Some(newMap.toSeq.sortBy(_._1)), op = "RENAME COLUMN")
+      colmapOverride = Some(newMap.toSeq.sortBy(_._1)),
+      propsOverride = restatProps, op = "RENAME COLUMN")
   }
 
   /** `ALTER TABLE DROP COLUMN` analog (Delta column-mapping drop): a
@@ -4460,10 +4475,103 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                               schema: StructType,
                               colmap: Map[String, String],
                               wantCols: Seq[String]): Seq[String] = {
-    import org.apache.spark.sql.types.StringType
-    val cols = wantCols.filter(c => schema.fieldNames.contains(c) &&
+    val colsAll = wantCols.filter(c => schema.fieldNames.contains(c) &&
       MergeTable.statsSupported(schema(c).dataType))
-    if (cols.isEmpty || relFiles.isEmpty) return Nil
+    if (colsAll.isEmpty || relFiles.isEmpty) return Nil
+    footerStatLines(spark, relFiles, schema, colmap, colsAll)
+      .getOrElse(scanStatsFor(spark, relFiles, schema, colmap, colsAll))
+  }
+
+  /** Row counts, min/max bounds, and null counts from the parquet FOOTERS
+    * of just-written files — METADATA reads, zero data scan, so a 100 TB
+    * load is scanned exactly once (by its own write). Distributed above
+    * [[MergeTable.FooterDriverMax]] files, a driver loop below. Integral
+    * SUMS (the agg-pushdown extension — Delta's stats stop at
+    * numRecords/min/max/nullCount) are not in footers; they ride ONE
+    * column-pruned scan over only the integral stats columns, and tables
+    * without integral stats columns pay no post-write scan at all.
+    *
+    * None ⇒ some wanted column's type cannot be recovered from footer
+    * primitives exactly (decimal scales, timestamp_ntz, INT96 legacy
+    * timestamps) — the caller falls back to the aggregation scan. A FILE
+    * whose footer lacks usable statistics for a column (parquet omits
+    * oversized binary bounds, NaN-poisoned float ranges in some writer
+    * versions) just omits that line — readers treat missing stats as
+    * unknown and keep the file, the same degradation the scan path has
+    * for unparsable bounds.
+    */
+  private def footerStatLines(spark: SparkSession, relFiles: Seq[String],
+                              schema: StructType,
+                              colmap: Map[String, String],
+                              cols: Seq[String]): Option[Seq[String]] = {
+    import org.apache.spark.sql.types._
+    val footerOk = cols.forall(c => schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | DateType | TimestampType => true
+      case _ => false // decimal / timestamp_ntz: exact recovery is writer-dependent
+    })
+    if (!footerOk) return None
+    val colSpecs: Seq[(String, String, DataType)] =
+      cols.map(c => (c, colmap.getOrElse(c, c), schema(c).dataType))
+    val rootStr = root
+    val partial: Seq[(String, Option[Seq[MergeTable.FooterStat]])] =
+      if (relFiles.size <= MergeTable.FooterDriverMax)
+        relFiles.map(rel => rel -> MergeTable.footerStatsOf(rootStr, rel, colSpecs))
+      else {
+        val specs = colSpecs // avoid capturing `this`
+        val slices = math.min(relFiles.size, 64)
+        spark.sparkContext.parallelize(relFiles, slices)
+          .map(rel => rel -> MergeTable.footerStatsOf(rootStr, rel, specs))
+          .collect().toSeq
+      }
+    if (partial.exists(_._2.isEmpty)) return None // unreadable footer: rescan
+    val intCols = cols.filter(c => schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }).toSet
+    // the one remaining data pass: exact integral sums, pruned to exactly
+    // the integral columns (+ the file name) — nothing else is read
+    val sums: Map[(String, String), String] =
+      if (intCols.isEmpty) Map.empty
+      else {
+        val aggs = intCols.toSeq.sorted.map(c =>
+          sum(col(c).cast("decimal(38,0)")).as(s"sm_$c"))
+        readFiles(spark, relFiles, schema, colmap)
+          .select(intCols.toSeq.sorted.map(col): _*)
+          .withColumn("_graft_file", input_file_name())
+          .groupBy("_graft_file")
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().toSeq.flatMap { r =>
+            val rel = relativize(normalize(r.getString(0)))
+            intCols.toSeq.sorted.flatMap(c =>
+              Option(r.getAs[java.math.BigDecimal](s"sm_$c"))
+                .map(v => (rel, c) -> v.toBigInteger.toString))
+          }.toMap
+      }
+    Some(partial.flatMap { case (rel, stats) =>
+      stats.get.map { st =>
+        if (st.col == MergeTable.CountStatKey)
+          s"${enc(rel)}\t${enc(st.col)}\t${st.mn}\t${st.mx}\tV"
+        else {
+          val sm =
+            if (!intCols.contains(st.col) || st.flag == "N") ""
+            else sums.getOrElse((rel, st.col), "")
+          st.nulls match {
+            case Some(n) =>
+              s"${enc(rel)}\t${enc(st.col)}\t${enc(st.mn)}\t${enc(st.mx)}\t${st.flag}\t$n\t${enc(sm)}"
+            case None => // unknown null count: legacy 5-field line
+              s"${enc(rel)}\t${enc(st.col)}\t${enc(st.mn)}\t${enc(st.mx)}\t${st.flag}"
+          }
+        }
+      }
+    })
+  }
+
+  private def scanStatsFor(spark: SparkSession, relFiles: Seq[String],
+                           schema: StructType,
+                           colmap: Map[String, String],
+                           cols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.types.StringType
     val strCols = cols.filter(c => schema(c).dataType == StringType).toSet
     // the per-file ROW COUNT rides the same per-file aggregation pass for
     // free (Delta's stats.numRecords) — it is what lets count(*) be
@@ -5139,6 +5247,128 @@ object MergeTable {
     * their stringified form — anything else (binary, arrays, structs)
     * would record JVM `toString` garbage that can never prune soundly.
     */
+  /** Above this file count, footer stats collection fans out over the
+    * cluster (`parallelize(files).map(readFooter)`) instead of a driver
+    * loop — 10^6 footers are still metadata, but not DRIVER metadata.
+    */
+  val FooterDriverMax = 64
+
+  /** One stat line's worth of footer-derived data: `col` is the LOGICAL
+    * column (or [[CountStatKey]] with the row count riding mn/mx), bounds
+    * already stringified in the scan path's exact external formats.
+    */
+  private[lake] final case class FooterStat(col: String, mn: String, mx: String,
+                                            flag: String, nulls: Option[Long])
+
+  /** Read ONE file's parquet footer and derive its stat entries. Runs on
+    * the driver or inside `parallelize` (static — captures nothing).
+    * None = footer unreadable (caller rescans); a column with unusable
+    * statistics simply yields no entry (readers keep the file).
+    */
+  private[lake] def footerStatsOf(root: String, rel: String,
+      cols: Seq[(String, String, org.apache.spark.sql.types.DataType)])
+      : Option[Seq[FooterStat]] = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    try {
+      val p = new org.apache.hadoop.fs.Path(new java.io.File(root, rel).toURI)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, new org.apache.hadoop.conf.Configuration())
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rowCount = blocks.map(_.getRowCount).sum
+        val countStat = FooterStat(CountStatKey, rowCount.toString,
+          rowCount.toString, "V", None)
+        val colStats = cols.flatMap { case (logical, physical, dt) =>
+          val chunks = blocks.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == physical))
+          if (chunks.exists(_.isEmpty)) None // column absent in this file: no entry
+          else {
+            val metas = chunks.map(_.get)
+            // INT96 legacy timestamps carry no usable statistics
+            if (metas.exists(_.getPrimitiveType.getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96)) None
+            else {
+              val stats = metas.map(_.getStatistics)
+              if (stats.exists(s => s == null ||
+                  (!s.isNumNullsSet && !s.hasNonNullValue)) || rowCount == 0L) None
+              else {
+                val nulls =
+                  if (stats.forall(_.isNumNullsSet)) Some(stats.map(_.getNumNulls).sum)
+                  else None
+                val hasValues = stats.exists(_.hasNonNullValue)
+                if (!hasValues) {
+                  // no recorded values: provably all-NULL only when the
+                  // null count covers every row
+                  if (nulls.contains(rowCount))
+                    Some(FooterStat(logical, "", "", "N", nulls))
+                  else None
+                } else {
+                  // a block with values but dropped bounds (oversized
+                  // binary, NaN-poisoned floats) makes the merged range
+                  // unknowable — no entry
+                  if (stats.exists(s => s.hasNonNullValue &&
+                      (s.genericGetMin == null || s.genericGetMax == null))) None
+                  else {
+                    val withVals = stats.filter(_.hasNonNullValue)
+                    def ext(v: Any): Option[String] = try {
+                      dt match {
+                        case ByteType | ShortType | IntegerType =>
+                          Some(v.asInstanceOf[Number].intValue.toString)
+                        case LongType => Some(v.asInstanceOf[Number].longValue.toString)
+                        case FloatType | DoubleType => Some(v.toString)
+                        case StringType => Some(v.asInstanceOf[
+                          org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                        case DateType => Some(
+                          org.apache.spark.sql.catalyst.util.DateTimeUtils
+                            .toJavaDate(v.asInstanceOf[Number].intValue).toString)
+                        case TimestampType => Some(
+                          org.apache.spark.sql.catalyst.util.DateTimeUtils
+                            .toJavaTimestamp(v.asInstanceOf[Number].longValue).toString)
+                        case _ => None
+                      }
+                    } catch { case scala.util.control.NonFatal(_) => None }
+                    def pick(vals: Seq[Any], takeMin: Boolean): Any = dt match {
+                      case StringType =>
+                        val bs = vals.map(_.asInstanceOf[org.apache.parquet.io.api.Binary])
+                        val ord = Ordering.fromLessThan[
+                          org.apache.parquet.io.api.Binary]((a, b) =>
+                          org.apache.spark.unsafe.types.UTF8String.fromBytes(a.getBytes)
+                            .compareTo(org.apache.spark.unsafe.types.UTF8String
+                              .fromBytes(b.getBytes)) < 0)
+                        if (takeMin) bs.min(ord) else bs.max(ord)
+                      case FloatType =>
+                        val ds = vals.map(_.asInstanceOf[java.lang.Float].floatValue)
+                        if (takeMin) ds.min else ds.max
+                      case DoubleType =>
+                        val ds = vals.map(_.asInstanceOf[java.lang.Double].doubleValue)
+                        if (takeMin) ds.min else ds.max
+                      case DateType | ByteType | ShortType | IntegerType =>
+                        val is = vals.map(_.asInstanceOf[Number].intValue)
+                        if (takeMin) is.min else is.max
+                      case _ =>
+                        val ls = vals.map(_.asInstanceOf[Number].longValue)
+                        if (takeMin) ls.min else ls.max
+                    }
+                    for {
+                      mn <- ext(pick(withVals.map(_.genericGetMin), takeMin = true))
+                      mx <- ext(pick(withVals.map(_.genericGetMax), takeMin = false))
+                    } yield FooterStat(logical,
+                      if (dt == StringType) truncStatMin(mn) else mn,
+                      if (dt == StringType) truncStatMax(mx) else mx,
+                      "V", nulls)
+                  }
+                }
+              }
+            }
+          }
+        }
+        Some(countStat +: colStats)
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private[lake] def statsSupported(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {

@@ -45,4 +45,11 @@ object GraftSqlShims {
       : Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
+
+  /** Drain the listener bus (`private[spark]`) — lets tests that count
+    * query executions via a QueryExecutionListener observe every event
+    * before asserting.
+    */
+  def waitForListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(30000)
 }
