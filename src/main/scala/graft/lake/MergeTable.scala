@@ -692,12 +692,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * runs the (sound, slower) driver loop. Every decision here mirrors the
     * driver path's conservatism: an undecidable case keeps the file.
     */
-  private def pruneFilesDistributed(spark: SparkSession, version: Long,
-                                    all: Seq[String],
-                                    conjuncts: Seq[sources.Filter],
-                                    types: Map[String, org.apache.spark.sql.types.DataType])
-      : Option[Seq[String]] = try {
-    import org.apache.spark.sql.types.{DataType, StringType}
+  /** The checkpoint frame RESOLVED to `version`: (checkpoint − tail
+    * removes + tail adds), with typed partition columns. Driver cost is
+    * O(tail churn) — the add/remove fold over at most CheckpointEvery
+    * incremental commits. None when no checkpoint covers the version or
+    * the tail has a non-incremental commit — callers fall back to the
+    * driver statsLines machinery.
+    */
+  private def resolvedCheckpointFrame(spark: SparkSession,
+                                      version: Long): Option[DataFrame] = try {
     if (partitionCols.exists(_.startsWith("_graft_"))) return None
     val cpV = latestCheckpointAtOrBefore(version) match {
       case Some(v) => v
@@ -726,12 +729,27 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           org.apache.spark.sql.Encoders.STRING).toDF("_graft_removed")
         cp.join(broadcast(rem), col("_graft_path") === col("_graft_removed"), "left_anti")
       }
-    val full =
+    Some(
       if (addedMap.isEmpty) minusRemoved
       else minusRemoved.unionByName(typedCheckpointFrame(
         spark.createDataFrame(
           checkpointRows(addedMap.keys.toSeq,
-            addedMap.values.flatten.toSeq).asJava, checkpointSchema), schema))
+            addedMap.values.flatten.toSeq).asJava, checkpointSchema), schema)))
+  } catch { case scala.util.control.NonFatal(e) =>
+    if (sys.env.contains("GRAFT_DEBUG_CHECKPOINT")) e.printStackTrace()
+    None
+  }
+
+  private def pruneFilesDistributed(spark: SparkSession, version: Long,
+                                    all: Seq[String],
+                                    conjuncts: Seq[sources.Filter],
+                                    types: Map[String, org.apache.spark.sql.types.DataType])
+      : Option[Seq[String]] = try {
+    import org.apache.spark.sql.types.{DataType, StringType}
+    val full = resolvedCheckpointFrame(spark, version) match {
+      case Some(f) => f
+      case None    => return None
+    }
 
     // partition predicate: same translateFilter Columns as the tuple probe,
     // resolved against the frame's typed partition columns. NULL (a truly
@@ -797,6 +815,163 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // preserve the manifest's file order (scan determinism): O(all) set
     // lookups, no parsing
     Some(all.filter(keptSet))
+  } catch { case scala.util.control.NonFatal(e) =>
+    if (sys.env.contains("GRAFT_DEBUG_CHECKPOINT")) e.printStackTrace()
+    None
+  }
+
+  /** [[aggregateFromStats]]'s DISTRIBUTED twin: answer the same pushed
+    * metadata aggregates from the checkpoint frame with Spark
+    * aggregations — two metadata-sized jobs (a feasibility census, the
+    * grouped aggregate) instead of an O(files) driver parse loop. At 10^6
+    * files a pushed `count(*)` must not cost the driver a full manifest
+    * decode per query any more than a pruned read may.
+    *
+    * None = cannot answer HERE (no checkpoint, deletion vectors, partition
+    * anomalies, coverage gaps, shapes like data-string min/max, sum
+    * overflow) — the caller falls through to the driver statsLines path,
+    * which either answers or correctly rejects the pushdown. Every
+    * feasibility rule transliterates the driver path's, so this path can
+    * only ever refuse more, never answer differently.
+    */
+  private[graft] def aggregateFromCheckpointDF(spark: SparkSession, version: Long,
+      groupBy: Seq[String], aggs: Seq[(String, String)],
+      filters: Seq[sources.Filter]): Option[Seq[Seq[Any]]] = try {
+    import org.apache.spark.sql.types._
+    val schema = schemaOf(version)
+    if (aggs.isEmpty || !groupBy.forall(partitionCols.contains)) return None
+    // masked rows: the driver path subtracts dv counts for count(*) —
+    // rare metadata here, just fall through to it
+    if (readCommit(version).dvs.nonEmpty) return None
+    def isIntegral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def minMaxOk(c: String): Boolean =
+      schema.fieldNames.contains(c) && (schema(c).dataType match {
+        case StringType => partitionCols.contains(c) // truncated data bounds are not values
+        case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+        case BooleanType => partitionCols.contains(c)
+        case _ => false
+      })
+    val ok = aggs.forall {
+      case ("count", null) => true
+      case ("count", c)    => schema.fieldNames.contains(c)
+      case ("min", c)      => minMaxOk(c)
+      case ("max", c)      => minMaxOk(c)
+      case ("sum", c)      => schema.fieldNames.contains(c) && isIntegral(schema(c).dataType)
+      case _               => false
+    }
+    if (!ok) return None
+    val frame = resolvedCheckpointFrame(spark, version) match {
+      case Some(f) => f
+      case None    => return None
+    }
+    // EXACT partition filters: the whole predicate evaluates over the
+    // typed tuple columns; any translation failure refuses
+    val pred: Option[Column] =
+      if (filters.isEmpty) None
+      else {
+        if (!filters.forall(f => f.references.nonEmpty &&
+            f.references.forall(partitionCols.contains))) return None
+        val ts = filters.map(MergeTable.translateFilter)
+        if (ts.exists(_.isEmpty)) return None
+        Some(ts.flatten.reduce(_ && _))
+      }
+    val scoped = pred.fold(frame)(p => frame.filter(coalesce(p, lit(false))))
+    def s(c: String): Column = element_at(col("_graft_stats"), lit(c))
+    def tcStat(c: String, which: String): Column = {
+      val raw = s(c).getField(which)
+      if (schema(c).dataType == StringType) raw else raw.try_cast(schema(c).dataType)
+    }
+    // ---- feasibility census (ONE metadata-sized job) ----
+    // partition-value exactness matters whenever partition values are
+    // consumed (filters, group-by, partition-col aggs): ANY anomaly row —
+    // unparsed dir, failed cast — in the WHOLE frame refuses (the probe
+    // path's return-None contract). Everything else is per-scope coverage.
+    val needsPartExact = filters.nonEmpty || groupBy.nonEmpty ||
+      aggs.exists(a => a._2 != null && partitionCols.contains(a._2))
+    val anomaly: Column = partitionCols.map(c =>
+      !col("_graft_pok") || (col(s"_graft_raw_$c").isNotNull && col(c).isNull))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def cnt(cond: Column): Column = sum(when(cond, lit(1L)).otherwise(lit(0L)))
+    val checks = scala.collection.mutable.ArrayBuffer.empty[Column]
+    checks += cnt(col("_graft_rows").isNull) // row-count coverage (countable)
+    aggs.foreach {
+      case ("count", c) if c != null && !partitionCols.contains(c) =>
+        checks += cnt(s(c).isNull || s(c).getField("nulls").isNull)
+      case (op, c) if (op == "min" || op == "max") && !partitionCols.contains(c) =>
+        checks += cnt(s(c).isNull || s(c).getField("flag") === "?" ||
+          (s(c).getField("flag") === "V" &&
+            (tcStat(c, "mn").isNull || tcStat(c, "mx").isNull)))
+      case ("sum", c) =>
+        checks += cnt(s(c).isNull ||
+          (s(c).getField("flag") =!= "N" && s(c).getField("sum").isNull))
+      case _ => ()
+    }
+    // scope coverage checks evaluate over the SCOPED rows; the anomaly
+    // check over the WHOLE frame (an unparsable partition row outside the
+    // filter's apparent scope still breaks the filter's exactness)
+    val feasScoped = scoped.agg(checks.head, checks.tail.toSeq: _*).head()
+    if ((0 until checks.size).exists(i =>
+        Option(feasScoped.get(i)).exists(_.asInstanceOf[Long] > 0L))) return None
+    if (needsPartExact) {
+      val bad = frame.agg(cnt(anomaly)).head()
+      if (Option(bad.get(0)).exists(_.asInstanceOf[Long] > 0L)) return None
+    }
+    // ---- the aggregate itself (ONE job) ----
+    val aggCols: Seq[Column] = aggs.zipWithIndex.map {
+      case (("count", null), i) => sum(col("_graft_rows")).as(s"_a$i")
+      case (("count", c), i) if partitionCols.contains(c) =>
+        sum(when(col(c).isNull, lit(0L)).otherwise(col("_graft_rows"))).as(s"_a$i")
+      case (("count", c), i) =>
+        sum(col("_graft_rows") - s(c).getField("nulls")).as(s"_a$i")
+      case (("min", c), i) if partitionCols.contains(c) =>
+        min(when(col("_graft_rows") > 0, col(c))).as(s"_a$i")
+      case (("max", c), i) if partitionCols.contains(c) =>
+        max(when(col("_graft_rows") > 0, col(c))).as(s"_a$i")
+      case (("min", c), i) =>
+        min(when(s(c).getField("flag") === "N", lit(null)).otherwise(tcStat(c, "mn"))).as(s"_a$i")
+      case (("max", c), i) =>
+        max(when(s(c).getField("flag") === "N", lit(null)).otherwise(tcStat(c, "mx"))).as(s"_a$i")
+      case (("sum", c), i) =>
+        sum(s(c).getField("sum").try_cast("decimal(38,0)")).as(s"_a$i")
+      case ((op, c), _) =>
+        throw new IllegalStateException(s"unreachable agg shape ($op, $c)")
+    }
+    val grouped =
+      if (groupBy.isEmpty) scoped.agg(aggCols.head, aggCols.tail: _*)
+      else scoped.groupBy(groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val collected = grouped.collect().toSeq
+    def convert(i: Int, v: Any): Option[Any] = aggs(i) match {
+      case ("count", _) => Some(java.lang.Long.valueOf(
+        Option(v).map(_.asInstanceOf[Long]).getOrElse(0L)))
+      case ("sum", _) => Option(v) match {
+        case None => Some(null)
+        case Some(d: java.math.BigDecimal) =>
+          val bi = BigInt(d.toBigInteger)
+          if (bi.isValidLong) Some(java.lang.Long.valueOf(bi.toLong))
+          else None // Long overflow: the real scan must answer (or raise)
+        case Some(_) => None
+      }
+      case _ => Some(v)
+    }
+    val rows0: Seq[Seq[Any]] =
+      if (collected.isEmpty && groupBy.isEmpty)
+        // a GLOBAL aggregate over zero in-scope rows still emits ITS row
+        Seq(aggs.map {
+          case ("count", _) => java.lang.Long.valueOf(0L)
+          case _            => null
+        })
+      else collected.map { r =>
+        val gv = groupBy.indices.map(r.get)
+        val av = aggs.indices.map(i => convert(i, r.get(groupBy.size + i)) match {
+          case Some(x) => x
+          case None    => return None
+        })
+        gv ++ av
+      }
+    Some(rows0.sortBy(_.take(groupBy.size).mkString("\u0000")))
   } catch { case scala.util.control.NonFatal(e) =>
     if (sys.env.contains("GRAFT_DEBUG_CHECKPOINT")) e.printStackTrace()
     None
@@ -5627,7 +5802,7 @@ object MergeTable {
   val CheckpointThresholdConf = "spark.graft.checkpointThreshold"
   val CheckpointThresholdDefault = 1024
 
-  private[lake] def checkpointThreshold(spark: SparkSession): Int =
+  private[graft] def checkpointThreshold(spark: SparkSession): Int =
     spark.conf.getOption(CheckpointThresholdConf)
       .flatMap(_.toIntOption).getOrElse(CheckpointThresholdDefault)
 

@@ -366,16 +366,6 @@ final class GraftTable(root: String, declaredParts: Seq[String],
     val t = MergeTable.open(root)
     val v = pinnedVersion(t)
     val schema = t.schemaOf(v)
-    // consumed partition-only filters restrict the file set EXACTLY —
-    // None (untranslatable/non-partition, shouldn't happen for consumed
-    // filters) rejects the pushdown rather than risking a wrong answer
-    val restrict: Option[Set[String]] =
-      if (partitionFilters.isEmpty) None
-      else t.exactPartitionFiles(
-        org.apache.spark.sql.SparkSession.active, v, partitionFilters) match {
-        case None       => return None
-        case some       => some
-      }
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -410,7 +400,28 @@ final class GraftTable(root: String, declaredParts: Seq[String],
       case _ => return None
     }
 
-    t.aggregateFromStats(v, groupBy, aggs, restrict).map { rows =>
+    val spark = org.apache.spark.sql.SparkSession.active
+    // at large file counts, answer from the checkpoint frame with Spark
+    // aggregations (two metadata-sized jobs) instead of the O(files)
+    // driver statsLines parse; below the threshold — or whenever the
+    // checkpoint path refuses — the driver path decides
+    val viaCheckpoint: Option[Seq[Seq[Any]]] =
+      if (t.filesOf(v).size >= MergeTable.checkpointThreshold(spark))
+        t.aggregateFromCheckpointDF(spark, v, groupBy, aggs, partitionFilters)
+      else None
+    val answered: Option[Seq[Seq[Any]]] = viaCheckpoint.orElse {
+      // consumed partition-only filters restrict the file set EXACTLY —
+      // None (untranslatable/non-partition, shouldn't happen for consumed
+      // filters) rejects the pushdown rather than risking a wrong answer
+      val restrict: Option[Set[String]] =
+        if (partitionFilters.isEmpty) None
+        else t.exactPartitionFiles(spark, v, partitionFilters) match {
+          case None => return None
+          case some => some
+        }
+      t.aggregateFromStats(v, groupBy, aggs, restrict)
+    }
+    answered.map { rows =>
       val fields =
         groupBy.map(c => StructField(c, schema(c).dataType, nullable = true)) ++
           aggs.map {

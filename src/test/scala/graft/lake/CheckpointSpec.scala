@@ -110,6 +110,41 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint-backed metadata aggregates ≡ driver statsLines path") {
+    withThreshold(1) {
+      val t = seeded("cp_agg")
+      t.append(Seq((40L, (null: String), "3"), (41L, "v41", "3")).toDF("k", "v", "p")
+        .repartition(1))
+      t.delete(spark, col("p") === "0")
+      val v = t.currentVersion
+      val shapes: Seq[(Seq[String], Seq[(String, String)], Seq[sources.Filter])] = Seq(
+        (Nil, Seq(("count", null)), Nil),                            // count(*)
+        (Nil, Seq(("count", "v")), Nil),                             // null-aware count
+        (Nil, Seq(("count", "p")), Nil),                             // partition count
+        (Nil, Seq(("min", "k"), ("max", "k")), Nil),                 // data bounds
+        (Nil, Seq(("min", "p"), ("max", "p")), Nil),                 // partition bounds
+        (Nil, Seq(("sum", "k")), Nil),                               // exact sum
+        (Seq("p"), Seq(("count", null), ("sum", "k")), Nil),         // grouped
+        (Nil, Seq(("count", null)), Seq(sources.EqualTo("p", "1"))), // filtered
+        (Seq("p"), Seq(("min", "k")), Seq(sources.In("p", Array[Any]("1", "3")))),
+        (Nil, Seq(("count", null), ("min", "k")),
+          Seq(sources.EqualTo("p", "0"))))                           // empty scope
+      for ((g, a, f) <- shapes) {
+        val viaCp = t.aggregateFromCheckpointDF(spark, v, g, a, f)
+        assert(viaCp.isDefined, s"checkpoint aggregate must engage for ($g, $a, $f)")
+        val restrict =
+          if (f.isEmpty) None else t.exactPartitionFiles(spark, v, f)
+        val viaDriver = t.aggregateFromStats(v, g, a, restrict)
+        assert(viaDriver.isDefined)
+        assert(viaCp.get.map(_.toList) === viaDriver.get.map(_.toList),
+          s"paths disagree for ($g, $a, $f)")
+      }
+      // shapes the checkpoint path must REFUSE (fall through, not answer):
+      // string DATA-column bounds (truncated bounds are not values)
+      assert(t.aggregateFromCheckpointDF(spark, v, Nil, Seq(("min", "v")), Nil).isEmpty)
+    }
+  }
+
   test("checkpoint retention keeps the newest CheckpointKeep") {
     withThreshold(1) {
       val df = Seq((1L, "a", "0")).toDF("k", "v", "p")
