@@ -615,14 +615,38 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   private def writeCheckpoint(spark: SparkSession, version: Long,
                               files: Seq[String], schema: StructType,
-                              statsLines: Seq[String]): Unit = try {
+                              statsLines: Seq[String],
+                              delta: Option[(Seq[String], Seq[String])] = None): Unit = try {
     if (partitionCols.exists(_.startsWith("_graft_"))) return
-    val rows = checkpointRows(files, statsLines)
-    val raw = spark.createDataFrame(rows.asJava, checkpointSchema)
+    // INCREMENTAL build when a previous checkpoint chain resolves to
+    // version-1: (previous frame − removed + added) — O(commit churn)
+    // driver work, where the full row build is O(total files). The caller
+    // only offers the delta when retained files' stats are unchanged.
+    // Falls back to the full build whenever the chain doesn't resolve.
+    val frame: DataFrame = delta.flatMap { case (added, removed) =>
+      resolvedCheckpointFrame(spark, version - 1).map { prevFrame =>
+        val statByFile = statsLines.groupBy(l => dec(l.takeWhile(_ != '\t')))
+        val minus =
+          if (removed.isEmpty) prevFrame
+          else {
+            val rem = spark.createDataset(removed)(
+              org.apache.spark.sql.Encoders.STRING).toDF("_graft_removed")
+            prevFrame.join(broadcast(rem),
+              col("_graft_path") === col("_graft_removed"), "left_anti")
+          }
+        if (added.isEmpty) minus
+        else minus.unionByName(typedCheckpointFrame(
+          spark.createDataFrame(checkpointRows(added,
+            added.flatMap(f => statByFile.getOrElse(f, Nil))).asJava,
+            checkpointSchema), schema))
+      }
+    }.getOrElse(typedCheckpointFrame(
+      spark.createDataFrame(checkpointRows(files, statsLines).asJava,
+        checkpointSchema), schema))
     // ~1M manifest rows per output partition: the checkpoint read stays a
     // handful of splits even at 100 TB file counts
     val parts = math.max(1, (files.size / 1000000.0).ceil.toInt)
-    typedCheckpointFrame(raw, schema).repartition(parts)
+    frame.repartition(parts)
       .write.mode("overwrite").parquet(checkpointDir(version).toString)
     val tmp = logDir.resolve(s"_last_checkpoint.tmp${System.nanoTime()}")
     Files.writeString(tmp, version.toString)
@@ -4653,7 +4677,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val colsAll = wantCols.filter(c => schema.fieldNames.contains(c) &&
       MergeTable.statsSupported(schema(c).dataType))
     if (colsAll.isEmpty || relFiles.isEmpty) return Nil
-    footerStatLines(spark, relFiles, schema, colmap, colsAll)
+    // Crossover, measured: below ~hundreds of MB the ONE aggregation scan
+    // (a single Spark job that also computes the sums) beats per-file
+    // footer opens + a separate sum job on fixed overhead alone; above it,
+    // re-reading the data loses to metadata reads by orders of magnitude.
+    // A 100 TB load always takes the footer path; a 2 MB gate table never
+    // pays its fixed costs.
+    val bytes = relFiles.iterator.map { f =>
+      try Files.size(Paths.get(root, f)) catch { case _: java.io.IOException => 0L }
+    }.sum
+    if (bytes < MergeTable.footerStatsMinBytes(spark))
+      scanStatsFor(spark, relFiles, schema, colmap, colsAll)
+    else footerStatLines(spark, relFiles, schema, colmap, colsAll)
       .getOrElse(scanStatsFor(spark, relFiles, schema, colmap, colsAll))
   }
 
@@ -5043,18 +5078,25 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // bounded by constraints/txns/columns, never by file count), so
     // readMeta stays a single-file read on every commit.
     val fullManifest = files.map(f => s"file\t${enc(f)}") ++ statsLines.map(l => s"stat\t$l")
-    val manifest = prev match {
-      case Some(p) if version % MergeTable.CheckpointEvery != 0 =>
-        val prevSet = p.files.toSet
-        val added = files.filterNot(prevSet)
-        val removed = p.files.filterNot(fileSet)
-        def byFile(ls: Seq[String]): Map[String, Seq[String]] =
-          ls.groupBy(_.takeWhile(_ != '\t'))
+    // the commit's own file delta vs its predecessor — drives both the
+    // incremental MANIFEST encoding and the incremental CHECKPOINT build
+    val deltaInfo: Option[(Seq[String], Seq[String], Boolean)] = prev.map { p =>
+      val prevSet = p.files.toSet
+      val added = files.filterNot(prevSet)
+      val removed = p.files.filterNot(fileSet)
+      def byFile(ls: Seq[String]): Map[String, Seq[String]] =
+        ls.groupBy(_.takeWhile(_ != '\t'))
+      val addedEnc = added.map(enc).toSet
+      val removedEnc = removed.map(enc).toSet
+      val retainedUnchanged =
+        (byFile(statsLines) -- addedEnc) == (byFile(p.statsLines) -- removedEnc)
+      (added, removed, retainedUnchanged)
+    }
+    val manifest = deltaInfo match {
+      case Some((added, removed, retainedUnchanged))
+          if version % MergeTable.CheckpointEvery != 0 =>
         val addedEnc = added.map(enc).toSet
-        val removedEnc = removed.map(enc).toSet
         val addedStatLines = statsLines.filter(l => addedEnc.contains(l.takeWhile(_ != '\t')))
-        val retainedUnchanged =
-          (byFile(statsLines) -- addedEnc) == (byFile(p.statsLines) -- removedEnc)
         val incremental = Seq(s"base\t${version - 1}") ++
           added.map(f => s"add\t${enc(f)}") ++
           removed.map(f => s"remove\t${enc(f)}") ++
@@ -5140,7 +5182,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         files.size >= org.apache.spark.sql.SparkSession.getActiveSession
           .map(MergeTable.checkpointThreshold).getOrElse(Int.MaxValue))
       org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
-        writeCheckpoint(s, version, files, schema, statsLines))
+        writeCheckpoint(s, version, files, schema, statsLines,
+          // the incremental build is valid only when retained files' stats
+          // are unchanged (a restat can't be expressed as add/remove)
+          deltaInfo.collect { case (a, r, true) => (a, r) }))
     // Delta's delta.compatibility.symlinkFormatManifest.enabled: keep the
     // external-engine manifests in lockstep with every commit. Skipped —
     // never failed — when the snapshot isn't externally readable (dvs /
@@ -5805,6 +5850,18 @@ object MergeTable {
   private[graft] def checkpointThreshold(spark: SparkSession): Int =
     spark.conf.getOption(CheckpointThresholdConf)
       .flatMap(_.toIntOption).getOrElse(CheckpointThresholdDefault)
+
+  /** Session conf: minimum total written bytes at which the write-path
+    * stat collection switches from the single aggregation scan to parquet
+    * footer reads (+ a column-pruned sum scan). See [[collectStatsFor]]'s
+    * crossover note.
+    */
+  val FooterStatsMinBytesConf = "spark.graft.footerStatsMinBytes"
+  val FooterStatsMinBytesDefault: Long = 256L * 1024 * 1024
+
+  private[graft] def footerStatsMinBytes(spark: SparkSession): Long =
+    spark.conf.getOption(FooterStatsMinBytesConf)
+      .flatMap(_.toLongOption).getOrElse(FooterStatsMinBytesDefault)
 
   // ---- deletion vectors ----
 

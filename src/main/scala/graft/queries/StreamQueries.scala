@@ -89,6 +89,9 @@ object StreamQueries {
       Seq(MergeTable.MatchedDelete(Some("s.n <= 0")),
           MergeTable.MatchedUpdate(),
           MergeTable.NotMatchedInsert(Some("s.n > 0"))),
+      // newVals is a groupBy-on-the-key output: provably key-unique, so
+      // the defensive uniqueness probe would only burn a job per batch
+      checkUniqueSource = false,
       txn = Some(appId -> batchId),
       keysDeterminePartitions = gold.partitionCols == Seq(groupCol))
   }

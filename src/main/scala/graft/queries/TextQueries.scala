@@ -1307,6 +1307,50 @@ object TextQueries {
       },
       Some(bpeApplyOracle),
       "BPE tokenizer application: vocab-sized merge application, per-source token counts"),
+
+    // Benchmark DECONTAMINATION (GPT-3/Llama-recipe shape: drop training
+    // docs that share an n-gram with an eval set): the BENCHMARK side's
+    // distinct n-grams are the small relation and BROADCAST to the corpus
+    // scan — at 100 TB the corpus side stays one map+join pass with no
+    // corpus-sized shuffle, and the gram window (4 here, 8–13 in
+    // production) is a parameter, not a structural choice. The doc_id%10
+    // split plants a deterministic "benchmark"; overlap counts are exact
+    // integers, hash-matched against DuckDB's replay.
+    "t35_decontaminate" -> GraftQuery(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val grams = docs.select(col("doc_id"),
+            expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("w"))
+          .filter(size(col("w")) >= 4)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(1, size(w) - 3), i -> concat_ws(' ', " +
+              "element_at(w, i), element_at(w, i + 1), " +
+              "element_at(w, i + 2), element_at(w, i + 3)))"))).as("g"))
+        val bench = grams.filter(col("doc_id") % 10 === 0).select("g").distinct()
+        val out = grams.filter(col("doc_id") % 10 =!= 0)
+          .join(broadcast(bench), "g")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("g")).as("n_hits"))
+          .orderBy("doc_id")
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+          s"the benchmark gram set must broadcast — no corpus-sized shuffle:\n$plan")
+        out
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+             |                             x -> x <> '') AS w
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 3),
+             |           i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS gs
+             |  FROM toks WHERE len(w) >= 4),
+             |g AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+             |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0)
+             |SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_hits
+             |FROM g JOIN bench USING (g) WHERE g.doc_id % 10 <> 0
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
+      "benchmark decontamination: broadcast n-gram overlap against an eval set, exact hit counts"),
   )
 
   /** Where the persisted BPE model for an sf dir lives (scratch-scoped;

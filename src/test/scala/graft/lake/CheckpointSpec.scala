@@ -145,6 +145,40 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("cadence checkpoints build incrementally from the previous; contents exact") {
+    withThreshold(1) {
+      val t = new MergeTable(scratch("cp_incr"), Seq("p"), statsCols = Seq("k"))
+      t.overwrite(spark.range(10).select(col("id").as("k"),
+        lit("0").as("p"))) // v0: full checkpoint build
+      // v1..v10: incremental commits; v10's checkpoint derives from v0's
+      // frame + the fold of deltas (O(churn), not O(files))
+      (1 to 10).foreach(i =>
+        t.append(Seq((i * 100L, (i % 3).toString)).toDF("k", "p")))
+      t.delete(spark, col("p") === "2") // v11: incremental tail past the checkpoint
+      assert(Files.exists(t.checkpointDir(10).resolve("_SUCCESS")),
+        "the cadence version must have checkpointed")
+      // the incrementally-built checkpoint lists EXACTLY v10's manifest
+      val cpPaths = spark.read.parquet(t.checkpointDir(10).toString)
+        .select("_graft_path").collect().map(_.getString(0)).toSet
+      assert(cpPaths === t.filesOf(10).toSet)
+      // and pruning through it (+ the v11 tail) equals the driver loop
+      val fs = Seq(sources.EqualTo("p", "1"),
+        sources.GreaterThanOrEqual("k", 300L))
+      val viaCp = t.pruneFilesFor(spark, t.currentVersion, fs)
+      assert(t.lastPruneVia === "checkpoint")
+      val viaDriver = withThreshold(Int.MaxValue)(
+        t.pruneFilesFor(spark, t.currentVersion, fs))
+      assert(viaCp === viaDriver)
+      // aggregates through the same incrementally-built frame stay exact
+      val viaCpAgg = t.aggregateFromCheckpointDF(spark, t.currentVersion,
+        Seq("p"), Seq(("count", null), ("sum", "k")), Nil)
+      val viaDrvAgg = t.aggregateFromStats(t.currentVersion,
+        Seq("p"), Seq(("count", null), ("sum", "k")), None)
+      assert(viaCpAgg.isDefined && viaDrvAgg.isDefined)
+      assert(viaCpAgg.get.map(_.toList) === viaDrvAgg.get.map(_.toList))
+    }
+  }
+
   test("checkpoint retention keeps the newest CheckpointKeep") {
     withThreshold(1) {
       val df = Seq((1L, "a", "0")).toDF("k", "v", "p")

@@ -13,6 +13,17 @@ import org.apache.spark.sql.GraftSqlShims
 class StatsScanSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Pin the footer path on (crossover bytes → 0) for the suite's tiny
+    * fixtures — production engages it automatically above the crossover.
+    */
+  private def withFooterStats[A](body: => A): A = {
+    val key = MergeTable.FooterStatsMinBytesConf
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try body
+    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Executed-plan strings of every query execution between registration
     * and drain — the counting instrument.
     */
@@ -36,7 +47,7 @@ class StatsScanSpec extends SparkSpec {
   private def tableScans(plans: Seq[String], marker: String): Seq[String] =
     plans.filter(p => p.contains(marker) && p.contains("FileScan"))
 
-  test("append with non-integral stats columns: ZERO post-write data scans") {
+  test("append with non-integral stats columns: ZERO post-write data scans") { withFooterStats {
     val root = scratch("stats_single")
     val marker = root.substring(root.lastIndexOf('/') + 1)
     val t = new MergeTable(root, Nil, statsCols = Seq("v", "d"))
@@ -57,9 +68,9 @@ class StatsScanSpec extends SparkSpec {
     val pruned = t.pruneFilesFor(spark, t.currentVersion,
       Seq(org.apache.spark.sql.sources.EqualTo("v", "a")))
     assert(pruned.size === 1, s"footer bounds must prune (kept $pruned)")
-  }
+  } }
 
-  test("integral sums: exactly one post-write scan, pruned to the integral column") {
+  test("integral sums: exactly one post-write scan, pruned to the integral column") { withFooterStats {
     val root = scratch("stats_sums")
     val marker = root.substring(root.lastIndexOf('/') + 1)
     val t = new MergeTable(root, Nil, statsCols = Seq("k", "v"))
@@ -75,9 +86,9 @@ class StatsScanSpec extends SparkSpec {
     // the sums are exact and pushdown-usable
     val sums = t.fileSums(t.currentVersion)
     assert(sums.values.map(_.toLong).sum === 6L)
-  }
+  } }
 
-  test("footer stats survive column mapping and all-NULL columns") {
+  test("footer stats survive column mapping and all-NULL columns") { withFooterStats {
     val root = scratch("stats_colmap")
     val t = new MergeTable(root, Nil, statsCols = Seq("v"))
     t.overwrite(Seq((1L, "x")).toDF("k", "v"))
@@ -94,5 +105,5 @@ class StatsScanSpec extends SparkSpec {
     val pruned = t.pruneFilesFor(spark, t.currentVersion,
       Seq(org.apache.spark.sql.sources.EqualTo("w", "x")))
     assert(pruned.size === 1)
-  }
+  } }
 }
