@@ -133,7 +133,26 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                             props: Seq[(String, String)],
                             tsMillis: Option[Long])
 
+  /** Single-slot resolved-snapshot cache. SOUND because a published commit
+    * file is immutable (put-if-absent link; vacuum deletes whole versions,
+    * and a vacuumed version fails the existence probe before the cache is
+    * consulted... it is keyed by version and never served for a different
+    * one). One operation typically asks the SAME version for files,
+    * schema, colmap and dvs back to back — four full manifest decodes
+    * collapse to one. Deliberately ONE slot: the driver holds at most one
+    * extra resolved manifest, not a growing history of them.
+    */
+  @volatile private var commitCache: (Long, Commit) = null
+
   private def readCommit(version: Long): Commit = {
+    val cached = commitCache
+    if (cached != null && cached._1 == version) return cached._2
+    val resolved = readCommitUncached(version)
+    commitCache = (version, resolved)
+    resolved
+  }
+
+  private def readCommitUncached(version: Long): Commit = {
     val lines = Files.readString(commitPath(version)).split("\n").toSeq
     // protocol guard (Delta's protocol action): a commit written by a
     // FUTURE format version must fail loudly here, not be half-read —
@@ -865,8 +884,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val schema = schemaOf(version)
     if (aggs.isEmpty || !groupBy.forall(partitionCols.contains)) return None
     // masked rows: the driver path subtracts dv counts for count(*) —
-    // rare metadata here, just fall through to it
-    if (readCommit(version).dvs.nonEmpty) return None
+    // rare metadata here, just fall through to it. readMeta, NOT
+    // readCommit: the whole point of this path is never decoding the
+    // manifest on the driver
+    if (readMeta(version).dvs.nonEmpty) return None
     def isIntegral(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
