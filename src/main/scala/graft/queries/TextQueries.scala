@@ -1351,6 +1351,53 @@ object TextQueries {
              |FROM g JOIN bench USING (g) WHERE g.doc_id % 10 <> 0
              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
       "benchmark decontamination: broadcast n-gram overlap against an eval set, exact hit counts"),
+
+    // SEQUENCE PACKING (the fixed-context-length batching step of every
+    // training pipeline): documents pack greedily into ~512-token
+    // sequences by cumulative token count. The running sum windows WITHIN
+    // each source shard (PARTITION BY source) — at 100 TB a single global
+    // ordering would serialize into one partition, while per-shard packing
+    // is how production packers actually run (shards are the parallel
+    // unit; packs never span shards). Boundary rule: a document belongs to
+    // the pack its PREFIX sum opens, so every step is integer-exact and
+    // DuckDB replays it bit-for-bit. Output: per-pack document count,
+    // token total, and overflow beyond the budget (greedy packing lets the
+    // last doc spill; the fill/overflow census is the tuning signal).
+    "t36_sequence_pack" -> GraftQuery(
+      (s, dir) => {
+        val budget = 512
+        val docs = t(s, dir, "documents")
+        val toks = docs.select(col("source"), col("doc_id"),
+          size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long").as("n_tok"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+        toks
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("pack_id", ((col("cum") - col("n_tok")) / budget).cast("long"))
+          .groupBy("source", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            greatest(lit(0L), max(col("cum")) -
+              (col("pack_id") + 1) * budget).as("overflow"))
+          .orderBy("source", "pack_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, doc_id,
+             |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |cums AS (
+             |  SELECT source, doc_id, n_tok,
+             |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |                          ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM toks),
+             |packs AS (
+             |  SELECT source, (cum - n_tok) // 512 AS pack_id, n_tok, cum FROM cums)
+             |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |       CAST(greatest(0, max(cum) - (pack_id + 1) * 512) AS BIGINT) AS overflow
+             |FROM packs GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin),
+      "sequence packing: per-shard greedy token-budget packing, exact fill/overflow census"),
   )
 
   /** Where the persisted BPE model for an sf dir lives (scratch-scoped;
