@@ -1816,7 +1816,11 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val cmap = colmapOf(v)
 
       // scope + touched-file probe: same machinery as [[merge]] (see its
-      // comments); BY SOURCE clauses rewrite every in-scope file
+      // comments); BY SOURCE clauses rewrite every in-scope file. As in
+      // [[merge]], scopeDirs records the READ SET for the lost-race
+      // rebase ([[rebaseMerge]]) — which extends WriteSerializable
+      // conflict resolution to the SQL MERGE INTO surface too.
+      var scopeDirs: Option[Set[String]] = None
       val probeRel: Seq[String] =
         if (keysDeterminePartitions && partitionCols.nonEmpty) {
           import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -1828,6 +1832,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
               val seg = ExternalCatalogUtils.getPartitionValueString(r.getString(i))
               s"${partitionCols(i)}=$seg"
             }.mkString("/")).toSet
+          scopeDirs = Some(dirs)
           oldFiles.filter(f => dirs.exists(d => f.contains(s"/$d/")))
         } else oldFiles
       val (touchedRel, keptRel) =
@@ -1960,12 +1965,20 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             .drop(MergeTable.RowIdCol), newVersion, dataDir))
         }
 
-      commit(newVersion, keptRel ++ newFiles, schema,
-        carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema, cmap),
+      val newStats = collectStats(spark, newFiles, schema, cmap)
+      lastMergeCommitVia = "commit"
+      try commit(newVersion, keptRel ++ newFiles, schema,
+        carryStats(v, keptRel) ++ newStats,
         cdfDir, txn = txn,
         propsOverride = propsWith(
           rowHwm.toSeq.map(h => MergeTable.RowIdHwmProp -> h.toString)),
         op = "MERGE")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          rebaseMerge(v, scopeDirs, touchedRel, newFiles, newStats,
+            schema, cmap, cdfDefined = cdfDir.isDefined,
+            usedIds = rowHwm.isDefined, txn = txn, first = e)
+      }
     } finally src.unpersist()
   }
 

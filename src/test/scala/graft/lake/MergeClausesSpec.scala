@@ -189,6 +189,38 @@ class MergeClausesSpec extends SparkSpec {
     assert(nx.getMessage.contains("does not exist"))
   }
 
+  test("partition-disjoint clause merges auto-rebase a lost race (SQL MERGE surface)") {
+    val t = new MergeTable(scratch("mc_rebase"), Seq("p"))
+    t.overwrite(df(Seq((1, 10, "a"), (2, 20, "b"), (3, 30, "c"))))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    Seq(("a", 1, 100), ("b", 2, 200)).foreach { case (p, k, v) =>
+      pool.execute { () =>
+        go.await()
+        try t.mergeClauses(spark, df(Seq((k, v, p))), Seq("k"), Seq(
+          MatchedUpdate(None, Seq("v" -> "s.v")), NotMatchedInsert()),
+          keysDeterminePartitions = true)
+        catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    }
+    go.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.get === 0,
+      "a partition-disjoint clause merge losing the race must rebase, not throw")
+    assert(t.currentVersion === 2L)
+    assert(t.read(spark).select("k", "v").as[(Int, Int)].collect().toSet ===
+      Set((1, 100), (2, 200), (3, 30)))
+    // zero recomputation: one data dir per writer (plus v0's)
+    import scala.jdk.CollectionConverters._
+    val dataDirs = java.nio.file.Files.list(java.nio.file.Paths.get(t.root))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("d")).toSeq
+    assert(dataDirs.size === 3, s"orphan dir = re-derivation: $dataDirs")
+  }
+
   test("star expansion resolves source columns case-insensitively (session resolver)") {
     val t = new MergeTable(scratch("mc_case"), Nil)
     t.overwrite(Seq((1, 10), (2, 20)).toDF("k", "v"))
