@@ -88,6 +88,41 @@ class StatsScanSpec extends SparkSpec {
     assert(sums.values.map(_.toLong).sum === 6L)
   } }
 
+  test("distributed footer reads (>64 files) produce scan-identical stat lines") { withFooterStats {
+    val rootA = scratch("stats_dist_footer")
+    val rootB = scratch("stats_dist_scan")
+    val df = spark.range(300).select(
+      col("id").as("k"),
+      concat(lit("s"), lpad(col("id").cast("string"), 3, "0")).as("v"),
+      (col("id") % 5).cast("string").as("p"))
+    // 5 partitions × 16 tasks → ~80 files: crosses FooterDriverMax, so the
+    // footer pass runs as a parallelize job on executors
+    val tA = new MergeTable(rootA, Seq("p"), statsCols = Seq("k", "v"))
+    tA.overwrite(df.repartition(16))
+    val nFiles = tA.filesOf(tA.currentVersion).size
+    assert(nFiles > MergeTable.FooterDriverMax,
+      s"fixture must exceed the driver cutoff (got $nFiles files)")
+    // the same data through the SCAN path (crossover forced high)
+    val key = MergeTable.FooterStatsMinBytesConf
+    spark.conf.set(key, Long.MaxValue.toString)
+    val tB = new MergeTable(rootB, Seq("p"), statsCols = Seq("k", "v"))
+    tB.overwrite(df.repartition(16))
+    spark.conf.set(key, "0")
+    // per-(column) bounds/nulls must agree file-for-file modulo the file
+    // names (different dirs): compare the sorted multiset of per-file
+    // (col, mn, mx, flag) plus null counts and row counts
+    def shape(t: MergeTable): Seq[(String, String, String, Char)] =
+      t.statsDetail(t.currentVersion).values.flatMap(_.map {
+        case (c, (mn, mx, fl)) => (c, mn, mx, fl) }).toSeq.sorted
+    assert(shape(tA) === shape(tB),
+      "footer-derived bounds must equal scan-derived bounds")
+    assert(tA.nullCounts(tA.currentVersion).values.toSeq.sorted ===
+      tB.nullCounts(tB.currentVersion).values.toSeq.sorted)
+    assert(tA.fileRowCounts(tA.currentVersion).values.sum === 300L)
+    assert(tA.fileSums(tA.currentVersion).values.map(_.toLong).sum ===
+      tB.fileSums(tB.currentVersion).values.map(_.toLong).sum)
+  } }
+
   test("footer stats survive column mapping and all-NULL columns") { withFooterStats {
     val root = scratch("stats_colmap")
     val t = new MergeTable(root, Nil, statsCols = Seq("v"))
