@@ -131,7 +131,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                             colmap: Seq[(String, String)],
                             retired: Seq[String],
                             props: Seq[(String, String)],
-                            tsMillis: Option[Long])
+                            tsMillis: Option[Long],
+                            features: Seq[String])
 
   /** Single-slot resolved-snapshot cache. SOUND because a published commit
     * file is immutable (put-if-absent link; vacuum deletes whole versions,
@@ -198,7 +199,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // never drift on the line format
     val meta = parseMeta(lines.iterator)
     Commit(schema, files, stats, meta.cdfDir, meta.constraints, meta.txns, meta.dvs,
-      meta.colmap, meta.retired, meta.props, meta.tsMillis)
+      meta.colmap, meta.retired, meta.props, meta.tsMillis, meta.features)
   }
 
   /** The non-file metadata of a commit (cdf dir, constraints, this commit's
@@ -237,7 +238,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                                 retired: Seq[String],
                                 props: Seq[(String, String)],
                                 tsMillis: Option[Long],
-                                opMetrics: Option[(Long, Long, Long)])
+                                opMetrics: Option[(Long, Long, Long)],
+                                features: Seq[String])
 
   private def parseMeta(lines: Iterator[String]): CommitMeta = {
     var cdf: Option[String] = None
@@ -252,6 +254,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val props = Seq.newBuilder[(String, String)]
     var tsMillis: Option[Long] = None
     var opMetrics: Option[(Long, Long, Long)] = None
+    val feats = Seq.newBuilder[String]
     lines.foreach {
       case l if l.startsWith("cdf\t") => cdf = Some(dec(l.stripPrefix("cdf\t")))
       case l if l.startsWith("ts\t") => tsMillis = Some(l.stripPrefix("ts\t").toLong)
@@ -278,11 +281,24 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       case l if l.startsWith("prop\t") =>
         val Array(k, vl) = l.stripPrefix("prop\t").split("\t", 2)
         props += (dec(k) -> dec(vl))
+      case l if l.startsWith("feature\t") => feats += dec(l.stripPrefix("feature\t"))
       case _ => ()
     }
+    // Table-feature gate (Delta's readerFeatures): a commit NAMING a
+    // feature this build doesn't implement must fail loudly here — on the
+    // shared parse path, so neither a reader nor a carrying-forward writer
+    // can half-process a table whose semantics it doesn't understand
+    // (the protocol VERSION line is the coarse cross-format guard; features
+    // are the per-capability one, and they only ever accrue).
+    val features = feats.result().distinct
+    val unknown = features.filterNot(MergeTable.SupportedFeatures)
+    require(unknown.isEmpty,
+      s"table requires features ${unknown.mkString(", ")} not supported by this " +
+        s"build (supported: ${MergeTable.SupportedFeatures.toSeq.sorted.mkString(", ")}) — " +
+        "upgrade the library to read this table")
     CommitMeta(cdf, checks.result(), ingested.result(), ingestReset, txns.result(), op,
       dvs.result(), colmap.result(), retired.result(), props.result(), tsMillis,
-      opMetrics)
+      opMetrics, features)
   }
 
   private def readMeta(version: Long): CommitMeta = {
@@ -3993,6 +4009,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     }
   }
 
+  /** Table features (Delta readerFeatures analog) the snapshot at
+    * `version` depends on — accrued on first use by [[commit]], carried
+    * forward forever, enforced against [[MergeTable.SupportedFeatures]] on
+    * every commit parse. Pre-feature commits simply report none.
+    */
+  def features(version: Long): Seq[String] = readMeta(version).features
+
   def detail(spark: SparkSession): DataFrame = {
     require(exists, s"MergeTable at $root does not exist")
     import spark.implicits._
@@ -4003,10 +4026,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     Seq((
       "graft-parquet", root, v, lastMod, c.files.size.toLong, sizeBytes,
       partitionCols, c.dvs.size.toLong, c.dvs.map(_._3).sum,
-      c.constraints.size.toLong))
+      c.constraints.size.toLong, c.features))
       .toDF("format", "location", "version", "last_modified", "num_files",
         "size_bytes", "partition_columns", "num_deletion_vectors",
-        "num_masked_rows", "num_constraints")
+        "num_masked_rows", "num_constraints", "table_features")
   }
 
   /** `SHOW PARTITIONS` analog: the partition values present in the current
@@ -5156,6 +5179,28 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val prevFileSet = prev.fold(Seq.empty[String])(_.files).toSet
     val numAdded = files.count(f => !prevFileSet.contains(f))
     val numRemoved = prevFileSet.size - (files.size - numAdded)
+    // Table features (Delta's readerFeatures/writerFeatures in the
+    // protocol action): the commit NAMES every capability the snapshot
+    // depends on, derived from what is actually being committed — never
+    // declared by callers, so the list can't drift from the content. A
+    // feature accrues on first use and is carried forward FOREVER (union
+    // with the predecessor's): even after the last deletion vector is
+    // purged, history still holds masked commits, so a reader must keep
+    // understanding them — exactly why Delta makes feature removal a
+    // separate history-truncating operation rather than an automatic drop.
+    val features = (prev.fold(Seq.empty[String])(_.features) ++ Seq(
+      "inCommitTimestamps" -> true,
+      "deletionVectors" -> dvLines.nonEmpty,
+      "columnMapping" -> (colmapLines.nonEmpty || retiredLines.nonEmpty),
+      "checkConstraints" -> constraints.nonEmpty,
+      "changeDataFeed" -> cdfDir.isDefined,
+      "rowTracking" -> propLines.exists(p =>
+        p._1 == MergeTable.RowTrackingProp && p._2 == "true"),
+      "generatedColumns" -> propLines.exists(_._1 == MergeTable.GeneratedColsProp),
+      "identityColumns" -> propLines.exists(_._1 == MergeTable.IdentityColProp),
+      "columnDefaults" -> schema.fields.exists(f =>
+        f.metadata.contains("CURRENT_DEFAULT") || f.metadata.contains("EXISTS_DEFAULT")),
+    ).collect { case (n, true) => n }).distinct.sorted
     // JSON, not toDDL: field METADATA must survive the round-trip —
     // column DEFAULT values (CURRENT_DEFAULT/EXISTS_DEFAULT, what makes
     // the catalog's SUPPORT_COLUMN_DEFAULT_VALUE real) and COMMENTs ride
@@ -5165,6 +5210,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       (Seq(s"protocol\t${MergeTable.ReaderVersion}",
         s"op\t${enc(op)}", s"ts\t$tsMillis",
         s"opm\t$numAdded\t$numRemoved\t${files.size}") ++
+        features.map(f => s"feature\t${enc(f)}") ++
         cdfDir.map(d => s"cdf\t${enc(d)}").toSeq ++
         constraints.map { case (n, p) => s"check\t${enc(n)}\t${enc(p)}" } ++
         ingestReset.map(_ => "ingestreset").toSeq ++
@@ -5471,6 +5517,19 @@ object MergeTable {
     * and sums degrade gracefully and do not bump it).
     */
   val ReaderVersion = 1
+
+  /** Every table feature this build implements (Delta's readerFeatures
+    * vocabulary, graft's spellings). [[parseMeta]] rejects any commit
+    * naming a feature outside this set — the fine-grained companion of the
+    * [[ReaderVersion]] guard: version gates the LINE FORMAT, features gate
+    * the SEMANTICS a snapshot depends on (a masked file is silently wrong
+    * to read without deletion-vector support; a column-mapped file's
+    * physical names misresolve without mapping support).
+    */
+  val SupportedFeatures: Set[String] = Set(
+    "inCommitTimestamps", "deletionVectors", "columnMapping",
+    "checkConstraints", "changeDataFeed", "rowTracking",
+    "generatedColumns", "identityColumns", "columnDefaults")
 
   /** Delta's `delta.dataSkippingNumIndexedCols` analog: when set (and no
     * explicit stats columns exist), writes collect min/max for the first

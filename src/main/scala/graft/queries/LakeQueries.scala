@@ -2528,5 +2528,39 @@ object LakeQueries {
              |       ELSE o_totalprice END AS price
              |FROM orders""".stripMargin),
       "WriteSerializable OCC: partition-disjoint merges rebase a lost race with zero recomputation"),
+
+    // Table features (Delta's readerFeatures protocol action): every
+    // commit NAMES the capabilities its snapshot depends on, derived from
+    // the committed content itself; a feature accrues on FIRST USE and is
+    // carried forward forever (history still holds commits that need it —
+    // proven here by purging every deletion vector and observing
+    // `deletionVectors` survive). Readers reject commits naming features
+    // outside MergeTable.SupportedFeatures (spec-covered: a doctored
+    // future-feature commit fails loudly, naming the feature).
+    "m74_table_features" -> GraftQuery(
+      (s, dir) => {
+        import s.implicits._
+        val root = s"$scratchRoot/m74_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)                                        // v0
+        require(table.features(0L) == Seq("inCommitTimestamps"),
+          s"a plain table declares only inCommitTimestamps, got ${table.features(0L)}")
+        table.addCheckConstraint(s, "pos_price", "o_totalprice >= 0.0") // v1
+        table.deleteVectorized(s, col("o_totalprice") < 30000.0)        // v2
+        require(table.features(2L).contains("deletionVectors"),
+          "masked commit must declare deletionVectors")
+        table.renameColumn("o_orderpriority", "priority")               // v3
+        table.reorgPurge(s)                                             // v4: masks gone
+        val feats = table.features(table.currentVersion)
+        require(feats.contains("deletionVectors"),
+          "features carry forward past REORG PURGE — history still holds masked commits")
+        feats.toDF("feature").orderBy("feature")
+      },
+      Some("""SELECT * FROM (VALUES ('checkConstraints'), ('columnMapping'),
+             |  ('deletionVectors'), ('inCommitTimestamps')) t(feature)
+             |ORDER BY feature""".stripMargin),
+      "table features: capability accrual from committed content, carried forever"),
   )
 }

@@ -1398,6 +1398,74 @@ object TextQueries {
              |       CAST(greatest(0, max(cum) - (pack_id + 1) * 512) AS BIGINT) AS overflow
              |FROM packs GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin),
       "sequence packing: per-shard greedy token-budget packing, exact fill/overflow census"),
+
+    // Within-document REPETITION signals — the Gopher repetition family
+    // (Rae et al. 2021 §A1.1: duplicate n-gram fractions and the
+    // most-frequent-n-gram fraction), the quality axis t19's named rules
+    // don't cover. Duplicate-gram fractions are MAP-ONLY (per-doc array
+    // ops inside codegen — no shuffle at any corpus size); the per-doc
+    // top-2-gram count is the one genuinely relational signal (a per-doc
+    // mode), computed the t5-census way: explode → (doc, gram) counts →
+    // per-doc max, a gram-sized shuffle rather than an O(len²) per-doc
+    // loop — the shape that survives 100k-token documents. Ratios are
+    // integer-derived double divisions (t1's cross-engine discipline).
+    "t37_repetition" -> GraftQuery(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .withColumn("nw", size(col("words")))
+          .withColumn("g3",
+            when(col("nw") >= 3, expr(
+              "transform(sequence(1, nw - 2), i -> " +
+                "concat_ws(' ', element_at(words, i), element_at(words, i + 1), " +
+                "element_at(words, i + 2)))"))
+              .otherwise(expr("array()").cast("array<string>")))
+        val top2 = docs
+          .filter(col("nw") >= 2) // ANSI: sequence(1, 0) descends into index 0
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, nw - 1), i -> " +
+              "concat_ws(' ', element_at(words, i), element_at(words, i + 1)))"))
+            .as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id").agg(max(col("cnt")).as("top2_cnt"))
+        docs
+          .select(col("doc_id"), col("nw"),
+            size(col("g3")).cast("long").as("n3"),
+            (size(col("g3")) - size(array_distinct(col("g3"))))
+              .cast("long").as("dup3"))
+          .join(top2, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n3"), col("dup3"),
+            when(col("n3") > 0,
+              (col("dup3") * 100).cast("double") / col("n3")).as("dup3_frac"),
+            coalesce(col("top2_cnt"), lit(0L)).as("top2_cnt"),
+            when(col("nw") >= 2,
+              (coalesce(col("top2_cnt"), lit(0L)) * 100).cast("double") /
+                (col("nw") - 1)).as("top2_frac"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |g AS (SELECT doc_id, len(words) AS nw,
+             |        CASE WHEN len(words) >= 3 THEN
+             |          list_transform(generate_series(1, len(words) - 2),
+             |            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+             |        ELSE []::VARCHAR[] END AS g3
+             |      FROM d),
+             |t2 AS (SELECT doc_id, max(cnt) AS top2_cnt FROM (
+             |        SELECT doc_id, gram, count(*) AS cnt FROM (
+             |          SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 1),
+             |            i -> words[i] || ' ' || words[i+1])) AS gram
+             |          FROM d WHERE len(words) >= 2)
+             |        GROUP BY doc_id, gram) GROUP BY doc_id)
+             |SELECT g.doc_id, CAST(len(g3) AS BIGINT) AS n3,
+             |       CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS dup3,
+             |       CASE WHEN len(g3) > 0 THEN
+             |         CAST((len(g3) - len(list_distinct(g3))) * 100 AS DOUBLE) / len(g3)
+             |       END AS dup3_frac,
+             |       CAST(coalesce(t2.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+             |       CASE WHEN nw >= 2 THEN
+             |         CAST(coalesce(t2.top2_cnt, 0) * 100 AS DOUBLE) / (nw - 1)
+             |       END AS top2_frac
+             |FROM g LEFT JOIN t2 USING (doc_id)""".stripMargin),
+      "Gopher repetition signals: dup-3gram + top-2gram fractions, census-shaped mode"),
   )
 
   /** Where the persisted BPE model for an sf dir lives (scratch-scoped;

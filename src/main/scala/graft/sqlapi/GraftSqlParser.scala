@@ -117,7 +117,8 @@ object GraftSqlParser {
           StructField("partition_columns", ArrayType(StringType), nullable = true),
           StructField("num_deletion_vectors", LongType, nullable = false),
           StructField("num_masked_rows", LongType, nullable = false),
-          StructField("num_constraints", LongType, nullable = false)))
+          StructField("num_constraints", LongType, nullable = false),
+          StructField("table_features", ArrayType(StringType), nullable = true)))
       else if (LakeSql.isPropertiesStatement(sql))
         StructType(Seq(
           StructField("key", StringType, nullable = false),

@@ -1351,4 +1351,28 @@ class MergeTableSpec extends SparkSpec {
     t.optimize(spark) // valid property re-clusters fine
     assert(t.read(spark).select("k").as[Int].collect().toSet === Set(1, 2))
   }
+
+  test("table features accrue from content, carry forward, and gate readers") {
+    val root = scratch("mt_features")
+    val t = new MergeTable(root, Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
+    assert(t.features(0L) === Seq("inCommitTimestamps"))
+    t.addCheckConstraint(spark, "k_pos", "k > 0")
+    assert(t.features(1L) === Seq("checkConstraints", "inCommitTimestamps"))
+    t.deleteVectorized(spark, col("k") === 1)
+    assert(t.features(2L).contains("deletionVectors"))
+    // purging every mask must NOT drop the feature: history still holds
+    // commits a reader needs deletion-vector support to interpret
+    t.reorgPurge(spark)
+    assert(t.features(t.currentVersion).contains("deletionVectors"))
+    // a commit naming a feature this build doesn't implement fails loudly,
+    // naming the feature — never a half-read snapshot
+    val tip = t.currentVersion
+    val p = java.nio.file.Paths.get(root, "_graft_log", s"$tip.commit")
+    java.nio.file.Files.writeString(p,
+      java.nio.file.Files.readString(p) + "\nfeature\tvectorIndexV9")
+    val fresh = new MergeTable(root, Seq("p"))
+    val e = intercept[IllegalArgumentException](fresh.read(spark).count())
+    assert(e.getMessage.contains("vectorIndexV9"))
+  }
 }
