@@ -376,7 +376,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   private[graft] def addedBetween(spark: SparkSession, fromVersion: Long,
                                   toVersion: Long,
-                                  ignoreChanges: Boolean = false): DataFrame = {
+                                  ignoreChanges: Boolean = false,
+                                  pruneWith: Seq[sources.Filter] = Nil): DataFrame = {
     val newFiles = filesOf(toVersion)
     val oldFiles = if (fromVersion < 0) Seq.empty[String] else filesOf(fromVersion)
     val oldSet = oldFiles.toSet
@@ -389,8 +390,47 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           "updates/deletes; read the change feed (changesStream) or set " +
           "ignoreChanges to skip rewritten data")
     }
-    readFiles(spark, newFiles.filterNot(oldSet), schemaOf(toVersion),
+    val added = newFiles.filterNot(oldSet)
+    // Stream-side data skipping: when the source carries a `where` option,
+    // its translatable conjuncts prune THIS BATCH's files through the same
+    // partition/stats/checkpoint machinery as batch reads — a consumer of
+    // one partition of a firehose table reads that partition's files, not
+    // every commit's. Sound because the source ALSO applies the predicate
+    // to the surviving rows (pruning is an optimization, never the filter).
+    val selected =
+      if (pruneWith.isEmpty) added
+      else {
+        val kept = pruneFilesFor(spark, toVersion, pruneWith, Some(added))
+        MergeTable.lastStreamPrune = (added.size.toLong, kept.size.toLong)
+        kept
+      }
+    readFiles(spark, selected, schemaOf(toVersion),
       colmapOf(toVersion), dvsOf(toVersion))
+  }
+
+  /** The translatable conjuncts of a SQL predicate string, resolved
+    * against `version`'s schema — the streaming source's `where` option
+    * parses through here ONCE at query start. Conjuncts Spark cannot
+    * translate to v1 filters simply don't prune (the predicate itself is
+    * still applied to every batch row); a non-deterministic predicate is
+    * rejected loudly rather than silently mis-pruning.
+    */
+  private[graft] def eligibleFilters(spark: SparkSession, version: Long,
+                                     whereSql: String): Seq[sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
+    val frame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf(version))
+    val cond = frame.filter(expr(whereSql)).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    require(cond.forall(_.deterministic),
+      s"stream source on $root: where option must be deterministic, got: $whereSql")
+    def split(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => split(l) ++ split(r)
+      case x          => Seq(x)
+    }
+    cond.toSeq.flatMap(split)
+      .flatMap(e => org.apache.spark.sql.GraftSqlShims.translateFilter(e))
   }
 
   /** Time-travel read of any retained snapshot. Files may span several data
@@ -456,8 +496,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * unparsable value keeps the file.
     */
   private[graft] def pruneFilesFor(spark: SparkSession, version: Long,
-                                   filters: Seq[sources.Filter]): Seq[String] = {
-    val all = filesOf(version)
+                                   filters: Seq[sources.Filter],
+                                   among: Option[Seq[String]] = None): Seq[String] = {
+    // `among` restricts pruning to a caller-supplied SUBSET of the
+    // version's files (the streaming source prunes each micro-batch's
+    // added files). Both engines compose soundly: the driver loop admits
+    // per file, and the distributed path ends in `all.filter(keptSet)` —
+    // an intersection with the checkpoint survivors.
+    val all = among.getOrElse(filesOf(version))
     if (filters.isEmpty || all.isEmpty) return all
     val conjuncts0 = MergeTable.flattenAnd(filters)
     val types = schemaOf(version).fields.map(f => f.name -> f.dataType).toMap
@@ -5530,6 +5576,13 @@ object MergeTable {
     "inCommitTimestamps", "deletionVectors", "columnMapping",
     "checkConstraints", "changeDataFeed", "rowTracking",
     "generatedColumns", "identityColumns", "columnDefaults")
+
+  /** (files in the last stream micro-batch, files kept after its `where`
+    * pruning) — observability for gates/specs asserting stream-side data
+    * skipping engaged; never read by the engine. Companion-level because
+    * the streaming source opens its own internal handle.
+    */
+  @volatile private[graft] var lastStreamPrune: (Long, Long) = (0L, 0L)
 
   /** Delta's `delta.dataSkippingNumIndexedCols` analog: when set (and no
     * explicit stats columns exist), writes collect min/max for the first

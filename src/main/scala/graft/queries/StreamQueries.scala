@@ -946,5 +946,45 @@ object StreamQueries {
              |FROM changes GROUP BY change_type, commit_version
              |ORDER BY commit_version, change_type""".stripMargin),
       "scheduled CDF drains: AvailableNow + rate limit, checkpoint-resumed, exactly-once"),
+
+    // Stream-side DATA SKIPPING (graft extension beyond Delta's source):
+    // `option("where", p)` filters every batch's ROWS and prunes every
+    // batch's FILES through the table's partition/stats machinery before
+    // any read — a consumer tailing one partition of a firehose table
+    // reads that partition's files, not every commit's. The gate feeds a
+    // lake partitioned by event_type (each commit = one file per type),
+    // streams WHERE event_type = 'click', and requires the per-batch file
+    // census to show real pruning (kept < total) with results identical
+    // to the filtered oracle.
+    "st18_stream_skipping" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val events = Registry.t(s, dir, "events")
+        val root = s"${Registry.scratchRoot}/st18_lake_$id"
+        val src = new MergeTable(root, Seq("event_type"))
+        src.overwrite(events.filter(col("event_id") % 3 === 0).repartition(1)) // v0
+        (1 to 2).foreach { i =>                                                // v1, v2
+          src.append(events.filter(col("event_id") % 3 === i).repartition(1))
+        }
+        val sink = s"st18_sink_$id"
+        val q = ss.readStream.format("graft")
+          .option("path", root)
+          .option("where", "event_type = 'click'")
+          .load()
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st18_ckpt_$id")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val (tot, kept) = MergeTable.lastStreamPrune
+        require(kept > 0 && kept < tot,
+          s"stream-side skipping must prune the batch's files, kept $kept of $tot")
+        ss.table(sink).groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), sum("event_id").as("id_sum"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(event_id) AS BIGINT) AS id_sum
+             |FROM events WHERE event_type = 'click' GROUP BY event_type""".stripMargin),
+      "stream-side data skipping: a where'd tail reads one partition's files, not the firehose"),
   )
 }

@@ -112,7 +112,8 @@ final class GraftDataSource extends TableProvider with DataSourceRegister
     else new GraftStreamSource(ctx.sparkSession, path,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       startFrom = startFrom,
-      maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes)
+      maxFilesPerTrigger = maxFiles, maxBytesPerTrigger = maxBytes,
+      where = parameters.get("where").orElse(parameters.get("WHERE")))
   }
 
   /** `writeStream.format("graft")` — Delta's streaming-sink call-shape.
@@ -631,7 +632,8 @@ final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
                               root: String, ignoreChanges: Boolean,
                               startFrom: Long = -1L,
                               maxFilesPerTrigger: Option[Int] = None,
-                              maxBytesPerTrigger: Option[Long] = None)
+                              maxBytesPerTrigger: Option[Long] = None,
+                              where: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -642,6 +644,17 @@ final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
   private val table = MergeTable.open(root)
 
   override val schema: StructType = table.schemaOf(table.currentVersion)
+
+  /** `option("where", <predicate>)` — a graft extension: the predicate is
+    * applied to every batch's ROWS (semantic filter) and its translatable
+    * conjuncts prune every batch's FILES through the table's data-skipping
+    * machinery before any read. A tail consumer of one partition of a
+    * firehose table pays for that partition's files, not the firehose.
+    * Derived once at query start against the start schema.
+    */
+  private val whereFilters: Seq[org.apache.spark.sql.sources.Filter] =
+    where.map(w => table.eligibleFilters(spark, table.currentVersion, w))
+      .getOrElse(Nil)
 
   /** High-water mark of offsets the engine has consumed — advanced by
     * every getBatch and by commit (which MicroBatchExecution also replays
@@ -736,8 +749,11 @@ final class GraftStreamSource(spark: org.apache.spark.sql.SparkSession,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     lastEnd = math.max(lastEnd, versionOf(end))
-    val batch = table.addedBetween(spark,
-      start.map(versionOf).getOrElse(startFrom), versionOf(end), ignoreChanges)
+    val batch0 = table.addedBetween(spark,
+      start.map(versionOf).getOrElse(startFrom), versionOf(end), ignoreChanges,
+      pruneWith = whereFilters)
+    val batch = where.fold(batch0)(w =>
+      batch0.filter(org.apache.spark.sql.functions.expr(w)))
     // MicroBatchExecution asserts the returned plan carries the streaming
     // flag — rewrap the batch plan's rows (lazy; nothing executes here)
     org.apache.spark.sql.GraftSqlShims.streamingDataFrame(

@@ -66,4 +66,41 @@ class StreamLimitsSpec extends SparkSpec {
     assert(r2 === 1L && b2 >= 1 && b2 <= 2,
       s"the second drain must cover only the tail, got $b2 batches / $r2 rows")
   }
+
+  test("where option: rows filtered AND batch files pruned by stats") {
+    val root = scratch("sl_where")
+    // unpartitioned, k-stats, range-disjoint files: pruning must engage
+    // through MIN/MAX stats, not partition directories
+    val t = new MergeTable(root, Nil, statsCols = Seq("k"))
+    t.overwrite(Seq(1, 2).toDF("k").repartition(1))      // v0: k ∈ [1,2]
+    t.append(Seq(10, 11).toDF("k").repartition(1))       // v1: k ∈ [10,11]
+    t.append(Seq(20, 21).toDF("k").repartition(1))       // v2: k ∈ [20,21]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = spark.readStream.format("graft")
+      .option("path", root).option("where", "k >= 10 AND k < 20").load()
+      .writeStream
+      .option("checkpointLocation", scratch("sl_where_ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows ++= b.select("k").as[Int](org.apache.spark.sql.Encoders.scalaInt)
+          .collect(); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows.sorted === Seq(10, 11), "the where option filters batch rows")
+    val (tot, kept) = (MergeTable.lastStreamPrune._1, MergeTable.lastStreamPrune._2)
+    assert(kept === 1L && tot === 3L,
+      s"stats pruning must keep exactly the [10,11] file, kept $kept of $tot")
+    // a non-deterministic predicate is rejected loudly at query start
+    val bad = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val qb = spark.readStream.format("graft")
+        .option("path", root).option("where", "rand() > 0.5").load()
+        .writeStream
+        .option("checkpointLocation", scratch("sl_where_bad_ckpt"))
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try qb.processAllAvailable() finally qb.stop()
+    }
+    assert(bad.getMessage.contains("deterministic") ||
+      Option(bad.getCause).exists(_.getMessage.contains("deterministic")))
+  }
 }
