@@ -1466,6 +1466,63 @@ object TextQueries {
              |       END AS top2_frac
              |FROM g LEFT JOIN t2 USING (doc_id)""".stripMargin),
       "Gopher repetition signals: dup-3gram + top-2gram fractions, census-shaped mode"),
+
+    // CCNet-style corpus partitioning (Wenzek et al. 2020): split documents
+    // into head/middle/tail terciles by how "familiar" their vocabulary is.
+    // CCNet scores with a KenLM perplexity; the cross-engine-exact analog
+    // here is an integer FREQUENCY-BAND score — band(word) = floor(log2
+    // (corpus count)), computed as length(bin(cnt)) - 1 so both engines do
+    // string-exact integer math instead of drifting libm log2 ulps. Scale
+    // shape: one vocab-sized census shuffle, a map-only band, one doc-sized
+    // aggregate, a 1-row threshold aggregate broadcast back — NO global
+    // sort or single-partition window anywhere (ntile would be one).
+    // Tercile thresholds are exact interpolated percentiles (the q14
+    // Spark-percentile = DuckDB-quantile_cont equivalence); assignment is
+    // value-based, so ties land deterministically in the lower bucket.
+    "t38_ccnet_buckets" -> GraftQuery(
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+        val bands = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+          .withColumn("band", (length(bin(col("cnt"))) - 1).cast("long"))
+          .select("word", "band")
+        val scored = toks.join(bands, Seq("word"))
+          .groupBy("doc_id")
+          .agg(sum("band").as("fam_sum"), count(lit(1)).as("n_tok"))
+          .withColumn("score",
+            (col("fam_sum") * 100).cast("double") / col("n_tok"))
+        val th = scored.agg(
+          expr("percentile(score, 0.3333333333333333D)").as("t1"),
+          expr("percentile(score, 0.6666666666666666D)").as("t2"))
+        scored.crossJoin(broadcast(th))
+          .select(col("doc_id"), col("fam_sum"), col("n_tok"),
+            when(col("score") >= col("t2"), "head")
+              .when(col("score") >= col("t1"), "middle")
+              .otherwise("tail").as("bucket"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, w AS word FROM (
+             |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+             |                                      x -> x <> '')) AS w
+             |    FROM documents)),
+             |bands AS (
+             |  SELECT word, CAST(length(bin(count(*))) - 1 AS BIGINT) AS band
+             |  FROM toks GROUP BY word),
+             |scored AS (
+             |  SELECT doc_id, CAST(sum(band) AS BIGINT) AS fam_sum,
+             |         CAST(count(*) AS BIGINT) AS n_tok,
+             |         CAST(sum(band) * 100 AS DOUBLE) / count(*) AS score
+             |  FROM toks JOIN bands USING (word) GROUP BY doc_id),
+             |th AS (SELECT quantile_cont(score, 0.3333333333333333) AS t1,
+             |              quantile_cont(score, 0.6666666666666666) AS t2
+             |       FROM scored)
+             |SELECT doc_id, fam_sum, n_tok,
+             |       CASE WHEN score >= t2 THEN 'head'
+             |            WHEN score >= t1 THEN 'middle'
+             |            ELSE 'tail' END AS bucket
+             |FROM scored, th""".stripMargin),
+      "CCNet-style familiarity terciles: integer frequency-band scores, exact split"),
   )
 
   /** Where the persisted BPE model for an sf dir lives (scratch-scoped;
