@@ -1643,8 +1643,17 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                           cmapUsed: Map[String, String], cdfDefined: Boolean,
                           usedIds: Boolean, txn: Option[(String, Long)],
                           first: java.util.ConcurrentModificationException,
-                          maxAttempts: Int = 10): Unit = {
-    val dirs = scopeDirs.getOrElse(throw first)
+                          maxAttempts: Int = 10,
+                          addConflict: Option[Seq[String] => Boolean] = None,
+                          op: String = "MERGE"): Unit = {
+    // does a winner's ADDED file set invalidate what this writer read?
+    // Merges scope by partition DIRECTORIES (the source's partition set);
+    // DELETE scopes by its own PREDICATE (an added file whose partition
+    // tuple could satisfy it may hold rows the delete should have removed)
+    val conflictsWith: Seq[String] => Boolean = addConflict.getOrElse {
+      val dirs = scopeDirs.getOrElse(throw first)
+      (adds: Seq[String]) => adds.exists(f => dirs.exists(d => f.contains(s"/$d/")))
+    }
     if (cdfDefined || usedIds || rowTrackingEnabled) throw first
     val base = readCommit(baseV)
     val baseSet = base.files.toSet
@@ -1669,9 +1678,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         throw first
       val tipSet = cTip.files.toSet
       if (!touchedRel.forall(tipSet.contains)) throw first
-      def inScope(f: String): Boolean = dirs.exists(d => f.contains(s"/$d/"))
-      if (cTip.files.exists(f => !baseSet.contains(f) && inScope(f)))
-        throw first
+      val winnerAdds = cTip.files.filterNot(baseSet)
+      if (winnerAdds.nonEmpty && conflictsWith(winnerAdds)) throw first
       if (dvsOf(tip).view.filterKeys(touchedSet).toMap != baseDvs)
         throw first
       try {
@@ -1679,7 +1687,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           commitSchema,
           cTip.statsLines.filterNot(l =>
             touchedSet.contains(dec(l.takeWhile(_ != '\t')))) ++ newStats,
-          txn = txn, op = "MERGE")
+          txn = txn, op = op)
         lastMergeCommitVia = "rebase"
         return
       } catch {
@@ -2274,9 +2282,24 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           .withColumn(MergeTable.ChangeType, lit("delete")),
         newVersion, dataDir))
       else None
-    commit(newVersion, keptRel ++ newFiles, schemaOf(v),
-      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schemaOf(v), colmapOf(v)),
-      cdfDir, op = "DELETE")
+    val newStats = collectStats(spark, newFiles, schemaOf(v), colmapOf(v))
+    lastMergeCommitVia = "commit"
+    try commit(newVersion, keptRel ++ newFiles, schemaOf(v),
+      carryStats(v, keptRel) ++ newStats, cdfDir, op = "DELETE")
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // WriteSerializable for DELETE: the read set is the PREDICATE's
+        // partition scope — the loser rebases iff no winner-added file's
+        // partition tuple could satisfy the predicate (partitionCandidates
+        // is conservative: an undecidable predicate keeps files → treated
+        // as a conflict → full re-run by the caller, never a wrong rebase)
+        rebaseMerge(v, None, touchedRel, newFiles, newStats, schemaOf(v),
+          colmapOf(v), cdfDefined = cdfDir.isDefined, usedIds = false,
+          txn = None, first = e,
+          addConflict = Some((adds: Seq[String]) =>
+            partitionCandidates(spark, adds, schemaOf(v), predicate).nonEmpty),
+          op = "DELETE")
+    }
   }
 
   /** Deletion-vector DELETE (Delta deletion-vectors analog): instead of

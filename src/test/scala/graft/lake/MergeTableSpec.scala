@@ -1352,6 +1352,34 @@ class MergeTableSpec extends SparkSpec {
     assert(t.read(spark).select("k").as[Int].collect().toSet === Set(1, 2))
   }
 
+  test("partition-disjoint deletes auto-rebase on a lost race: both land") {
+    val t = new MergeTable(scratch("mt_delrebase"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p2"))))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    // mixed predicates: the partition conjunct alone decides the conflict
+    Seq(("p1", 1), ("p2", 3)).foreach { case (part, key) =>
+      pool.execute { () =>
+        go.await()
+        try t.delete(spark, col("p") === part && col("k") === key)
+        catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    }
+    go.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.get === 0,
+      "a partition-disjoint delete losing the race must rebase, not throw")
+    assert(t.currentVersion === 2L)
+    assert(asSet(t.read(spark)) === Set((2, "b", "p1"), (4, "d", "p2")))
+    // history records both as DELETE commits (the rebase keeps the op)
+    val ops = t.history(spark).filter(col("version") >= 1)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.forall(_ == "DELETE"), s"expected DELETE ops, got $ops")
+  }
+
   test("table features accrue from content, carry forward, and gate readers") {
     val root = scratch("mt_features")
     val t = new MergeTable(root, Seq("p"))
