@@ -2399,8 +2399,56 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         matched.drop(DvFileCol, DvIdxCol).withColumn(ChangeType, lit("delete")),
         newVersion, attempt))
       else None
-    commit(newVersion, files, schema, carryStats(v, files), cdfDir,
+    lastMergeCommitVia = "commit"
+    try commit(newVersion, files, schema, carryStats(v, files), cdfDir,
       dvsOverride = Some(newDvs), op = "DELETE (DV)")
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // WriteSerializable rebase for the HIGH-FREQUENCY concurrent
+        // operation at scale: a dv-delete writes only position sidecars,
+        // so a lost race re-BINDS them against the winner's tip — zero
+        // recomputation — when (a) no winner-added file's partition could
+        // satisfy the predicate, (b) every masked file survives at the tip
+        // un-rewritten, and (c) its dv binding is unchanged (a winner's
+        // extra masks on the same file would be lost by our cumulative
+        // union, silently resurrecting rows). CHECK constraints need no
+        // guard: masking rows can never violate one. CDF feeds are bound
+        // to the losing version's staging — conflict, re-run.
+        if (cdfDir.isDefined) throw e
+        val baseSet = files.toSet
+        var attempt = 0
+        var done = false
+        while (!done) {
+          attempt += 1
+          val tip = currentVersion
+          val cTip = readCommit(tip)
+          def shape(s: StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
+            s.fields.map(f => (f.name, f.dataType)).toSeq
+          val tipSet = cTip.files.toSet
+          val tipDvs = dvsOf(tip)
+          val winnerAdds = cTip.files.filterNot(baseSet)
+          if (shape(cTip.schema) != shape(schema) || colmapOf(tip) != colmapOf(v) ||
+              !touchedFiles.forall(tipSet.contains) ||
+              touchedFiles.exists(f => tipDvs.get(f) != dvs.get(f)) ||
+              (winnerAdds.nonEmpty &&
+                partitionCandidates(spark, winnerAdds, schema, predicate).nonEmpty))
+            throw e
+          val rebasedDvs: Seq[(String, String, Long)] = cTip.files.flatMap { f =>
+            cum.get(f) match {
+              case Some(n) => Some((f, dvRel, n))
+              case None    => tipDvs.get(f).map { case (d, n) => (f, d, n) }
+            }
+          }
+          try {
+            commit(tip + 1, cTip.files, cTip.schema, cTip.statsLines,
+              dvsOverride = Some(rebasedDvs), op = "DELETE (DV)")
+            lastMergeCommitVia = "rebase"
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException if attempt < 10 => ()
+          }
+        }
+    }
   }
 
   /** MERGE with DELETION VECTORS (Delta's DV-enabled MERGE, its flagship
@@ -2687,9 +2735,24 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           .withColumn(ChangeType, lit("update_postimage"))
         Some(writeChanges(pre.unionByName(post), newVersion, dataDir))
       } else None
-    commit(newVersion, keptRel ++ newFiles, schema,
-      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema, colmapOf(v)),
-      cdfDir, op = "UPDATE")
+    val newStats = collectStats(spark, newFiles, schema, colmapOf(v))
+    lastMergeCommitVia = "commit"
+    try commit(newVersion, keptRel ++ newFiles, schema,
+      carryStats(v, keptRel) ++ newStats, cdfDir, op = "UPDATE")
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // same WriteSerializable rebase as [[delete]]: the read set is the
+        // predicate's partition scope; updated rows may land in OTHER
+        // partitions (SET on a partition column) — irrelevant to the
+        // conflict check, which guards what was READ, not where the
+        // rewrite lands (the same property merge's partition-move relies on)
+        rebaseMerge(v, None, touchedRel, newFiles, newStats, schema,
+          colmapOf(v), cdfDefined = cdfDir.isDefined, usedIds = false,
+          txn = None, first = e,
+          addConflict = Some((adds: Seq[String]) =>
+            partitionCandidates(spark, adds, schema, predicate).nonEmpty),
+          op = "UPDATE")
+    }
   }
 
   /** Delta `replaceWhere` analog (`df.write.option("replaceWhere", p)` /

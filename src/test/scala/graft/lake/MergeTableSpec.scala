@@ -1380,6 +1380,48 @@ class MergeTableSpec extends SparkSpec {
     assert(ops.forall(_ == "DELETE"), s"expected DELETE ops, got $ops")
   }
 
+  test("partition-disjoint updates and dv-deletes auto-rebase on a lost race") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    // UPDATE racing UPDATE on disjoint partitions
+    val t = new MergeTable(scratch("mt_updrebase"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    Seq("p1", "p2").foreach { part =>
+      pool.execute { () =>
+        go.await()
+        try t.update(spark, col("p") === part,
+          Map("v" -> org.apache.spark.sql.functions.upper(col("v"))))
+        catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    }
+    go.countDown(); pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.get === 0, "disjoint updates must both land")
+    assert(asSet(t.read(spark)) === Set((1, "A", "p1"), (2, "B", "p2")))
+
+    // DV-DELETE racing DV-DELETE on disjoint partitions: masks re-bind,
+    // zero data work, no masked row resurrected
+    val t2 = new MergeTable(scratch("mt_dvrebase"), Seq("p"))
+    t2.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p2"))))
+    val pool2 = Executors.newFixedThreadPool(2)
+    val go2 = new CountDownLatch(1)
+    val failures2 = new java.util.concurrent.atomic.AtomicInteger
+    Seq(("p1", 1), ("p2", 3)).foreach { case (part, key) =>
+      pool2.execute { () =>
+        go2.await()
+        try t2.deleteVectorized(spark, col("p") === part && col("k") === key)
+        catch { case _: Throwable => failures2.incrementAndGet() }
+      }
+    }
+    go2.countDown(); pool2.shutdown()
+    assert(pool2.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures2.get === 0, "disjoint dv-deletes must both land")
+    assert(t2.currentVersion === 2L)
+    assert(asSet(t2.read(spark)) === Set((2, "b", "p1"), (4, "d", "p2")))
+  }
+
   test("table features accrue from content, carry forward, and gate readers") {
     val root = scratch("mt_features")
     val t = new MergeTable(root, Seq("p"))
