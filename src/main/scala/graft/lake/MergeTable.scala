@@ -1645,7 +1645,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                           first: java.util.ConcurrentModificationException,
                           maxAttempts: Int = 10,
                           addConflict: Option[Seq[String] => Boolean] = None,
-                          op: String = "MERGE"): Unit = {
+                          op: String = "MERGE",
+                          allowRowTracking: Boolean = false): Unit = {
     // does a winner's ADDED file set invalidate what this writer read?
     // Merges scope by partition DIRECTORIES (the source's partition set);
     // DELETE scopes by its own PREDICATE (an added file whose partition
@@ -1654,7 +1655,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val dirs = scopeDirs.getOrElse(throw first)
       (adds: Seq[String]) => adds.exists(f => dirs.exists(d => f.contains(s"/$d/")))
     }
-    if (cdfDefined || usedIds || rowTrackingEnabled) throw first
+    // row-tracking tables normally conflict (a re-derivation could mint
+    // different ids) — EXCEPT pure rewrites (compaction) that carry every
+    // id verbatim and mint none, which opt in via allowRowTracking
+    if (cdfDefined || usedIds || (rowTrackingEnabled && !allowRowTracking)) throw first
     val base = readCommit(baseV)
     val baseSet = base.files.toSet
     val touchedSet = touchedRel.toSet
@@ -3024,9 +3028,24 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val dataDir = newDataDir(newVersion)
     writeData(packed, dataDir, colmapOf(v))
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
-    commit(newVersion, keptRel ++ newFiles, schema,
-      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema, colmapOf(v)),
-      op = "OPTIMIZE")
+    val newStats = collectStats(spark, newFiles, schema, colmapOf(v))
+    lastMergeCommitVia = "commit"
+    try commit(newVersion, keptRel ++ newFiles, schema,
+      carryStats(v, keptRel) ++ newStats, op = "OPTIMIZE")
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // Background compaction racing ingest is THE canonical concurrent
+        // pair at scale — a lost race must not re-read and re-write the
+        // partition. Winner ADDS never conflict (their files simply stay
+        // uncompacted in the rebased manifest); only a winner that
+        // rewrote/removed/re-masked one of our INPUT files invalidates the
+        // packed output. Row tracking is safe here: a pure rewrite carries
+        // every id verbatim and mints none.
+        rebaseMerge(v, None, touchedRel, newFiles, newStats, schema,
+          colmapOf(v), cdfDefined = false, usedIds = false, txn = None,
+          first = e, addConflict = Some((_: Seq[String]) => false),
+          op = "OPTIMIZE", allowRowTracking = true)
+    }
   }
 
   /** Delta's `REORG TABLE ... APPLY (PURGE)` analog: rewrite ONLY the
@@ -3056,10 +3075,26 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val dataDir = newDataDir(newVersion)
     writeData(packed, dataDir, colmapOf(v))
     val newFiles = listParquet(Paths.get(root, dataDir)).map(relativize)
-    commit(newVersion, keptRel ++ newFiles, c.schema,
-      carryStats(v, keptRel) ++ collectStats(spark, newFiles, c.schema, colmapOf(v)),
+    val newStats = collectStats(spark, newFiles, c.schema, colmapOf(v))
+    lastMergeCommitVia = "commit"
+    try commit(newVersion, keptRel ++ newFiles, c.schema,
+      carryStats(v, keptRel) ++ newStats,
       dvsOverride = Some(Nil), // purged: the new snapshot carries no masks
       op = "REORG")
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // Same pure-rewrite rebase as compaction. NO dvsOverride on the
+        // rebase commit: carry-forward keeps a concurrent writer's NEW
+        // masks on files we didn't purge (a later write, legitimately
+        // retained — WriteSerializable), while our purged files left the
+        // manifest and shed their bindings with it; a changed binding ON a
+        // purged file still conflicts inside rebaseMerge (our survivors
+        // would be stale).
+        rebaseMerge(v, None, touchedRel, newFiles, newStats, c.schema,
+          colmapOf(v), cdfDefined = false, usedIds = false, txn = None,
+          first = e, addConflict = Some((_: Seq[String]) => false),
+          op = "REORG", allowRowTracking = true)
+    }
   }
 
   // ---- data skipping (Delta file-statistics analog) ----

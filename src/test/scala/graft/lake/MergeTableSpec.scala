@@ -1422,6 +1422,34 @@ class MergeTableSpec extends SparkSpec {
     assert(asSet(t2.read(spark)) === Set((2, "b", "p1"), (4, "d", "p2")))
   }
 
+  test("compaction rebases around concurrent ingest: appended files survive") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val t = new MergeTable(scratch("mt_optrebase"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"))))
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    // background compaction of p1 races an append INTO p1: whichever
+    // loses must rebase (append via rebaseAppend, compaction via the
+    // adds-never-conflict rebase) — neither throws, no row lost
+    pool.execute { () =>
+      go.await()
+      try t.compactPartitions(spark, col("p") === "p1")
+      catch { case _: Throwable => failures.incrementAndGet() }
+    }
+    pool.execute { () =>
+      go.await()
+      try t.append(df(Seq((9, "z", "p1"))))
+      catch { case _: Throwable => failures.incrementAndGet() }
+    }
+    go.countDown(); pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.get === 0, "compaction racing ingest must not throw")
+    assert(t.currentVersion === 2L)
+    assert(asSet(t.read(spark)) ===
+      Set((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (9, "z", "p1")))
+  }
+
   test("table features accrue from content, carry forward, and gate readers") {
     val root = scratch("mt_features")
     val t = new MergeTable(root, Seq("p"))
