@@ -153,5 +153,36 @@ object MultimodalQueries {
              |       CAST(frames * 1000 // rate AS BIGINT) AS duration_ms
              |FROM s GROUP BY id, rate, nch, frames, ch""".stripMargin),
       "real WAV codec round trip: AudioSystem encode, batch-decode, exact per-channel aggregates"),
+
+    // REAL multi-frame (video-shaped) codec: synthesize animated GIFs
+    // executor-side with ImageIO's sequence writer, then FRAME-SAMPLE them
+    // with its reader — random-access read(i) decodes ONLY every 2nd
+    // frame, which is the entire point of sampling at scale. Dimensions,
+    // frame counts, and each sampled frame's gray value are arithmetic
+    // over doc_id, so the oracle predicts the encode→decode→sample
+    // pipeline without touching media bytes. MP4 stays a documented stub
+    // (no JDK codec); the plumbing is what ffmpeg would plug into.
+    "mm8_video_frames" -> GraftQuery(
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids.mapPartitions(_.map(id =>
+          Multimodal.MediaRow(id, Multimodal.syntheticGif(id))))
+        Multimodal.sampleGifFrames(media, step = 2).toDF()
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id AS id, (doc_id % 20) + 8 AS w, (doc_id % 12) + 8 AS h,
+             |         (doc_id % 5) + 2 AS n
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |f AS (
+             |  SELECT id, w, h, n, g.i AS frame_idx
+             |  FROM p CROSS JOIN LATERAL
+             |    (SELECT unnest(generate_series(0, n - 1, 2)) AS i) g)
+             |SELECT id AS doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |       CAST(n AS INT) AS n_frames, CAST(frame_idx AS INT) AS frame_idx,
+             |       CAST((id + 17 * frame_idx) % 256 AS INT) AS gray
+             |FROM f""".stripMargin),
+      "real multi-frame codec: animated-GIF encode, random-access frame sampling"),
   )
 }
