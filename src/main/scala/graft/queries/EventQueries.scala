@@ -462,5 +462,59 @@ object EventQueries {
              |    FROM events))
              |GROUP BY user_id, session_id""".stripMargin),
       "native session_window sessionization: Catalyst-planned gap merge, one shuffle"),
+
+    // Conversion-funnel analysis (the product-analytics staple): per user,
+    // the first view, the first click STRICTLY AFTER that view, the first
+    // purchase strictly after that click — ORDERED matching, not mere
+    // presence (a purchase before any view must not count). One total
+    // per-user order (row_number over ts, event_id — tie-safe), then three
+    // chained window minima over the SAME partition key: a single
+    // user-hash shuffle regardless of corpus size, no self-joins. The
+    // census row is the funnel: total → viewed → clicked → purchased.
+    "e20_funnel" -> GraftQuery(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wAll = Window.partitionBy("user_id")
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("fv",
+            min(when(col("event_type") === "view", col("rn"))).over(wAll))
+          .withColumn("fc",
+            min(when(col("event_type") === "click" && col("rn") > col("fv"),
+              col("rn"))).over(wAll))
+          .withColumn("fp",
+            min(when(col("event_type") === "purchase" && col("rn") > col("fc"),
+              col("rn"))).over(wAll))
+          .groupBy()
+          .agg(countDistinct(col("user_id")).as("users_total"),
+            countDistinct(when(col("fv").isNotNull, col("user_id")))
+              .as("users_viewed"),
+            countDistinct(when(col("fc").isNotNull, col("user_id")))
+              .as("users_clicked"),
+            countDistinct(when(col("fp").isNotNull, col("user_id")))
+              .as("users_purchased"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type,
+             |         row_number() OVER (PARTITION BY user_id
+             |                            ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN rn END)
+             |                  OVER (PARTITION BY user_id) AS fv FROM o),
+             |c AS (SELECT *, min(CASE WHEN event_type = 'click' AND rn > fv
+             |                         THEN rn END)
+             |                  OVER (PARTITION BY user_id) AS fc FROM v),
+             |p AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND rn > fc
+             |                         THEN rn END)
+             |                  OVER (PARTITION BY user_id) AS fp FROM c)
+             |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS users_total,
+             |       CAST(count(DISTINCT CASE WHEN fv IS NOT NULL THEN user_id END)
+             |            AS BIGINT) AS users_viewed,
+             |       CAST(count(DISTINCT CASE WHEN fc IS NOT NULL THEN user_id END)
+             |            AS BIGINT) AS users_clicked,
+             |       CAST(count(DISTINCT CASE WHEN fp IS NOT NULL THEN user_id END)
+             |            AS BIGINT) AS users_purchased
+             |FROM p""".stripMargin),
+      "ordered conversion funnel: chained window minima, one user-hash shuffle"),
   )
 }
