@@ -4183,6 +4183,47 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   def features(version: Long): Seq[String] = readMeta(version).features
 
+  /** Delta's `ALTER TABLE ... DROP FEATURE` analog — the only way a
+    * feature leaves the accrue-forever set, and exactly as restrictive as
+    * Delta makes it: every RETAINED version must be free of the feature's
+    * content (readers of any reachable snapshot must never need it), so
+    * the path is purge the content, VACUUM the history past it (Delta's
+    * `TRUNCATE HISTORY`), then drop. The drop is its own commit; a later
+    * write that uses the capability again simply re-accrues it.
+    */
+  def dropFeature(spark: SparkSession, name: String): Unit = {
+    val tip = currentVersion
+    val current = readMeta(tip).features
+    require(current.contains(name),
+      s"table at $root does not declare feature $name (has: ${current.mkString(", ")})")
+    require(name != "inCommitTimestamps",
+      "inCommitTimestamps cannot be dropped — every commit records one")
+    def uses(v: Long): Boolean = {
+      val m = readMeta(v)
+      name match {
+        case "deletionVectors"  => m.dvs.nonEmpty
+        case "columnMapping"    => m.colmap.nonEmpty || m.retired.nonEmpty
+        case "checkConstraints" => m.constraints.nonEmpty
+        case "changeDataFeed"   => m.cdfDir.isDefined
+        case "rowTracking" =>
+          m.props.toMap.get(MergeTable.RowTrackingProp).contains("true")
+        case "generatedColumns" => m.props.toMap.contains(MergeTable.GeneratedColsProp)
+        case "identityColumns"  => m.props.toMap.contains(MergeTable.IdentityColProp)
+        case "columnDefaults" => readCommit(v).schema.fields.exists(f =>
+          f.metadata.contains("CURRENT_DEFAULT") || f.metadata.contains("EXISTS_DEFAULT"))
+        case _ => true // a feature this drop logic can't audit is never dropped
+      }
+    }
+    (vacuumHorizon to tip).filter(v => Files.exists(commitPath(v))).foreach { v =>
+      require(!uses(v),
+        s"version $v of $root still depends on $name — purge the content and " +
+          "VACUUM the history past it first (Delta's TRUNCATE HISTORY)")
+    }
+    val c = readCommit(tip)
+    commit(tip + 1, c.files, c.schema, c.statsLines,
+      featuresOverride = Some(current.filterNot(_ == name)), op = "DROP FEATURE")
+  }
+
   def detail(spark: SparkSession): DataFrame = {
     require(exists, s"MergeTable at $root does not exist")
     import spark.implicits._
@@ -5215,6 +5256,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                      colmapOverride: Option[Seq[(String, String)]] = None,
                      retiredOverride: Option[Seq[String]] = None,
                      propsOverride: Option[Seq[(String, String)]] = None,
+                     featuresOverride: Option[Seq[String]] = None,
                      op: String = "WRITE"): Unit = {
     Files.createDirectories(logDir)
     // CHECK constraints and txn versions carry forward automatically
@@ -5355,7 +5397,11 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // purged, history still holds masked commits, so a reader must keep
     // understanding them — exactly why Delta makes feature removal a
     // separate history-truncating operation rather than an automatic drop.
-    val features = (prev.fold(Seq.empty[String])(_.features) ++ Seq(
+    // featuresOverride ([[dropFeature]]) REPLACES the carried-forward set,
+    // but the content-implied union below still applies — a drop can never
+    // strip a feature the commit being written actually uses
+    val features = (featuresOverride.getOrElse(
+      prev.fold(Seq.empty[String])(_.features)) ++ Seq(
       "inCommitTimestamps" -> true,
       "deletionVectors" -> dvLines.nonEmpty,
       "columnMapping" -> (colmapLines.nonEmpty || retiredLines.nonEmpty),

@@ -2562,5 +2562,43 @@ object LakeQueries {
              |  ('deletionVectors'), ('inCommitTimestamps')) t(feature)
              |ORDER BY feature""".stripMargin),
       "table features: capability accrual from committed content, carried forever"),
+
+    // The feature lifecycle's OTHER half (Delta's ALTER TABLE ... DROP
+    // FEATURE): dropping is refused while any retained version still
+    // depends on the capability; after purging the content AND vacuuming
+    // the history past it (Delta's TRUNCATE HISTORY), the SQL drop lands
+    // as its own commit — and the data is bit-identical through
+    // purge + vacuum + drop (the oracle recomputes it from source).
+    "m75_drop_feature" -> GraftQuery(
+      (s, dir) => {
+        import s.implicits._
+        val root = s"$scratchRoot/m75_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)                                        // v0
+        table.deleteVectorized(s, col("o_totalprice") < 30000.0)       // v1
+        table.reorgPurge(s)                                            // v2
+        val refused =
+          try { table.dropFeature(s, "deletionVectors"); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused, "drop must refuse while history depends on the feature")
+        table.vacuum(retainVersions = 1)
+        graft.sqlapi.LakeSql.run(s,
+          "ALTER TABLE t DROP FEATURE deletionVectors", Map("t" -> table))
+        require(!table.features(table.currentVersion).contains("deletionVectors"),
+          "the drop commit must shed the feature")
+        table.read(s)
+          .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("key_sum"))
+          .crossJoin(table.features(table.currentVersion).toDF("feature"))
+          .select("feature", "n_rows", "key_sum")
+      },
+      Some("""SELECT feature,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |   WHERE o_totalprice >= 30000.0) AS n_rows,
+             |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+             |   WHERE o_totalprice >= 30000.0) AS key_sum
+             |FROM (VALUES ('inCommitTimestamps')) t(feature)""".stripMargin),
+      "DROP FEATURE lifecycle: refused until purge+vacuum, data identical through it"),
   )
 }

@@ -44,6 +44,7 @@ import graft.lake.MergeTable
   *   ALTER TABLE t UNSET TBLPROPERTIES (k [, ...])
   *   ALTER TABLE t ADD CONSTRAINT name CHECK (predicate)
   *   ALTER TABLE t DROP CONSTRAINT name
+  *   ALTER TABLE t DROP FEATURE name              -- after purge + vacuum
   *   ALTER TABLE t ALTER COLUMN c SET NOT NULL   -- validated, then fused
   *   ALTER TABLE t ALTER COLUMN c DROP NOT NULL
   *   GENERATE symlink_format_manifest FOR TABLE t -- external-engine manifests
@@ -185,6 +186,9 @@ object LakeSql {
 
   private val DropConstraintShape =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+
+  private val DropFeatureShape =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+FEATURE\s+(\w+)\s*;?\s*$""".r
 
   // Delta's NOT NULL column constraints, carried on the one CHECK
   // machinery (validated against existing data on add, enforcement fused
@@ -483,6 +487,8 @@ object LakeSql {
         resolve(tgt, targets).addCheckConstraint(spark, name, pred.trim)
       case DropConstraintShape(tgt, name) =>
         resolve(tgt, targets).dropCheckConstraint(name)
+      case DropFeatureShape(tgt, name) =>
+        resolve(tgt, targets).dropFeature(spark, name)
       case SetNotNullShape(tgt, colName) =>
         resolve(tgt, targets)
           .addCheckConstraint(spark, s"graft_notnull_$colName", s"$colName IS NOT NULL")
@@ -684,6 +690,7 @@ object LakeSql {
     case DropColumnShape(tgt, _)   => Some(tgt)
     case AddConstraintShape(tgt, _, _) => Some(tgt)
     case DropConstraintShape(tgt, _) => Some(tgt)
+    case DropFeatureShape(tgt, _)  => Some(tgt)
     case SetNotNullShape(tgt, _)   => Some(tgt)
     case DropNotNullShape(tgt, _)  => Some(tgt)
     case SetPropsShape(tgt, _)     => Some(tgt)
@@ -718,6 +725,7 @@ object LakeSql {
     case OptimizeShape(tgt, _)     => Some(tgt)
     case AddConstraintShape(tgt, _, _) => Some(tgt)
     case DropConstraintShape(tgt, _)   => Some(tgt)
+    case DropFeatureShape(tgt, _)      => Some(tgt)
     case SetNotNullShape(tgt, _)   => Some(tgt)
     case DropNotNullShape(tgt, _)  => Some(tgt)
     case AnalyzeShape(tgt, _)      => Some(tgt)

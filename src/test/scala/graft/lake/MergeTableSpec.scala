@@ -1473,4 +1473,30 @@ class MergeTableSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](fresh.read(spark).count())
     assert(e.getMessage.contains("vectorIndexV9"))
   }
+
+  test("DROP FEATURE: refused while history depends on it, works after vacuum") {
+    val t = new MergeTable(scratch("mt_dropfeat"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
+    t.deleteVectorized(spark, col("k") === 1)   // v1: masks → deletionVectors
+    t.reorgPurge(spark)                          // v2: content purged
+    // history still holds the masked v1 — the drop must refuse
+    val e = intercept[IllegalArgumentException](
+      t.dropFeature(spark, "deletionVectors"))
+    assert(e.getMessage.contains("VACUUM"))
+    t.vacuum(retainVersions = 1)                 // truncate history past v1
+    t.dropFeature(spark, "deletionVectors")      // v3
+    assert(!t.features(t.currentVersion).contains("deletionVectors"))
+    // a later dv write re-accrues the feature
+    t.deleteVectorized(spark, col("k") === 2)    // v4
+    assert(t.features(t.currentVersion).contains("deletionVectors"))
+    // the permanent one can never be dropped
+    val e2 = intercept[IllegalArgumentException](
+      t.dropFeature(spark, "inCommitTimestamps"))
+    assert(e2.getMessage.contains("cannot be dropped"))
+    // and the SQL spelling routes to the same engine path
+    t.reorgPurge(spark); t.vacuum(retainVersions = 1)
+    graft.sqlapi.LakeSql.run(spark, "ALTER TABLE tbl DROP FEATURE deletionVectors",
+      Map("tbl" -> t))
+    assert(!t.features(t.currentVersion).contains("deletionVectors"))
+  }
 }
