@@ -485,14 +485,16 @@ object EventQueries {
           .withColumn("fp",
             min(when(col("event_type") === "purchase" && col("rn") > col("fc"),
               col("rn"))).over(wAll))
-          .groupBy()
-          .agg(countDistinct(col("user_id")).as("users_total"),
-            countDistinct(when(col("fv").isNotNull, col("user_id")))
-              .as("users_viewed"),
-            countDistinct(when(col("fc").isNotNull, col("user_id")))
-              .as("users_clicked"),
-            countDistinct(when(col("fp").isNotNull, col("user_id")))
-              .as("users_purchased"))
+          .groupBy("user_id")
+          // per-user collapse REUSES the windows' user_id partitioning —
+          // zero additional exchange — where count(DISTINCT CASE ...)
+          // would Expand the corpus ×4 before its dedup shuffle
+          .agg(max(col("fv")).as("fv"), max(col("fc")).as("fc"),
+            max(col("fp")).as("fp"))
+          .agg(count(lit(1)).as("users_total"),
+            count(col("fv")).as("users_viewed"),
+            count(col("fc")).as("users_clicked"),
+            count(col("fp")).as("users_purchased"))
       },
       Some("""WITH o AS (
              |  SELECT user_id, event_type,
@@ -506,15 +508,14 @@ object EventQueries {
              |                  OVER (PARTITION BY user_id) AS fc FROM v),
              |p AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND rn > fc
              |                         THEN rn END)
-             |                  OVER (PARTITION BY user_id) AS fp FROM c)
-             |SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS users_total,
-             |       CAST(count(DISTINCT CASE WHEN fv IS NOT NULL THEN user_id END)
-             |            AS BIGINT) AS users_viewed,
-             |       CAST(count(DISTINCT CASE WHEN fc IS NOT NULL THEN user_id END)
-             |            AS BIGINT) AS users_clicked,
-             |       CAST(count(DISTINCT CASE WHEN fp IS NOT NULL THEN user_id END)
-             |            AS BIGINT) AS users_purchased
-             |FROM p""".stripMargin),
+             |                  OVER (PARTITION BY user_id) AS fp FROM c),
+             |u AS (SELECT user_id, max(fv) AS fv, max(fc) AS fc, max(fp) AS fp
+             |      FROM p GROUP BY user_id)
+             |SELECT CAST(count(*) AS BIGINT) AS users_total,
+             |       CAST(count(fv) AS BIGINT) AS users_viewed,
+             |       CAST(count(fc) AS BIGINT) AS users_clicked,
+             |       CAST(count(fp) AS BIGINT) AS users_purchased
+             |FROM u""".stripMargin),
       "ordered conversion funnel: chained window minima, one user-hash shuffle"),
   )
 }

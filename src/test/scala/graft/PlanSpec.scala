@@ -368,4 +368,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), s"no partial aggregation before shuffle:\n$plan")
     assert(plan.contains("Exchange hashpartitioning"), s"no hash exchange on group keys:\n$plan")
   }
+
+  test("e20 funnel: every corpus shuffle keys on user_id, windows share one exchange") {
+    val q = graft.queries.Registry.all("e20_funnel")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = finalPlan(q)
+    // four windows + the per-user collapse all partition by user_id and
+    // share ONE exchange; only the final 4-column census crosses a
+    // SinglePartition exchange. Nothing may Expand the corpus.
+    val hashKeys = "Exchange hashpartitioning\\(([^,]+)".r
+      .findAllMatchIn(plan).map(_.group(1).takeWhile(_ != '#')).toSeq
+    assert(hashKeys == Seq("user_id"),
+      s"expected exactly one user_id hash exchange, got $hashKeys:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"funnel census must not Expand the corpus:\n$plan")
+  }
+
+  test("mm8 frame sampling is map-only: zero exchanges over the media") {
+    val q = graft.queries.Registry.all("mm8_video_frames")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = finalPlan(q)
+    assert(!plan.contains("Exchange"),
+      s"media encode→decode→sample must not shuffle payload bytes:\n$plan")
+  }
 }
