@@ -1523,6 +1523,102 @@ object TextQueries {
              |            ELSE 'tail' END AS bucket
              |FROM scored, th""".stripMargin),
       "CCNet-style familiarity terciles: integer frequency-band scores, exact split"),
+
+    // The END-TO-END curation pipeline in ONE Catalyst plan — the shape a
+    // production pretraining-data run actually has, composing this
+    // engine's signal family: Gopher quality rules (t19) → repetition
+    // gate (t37, integer threshold: dup 3-grams < 20%) → exact dedup
+    // (d1, min-doc_id canonical per md5) → benchmark decontamination
+    // (t35, 8-gram overlap vs a held-out eval slice, eval side broadcast)
+    // → sequence packing (t36, per-source 256-token greedy packs).
+    // Gate stages are map-only filters; the only corpus shuffles are the
+    // dedup census, the contamination semi-join, and the pack window —
+    // each keyed and bounded exactly as its standalone gate proved.
+    "t39_curation_pipeline" -> GraftQuery(
+      (s, dir) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+          .withColumn("words", expr("filter(split(text, ' '), x -> x <> '')"))
+          .withColumn("nw", size(col("words")))
+        val qual = docs
+          .withColumn("sum_wlen", length(col("text")) - (col("nw") - 1))
+          .withColumn("n_sym", length(regexp_replace(col("text"), "[a-z ]", "")))
+          .withColumn("n_stop", size(array_intersect(array_distinct(col("words")),
+            array(lit("the"), lit("and"), lit("of"), lit("to"), lit("a")))))
+          .filter(col("nw") >= 5 && col("nw") <= 1000 &&
+            col("sum_wlen") >= col("nw") * 2 && col("sum_wlen") <= col("nw") * 12 &&
+            col("n_sym") * 10 <= length(col("text")) && col("n_stop") >= 2)
+          .withColumn("g3", expr("transform(sequence(1, nw - 2), i -> " +
+            "concat_ws(' ', element_at(words, i), element_at(words, i + 1), " +
+            "element_at(words, i + 2)))"))
+          .filter((size(col("g3")) - size(array_distinct(col("g3")))) * 5 <
+            size(col("g3")))
+        val canon = qual.groupBy(md5(col("text")).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+        val k1 = qual.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+        val gram8 = "transform(sequence(1, greatest(nw - 7, 0)), " +
+          "i -> array_join(slice(words, i, 8), ' '))"
+        val evalGrams = docs.filter(col("doc_id") % 97 === 0)
+          .select(explode(expr(gram8)).as("gram")).distinct()
+        val contaminated = k1
+          .select(col("doc_id"), explode(expr(gram8)).as("gram"))
+          .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+          .select("doc_id").distinct()
+        val kept = k1.filter(col("doc_id") % 97 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        val w = W.partitionBy("source").orderBy("doc_id")
+        kept.select(col("source"), col("doc_id"), col("nw").cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("pack_id", ((col("cum") - col("n_tok")) / 256).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            countDistinct(col("pack_id")).as("n_packs"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, text, source,
+             |         list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw
+             |  FROM documents),
+             |qual AS (
+             |  SELECT * FROM (
+             |    SELECT *, length(text) - (nw - 1) AS sum_wlen,
+             |           length(regexp_replace(text, '[a-z ]', '', 'g')) AS n_sym,
+             |           len(list_intersect(list_distinct(words),
+             |                              ['the','and','of','to','a'])) AS n_stop
+             |    FROM m)
+             |  WHERE nw BETWEEN 5 AND 1000
+             |    AND sum_wlen >= nw * 2 AND sum_wlen <= nw * 12
+             |    AND n_sym * 10 <= length(text) AND n_stop >= 2),
+             |rep AS (
+             |  SELECT * FROM (
+             |    SELECT *, list_transform(generate_series(1, nw - 2),
+             |             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS g3
+             |    FROM qual)
+             |  WHERE (len(g3) - len(list_distinct(g3))) * 5 < len(g3)),
+             |canon AS (SELECT min(doc_id) AS doc_id FROM rep GROUP BY md5(text)),
+             |k1 AS (SELECT rep.* FROM rep JOIN canon USING (doc_id)),
+             |eg AS (SELECT DISTINCT array_to_string(words[i: i+7], ' ') AS gram
+             |       FROM m CROSS JOIN LATERAL
+             |         (SELECT unnest(generate_series(1, greatest(nw - 7, 0))) AS i) g
+             |       WHERE doc_id % 97 = 0),
+             |cont AS (SELECT DISTINCT k1.doc_id
+             |         FROM k1 CROSS JOIN LATERAL
+             |           (SELECT unnest(generate_series(1, greatest(nw - 7, 0))) AS i) g
+             |         WHERE array_to_string(words[i: i+7], ' ') IN
+             |               (SELECT gram FROM eg)),
+             |kept AS (SELECT * FROM k1
+             |         WHERE doc_id % 97 <> 0
+             |           AND doc_id NOT IN (SELECT doc_id FROM cont)),
+             |cums AS (SELECT source, doc_id, CAST(nw AS BIGINT) AS n_tok,
+             |                sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+             |                              ROWS UNBOUNDED PRECEDING) AS cum
+             |         FROM kept)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |       CAST(count(DISTINCT (cum - n_tok) // 256) AS BIGINT) AS n_packs
+             |FROM cums GROUP BY source ORDER BY source""".stripMargin),
+      "end-to-end curation: quality, repetition, dedup, decontaminate, pack — one plan"),
   )
 
   /** Where the persisted BPE model for an sf dir lives (scratch-scoped;
