@@ -98,7 +98,8 @@ object PersistedAnnIndex {
     * candidates are `rerank` rows, so the join is broadcast-sized.
     */
   def search(spark: SparkSession, h: Handle, emb: DataFrame, queryId: Long,
-             k: Int, nProbe: Int = 4, rerank: Int = 50): DataFrame = {
+             k: Int, nProbe: Int = 4, rerank: Int = 50,
+             filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     GraftFunctions.register(spark)
     val centers = loadCentroids(spark, h)
     val cb = loadCodebook(spark, h)
@@ -118,9 +119,17 @@ object PersistedAnnIndex {
       .mkString("CAST(array(", ",", ") AS ARRAY<ARRAY<DOUBLE>>)")
     // the connector read pushes the cell filter into the commit log's
     // partition pruning — only the probed cells' FILES are scanned
-    val cands = spark.read.format("graft").load(s"${h.root}/codes")
+    // FILTERED vector search (the production-hot shape): the predicate is
+    // applied at the INDEX SCAN — before any ADC scoring — so non-matching
+    // codes are never scored and the rerank pool is all-eligible
+    // (pre-filtering; post-filtering would silently shrink k under
+    // selective predicates). The predicate speaks the codes table's
+    // metadata columns (vec_id / label / cell) and rides the connector
+    // read's pushdown alongside the cell partition pruning.
+    val scan = spark.read.format("graft").load(s"${h.root}/codes")
       .filter(col("cell").isin(probes.map(Int.box): _*))
       .filter(col("vec_id") =!= queryId)
+    val cands = filter.fold(scan)(scan.filter)
       .withColumn("adc", expr(
         s"aggregate(zip_with(codes, $tablesLit, (c, t) -> element_at(t, c + 1)), " +
           "0D, (acc, v) -> acc + v)"))

@@ -713,5 +713,38 @@ object SimilarityQueries {
       },
       None,
       "persisted IVF-PQ ANN index: train once, O(batch) append, partition-pruned probes"),
+
+    // FILTERED vector search over the persisted index — the production
+    // pattern (RAG with tenant/source/label predicates): the predicate is
+    // applied AT THE INDEX SCAN, before any ADC scoring (pre-filtering),
+    // so the rerank pool is all-eligible and k fills under selective
+    // predicates where post-filtering would silently return fewer. The
+    // gate proves (a) every hit satisfies the predicate, (b) k fills,
+    // (c) recall vs the EXACT filtered brute-force top-k.
+    "v17_filtered_ann" -> GraftQuery(
+      (s, dir) => {
+        val root = s"${Registry.scratchRoot}/v17_${Registry.sanitize(dir)}"
+        Registry.cleanDir(root)
+        val e = emb(s, dir)
+        val h = graft.operators.PersistedAnnIndex.build(s, e, root)
+        val pred = col("label") % 3 === 0
+        val got = graft.operators.PersistedAnnIndex.search(s, h, e, queryId = 0,
+          k = 10, filter = Some(pred))
+        require(got.filter(col("label") % 3 =!= 0).count() == 0,
+          "every filtered-search hit must satisfy the predicate")
+        require(got.count() == 10, "pre-filtering must fill k")
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+        val exact = e.filter(pred && col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .withColumn("cosine",
+            round(cosineFast("embedding", "q_emb", "norm", "q_norm"), 6))
+          .orderBy(col("cosine").desc, col("vec_id")).limit(10).select("vec_id")
+        val overlap = got.select("vec_id").join(exact, "vec_id").count()
+        require(overlap >= 5,
+          s"filtered ANN recall vs exact filtered top-10: $overlap/10")
+        got
+      },
+      None,
+      "filtered persisted-ANN search: predicate at the index scan, k fills, recall-checked"),
   )
 }
