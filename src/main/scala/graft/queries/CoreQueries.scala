@@ -488,5 +488,24 @@ object CoreQueries {
              |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) top
              |ORDER BY g.o_custkey""".stripMargin),
       "LATERAL correlated top-1 subquery, decorrelated to one shuffle"),
+
+    // Modern SQL sugar both engines ship (Spark 4 / DuckDB): GROUP BY ALL
+    // infers the grouping keys from the non-aggregate select items, and
+    // ORDER BY ALL orders by every output column left-to-right — the
+    // dialect-parity check that matters to anyone porting ad-hoc analyst
+    // SQL onto this engine.
+    "q27_group_by_all" -> GraftQuery(
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("q27_lineitem_v")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                |       sum(l_quantity) AS sum_qty
+                |FROM q27_lineitem_v
+                |GROUP BY ALL ORDER BY ALL""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             |       sum(l_quantity) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ALL ORDER BY ALL""".stripMargin),
+      "GROUP BY ALL / ORDER BY ALL: inferred keys, both dialects agree"),
   )
 }

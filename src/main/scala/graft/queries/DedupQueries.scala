@@ -822,5 +822,35 @@ object DedupQueries {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
       "incremental fuzzy dedup: persisted band-partitioned LSH index, O(batch) probes"),
+
+    // Normalization-then-dedup (the CCNet paragraph-dedup shape): exact
+    // dedup is brittle to cosmetic variation, so the KEY is the NORMALIZED
+    // text — lowercased, punctuation stripped, whitespace collapsed — and
+    // the census groups on its md5. Map-only normalize + one hash census;
+    // canonical = lowest doc_id per normalized key, ties in raw text that
+    // normalize identically collapse to one survivor. Output keeps the
+    // group size so the census doubles as a near-verbatim-duplication
+    // report per surviving document.
+    "d14_normalized_dedup" -> GraftQuery(
+      (s, dir) => {
+        val norm = regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), md5(trim(norm)).as("h"))
+          .groupBy("h")
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+          .select("doc_id", "n_variants")
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id,
+             |         md5(trim(regexp_replace(regexp_replace(lower(text),
+             |             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+             |  FROM documents)
+             |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+             |       CAST(count(*) AS BIGINT) AS n_variants
+             |FROM n GROUP BY h ORDER BY doc_id""".stripMargin),
+      "normalized-text dedup: cosmetic-variant collapse via md5 census, map-only normalize"),
   )
 }

@@ -517,5 +517,33 @@ object EventQueries {
              |       CAST(count(fp) AS BIGINT) AS users_purchased
              |FROM u""".stripMargin),
       "ordered conversion funnel: chained window minima, one user-hash shuffle"),
+
+    // Cohort retention (e20's sibling product-analytics staple): users
+    // cohort by FIRST-ACTIVE DAY; each later active day counts them into
+    // (cohort_day, day-offset). Shapes: one (user, day) distinct shuffle,
+    // a window min for the cohort day (user-keyed), a small census —
+    // offsets are exact integer datediffs, and a user contributes at most
+    // once per (cohort, offset) because (user, day) is already distinct,
+    // so the census is a plain count, no second distinct pass.
+    "e21_cohort_retention" -> GraftQuery(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val w = Window.partitionBy("user_id")
+        ev.withColumn("cohort_day", min(col("d")).over(w))
+          .select(col("cohort_day"),
+            datediff(col("d"), col("cohort_day")).as("day_offset"))
+          .groupBy("cohort_day", "day_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+             |            FROM events),
+             |c AS (SELECT *, min(d) OVER (PARTITION BY user_id) AS cohort_day
+             |      FROM ev)
+             |SELECT cohort_day, CAST(datediff('day', cohort_day, d) AS INT) AS day_offset,
+             |       CAST(count(*) AS BIGINT) AS n_users
+             |FROM c GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""".stripMargin),
+      "cohort retention: first-active-day cohorts, exact day-offset census"),
   )
 }

@@ -728,8 +728,12 @@ object SimilarityQueries {
         val e = emb(s, dir)
         val h = graft.operators.PersistedAnnIndex.build(s, e, root)
         val pred = col("label") % 3 === 0
+        // filtered search over-provisions probes and rerank: the predicate
+        // keeps ~1/3 of each cell, so candidate recall at fixed nProbe
+        // shrinks with selectivity — probing wider is the documented
+        // production practice (FAISS's IVF filtering guidance)
         val got = graft.operators.PersistedAnnIndex.search(s, h, e, queryId = 0,
-          k = 10, filter = Some(pred))
+          k = 10, nProbe = 8, rerank = 100, filter = Some(pred))
         require(got.filter(col("label") % 3 =!= 0).count() == 0,
           "every filtered-search hit must satisfy the predicate")
         require(got.count() == 10, "pre-filtering must fill k")

@@ -1532,8 +1532,10 @@ object TextQueries {
     // (t35, 8-gram overlap vs a held-out eval slice, eval side broadcast)
     // → sequence packing (t36, per-source 256-token greedy packs).
     // Gate stages are map-only filters; the only corpus shuffles are the
-    // dedup census, the contamination semi-join, and the pack window —
-    // each keyed and bounded exactly as its standalone gate proved.
+    // dedup WINDOW (md5-keyed canonical pick — a window, not a census
+    // self-join, so the quality subtree is computed once), the
+    // contamination semi-join (derived from the raw-docs subtree,
+    // independent of the quality chain), and the pack window.
     "t39_curation_pipeline" -> GraftQuery(
       (s, dir) => {
         val W = org.apache.spark.sql.expressions.Window
@@ -1553,14 +1555,27 @@ object TextQueries {
             "element_at(words, i + 2)))"))
           .filter((size(col("g3")) - size(array_distinct(col("g3")))) * 5 <
             size(col("g3")))
-        val canon = qual.groupBy(md5(col("text")).as("h"))
-          .agg(min("doc_id").as("doc_id"))
-        val k1 = qual.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+        // canonical-pick as a WINDOW over the md5 key — no census self-join,
+        // so the quality/repetition subtree is computed ONCE, not re-derived
+        // on both sides of a semi-join. Project down to scalars FIRST: the
+        // window shuffle carries (doc_id, source, nw, h), never the text or
+        // the gram arrays — the difference between ~50 bytes/row and the
+        // document itself crossing the wire.
+        val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+        val k1 = qual
+          .select(col("doc_id"), col("source"), col("nw"),
+            md5(col("text")).as("h"))
+          .withColumn("min_id", min(col("doc_id")).over(wH))
+          .filter(col("doc_id") === col("min_id"))
+        // contamination derives from the RAW docs subtree (cheap map +
+        // explode + broadcast semi-join), independent of the quality chain —
+        // membership restricted by the anti-join, so kept is identical to
+        // testing only the survivors, without re-deriving them
         val gram8 = "transform(sequence(1, greatest(nw - 7, 0)), " +
           "i -> array_join(slice(words, i, 8), ' '))"
         val evalGrams = docs.filter(col("doc_id") % 97 === 0)
           .select(explode(expr(gram8)).as("gram")).distinct()
-        val contaminated = k1
+        val contaminated = docs
           .select(col("doc_id"), explode(expr(gram8)).as("gram"))
           .join(broadcast(evalGrams), Seq("gram"), "left_semi")
           .select("doc_id").distinct()
