@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types.StructType
@@ -967,6 +967,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       case ("min", c)      => minMaxOk(c)
       case ("max", c)      => minMaxOk(c)
       case ("sum", c)      => schema.fieldNames.contains(c) && isIntegral(schema(c).dataType)
+      case ("avg", c)      => schema.fieldNames.contains(c) &&
+        isIntegral(schema(c).dataType) && !partitionCols.contains(c)
       case _               => false
     }
     if (!ok) return None
@@ -1014,6 +1016,9 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       case ("sum", c) =>
         checks += cnt(s(c).isNull ||
           (s(c).getField("flag") =!= "N" && s(c).getField("sum").isNull))
+      case ("avg", c) =>
+        checks += cnt(s(c).isNull || s(c).getField("nulls").isNull ||
+          (s(c).getField("flag") =!= "N" && s(c).getField("sum").isNull))
       case _ => ()
     }
     // scope coverage checks evaluate over the SCOPED rows; the anomaly
@@ -1043,14 +1048,35 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         max(when(s(c).getField("flag") === "N", lit(null)).otherwise(tcStat(c, "mx"))).as(s"_a$i")
       case (("sum", c), i) =>
         sum(s(c).getField("sum").try_cast("decimal(38,0)")).as(s"_a$i")
+      case (("avg", c), i) =>
+        sum(s(c).getField("sum").try_cast("decimal(38,0)")).as(s"_a$i")
       case ((op, c), _) =>
         throw new IllegalStateException(s"unreachable agg shape ($op, $c)")
     }
+    // avg divisors (per-group non-null counts) ride as TRAILING columns so
+    // the positional extraction of _a0.._aN stays untouched; convert()
+    // reads them back by NAME
+    val avgDivCols: Seq[Column] = aggs.zipWithIndex.collect {
+      case (("avg", c), i) =>
+        sum(col("_graft_rows") - s(c).getField("nulls")).as(s"_an$i")
+    }
+    val allAggCols = aggCols ++ avgDivCols
     val grouped =
-      if (groupBy.isEmpty) scoped.agg(aggCols.head, aggCols.tail: _*)
-      else scoped.groupBy(groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      if (groupBy.isEmpty) scoped.agg(allAggCols.head, allAggCols.tail: _*)
+      else scoped.groupBy(groupBy.map(col): _*).agg(allAggCols.head, allAggCols.tail: _*)
     val collected = grouped.collect().toSeq
-    def convert(i: Int, v: Any): Option[Any] = aggs(i) match {
+    def convert(i: Int, v: Any, r: Row): Option[Any] = aggs(i) match {
+      case ("avg", _) =>
+        val nn = Option(r.getAs[Any](s"_an$i")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (nn == 0L) Some(null)
+        else Option(v) match {
+          case Some(d: java.math.BigDecimal) =>
+            val bi = BigInt(d.toBigInteger)
+            if (bi.isValidLong)
+              Some(java.lang.Double.valueOf(bi.toLong.toDouble / nn.toDouble))
+            else None
+          case _ => None // sum missing while rows exist: inexact, refuse
+        }
       case ("count", _) => Some(java.lang.Long.valueOf(
         Option(v).map(_.asInstanceOf[Long]).getOrElse(0L)))
       case ("sum", _) => Option(v) match {
@@ -1072,7 +1098,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         })
       else collected.map { r =>
         val gv = groupBy.indices.map(r.get)
-        val av = aggs.indices.map(i => convert(i, r.get(groupBy.size + i)) match {
+        val av = aggs.indices.map(i => convert(i, r.get(groupBy.size + i), r) match {
           case Some(x) => x
           case None    => return None
         })
@@ -3292,6 +3318,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       case ("min", c)      => minMaxFeasible(c)
       case ("max", c)      => minMaxFeasible(c)
       case ("sum", c)      => sumFeasible(c)
+      // avg = exact sum / non-null count: both sub-answers must be exact
+      case ("avg", c)      => sumFeasible(c) && countColFeasible(c)
       case _               => false
     }
     if (!ok) return None
@@ -3331,6 +3359,17 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           val total = contrib.sum
           if (total.isValidLong) java.lang.Long.valueOf(total.toLong)
           else throw Unanswerable
+        }
+      case "avg" =>
+        // exact integral sum over exact non-null count — deterministic
+        // where a scan's double-accumulated Average is only exact while
+        // its running sum stays below 2^53
+        val nn = aggValue("count", c, members).asInstanceOf[java.lang.Long]
+        if (nn == 0L) null
+        else {
+          val total = members.flatMap(f => sums.get((f, c))).sum
+          if (!total.isValidLong) throw Unanswerable
+          java.lang.Double.valueOf(total.toDouble / nn.toDouble)
         }
       case "count" =>
         // non-null count per file: partition columns from the dir value

@@ -2600,5 +2600,38 @@ object LakeQueries {
              |   WHERE o_totalprice >= 30000.0) AS key_sum
              |FROM (VALUES ('inCommitTimestamps')) t(feature)""".stripMargin),
       "DROP FEATURE lifecycle: refused until purge+vacuum, data identical through it"),
+
+    // AVG pushdown: exact integral sum / non-null count, both already in
+    // the log — `avg(col)` on a 100 TB table joins count/min/max/sum as a
+    // metadata answer (Delta's stats stop short of this). Deterministic
+    // where a scan's double-accumulated Average is only exact while its
+    // running sum stays below 2^53; beyond that the scan is
+    // order-dependent and the log's answer is the canonical one. The
+    // require() pins the no-FileScan plan shape.
+    "m76_avg_pushdown" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m76_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"),
+          statsCols = Seq("o_orderkey", "o_custkey"))
+        table.overwrite(orders.filter(col("o_orderkey") % 2 === 0))
+        table.append(orders.filter(col("o_orderkey") % 2 =!= 0))
+        val df = s.read.format("graft").load(root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            avg("o_orderkey").as("avg_key"),
+            avg("o_custkey").as("avg_cust"))
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("PushedAggregates"),
+          s"avg must be answered from the log, got:\n$plan")
+        require(!plan.contains("FileScan"),
+          "a pushed avg must not scan any data file")
+        df
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+             |       avg(o_orderkey) AS avg_key, avg(o_custkey) AS avg_cust
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "avg pushdown: exact sum over non-null count, zero data files read"),
   )
 }

@@ -358,7 +358,7 @@ final class GraftTable(root: String, declaredParts: Seq[String],
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
       partitionFilters: Seq[Filter] = Nil)
       : Option[(StructType, Seq[Row])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.types.{LongType, StructField}
     if (cdfMode) return None
@@ -398,6 +398,14 @@ final class GraftTable(root: String, declaredParts: Seq[String],
         case Some(c) => ("sum", c) // exact integral partial sums in the log
         case None    => return None
       }
+      // AVG = exact integral sum / non-null count, both log-answerable —
+      // deterministic where a scan's double-accumulated Average is only
+      // exact while the running sum stays below 2^53 (beyond that the scan
+      // itself is order-dependent; the log's answer is the canonical one)
+      case a: Avg if !a.isDistinct => colOf(a.column) match {
+        case Some(c) => ("avg", c)
+        case None    => return None
+      }
       case _ => return None
     }
 
@@ -429,6 +437,8 @@ final class GraftTable(root: String, declaredParts: Seq[String],
             case ("count", null) => StructField("count(*)", LongType, nullable = false)
             case ("count", c)    => StructField(s"count($c)", LongType, nullable = false)
             case ("sum", c)      => StructField(s"sum($c)", LongType, nullable = true)
+            case ("avg", c) => StructField(s"avg($c)",
+              org.apache.spark.sql.types.DoubleType, nullable = true)
             case (op, c) => StructField(s"$op($c)", schema(c).dataType, nullable = true)
           }
       (StructType(fields), rows.map(Row.fromSeq))

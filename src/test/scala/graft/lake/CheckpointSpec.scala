@@ -124,7 +124,9 @@ class CheckpointSpec extends SparkSpec {
         (Nil, Seq(("min", "k"), ("max", "k")), Nil),                 // data bounds
         (Nil, Seq(("min", "p"), ("max", "p")), Nil),                 // partition bounds
         (Nil, Seq(("sum", "k")), Nil),                               // exact sum
+        (Nil, Seq(("avg", "k")), Nil),                               // sum / count
         (Seq("p"), Seq(("count", null), ("sum", "k")), Nil),         // grouped
+        (Seq("p"), Seq(("avg", "k"), ("count", "k")), Nil),          // grouped avg
         (Nil, Seq(("count", null)), Seq(sources.EqualTo("p", "1"))), // filtered
         (Seq("p"), Seq(("min", "k")), Seq(sources.In("p", Array[Any]("1", "3")))),
         (Nil, Seq(("count", null), ("min", "k")),
