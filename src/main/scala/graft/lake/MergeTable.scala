@@ -2504,7 +2504,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                       checkUniqueSource: Boolean = true,
                       changeFeed: Boolean = false,
                       txn: Option[(String, Long)] = None,
-                      maxNewDvRows: Long = MergeTable.DefaultMaxDvRows): Unit = {
+                      maxNewDvRows: Long = MergeTable.DefaultMaxDvRows,
+                      keysDeterminePartitions: Boolean = false): Unit = {
     import MergeTable.{ChangeType, DvFileCol, DvIdxCol}
     require(keys.nonEmpty, "merge requires at least one key column")
     require(!rowTrackingEnabled,
@@ -2531,8 +2532,21 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val newVersion = v + 1
       val srcKeys = src.select(keys.map(col): _*)
 
+      // same opt-in partition pruning as [[merge]]: when the keys
+      // functionally determine the partition values, matched rows can only
+      // live in the SOURCE's partitions — the position probe scans those
+      // files, not the table. scopeDirs doubles as the READ-SET record
+      // for the lost-race rebase below.
+      var scopeDirs: Option[Set[String]] = None
+      val probeRel: Seq[String] =
+        if (keysDeterminePartitions && partitionCols.nonEmpty) {
+          val dirs = sourceScopeDirs(src)
+          scopeDirs = Some(dirs)
+          files.filter(f => dirs.exists(d => f.contains(s"/$d/")))
+        } else files
+
       // matched target rows WITH their file/position — these become masks
-      val live = readFiles(spark, files, schema, colmapOf(v), dvs, keepPos = true)
+      val live = readFiles(spark, probeRel, schema, colmapOf(v), dvs, keepPos = true)
       val matched = live.join(srcKeys, keys, "left_semi").cache()
 
       val attempt = newDataDir(newVersion)
@@ -2545,7 +2559,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         // a mass update: one rewrite now beats a giant mask on every scan
         matched.unpersist()
         deleteRecursively(Paths.get(root, dvRel))
-        merge(spark, source, keys, checkUniqueSource, changeFeed = changeFeed, txn = txn)
+        merge(spark, source, keys, checkUniqueSource, changeFeed = changeFeed,
+          keysDeterminePartitions = keysDeterminePartitions, txn = txn)
         return
       }
       // union-on-rewrite invariant (see deleteVectorized): a touched
@@ -2592,10 +2607,75 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         } else None
 
       matched.unpersist()
-      commit(newVersion, files ++ newFiles, schema,
-        carryStats(v, files) ++ collectStats(spark, newFiles, schema, colmapOf(v)),
+      val newStats = collectStats(spark, newFiles, schema, colmapOf(v))
+      lastMergeCommitVia = "commit"
+      try commit(newVersion, files ++ newFiles, schema,
+        carryStats(v, files) ++ newStats,
         cdfDir, dvsOverride = Some(newDvs), txn = txn, op = "MERGE (DV)")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // dv-merge rebase (the dv-delete shape plus a data dir): masks
+          // re-bind and the source's new file re-commits against the
+          // winner's tip when the winner is provably outside this merge's
+          // read scope. Constraints must MATCH — the new rows were
+          // validated under the base's constraint set.
+          val dirs = scopeDirs.getOrElse(throw e)
+          if (cdfDir.isDefined) throw e
+          val baseSet = files.toSet
+          val baseConstraints = readMeta(v).constraints.toSet
+          var attempt = 0
+          var done = false
+          while (!done) {
+            attempt += 1
+            val tip = currentVersion
+            val cTip = readCommit(tip)
+            txn.foreach { case (app, ver) =>
+              if (cTip.txns.get(app).exists(_ >= ver)) return // replayed batch
+            }
+            def shape(st: StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
+              st.fields.map(f => (f.name, f.dataType)).toSeq
+            val tipSet = cTip.files.toSet
+            val tipDvs = dvsOf(tip)
+            val winnerAdds = cTip.files.filterNot(baseSet)
+            if (shape(cTip.schema) != shape(schema) || colmapOf(tip) != colmapOf(v) ||
+                cTip.constraints.toSet != baseConstraints ||
+                !touchedFiles.forall(tipSet.contains) ||
+                touchedFiles.exists(f => tipDvs.get(f) != dvs.get(f)) ||
+                winnerAdds.exists(f => dirs.exists(d => f.contains(s"/$d/"))))
+              throw e
+            val rebasedDvs: Seq[(String, String, Long)] = cTip.files.flatMap { f =>
+              cum.get(f) match {
+                case Some(n) => Some((f, dvRel, n))
+                case None    => tipDvs.get(f).map { case (d, n) => (f, d, n) }
+              }
+            }
+            try {
+              commit(tip + 1, cTip.files ++ newFiles, cTip.schema,
+                cTip.statsLines ++ newStats,
+                dvsOverride = Some(rebasedDvs), txn = txn, op = "MERGE (DV)")
+              lastMergeCommitVia = "rebase"
+              done = true
+            } catch {
+              case _: java.util.ConcurrentModificationException if attempt < 10 => ()
+            }
+          }
+      }
     } finally src.unpersist()
+  }
+
+  /** The partition DIRECTORIES a `keysDeterminePartitions` write can
+    * touch: the source's distinct partition tuples, stringified by Spark's
+    * own cast-to-string and escaped/null-mapped by Spark's partition-path
+    * rules — exactly the directories the write path produces.
+    */
+  private def sourceScopeDirs(src: DataFrame): Set[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    src.select(partitionCols.map(c => col(c).cast("string")): _*)
+      .distinct().collect().map(r =>
+        partitionCols.indices.map { i =>
+          val seg = ExternalCatalogUtils.getPartitionValueString(r.getString(i))
+          s"${partitionCols(i)}=$seg"
+        }.mkString("/")).toSet
   }
 
   /** UPDATE with DELETION VECTORS (the [[mergeVectorized]] shape for

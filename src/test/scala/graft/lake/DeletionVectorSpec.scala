@@ -221,4 +221,31 @@ class DeletionVectorSpec extends SparkSpec {
       !java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, p)), s"$p not reclaimed"))
     assert(asSet(t.read(spark)) === Set((2, "b", "p1")))
   }
+
+  test("partition-scoped dv-merges: probe prunes, disjoint races rebase") {
+    val t = new MergeTable(scratch("dv_kdp"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p2"))))
+    // partition-scoped dv-merge updates only its partition's files
+    t.mergeVectorized(spark, df(Seq((1, "A", "p1"))), Seq("k"),
+      keysDeterminePartitions = true)
+    assert(asSet(t.read(spark)) ===
+      Set((1, "A", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p2")))
+    // disjoint concurrent dv-merges: the loser re-binds, both land
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    Seq(df(Seq((2, "B", "p1"))), df(Seq((3, "C", "p2")))).foreach { s0 =>
+      pool.execute { () =>
+        go.await()
+        try t.mergeVectorized(spark, s0, Seq("k"), keysDeterminePartitions = true)
+        catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    }
+    go.countDown(); pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.get === 0, "disjoint dv-merges must both land")
+    assert(asSet(t.read(spark)) ===
+      Set((1, "A", "p1"), (2, "B", "p1"), (3, "C", "p2"), (4, "d", "p2")))
+  }
 }
