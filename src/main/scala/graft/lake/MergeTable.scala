@@ -2771,9 +2771,56 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             allowMissingColumns = true), newVersion, dataDir))
       else None
     matched.unpersist()
-    commit(newVersion, files ++ newFiles, schema,
-      carryStats(v, files) ++ collectStats(spark, newFiles, schema, colmapOf(v)),
+    val newStats = collectStats(spark, newFiles, schema, colmapOf(v))
+    lastMergeCommitVia = "commit"
+    try commit(newVersion, files ++ newFiles, schema,
+      carryStats(v, files) ++ newStats,
       cdfDir, dvsOverride = Some(newDvs), op = "UPDATE (DV)")
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // the dv-delete rebase shape plus a data dir: re-bind the masks and
+        // re-commit the post-SET file against the winner's tip when no
+        // winner-added file's partition could satisfy the predicate;
+        // constraints must match (the post-SET rows were validated under
+        // the base's set)
+        if (cdfDir.isDefined) throw e
+        val baseSet = files.toSet
+        val baseConstraints = readMeta(v).constraints.toSet
+        var attempt2 = 0
+        var done = false
+        while (!done) {
+          attempt2 += 1
+          val tip = currentVersion
+          val cTip = readCommit(tip)
+          def shape(st: StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
+            st.fields.map(f => (f.name, f.dataType)).toSeq
+          val tipSet = cTip.files.toSet
+          val tipDvs = dvsOf(tip)
+          val winnerAdds = cTip.files.filterNot(baseSet)
+          if (shape(cTip.schema) != shape(schema) || colmapOf(tip) != colmapOf(v) ||
+              cTip.constraints.toSet != baseConstraints ||
+              !touchedFiles.forall(tipSet.contains) ||
+              touchedFiles.exists(f => tipDvs.get(f) != dvs.get(f)) ||
+              (winnerAdds.nonEmpty &&
+                partitionCandidates(spark, winnerAdds, schema, predicate).nonEmpty))
+            throw e
+          val rebasedDvs: Seq[(String, String, Long)] = cTip.files.flatMap { f =>
+            cum.get(f) match {
+              case Some(n) => Some((f, dvRel, n))
+              case None    => tipDvs.get(f).map { case (d, n) => (f, d, n) }
+            }
+          }
+          try {
+            commit(tip + 1, cTip.files ++ newFiles, cTip.schema,
+              cTip.statsLines ++ newStats,
+              dvsOverride = Some(rebasedDvs), op = "UPDATE (DV)")
+            lastMergeCommitVia = "rebase"
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException if attempt2 < 10 => ()
+          }
+        }
+    }
   }
 
   /** Delta `UPDATE SET` analog: apply `set` (column → new-value expression)
@@ -2934,12 +2981,28 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         Some(writeChanges(deleted.fold(inserted)(_ unionByName inserted),
           newVersion, dataDir))
       } else None
-    commit(newVersion, keptRel ++ newFiles, schema,
-      carryStats(v, keptRel) ++ collectStats(spark, newFiles, schema, colmapOf(v)),
+    val newStats = collectStats(spark, newFiles, schema, colmapOf(v))
+    lastMergeCommitVia = "commit"
+    try commit(newVersion, keptRel ++ newFiles, schema,
+      carryStats(v, keptRel) ++ newStats,
       cdfDir,
       propsOverride = propsWith(
         rowHwm.toSeq.map(h => MergeTable.RowIdHwmProp -> h.toString)),
       op = "REPLACE WHERE")
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // the DELETE rebase shape: replaceWhere's read set is the
+        // predicate's partition scope (the incoming rows all satisfy the
+        // predicate, so the written file lands inside it); a backfill of
+        // yesterday's partition must not re-derive because today's ingest
+        // won its race
+        rebaseMerge(v, None, touchedRel, newFiles, newStats, schema,
+          colmapOf(v), cdfDefined = cdfDir.isDefined,
+          usedIds = rowHwm.isDefined, txn = None, first = e,
+          addConflict = Some((adds: Seq[String]) =>
+            partitionCandidates(spark, adds, schema, predicate).nonEmpty),
+          op = "REPLACE WHERE")
+    }
   }
 
   /** Compaction (Delta OPTIMIZE analog): rewrite the CURRENT snapshot

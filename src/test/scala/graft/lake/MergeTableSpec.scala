@@ -1422,6 +1422,47 @@ class MergeTableSpec extends SparkSpec {
     assert(asSet(t2.read(spark)) === Set((2, "b", "p1"), (4, "d", "p2")))
   }
 
+  test("disjoint replaceWhere backfills and dv-updates auto-rebase") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    // replaceWhere racing replaceWhere on disjoint partitions
+    val t = new MergeTable(scratch("mt_rwrebase"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    Seq(("p1", df(Seq((11, "x", "p1")))), ("p2", df(Seq((22, "y", "p2"))))).foreach {
+      case (part, data) =>
+        pool.execute { () =>
+          go.await()
+          try t.overwriteWhere(spark, col("p") === part, data)
+          catch { case _: Throwable => failures.incrementAndGet() }
+        }
+    }
+    go.countDown(); pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.get === 0, "disjoint backfills must both land")
+    assert(asSet(t.read(spark)) === Set((11, "x", "p1"), (22, "y", "p2")))
+
+    // dv-UPDATE racing dv-UPDATE on disjoint partitions
+    val t2 = new MergeTable(scratch("mt_dvurebase"), Seq("p"))
+    t2.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2"))))
+    val pool2 = Executors.newFixedThreadPool(2)
+    val go2 = new CountDownLatch(1)
+    val failures2 = new java.util.concurrent.atomic.AtomicInteger
+    Seq("p1", "p2").foreach { part =>
+      pool2.execute { () =>
+        go2.await()
+        try t2.updateVectorized(spark, col("p") === part,
+          Map("v" -> org.apache.spark.sql.functions.upper(col("v"))))
+        catch { case _: Throwable => failures2.incrementAndGet() }
+      }
+    }
+    go2.countDown(); pool2.shutdown()
+    assert(pool2.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures2.get === 0, "disjoint dv-updates must both land")
+    assert(asSet(t2.read(spark)) === Set((1, "A", "p1"), (2, "B", "p2")))
+  }
+
   test("compaction rebases around concurrent ingest: appended files survive") {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     val t = new MergeTable(scratch("mt_optrebase"), Seq("p"))
