@@ -385,6 +385,31 @@ class PlanSpec extends SparkSpec {
       s"funnel census must not Expand the corpus:\n$plan")
   }
 
+  test("t38 terciles: no global sort, no single-partition window, threshold broadcast") {
+    val q = graft.queries.Registry.all("t38_ccnet_buckets")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = finalPlan(q)
+    // ntile/global rank would plan `Exchange SinglePartition + Window` —
+    // the tercile split must not (the 1-row threshold aggregate's own
+    // SinglePartition exchange is fine; a Window over one is not)
+    assert(!plan.contains("Window"),
+      s"tercile assignment must be value-based, not a window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row threshold frame must broadcast:\n$plan")
+  }
+
+  test("t39 curation composes without cartesian joins or corpus Expand") {
+    val q = graft.queries.Registry.all("t39_curation_pipeline")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = finalPlan(q)
+    assert(!plan.contains("CartesianProduct"),
+      s"five-stage curation must never plan a cartesian join:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"no grouping-set/distinct Expand over the corpus:\n$plan")
+  }
+
   test("mm8 frame sampling is map-only: zero exchanges over the media") {
     val q = graft.queries.Registry.all("mm8_video_frames")
       .fn(spark, "/root/testdata/sf0.001")
