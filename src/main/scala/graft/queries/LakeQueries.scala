@@ -2633,5 +2633,55 @@ object LakeQueries {
              |       avg(o_orderkey) AS avg_key, avg(o_custkey) AS avg_cust
              |FROM orders GROUP BY o_orderstatus""".stripMargin),
       "avg pushdown: exact sum over non-null count, zero data files read"),
+
+    // The CANONICAL concurrent pair, in the correctness gate: background
+    // compaction racing ingest into the same partition. Whichever writer
+    // loses the commit race rebases (append via the blind-append rebase,
+    // compaction via the adds-never-conflict pure-rewrite rebase) — both
+    // land, nothing re-derives, no row lost or duplicated; the oracle is
+    // the plain union. One log race, two commits, zero failures required.
+    "m77_occ_compaction" -> GraftQuery(
+      (s, dir) => {
+        val root = s"$scratchRoot/m77_${sanitize(dir)}"
+        cleanDir(root)
+        val orders = t(s, dir, "orders")
+        val table = new MergeTable(root, Seq("o_orderstatus"))
+        table.overwrite(orders)
+        val extra = orders.filter(col("o_orderstatus") === "O")
+          .orderBy("o_orderkey").limit(50) // ordered: both engines pick the same 50
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+        val pool = Executors.newFixedThreadPool(2)
+        val go = new CountDownLatch(1)
+        val failures = new java.util.concurrent.atomic.AtomicInteger
+        pool.execute { () =>
+          go.await()
+          try table.compactPartitions(s, col("o_orderstatus") === "O")
+          catch { case _: Throwable => failures.incrementAndGet() }
+        }
+        pool.execute { () =>
+          go.await()
+          try table.append(extra)
+          catch { case _: Throwable => failures.incrementAndGet() }
+        }
+        go.countDown()
+        pool.shutdown()
+        require(pool.awaitTermination(300, TimeUnit.SECONDS), "race timed out")
+        require(failures.get == 0,
+          "compaction racing ingest must rebase on either side, never throw")
+        require(table.currentVersion == 2L, "both writers must land as commits")
+        table.read(s).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"))
+      },
+      Some("""WITH allrows AS (
+             |  SELECT o_orderstatus, o_orderkey FROM orders
+             |  UNION ALL
+             |  SELECT o_orderstatus, o_orderkey + 10000000 FROM (
+             |    SELECT * FROM orders WHERE o_orderstatus = 'O'
+             |    ORDER BY o_orderkey LIMIT 50))
+             |SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM allrows GROUP BY o_orderstatus""".stripMargin),
+      "compaction racing ingest: both rebase paths land, union-exact, zero failures"),
   )
 }
