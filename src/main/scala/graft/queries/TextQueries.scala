@@ -1524,6 +1524,57 @@ object TextQueries {
              |FROM scored, th""".stripMargin),
       "CCNet-style familiarity terciles: integer frequency-band scores, exact split"),
 
+    // Contamination ATTRIBUTION — t35 says WHETHER a document overlaps the
+    // eval set; audits need WHICH eval document and by how much (the
+    // provenance that decides whether to drop the doc or fix the
+    // benchmark). Same broadcast shingle join as t35, then per-doc argmax
+    // over (shared-gram count, tie → lowest eval id) via one
+    // doc-partitioned row_number — the pair census is contaminated-pairs
+    // sized, never corpus-sized.
+    "t40_contamination_attribution" -> GraftQuery(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val grams = docs.select(col("doc_id"),
+            expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')").as("w"))
+          .filter(size(col("w")) >= 4)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(1, size(w) - 3), i -> concat_ws(' ', " +
+              "element_at(w, i), element_at(w, i + 1), " +
+              "element_at(w, i + 2), element_at(w, i + 3)))"))).as("g"))
+        val bench = grams.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("eval_id"), col("g")).distinct()
+        val pairs = grams.filter(col("doc_id") % 10 =!= 0)
+          .join(broadcast(bench), Seq("g"))
+          .groupBy("doc_id", "eval_id")
+          .agg(countDistinct(col("g")).as("shared"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("shared").desc, col("eval_id"))
+        pairs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "eval_id", "shared")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+             |                             x -> x <> '') AS w
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 3),
+             |           i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))) AS gs
+             |  FROM toks WHERE len(w) >= 4),
+             |gr AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+             |bench AS (SELECT DISTINCT doc_id AS eval_id, g FROM gr WHERE doc_id % 10 = 0),
+             |pairs AS (
+             |  SELECT gr.doc_id, b.eval_id, count(DISTINCT gr.g) AS shared
+             |  FROM gr JOIN bench b USING (g)
+             |  WHERE gr.doc_id % 10 <> 0
+             |  GROUP BY gr.doc_id, b.eval_id),
+             |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |                   ORDER BY shared DESC, eval_id) AS rn FROM pairs)
+             |SELECT doc_id, eval_id, CAST(shared AS BIGINT) AS shared
+             |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+      "contamination attribution: per-doc argmax eval overlap, broadcast shingle join"),
+
     // The END-TO-END curation pipeline in ONE Catalyst plan — the shape a
     // production pretraining-data run actually has, composing this
     // engine's signal family: Gopher quality rules (t19) → repetition
