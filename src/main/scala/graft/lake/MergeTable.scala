@@ -707,10 +707,14 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val frame: DataFrame = delta.flatMap { case (added, removed) =>
       resolvedCheckpointFrame(spark, version - 1).map { prevFrame =>
         val statByFile = statsLines.groupBy(l => dec(l.takeWhile(_ != '\t')))
+        // drop the previous frame's row for ADDED paths too: a re-add of a
+        // path removed before the previous checkpoint would otherwise
+        // persist two rows for it (the stale one and the fresh one)
+        val drop = (removed ++ added).distinct
         val minus =
-          if (removed.isEmpty) prevFrame
+          if (drop.isEmpty) prevFrame
           else {
-            val rem = spark.createDataset(removed)(
+            val rem = spark.createDataset(drop)(
               org.apache.spark.sql.Encoders.STRING).toDF("_graft_removed")
             prevFrame.join(broadcast(rem),
               col("_graft_path") === col("_graft_removed"), "left_anti")
@@ -804,15 +808,21 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * the tail has a non-incremental commit — callers fall back to the
     * driver statsLines machinery.
     */
-  private def resolvedCheckpointFrame(spark: SparkSession,
-                                      version: Long): Option[DataFrame] = try {
+  private[graft] def resolvedCheckpointFrame(spark: SparkSession,
+                                             version: Long): Option[DataFrame] = try {
     if (partitionCols.exists(_.startsWith("_graft_"))) return None
     val cpV = latestCheckpointAtOrBefore(version) match {
       case Some(v) => v
       case None    => return None
     }
     // fold the tail's add/removes driver-side (bounded by checkpoint
-    // cadence × per-commit churn — the same lines readCommit resolves)
+    // cadence × per-commit churn — the same lines readCommit resolves).
+    // removedSet holds EVERY path the tail touched, adds included: a
+    // re-added path's base-checkpoint row is stale (old stats), so the
+    // tail's add row must be the ONLY row for it — dropping the base row
+    // on add is what keeps remove→re-add (DELETE then RESTORE) from
+    // double-counting the file in pushed aggregates, and re-add→remove
+    // from resurrecting it.
     val addedMap = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     val removedSet = scala.collection.mutable.LinkedHashSet.empty[String]
     var v = cpV + 1
@@ -820,8 +830,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       rawDelta(v) match {
         case None => return None
         case Some((adds, rems)) =>
-          rems.foreach { r => if (addedMap.remove(r).isEmpty) removedSet += r }
-          adds.foreach { case (f, st) => addedMap(f) = st; removedSet -= f }
+          rems.foreach { r => addedMap.remove(r); removedSet += r }
+          adds.foreach { case (f, st) => addedMap(f) = st; removedSet += f }
       }
       v += 1
     }

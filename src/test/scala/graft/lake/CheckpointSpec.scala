@@ -181,6 +181,57 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("DELETE→RESTORE in the checkpoint tail: one row per file, exact pushed count") {
+    withThreshold(1) {
+      val t = seeded("cp_readd")
+      val v0 = t.currentVersion // full manifest above threshold → checkpointed
+      t.delete(spark, col("p") === "0") // incremental: removes p=0's file
+      t.restore(v0)                     // incremental: RE-ADDS the same path
+      val v = t.currentVersion
+      // the resolved frame must carry exactly ONE row per live file — a
+      // re-added path's stale base-checkpoint row would double-count it
+      // in every pushed aggregate below
+      val frame = t.resolvedCheckpointFrame(spark, v)
+      assert(frame.isDefined, "checkpoint chain must resolve across the tail")
+      val paths = frame.get.select("_graft_path").as[String].collect().sorted
+      assert(paths.length === paths.distinct.length,
+        s"duplicate frame rows for re-added paths: ${paths.toSeq}")
+      assert(paths.toSet === t.filesOf(v).toSet)
+      // pushed count(*)/sum through the checkpoint ≡ the driver stats path
+      for ((g, a) <- Seq(
+          (Nil, Seq(("count", null: String))),
+          (Seq("p"), Seq(("count", null: String), ("sum", "k"))))) {
+        val viaCp = t.aggregateFromCheckpointDF(spark, v, g, a, Nil)
+        val viaDriver = t.aggregateFromStats(v, g, a, None)
+        assert(viaCp.isDefined && viaDriver.isDefined)
+        assert(viaCp.get.map(_.toList) === viaDriver.get.map(_.toList),
+          s"re-added file double-counted for ($g, $a)")
+      }
+      // and the inverse hazard: remove→re-add→REMOVE must not resurrect
+      // the base row (the file is gone, whatever the tail's history)
+      t.delete(spark, col("p") === "0")
+      val v2 = t.currentVersion
+      val kept = t.pruneFilesFor(spark, v2, Seq(sources.EqualTo("p", "0")))
+      assert(t.lastPruneVia === "checkpoint")
+      assert(kept.isEmpty, "re-add→remove resurrected a deleted file")
+      val cnt = t.aggregateFromCheckpointDF(spark, v2, Nil,
+        Seq(("count", null: String)), Nil)
+      assert(cnt.isDefined && cnt.get.head.head === 20L)
+      // the NEXT cadence checkpoint builds incrementally over this tail:
+      // its persisted rows must also be duplicate-free and exact
+      var ver = v2
+      while (ver % 10 != 0) {
+        t.append(Seq((1000L + ver, "vz", "9")).toDF("k", "v", "p")); ver += 1
+      }
+      assert(Files.exists(t.checkpointDir(ver).resolve("_SUCCESS")))
+      val cpPaths = spark.read.parquet(t.checkpointDir(ver).toString)
+        .select("_graft_path").as[String].collect().sorted
+      assert(cpPaths.length === cpPaths.distinct.length,
+        "incremental checkpoint persisted duplicate rows")
+      assert(cpPaths.toSet === t.filesOf(ver).toSet)
+    }
+  }
+
   test("checkpoint retention keeps the newest CheckpointKeep") {
     withThreshold(1) {
       val df = Seq((1L, "a", "0")).toDF("k", "v", "p")
