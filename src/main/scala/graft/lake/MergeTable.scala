@@ -1722,9 +1722,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       if (winnerAdds.nonEmpty && conflictsWith(winnerAdds)) throw first
       if (dvsOf(tip).view.filterKeys(touchedSet).toMap != baseDvs)
         throw first
+      // carry the TIP's schema object whenever this write didn't evolve
+      // the shape: a race winner's metadata-only schema change (column
+      // COMMENT, CURRENT_DEFAULT/EXISTS_DEFAULT — which commit() JSON-
+      // round-trips precisely to preserve) must not be reverted by the
+      // rebased commit. commitSchema only wins for genuine evolution
+      // (its shape differs), matching the dv-rebase loops' cTip.schema.
+      val rebasedSchema =
+        if (shape(commitSchema) == shape(cTip.schema)) cTip.schema
+        else commitSchema
       try {
         commit(tip + 1, cTip.files.filterNot(touchedSet) ++ newFiles,
-          commitSchema,
+          rebasedSchema,
           cTip.statsLines.filterNot(l =>
             touchedSet.contains(dec(l.takeWhile(_ != '\t')))) ++ newStats,
           txn = txn, op = op)

@@ -38,9 +38,13 @@ object BpeModel {
     * keep an a·n).
     */
   private def applyOne(df: DataFrame, c: String, pair: String): DataFrame = {
-    val pat = "'·" + pair + "·'"
-    val rep = "'·" + pair.replace("·", "") + "·'"
-    df.withColumn(c, expr(s"replace(replace(replace($c, $pat, $rep), $pat, $rep), $pat, $rep)"))
+    // Column API, not an expr() string: a pair holding a quote (possible
+    // for callers whose census is not pre-filtered to [a-z]) must be a
+    // literal, never SQL text
+    val pat = lit("·" + pair + "·")
+    val rep = lit("·" + pair.replace("·", "") + "·")
+    val once = (x: org.apache.spark.sql.Column) => replace(x, pat, rep)
+    df.withColumn(c, once(once(once(col(c)))))
   }
 
   /** Apply an ordered rule list to a framed symbol column `c`. */

@@ -604,6 +604,48 @@ class MergeTableSpec extends SparkSpec {
     assert(t.changes(spark, 1, t.currentVersion).count() >= 2)
   }
 
+  test("merge commits preserve field metadata (comments/defaults), racing or not") {
+    import org.apache.spark.sql.types.MetadataBuilder
+    val meta = new MetadataBuilder()
+      .putString("comment", "the v column")
+      .putString("CURRENT_DEFAULT", "'dflt'").build()
+    val t = new MergeTable(scratch("mt_schemameta"), Seq("p"))
+    t.overwrite(df(Seq((1, "a", "p1"), (2, "b", "p2")))
+      .select(col("k"), col("v").as("v", meta), col("p")))
+    assert(t.schemaOf(0L)("v").metadata.contains("comment"),
+      "precondition: overwrite must persist field metadata")
+    // a single same-shape merge must not strip the declared metadata
+    t.merge(spark, df(Seq((1, "A", "p1"))), Seq("k"),
+      keysDeterminePartitions = true)
+    assert(t.schemaOf(t.currentVersion)("v").metadata.contains("comment"),
+      "a lone merge stripped column metadata from the committed schema")
+    // and neither may a REBASED merge: race two partition-disjoint merges —
+    // whichever loses re-commits against the winner's tip and must carry
+    // the tip's schema object (COMMENT/DEFAULT intact), not its own
+    // plan-derived one
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    Seq(("p1", 1, "A1"), ("p2", 2, "B2")).foreach { case (p, k, v) =>
+      pool.execute { () =>
+        go.await()
+        try t.merge(spark, df(Seq((k, v, p))), Seq("k"),
+          keysDeterminePartitions = true)
+        catch { case _: Throwable => failures.incrementAndGet() }
+      }
+    }
+    go.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.get === 0)
+    val m = t.schemaOf(t.currentVersion)("v").metadata
+    assert(m.contains("comment") && m.getString("comment") == "the v column",
+      "the rebased merge reverted the schema's column COMMENT")
+    assert(m.contains("CURRENT_DEFAULT"),
+      "the rebased merge reverted the schema's column DEFAULT")
+  }
+
   test("blind appends auto-rebase on a lost race: all land, zero rewrites") {
     val t = new MergeTable(scratch("mt_apprebase"), Seq("p"))
     t.overwrite(df(Seq((0, "z", "p0"))))

@@ -66,6 +66,20 @@ class BpeSpec extends SparkSpec {
     assert(df.count() === 0L)
   }
 
+  test("merge pairs holding quotes apply as literals (no SQL-text splicing)") {
+    import graft.operators.BpeModel
+    // a census not pre-filtered to [a-z] can learn a pair containing a
+    // single quote — it must behave as a plain string, never as SQL
+    val df = Seq("don't", "cant", "o'o'o").toDF("word")
+      .select(BpeModel.framed(col("word")).as("st"))
+    val merged = BpeModel.applyMerges(df, "st", Seq("n·'", "o·'"))
+      .withColumn("toks", split(expr("trim(BOTH '·' FROM st)"), "·"))
+      .select("toks").as[Seq[String]].collect().toSeq
+    assert(merged(0) === Seq("d", "o", "n'", "t"))
+    assert(merged(1) === Seq("c", "a", "n", "t"))
+    assert(merged(2) === Seq("o'", "o'", "o"), "consecutive quoted pairs must all merge")
+  }
+
   test("persisted BPE model: train once, idempotent retrain, reproducible apply") {
     import graft.operators.BpeModel
     val census = Seq(("banana", 3L), ("bandana", 2L), ("cabana", 1L))
