@@ -91,51 +91,75 @@ object PersistedAnnIndex {
       .select("vec_id", "label", "cell", "codes"))
   }
 
-  /** IVF-PQ search over the PERSISTED index: probe selection on the
-    * centroid table (driver, metadata-sized), ADC code scan over ONLY the
-    * probed cells (partition-pruned read of the codes table), exact fp32
-    * cosine re-rank of the survivors via a key join back to the corpus —
-    * candidates are `rerank` rows, so the join is broadcast-sized.
+  /** Which path the last [[searchAdaptive]] took — `"adc nProbe=N"` or
+    * `"exact-subset"`. Observability for specs only (single-JVM), exactly
+    * the [[graft.lake.MergeTable.lastPruneVia]] idiom.
     */
-  def search(spark: SparkSession, h: Handle, emb: DataFrame, queryId: Long,
-             k: Int, nProbe: Int = 4, rerank: Int = 50,
-             filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    GraftFunctions.register(spark)
+  @volatile private[graft] var lastSearchVia: String = ""
+
+  /** Query-side derived state every search path needs: the query vector,
+    * ALL cells ranked by centroid cosine, and the per-subspace ADC lookup
+    * tables as a SQL array literal. Driver cost is nClusters × dim — index
+    * metadata, never data.
+    */
+  private final case class QuerySide(ranked: Seq[Int], tablesLit: String)
+
+  private def querySide(spark: SparkSession, h: Handle, emb: DataFrame,
+                        queryId: Long): QuerySide = {
     val centers = loadCentroids(spark, h)
     val cb = loadCodebook(spark, h)
     val q = emb.filter(col("vec_id") === queryId)
       .select("embedding").head.getSeq[Float](0).toArray.map(_.toDouble)
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    val probes = centers.zipWithIndex.map { case (c, i) =>
+    val ranked = centers.zipWithIndex.map { case (c, i) =>
       val dot = c.zip(q).map { case (a, b) => a * b }.sum
       val norm = math.sqrt(c.map(x => x * x).sum)
       (i, if (norm == 0) -1.0 else dot / (norm * qNorm))
-    }.sortBy { case (i, cos) => (-cos, i) }.take(nProbe).map(_._1)
+    }.sortBy { case (i, cos) => (-cos, i) }.map(_._1).toSeq
     val tables = cb.centers.zipWithIndex.map { case (cs, m) =>
       cs.map(c => c.zip(q.slice(m * PqIndex.SubDim, (m + 1) * PqIndex.SubDim))
         .map { case (a, b) => a * b }.sum)
     }
     val tablesLit = tables.map(_.mkString("array(", ",", ")"))
       .mkString("CAST(array(", ",", ") AS ARRAY<ARRAY<DOUBLE>>)")
-    // the connector read pushes the cell filter into the commit log's
-    // partition pruning — only the probed cells' FILES are scanned
-    // FILTERED vector search (the production-hot shape): the predicate is
-    // applied at the INDEX SCAN — before any ADC scoring — so non-matching
-    // codes are never scored and the rerank pool is all-eligible
-    // (pre-filtering; post-filtering would silently shrink k under
-    // selective predicates). The predicate speaks the codes table's
-    // metadata columns (vec_id / label / cell) and rides the connector
-    // read's pushdown alongside the cell partition pruning.
+    QuerySide(ranked, tablesLit)
+  }
+
+  /** The eligible-candidate scan: the probed cells' partition-pruned
+    * connector read, minus the query row, with the caller's predicate AT
+    * THE SCAN (pre-filtering — non-matching codes are never scored, so the
+    * rerank pool is all-eligible; post-filtering would silently shrink k
+    * under selective predicates). The predicate speaks the codes table's
+    * metadata columns (vec_id / label / cell) and rides the connector
+    * read's pushdown alongside the `cell IN (…)` partition pruning.
+    */
+  private def eligibleScan(spark: SparkSession, h: Handle, cells: Seq[Int],
+                           queryId: Long,
+                           filter: Option[org.apache.spark.sql.Column]): DataFrame = {
     val scan = spark.read.format("graft").load(s"${h.root}/codes")
-      .filter(col("cell").isin(probes.map(Int.box): _*))
+      .filter(col("cell").isin(cells.map(Int.box): _*))
       .filter(col("vec_id") =!= queryId)
-    val cands = filter.fold(scan)(scan.filter)
-      .withColumn("adc", expr(
+    filter.fold(scan)(scan.filter)
+  }
+
+  /** ADC scoring over an eligible-candidate scan: asymmetric-distance code
+    * lookup per subspace, top-`rerank` survivors by approximate score.
+    */
+  private def adcCandidates(scan: DataFrame, tablesLit: String,
+                            rerank: Int): DataFrame =
+    scan.withColumn("adc", expr(
         s"aggregate(zip_with(codes, $tablesLit, (c, t) -> element_at(t, c + 1)), " +
           "0D, (acc, v) -> acc + v)"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(rerank)
       .select("vec_id", "label")
+
+  /** Exact fp32 cosine re-rank of a bounded candidate set via a key join
+    * back to the corpus — candidates are rerank- (or small-subset-) sized,
+    * so the join is broadcast-sized.
+    */
+  private def exactRerank(cands: DataFrame, emb: DataFrame, queryId: Long,
+                          k: Int): DataFrame = {
     val query = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
       .withColumn("q_norm", expr("sqrt(float_dot(q_emb, q_emb))"))
@@ -147,5 +171,73 @@ object PersistedAnnIndex {
       .select("vec_id", "label", "cosine")
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** IVF-PQ search over the PERSISTED index with FIXED probe/rerank
+    * budgets: probe selection on the centroid table (driver,
+    * metadata-sized), ADC code scan over ONLY the probed cells
+    * (partition-pruned read of the codes table), exact fp32 cosine re-rank
+    * of the survivors. For filtered search prefer [[searchAdaptive]] —
+    * fixed budgets lose recall as the predicate sharpens.
+    */
+  def search(spark: SparkSession, h: Handle, emb: DataFrame, queryId: Long,
+             k: Int, nProbe: Int = 4, rerank: Int = 50,
+             filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    GraftFunctions.register(spark)
+    val qs = querySide(spark, h, emb, queryId)
+    val scan = eligibleScan(spark, h, qs.ranked.take(nProbe), queryId, filter)
+    exactRerank(adcCandidates(scan, qs.tablesLit, rerank), emb, queryId, k)
+  }
+
+  /** SELECTIVITY-ADAPTIVE filtered search — the production shape for
+    * predicated ANN (RAG with tenant/source/label filters), where a fixed
+    * `nProbe`'s candidate recall shrinks with the predicate's selectivity:
+    *
+    *  1. probe the `initProbe` nearest cells and COUNT the eligible
+    *     (predicate-passing) candidates there — a partition-pruned,
+    *     column-pruned metadata-cheap scan;
+    *  2. while fewer than `k × oversample` eligible candidates exist,
+    *     DOUBLE the probe set (geometric widening: the count rounds sum to
+    *     ≤ 2× the final scan) — FAISS's documented IVF filtering guidance;
+    *  3. if widening exhausts every cell and the eligible subset is at most
+    *     `exactScanMax` rows, skip ADC entirely and exact-rerank the WHOLE
+    *     subset — exactness is cheap precisely when the predicate is
+    *     selective enough to defeat pruning (recall 1.0 by construction);
+    *  4. otherwise ADC-score the probed cells and exact-rerank the top
+    *     `k × oversample` — the pool is all-eligible and ≥ the target size
+    *     whenever the corpus holds that many matches.
+    *
+    * One constant set serves every selectivity: the loop, not the caller,
+    * finds the probe budget. At 100 TB each widening round stays
+    * partition-pruned to the probed cells and reads code bytes (~32×
+    * smaller than fp32), and the exact fallback is bounded by
+    * `exactScanMax` rows joined broadcast-style back to the corpus.
+    */
+  def searchAdaptive(spark: SparkSession, h: Handle, emb: DataFrame,
+                     queryId: Long, k: Int,
+                     filter: Option[org.apache.spark.sql.Column] = None,
+                     oversample: Int = 10, initProbe: Int = 4,
+                     exactScanMax: Long = 50000): DataFrame = {
+    require(k >= 1 && oversample >= 1 && initProbe >= 1)
+    GraftFunctions.register(spark)
+    val qs = querySide(spark, h, emb, queryId)
+    val nCells = qs.ranked.length
+    val target = k.toLong * oversample
+    var nProbe = math.min(initProbe, nCells)
+    var eligible = eligibleScan(spark, h, qs.ranked.take(nProbe), queryId, filter)
+    var cnt = eligible.count()
+    while (cnt < target && nProbe < nCells) {
+      nProbe = math.min(nProbe * 2, nCells)
+      eligible = eligibleScan(spark, h, qs.ranked.take(nProbe), queryId, filter)
+      cnt = eligible.count()
+    }
+    if (nProbe == nCells && cnt <= exactScanMax) {
+      lastSearchVia = "exact-subset"
+      exactRerank(eligible.select("vec_id", "label"), emb, queryId, k)
+    } else {
+      lastSearchVia = s"adc nProbe=$nProbe"
+      exactRerank(adcCandidates(eligible, qs.tablesLit, (target min Int.MaxValue).toInt),
+        emb, queryId, k)
+    }
   }
 }

@@ -718,37 +718,56 @@ object SimilarityQueries {
     // pattern (RAG with tenant/source/label predicates): the predicate is
     // applied AT THE INDEX SCAN, before any ADC scoring (pre-filtering),
     // so the rerank pool is all-eligible and k fills under selective
-    // predicates where post-filtering would silently return fewer. The
-    // gate proves (a) every hit satisfies the predicate, (b) k fills,
-    // (c) recall vs the EXACT filtered brute-force top-k.
+    // predicates where post-filtering would silently return fewer.
+    // SELECTIVITY-ADAPTIVE: one fixed constant set; the search itself
+    // widens the probe set geometrically until k×oversample eligible
+    // candidates exist, and falls back to an EXACT scan of the filtered
+    // subset when the predicate defeats pruning (the subset is small
+    // exactly then). The gate proves, for THREE predicates of increasing
+    // selectivity with no per-predicate retuning: (a) every hit satisfies
+    // the predicate, (b) k fills whenever enough rows are eligible,
+    // (c) a recall floor vs the EXACT filtered brute-force top-k.
     "v17_filtered_ann" -> GraftQuery(
       (s, dir) => {
+        import graft.operators.PersistedAnnIndex
         val root = s"${Registry.scratchRoot}/v17_${Registry.sanitize(dir)}"
         Registry.cleanDir(root)
         val e = emb(s, dir)
-        val h = graft.operators.PersistedAnnIndex.build(s, e, root)
-        val pred = col("label") % 3 === 0
-        // filtered search over-provisions probes and rerank: the predicate
-        // keeps ~1/3 of each cell, so candidate recall at fixed nProbe
-        // shrinks with selectivity — probing wider is the documented
-        // production practice (FAISS's IVF filtering guidance)
-        val got = graft.operators.PersistedAnnIndex.search(s, h, e, queryId = 0,
-          k = 10, nProbe = 8, rerank = 100, filter = Some(pred))
-        require(got.filter(col("label") % 3 =!= 0).count() == 0,
-          "every filtered-search hit must satisfy the predicate")
-        require(got.count() == 10, "pre-filtering must fill k")
-        val q = e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
-        val exact = e.filter(pred && col("vec_id") =!= 0).crossJoin(broadcast(q))
-          .withColumn("cosine",
-            round(cosineFast("embedding", "q_emb", "norm", "q_norm"), 6))
-          .orderBy(col("cosine").desc, col("vec_id")).limit(10).select("vec_id")
-        val overlap = got.select("vec_id").join(exact, "vec_id").count()
-        require(overlap >= 5,
-          s"filtered ANN recall vs exact filtered top-10: $overlap/10")
-        got
+        val h = PersistedAnnIndex.build(s, e, root)
+        // ~40% → ~10% → ~3% selective; identical search constants for all
+        val preds = Seq(
+          "p40" -> (col("label") % 3 === 0),
+          "p10" -> (col("label") === 5),
+          "p03" -> (col("label") === 5 && col("vec_id") % 3 === 1))
+        var last: org.apache.spark.sql.DataFrame = null
+        val vias = preds.map { case (name, pred) =>
+          val got = PersistedAnnIndex.searchAdaptive(s, h, e, queryId = 0,
+            k = 10, filter = Some(pred), exactScanMax = 30)
+          val eligible = e.filter(pred && col("vec_id") =!= 0).count()
+          require(got.filter(!pred).count() == 0,
+            s"$name: every filtered-search hit must satisfy the predicate")
+          require(got.count() == math.min(10L, eligible),
+            s"$name: pre-filtering must fill k (eligible=$eligible)")
+          val q = e.filter(col("vec_id") === 0)
+            .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+          val exact = e.filter(pred && col("vec_id") =!= 0).crossJoin(broadcast(q))
+            .withColumn("cosine",
+              round(cosineFast("embedding", "q_emb", "norm", "q_norm"), 6))
+            .orderBy(col("cosine").desc, col("vec_id")).limit(10).select("vec_id")
+          val overlap = got.select("vec_id").join(exact, "vec_id").count()
+          require(overlap >= math.min(8L, eligible),
+            s"$name: filtered ANN recall vs exact filtered top-10: $overlap/10")
+          last = got
+          PersistedAnnIndex.lastSearchVia
+        }
+        // the ladder must actually exercise BOTH adaptive paths: widened
+        // ADC probing on the loose predicates, the exact-subset fallback
+        // once the predicate defeats pruning
+        require(vias.exists(_.startsWith("adc")) && vias.contains("exact-subset"),
+          s"adaptive paths not both exercised: $vias")
+        last
       },
       None,
-      "filtered persisted-ANN search: predicate at the index scan, k fills, recall-checked"),
+      "selectivity-adaptive filtered ANN: probe widening + exact-subset fallback, recall-floored"),
   )
 }
