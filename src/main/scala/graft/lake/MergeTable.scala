@@ -108,6 +108,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   @volatile private[graft] var lastPruneVia: String = ""
 
+  /** How the LAST [[writeCheckpoint]] built its frame — `"incremental"`
+    * (previous frame ± churn), `"distributed"` (full build as a Spark job
+    * over the manifest text), or `"driver"` (full build as driver rows,
+    * below threshold). Observability for specs only.
+    */
+  @volatile private[graft] var lastCheckpointBuildVia: String = ""
+
   /** How the LAST merge on this handle published — `"commit"` (won the
     * race first try) or `"rebase"` (lost it, re-committed its output with
     * zero recomputation via [[rebaseMerge]]). Observability only.
@@ -349,6 +356,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   def schemaOf(version: Long): StructType = readCommit(version).schema
 
   def filesOf(version: Long): Seq[String] = readCommit(version).files
+  private[lake] def statsLinesOf(version: Long): Seq[String] =
+    readCommit(version).statsLines
 
   def read(spark: SparkSession): DataFrame = readVersion(spark, currentVersion)
 
@@ -615,7 +624,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * path's conservative fallback), and raw-non-null + typed-null is how
     * the filter detects it.
     */
-  private def checkpointSchema: StructType = {
+  private[lake] def checkpointSchema: StructType = {
     import org.apache.spark.sql.types._
     val statStruct = StructType(Seq(
       StructField("mn", StringType), StructField("mx", StringType),
@@ -631,45 +640,41 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
 
   /** Driver-side row build for a set of manifest files + their stat lines —
     * shared by the checkpoint writer (full manifest, once per cadence) and
-    * the tail-delta frame (churn-sized, per pruned read).
+    * the tail-delta frame (churn-sized, per pruned read). Delegates to the
+    * static [[MergeTable.checkpointRowsFor]] so the distributed full build
+    * runs the IDENTICAL per-file code on executors (frame equality between
+    * the two builders is by shared code, not by transliteration).
     */
-  private def checkpointRows(files: Seq[String], statsLines: Seq[String])
-      : Seq[org.apache.spark.sql.Row] = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val parsed = statsLines.map { line =>
-      val p = line.split("\t", -1)
-      (dec(p(0)), dec(p(1)), if (p.length > 2) dec(p(2)) else "",
-        if (p.length > 3) dec(p(3)) else "",
-        if (p.length > 4 && p(4).nonEmpty) p(4) else "?",
-        if (p.length > 5) p(5).toLongOption else None,
-        if (p.length > 6 && dec(p(6)).nonEmpty) Some(dec(p(6))) else None)
-    }.groupBy(_._1)
-    files.map { f =>
-      val lines = parsed.getOrElse(f, Nil)
-      val rowCount = lines.collectFirst {
-        case (_, c, mn, _, _, _, _) if c == MergeTable.CountStatKey => mn.toLongOption
-      }.flatten
-      val statMap: Map[String, org.apache.spark.sql.Row] = lines.collect {
-        case (_, c, mn, mx, fl, nl, sm) if c != MergeTable.CountStatKey =>
-          c -> org.apache.spark.sql.Row(mn, mx, fl, nl.map(Long.box).orNull, sm.orNull)
-      }.toMap
-      // keyed (not positional) partition-value parse: any anomaly — missing
-      // key, no '=' segment — flips pok off, and the pruning filter keeps
-      // the file unconditionally (mirrors partVals' return-None contract)
-      val segs = f.split('/')
-      val pairs = segs.slice(1, segs.length - 1).filter(_.contains('='))
-        .map(seg => seg.takeWhile(_ != '=') -> seg.substring(seg.indexOf('=') + 1)).toMap
-      var pok = true
-      val raws = partitionCols.map { c =>
-        pairs.get(c) match {
-          case None => pok = false; null
-          case Some(raw) if raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME => null
-          case Some(raw) => ExternalCatalogUtils.unescapePathName(raw)
-        }
-      }
-      org.apache.spark.sql.Row.fromSeq(
-        Seq(f, rowCount.map(Long.box).orNull, pok, statMap) ++ raws)
-    }
+  private[lake] def checkpointRows(files: Seq[String], statsLines: Seq[String])
+      : Seq[org.apache.spark.sql.Row] =
+    MergeTable.checkpointRowsFor(partitionCols, files, statsLines)
+
+  /** DISTRIBUTED full-frame build: the manifest file list and stat lines
+    * ship to executors as plain strings, cogroup on the (decoded) file
+    * path, and each group emits its row via the SAME static per-file build
+    * the driver path uses ([[MergeTable.checkpointRowsFor]]) — so the two
+    * builders agree by construction. Keeps driver memory at O(manifest
+    * text), never O(files) Row objects with nested stat maps — the
+    * difference between a 10⁶-file CONVERT adoption checkpointing and the
+    * driver OOMing. Stat lines for paths outside `files` drop (the driver
+    * build iterates `files` only); duplicate manifest entries (never
+    * produced, but defensively) each emit their own row, as on the driver.
+    */
+  private[lake] def checkpointFrameDistributed(
+      spark: SparkSession, files: Seq[String],
+      statsLines: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val pcols = partitionCols
+    val rowEnc = Encoders.row(checkpointSchema)
+    spark.createDataset(files)(Encoders.STRING)
+      .groupByKey(identity[String] _)(Encoders.STRING)
+      .cogroup(spark.createDataset(statsLines)(Encoders.STRING)
+        .groupByKey(MergeTable.statLinePath _)(Encoders.STRING)) {
+        (path, fs, ls) =>
+          if (fs.isEmpty) Iterator.empty
+          else MergeTable.checkpointRowsFor(
+            pcols, fs.map(_ => path).toSeq, ls.toSeq).iterator
+      }(rowEnc)
   }
 
   /** Typed view of a checkpoint frame: each partition column cast from its
@@ -725,9 +730,23 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
             added.flatMap(f => statByFile.getOrElse(f, Nil))).asJava,
             checkpointSchema), schema))
       }
-    }.getOrElse(typedCheckpointFrame(
-      spark.createDataFrame(checkpointRows(files, statsLines).asJava,
-        checkpointSchema), schema))
+    }.map { f => lastCheckpointBuildVia = "incremental"; f }.getOrElse {
+      // FULL build — first checkpoint of an adopted (CONVERT) table, or any
+      // broken chain. Above the driver-rows cap the per-file row build runs
+      // as a Spark job over the manifest/stat TEXT (O(total files) on
+      // executors, O(1) rows on the driver); below it the driver path is
+      // cheaper than a job launch.
+      val full =
+        if (files.size > MergeTable.checkpointDriverRowsMax(spark)) {
+          lastCheckpointBuildVia = "distributed"
+          checkpointFrameDistributed(spark, files, statsLines)
+        } else {
+          lastCheckpointBuildVia = "driver"
+          spark.createDataFrame(checkpointRows(files, statsLines).asJava,
+            checkpointSchema)
+        }
+      typedCheckpointFrame(full, schema)
+    }
     // ~1M manifest rows per output partition: the checkpoint read stays a
     // handful of splits even at 100 TB file counts
     val parts = math.max(1, (files.size / 1000000.0).ceil.toInt)
@@ -5714,6 +5733,63 @@ object MergeTable {
     */
   val ChangeType = "_change_type"
 
+  /** URL-decode of one log-line field (the static twin of the handle's
+    * `dec`, for executor-side stat-line parsing).
+    */
+  private[lake] def decField(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** The (decoded) file path a stat line describes — its grouping key in
+    * both checkpoint builders.
+    */
+  private[lake] def statLinePath(line: String): String =
+    decField(line.takeWhile(_ != '\t'))
+
+  /** Per-file checkpoint row build — STATIC and closure-safe so the
+    * distributed full builder runs it on executors verbatim while the
+    * driver full/delta builders call it through the handle's
+    * `checkpointRows`. One row per `files` entry, in order: row count from
+    * the COUNT pseudo-stat, the per-column stat map, and the keyed (not
+    * positional) partition-value parse — any anomaly (missing key, no `=`
+    * segment) flips `_graft_pok` off and the pruning filter keeps the file
+    * unconditionally (mirrors partVals' return-None contract).
+    */
+  private[lake] def checkpointRowsFor(partitionCols: Seq[String],
+                                      files: Seq[String],
+                                      statsLines: Seq[String]): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val parsed = statsLines.map { line =>
+      val p = line.split("\t", -1)
+      (decField(p(0)), decField(p(1)), if (p.length > 2) decField(p(2)) else "",
+        if (p.length > 3) decField(p(3)) else "",
+        if (p.length > 4 && p(4).nonEmpty) p(4) else "?",
+        if (p.length > 5) p(5).toLongOption else None,
+        if (p.length > 6 && decField(p(6)).nonEmpty) Some(decField(p(6))) else None)
+    }.groupBy(_._1)
+    files.map { f =>
+      val lines = parsed.getOrElse(f, Nil)
+      val rowCount = lines.collectFirst {
+        case (_, c, mn, _, _, _, _) if c == MergeTable.CountStatKey => mn.toLongOption
+      }.flatten
+      val statMap: Map[String, Row] = lines.collect {
+        case (_, c, mn, mx, fl, nl, sm) if c != MergeTable.CountStatKey =>
+          c -> Row(mn, mx, fl, nl.map(Long.box).orNull, sm.orNull)
+      }.toMap
+      val segs = f.split('/')
+      val pairs = segs.slice(1, segs.length - 1).filter(_.contains('='))
+        .map(seg => seg.takeWhile(_ != '=') -> seg.substring(seg.indexOf('=') + 1)).toMap
+      var pok = true
+      val raws = partitionCols.map { c =>
+        pairs.get(c) match {
+          case None => pok = false; null
+          case Some(raw) if raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME => null
+          case Some(raw) => ExternalCatalogUtils.unescapePathName(raw)
+        }
+      }
+      Row.fromSeq(Seq(f, rowCount.map(Long.box).orNull, pok, statMap) ++ raws)
+    }
+  }
+
   /** Row-tracking id column (Delta row-tracking analog, see the
     * constructor's `rowTracking`): the HIDDEN physical column data files
     * store ids under. Never part of the committed schema — default reads
@@ -6364,6 +6440,21 @@ object MergeTable {
   private[graft] def checkpointThreshold(spark: SparkSession): Int =
     spark.conf.getOption(CheckpointThresholdConf)
       .flatMap(_.toIntOption).getOrElse(CheckpointThresholdDefault)
+
+  /** Session conf: maximum manifest size a FULL checkpoint build
+    * materializes as driver Rows; above it the build runs as a Spark job
+    * over the manifest text ([[checkpointFrameDistributed]]). Distinct
+    * from [[CheckpointThresholdConf]] (which gates whether checkpoints are
+    * written at all): a ~10³-file full build is cheaper on the driver than
+    * a job launch, while a 10⁶-file CONVERT adoption must never build 10⁶
+    * nested-map Rows driver-side.
+    */
+  val CheckpointDriverRowsMaxConf = "spark.graft.checkpointDriverRowsMax"
+  val CheckpointDriverRowsMaxDefault = 65536
+
+  private[graft] def checkpointDriverRowsMax(spark: SparkSession): Int =
+    spark.conf.getOption(CheckpointDriverRowsMaxConf)
+      .flatMap(_.toIntOption).getOrElse(CheckpointDriverRowsMaxDefault)
 
   /** Session conf: minimum total written bytes at which the write-path
     * stat collection switches from the single aggregation scan to parquet

@@ -232,6 +232,77 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  private def withDriverRowsMax[A](n: Int)(body: => A): A = {
+    val key = MergeTable.CheckpointDriverRowsMaxConf
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("distributed full build ≡ driver row build; adoption checkpoints without driver rows") {
+    withThreshold(4)(withDriverRowsMax(8) {
+      // a CONVERT-adoption shape: one full-manifest commit carrying many
+      // files (here 12 across 3 partitions, incl. a NULL stat column and a
+      // partition value needing path-escaping) — its FIRST checkpoint has
+      // no previous frame to fold from, so it must take the full-build path
+      val df = spark.range(36).select(
+        col("id").as("k"),
+        when(col("id") % 7 === 0, null).otherwise(
+          concat(lit("v"), col("id").cast("string"))).as("v"),
+        when(col("id") < 12, "a b").when(col("id") < 24, "c=d")
+          .otherwise((null: String)).as("p"))
+      val t = new MergeTable(scratch("cp_dist"), Seq("p"), statsCols = Seq("k", "v"))
+      t.overwrite(df.repartition(4))
+      assert(t.lastCheckpointBuildVia === "distributed",
+        "an above-threshold full build must run as a Spark job, not driver rows")
+      assert(Files.exists(t.checkpointDir(0).resolve("_SUCCESS")))
+      // frame equality between the two builders on the same manifest text
+      val files = t.filesOf(0)
+      val stats = t.statsLinesOf(0)
+      assert(files.size >= 12)
+      import scala.jdk.CollectionConverters._
+      val viaDriver = spark.createDataFrame(
+        t.checkpointRows(files, stats).asJava, t.checkpointSchema)
+      val viaJob = t.checkpointFrameDistributed(spark, files, stats)
+      assert(viaJob.schema === viaDriver.schema)
+      def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+        d.collect().map(r => Seq(
+          r.getString(0), String.valueOf(r.get(1)), String.valueOf(r.get(2)),
+          r.getMap[String, org.apache.spark.sql.Row](3).toSeq
+            .sortBy(_._1).mkString("|"),
+          String.valueOf(r.get(4))).mkString("\t")).toSeq.sorted
+      assert(canon(viaJob) === canon(viaDriver),
+        "the two full builders must produce the identical frame")
+      // and everything downstream of the distributed-built checkpoint
+      // answers exactly: pruning ≡ driver loop, pushed aggregates ≡ stats
+      for (fs <- Seq(
+          Seq(sources.EqualTo("p", "a b")),
+          Seq(sources.EqualTo("p", "c=d"), sources.GreaterThan("k", 17L)),
+          Seq(sources.IsNull("p")),
+          Seq(sources.IsNull("v")))) {
+        val viaCp = t.pruneFilesFor(spark, 0, fs)
+        assert(t.lastPruneVia === "checkpoint")
+        val viaDrv = withThreshold(Int.MaxValue)(t.pruneFilesFor(spark, 0, fs))
+        assert(viaCp === viaDrv, s"paths disagree for $fs")
+      }
+      val viaCpAgg = t.aggregateFromCheckpointDF(spark, 0, Seq("p"),
+        Seq(("count", null: String), ("sum", "k"), ("count", "v")), Nil)
+      val viaDrvAgg = t.aggregateFromStats(0, Seq("p"),
+        Seq(("count", null: String), ("sum", "k"), ("count", "v")), None)
+      assert(viaCpAgg.isDefined && viaDrvAgg.isDefined)
+      assert(viaCpAgg.get.map(_.toList) === viaDrvAgg.get.map(_.toList))
+      // below the threshold the driver full build remains in force
+      val small = new MergeTable(scratch("cp_dist_small"), Seq("p"),
+        statsCols = Seq("k"))
+      withThreshold(1) {
+        small.overwrite(Seq((1L, "0"), (2L, "1")).toDF("k", "p"))
+      }
+      assert(small.lastCheckpointBuildVia === "driver",
+        "below the driver-rows cap the full build stays on the driver")
+    })
+  }
+
   test("checkpoint retention keeps the newest CheckpointKeep") {
     withThreshold(1) {
       val df = Seq((1L, "a", "0")).toDF("k", "v", "p")
