@@ -32,6 +32,18 @@ object Bench {
       lockChannel.lock() // block until the concurrent run finishes
     }
 
+    // machine-load marker: /proc/loadavg before and after, so a run on a
+    // contended box (round-9: every query uniformly ~1.3× the same-code
+    // solo record) is classifiable from the record itself instead of git
+    // forensics. Round-over-round comparison should lean on `queries_min`.
+    def loadavg(): String =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ").take(3)
+        .mkString(",")
+      catch { case _: Exception => "" }
+    val loadBefore = loadavg()
+    val wallT0 = System.nanoTime()
+
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.queries.Registry.cleanStaleScratch()
@@ -78,7 +90,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = results.map(_._3).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","min_total":$totalMin,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","iters":$iters,"warmup":1,"master":"local[$cpus]","shuffle_partitions":$cpus,"failed":$failedJson}"""
+    val wall = (System.nanoTime() - wallT0) / 1e9
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","min_total":$totalMin,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","iters":$iters,"warmup":1,"master":"local[$cpus]","shuffle_partitions":$cpus,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","bench_wall_sec":$wall,"failed":$failedJson}"""
     println(line)
     // the driver's BENCH record keeps only a 2000-char tail of stdout — the
     // per-query map loses its first ~57 entries. Persist the FULL line in
