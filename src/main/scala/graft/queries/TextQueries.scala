@@ -39,6 +39,17 @@ object TextQueries {
     if (cached.count() <= maxRows) broadcast(cached) else cached
   }
 
+  /** t41's pinned model: w_j = ((37j + 11) mod 21) - 10 ∈ [-10, 10] — a
+    * deterministic full-period ramp standing in for trained fastText
+    * weights, interpolated as the SAME literal vector into the Spark plan
+    * and the DuckDB oracle (one source of truth; a trained model would pin
+    * real weights the same way — the scoring shape is what's under test).
+    * Declared BEFORE `all`: the oracle strings interpolate it eagerly.
+    */
+  private val ClassifierWeights: Array[Int] =
+    Array.tabulate(64)(j => ((j * 37 + 11) % 21) - 10)
+  private val ClassifierBias: Int = -3
+
   val all: Map[String, GraftQuery] = Map(
 
     // Quality scoring: word/char counts, distinct ratio, stopword ratio.
@@ -1685,6 +1696,53 @@ object TextQueries {
              |       CAST(count(DISTINCT (cum - n_tok) // 256) AS BIGINT) AS n_packs
              |FROM cums GROUP BY source ORDER BY source""".stripMargin),
       "end-to-end curation: quality, repetition, dedup, decontaminate, pack — one plan"),
+
+    // Model-based quality scoring — the CCNet/fastText-style linear
+    // classifier (Wenzek et al., LREC 2020 §3.3; Joulin et al., "Bag of
+    // Tricks for Efficient Text Classification", 2016): a document's score
+    // is a sparse dot product of its hashed-bigram feature set against a
+    // PINNED weight vector, plus a bias; keep = score > 0. Where t19/t13
+    // are hand-named heuristic rules, this is the industry-standard learned
+    // shape with the training step replaced by fixed integer weights — the
+    // score is exact integer arithmetic, so the DuckDB oracle replays the
+    // identical features × weights and the gate is hash-green. Plan shape
+    // at 100 TB: the dot product runs INSIDE one projection (aggregate()
+    // over the shingle array with an element_at weight lookup — the
+    // 64-entry vector is a plan literal, broadcast by construction): no
+    // explode, no groupBy, ZERO corpus shuffles (PlanSpec pins it; the
+    // only exchange is the presentation orderBy).
+    "t41_quality_classifier" -> GraftQuery(
+      (s, dir) => {
+        GraftFunctions.register(s)
+        t(s, dir, "documents")
+          .withColumn("feats", expr("word_shingles(text, 2)"))
+          .withColumn("score", expr(
+            s"aggregate(feats, CAST($ClassifierBias AS BIGINT), (acc, f) -> acc + " +
+              s"element_at(${ClassifierWeights.mkString("array(", ",", ")")}, " +
+              s"CAST(CAST(conv(substring(md5(f), 1, 15), " +
+              s"16, 10) AS BIGINT) % ${ClassifierWeights.length} AS INT) + 1))"))
+          .select(col("doc_id"), size(col("feats")).as("n_features"),
+            col("score"), (col("score") > 0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+             |           FROM documents),
+             |f AS (SELECT doc_id,
+             |             CASE WHEN len(words) >= 2 THEN
+             |               list_distinct(list_transform(
+             |                 generate_series(1, len(words) - 1),
+             |                 i -> concat_ws(' ', words[i], words[i+1])))
+             |             ELSE []::VARCHAR[] END AS feats
+             |      FROM d),
+             |s AS (SELECT doc_id, CAST(len(feats) AS INT) AS n_features,
+             |             CAST($ClassifierBias + coalesce(list_sum(list_transform(feats,
+             |               f -> ${ClassifierWeights.mkString("[", ",", "]")}[
+             |                 (('0x' || substring(md5(f), 1, 15))::BIGINT % ${ClassifierWeights.length})::INT + 1])),
+             |               0) AS BIGINT) AS score
+             |      FROM f)
+             |SELECT doc_id, n_features, score, score > 0 AS keep
+             |FROM s ORDER BY doc_id""".stripMargin),
+      "pinned-weights linear quality classifier: hashed-bigram dot product, map-only"),
   )
 
   /** Where the persisted BPE model for an sf dir lives (scratch-scoped;

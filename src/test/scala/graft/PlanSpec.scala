@@ -295,6 +295,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"chunking itself shuffled (found $exchanges exchanges):\n$plan")
   }
 
+  test("t41 classifier scoring is map-only: the dot product never shuffles the corpus") {
+    val q = graft.queries.Registry.all("t41_quality_classifier")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    // the hashed-bigram × pinned-weights dot product runs inside ONE
+    // projection (aggregate() over the shingle array, element_at into a
+    // literal weight vector) — no explode, no groupBy. The only exchange
+    // allowed is the presentation orderBy's range partitioning.
+    val plan = finalPlan(q)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"classifier scoring shuffled the corpus (found $exchanges exchanges):\n$plan")
+    assert(!plan.contains("Generate"),
+      s"feature scoring must not explode the corpus:\n$plan")
+  }
+
   test("t21 dataset card computes all rollup grains in one Expand pass") {
     val q = graft.queries.Registry.all("t21_dataset_card")
       .fn(spark, "/root/testdata/sf0.001")
