@@ -4891,9 +4891,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis <= cutoff
-    val live = (floor to cur)
-      .filter(ver => Files.exists(commitPath(ver)))
-      .flatMap(filesOf).map(_.takeWhile(_ != '/')).toSet
+    val live = liveDataDirs(floor, cur)
     val rootP = Paths.get(root)
     val doomed = Seq.newBuilder[Path]
     Files.list(rootP).iterator().asScala
@@ -4946,6 +4944,38 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     }
     (floor, doomed.result())
   }
+
+  /** The distinct data-dir prefixes any retained version references — the
+    * unit VACUUM reconciles (one dir per write attempt, not one per file).
+    * When EVERY retained version's manifest resolves through a checkpoint
+    * frame, the enumeration runs as ONE Spark job (union of frames →
+    * distinct dir prefixes) and the driver receives O(data dirs) — never
+    * the O(versions × files) path lists the driver fold materializes. Any
+    * unresolvable version (no checkpoint, non-incremental tail, no active
+    * session) falls the WHOLE enumeration back to the driver lists —
+    * all-or-nothing, mirroring [[pruneFilesFor]]'s fallback discipline.
+    */
+  private def liveDataDirs(floor: Long, cur: Long): Set[String] = {
+    val versions = (floor to cur).filter(ver => Files.exists(commitPath(ver)))
+    val viaCp: Option[Set[String]] =
+      org.apache.spark.sql.SparkSession.getActiveSession.flatMap { s =>
+        val frames = versions.map(ver => resolvedCheckpointFrame(s, ver))
+        if (versions.isEmpty || frames.exists(_.isEmpty)) None
+        else Some(frames.flatten
+          .map(_.select(expr("substring_index(_graft_path, '/', 1)").as("d")))
+          .reduce(_ unionByName _)
+          .distinct().collect().map(_.getString(0)).toSet)
+      }
+    lastVacuumEnumVia = if (viaCp.isDefined) "checkpoint" else "driver"
+    viaCp.getOrElse(versions
+      .flatMap(ver => filesOf(ver).map(_.takeWhile(_ != '/'))).toSet)
+  }
+
+  /** Which enumeration engine the LAST [[reclaimable]] (vacuum or dry run)
+    * used for the live-dir set — `"checkpoint"` or `"driver"`.
+    * Observability for specs only.
+    */
+  @volatile private[graft] var lastVacuumEnumVia: String = ""
 
   /** Oldest version still guaranteed readable (0 when never vacuumed).
     * An unparseable horizon file (possible only under pre-atomic-write

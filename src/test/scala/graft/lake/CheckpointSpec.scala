@@ -303,6 +303,53 @@ class CheckpointSpec extends SparkSpec {
     })
   }
 
+  test("VACUUM enumeration reads through the checkpoint; dry run ≡ deletion ≡ driver") {
+    withThreshold(1) {
+      import scala.jdk.CollectionConverters._
+      def mk(name: String): MergeTable = {
+        val t = seeded(name)
+        t.delete(spark, col("p") === "0")         // dooms p=0's dir at retain 1
+        t.overwrite(Seq((99L, "v99", "5")).toDF("k", "v", "p")) // dooms the rest
+        t
+      }
+      // data-dir names embed per-attempt nonces, so two identically-built
+      // tables compare by the VERSION-prefix shape of their reclaim sets
+      def shape(rels: Seq[String]): Seq[String] =
+        rels.map(_.takeWhile(_ != 'u')).sorted
+      val t = mk("cp_vacuum")
+      // the preview enumerates live dirs through the checkpoint frame —
+      // O(data dirs) on the driver, never O(versions × files) path lists
+      val preview = t.vacuumDryRun(retainVersions = 1, minAgeMs = 0)
+      assert(t.lastVacuumEnumVia === "checkpoint",
+        "above-threshold vacuum must enumerate through the checkpoint")
+      assert(preview.nonEmpty)
+      // an identically-built table with its checkpoint chain BROKEN falls
+      // back to the driver fold — and previews the same reclaim shape
+      val d = mk("cp_vacuum_drv")
+      val dLog = java.nio.file.Paths.get(d.root, "_graft_log")
+      Files.list(dLog).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".checkpoint.parquet") ||
+          p.getFileName.toString == "_last_checkpoint")
+        .toSeq.foreach { p =>
+          if (Files.isDirectory(p)) {
+            Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete(_))
+          } else Files.delete(p)
+        }
+      val viaDriver = d.vacuumDryRun(retainVersions = 1, minAgeMs = 0)
+      assert(d.lastVacuumEnumVia === "driver",
+        "a broken checkpoint chain must fall back to the driver fold")
+      assert(shape(preview) === shape(viaDriver),
+        "the two enumeration engines disagree")
+      // and the DELETION reclaims exactly the previewed dirs, reads intact
+      t.vacuum(retainVersions = 1, minAgeMs = 0)
+      assert(t.lastVacuumEnumVia === "checkpoint")
+      preview.foreach(rel => assert(
+        !Files.exists(java.nio.file.Paths.get(t.root, rel)),
+        s"previewed dir $rel survived the vacuum"))
+      assert(t.read(spark).select("k").as[Long].collect().sorted === Array(99L))
+    }
+  }
+
   test("checkpoint retention keeps the newest CheckpointKeep") {
     withThreshold(1) {
       val df = Seq((1L, "a", "0")).toDF("k", "v", "p")
