@@ -251,6 +251,70 @@ object Multimodal {
     media.mapPartitions(_.flatMap(decodeWav))
   }
 
+  /** One row per audio document: channel-layout features over the REAL
+    * decoded PCM — stereo energy imbalance (sum-of-squares left − right,
+    * 0 for mono) and silence structure (total silent frames and the
+    * longest consecutive silent run across channels, |sample| < threshold).
+    * All exact integers, so a SQL oracle replaying the sample arithmetic
+    * hash-matches the real decode path.
+    */
+  final case class AudioFeatures(doc_id: Long, channels: Int, frames: Long,
+                                 imbalance: Long, n_silent: Long,
+                                 max_silence_run: Long)
+
+  /** Per-document channel-layout feature pass: one traversal of the
+    * interleaved PCM tracking per-channel energy, silent-frame counts, and
+    * the current/maximum silent RUN (frames are interleaved, so channel
+    * `c`'s consecutive frames are samples `i, i+channels, …` — the run
+    * state is per-channel). Unreadable payloads yield a `channels = 0`
+    * marker row, the [[decodeWav]] corrupt-media contract.
+    */
+  def wavFeatures(r: MediaRow, silenceT: Int = 100): Seq[AudioFeatures] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return Seq(AudioFeatures(r.doc_id, 0, 0L, 0L, 0L, 0L))
+      val channels = fmt.getChannels
+      val frames = ais.getFrameLength
+      val bytes = ais.readAllBytes()
+      val sumSq = new Array[Long](channels)
+      val nSilent = new Array[Long](channels)
+      val curRun = new Array[Long](channels)
+      val maxRun = new Array[Long](channels)
+      var i = 0
+      val n = bytes.length / 2
+      while (i < n) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1)
+        val v = (((hi << 8) | lo).toShort).toLong
+        val c = i % channels
+        sumSq(c) += v * v
+        if (math.abs(v) < silenceT) {
+          nSilent(c) += 1
+          curRun(c) += 1
+          if (curRun(c) > maxRun(c)) maxRun(c) = curRun(c)
+        } else curRun(c) = 0
+        i += 1
+      }
+      val imbalance = if (channels == 2) sumSq(0) - sumSq(1) else 0L
+      Seq(AudioFeatures(r.doc_id, channels, frames, imbalance,
+        nSilent.sum, if (maxRun.isEmpty) 0L else maxRun.max))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        Seq(AudioFeatures(r.doc_id, 0, 0L, 0L, 0L, 0L))
+    }
+
+  /** Batch channel-layout features — the same `mapPartitions` batched-codec
+    * shape as every other decode path here.
+    */
+  def wavFeatureSet(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r => wavFeatures(r)))
+  }
+
   // ---- REAL multi-frame codec (animated GIF via ImageIO — JDK-only) ----
   //
   // The video-shaped operations (frame count, frame sampling, per-frame

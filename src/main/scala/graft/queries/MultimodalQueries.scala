@@ -184,5 +184,55 @@ object MultimodalQueries {
              |       CAST((id + 17 * frame_idx) % 256 AS INT) AS gray
              |FROM f""".stripMargin),
       "real multi-frame codec: animated-GIF encode, random-access frame sampling"),
+
+    // Channel-layout audio features on the mm7 REAL-codec path: stereo
+    // energy imbalance (left sum-of-squares − right, 0 for mono) and
+    // silence structure (total silent frames + the longest consecutive
+    // silent run across channels, |sample| < 100) — the features an audio
+    // curation pipeline gates on (dead channels, silence-padded clips).
+    // One pass over the decoded interleaved PCM per document; the run
+    // state is per-channel because frames interleave. All outputs are
+    // exact integers and every sample value is arithmetic over doc_id, so
+    // the DuckDB oracle replays the silence runs with gaps-and-islands
+    // (i − row_number) over the synthesized samples and hash-matches the
+    // REAL AudioSystem encode→decode→feature pipeline.
+    "mm9_audio_features" -> GraftQuery(
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids.mapPartitions(_.map(id =>
+          Multimodal.MediaRow(id, Multimodal.syntheticWav(id))))
+        Multimodal.wavFeatureSet(media).toDF()
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id AS id, 1 + (doc_id % 2) AS nch,
+             |         (doc_id % 500) + 100 AS frames
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |s AS (
+             |  SELECT p.id, p.nch, p.frames, c.ch, g.i,
+             |         ((p.id + g.i * 7 + c.ch * 13) % 2001) - 1000 AS v
+             |  FROM p
+             |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, p.nch - 1)) AS ch) c
+             |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, p.frames - 1)) AS i) g),
+             |energy AS (
+             |  SELECT id, CASE WHEN max(nch) = 2
+             |               THEN sum(CASE WHEN ch = 0 THEN v * v ELSE -(v * v) END)
+             |               ELSE 0 END AS imbalance
+             |  FROM s GROUP BY id),
+             |sil AS (
+             |  SELECT id, ch, i, i - row_number() OVER (PARTITION BY id, ch ORDER BY i) AS grp
+             |  FROM s WHERE abs(v) < 100),
+             |runs AS (SELECT id, ch, count(*) AS runlen FROM sil GROUP BY id, ch, grp),
+             |silagg AS (SELECT id, sum(runlen) AS n_silent, max(runlen) AS max_run
+             |           FROM runs GROUP BY id)
+             |SELECT p.id AS doc_id, CAST(p.nch AS INT) AS channels,
+             |       CAST(p.frames AS BIGINT) AS frames,
+             |       CAST(e.imbalance AS BIGINT) AS imbalance,
+             |       CAST(coalesce(sa.n_silent, 0) AS BIGINT) AS n_silent,
+             |       CAST(coalesce(sa.max_run, 0) AS BIGINT) AS max_silence_run
+             |FROM p JOIN energy e ON e.id = p.id
+             |LEFT JOIN silagg sa ON sa.id = p.id""".stripMargin),
+      "channel-layout audio features: stereo imbalance + silence runs over real decoded PCM"),
   )
 }
