@@ -240,4 +240,99 @@ object PersistedAnnIndex {
         emb, queryId, k)
     }
   }
+
+  /** BATCH search — Q queries answered in ONE pass over the index, the
+    * production serving shape (embedding-dedup and RAG answer batches, not
+    * single probes; FAISS's own API is batched for the same reason). Per
+    * query the semantics are EXACTLY [[search]]'s — probe the `nProbe`
+    * nearest cells, ADC-score their codes, exact-rerank the top `rerank` —
+    * and the per-query results are row-identical (the v18 gate proves it):
+    * every scalar the driver path computes (centroid cosines, ADC lookup
+    * tables, scores) is re-expressed as the same double-precision
+    * ascending-index fold, so even ranking ties agree.
+    *
+    * The plan, zero UDFs and zero per-query jobs:
+    *
+    *  1. the query side is DATA, not driver state: queries × the centroid
+    *     TABLE (nClusters rows, broadcast) → per-query window top-`nProbe`
+    *     = the probe map (Q × nProbe rows);
+    *  2. per-query ADC tables are COLUMNS, not plan literals: queries × the
+    *     codebook TABLE (M × 256 rows, broadcast) → subvector dot per
+    *     (query, m, code) → two ordered collect_lists rebuild tbl[m][code];
+    *  3. ONE codes scan, partition-pruned to the UNION of probed cells (the
+    *     only driver-collected state: ≤ Q × nProbe ints), broadcast-joined
+    *     to the probe map and the tables; the SAME zip_with ADC expression
+    *     as single-query scores every (query, candidate) pair, and one
+    *     query-keyed window takes the top `rerank` per query;
+    *  4. exact re-rank joins the Q × rerank survivors back to the corpus
+    *     fp32 ONCE ([[exactRerank]]'s float_dot expressions verbatim), and
+    *     a final per-query window takes k.
+    *
+    * Wall-clock is one pruned scan + broadcast joins + two windows
+    * REGARDLESS of Q — versus Q pruned scans for a search() loop.
+    */
+  def searchBatch(spark: SparkSession, h: Handle, emb: DataFrame,
+                  queryIds: Seq[Long], k: Int, nProbe: Int = 4,
+                  rerank: Int = 50): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1 && nProbe >= 1 && rerank >= k)
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val qrows = emb.filter(col("vec_id").isin(queryIds.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("q_norm_d", expr(
+        "sqrt(aggregate(q_emb, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+    // 1. probe map: the same cosine the driver path computes, as columns —
+    // CAST-to-double zip folds match querySide's arithmetic bit-for-bit
+    val cents = h.centroidsTable.read(spark) // (cell, centroid: array<double>)
+    val wq = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell"))
+    val probes = qrows.crossJoin(broadcast(cents))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(q_emb, centroid, (a, b) -> CAST(a AS DOUBLE) * b), " +
+          "0D, (acc, v) -> acc + v)"))
+      .withColumn("cnorm", expr(
+        "sqrt(aggregate(centroid, 0D, (acc, v) -> acc + v * v))"))
+      .withColumn("cos", when(col("cnorm") === 0d, lit(-1d))
+        .otherwise(col("dot") / (col("cnorm") * col("q_norm_d"))))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select("query_id", "cell")
+    // 2. per-query ADC tables: tbl[m][code] = <codebook centroid, query
+    // subvector> — the table [[querySide]] embeds as a literal, as a column
+    val sub = PqIndex.SubDim
+    val cb = h.codebookTable.read(spark) // (m, code, centroid: array<double>)
+    val tbls = qrows.crossJoin(broadcast(cb))
+      .withColumn("dot", expr(
+        s"aggregate(zip_with(centroid, slice(q_emb, m * $sub + 1, $sub), " +
+          "(a, b) -> a * CAST(b AS DOUBLE)), 0D, (acc, v) -> acc + v)"))
+      .groupBy("query_id", "m")
+      .agg(expr("transform(array_sort(collect_list(struct(code, dot))), x -> x.dot)")
+        .as("trow"))
+      .groupBy("query_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, trow))), x -> x.trow)")
+        .as("tbl"))
+    // 3. ONE partition-pruned codes scan serves every query
+    val unionCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val wadc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("vec_id"))
+    val top = spark.read.format("graft").load(s"${h.root}/codes")
+      .filter(col("cell").isin(unionCells.map(Int.box): _*))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(tbls), Seq("query_id"))
+      .withColumn("adc", expr(
+        "aggregate(zip_with(codes, tbl, (c, t) -> element_at(t, c + 1)), " +
+          "0D, (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(wadc)).filter(col("rn") <= rerank)
+      .select("query_id", "vec_id", "label")
+    // 4. one exact fp32 re-rank for all surviving candidates — the same
+    // float_dot expressions as [[exactRerank]], so cosines agree verbatim
+    val wk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+    top.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(qrows.select(col("query_id"), col("q_emb"),
+        expr("sqrt(float_dot(q_emb, q_emb))").as("q_norm"))), Seq("query_id"))
+      .withColumn("norm", expr("sqrt(float_dot(embedding, embedding))"))
+      .withColumn("cosine",
+        round(expr("float_dot(embedding, q_emb)") / (col("norm") * col("q_norm")), 6))
+      .withColumn("rank", row_number().over(wk)).filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "label", "cosine")
+  }
 }

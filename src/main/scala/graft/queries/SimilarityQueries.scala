@@ -769,5 +769,43 @@ object SimilarityQueries {
       },
       None,
       "selectivity-adaptive filtered ANN: probe widening + exact-subset fallback, recall-floored"),
+
+    // BATCH ANN SEARCH over the persisted index — the production SERVING
+    // shape (embedding-dedup and RAG answer batches of queries; FAISS's
+    // own API is batched for the same reason): Q queries share ONE
+    // partition-pruned codes scan instead of Q scans. Query-side state
+    // (probe ranking, per-query ADC tables) is computed AS DATA — queries
+    // × the centroid/codebook TABLES with per-query windows — using the
+    // same double-precision ascending folds as the driver path, so the
+    // gate can require the batch result be ROW-IDENTICAL to Q independent
+    // single-query searches (ranking ties included), which it does for
+    // all 8 queries below. Oracle-free (k-means fit) like v16/v17.
+    "v18_batch_ann" -> GraftQuery(
+      (s, dir) => {
+        import graft.operators.PersistedAnnIndex
+        val root = s"${Registry.scratchRoot}/v18_${Registry.sanitize(dir)}"
+        Registry.cleanDir(root)
+        val e = emb(s, dir)
+        val h = PersistedAnnIndex.build(s, e, root)
+        val qids = e.select("vec_id").orderBy("vec_id").limit(8)
+          .collect().map(_.getLong(0)).toSeq
+        val got = PersistedAnnIndex.searchBatch(s, h, e, qids,
+          k = 5, nProbe = 4, rerank = 50)
+        val gotRows = got.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        require(gotRows.length == qids.length * 5, "k must fill per query")
+        qids.foreach { qid =>
+          val single = PersistedAnnIndex.search(s, h, e, qid,
+            k = 5, nProbe = 4, rerank = 50)
+            .collect().zipWithIndex.map { case (r, i) => (qid, i + 1, r.getLong(0)) }
+          val batchQ = gotRows.filter(_._1 == qid).sortBy(_._2)
+          require(batchQ.toSeq == single.toSeq,
+            s"batch vs single mismatch for query $qid: " +
+              s"${batchQ.toSeq} vs ${single.toSeq}")
+        }
+        got.orderBy("query_id", "rank")
+      },
+      None,
+      "batch ANN: Q queries in ONE index pass, row-identical to per-query search"),
   )
 }
