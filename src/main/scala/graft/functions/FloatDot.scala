@@ -132,6 +132,16 @@ object GraftFunctions {
           "cdc_bounds(text, window, modulus) requires literal integer window and modulus")
       })
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(
+            b64: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          BloomContains(c, b64.toString)
+        case _ => throw new IllegalArgumentException(
+          "bloom_might_contain(col, sketch) requires a literal base64 sketch string")
+      })
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("vec_avg"),
       new ExpressionInfo(classOf[VecAvg].getName, "vec_avg"),
       (children: Seq[Expression]) => {

@@ -507,5 +507,32 @@ object CoreQueries {
              |FROM lineitem
              |GROUP BY ALL ORDER BY ALL""".stripMargin),
       "GROUP BY ALL / ORDER BY ALL: inferred keys, both dialects agree"),
+
+    // SQL PIVOT — the wide-report dialect the reference's Athena users
+    // write by hand as conditional buckets (GoldAggregates' manual PIVOT,
+    // §2.4): Spark's native `PIVOT (agg FOR col IN (...))` with TWO
+    // aggregates aliased per value. Catalyst lowers it to ONE aggregate
+    // over the group key (no join, no self-union — `.explain` shows a
+    // single hash aggregate), which is exactly the hand-written
+    // `count(*) FILTER`/`CASE WHEN` shape the DuckDB oracle uses — so the
+    // gate proves dialect parity AND that the sugar costs nothing extra.
+    "q28_pivot" -> GraftQuery(
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("q28_orders_v")
+        s.sql("""SELECT * FROM (SELECT o_orderpriority, o_orderstatus, o_orderkey
+                |               FROM q28_orders_v)
+                |PIVOT (count(*) AS n, sum(o_orderkey) AS ksum
+                |       FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p))
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+             |       count(*) FILTER (o_orderstatus = 'O') AS o_n,
+             |       CAST(sum(o_orderkey) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_ksum,
+             |       count(*) FILTER (o_orderstatus = 'F') AS f_n,
+             |       CAST(sum(o_orderkey) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_ksum,
+             |       count(*) FILTER (o_orderstatus = 'P') AS p_n,
+             |       CAST(sum(o_orderkey) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_ksum
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      "SQL PIVOT: two aggregates per value, one hash aggregate, dialect parity"),
   )
 }

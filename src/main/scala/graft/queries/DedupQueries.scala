@@ -852,5 +852,61 @@ object DedupQueries {
              |       CAST(count(*) AS BIGINT) AS n_variants
              |FROM n GROUP BY h ORDER BY doc_id""".stripMargin),
       "normalized-text dedup: cosmetic-variant collapse via md5 census, map-only normalize"),
+
+    // BLOOM-PRESCREENED ingest dedup — d6's exact anti-join behind a
+    // sketch gate: a Bloom filter over the corpus fingerprints (built with
+    // Spark's own stat API, shipped as a plan literal, probed by the
+    // codegen'd `bloom_might_contain` expression — no UDF) splits the
+    // incoming batch MAP-ONLY into definite-new rows (bloom-negative: the
+    // filter guarantees no false negatives, so they skip the exact probe
+    // entirely) and maybe-dup rows, and ONLY the maybes pay the anti-join.
+    // At 100 TB ingest the batch is mostly new by construction, so the
+    // expensive exact probe shrinks from batch-sized to
+    // (true-dups + ~1% FP)-sized — while the OUTPUT is provably identical
+    // to the plain anti-join (the oracle is d6's shape verbatim), because
+    // a Bloom can only prune definite negatives. The batch deliberately
+    // re-ingests every 80th corpus doc so both paths carry real rows; the
+    // in-gate requires pin the no-false-negative contract and the pruning
+    // effectiveness.
+    "d15_bloom_prescreen" -> GraftQuery(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = t(s, dir, "documents")
+        val corpusFp = docs.filter(col("doc_id") % 10 < 8)
+          .select(md5(col("text")).as("fp"))
+        val batch = docs
+          .filter(col("doc_id") % 10 >= 8 || col("doc_id") % 80 === 0)
+          .select(col("doc_id"), col("source"), col("lang"),
+            md5(col("text")).as("fp"))
+        val bf = corpusFp.stat.bloomFilter("fp",
+          math.max(corpusFp.count(), 1L), 0.01)
+        val b64 = graft.functions.BloomContains.encode(bf)
+        val pre = batch.withColumn("maybe",
+          expr(s"bloom_might_contain(fp, '$b64')")).persist()
+        val trueDups = docs.filter(col("doc_id") % 80 === 0).count()
+        val maybeN = pre.filter(col("maybe")).count()
+        require(maybeN >= trueDups,
+          s"bloom dropped a true duplicate (no-false-negative breach): " +
+            s"$maybeN maybes < $trueDups known dups")
+        require(maybeN <= trueDups + math.max(5L, batch.count() / 20),
+          s"bloom pruned too little: $maybeN maybes for $trueDups dups")
+        val out = pre.filter(!col("maybe"))
+          .unionByName(pre.filter(col("maybe"))
+            .join(corpusFp, Seq("fp"), "left_anti"))
+          .select("doc_id", "source", "lang")
+        val collected = out.orderBy("doc_id")
+        collected.count() // materialize before unpersist
+        pre.unpersist()
+        collected
+      },
+      Some("""WITH corpus AS (
+             |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 < 8),
+             |batch AS (
+             |  SELECT doc_id, source, lang, md5(text) AS fp
+             |  FROM documents WHERE doc_id % 10 >= 8 OR doc_id % 80 = 0)
+             |SELECT doc_id, source, lang FROM batch b
+             |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+             |ORDER BY doc_id""".stripMargin),
+      "Bloom-prescreened ingest dedup: codegen'd sketch probe, exact join only for maybes"),
   )
 }
