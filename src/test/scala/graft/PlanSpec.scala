@@ -311,6 +311,34 @@ class PlanSpec extends SparkSpec {
       s"feature scoring must not explode the corpus:\n$plan")
   }
 
+  test("v18 batch ANN reads the codes table ONCE for all queries") {
+    val q = graft.queries.Registry.all("v18_batch_ann")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    // the one-pass claim IS the operator: Q queries share a single
+    // partition-pruned codes scan (a search() loop would show Q scans)
+    val plan = finalPlan(q)
+    val scans = plan.linesIterator.count(_.contains("Scan graft"))
+    assert(scans == 1, s"expected ONE codes scan, found $scans:\n$plan")
+    // and the probed-cell union reached the connector as a pushed filter
+    assert(plan.contains("In(cell"),
+      s"cell pruning not pushed into the codes scan:\n$plan")
+  }
+
+  test("d15 bloom prescreen: the probe is map-only, only maybes reach the join") {
+    val q = graft.queries.Registry.all("d15_bloom_prescreen")
+      .fn(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = finalPlan(q)
+    // the bloom probe must run inside the scan's projection (no exchange
+    // between the parquet read and the maybe-split), and the exact
+    // anti-join must exist for the maybe side only
+    assert(plan.contains("bloom_might_contain"),
+      s"probe expression missing from the physical plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"maybe-side anti-join should stay broadcast-sized here:\n$plan")
+  }
+
   test("t21 dataset card computes all rollup grains in one Expand pass") {
     val q = graft.queries.Registry.all("t21_dataset_card")
       .fn(spark, "/root/testdata/sf0.001")
