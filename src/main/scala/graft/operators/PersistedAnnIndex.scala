@@ -50,7 +50,8 @@ object PersistedAnnIndex {
     * (the IvfIndex/PqIndex discipline); encode + write stay distributed.
     */
   def build(spark: SparkSession, emb: DataFrame, root: String,
-            nClusters: Int = 16, seed: Long = 42L): Handle = {
+            nClusters: Int = 16, seed: Long = 42L,
+            txn: Option[(String, Long)] = None): Handle = {
     val h = Handle(root)
     val (assigned, centers) = IvfIndex.fit(emb, nClusters, seed)
     val cb = PqIndex.fit(emb, seed)
@@ -61,8 +62,11 @@ object PersistedAnnIndex {
       java.util.Arrays.asList(cb.centers.zipWithIndex.flatMap { case (cs, m) =>
         cs.zipWithIndex.map { case (c, k) => Row(m, k, c.toSeq) } }: _*),
       codebookSchema))
+    // the codes write carries the caller's txn marker LAST — a crashed
+    // build leaves model tables that a deterministic (seeded) re-train
+    // overwrites identically, and the marker decides replay
     h.codesTable.overwrite(PqIndex.encode(assigned, cb)
-      .select("vec_id", "label", "cell", "codes"))
+      .select("vec_id", "label", "cell", "codes"), txn = txn)
     h
   }
 
@@ -84,11 +88,12 @@ object PersistedAnnIndex {
     * O(batch) work, no refit, no touch of existing code files beyond the
     * appended partitions. Exactly d13's index-maintenance shape.
     */
-  def append(spark: SparkSession, h: Handle, batch: DataFrame): Unit = {
+  def append(spark: SparkSession, h: Handle, batch: DataFrame,
+             txn: Option[(String, Long)] = None): Unit = {
     val centers = loadCentroids(spark, h)
     val cb = loadCodebook(spark, h)
     h.codesTable.append(PqIndex.encode(IvfIndex.assign(batch, centers), cb)
-      .select("vec_id", "label", "cell", "codes"))
+      .select("vec_id", "label", "cell", "codes"), txn = txn)
   }
 
   /** Which path the last [[searchAdaptive]] took — `"adc nProbe=N"` or

@@ -1157,5 +1157,91 @@ object StreamQueries {
              |       CAST(count(DISTINCT (cum - n_tok) // 256) AS BIGINT) AS n_packs
              |FROM cums GROUP BY source ORDER BY source""".stripMargin),
       "incremental curation: t39 maintained from the CDF, delta-sized, state-table dedup"),
+
+    // STREAMING ANN-INDEX MAINTENANCE — the persisted IVF-PQ index (v16)
+    // maintained from the embeddings table's change feed, closing the
+    // loop: every index this engine ships (d13's LSH, st19's fingerprint
+    // state, and now the vector index) is incrementally maintained. The
+    // FIRST micro-batch trains (k-means fit, the once-per-index cost) and
+    // writes all three model tables; every later batch ENCODES against the
+    // persisted centroids/codebooks and appends codes — O(batch), zero
+    // refit, the FAISS add-after-train discipline. Exactly-once: the
+    // codes-table txn marker is written atomically with each batch's
+    // codes (build writes it last; a crashed build replays into an
+    // identical seeded re-train), so replay can neither skip nor
+    // double-index a vector. The gate REQUIREs >= 2 non-empty deltas,
+    // exactly one code row per corpus vector, and a recall floor for BOTH
+    // a first-batch query and a LAST-batch query (a vector indexed by the
+    // final delta must be findable) vs the exact brute force.
+    "st20_streaming_ann_index" -> GraftQuery(
+      (s, dir) => {
+        import graft.operators.PersistedAnnIndex
+        graft.functions.GraftFunctions.register(s)
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val corpus = new MergeTable(s"${Registry.scratchRoot}/st20_corpus_$id")
+        val idxRoot = s"${Registry.scratchRoot}/st20_idx_$id"
+        val h = PersistedAnnIndex.Handle(idxRoot)
+        val emb = Registry.t(s, dir, "embeddings")
+          .withColumn("norm", expr("sqrt(float_dot(embedding, embedding))"))
+        val batchRows = scala.collection.concurrent.TrieMap.empty[Long, Long]
+        def index(batch: DataFrame, batchId: Long): Unit = {
+          val sess = batch.sparkSession
+          val inserts = batch.filter(col(MergeTable.ChangeType) === "insert")
+            .select("vec_id", "label", "embedding", "norm")
+          batchRows(batchId) = inserts.count()
+          if (h.codesTable.lastTxnVersion("st20").exists(_ >= batchId)) return
+          if (!h.codesTable.exists)
+            PersistedAnnIndex.build(sess, inserts, idxRoot,
+              txn = Some("st20" -> batchId))
+          else PersistedAnnIndex.append(sess, h, inserts,
+            txn = Some("st20" -> batchId))
+          ()
+        }
+        val maxId = emb.agg(max("vec_id")).head.getLong(0)
+        val cuts = Seq(maxId / 3, 2 * maxId / 3)
+        Seq(col("vec_id") <= cuts(0),
+            col("vec_id") > cuts(0) && col("vec_id") <= cuts(1),
+            col("vec_id") > cuts(1))
+          .foreach(p => corpus.merge(s, emb.filter(p).repartition(1),
+            Seq("vec_id"), changeFeed = true))
+        val q = corpus.changesStream(ss, maxFilesPerTrigger = Some(1))
+          .writeStream
+          .foreachBatch(index _)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st20_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        require(batchRows.values.count(_ > 0) >= 2,
+          s"expected >= 2 non-empty micro-batches, saw $batchRows")
+        val total = emb.count()
+        val indexed = h.codesTable.read(s).count()
+        require(indexed == total,
+          s"every vector indexed exactly once: $indexed codes for $total vectors")
+        // recall floors for an early query AND a last-delta query, each vs
+        // the exact brute-force top-10 over the WHOLE corpus
+        def exactTop(qid: Long): Set[Long] = {
+          val qv = emb.filter(col("vec_id") === qid)
+            .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+          emb.filter(col("vec_id") =!= qid).crossJoin(broadcast(qv))
+            .withColumn("cosine", round(
+              expr("float_dot(embedding, q_emb)") / (col("norm") * col("q_norm")), 6))
+            .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+        }
+        var out: DataFrame = null
+        for (qid <- Seq(0L, maxId)) {
+          val got = PersistedAnnIndex.search(s, h, emb, qid,
+            k = 10, nProbe = 8, rerank = 100)
+          val overlap = got.select("vec_id").collect().map(_.getLong(0)).toSet
+            .intersect(exactTop(qid)).size
+          require(overlap >= 5,
+            s"streamed-index recall for query $qid: $overlap/10 vs exact")
+          out = got
+        }
+        out.orderBy(col("cosine").desc, col("vec_id"))
+      },
+      None,
+      "streaming ANN-index maintenance: first batch trains, later deltas append-encode, exactly-once"),
   )
 }
