@@ -1243,5 +1243,72 @@ object StreamQueries {
       },
       None,
       "streaming ANN-index maintenance: first batch trains, later deltas append-encode, exactly-once"),
+
+    // Stream-stream LEFT OUTER interval join — st5's inner join plus the
+    // semantics the outer variant actually adds: an unmatched left row
+    // emits NULL-padded exactly when the watermark has CLOSED its join
+    // window (no purchase can still arrive for it), and a left row whose
+    // window the final watermark never passed is withheld forever — the
+    // append-mode emission contract, mirrored by the oracle: matched pairs
+    // are the plain relational join; null rows are clicks with no matching
+    // purchase whose window end (c_ts + 10 min) lies strictly below the
+    // final watermark (min over both streams of max event time − 1 h).
+    // Spark's no-data final micro-batch (on by default) is what flushes
+    // the closed-window state under Trigger.AvailableNow.
+    "st21_stream_outer_join" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val sink = s"st21_sink_$id"
+        val staged = stageEvents(dir, id)
+        val clicks = StreamingOps.readEventStream(ss, staged)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                  col("event_id").as("click_id"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = StreamingOps.readEventStream(ss, staged)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                  col("event_id").as("purchase_id"), col("value"))
+          .withWatermark("p_ts", "1 hour")
+        val q = clicks.join(purchases,
+            col("c_user") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+            "leftOuter")
+          .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+                  col("value"))
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st21_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        ss.table(sink).orderBy("click_id", "purchase_id")
+      },
+      Some("""WITH wm AS (
+             |  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+             |               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             |         - INTERVAL 1 HOUR AS w),
+             |matched AS (
+             |  SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             |         c.user_id, p.value
+             |  FROM events c JOIN events p
+             |    ON c.user_id = p.user_id
+             |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+             |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE),
+             |nulls AS (
+             |  SELECT c.event_id AS click_id, NULL AS purchase_id,
+             |         c.user_id, NULL AS value
+             |  FROM events c, wm
+             |  WHERE c.event_type = 'click'
+             |    AND c.ts + INTERVAL 10 MINUTE < wm.w
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM events p
+             |      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE))
+             |SELECT * FROM matched
+             |UNION ALL SELECT * FROM nulls
+             |ORDER BY 1, 2""".stripMargin),
+      "stream-stream LEFT OUTER join: null-padded emission only after the watermark closes the window"),
   )
 }
