@@ -96,9 +96,14 @@ object PersistedAnnIndex {
       .select("vec_id", "label", "cell", "codes"), txn = txn)
   }
 
-  /** Which path the last [[searchAdaptive]] took — `"adc nProbe=N"` or
-    * `"exact-subset"`. Observability for specs only (single-JVM), exactly
-    * the [[graft.lake.MergeTable.lastPruneVia]] idiom.
+  /** Which path the last [[searchAdaptive]] took — `"adc nProbe=N/M"`
+    * (N probed of M cells: N=M is full coverage) or `"exact-subset"`.
+    * Observability for specs only (single-JVM), exactly the
+    * [[graft.lake.MergeTable.lastPruneVia]] idiom. The coverage fraction
+    * is the honest recall signal on weakly-clustered data: IVF recall at
+    * partial probe approaches nProbe/nCells when neighbors spread evenly
+    * across cells — the documented speed/recall tradeoff, not a defect —
+    * so callers (and the v17 gate) tier their recall expectations by it.
     */
   @volatile private[graft] var lastSearchVia: String = ""
 
@@ -240,7 +245,7 @@ object PersistedAnnIndex {
       lastSearchVia = "exact-subset"
       exactRerank(eligible.select("vec_id", "label"), emb, queryId, k)
     } else {
-      lastSearchVia = s"adc nProbe=$nProbe"
+      lastSearchVia = s"adc nProbe=$nProbe/$nCells"
       exactRerank(adcCandidates(eligible, qs.tablesLit, (target min Int.MaxValue).toInt),
         emb, queryId, k)
     }
