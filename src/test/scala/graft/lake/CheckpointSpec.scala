@@ -350,6 +350,60 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("adversarial partition values: builders and prune engines agree") {
+    withThreshold(2)(withDriverRowsMax(2) {
+      // values chosen to stress every layer: path escaping (space, =, %),
+      // empty string, and NULL (the Hive default partition) — the
+      // stat-line URL-encoding, the dir-name escaping, and the checkpoint
+      // frame's raw/typed split must all agree. (A unicode value is
+      // excluded only because THIS container's C locale makes the JVM
+      // reject non-ASCII file paths at sun.nio.fs.UnixPath — an
+      // environment limit, not an engine one.)
+      val vals = Seq("sp ace", "eq=ua=l", "pct%25raw", "semi;colon", "", null)
+      val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val t = new MergeTable(scratch("cp_adversarial"), Seq("p"),
+        statsCols = Seq("k"))
+      t.overwrite(rows.toDF("k", "p").repartition(6))
+      assert(t.lastCheckpointBuildVia === "distributed")
+      // frame equality between the two full builders on this manifest
+      import scala.jdk.CollectionConverters._
+      val files = t.filesOf(0)
+      val stats = t.statsLinesOf(0)
+      val viaDriver = spark.createDataFrame(
+        t.checkpointRows(files, stats).asJava, t.checkpointSchema)
+      val viaJob = t.checkpointFrameDistributed(spark, files, stats)
+      def canon(d: org.apache.spark.sql.DataFrame): Seq[String] =
+        d.collect().map(r => Seq(
+          r.getString(0), String.valueOf(r.get(1)), String.valueOf(r.get(2)),
+          r.getMap[String, org.apache.spark.sql.Row](3).toSeq
+            .sortBy(_._1).mkString("|"),
+          String.valueOf(r.get(4))).mkString("\t")).toSeq.sorted
+      assert(canon(viaJob) === canon(viaDriver))
+      // both prune engines select the same files for every value; the
+      // read through each returns exactly that value's rows. Hive-layout
+      // convention: an EMPTY string partition value is stored as the
+      // default-partition sentinel, so it CONFLATES with NULL — both rows
+      // surface under IS NULL and neither under p = '' (Spark and Delta
+      // behave identically; the engines must AGREE, not resurrect it)
+      for (v <- vals) {
+        val fs = Seq(if (v == null) sources.IsNull("p")
+                     else sources.EqualTo("p", v): sources.Filter)
+        val viaCp = t.pruneFilesFor(spark, 0, fs)
+        assert(t.lastPruneVia === "checkpoint")
+        val viaDrv = withThreshold(Int.MaxValue)(t.pruneFilesFor(spark, 0, fs))
+        assert(viaCp === viaDrv, s"prune engines disagree for value '$v'")
+        val got = t.readVersionWhere(spark, 0, fs)
+          .select("k").as[Long].collect().toSeq.sorted
+        val expect =
+          if (v == null) Seq(4L, 5L)      // "" and NULL conflate (Hive)
+          else if (v == "") Seq.empty[Long]
+          else Seq(vals.indexOf(v).toLong)
+        assert(got === expect,
+          s"read through pruning lost or duplicated value '$v'")
+      }
+    })
+  }
+
   test("checkpoint retention keeps the newest CheckpointKeep") {
     withThreshold(1) {
       val df = Seq((1L, "a", "0")).toDF("k", "v", "p")
