@@ -1743,6 +1743,45 @@ object TextQueries {
              |SELECT doc_id, n_features, score, score > 0 AS keep
              |FROM s ORDER BY doc_id""".stripMargin),
       "pinned-weights linear quality classifier: hashed-bigram dot product, map-only"),
+
+    // COMPRESSION-RATIO quality scoring — the poor man's perplexity
+    // (CCNet uses a real LM; production quality stacks often start with
+    // tokenizer compression because it needs no model weights): text that
+    // a BPE trained ON THE CORPUS compresses well is in-distribution,
+    // text it can't compress (rare words, noise) is not. COMPOSES the
+    // persisted t33 model — train once, apply many is the whole point of
+    // persisting it. Tokenization work is VOCAB-sized (the distinct-word
+    // census is tokenized once, every doc joins ntok by word), and the
+    // keep verdict is an exact integer cross-multiplication against the
+    // corpus-wide ratio (relative threshold: parameter-free, scale-free,
+    // division-free), so the DuckDB replay is hash-exact.
+    "t42_compression_quality" -> GraftQuery(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = graft.operators.BpeModel.ensure(s, bpeModelRoot(dir),
+          bpeCensus(s, dir), rounds = 4)
+        val dw = docs.select(col("doc_id"),
+            explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+          .filter(length(col("word")) >= 1)
+        val vocab = graft.operators.BpeModel.applyMerges(
+          dw.select("word").distinct()
+            .withColumn("st",
+              concat(lit("·"), regexp_replace(col("word"), "(.)", "$1·"))),
+          "st", merges.map(_.pair))
+          .withColumn("ntok", size(split(expr("trim(BOTH '·' FROM st)"), "·")))
+          .select("word", "ntok")
+        val agg = dw.join(vocab, "word")
+          .groupBy("doc_id")
+          .agg(sum("ntok").as("n_tokens"),
+            sum(length(col("word")).cast("long")).as("n_chars"))
+        val tot = agg.agg(sum("n_tokens").as("gt"), sum("n_chars").as("gc"))
+        agg.crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+            (col("n_tokens") * col("gc") <= col("n_chars") * col("gt")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(bpeCompressionOracle),
+      "BPE compression-ratio quality: persisted-model tokens per char vs the corpus ratio"),
   )
 
   /** Where the persisted BPE model for an sf dir lives (scratch-scoped;
@@ -1794,38 +1833,47 @@ object TextQueries {
   }
 
   /** t34's DuckDB twin: t33's learn CTEs, then the application census. */
+  private def bpeOraclePairs(src: String): String =
+    s"""(SELECT pr, CAST(sum(n) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(list_transform(range(1, len(toks)),
+       |                  i -> toks[i] || '·' || toks[i+1])) AS pr, n
+       |    FROM (SELECT string_split(trim(st, '·'), '·') AS toks, n FROM $src))
+       |  GROUP BY pr)""".stripMargin
+
+  private def bpeOracleApplied(src: String, m: String): String =
+    s"""(SELECT replace(replace(replace(st, pat, rep), pat, rep), pat, rep) AS st, n
+       |   FROM $src, (SELECT '·' || pr || '·' AS pat,
+       |               '·' || replace(pr, '·', '') || '·' AS rep FROM $m) x_$m)""".stripMargin
+
+  /** The 4-round training chain shared by BOTH BPE oracles (t34's
+    * per-source token counts, t42's per-doc compression): the word census,
+    * the seed split states, and the greedy top-pair merges m1..m4.
+    */
+  private def bpeOracleTrainChain: String =
+    s"""words AS (
+       |  SELECT w AS word, count(*) AS n FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
+       |  WHERE length(w) BETWEEN 2 AND 12 GROUP BY w),
+       |s0 AS (SELECT '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS st, n FROM words),
+       |p1 AS ${bpeOraclePairs("s0")},
+       |m1 AS (SELECT pr, cnt FROM p1 ORDER BY cnt DESC, pr ASC LIMIT 1),
+       |s1 AS ${bpeOracleApplied("s0", "m1")},
+       |p2 AS ${bpeOraclePairs("s1")},
+       |m2 AS (SELECT pr, cnt FROM p2 ORDER BY cnt DESC, pr ASC LIMIT 1),
+       |s2 AS ${bpeOracleApplied("s1", "m2")},
+       |p3 AS ${bpeOraclePairs("s2")},
+       |m3 AS (SELECT pr, cnt FROM p3 ORDER BY cnt DESC, pr ASC LIMIT 1),
+       |s3 AS ${bpeOracleApplied("s2", "m3")},
+       |p4 AS ${bpeOraclePairs("s3")},
+       |m4 AS (SELECT pr, cnt FROM p4 ORDER BY cnt DESC, pr ASC LIMIT 1)""".stripMargin
+
   private lazy val bpeApplyOracle: String = {
-    def pairs(src: String) =
-      s"""(SELECT pr, CAST(sum(n) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest(list_transform(range(1, len(toks)),
-         |                  i -> toks[i] || '·' || toks[i+1])) AS pr, n
-         |    FROM (SELECT string_split(trim(st, '·'), '·') AS toks, n FROM $src))
-         |  GROUP BY pr)""".stripMargin
-    def applied(src: String, m: String) =
-      s"""(SELECT replace(replace(replace(st, pat, rep), pat, rep), pat, rep) AS st, n
-         |   FROM $src, (SELECT '·' || pr || '·' AS pat,
-         |               '·' || replace(pr, '·', '') || '·' AS rep FROM $m) x_$m)""".stripMargin
     def appliedApp(src: String, m: String) =
       s"""(SELECT source, word, n,
          |        replace(replace(replace(st, pat, rep), pat, rep), pat, rep) AS st
          |   FROM $src, (SELECT '·' || pr || '·' AS pat,
          |               '·' || replace(pr, '·', '') || '·' AS rep FROM $m) y_$m)""".stripMargin
-    s"""WITH words AS (
-       |  SELECT w AS word, count(*) AS n FROM (
-       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
-       |  WHERE length(w) BETWEEN 2 AND 12 GROUP BY w),
-       |s0 AS (SELECT '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS st, n FROM words),
-       |p1 AS ${pairs("s0")},
-       |m1 AS (SELECT pr, cnt FROM p1 ORDER BY cnt DESC, pr ASC LIMIT 1),
-       |s1 AS ${applied("s0", "m1")},
-       |p2 AS ${pairs("s1")},
-       |m2 AS (SELECT pr, cnt FROM p2 ORDER BY cnt DESC, pr ASC LIMIT 1),
-       |s2 AS ${applied("s1", "m2")},
-       |p3 AS ${pairs("s2")},
-       |m3 AS (SELECT pr, cnt FROM p3 ORDER BY cnt DESC, pr ASC LIMIT 1),
-       |s3 AS ${applied("s2", "m3")},
-       |p4 AS ${pairs("s3")},
-       |m4 AS (SELECT pr, cnt FROM p4 ORDER BY cnt DESC, pr ASC LIMIT 1),
+    s"""WITH $bpeOracleTrainChain,
        |app AS (
        |  SELECT source, word, count(*) AS n,
        |         '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS st
@@ -1840,6 +1888,39 @@ object TextQueries {
        |       CAST(sum(n * len(string_split(trim(st, '·'), '·'))) AS BIGINT) AS n_tokens,
        |       CAST(sum(n * length(word)) AS BIGINT) AS n_chars
        |FROM a4 GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** t42's oracle: the same trained merges applied to the DISTINCT word
+    * vocabulary, joined back to per-doc word streams, with the keep
+    * verdict an exact integer cross-multiplication against the corpus
+    * ratio (no division anywhere).
+    */
+  private lazy val bpeCompressionOracle: String = {
+    def appliedWord(src: String, m: String) =
+      s"""(SELECT word, replace(replace(replace(st, pat, rep), pat, rep), pat, rep) AS st
+         |   FROM $src, (SELECT '·' || pr || '·' AS pat,
+         |               '·' || replace(pr, '·', '') || '·' AS rep FROM $m) z_$m)""".stripMargin
+    s"""WITH $bpeOracleTrainChain,
+       |dw AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+       |    FROM documents)
+       |  WHERE length(word) >= 1),
+       |v0 AS (SELECT word, '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS st
+       |       FROM (SELECT DISTINCT word FROM dw)),
+       |v1 AS ${appliedWord("v0", "m1")},
+       |v2 AS ${appliedWord("v1", "m2")},
+       |v3 AS ${appliedWord("v2", "m3")},
+       |v4 AS ${appliedWord("v3", "m4")},
+       |vocab AS (SELECT word, len(string_split(trim(st, '·'), '·')) AS ntok FROM v4),
+       |agg AS (SELECT doc_id, CAST(sum(v.ntok) AS BIGINT) AS n_tokens,
+       |               CAST(sum(length(dw.word)) AS BIGINT) AS n_chars
+       |        FROM dw JOIN vocab v USING (word) GROUP BY doc_id),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS gt,
+       |               CAST(sum(n_chars) AS BIGINT) AS gc FROM agg)
+       |SELECT doc_id, n_tokens, n_chars,
+       |       n_tokens * gc <= n_chars * gt AS keep
+       |FROM agg, tot ORDER BY doc_id""".stripMargin
   }
 
   /** t23/t24's shared chunk derivation: per doc, content-defined chunk
