@@ -1,34 +1,41 @@
 package graft.functions
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftSqlShims
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
-/** `bloom_might_contain(col, 'base64-sketch')` — probabilistic membership
-  * of a string column in a pre-built Bloom filter, as a native codegen'd
-  * expression (no UDF). FALSE is definite ("not in the set"); TRUE means
-  * "maybe" — callers follow with an exact probe on the TRUE side only,
-  * which is the classic dedup pre-screen: the filter prunes the
-  * definite-new majority from the expensive exact join entirely.
+/** `BloomContains(col, filter)` — probabilistic membership of a string
+  * column in a pre-built Bloom filter, as a native codegen'd expression
+  * (no UDF). FALSE is definite ("not in the set"); TRUE means "maybe" —
+  * callers follow with an exact probe on the TRUE side only, which is the
+  * classic dedup pre-screen: the filter prunes the definite-new majority
+  * from the expensive exact join entirely.
   *
-  * The sketch arrives as a base64 STRING LITERAL (built with Spark's own
-  * `DataFrameStatFunctions.bloomFilter`, serialized via
-  * [[BloomContains.encode]]), deserialized ONCE per executor-plan instance
-  * (lazy val / codegen reference object, never per row). A plan literal
-  * ships with the serialized plan exactly like a broadcast variable would,
-  * so the cost model is the same at any sketch size; the membership check
-  * itself is two Murmur3 hashes against a bit array — no shuffle, no join,
-  * whole-stage-codegen friendly.
+  * The sketch is carried as a [[BloomFilter]] FIELD of the expression — a
+  * plan reference object that ships with the serialized task binary (the
+  * same mechanism as a broadcast variable's value), NEVER through SQL
+  * text. This is the scale-correct plumbing: a corpus-scale filter
+  * (10⁹ keys at 1% FP ≈ 1.2 GB) would choke the ANTLR parser as a base64
+  * literal, but serializes linearly as plan state. Driver-side cost is
+  * O(sketch bytes) — no encode, no parse. Construct via
+  * [[BloomContains.mightContain]] (the Column API factory).
+  *
+  * A SQL form `bloom_might_contain(col, 'base64')` remains registered for
+  * interactive use, but its builder enforces [[BloomContains.maxSqlSketchBytes]]
+  * on the DECODED size and directs larger sketches to the Column factory —
+  * the parser path is a convenience, not the hot path.
   *
   * Spark's `BloomFilter.putString` hashes the UTF-8 bytes, so the binary
   * probe over `UTF8String.getBytes` sees the identical key bytes — the
   * no-false-negative contract holds across the stat-API build and this
-  * expression (spec-asserted in FunctionsSpec).
+  * expression (spec-asserted in BloomContainsSpec).
   */
-case class BloomContains(child: Expression, bloomB64: String)
+case class BloomContains(child: Expression, filter: BloomFilter)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -40,23 +47,37 @@ case class BloomContains(child: Expression, bloomB64: String)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 
-  @transient private lazy val bf: BloomFilter = BloomContains.decode(bloomB64)
-
   override def nullSafeEval(input: Any): Any =
-    bf.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+    filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftBloom", bf,
+    val ref = ctx.addReferenceObj("graftBloom", filter,
       classOf[BloomFilter].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = $ref.mightContainBinary($c.getBytes());")
   }
+
+  // the filter is payload, not identity — keep plan strings short
+  override def toString: String = s"bloom_might_contain($child)"
+  override def sql: String = s"bloom_might_contain(${child.sql})"
 
   override protected def withNewChildInternal(newChild: Expression): BloomContains =
     copy(child = newChild)
 }
 
 object BloomContains {
+  /** Decoded-size ceiling for the SQL-literal form. Beyond this, the
+    * base64 string bloats ANTLR parsing and plan text; use
+    * [[mightContain]], which never encodes the sketch at all.
+    */
+  val maxSqlSketchBytes: Int = 4 << 20 // 4 MiB
+
+  /** Column-API factory — the scale path: the filter rides the expression
+    * tree as a reference object; zero driver-side encoding, zero parsing.
+    */
+  def mightContain(c: Column, bf: BloomFilter): Column =
+    GraftSqlShims.column(BloomContains(GraftSqlShims.expression(c), bf))
+
   def encode(bf: BloomFilter): String = {
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
@@ -66,4 +87,15 @@ object BloomContains {
   def decode(b64: String): BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(
       java.util.Base64.getDecoder.decode(b64)))
+
+  /** SQL-builder entry: decode with the size cap enforced. */
+  def fromSqlLiteral(child: Expression, b64: String): BloomContains = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    require(bytes.length <= maxSqlSketchBytes,
+      s"bloom_might_contain SQL literal decodes to ${bytes.length} bytes " +
+        s"(cap $maxSqlSketchBytes): a sketch this large must not transit " +
+        "the SQL parser - build the Column with BloomContains.mightContain")
+    BloomContains(child,
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+  }
 }

@@ -137,7 +137,7 @@ object GraftFunctions {
       (children: Seq[Expression]) => children match {
         case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(
             b64: org.apache.spark.unsafe.types.UTF8String, _)) =>
-          BloomContains(c, b64.toString)
+          BloomContains.fromSqlLiteral(c, b64.toString)
         case _ => throw new IllegalArgumentException(
           "bloom_might_contain(col, sketch) requires a literal base64 sketch string")
       })

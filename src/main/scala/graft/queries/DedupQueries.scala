@@ -855,8 +855,10 @@ object DedupQueries {
 
     // BLOOM-PRESCREENED ingest dedup — d6's exact anti-join behind a
     // sketch gate: a Bloom filter over the corpus fingerprints (built with
-    // Spark's own stat API, shipped as a plan literal, probed by the
-    // codegen'd `bloom_might_contain` expression — no UDF) splits the
+    // Spark's own stat API, carried as a plan REFERENCE OBJECT via the
+    // BloomContains.mightContain Column factory — no SQL-text literal, no
+    // ANTLR parse of the sketch, so a corpus-scale filter ships like a
+    // broadcast value — probed by the codegen'd expression, no UDF) splits the
     // incoming batch MAP-ONLY into definite-new rows (bloom-negative: the
     // filter guarantees no false negatives, so they skip the exact probe
     // entirely) and maybe-dup rows, and ONLY the maybes pay the anti-join.
@@ -880,9 +882,8 @@ object DedupQueries {
             md5(col("text")).as("fp"))
         val bf = corpusFp.stat.bloomFilter("fp",
           math.max(corpusFp.count(), 1L), 0.01)
-        val b64 = graft.functions.BloomContains.encode(bf)
         val pre = batch.withColumn("maybe",
-          expr(s"bloom_might_contain(fp, '$b64')")).persist()
+          graft.functions.BloomContains.mightContain(col("fp"), bf)).persist()
         val trueDups = docs.filter(col("doc_id") % 80 === 0).count()
         val maybeN = pre.filter(col("maybe")).count()
         require(maybeN >= trueDups,

@@ -46,6 +46,18 @@ object GraftSqlShims {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
 
+  /** Column ↔ Catalyst Expression bridges (`private[sql]` in Spark 4's
+    * classic.ExpressionUtils) — what a library needs to hand a custom
+    * codegen expression carrying NON-LITERAL plan state (e.g. a Bloom
+    * filter reference object) straight to the DataFrame API without
+    * round-tripping it through SQL text and the parser.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Drain the listener bus (`private[spark]`) — lets tests that count
     * query executions via a QueryExecutionListener observe every event
     * before asserting.

@@ -34,6 +34,43 @@ class BloomContainsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("Column factory: filter rides the plan as a reference object, no SQL text") {
+    val members = (1 to 500).map(i => s"m_$i")
+    val df = members.toDF("s").repartition(4)
+    val bf = df.stat.bloomFilter("s", 500, 0.01)
+    // no encode, no parse: the BloomFilter object is handed to the
+    // expression directly — identical semantics to the SQL form
+    val misses = df.withColumn("m", BloomContains.mightContain(col("s"), bf))
+      .filter(!col("m")).count()
+    assert(misses === 0L, "Column-factory path lost the no-false-negative contract")
+    val fps = (1 to 500).map(i => s"x_$i").toDF("s")
+      .withColumn("m", BloomContains.mightContain(col("s"), bf))
+      .filter(col("m")).count()
+    assert(fps <= 30, s"false-positive rate implausibly high: $fps/500")
+    // the optimized plan must NOT embed the sketch bytes as text — driver
+    // cost for plan stringification stays O(1) in sketch size
+    val plan = df.withColumn("m", BloomContains.mightContain(col("s"), bf))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.length < 10000, s"plan text scales with sketch size: ${plan.length}")
+    assert(!plan.contains(BloomContains.encode(bf).take(64)),
+      "sketch base64 leaked into plan text")
+  }
+
+  test("SQL-literal builder enforces the decoded-size cap with a pointer to the factory") {
+    GraftFunctions.register(spark)
+    // a sketch comfortably past 4 MiB decoded: ~40M bits
+    val big = org.apache.spark.util.sketch.BloomFilter.create(4000000, 0.01)
+    val b64 = BloomContains.encode(big)
+    val e = intercept[Exception] {
+      Seq("a").toDF("s")
+        .select(expr(s"bloom_might_contain(s, '$b64')")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("BloomContains.mightContain")),
+      s"cap error must direct users to the Column factory: ${e.getMessage}")
+  }
+
   test("registration rejects a non-literal sketch and a non-string column") {
     GraftFunctions.register(spark)
     val df = Seq(("a", 1)).toDF("s", "i")
