@@ -291,6 +291,14 @@ object PersistedAnnIndex {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("q_norm_d", expr(
         "sqrt(aggregate(q_emb, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"))
+    // fail FAST on unresolved ids, exactly like single-query search's .head
+    // NoSuchElementException — otherwise a stale id silently truncates the
+    // result to fewer groups and the caller never learns (resolved-id
+    // collect is ≤ |queryIds| longs: bounded)
+    val resolved = qrows.select("query_id").collect().map(_.getLong(0)).toSet
+    val missing = queryIds.filterNot(resolved)
+    require(missing.isEmpty,
+      s"searchBatch: query ids absent from the corpus: ${missing.mkString(", ")}")
     // 1. probe map: the same cosine the driver path computes, as columns —
     // CAST-to-double zip folds match querySide's arithmetic bit-for-bit
     val cents = h.centroidsTable.read(spark) // (cell, centroid: array<double>)

@@ -734,18 +734,26 @@ object SimilarityQueries {
         Registry.cleanDir(root)
         val e = emb(s, dir)
         val h = PersistedAnnIndex.build(s, e, root)
-        // ~40% → ~10% → ~3% selective; ONE constant set for the whole
-        // ladder and every scale factor (initProbe 8 = the engine's
-        // unfiltered production probe, oversample 20, exact fallback 100)
+        val corpusN = e.count()
+        // ~40% → ~10% → ~3% RELATIVE selectivity plus one ABSOLUTELY
+        // bounded "small tenant" predicate (~60 rows at every scale
+        // factor — the fraction-selective rungs legitimately migrate to
+        // the ADC regimes as N grows, so only a bounded predicate can
+        // prove the exact-subset fallback at all scales). ONE constant
+        // set for the whole ladder (initProbe 8 = the engine's
+        // unfiltered production probe, oversample 20); the exact-scan
+        // ceiling DERIVES from corpus size (a fixed cap would flip
+        // regimes as sf grows), staying a bounded fraction of N.
         val preds = Seq(
           "p40" -> (col("label") % 3 === 0),
           "p10" -> (col("label") === 5),
-          "p03" -> (col("label") === 5 && col("vec_id") % 3 === 1))
+          "p03" -> (col("label") === 5 && col("vec_id") % 3 === 1),
+          "tenant" -> (col("vec_id") >= 1 && col("vec_id") <= 60))
         var last: org.apache.spark.sql.DataFrame = null
         val vias = preds.map { case (name, pred) =>
           val got = PersistedAnnIndex.searchAdaptive(s, h, e, queryId = 0,
             k = 10, filter = Some(pred), oversample = 20, initProbe = 8,
-            exactScanMax = 100)
+            exactScanMax = math.max(100L, corpusN / 10))
           val eligible = e.filter(pred && col("vec_id") =!= 0).count()
           require(got.filter(!pred).count() == 0,
             s"$name: every filtered-search hit must satisfy the predicate")
