@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.lake.MergeTable
+
+/** RETRACTION-CORRECT incremental curation — t39's batch pipeline
+  * maintained from a corpus table's change feed under ARBITRARY mutation:
+  * inserts curate, corpus DELETEs retract their curated row and
+  * fingerprint, UPDATEs re-curate (an update below the quality bar
+  * retracts; a re-hashing update moves its fingerprint), and a
+  * smaller-doc_id duplicate arriving LATE demotes the sitting canonical —
+  * arrival order never changes the result. The maintained `curated` table
+  * equals the batch recompute of t39 over the CURRENT corpus snapshot
+  * after every batch (the st19/st23 gates hash-match it against the
+  * DuckDB replay).
+  *
+  * The mechanism that makes all of that one code path: fingerprint state
+  * is a CENSUS, not a set. `fps(doc_id, h, source, n_tok, ok)` holds one
+  * row per quality-passing document currently in the corpus (16-byte md5
+  * + 3 scalars per doc — the classic dedup state store), where
+  * `ok` = curated-eligible (not an eval doc, not contaminated) is
+  * evaluated ONCE at registration against the fixed benchmark gram set.
+  * Curated membership is then a pure function of fps: the MIN-doc_id row
+  * of each hash group, kept iff `ok` — exactly t39's window semantics
+  * (an eval or contaminated canonical takes the hash; its duplicates
+  * never resurface). Every batch:
+  *
+  *  1. resolves the CDF rows to one NET change per doc (last commit
+  *     version wins; postimage beats preimage within a version);
+  *  2. map-only quality-gates the adds and scores contamination against
+  *     the broadcast eval-gram set — delta-sized;
+  *  3. merges fps: adds upsert their row, deletes and below-bar updates
+  *     remove theirs (ONE clause-merge keyed by doc_id);
+  *  4. recomputes winners for the AFFECTED hashes only (every md5 the
+  *     batch touched, pre- or post-image): fps semi-joined to the
+  *     batch-sized hash set, one window — the groups a mutation could
+  *     have re-canonicalized, never the corpus;
+  *  5. merges curated: losers delete, winners upsert, vanished docs
+  *     delete (ONE clause-merge keyed by doc_id).
+  *
+  * Exactly-once across the two state tables without a cross-table
+  * transaction: fps commits FIRST, curated SECOND, each under its own
+  * txn marker. Replay of a crashed batch re-derives the winner set from
+  * the (deterministic) post-fps state, so every crash point converges:
+  * before the fps merge → full re-run; between the merges → the fps
+  * marker skips, the winner recompute sees the same post-batch fps, and
+  * the curated merge lands identically; after both → both markers skip.
+  *
+  * Scale: per-batch work is delta-sized end to end — the net-change
+  * window, quality gates, and contamination probe run over the BATCH;
+  * the fps and curated merges rewrite only files holding touched keys
+  * (pruned merge); the winner recompute scans fps restricted by a
+  * broadcast semi-join on the batch's hashes (at 100 TB, partition fps
+  * by a hash-prefix bucket and this restriction prunes to touched
+  * buckets' files). Nothing ever rescans the corpus.
+  */
+object IncrementalCuration {
+
+  /** Word split + count, shared by every quality expression. */
+  private def withWords(df: DataFrame): DataFrame = df
+    .withColumn("words", expr("filter(split(text, ' '), x -> x <> '')"))
+    .withColumn("nw", size(col("words")))
+
+  /** 8-gram array over `words`/`nw` — t39's decontamination unit. The
+    * short-doc branch must be an EXPLICIT empty array: Spark's
+    * `sequence(1, 0)` descends to `[1, 0]` (step defaults to -1), so the
+    * unguarded form feeds `slice(words, 0, 8)` an ANSI-illegal start the
+    * moment a sub-8-word doc appears — while DuckDB's
+    * `generate_series(1, 0)` is empty. The CASE restores the agreement.
+    */
+  private[graft] val gram8 = "CASE WHEN nw >= 8 THEN " +
+    "transform(sequence(1, nw - 7), i -> array_join(slice(words, i, 8), ' ')) " +
+    "ELSE array() END"
+
+  /** The fixed benchmark gram set: distinct 8-grams of the eval docs
+    * (doc_id % 97 == 0) — built once from the ORIGINAL corpus and
+    * broadcast into every batch (evals exist before curation and do not
+    * move when the corpus mutates).
+    */
+  def evalGramSet(docs: DataFrame): DataFrame =
+    withWords(docs.filter(col("doc_id") % 97 === 0))
+      .select(explode(expr(gram8)).as("gram")).distinct()
+
+  /** t39's quality + repetition gates, map-only over the delta: length,
+    * mean word length, symbol ratio, stopword floor, 3-gram repetition.
+    */
+  private def qualityGate(adds: DataFrame): DataFrame =
+    withWords(adds)
+      .withColumn("sum_wlen", length(col("text")) - (col("nw") - 1))
+      .withColumn("n_sym", length(regexp_replace(col("text"), "[a-z ]", "")))
+      .withColumn("n_stop", size(array_intersect(
+        array_distinct(col("words")),
+        array(lit("the"), lit("and"), lit("of"), lit("to"), lit("a")))))
+      .filter(col("nw") >= 5 && col("nw") <= 1000 &&
+        col("sum_wlen") >= col("nw") * 2 &&
+        col("sum_wlen") <= col("nw") * 12 &&
+        col("n_sym") * 10 <= length(col("text")) && col("n_stop") >= 2)
+      // guarded like gram8: a mutated-below-bar doc (nw < 3) must reach
+      // the nw >= 5 REJECTION, not an ANSI element_at error en route
+      .withColumn("g3", expr("CASE WHEN nw >= 3 THEN " +
+        "transform(sequence(1, nw - 2), i -> " +
+        "concat_ws(' ', element_at(words, i), element_at(words, i + 1), " +
+        "element_at(words, i + 2))) ELSE array() END"))
+      .filter((size(col("g3")) - size(array_distinct(col("g3")))) * 5 <
+        size(col("g3")))
+
+  /** Apply one CDF micro-batch to the (fps, curated) state pair. Returns
+    * the NET per-doc change count (the delta-size observable the gates
+    * require on). `appId` prefixes the two txn markers (`<appId>f`,
+    * `<appId>c`).
+    */
+  def applyBatch(batch: DataFrame, batchId: Long, fps: MergeTable,
+                 curated: MergeTable, evalGrams: DataFrame,
+                 appId: String): Long = {
+    val sess = batch.sparkSession
+    val appF = appId + "f"
+    val appC = appId + "c"
+
+    // 1. net change per doc: last commit version wins; within a version
+    // an update's postimage outranks its preimage (insert/postimage =
+    // the doc EXISTS after the batch; preimage/delete = it does not).
+    // Drops carry `old_h` = the dropped image's md5 — the key to
+    // order-independence when a commit's pre/postimage files land in
+    // DIFFERENT micro-batches (the streaming file source makes no
+    // commit-atomicity promise): a preimage arriving AFTER its postimage
+    // must not retract the already-updated registration, so the fps
+    // delete below is conditional on the stored hash still matching.
+    val wDoc = Window.partitionBy("doc_id")
+      .orderBy(col(MergeTable.CommitVersion).desc, col("_is_add").cast("int").desc)
+    val fin = batch
+      .withColumn("_is_add",
+        col(MergeTable.ChangeType).isin("insert", "update_postimage"))
+      .withColumn("_rn", row_number().over(wDoc)).filter(col("_rn") === 1)
+      .select(col("doc_id"), col("text"), col("source"), col("_is_add"),
+        when(!col("_is_add"), md5(col("text"))).as("old_h"))
+      .persist()
+    val processed = fin.count()
+
+    // every hash the batch touched, pre- OR post-image — the only hash
+    // groups whose canonical can have changed (batch-sized, broadcast)
+    val affH = batch.select(md5(col("text")).as("h")).distinct()
+
+    // 2. delta-sized add-side gates
+    val adds = fin.filter(col("_is_add")).select("doc_id", "text", "source")
+    val qual = qualityGate(adds)
+    val contamIds = qual.select(col("doc_id"), explode(expr(gram8)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    val addPut = qual
+      .select(col("doc_id"), md5(col("text")).as("h"), col("source"),
+        col("nw").cast("long").as("n_tok"))
+      .join(contamIds.withColumn("_contam", lit(true)), Seq("doc_id"), "left")
+      .withColumn("ok", col("doc_id") % 97 =!= 0 && col("_contam").isNull)
+      .drop("_contam")
+    // docs whose fingerprint must go: corpus-deleted docs and orphaned
+    // preimages (hash-conditionally, see above) plus adds the quality
+    // gate rejected (an update below the bar retracts, unconditionally —
+    // old_h null disables the hash guard)
+    val delIds = fin.filter(!col("_is_add")).select("doc_id", "old_h")
+      .unionByName(adds.select("doc_id")
+        .join(qual.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("old_h", lit(null).cast("string")))
+
+    // 3. fps census merge — FIRST of the two commits
+    if (fps.lastTxnVersion(appF).forall(_ < batchId)) {
+      if (!fps.exists) fps.overwrite(addPut, txn = Some(appF -> batchId))
+      else fps.mergeClauses(sess,
+        addPut.withColumn("action", lit("put"))
+          .withColumn("old_h", lit(null).cast("string")).unionByName(
+          delIds.withColumn("action", lit("del")), allowMissingColumns = true),
+        Seq("doc_id"),
+        Seq(MergeTable.MatchedDelete(
+              Some("s.action = 'del' AND (s.old_h IS NULL OR t.h = s.old_h)")),
+            MergeTable.MatchedUpdate(Some("s.action = 'put'"),
+              Seq("h" -> "s.h", "source" -> "s.source",
+                  "n_tok" -> "s.n_tok", "ok" -> "s.ok")),
+            MergeTable.NotMatchedInsert(Some("s.action = 'put'"),
+              Seq("doc_id" -> "s.doc_id", "h" -> "s.h", "source" -> "s.source",
+                  "n_tok" -> "s.n_tok", "ok" -> "s.ok"))),
+        checkUniqueSource = false, txn = Some(appF -> batchId))
+    }
+    if (!fps.exists) { fin.unpersist(); return processed } // nothing ever registered
+
+    // 4. winners for the affected hashes, from POST-batch fps state:
+    // min-doc_id per hash group, curated iff ok — t39's canonical rule
+    val wH = Window.partitionBy("h").orderBy("doc_id")
+    val affRows = fps.read(sess).join(broadcast(affH), Seq("h"), "left_semi")
+      .withColumn("_rn", row_number().over(wH))
+      .withColumn("is_winner", col("_rn") === 1 && col("ok"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("is_winner"))
+    // a doc that LEFT fps leaves curated too. Post-merge fps is the
+    // truth: a delId whose conditional drop did NOT fire (its postimage
+    // was already applied) keeps its row and must NOT surface as a loser
+    val stillGone = delIds.select("doc_id")
+      .join(fps.read(sess).select("doc_id"), Seq("doc_id"), "left_anti")
+    val curSource = affRows.unionByName(
+      stillGone.select(col("doc_id"), lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("n_tok"), lit(false).as("is_winner")))
+
+    // 5. curated merge — SECOND commit; losers delete, winners upsert
+    if (curated.lastTxnVersion(appC).forall(_ < batchId)) {
+      if (!curated.exists) curated.overwrite(
+        curSource.filter(col("is_winner")).select("doc_id", "source", "n_tok"),
+        txn = Some(appC -> batchId))
+      else curated.mergeClauses(sess, curSource, Seq("doc_id"),
+        Seq(MergeTable.MatchedDelete(Some("NOT s.is_winner")),
+            MergeTable.MatchedUpdate(Some("s.is_winner"),
+              Seq("source" -> "s.source", "n_tok" -> "s.n_tok")),
+            MergeTable.NotMatchedInsert(Some("s.is_winner"),
+              Seq("doc_id" -> "s.doc_id", "source" -> "s.source",
+                  "n_tok" -> "s.n_tok"))),
+        checkUniqueSource = false, txn = Some(appC -> batchId))
+    }
+    fin.unpersist()
+    processed
+  }
+}

@@ -988,105 +988,52 @@ object StreamQueries {
       "stream-side data skipping: a where'd tail reads one partition's files, not the firehose"),
 
     // INCREMENTAL CURATION — t39's batch pipeline lifted to a MAINTAINED
-    // view over the corpus table's change feed: per micro-batch, NEWLY
-    // ADDED documents are quality/repetition-gated (map-only over the
-    // delta), canonical-picked within the batch, deduped against the
-    // PERSISTED fingerprint state (d7's MergeTable-as-state-store, 16-byte
-    // md5 per doc — the only dedup state that ever exists), decontaminated
-    // against the FIXED benchmark 8-gram set (the evals exist BEFORE
-    // curation — the production reality; the set broadcasts into every
-    // batch), and upserted into the curated table with a txn marker. New
-    // documents get curated; the corpus is NEVER re-curated — per-batch
-    // work is delta-sized, require-checked below. Ingest batches arrive in
-    // ascending doc_id ranges (production: ids are ingestion-monotone), so
-    // first-seen-wins against the fingerprint state IS t39's global
-    // min-doc_id canonical — the maintained table hash-matches the batch
-    // recompute, and the oracle is t39's VERBATIM.
+    // view over the corpus table's change feed via the retraction-correct
+    // [[graft.operators.IncrementalCuration]] operator: per micro-batch,
+    // newly added documents are quality/repetition-gated (map-only over
+    // the delta), registered in the PERSISTED fingerprint CENSUS
+    // (doc_id + 16-byte md5 + 3 scalars per quality-passing doc — the
+    // only dedup state that ever exists), decontaminated against the
+    // FIXED benchmark 8-gram set (the evals exist BEFORE curation — the
+    // production reality; the set broadcasts into every batch), and the
+    // affected hash groups' canonicals (min doc_id, t39's window rule)
+    // are re-derived and clause-merged into the curated table. Batches
+    // here are staged by doc_id % 3 — deliberately NON-monotone ids, so
+    // a hash's smaller-id canonical routinely arrives AFTER a sitting
+    // duplicate and must DEMOTE it: the hash match against t39's VERBATIM
+    // batch oracle proves arrival-order independence (production CDC
+    // replays and multi-source ingest are not monotone). Per-batch work
+    // is delta-sized, require-checked below; the corpus is NEVER
+    // re-curated. Retraction under corpus deletes/updates is the same
+    // code path, gated by st23 with a mid-stream mutation commit.
     //
     // Exactly-once across TWO state tables without a cross-table
-    // transaction: curated commits first, fingerprints second, each under
-    // its own txn marker (the st9 per-sink idiom). A crash between them
-    // replays into a curated marker-skip plus a fingerprint re-merge that
-    // is idempotent by key; the fingerprint anti-join still sees pre-batch
-    // state on replay because fingerprints commit LAST. Every fresh
-    // canonical's hash registers — contaminated or not: the hash is taken
-    // (t39's window semantics), its later duplicates must never resurrect.
+    // transaction: fingerprints commit FIRST, curated SECOND, each under
+    // its own txn marker (the st9 per-sink idiom). Replay of a crashed
+    // batch re-derives the winner set from the deterministic post-fps
+    // state, so every crash point converges (operator Scaladoc).
     "st19_incremental_curation" -> GraftQuery(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        import graft.operators.IncrementalCuration
         val ss = streamSession(s)
         val id = runId.incrementAndGet()
         val corpus = new MergeTable(s"${Registry.scratchRoot}/st19_corpus_$id")
         val fps = new MergeTable(s"${Registry.scratchRoot}/st19_fps_$id")
         val curated = new MergeTable(s"${Registry.scratchRoot}/st19_curated_$id")
         val docs = Registry.t(s, dir, "documents")
-        def withWords(df: DataFrame): DataFrame = df
-          .withColumn("words", expr("filter(split(text, ' '), x -> x <> '')"))
-          .withColumn("nw", size(col("words")))
-        val gram8 = "transform(sequence(1, greatest(nw - 7, 0)), " +
-          "i -> array_join(slice(words, i, 8), ' '))"
-        val evalGrams = withWords(docs.filter(col("doc_id") % 97 === 0))
-          .select(explode(expr(gram8)).as("gram")).distinct().cache()
+        val evalGrams = IncrementalCuration.evalGramSet(docs).cache()
         val batchRows = scala.collection.concurrent.TrieMap.empty[Long, Long]
         def curate(batch: DataFrame, batchId: Long): Unit = {
-          val sess = batch.sparkSession
-          val inserts = batch.filter(col(MergeTable.ChangeType) === "insert")
-            .select("doc_id", "text", "source").persist()
-          batchRows(batchId) = inserts.count()
-          val qual = withWords(inserts)
-            .withColumn("sum_wlen", length(col("text")) - (col("nw") - 1))
-            .withColumn("n_sym", length(regexp_replace(col("text"), "[a-z ]", "")))
-            .withColumn("n_stop", size(array_intersect(
-              array_distinct(col("words")),
-              array(lit("the"), lit("and"), lit("of"), lit("to"), lit("a")))))
-            .filter(col("nw") >= 5 && col("nw") <= 1000 &&
-              col("sum_wlen") >= col("nw") * 2 &&
-              col("sum_wlen") <= col("nw") * 12 &&
-              col("n_sym") * 10 <= length(col("text")) && col("n_stop") >= 2)
-            .withColumn("g3", expr("transform(sequence(1, nw - 2), i -> " +
-              "concat_ws(' ', element_at(words, i), element_at(words, i + 1), " +
-              "element_at(words, i + 2)))"))
-            .filter((size(col("g3")) - size(array_distinct(col("g3")))) * 5 <
-              size(col("g3")))
-          val wH = Window.partitionBy("h")
-          val canon = qual
-            .select(col("doc_id"), col("source"), col("nw"), col("words"),
-              md5(col("text")).as("h"))
-            .withColumn("min_id", min(col("doc_id")).over(wH))
-            .filter(col("doc_id") === col("min_id"))
-          val fresh = (if (fps.exists)
-            canon.join(fps.read(sess).select("h"), Seq("h"), "left_anti")
-          else canon).persist()
-          val contaminatedIds = fresh
-            .select(col("doc_id"), explode(expr(gram8)).as("gram"))
-            .join(broadcast(evalGrams), Seq("gram"), "left_semi")
-            .select("doc_id").distinct()
-          val kept = fresh.filter(col("doc_id") % 97 =!= 0)
-            .join(contaminatedIds, Seq("doc_id"), "left_anti")
-            .select(col("doc_id"), col("source"),
-              col("nw").cast("long").as("n_tok"))
-          if (curated.lastTxnVersion("st19c").forall(_ < batchId)) {
-            if (!curated.exists)
-              curated.overwrite(kept, txn = Some("st19c" -> batchId))
-            else curated.merge(sess, kept, Seq("doc_id"),
-              checkUniqueSource = false, txn = Some("st19c" -> batchId))
-          }
-          if (fps.lastTxnVersion("st19f").forall(_ < batchId)) {
-            val hs = fresh.select("h").distinct()
-            if (!fps.exists) fps.overwrite(hs, txn = Some("st19f" -> batchId))
-            else fps.merge(sess, hs, Seq("h"),
-              checkUniqueSource = false, txn = Some("st19f" -> batchId))
-          }
-          fresh.unpersist(); inserts.unpersist()
+          batchRows(batchId) = IncrementalCuration.applyBatch(
+            batch, batchId, fps, curated, evalGrams, "st19")
           ()
         }
-        val maxId = docs.agg(max("doc_id")).head.getLong(0)
-        val cuts = Seq(maxId / 3, 2 * maxId / 3)
-        Seq(col("doc_id") <= cuts(0),
-            col("doc_id") > cuts(0) && col("doc_id") <= cuts(1),
-            col("doc_id") > cuts(1))
-          .foreach(p => corpus.merge(s, docs.filter(p).repartition(1),
-            Seq("doc_id"), changeFeed = true))
+        // OUT-OF-ORDER staging: residue classes interleave small and large
+        // ids across batches, so canonical demotion must actually fire
+        (0 to 2).foreach(i => corpus.merge(s,
+          docs.filter(col("doc_id") % 3 === i).repartition(1),
+          Seq("doc_id"), changeFeed = true))
         val q = corpus.changesStream(ss, maxFilesPerTrigger = Some(1))
           .writeStream
           .foreachBatch(curate _)
@@ -1310,5 +1257,159 @@ object StreamQueries {
              |UNION ALL SELECT * FROM nulls
              |ORDER BY 1, 2""".stripMargin),
       "stream-stream LEFT OUTER join: null-padded emission only after the watermark closes the window"),
+
+    // RETRACTING CURATION — the gap between "maintained under append" and
+    // "maintained": the corpus MUTATES mid-stream and the curated view
+    // must still equal the batch recompute over the FINAL corpus. The
+    // staged corpus is documents ∪ duplicate COPIES (same text, id + M —
+    // the raw table is duplicate-free, so dup groups are constructed),
+    // inserted in three doc_id % 3 commits, then ONE mutation commit:
+    //   • DELETE originals with id % 20 ∈ {4, 9} — every %20==4 original
+    //     has a surviving copy, so its hash's canonical must PROMOTE to
+    //     the copy (re-gated for eval/contamination at promotion);
+    //   • UPDATE originals with id % 20 == 13 to 'x x' — below the
+    //     quality bar, so a curated doc RETRACTS and its fingerprint
+    //     leaves the census (its hash is freed).
+    // The same IncrementalCuration.applyBatch consumes all four batches —
+    // retraction is not a special path. The oracle replays t39 over the
+    // post-mutation corpus (copies built and mutations applied in SQL);
+    // requires prove delta-sized processing (net changes sum to corpus +
+    // mutations, no rescan) and that promotion actually fired (a curated
+    // copy whose deleted original was canonical).
+    "st23_retracting_curation" -> GraftQuery(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.IncrementalCuration
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val corpus = new MergeTable(s"${Registry.scratchRoot}/st23_corpus_$id")
+        val fps = new MergeTable(s"${Registry.scratchRoot}/st23_fps_$id")
+        val curated = new MergeTable(s"${Registry.scratchRoot}/st23_curated_$id")
+        val docs = Registry.t(s, dir, "documents")
+        val maxId = docs.agg(max("doc_id")).head.getLong(0)
+        val m = maxId + 1000
+        val copies = docs.filter(col("doc_id") % 10 === 4)
+          .withColumn("doc_id", col("doc_id") + m)
+        val corp0 = docs.select("doc_id", "text", "source")
+          .unionByName(copies.select("doc_id", "text", "source"))
+        val evalGrams = IncrementalCuration.evalGramSet(docs).cache()
+        val batchRows = scala.collection.concurrent.TrieMap.empty[Long, Long]
+        def curate(batch: DataFrame, batchId: Long): Unit = {
+          batchRows(batchId) = IncrementalCuration.applyBatch(
+            batch, batchId, fps, curated, evalGrams, "st23")
+          ()
+        }
+        (0 to 2).foreach(i => corpus.merge(s,
+          corp0.filter(col("doc_id") % 3 === i).repartition(1),
+          Seq("doc_id"), changeFeed = true))
+        // the mutation commit: deletes and a below-bar update in ONE
+        // clause-merge, CDF on — originals only (copies stay)
+        val mutSrc = docs.select("doc_id")
+          .filter(col("doc_id") % 20 === 4 || col("doc_id") % 20 === 9 ||
+            col("doc_id") % 20 === 13)
+          .withColumn("kind", when(col("doc_id") % 20 === 13, "upd")
+            .otherwise("del"))
+          .repartition(1)
+        corpus.mergeClauses(s, mutSrc, Seq("doc_id"),
+          Seq(MergeTable.MatchedDelete(Some("s.kind = 'del'")),
+              MergeTable.MatchedUpdate(Some("s.kind = 'upd'"),
+                Seq("text" -> "'x x'"))),
+          checkUniqueSource = false, changeFeed = true)
+        val q = corpus.changesStream(ss, maxFilesPerTrigger = Some(1))
+          .writeStream
+          .foreachBatch(curate _)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st23_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        evalGrams.unpersist()
+        val nMut = mutSrc.count()
+        val nUpd = mutSrc.filter(col("kind") === "upd").count()
+        require(batchRows.values.count(_ > 0) >= 3,
+          s"expected >= 3 non-empty micro-batches, saw $batchRows")
+        // delta-sized, no rescan: every corpus doc nets once, every
+        // mutation once — plus at most one extra appearance per UPDATE
+        // when the file source splits a commit's pre/postimage files
+        // across micro-batches (the operator is order-independent there;
+        // a corpus rescan would overshoot by the corpus size)
+        val net = batchRows.values.sum
+        require(net >= corp0.count() + nMut && net <= corp0.count() + nMut + nUpd,
+          s"net changes must be corpus + mutations (± split updates): $batchRows")
+        // promotion fired: a COPY of a deleted %20==4 canonical is curated
+        val promoted = curated.read(s)
+          .filter(col("doc_id") > m && (col("doc_id") - m) % 20 === 4).count()
+        require(promoted >= 1,
+          s"expected at least one promoted copy canonical, saw $promoted")
+        // the final answer: t39's pack aggregate over the maintained
+        // table — hash-matched against the post-mutation batch replay
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        curated.read(s)
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("pack_id", ((col("cum") - col("n_tok")) / 256).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            countDistinct(col("pack_id")).as("n_packs"))
+          .orderBy("source")
+      },
+      Some("""WITH mx AS (SELECT max(doc_id) AS mxid FROM documents),
+             |copies AS (SELECT doc_id + mxid + 1000 AS doc_id, text, source
+             |           FROM documents, mx WHERE doc_id % 10 = 4),
+             |corp0 AS (SELECT doc_id, text, source FROM documents
+             |          UNION ALL SELECT * FROM copies),
+             |corp AS (SELECT c.doc_id,
+             |                CASE WHEN c.doc_id <= mx.mxid AND c.doc_id % 20 = 13
+             |                     THEN 'x x' ELSE c.text END AS text,
+             |                c.source
+             |         FROM corp0 c, mx
+             |         WHERE NOT (c.doc_id <= mx.mxid AND c.doc_id % 20 IN (4, 9))),
+             |m AS (
+             |  SELECT doc_id, text, source,
+             |         list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw
+             |  FROM corp),
+             |qual AS (
+             |  SELECT * FROM (
+             |    SELECT *, length(text) - (nw - 1) AS sum_wlen,
+             |           length(regexp_replace(text, '[a-z ]', '', 'g')) AS n_sym,
+             |           len(list_intersect(list_distinct(words),
+             |                              ['the','and','of','to','a'])) AS n_stop
+             |    FROM m)
+             |  WHERE nw BETWEEN 5 AND 1000
+             |    AND sum_wlen >= nw * 2 AND sum_wlen <= nw * 12
+             |    AND n_sym * 10 <= length(text) AND n_stop >= 2),
+             |rep AS (
+             |  SELECT * FROM (
+             |    SELECT *, list_transform(generate_series(1, nw - 2),
+             |             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS g3
+             |    FROM qual)
+             |  WHERE (len(g3) - len(list_distinct(g3))) * 5 < len(g3)),
+             |canon AS (SELECT min(doc_id) AS doc_id FROM rep GROUP BY md5(text)),
+             |k1 AS (SELECT rep.* FROM rep JOIN canon USING (doc_id)),
+             |morig AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw
+             |  FROM documents),
+             |eg AS (SELECT DISTINCT array_to_string(words[i: i+7], ' ') AS gram
+             |       FROM morig CROSS JOIN LATERAL
+             |         (SELECT unnest(generate_series(1, greatest(nw - 7, 0))) AS i) g
+             |       WHERE doc_id % 97 = 0),
+             |cont AS (SELECT DISTINCT k1.doc_id
+             |         FROM k1 CROSS JOIN LATERAL
+             |           (SELECT unnest(generate_series(1, greatest(nw - 7, 0))) AS i) g
+             |         WHERE array_to_string(words[i: i+7], ' ') IN
+             |               (SELECT gram FROM eg)),
+             |kept AS (SELECT * FROM k1
+             |         WHERE doc_id % 97 <> 0
+             |           AND doc_id NOT IN (SELECT doc_id FROM cont)),
+             |cums AS (SELECT source, doc_id, CAST(nw AS BIGINT) AS n_tok,
+             |                sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+             |                              ROWS UNBOUNDED PRECEDING) AS cum
+             |         FROM kept)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |       CAST(count(DISTINCT (cum - n_tok) // 256) AS BIGINT) AS n_packs
+             |FROM cums GROUP BY source ORDER BY source""".stripMargin),
+      "retracting curation: corpus deletes/updates retract curated rows + fingerprints, canonicals promote"),
   )
 }

@@ -1612,9 +1612,14 @@ object TextQueries {
           .filter(col("nw") >= 5 && col("nw") <= 1000 &&
             col("sum_wlen") >= col("nw") * 2 && col("sum_wlen") <= col("nw") * 12 &&
             col("n_sym") * 10 <= length(col("text")) && col("n_stop") >= 2)
-          .withColumn("g3", expr("transform(sequence(1, nw - 2), i -> " +
+          // explicit empty-array branch: Spark's sequence(1, 0) DESCENDS
+          // ([1, 0], step defaults to -1), so an unguarded transform would
+          // element_at out of bounds on a sub-3-word doc instead of letting
+          // the nw >= 5 filter reject it (DuckDB's generate_series is empty)
+          .withColumn("g3", expr("CASE WHEN nw >= 3 THEN " +
+            "transform(sequence(1, nw - 2), i -> " +
             "concat_ws(' ', element_at(words, i), element_at(words, i + 1), " +
-            "element_at(words, i + 2)))"))
+            "element_at(words, i + 2))) ELSE array() END"))
           .filter((size(col("g3")) - size(array_distinct(col("g3")))) * 5 <
             size(col("g3")))
         // canonical-pick as a WINDOW over the md5 key — no census self-join,
@@ -1633,8 +1638,11 @@ object TextQueries {
         // explode + broadcast semi-join), independent of the quality chain —
         // membership restricted by the anti-join, so kept is identical to
         // testing only the survivors, without re-deriving them
-        val gram8 = "transform(sequence(1, greatest(nw - 7, 0)), " +
-          "i -> array_join(slice(words, i, 8), ' '))"
+        // same guard: sequence(1, 0) would descend into slice(words, 0, 8),
+        // an ANSI-illegal start, on any sub-8-word doc
+        val gram8 = "CASE WHEN nw >= 8 THEN " +
+          "transform(sequence(1, nw - 7), i -> array_join(slice(words, i, 8), ' ')) " +
+          "ELSE array() END"
         val evalGrams = docs.filter(col("doc_id") % 97 === 0)
           .select(explode(expr(gram8)).as("gram")).distinct()
         val contaminated = docs
