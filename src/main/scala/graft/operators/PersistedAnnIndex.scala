@@ -96,6 +96,41 @@ object PersistedAnnIndex {
       .select("vec_id", "label", "cell", "codes"), txn = txn)
   }
 
+  /** RETRACT vectors from the index: their code rows are MASKED via the
+    * codes table's deletion-vector machinery — O(matched positions) of
+    * sidecar bytes and ZERO data-file rewrites (Delta's DV shape), so a
+    * delete-heavy change feed never amortizes into code-file churn; the
+    * next OPTIMIZE/compaction folds the masks in. Search paths read
+    * through the same connector and never see masked rows.
+    *
+    * The deleted rows' EMBEDDINGS (the CDF delete preimage carries them)
+    * are re-assigned to their cells with the persisted centroids — the
+    * same deterministic assignment [[append]] encoded them under — so the
+    * delete predicate carries `cell IN (…)` and the position probe is
+    * PARTITION-PRUNED to the touched cells' files, not the index. The
+    * collected (vec_id, cell) pairs are micro-batch-bounded; a mass
+    * truncation should flow through the codes table's predicate delete
+    * instead, and past `maxNewDvRows` the dv path itself falls back to a
+    * rewriting delete.
+    *
+    * Idempotent by construction (masking an already-masked position is a
+    * no-op commit), so a replayed micro-batch may re-run it safely after
+    * its txn-marked append was skipped.
+    */
+  def remove(spark: SparkSession, h: Handle, deleted: DataFrame): Long = {
+    if (!h.codesTable.exists) return 0L
+    val centers = loadCentroids(spark, h)
+    val pairs = IvfIndex.assign(deleted, centers).select("vec_id", "cell")
+      .collect()
+    if (pairs.isEmpty) return 0L
+    val cells = pairs.map(_.getInt(1)).distinct.toSeq
+    val ids = pairs.map(_.getLong(0)).toSeq
+    h.codesTable.deleteVectorized(spark,
+      col("cell").isin(cells.map(Int.box): _*) &&
+        col("vec_id").isin(ids.map(Long.box): _*))
+    ids.length.toLong
+  }
+
   /** Which path the last [[searchAdaptive]] took — `"adc nProbe=N/M"`
     * (N probed of M cells: N=M is full coverage) or `"exact-subset"`.
     * Observability for specs only (single-JVM), exactly the

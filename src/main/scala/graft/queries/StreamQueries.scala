@@ -1411,5 +1411,102 @@ object StreamQueries {
              |       CAST(count(DISTINCT (cum - n_tok) // 256) AS BIGINT) AS n_packs
              |FROM cums GROUP BY source ORDER BY source""".stripMargin),
       "retracting curation: corpus deletes/updates retract curated rows + fingerprints, canonicals promote"),
+
+    // RETRACTING ANN-INDEX MAINTENANCE — st20's append-only loop closed
+    // under corpus DELETEs: a deleted vector's code rows are MASKED via
+    // the codes table's deletion-vector machinery (PersistedAnnIndex
+    // .remove — zero file rewrites, the delete preimages' embeddings
+    // re-assign to their cells so the position probe partition-prunes to
+    // touched cells), and search NEVER returns a deleted id. Exactly-once
+    // split: appends carry the txn marker; removes are idempotent
+    // (re-masking masked positions is a no-op commit), so any replay
+    // order converges. The gate stages three insert commits, then deletes
+    // vec_id % 5 == 2 from the corpus (CDF on), maintains the index from
+    // the feed, and REQUIREs: visible codes equal the post-deletion
+    // corpus exactly (dv dir present — masked, not rewritten), zero
+    // deleted ids in any result, and a recall floor vs the exact brute
+    // force over the POST-MUTATION corpus for an early and a late query.
+    "st24_retracting_ann_index" -> GraftQuery(
+      (s, dir) => {
+        import graft.operators.PersistedAnnIndex
+        graft.functions.GraftFunctions.register(s)
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val corpus = new MergeTable(s"${Registry.scratchRoot}/st24_corpus_$id")
+        val idxRoot = s"${Registry.scratchRoot}/st24_idx_$id"
+        val h = PersistedAnnIndex.Handle(idxRoot)
+        val emb = Registry.t(s, dir, "embeddings")
+          .withColumn("norm", expr("sqrt(float_dot(embedding, embedding))"))
+        val ins = scala.collection.concurrent.TrieMap.empty[Long, Long]
+        val rem = scala.collection.concurrent.TrieMap.empty[Long, Long]
+        def index(batch: DataFrame, batchId: Long): Unit = {
+          val sess = batch.sparkSession
+          val inserts = batch.filter(col(MergeTable.ChangeType) === "insert")
+            .select("vec_id", "label", "embedding", "norm")
+          ins(batchId) = inserts.count()
+          if (ins(batchId) > 0 &&
+              h.codesTable.lastTxnVersion("st24").forall(_ < batchId)) {
+            if (!h.codesTable.exists)
+              PersistedAnnIndex.build(sess, inserts, idxRoot,
+                txn = Some("st24" -> batchId))
+            else PersistedAnnIndex.append(sess, h, inserts,
+              txn = Some("st24" -> batchId))
+          }
+          rem(batchId) = PersistedAnnIndex.remove(sess, h,
+            batch.filter(col(MergeTable.ChangeType) === "delete")
+              .select("vec_id", "label", "embedding", "norm"))
+          ()
+        }
+        val maxId = emb.agg(max("vec_id")).head.getLong(0)
+        (0 to 2).foreach(i => corpus.merge(s,
+          emb.filter(col("vec_id") % 3 === i).repartition(1),
+          Seq("vec_id"), changeFeed = true))
+        corpus.delete(s, col("vec_id") % 5 === 2, changeFeed = true)
+        val q = corpus.changesStream(ss, maxFilesPerTrigger = Some(1))
+          .writeStream
+          .foreachBatch(index _)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st24_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        require(ins.values.count(_ > 0) >= 2,
+          s"expected >= 2 non-empty insert micro-batches, saw $ins")
+        val survivors = emb.filter(col("vec_id") % 5 =!= 2)
+        require(rem.values.sum == emb.count() - survivors.count(),
+          s"every deleted vector retracted exactly once: $rem")
+        // masked, not rewritten — and invisible to every read
+        val visible = h.codesTable.read(s)
+        require(visible.count() == survivors.count(),
+          "visible codes must equal the post-deletion corpus")
+        require(visible.filter(col("vec_id") % 5 === 2).count() == 0,
+          "a masked code row leaked into the snapshot read")
+        require(java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$idxRoot/codes/dv")),
+          "retraction must go through deletion vectors, not file rewrites")
+        def exactTop(qid: Long): Set[Long] = {
+          val qv = survivors.filter(col("vec_id") === qid)
+            .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+          survivors.filter(col("vec_id") =!= qid).crossJoin(broadcast(qv))
+            .withColumn("cosine", round(
+              expr("float_dot(embedding, q_emb)") / (col("norm") * col("q_norm")), 6))
+            .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+        }
+        var out: DataFrame = null
+        for (qid <- Seq(0L, maxId).filter(_ % 5 != 2)) {
+          val got = PersistedAnnIndex.search(s, h, survivors, qid,
+            k = 10, nProbe = 8, rerank = 100)
+          val ids = got.select("vec_id").collect().map(_.getLong(0)).toSet
+          require(ids.forall(_ % 5 != 2),
+            s"search returned a deleted vector for query $qid")
+          val overlap = ids.intersect(exactTop(qid)).size
+          require(overlap >= 5,
+            s"post-retraction recall for query $qid: $overlap/10 vs exact")
+          out = got
+        }
+        out.orderBy(col("cosine").desc, col("vec_id"))
+      },
+      None,
+      "retracting ANN maintenance: corpus deletes dv-mask their codes, search never returns them"),
   )
 }
