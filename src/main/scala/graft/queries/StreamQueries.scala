@@ -1258,6 +1258,86 @@ object StreamQueries {
              |ORDER BY 1, 2""".stripMargin),
       "stream-stream LEFT OUTER join: null-padded emission only after the watermark closes the window"),
 
+    // Stream-stream FULL OUTER interval join — st21 completed on both
+    // sides (the CDC-reconciliation shape: every click AND every purchase
+    // surfaces exactly once, matched or null-padded). The emission
+    // contract now has TWO eviction rules, each mirrored by the oracle:
+    // an unmatched CLICK null-pads when the watermark passes its window
+    // end (c_ts + 10 min < wm — no purchase can still arrive for it,
+    // st21's rule), and an unmatched PURCHASE null-pads when the
+    // watermark passes its OWN event time (p_ts < wm — any future click
+    // has c_ts ≥ wm > p_ts, which the `p_ts >= c_ts` bound can never
+    // match). Rows above the final watermark are withheld forever on
+    // both sides — append-mode semantics, flushed by the no-data final
+    // micro-batch under Trigger.AvailableNow.
+    "st22_stream_full_outer_join" -> GraftQuery(
+      (s, dir) => {
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val sink = s"st22_sink_$id"
+        val staged = stageEvents(dir, id)
+        val clicks = StreamingOps.readEventStream(ss, staged)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+                  col("event_id").as("click_id"))
+          .withWatermark("c_ts", "1 hour")
+        val purchases = StreamingOps.readEventStream(ss, staged)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+                  col("event_id").as("purchase_id"), col("value"))
+          .withWatermark("p_ts", "1 hour")
+        val q = clicks.join(purchases,
+            col("c_user") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+            "fullOuter")
+          .select(col("click_id"), col("purchase_id"),
+                  coalesce(col("c_user"), col("p_user")).as("user_id"),
+                  col("value"))
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st22_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        ss.table(sink).orderBy("click_id", "purchase_id")
+      },
+      Some("""WITH wm AS (
+             |  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+             |               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             |         - INTERVAL 1 HOUR AS w),
+             |matched AS (
+             |  SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             |         c.user_id, p.value
+             |  FROM events c JOIN events p
+             |    ON c.user_id = p.user_id
+             |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+             |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE),
+             |null_left AS (
+             |  SELECT c.event_id AS click_id, NULL AS purchase_id,
+             |         c.user_id, NULL AS value
+             |  FROM events c, wm
+             |  WHERE c.event_type = 'click'
+             |    AND c.ts + INTERVAL 10 MINUTE < wm.w
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM events p
+             |      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+             |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE)),
+             |null_right AS (
+             |  SELECT NULL AS click_id, p.event_id AS purchase_id,
+             |         p.user_id, p.value
+             |  FROM events p, wm
+             |  WHERE p.event_type = 'purchase'
+             |    AND p.ts < wm.w
+             |    AND NOT EXISTS (
+             |      SELECT 1 FROM events c
+             |      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE))
+             |SELECT * FROM matched
+             |UNION ALL SELECT * FROM null_left
+             |UNION ALL SELECT * FROM null_right
+             |ORDER BY 1, 2""".stripMargin),
+      "stream-stream FULL OUTER join: both sides null-pad exactly when the watermark closes their window"),
+
     // RETRACTING CURATION — the gap between "maintained under append" and
     // "maintained": the corpus MUTATES mid-stream and the curated view
     // must still equal the batch recompute over the FINAL corpus. The
