@@ -40,32 +40,43 @@ object PersistedAnnIndex {
   private val centroidSchema = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
     StructField("centroid", ArrayType(DoubleType, containsNull = false))))
+  /** `residual = true` marks the v2 RESIDUAL-encoded format — the column
+    * IS the index version: a v1 (global-codebook) index lacks it, and
+    * [[loadCodebook]] fails with a rebuild instruction rather than
+    * silently mis-decoding old codes against residual semantics.
+    */
   private val codebookSchema = StructType(Seq(
     StructField("m", IntegerType, nullable = false),
     StructField("code", IntegerType, nullable = false),
-    StructField("centroid", ArrayType(DoubleType, containsNull = false))))
+    StructField("centroid", ArrayType(DoubleType, containsNull = false)),
+    StructField("residual", BooleanType, nullable = false)))
 
   /** Train the coarse quantizer + PQ codebooks on the first batch and
     * persist all three tables. Training is bounded-sample driver k-means
     * (the IvfIndex/PqIndex discipline); encode + write stay distributed.
+    * Codes are RESIDUAL-encoded (FAISS IVF-PQ's default): the codebook
+    * quantizes `x − μ_cell`, so the same 8 bytes/vector carry materially
+    * tighter ADC estimates — search adds the `⟨q, μ_cell⟩` base term back.
     */
   def build(spark: SparkSession, emb: DataFrame, root: String,
             nClusters: Int = 16, seed: Long = 42L,
             txn: Option[(String, Long)] = None): Handle = {
     val h = Handle(root)
     val (assigned, centers) = IvfIndex.fit(emb, nClusters, seed)
-    val cb = PqIndex.fit(emb, seed)
+    val cb = PqIndex.fitResidual(assigned, centers, seed)
     h.centroidsTable.overwrite(spark.createDataFrame(
       java.util.Arrays.asList(centers.zipWithIndex.map { case (c, i) =>
         Row(i, c.toSeq) }: _*), centroidSchema))
     h.codebookTable.overwrite(spark.createDataFrame(
       java.util.Arrays.asList(cb.centers.zipWithIndex.flatMap { case (cs, m) =>
-        cs.zipWithIndex.map { case (c, k) => Row(m, k, c.toSeq) } }: _*),
+        cs.zipWithIndex.map { case (c, k) => Row(m, k, c.toSeq, true) } }: _*),
       codebookSchema))
     // the codes write carries the caller's txn marker LAST — a crashed
     // build leaves model tables that a deterministic (seeded) re-train
     // overwrites identically, and the marker decides replay
-    h.codesTable.overwrite(PqIndex.encode(assigned, cb)
+    h.codesTable.overwrite(
+      PqIndex.encode(assigned.withColumn("resid", PqIndex.residualCol(centers)),
+        cb, "resid")
       .select("vec_id", "label", "cell", "codes"), txn = txn)
     h
   }
@@ -78,7 +89,14 @@ object PersistedAnnIndex {
       .collect().map(_.getSeq[Double](1).toArray)
 
   private def loadCodebook(spark: SparkSession, h: Handle): PqIndex.Codebook = {
-    val rows = h.codebookTable.read(spark).orderBy("m", "code").collect()
+    val df = h.codebookTable.read(spark)
+    require(df.columns.contains("residual"),
+      s"ANN index at ${h.root} predates residual encoding (v1 global " +
+        "codebook) — its codes cannot be scored under residual semantics; " +
+        "rebuild the index with PersistedAnnIndex.build")
+    val rows = df.orderBy("m", "code").collect()
+    require(rows.forall(_.getBoolean(3)),
+      s"ANN index at ${h.root}: mixed residual flags — corrupt model table")
     val grouped = rows.groupBy(_.getInt(0))
     PqIndex.Codebook(Array.tabulate(grouped.size)(m =>
       grouped(m).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)))
@@ -92,8 +110,10 @@ object PersistedAnnIndex {
              txn: Option[(String, Long)] = None): Unit = {
     val centers = loadCentroids(spark, h)
     val cb = loadCodebook(spark, h)
-    h.codesTable.append(PqIndex.encode(IvfIndex.assign(batch, centers), cb)
-      .select("vec_id", "label", "cell", "codes"), txn = txn)
+    h.codesTable.append(
+      PqIndex.encode(IvfIndex.assign(batch, centers)
+          .withColumn("resid", PqIndex.residualCol(centers)), cb, "resid")
+        .select("vec_id", "label", "cell", "codes"), txn = txn)
   }
 
   /** RETRACT vectors from the index: their code rows are MASKED via the
@@ -143,11 +163,13 @@ object PersistedAnnIndex {
   @volatile private[graft] var lastSearchVia: String = ""
 
   /** Query-side derived state every search path needs: the query vector,
-    * ALL cells ranked by centroid cosine, and the per-subspace ADC lookup
-    * tables as a SQL array literal. Driver cost is nClusters × dim — index
-    * metadata, never data.
+    * ALL cells ranked by centroid cosine, the per-subspace ADC lookup
+    * tables, and the per-cell base term `⟨q, μ_cell⟩` (residual
+    * encoding's bias), each as a SQL array literal. Driver cost is
+    * nClusters × dim — index metadata, never data.
     */
-  private final case class QuerySide(ranked: Seq[Int], tablesLit: String)
+  private final case class QuerySide(ranked: Seq[Int], tablesLit: String,
+                                     cellDotLit: String)
 
   private def querySide(spark: SparkSession, h: Handle, emb: DataFrame,
                         queryId: Long): QuerySide = {
@@ -156,8 +178,9 @@ object PersistedAnnIndex {
     val q = emb.filter(col("vec_id") === queryId)
       .select("embedding").head.getSeq[Float](0).toArray.map(_.toDouble)
     val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val cellDots = centers.map(c => c.zip(q).map { case (a, b) => a * b }.sum)
     val ranked = centers.zipWithIndex.map { case (c, i) =>
-      val dot = c.zip(q).map { case (a, b) => a * b }.sum
+      val dot = cellDots(i)
       val norm = math.sqrt(c.map(x => x * x).sum)
       (i, if (norm == 0) -1.0 else dot / (norm * qNorm))
     }.sortBy { case (i, cos) => (-cos, i) }.map(_._1).toSeq
@@ -167,7 +190,9 @@ object PersistedAnnIndex {
     }
     val tablesLit = tables.map(_.mkString("array(", ",", ")"))
       .mkString("CAST(array(", ",", ") AS ARRAY<ARRAY<DOUBLE>>)")
-    QuerySide(ranked, tablesLit)
+    val cellDotLit = cellDots
+      .mkString("CAST(array(", ",", ") AS ARRAY<DOUBLE>)")
+    QuerySide(ranked, tablesLit, cellDotLit)
   }
 
   /** The eligible-candidate scan: the probed cells' partition-pruned
@@ -187,13 +212,15 @@ object PersistedAnnIndex {
     filter.fold(scan)(scan.filter)
   }
 
-  /** ADC scoring over an eligible-candidate scan: asymmetric-distance code
-    * lookup per subspace, top-`rerank` survivors by approximate score.
+  /** ADC scoring over an eligible-candidate scan: the per-cell base term
+    * `⟨q, μ_cell⟩` plus the asymmetric-distance residual-code lookups,
+    * top-`rerank` survivors by the estimated inner product.
     */
-  private def adcCandidates(scan: DataFrame, tablesLit: String,
+  private def adcCandidates(scan: DataFrame, qs: QuerySide,
                             rerank: Int): DataFrame =
-    scan.withColumn("adc", expr(
-        s"aggregate(zip_with(codes, $tablesLit, (c, t) -> element_at(t, c + 1)), " +
+    scan.withColumn("adc",
+        expr(s"element_at(${qs.cellDotLit}, cell + 1)") + expr(
+        s"aggregate(zip_with(codes, ${qs.tablesLit}, (c, t) -> element_at(t, c + 1)), " +
           "0D, (acc, v) -> acc + v)"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(rerank)
@@ -231,7 +258,7 @@ object PersistedAnnIndex {
     GraftFunctions.register(spark)
     val qs = querySide(spark, h, emb, queryId)
     val scan = eligibleScan(spark, h, qs.ranked.take(nProbe), queryId, filter)
-    exactRerank(adcCandidates(scan, qs.tablesLit, rerank), emb, queryId, k)
+    exactRerank(adcCandidates(scan, qs, rerank), emb, queryId, k)
   }
 
   /** SELECTIVITY-ADAPTIVE filtered search — the production shape for
@@ -281,7 +308,7 @@ object PersistedAnnIndex {
       exactRerank(eligible.select("vec_id", "label"), emb, queryId, k)
     } else {
       lastSearchVia = s"adc nProbe=$nProbe/$nCells"
-      exactRerank(adcCandidates(eligible, qs.tablesLit, (target min Int.MaxValue).toInt),
+      exactRerank(adcCandidates(eligible, qs, (target min Int.MaxValue).toInt),
         emb, queryId, k)
     }
   }
@@ -347,7 +374,9 @@ object PersistedAnnIndex {
       .withColumn("cos", when(col("cnorm") === 0d, lit(-1d))
         .otherwise(col("dot") / (col("cnorm") * col("q_norm_d"))))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
-      .select("query_id", "cell")
+      // `dot` doubles as residual encoding's ⟨q, μ_cell⟩ base term — the
+      // same ascending fold the driver path's cellDotLit computes
+      .select(col("query_id"), col("cell"), col("dot").as("cdot"))
     // 2. per-query ADC tables: tbl[m][code] = <codebook centroid, query
     // subvector> — the table [[querySide]] embeds as a literal, as a column
     val sub = PqIndex.SubDim
@@ -371,7 +400,7 @@ object PersistedAnnIndex {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(tbls), Seq("query_id"))
-      .withColumn("adc", expr(
+      .withColumn("adc", col("cdot") + expr(
         "aggregate(zip_with(codes, tbl, (c, t) -> element_at(t, c + 1)), " +
           "0D, (acc, v) -> acc + v)"))
       .withColumn("rn", row_number().over(wadc)).filter(col("rn") <= rerank)

@@ -53,18 +53,34 @@ object PqIndex {
     cs.map(_.mkString("array(", ",", ")"))
       .mkString("CAST(array(", ",", ") AS ARRAY<ARRAY<DOUBLE>>)")
 
-  /** Subspace `m`'s nearest-centroid id (0-based) for the row's embedding:
-    * L2 argmin over the codebook literal; ties → lowest id via
-    * array_position-of-min. Shared by the fit loop and [[encode]] so
-    * assignment semantics cannot fork.
+  /** Subspace `m`'s nearest-centroid id (0-based) for the row's
+    * `inputCol` vector: L2 argmin over the codebook literal; ties →
+    * lowest id via array_position-of-min. Shared by the fit loop and
+    * [[encode]] so assignment semantics cannot fork. `inputCol` may be a
+    * float embedding or a double residual — CAST covers both.
     */
-  private def subCode(m: Int, cs: Array[Array[Double]]): Column = {
+  private def subCode(m: Int, cs: Array[Array[Double]],
+                      inputCol: String): Column = {
     val lit = matSql(cs)
     val dists = s"transform($lit, c -> aggregate(" +
-      s"zip_with(slice(embedding, ${m * SubDim + 1}, $SubDim), c, " +
+      s"zip_with(slice($inputCol, ${m * SubDim + 1}, $SubDim), c, " +
       "(x, cc) -> (CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)), " +
       "0D, (acc, v) -> acc + v))"
     expr(s"CAST(array_position($dists, array_min($dists)) - 1 AS INT)")
+  }
+
+  /** The RESIDUAL of each row's embedding vs its assigned cell's centroid
+    * — FAISS's IVF-PQ default: the codebook quantizes `x − μ_cell`, whose
+    * spread within a cell is far tighter than the raw corpus's, so the
+    * same 8 code bytes carry materially more ADC precision. Map-only; the
+    * centroid matrix rides the plan as a constant-folded literal and
+    * `cell` picks the row's centroid.
+    */
+  def residualCol(centers: Array[Array[Double]]): Column = {
+    val lit = centers.map(_.mkString("array(", ",", ")"))
+      .mkString("CAST(array(", ",", ") AS ARRAY<ARRAY<DOUBLE>>)")
+    expr(s"zip_with(embedding, element_at($lit, cell + 1), " +
+      "(x, c) -> CAST(x AS DOUBLE) - c)")
   }
 
   /** Fit all [[NumSub]] subspace codebooks on (a bounded sample of) the
@@ -91,6 +107,39 @@ object PqIndex {
     // keeps init and iteration order deterministic across runs
     val vecs: Array[Array[Double]] = train0.orderBy("vec_id").select("embedding")
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    lloyd(vecs, kCentroids, maxIter)
+  }
+
+  /** [[fit]] over RESIDUALS: the training sample is collected WITH its
+    * cell assignment and each vector's centroid is subtracted before the
+    * Lloyd loop — the codebook learns the within-cell error distribution
+    * (FAISS IVF-PQ's default encoding). Same sampling, init, and
+    * determinism contract as [[fit]].
+    */
+  def fitResidual(assigned: DataFrame, centers: Array[Array[Double]],
+                  seed: Long = 42L,
+                  maxTrainRows: Long = IvfIndex.MaxTrainRows,
+                  kCentroids: Int = K, maxIter: Int = 5): Codebook = {
+    val n = assigned.count()
+    val train0 =
+      if (n > maxTrainRows) {
+        val s = assigned.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+        if (s.limit(kCentroids).count() < kCentroids) assigned.limit(kCentroids * 10)
+        else s
+      } else assigned
+    val vecs: Array[Array[Double]] = train0.orderBy("vec_id")
+      .select("cell", "embedding").collect().map { r =>
+        val mu = centers(r.getInt(0))
+        r.getSeq[Float](1).toArray.zip(mu).map { case (x, c) => x.toDouble - c }
+      }
+    lloyd(vecs, kCentroids, maxIter)
+  }
+
+  /** The shared driver-side joint Lloyd loop over a bounded sample (raw
+    * subvectors for [[fit]], residual subvectors for [[fitResidual]]).
+    */
+  private def lloyd(vecs: Array[Array[Double]], kCentroids: Int,
+                    maxIter: Int): Codebook = {
     require(vecs.nonEmpty, "PQ fit: empty training corpus")
     val centers: Array[Array[Array[Double]]] = Array.tabulate(NumSub) { m =>
       // init: first kCentroids DISTINCT subvectors. Padding with the first
@@ -142,12 +191,15 @@ object PqIndex {
     Codebook(centers)
   }
 
-  /** Append a `codes` column: per subspace, the L2-nearest centroid id.
-    * Map-only — the codebook rides the plan as constant-folded literals.
+  /** Append a `codes` column: per subspace, the L2-nearest centroid id of
+    * the row's `inputCol` vector (raw embedding, or a residual built by
+    * [[residualCol]]). Map-only — the codebook rides the plan as
+    * constant-folded literals.
     */
-  def encode(df: DataFrame, cb: Codebook): DataFrame =
+  def encode(df: DataFrame, cb: Codebook,
+             inputCol: String = "embedding"): DataFrame =
     df.withColumn("codes",
-      array((0 until NumSub).map(m => subCode(m, cb.centers(m))): _*))
+      array((0 until NumSub).map(m => subCode(m, cb.centers(m), inputCol)): _*))
 
   private def queryVec(emb: DataFrame, queryId: Long): Array[Double] =
     emb.filter(col("vec_id") === queryId)
@@ -155,21 +207,25 @@ object PqIndex {
 
   /** ADC candidate scan (top `rerank` by table-lookup inner product) +
     * exact fp32 cosine re-rank — the shared tail of [[search]] and
-    * [[searchIvfPq]]. `corpus` must carry a `codes` column.
+    * [[searchIvfPq]]. `corpus` must carry a `codes` column. `bias` adds a
+    * per-row base score BEFORE ranking — residual encoding's
+    * `⟨q, μ_cell⟩` term, so the ADC estimate is ⟨q, μ⟩ + ⟨q, r̂⟩ ≈ ⟨q, x⟩.
     */
   private def adcRerank(corpus: DataFrame, cb: Codebook, q: Array[Double],
                         emb: DataFrame, queryId: Long,
-                        k: Int, rerank: Int): DataFrame = {
+                        k: Int, rerank: Int,
+                        bias: Option[Column] = None): DataFrame = {
     val tables = cb.centers.zipWithIndex.map { case (cs, m) =>
       cs.map(c => c.zip(q.slice(m * SubDim, (m + 1) * SubDim))
         .map { case (a, b) => a * b }.sum)
     }
     val tablesLit = tables.map(_.mkString("array(", ",", ")"))
       .mkString("CAST(array(", ",", ") AS ARRAY<ARRAY<DOUBLE>>)")
+    val lookup = expr(
+      s"aggregate(zip_with(codes, $tablesLit, (c, t) -> element_at(t, c + 1)), " +
+        "0D, (acc, v) -> acc + v)")
     val cands = corpus
-      .withColumn("adc", expr(
-        s"aggregate(zip_with(codes, $tablesLit, (c, t) -> element_at(t, c + 1)), " +
-          "0D, (acc, v) -> acc + v)"))
+      .withColumn("adc", bias.fold(lookup)(b => b + lookup))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(rerank)
     val query = emb.filter(col("vec_id") === queryId)
@@ -200,19 +256,20 @@ object PqIndex {
     * ([[IvfIndex]]), the ADC code scan covers only those cells' rows, and
     * survivors pay the exact re-rank — cell pruning multiplies with the
     * code bandwidth cut (probe ¼ of the corpus at ¼ the bytes/vector ⇒
-    * ~16× less scan work than brute force). GLOBAL-codebook variant: one
-    * PQ codebook serves all cells, where FAISS's IVF-PQ encodes per-cell
-    * RESIDUALS for tighter quantization — the exact re-rank stage absorbs
-    * the coarser candidates here, and the cell/code machinery (the part
-    * that must scale) is identical. At 100 TB the corpus would be written
-    * partitioned by `cell` so a probe prunes to its cells' FILES.
+    * ~16× less scan work than brute force). RESIDUAL encoding (FAISS's
+    * IVF-PQ default): the codebook quantizes `x − μ_cell`, whose
+    * within-cell spread is far tighter than the raw corpus's, and the ADC
+    * estimate becomes `⟨q, μ_cell⟩ + Σ_m table[m][code_m]` — same code
+    * bytes, materially better candidate precision. At 100 TB the corpus
+    * would be written partitioned by `cell` so a probe prunes to its
+    * cells' FILES.
     */
   def searchIvfPq(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
                   nClusters: Int = 16, nProbe: Int = 4,
                   rerank: Int = 50, seed: Long = 42L): DataFrame = {
     GraftFunctions.register(spark)
     val (assigned, centers) = IvfIndex.fit(emb, nClusters, seed)
-    val cb = fit(emb, seed)
+    val cb = fitResidual(assigned, centers, seed)
     val q = queryVec(emb, queryId)
     val qNorm = math.sqrt(q.map(x => x * x).sum)
     val probes = centers.zipWithIndex.map { case (c, i) =>
@@ -222,7 +279,12 @@ object PqIndex {
     }.sortBy { case (i, cos) => (-cos, i) }.take(nProbe).map(_._1)
     val corpus = encode(
       assigned.filter(col("cell").isin(probes: _*))
-        .filter(col("vec_id") =!= queryId), cb)
-    adcRerank(corpus, cb, q, emb, queryId, k, rerank)
+        .filter(col("vec_id") =!= queryId)
+        .withColumn("resid", residualCol(centers)), cb, "resid")
+    val cellDotLit = centers.map(c =>
+      c.zip(q).map { case (a, b) => a * b }.sum)
+      .mkString("CAST(array(", ",", ") AS ARRAY<DOUBLE>)")
+    adcRerank(corpus, cb, q, emb, queryId, k, rerank,
+      bias = Some(expr(s"element_at($cellDotLit, cell + 1)")))
   }
 }
