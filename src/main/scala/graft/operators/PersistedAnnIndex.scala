@@ -60,7 +60,8 @@ object PersistedAnnIndex {
     */
   def build(spark: SparkSession, emb: DataFrame, root: String,
             nClusters: Int = 16, seed: Long = 42L,
-            txn: Option[(String, Long)] = None): Handle = {
+            txn: Option[(String, Long)] = None,
+            autoCompactMinFiles: Int = 16): Handle = {
     val h = Handle(root)
     val (assigned, centers) = IvfIndex.fit(emb, nClusters, seed)
     val cb = PqIndex.fitResidual(assigned, centers, seed)
@@ -78,6 +79,16 @@ object PersistedAnnIndex {
       PqIndex.encode(assigned.withColumn("resid", PqIndex.residualCol(centers)),
         cb, "resid")
       .select("vec_id", "label", "cell", "codes"), txn = txn)
+    // COMPACTION POLICY in the index lifecycle: every maintenance append
+    // (st20's stream writes one file set per touched cell per micro-batch)
+    // auto-compacts any TOUCHED cell past the file threshold — the hot
+    // cells stay bin-packed, cold cells are never rewritten, and a
+    // long-running maintained index keeps bounded files-per-cell instead
+    // of accumulating a micro-file per batch (spec-pinned: compaction
+    // changes file counts, never search results).
+    h.codesTable.setProperties(Map(
+      MergeTable.AutoCompactProp -> "true",
+      MergeTable.AutoCompactMinFilesProp -> autoCompactMinFiles.toString))
     h
   }
 
@@ -110,6 +121,13 @@ object PersistedAnnIndex {
              txn: Option[(String, Long)] = None): Unit = {
     val centers = loadCentroids(spark, h)
     val cb = loadCodebook(spark, h)
+    // self-heal the compaction policy: a crash between build's marked
+    // codes write and its property commit must not leave the index
+    // accumulating micro-files forever
+    if (!h.codesTable.properties.contains(MergeTable.AutoCompactProp))
+      h.codesTable.setProperties(Map(
+        MergeTable.AutoCompactProp -> "true",
+        MergeTable.AutoCompactMinFilesProp -> "16"))
     h.codesTable.append(
       PqIndex.encode(IvfIndex.assign(batch, centers)
           .withColumn("resid", PqIndex.residualCol(centers)), cb, "resid")

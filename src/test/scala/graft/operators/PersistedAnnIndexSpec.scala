@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.lake.MergeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted index's COMPACTION POLICY: a long-running maintained
+  * index (one append per micro-batch, one file set per touched cell per
+  * append) must keep bounded files-per-cell via the codes table's
+  * auto-compaction — and compaction must never change search results.
+  * Also pins the searchBatch missing-id guard and the v1-index version
+  * error.
+  */
+class PersistedAnnIndexSpec extends SparkSpec {
+
+  private def emb: DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .withColumn("norm", expr("sqrt(float_dot(embedding, embedding))"))
+  }
+
+  private def filesPerCell(t: MergeTable): Map[String, Int] =
+    t.filesOf(t.currentVersion).groupBy { f =>
+      f.split('/').find(_.startsWith("cell=")).getOrElse("?")
+    }.map { case (c, fs) => c -> fs.size }
+
+  test("10-append lifecycle: touched cells stay bin-packed, results unchanged") {
+    val e = emb.cache()
+    val n = e.count()
+    val slice = n / 11 + 1
+    def part(i: Int) = e.filter(col("vec_id") % 11 === i)
+    // compacted index: build() wires autoCompact (threshold 4 here);
+    // control index: identical batches, compaction disabled after build
+    val rootC = scratch("annc"); val rootU = scratch("annu")
+    val hC = PersistedAnnIndex.build(spark, part(0), rootC,
+      autoCompactMinFiles = 4)
+    val hU = PersistedAnnIndex.build(spark, part(0), rootU,
+      autoCompactMinFiles = 4)
+    hU.codesTable.setProperties(Map(MergeTable.AutoCompactProp -> "false"))
+    (1 to 10).foreach { i =>
+      PersistedAnnIndex.append(spark, hC, part(i))
+      PersistedAnnIndex.append(spark, hU, part(i))
+    }
+    assert(hC.codesTable.read(spark).count() == n)
+    val fC = filesPerCell(hC.codesTable)
+    val fU = filesPerCell(hU.codesTable)
+    assert(fU.values.max >= 8,
+      s"control index should accumulate micro-files, saw $fU")
+    assert(fC.values.max <= 4,
+      s"auto-compaction must bound files-per-cell at the threshold, saw $fC")
+    // identical model tables + identical row set => compaction is the only
+    // difference, and it must be invisible to search
+    for (qid <- Seq(0L, 7L, 123L)) {
+      val a = PersistedAnnIndex.search(spark, hC, e, qid, k = 10).collect().toSeq
+      val b = PersistedAnnIndex.search(spark, hU, e, qid, k = 10).collect().toSeq
+      assert(a == b, s"compaction changed search results for query $qid")
+    }
+    e.unpersist()
+  }
+
+  test("searchBatch fails fast on a query id absent from the corpus") {
+    val e = emb
+    val root = scratch("annm")
+    val h = PersistedAnnIndex.build(spark, e, root)
+    val err = intercept[IllegalArgumentException] {
+      PersistedAnnIndex.searchBatch(spark, h, e, Seq(0L, 999999L), k = 5)
+    }
+    assert(err.getMessage.contains("999999"))
+  }
+
+  test("a v1 (pre-residual) index fails loudly with a rebuild instruction") {
+    val e = emb
+    val root = scratch("annv1")
+    val h = PersistedAnnIndex.build(spark, e.limit(100), root)
+    // simulate a v1 index: codebook without the residual marker column
+    val v1 = h.codebookTable.read(spark).drop("residual")
+    h.codebookTable.overwrite(v1)
+    val err = intercept[IllegalArgumentException] {
+      PersistedAnnIndex.search(spark, h, e, queryId = 0, k = 5)
+    }
+    assert(err.getMessage.contains("rebuild"))
+  }
+}
