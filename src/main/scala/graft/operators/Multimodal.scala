@@ -315,6 +315,77 @@ object Multimodal {
     media.mapPartitions(_.flatMap(r => wavFeatures(r)))
   }
 
+  /** Mixdown + resample summary: the output-side aggregates of a
+    * stereo→mono mixdown followed by integer DECIMATION to `target_rate` —
+    * all exact integers so the SQL oracle replays the full
+    * encode→decode→mixdown→resample chain arithmetically.
+    */
+  final case class ResampledAudio(doc_id: Long, src_rate: Int, channels: Int,
+                                  in_frames: Long, out_frames: Long,
+                                  out_sum: Long, out_sum_sq: Long,
+                                  out_peak: Long)
+
+  /** MIXDOWN + RESAMPLE over the REAL decoded PCM — the two normalization
+    * passes an audio-curation pipeline runs before feature extraction
+    * (uniform channel count, uniform rate):
+    *
+    *  - mixdown: stereo frames average to mono with integer division
+    *    truncating toward zero (`(l + r) / 2` — deterministic for
+    *    negative sums, and the SQL `//` convention); mono passes through;
+    *  - resample: nearest-sample DECIMATION keeps frame `i` iff
+    *    `⌊(i+1)·T/R⌋ > ⌊i·T/R⌋` (R = source rate, T = target) — evenly
+    *    spaced, integer-exact, and the identity when T ≥ R (no
+    *    interpolation is invented: this is a decimator, documented, not a
+    *    polyphase filter).
+    *
+    * One pass over the interleaved PCM; output is the resampled signal's
+    * aggregate summary (count/sum/sum-of-squares/peak), keeping the gate
+    * hashable without shipping sample arrays. Unreadable payloads yield
+    * the `channels = 0` marker row ([[decodeWav]]'s corrupt-media
+    * contract).
+    */
+  def resampleMixdown(r: MediaRow, targetRate: Int): Seq[ResampledAudio] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return Seq(ResampledAudio(r.doc_id, -1, 0, 0L, 0L, 0L, 0L, 0L))
+      val channels = fmt.getChannels
+      val rate = fmt.getSampleRate.toInt
+      val bytes = ais.readAllBytes()
+      val frames = bytes.length / (2 * channels)
+      var outN = 0L; var outSum = 0L; var outSq = 0L; var outPeak = 0L
+      var i = 0
+      while (i < frames) {
+        val keep = (i + 1).toLong * targetRate / rate > i.toLong * targetRate / rate
+        if (keep) {
+          var acc = 0L; var c = 0
+          while (c < channels) {
+            val off = (i * channels + c) * 2
+            acc += (((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort).toLong
+            c += 1
+          }
+          val m = if (channels == 2) acc / 2L else acc
+          outN += 1; outSum += m; outSq += m * m
+          val a = math.abs(m); if (a > outPeak) outPeak = a
+        }
+        i += 1
+      }
+      Seq(ResampledAudio(r.doc_id, rate, channels, frames.toLong, outN,
+        outSum, outSq, outPeak))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        Seq(ResampledAudio(r.doc_id, -1, 0, 0L, 0L, 0L, 0L, 0L))
+    }
+
+  /** Batch mixdown+resample — the shared `mapPartitions` codec shape. */
+  def resampleSet(media: Dataset[MediaRow], targetRate: Int): Dataset[ResampledAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(r => resampleMixdown(r, targetRate)))
+  }
+
   // ---- REAL multi-frame codec (animated GIF via ImageIO — JDK-only) ----
   //
   // The video-shaped operations (frame count, frame sampling, per-frame

@@ -234,5 +234,50 @@ object MultimodalQueries {
              |FROM p JOIN energy e ON e.id = p.id
              |LEFT JOIN silagg sa ON sa.id = p.id""".stripMargin),
       "channel-layout audio features: stereo imbalance + silence runs over real decoded PCM"),
+
+    // MIXDOWN + RESAMPLE on the mm7 REAL-codec path — the normalization
+    // passes an audio-curation pipeline runs before features (uniform
+    // channel count, uniform rate): stereo averages to mono with integer
+    // division truncating toward zero (the SQL `//` convention), then
+    // nearest-sample decimation to 8 kHz keeps frame i iff
+    // ⌊(i+1)·T/R⌋ > ⌊i·T/R⌋ (identity when the source is already 8 kHz —
+    // an honest decimator, no invented interpolation). The synthetic
+    // corpus spans all three rates (8/12/16 kHz) and both layouts, so
+    // passthrough, 2:3, and 1:2 decimation plus both mixdown arms all
+    // execute; outputs are exact integer aggregates of the resampled
+    // signal, and the DuckDB oracle replays the whole REAL
+    // encode→decode→mixdown→decimate chain arithmetically from doc_id.
+    "mm10_audio_resample" -> GraftQuery(
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids.mapPartitions(_.map(id =>
+          Multimodal.MediaRow(id, Multimodal.syntheticWav(id))))
+        Multimodal.resampleSet(media, targetRate = 8000).toDF()
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id AS id, 8000 + (doc_id % 3) * 4000 AS rate,
+             |         1 + (doc_id % 2) AS nch, (doc_id % 500) + 100 AS frames
+             |  FROM documents WHERE doc_id % 5 = 1),
+             |m AS (
+             |  SELECT p.id, p.rate, p.nch, p.frames, g.i,
+             |         CASE WHEN p.nch = 2
+             |           THEN ((((p.id + g.i * 7) % 2001) - 1000)
+             |               + (((p.id + g.i * 7 + 13) % 2001) - 1000)) // 2
+             |           ELSE ((p.id + g.i * 7) % 2001) - 1000 END AS v
+             |  FROM p CROSS JOIN LATERAL
+             |    (SELECT unnest(generate_series(0, p.frames - 1)) AS i) g
+             |  WHERE (g.i + 1) * 8000 // p.rate > g.i * 8000 // p.rate)
+             |SELECT p.id AS doc_id, CAST(p.rate AS INT) AS src_rate,
+             |       CAST(p.nch AS INT) AS channels,
+             |       CAST(p.frames AS BIGINT) AS in_frames,
+             |       CAST(count(m.i) AS BIGINT) AS out_frames,
+             |       CAST(coalesce(sum(m.v), 0) AS BIGINT) AS out_sum,
+             |       CAST(coalesce(sum(m.v * m.v), 0) AS BIGINT) AS out_sum_sq,
+             |       CAST(coalesce(max(abs(m.v)), 0) AS BIGINT) AS out_peak
+             |FROM p LEFT JOIN m ON m.id = p.id
+             |GROUP BY p.id, p.rate, p.nch, p.frames""".stripMargin),
+      "audio mixdown + resample: floor-div stereo average, nearest-sample decimation, oracle-replayed"),
   )
 }
