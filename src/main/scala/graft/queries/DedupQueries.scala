@@ -40,6 +40,53 @@ object DedupQueries {
   def affineA(i: Int): Long = (2654435761L * (i + 1)) % MinhashPrime
   def affineB(i: Int): Long = (2246822519L * (i + 1) + 40503L) % MinhashPrime
 
+  /** A document frame's banded MinHash signature rows:
+    * `(doc_id, h0..h15, band, sig)` — one row per (doc, band), each CARRYING
+    * the doc-level minhashes so the candidate join already holds both
+    * sides' signatures (no second corpus join). Shared by d13's persisted
+    * index and the streaming maintenance operator
+    * ([[graft.operators.LshMaintenance]]) so the index a batch build writes
+    * and the rows the stream maintains can never fork semantics.
+    */
+  private[graft] def bandedSignatures(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rowsPerBand = NumHashes / Bands
+    val sh = shingled(df).withColumn("h",
+      expr(s"CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % $MinhashPrime"))
+    val hashCols = (0 until NumHashes).map(i =>
+      min((lit(affineA(i)) * col("h") + lit(affineB(i))) % lit(MinhashPrime)).as(s"h$i"))
+    val mh = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_",
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+          .as("sig"))
+    }
+    mh.select(col("doc_id") +:
+        (0 until NumHashes).map(i => col(s"h$i")) :+
+        explode(array(bandCols: _*)).as("bs"): _*)
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => col(s"h$i")) :+
+        col("bs.band").as("band") :+ col("bs.sig").as("sig"): _*)
+  }
+
+  /** DuckDB replay chunks of the MinHash/banding math, shared VERBATIM by
+    * d13's oracle and st25's (which replays the same chain over the
+    * post-mutation corpus) — one source of truth for the replayed formulas.
+    */
+  private[graft] def lshOracleMins: String = (0 until NumHashes)
+    .map(i => s"min((${affineA(i)} * h + ${affineB(i)}) % $MinhashPrime) AS h$i")
+    .mkString(",\n|    ")
+  private[graft] def lshOracleBandSelects: String = {
+    val rowsPerBand = NumHashes / Bands
+    (0 until Bands).map { b =>
+      val sig = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i")
+        .mkString("concat_ws('_', ", ", ", ")")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
+    }.mkString("\n|  UNION ALL ")
+  }
+  private[graft] def lshOracleAgree: String = (0 until NumHashes)
+    .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+
   /** d3: shingles appearing in more documents than this are dropped from
     * the inverted index (stop-word-shingle join-blowup guard; see d3 doc).
     */
@@ -360,17 +407,9 @@ object DedupQueries {
           .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
       },
       Some {
-        val mins = (0 until NumHashes)
-          .map(i => s"min((${affineA(i)} * h + ${affineB(i)}) % $MinhashPrime) AS h$i")
-          .mkString(",\n|    ")
-        val rowsPerBand = NumHashes / Bands
-        val bandSelects = (0 until Bands).map { b =>
-          val sig = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i")
-            .mkString("concat_ws('_', ", ", ", ")")
-          s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
-        }.mkString("\n|  UNION ALL ")
-        val agree = (0 until NumHashes)
-          .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+        val mins = lshOracleMins
+        val bandSelects = lshOracleBandSelects
+        val agree = lshOracleAgree
         s"""WITH d AS (
            |  SELECT doc_id, list_distinct(list_transform(
            |           generate_series(1, len(words) - 2),
@@ -734,31 +773,9 @@ object DedupQueries {
         val root = s"${Registry.scratchRoot}/d13_${Registry.sanitize(dir)}"
         Registry.cleanDir(root)
         val docs = t(s, dir, "documents")
-        val rowsPerBand = NumHashes / Bands
-        def bandedOf(df: org.apache.spark.sql.DataFrame) = {
-          val sh = shingled(df).withColumn("h",
-            expr(s"CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) % $MinhashPrime"))
-          val hashCols = (0 until NumHashes).map(i =>
-            min((lit(affineA(i)) * col("h") + lit(affineB(i))) % lit(MinhashPrime)).as(s"h$i"))
-          val mh = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
-          val bandCols = (0 until Bands).map { b =>
-            struct(lit(b).as("band"),
-              concat_ws("_",
-                (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
-                .as("sig"))
-          }
-          // band rows CARRY the minhashes, so the candidate join already
-          // holds both sides' signatures — no second corpus join
-          mh.select(col("doc_id") +:
-              (0 until NumHashes).map(i => col(s"h$i")) :+
-              explode(array(bandCols: _*)).as("bs"): _*)
-            .select(col("doc_id") +:
-              (0 until NumHashes).map(i => col(s"h$i")) :+
-              col("bs.band").as("band") :+ col("bs.sig").as("sig"): _*)
-        }
         val index = new MergeTable(root, Seq("band"))
-        index.overwrite(bandedOf(docs.filter(col("doc_id") % 3 =!= 0)))
-        val probe = bandedOf(docs.filter(col("doc_id") % 3 === 0))
+        index.overwrite(bandedSignatures(docs.filter(col("doc_id") % 3 =!= 0)))
+        val probe = bandedSignatures(docs.filter(col("doc_id") % 3 === 0))
         val agree = (0 until NumHashes)
           .map(i => when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0))
           .reduce(_ + _)
@@ -780,17 +797,9 @@ object DedupQueries {
         s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
       },
       Some {
-        val mins = (0 until NumHashes)
-          .map(i => s"min((${affineA(i)} * h + ${affineB(i)}) % $MinhashPrime) AS h$i")
-          .mkString(",\n|    ")
-        val rowsPerBand = NumHashes / Bands
-        val bandSelects = (0 until Bands).map { b =>
-          val sig = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => s"h$i")
-            .mkString("concat_ws('_', ", ", ", ")")
-          s"SELECT doc_id, $b AS band, $sig AS sig FROM mh"
-        }.mkString("\n|  UNION ALL ")
-        val agree = (0 until NumHashes)
-          .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END").mkString(" + ")
+        val mins = lshOracleMins
+        val bandSelects = lshOracleBandSelects
+        val agree = lshOracleAgree
         s"""WITH d AS (
            |  SELECT doc_id, list_distinct(list_transform(
            |           generate_series(1, len(words) - 2),

@@ -1588,5 +1588,130 @@ object StreamQueries {
       },
       None,
       "retracting ANN maintenance: corpus deletes dv-mask their codes, search never returns them"),
+
+    // RETRACTING LSH MAINTENANCE — closes the last insert-only maintenance
+    // surface: d13's band-partitioned MinHash index kept equal to the
+    // batch build over the CURRENT corpus snapshot while the corpus
+    // mutates. Three doc_id % 3 insert commits, then ONE mutation commit:
+    // DELETE doc_id % 7 == 2 (their band rows leave the index) and UPDATE
+    // doc_id % 11 == 5 with a text suffix (their signatures re-derive in
+    // place — new shingles move minhash minima). LshMaintenance.applyBatch
+    // consumes all four batches through one code path; the answer is d13's
+    // candidate-pair query over the MAINTAINED index, hash-matched against
+    // the DuckDB replay of the whole MinHash chain over the post-mutation
+    // corpus. REQUIREs prove delta-sized processing, deleted-doc absence,
+    // and that at least one updated doc actually re-signed.
+    "st25_retracting_lsh" -> GraftQuery(
+      (s, dir) => {
+        import graft.operators.LshMaintenance
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val corpus = new MergeTable(s"${Registry.scratchRoot}/st25_corpus_$id")
+        val index = new MergeTable(s"${Registry.scratchRoot}/st25_idx_$id",
+          Seq("band"))
+        val docs = Registry.t(s, dir, "documents").select("doc_id", "text")
+        val batchRows = scala.collection.concurrent.TrieMap.empty[Long, Long]
+        def handle(batch: DataFrame, batchId: Long): Unit = {
+          batchRows(batchId) =
+            LshMaintenance.applyBatch(batch, batchId, index, "st25")
+          ()
+        }
+        (0 to 2).foreach(i => corpus.merge(s,
+          docs.filter(col("doc_id") % 3 === i).repartition(1),
+          Seq("doc_id"), changeFeed = true))
+        val mutSrc = docs
+          .filter(col("doc_id") % 7 === 2 || col("doc_id") % 11 === 5)
+          .withColumn("kind", when(col("doc_id") % 7 === 2, "del")
+            .otherwise("upd"))
+          .withColumn("new_text",
+            concat(col("text"), lit(" revised edition of it")))
+          .select("doc_id", "kind", "new_text")
+          .repartition(1)
+        corpus.mergeClauses(s, mutSrc, Seq("doc_id"),
+          Seq(MergeTable.MatchedDelete(Some("s.kind = 'del'")),
+              MergeTable.MatchedUpdate(Some("s.kind = 'upd'"),
+                Seq("text" -> "s.new_text"))),
+          checkUniqueSource = false, changeFeed = true)
+        val q = corpus.changesStream(ss, maxFilesPerTrigger = Some(1))
+          .writeStream
+          .foreachBatch(handle _)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st25_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        val nMut = mutSrc.count()
+        val nUpd = mutSrc.filter(col("kind") === "upd").count()
+        require(batchRows.values.count(_ > 0) >= 3,
+          s"expected >= 3 non-empty micro-batches, saw $batchRows")
+        val net = batchRows.values.sum
+        require(net >= docs.count() + nMut && net <= docs.count() + nMut + nUpd,
+          s"net changes must be corpus + mutations (± split updates): $batchRows")
+        val idx = index.read(s)
+        require(idx.filter(col("doc_id") % 7 === 2).count() == 0,
+          "a deleted doc's band rows leaked in the maintained index")
+        // re-sign proof: an updated doc's stored band signature differs
+        // from its PRE-mutation signature (the suffix moved a minhash min)
+        val origSigs = DedupQueries.bandedSignatures(
+            docs.filter(col("doc_id") % 11 === 5 && col("doc_id") % 7 =!= 2))
+          .select(col("doc_id"), col("band"), col("sig").as("old_sig"))
+        val resigned = idx.join(origSigs, Seq("doc_id", "band"))
+          .filter(col("sig") =!= col("old_sig")).count()
+        require(resigned >= 1,
+          "expected at least one updated doc to re-sign, saw none")
+        val agree = (0 until DedupQueries.NumHashes)
+          .map(i => when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val pairs = idx.filter(col("doc_id") % 3 =!= 0).alias("x")
+          .join(idx.filter(col("doc_id") % 3 === 0).alias("y"),
+            col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+          .select(col("y.doc_id").as("doc_id"), col("x.doc_id").as("corpus_id"),
+            (agree.cast("double") / DedupQueries.NumHashes).as("est"))
+          .distinct()
+        pairs.filter(col("est") >= 0.5)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_dups"), max("est").as("best_jaccard"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val mins = DedupQueries.lshOracleMins
+        val bandSelects = DedupQueries.lshOracleBandSelects
+        val agree = DedupQueries.lshOracleAgree
+        s"""WITH corp AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 7 <> 2 AND doc_id % 11 = 5
+           |              THEN text || ' revised edition of it'
+           |              ELSE text END AS text
+           |  FROM documents WHERE doc_id % 7 <> 2),
+           |d AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |           generate_series(1, len(words) - 2),
+           |           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shs
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corp)
+           |  WHERE len(words) >= 3),
+           |sh AS (SELECT doc_id,
+           |              ('0x' || substring(md5(sh), 1, 15))::BIGINT % ${DedupQueries.MinhashPrime} AS h
+           |       FROM (SELECT doc_id, unnest(shs) AS sh FROM d)),
+           |mh AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT y.doc_id AS doc_id, x.doc_id AS corpus_id
+           |  FROM banded x JOIN banded y
+           |    ON x.band = y.band AND x.sig = y.sig
+           |  WHERE x.doc_id % 3 <> 0 AND y.doc_id % 3 = 0),
+           |est AS (
+           |  SELECT c.doc_id, c.corpus_id,
+           |         CAST($agree AS DOUBLE) / ${DedupQueries.NumHashes} AS est
+           |  FROM cand c
+           |  JOIN mh a ON a.doc_id = c.corpus_id
+           |  JOIN mh b ON b.doc_id = c.doc_id)
+           |SELECT doc_id, count(*) AS n_dups, max(est) AS best_jaccard
+           |FROM est WHERE est >= 0.5
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+      "retracting LSH maintenance: corpus deletes/updates retract and re-sign the persisted MinHash index"),
   )
 }

@@ -87,6 +87,94 @@ class IncrementalCurationSpec extends SparkSpec {
     }
   }
 
+  // -- crash-replay convergence -------------------------------------------
+  // applyBatch's exactly-once story (scaladoc: "every crash point
+  // converges") rests on fps committing FIRST under its own txn marker and
+  // the curated merge re-deriving winners from post-fps state on replay.
+  // These tests pin the two non-trivial crash points. The mid-crash state
+  // is recreated EXACTLY: a filesystem snapshot of the curated table taken
+  // before the batch is restored after it, which is indistinguishable from
+  // a writer that died between the two commits (fps advanced + marked,
+  // curated untouched, no curated marker).
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(java.nio.file.Files.delete(_))
+  }
+
+  private def stateOf(fps: MergeTable, curated: MergeTable): (Set[String], Set[String]) = (
+    fps.read(spark).select("doc_id", "h", "source", "n_tok", "ok")
+      .collect().map(_.mkString("|")).toSet,
+    curated.read(spark).select("doc_id", "source", "n_tok")
+      .collect().map(_.mkString("|")).toSet)
+
+  test("replay after a crash BETWEEN the fps and curated commits converges") {
+    val root = scratch("inccur_crash")
+    val b1 = batchOf((5L, tA, "s", "insert", 1L), (6L, tB, "s", "insert", 1L))
+    // batch 2 exercises both merge directions: a smaller-id dup demotes
+    // doc 5, and doc 6 is corpus-deleted (curated retraction + census drop)
+    val b2 = batchOf((2L, tA, "s", "insert", 2L), (6L, tB, "s", "delete", 2L))
+
+    // control: both batches, no crash
+    val fpsC = new MergeTable(s"$root/fps_ctl")
+    val curC = new MergeTable(s"$root/cur_ctl")
+    IncrementalCuration.applyBatch(b1, 1L, fpsC, curC, emptyGrams, "iccrash")
+    IncrementalCuration.applyBatch(b2, 2L, fpsC, curC, emptyGrams, "iccrash")
+    val want = stateOf(fpsC, curC)
+
+    // crashed run: batch 1, snapshot curated, batch 2, then roll the
+    // curated DIRECTORY back to the snapshot — the exact between-commits
+    // crash state (fps holds batch 2's marker, curated does not)
+    val fps = new MergeTable(s"$root/fps")
+    val cur = new MergeTable(s"$root/cur")
+    IncrementalCuration.applyBatch(b1, 1L, fps, cur, emptyGrams, "iccrash")
+    copyDir(s"$root/cur", s"$root/cur_snap")
+    IncrementalCuration.applyBatch(b2, 2L, fps, cur, emptyGrams, "iccrash")
+    deleteDir(s"$root/cur")
+    copyDir(s"$root/cur_snap", s"$root/cur")
+
+    // replay with FRESH handles (a restarted writer holds no caches)
+    val fps2 = new MergeTable(s"$root/fps")
+    val cur2 = new MergeTable(s"$root/cur")
+    val fpsVerBefore = fps2.currentVersion
+    assert(fps2.lastTxnVersion("iccrashf").contains(2L),
+      "precondition: the crashed batch's fps commit must be marked")
+    assert(cur2.lastTxnVersion("iccrashc").contains(1L),
+      "precondition: the curated table must NOT carry batch 2's marker")
+    IncrementalCuration.applyBatch(b2, 2L, fps2, cur2, emptyGrams, "iccrash")
+    assert(fps2.currentVersion == fpsVerBefore,
+      "replay must SKIP the already-marked fps merge (no new fps commit)")
+    assert(stateOf(fps2, cur2) == want,
+      "between-commits crash + replay must converge to the no-crash state")
+  }
+
+  test("replay of a fully-committed batch is a no-op on both tables") {
+    val root = scratch("inccur_replay")
+    val fps = new MergeTable(s"$root/fps")
+    val cur = new MergeTable(s"$root/cur")
+    val b1 = batchOf((1L, tA, "s", "insert", 1L), (2L, tB, "s", "insert", 1L))
+    IncrementalCuration.applyBatch(b1, 1L, fps, cur, emptyGrams, "icnoop")
+    val (fv, cv) = (fps.currentVersion, cur.currentVersion)
+    val want = stateOf(fps, cur)
+    IncrementalCuration.applyBatch(b1, 1L, fps, cur, emptyGrams, "icnoop")
+    assert(fps.currentVersion == fv && cur.currentVersion == cv,
+      "a replayed batch must not publish any new commit")
+    assert(stateOf(fps, cur) == want)
+  }
+
   test("contaminated and eval canonicals take the hash without curating") {
     val root = scratch("inccur_contam")
     val fps = new MergeTable(s"$root/fps")

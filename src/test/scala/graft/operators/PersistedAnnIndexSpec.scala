@@ -59,6 +59,27 @@ class PersistedAnnIndexSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("remove is idempotent: a replayed retraction batch changes nothing") {
+    val e = emb.cache()
+    val root = scratch("annrm")
+    val h = PersistedAnnIndex.build(spark, e, root)
+    val victims = e.filter(col("vec_id") % 37 === 3)
+    val nVictims = victims.count()
+    assert(PersistedAnnIndex.remove(spark, h, victims) == nVictims)
+    val visible = h.codesTable.read(spark).count()
+    val got = PersistedAnnIndex.search(spark, h, e, queryId = 0, k = 10)
+      .collect().toSeq
+    assert(got.forall(r => r.getLong(0) % 37 != 3),
+      "search must never surface a removed vector")
+    // the replayed micro-batch re-runs remove after its txn-marked append
+    // was skipped — masking already-masked positions must be a no-op
+    assert(PersistedAnnIndex.remove(spark, h, victims) == nVictims)
+    assert(h.codesTable.read(spark).count() == visible)
+    assert(PersistedAnnIndex.search(spark, h, e, queryId = 0, k = 10)
+      .collect().toSeq == got, "replayed remove changed search results")
+    e.unpersist()
+  }
+
   test("searchBatch fails fast on a query id absent from the corpus") {
     val e = emb
     val root = scratch("annm")
