@@ -534,5 +534,33 @@ object CoreQueries {
              |       CAST(sum(o_orderkey) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_ksum
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
       "SQL PIVOT: two aggregates per value, one hash aggregate, dialect parity"),
+
+    // QUALIFY clause (DuckDB/Snowflake dialect; Databricks SQL ships it) —
+    // the idiomatic top-n-per-group filter, added to spark.sql via the
+    // injected parser's parse-time desugar (QualifyRewrite): the predicate
+    // computes INSIDE the select block (windows are legal there), the
+    // filter runs outside, and `* EXCEPT` drops the helper column — so
+    // Catalyst plans exactly the hand-written window + filter (ONE window
+    // exchange on the partition key, no extra shuffle) and the oracle runs
+    // the SAME text natively in DuckDB. WHERE composes before the window,
+    // ORDER BY after the filter, per the dialect's clause order.
+    "q29_qualify" -> GraftQuery(
+      (s, dir) => {
+        val v = s"q29_orders_${Registry.sanitize(dir)}"
+        t(s, dir, "orders").createOrReplaceTempView(v)
+        s.sql(s"""SELECT o_custkey, o_orderkey, o_totalprice
+                 |FROM $v
+                 |WHERE o_custkey % 10 = 3
+                 |QUALIFY row_number() OVER (PARTITION BY o_custkey
+                 |          ORDER BY o_totalprice DESC, o_orderkey) <= 2
+                 |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice
+             |FROM orders
+             |WHERE o_custkey % 10 = 3
+             |QUALIFY row_number() OVER (PARTITION BY o_custkey
+             |          ORDER BY o_totalprice DESC, o_orderkey) <= 2
+             |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
+      "QUALIFY clause via the parser extension: desugars to window + filter, DuckDB runs it natively"),
   )
 }

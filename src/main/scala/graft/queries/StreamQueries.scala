@@ -385,6 +385,7 @@ object StreamQueries {
         silver.merge(s, base.filter(col("o_orderkey") % 5 === 0)
           .withColumn("o_orderstatus", lit("X")),
           Seq("o_orderkey"), changeFeed = true)                              // v2: updates
+        silver.delete(s, col("o_orderkey") % 7 === 1, changeFeed = true)     // v3: deletes
         val q = silver.changesStream(ss, maxFilesPerTrigger = Some(12))
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -396,7 +397,8 @@ object StreamQueries {
         q.awaitTermination()
         gold.read(s).orderBy("o_orderstatus")
       },
-      Some("""WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+      Some("""WITH base AS (SELECT * FROM orders
+             |              WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 1),
              |final AS (
              |  SELECT o_orderkey,
              |         CASE WHEN o_orderkey % 5 = 0 THEN 'X'
@@ -406,7 +408,7 @@ object StreamQueries {
              |SELECT o_orderstatus, count(*) AS n,
              |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
              |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
-      "incremental gold maintenance: signed CDF deltas, never a full recompute"),
+      "incremental gold maintenance: signed CDF deltas incl. delete retraction, never a full recompute"),
 
     // Stream-STATIC enrichment join — the most common streaming join in
     // practice (events enriched by a dimension) and deliberately stateless:

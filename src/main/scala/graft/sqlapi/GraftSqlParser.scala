@@ -36,6 +36,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // routed on shape alone — its target is by definition not registered
     // yet (and it may be the session's very first lake statement)
     if (LakeSql.isCreateStatement(sqlText)) return GraftDmlCommand(sqlText)
+    // QUALIFY desugars to the standard windowed-filter shape and the
+    // REWRITTEN text re-enters this parser, so it composes with lake-table
+    // read rewrites below (the rewrite consumed the clause — no recursion)
+    QualifyRewrite.rewrite(sqlText).foreach(r => return parsePlan(r))
     val targets = LakeCatalog.targets
     if (targets.nonEmpty) {
       if (LakeSql.runStatementTarget(sqlText).exists(targets.contains) ||
@@ -65,6 +69,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = {
+    QualifyRewrite.rewrite(sqlText).foreach(r => return parseQuery(r))
     val targets = LakeCatalog.targets
     if (targets.nonEmpty)
       LakeSql.rewriteReads(session, sqlText, targets).foreach { rewritten =>

@@ -96,6 +96,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
 
+  test("QUALIFY desugars to ONE window over one exchange, schema untouched") {
+    val df = (1 to 1000).map(i => (i.toLong % 10, i.toLong, (i * 7 % 100).toLong))
+      .toDF("grp", "id", "score")
+    df.createOrReplaceTempView("qualify_plan_v")
+    val q = spark.sql(
+      """SELECT grp, id, score FROM qualify_plan_v
+        |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY score DESC, id) <= 2
+        |ORDER BY grp, score DESC, id""".stripMargin)
+    assert(q.columns.toSeq == Seq("grp", "id", "score"),
+      "the helper column must not leak into the output schema")
+    val root = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val windows = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1, s"expected exactly one Window operator:\n$root")
+    // the window's hash partitioning is the ONLY shuffle before the
+    // final ordering — the rewrite must not add one
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e }
+    assert(exchanges.size == 1,
+      s"expected one hash exchange, saw ${exchanges.size}:\n$root")
+    assert(q.count() == 20)
+  }
+
   test("sketch candidate generation never plans a cartesian/nested-loop join") {
     val dir = scratch("sketch_plans")
     Seq.tabulate(60)(i => (i.toLong,

@@ -1,0 +1,42 @@
+package graft.sqlapi
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** QualifyRewrite's text surgery: clause boundaries under quoting and
+  * nesting, the shapes it must refuse, and the exact rewritten form. The
+  * end-to-end window semantics are gated by q29 against DuckDB's native
+  * QUALIFY; these tests pin the scanner.
+  */
+class QualifyRewriteSpec extends AnyFunSuite {
+
+  test("basic rewrite: predicate moves inside, filter outside, tail kept") {
+    val got = QualifyRewrite.rewrite(
+      "SELECT a, b FROM t QUALIFY row_number() OVER (ORDER BY b) <= 2 ORDER BY a").get
+    assert(got ==
+      "SELECT * EXCEPT (__qualify) FROM ( SELECT a, b , " +
+        "(row_number() OVER (ORDER BY b) <= 2) AS __qualify FROM t  ) " +
+        "__qualify_src WHERE __qualify ORDER BY a")
+  }
+
+  test("no top-level QUALIFY -> untouched (subqueries and literals)") {
+    assert(QualifyRewrite.rewrite("SELECT a FROM t WHERE b = 1").isEmpty)
+    assert(QualifyRewrite.rewrite(
+      "SELECT a, (SELECT x FROM u QUALIFY x = 1) FROM t").isEmpty)
+    assert(QualifyRewrite.rewrite("SELECT 'QUALIFY' AS s FROM t").isEmpty)
+    assert(QualifyRewrite.rewrite("SELECT `QUALIFY` FROM t").isEmpty)
+  }
+
+  test("shapes the rewrite must refuse: set ops and non-SELECT statements") {
+    assert(QualifyRewrite.rewrite(
+      "SELECT a FROM t QUALIFY rn = 1 UNION ALL SELECT a FROM u").isEmpty)
+    assert(QualifyRewrite.rewrite(
+      "INSERT INTO x SELECT a FROM t QUALIFY rn = 1").isEmpty)
+  }
+
+  test("CTE prefix: the main block's FROM is the insertion point") {
+    val got = QualifyRewrite.rewrite(
+      "WITH c AS (SELECT a, b FROM t) SELECT a FROM c QUALIFY a = 1").get
+    assert(got.contains("WITH c AS (SELECT a, b FROM t) SELECT a , (a = 1) AS __qualify FROM c"))
+    assert(got.startsWith("SELECT * EXCEPT (__qualify) FROM ("))
+  }
+}
