@@ -123,6 +123,47 @@ object Multimodal {
     })
   }
 
+  final case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** REAL perceptual difference hash (dHash) from decoded pixels — the
+    * classic image near-dup fingerprint: sample a 9×7 grayscale grid
+    * (nearest-pixel, the [[imageFeatures]] clamp arithmetic) and set one
+    * bit per horizontal neighbor pair where the right sample is brighter,
+    * 8 comparisons × 7 rows = a 56-bit hash. 56 rather than the textbook
+    * 64 keeps the value strictly non-negative in a signed 64-bit lane, so
+    * the SQL oracle can assemble the identical integer with `<<`/`sum`
+    * in exact BIGINT arithmetic on both engines. Unreadable payloads are
+    * skipped (the decode discipline of [[decodeImages]]).
+    */
+  def imageDHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        def gray(gx: Int, gy: Int): Int = {
+          val x = math.min(w - 1, gx * w / 9 + w / 18)
+          val y = math.min(h - 1, gy * h / 8 + h / 16)
+          img.getRGB(x, y) & 0xff
+        }
+        var bits = 0L
+        var gy = 0
+        while (gy < 7) {
+          var gx = 0
+          while (gx < 8) {
+            if (gray(gx + 1, gy) > gray(gx, gy)) bits |= 1L << (gy * 8 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        Some(ImageHash(r.doc_id, bits))
+      }
+    })
+  }
+
   /** Deterministic synthetic PNG for an id — the gates' media generator
     * (executor-side; `BufferedImage` + `ImageIO.write` are JDK-only).
     * Dimensions and the gray ramp are pure arithmetic over the id, so a

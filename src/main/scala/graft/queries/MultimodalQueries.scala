@@ -279,5 +279,82 @@ object MultimodalQueries {
              |FROM p LEFT JOIN m ON m.id = p.id
              |GROUP BY p.id, p.rate, p.nch, p.frames""".stripMargin),
       "audio mixdown + resample: floor-div stereo average, nearest-sample decimation, oracle-replayed"),
+
+    // IMAGE NEAR-DUP DEDUP via perceptual dHash — the multimodal leg of
+    // the dedup family: real ImageIO decode → 56-bit difference hash from
+    // ACTUAL pixels (Multimodal.imageDHash) → banded candidate join
+    // (4 × 14-bit bands; pigeonhole guarantees any pair within the radius
+    // shares a band, the d5 SimHash scale discipline — never an all-pairs
+    // scan) → exact hamming via bit_count(xor) ≤ 14 (56-bit random pairs
+    // expect ~28, so the radius is ~4σ below chance) → per-image neighbor
+    // census. Synthetic same-dimension images differ by a constant gray
+    // shift, so genuine near-pairs exist; every decoded gray is pure
+    // arithmetic over doc_id, so DuckDB replays hash, bands, and hamming
+    // integer-for-integer without touching image bytes.
+    "mm11_image_neardup" -> GraftQuery(
+      (s, dir) => {
+        import s.implicits._
+        val ids = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id").cast("long")).as[Long]
+        val media = ids.mapPartitions(_.map(id =>
+          Multimodal.MediaRow(id, Multimodal.syntheticPng(id))))
+        val dh = Multimodal.imageDHash(media).toDF()
+        val bands = dh.select(col("doc_id"), col("dhash"),
+          explode(array((0 until 4).map(i => struct(lit(i).as("bi"),
+            shiftright(col("dhash"), 14 * i).bitwiseAND(lit(16383L)).as("bv"))): _*)).as("b"))
+          .select(col("doc_id"), col("dhash"), col("b.bi"), col("b.bv"))
+        val cand = bands.alias("a")
+          .join(bands.alias("b"),
+            col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+          .distinct()
+        val near = cand
+          .withColumn("d", expr("bit_count(ha ^ hb)").cast("long"))
+          .filter(col("d") <= 14)
+        near.select(col("da").as("doc_id"), col("d"))
+          .unionByName(near.select(col("db").as("doc_id"), col("d")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_near"), min("d").as("best_d"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH imgs AS (
+             |  SELECT doc_id, CAST(doc_id % 50 + 8 AS BIGINT) AS w,
+             |         CAST(doc_id % 30 + 8 AS BIGINT) AS h
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |bits AS (
+             |  SELECT i.doc_id, g.gy * 8 + g.gx AS b,
+             |         CASE WHEN ((i.doc_id
+             |                     + least(i.w - 1, (g.gx + 1) * i.w // 9 + i.w // 18)
+             |                     + least(i.h - 1, g.gy * i.h // 8 + i.h // 16)) % 256)
+             |                 > ((i.doc_id
+             |                     + least(i.w - 1, g.gx * i.w // 9 + i.w // 18)
+             |                     + least(i.h - 1, g.gy * i.h // 8 + i.h // 16)) % 256)
+             |              THEN 1 ELSE 0 END AS bit
+             |  FROM imgs i CROSS JOIN
+             |    (SELECT t1.gx, t2.gy FROM generate_series(0, 7) t1(gx),
+             |                              generate_series(0, 6) t2(gy)) g),
+             |dh AS (
+             |  SELECT doc_id,
+             |         CAST(sum(CASE WHEN bit = 1 THEN (1::BIGINT << b) ELSE 0 END)
+             |              AS BIGINT) AS dhash
+             |  FROM bits GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, dhash, t.bi, (dhash >> (14 * t.bi)) & 16383 AS bv
+             |  FROM dh CROSS JOIN generate_series(0, 3) t(bi)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+             |                  a.dhash AS ha, b.dhash AS hb
+             |  FROM bands a JOIN bands b
+             |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+             |near AS (
+             |  SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS d
+             |  FROM cand WHERE bit_count(xor(ha, hb)) <= 14),
+             |sym AS (SELECT da AS doc_id, d FROM near
+             |        UNION ALL SELECT db AS doc_id, d FROM near)
+             |SELECT doc_id, count(*) AS n_near, CAST(min(d) AS BIGINT) AS best_d
+             |FROM sym GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "image near-dup dedup: real-pixel perceptual dHash, banded candidates, exact hamming census"),
   )
 }
