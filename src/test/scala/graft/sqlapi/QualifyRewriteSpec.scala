@@ -40,3 +40,34 @@ class QualifyRewriteSpec extends AnyFunSuite {
     assert(got.startsWith("SELECT * EXCEPT (__qualify) FROM ("))
   }
 }
+
+/** QUALIFY composed through the FULL spark.sql path over a REGISTERED
+  * lake table — the rewritten text re-enters the injected parser, so the
+  * lake read rewrite (including VERSION AS OF) must still apply under it.
+  */
+class QualifyLakeSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("QUALIFY over a registered lake table, current and time-traveled") {
+    val t = new graft.lake.MergeTable(scratch("qual_lake"))
+    t.overwrite(Seq((1L, "g1", 10L), (2L, "g1", 30L), (3L, "g1", 20L),
+      (4L, "g2", 5L), (5L, "g2", 50L)).toDF("k", "g", "score"))
+    graft.sqlapi.LakeCatalog.register("qual_tbl", t)
+    try {
+      t.delete(spark, org.apache.spark.sql.functions.col("k") === 2) // v1
+      val top = spark.sql(
+        """SELECT k, g FROM qual_tbl
+          |QUALIFY row_number() OVER (PARTITION BY g ORDER BY score DESC, k) = 1
+          |ORDER BY g""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(top == Seq((3L, "g1"), (5L, "g2")), "tip read: k=2 is deleted")
+      val old = spark.sql(
+        """SELECT k, g FROM qual_tbl VERSION AS OF 0
+          |QUALIFY row_number() OVER (PARTITION BY g ORDER BY score DESC, k) = 1
+          |ORDER BY g""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(old == Seq((2L, "g1"), (5L, "g2")),
+        "versioned read must compose under the QUALIFY rewrite")
+    } finally graft.sqlapi.LakeCatalog.unregister("qual_tbl")
+  }
+}
