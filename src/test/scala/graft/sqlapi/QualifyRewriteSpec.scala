@@ -48,6 +48,18 @@ class QualifyRewriteSpec extends AnyFunSuite {
 class QualifyLakeSpec extends graft.SparkSpec {
   import spark.implicits._
 
+  test("QUALIFY windows over aggregates, composing with GROUP BY + HAVING") {
+    Seq(("g1", 1L), ("g1", 2L), ("g2", 10L), ("g2", 20L), ("g3", 100L))
+      .toDF("g", "x").createOrReplaceTempView("qual_agg_v")
+    val got = spark.sql(
+      """SELECT g, sum(x) AS s FROM qual_agg_v
+        |GROUP BY g HAVING count(*) > 1
+        |QUALIFY rank() OVER (ORDER BY sum(x) DESC) = 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("g2", 30L)),
+      "HAVING filters groups first; QUALIFY ranks the surviving aggregates")
+  }
+
   test("QUALIFY over a registered lake table, current and time-traveled") {
     val t = new graft.lake.MergeTable(scratch("qual_lake"))
     t.overwrite(Seq((1L, "g1", 10L), (2L, "g1", 30L), (3L, "g1", 20L),
