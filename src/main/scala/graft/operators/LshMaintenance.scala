@@ -29,11 +29,14 @@ import graft.queries.DedupQueries
   *     no longer signs (the sub-3-word retraction case — signing yields
   *     no rows, but the old rows must still go);
   *  3. docs GONE after the batch contribute `del` rows for every band,
-  *     CONDITIONED on `t.thash = s.old_thash` — `thash` is md5 of the text
-  *     each registration was signed FROM, stored beside the signature, and
-  *     `old_thash` is md5 of the dropped image's text. The guard is what
-  *     makes a preimage arriving AFTER its postimage harmless (the
-  *     re-signed registration's thash no longer matches, the teardown
+  *     CONDITIONED on `array_contains(s.old_thashes, t.thash)` — `thash`
+  *     is md5 of the text each registration was signed FROM, stored beside
+  *     the signature, and `old_thashes` is md5 of EVERY image text the
+  *     batch carried for the doc (a multi-commit batch can update then
+  *     delete; the index may be signed from any of the observed epochs,
+  *     never from an unobserved one). The guard is what makes a preimage
+  *     arriving AFTER its postimage harmless (the re-signed registration's
+  *     thash is not among the orphan's observed texts, the teardown
   *     no-ops — IncrementalCuration's `old_h` discipline). The minhash
   *     vector itself cannot serve as this identity: near-equal texts AGREE
   *     on minhashes by design — that is the one collision LSH optimizes
@@ -80,16 +83,29 @@ object LshMaintenance {
     val reg = DedupQueries.bandedSignatures(adds)
       .join(adds.select(col("doc_id"), md5(col("text")).as("thash")), Seq("doc_id"))
     val putRows = reg.withColumn("action", lit("put"))
-      .withColumn("old_thash", lit(null).cast("string"))
     val addDel = adds.select("doc_id").crossJoin(allBands)
       .join(reg.select("doc_id", "band"), Seq("doc_id", "band"), "left_anti")
-      .withColumn("old_thash", lit(null).cast("string"))
 
-    // 3. gone docs: every band, guarded by the dropped image's identity
-    val dropDel = fin.filter(!col("_is_add"))
-      .select(col("doc_id"), md5(col("text")).as("old_thash"))
+    // 3. gone docs: every band, guarded by the doc's OBSERVED identities —
+    // ALL image texts the batch carried for it, not just the net one. A
+    // multi-commit batch can hold update(T0→T1) THEN delete: the net image
+    // is the delete's T1 preimage, but the index (which never saw the
+    // superseded postimage) is still signed from T0 — so a single-hash
+    // guard would no-op and strand the rows. The observed set always
+    // contains the indexed text for a true delete (either the delete
+    // preimage itself, or the intervening update's preimage), while an
+    // orphaned preimage alone still cannot tear down a registration
+    // re-signed in an earlier batch (its T1 is not in the set).
+    val dropDel = fin.filter(!col("_is_add")).select("doc_id")
+      .join(batch.groupBy("doc_id")
+          .agg(collect_set(md5(col("text"))).as("old_thashes")),
+        Seq("doc_id"), "left")
       .crossJoin(allBands)
-    val delRows = addDel.unionByName(dropDel).withColumn("action", lit("del"))
+    val delRows = addDel
+      .withColumn("old_thashes", lit(null).cast("array<string>"))
+      .select("doc_id", "band", "old_thashes")
+      .unionByName(dropDel.select("doc_id", "band", "old_thashes"))
+      .withColumn("action", lit("del"))
 
     val src = putRows.unionByName(delRows, allowMissingColumns = true)
     if (!index.exists) {
@@ -97,7 +113,8 @@ object LshMaintenance {
     } else {
       index.mergeClauses(sess, src, Seq("doc_id", "band"),
         Seq(MergeTable.MatchedDelete(Some(
-              "s.action = 'del' AND (s.old_thash IS NULL OR t.thash = s.old_thash)")),
+              "s.action = 'del' AND (s.old_thashes IS NULL " +
+                "OR array_contains(s.old_thashes, t.thash))")),
             MergeTable.MatchedUpdate(Some("s.action = 'put'"),
               hashCols.map(h => h -> s"s.$h") ++
                 Seq("sig" -> "s.sig", "thash" -> "s.thash")),

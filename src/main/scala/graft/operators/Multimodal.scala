@@ -84,12 +84,19 @@ object Multimodal {
     * must not kill a 100 TB scan; filter `width >= 0` downstream and
     * count the rejects.
     */
-  def decodeImage(r: MediaRow): DecodedMeta = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-      catch { case _: java.io.IOException => null }
-    if (img == null) DecodedMeta(r.doc_id, r.payload.length.toLong, -1, -1, 0)
-    else DecodedMeta(r.doc_id, r.payload.length.toLong, img.getWidth, img.getHeight, 1)
+  /** The shared decode-or-None discipline: an unreadable payload yields
+    * None instead of throwing — corrupt media must not kill a 100 TB scan.
+    * Every image path (meta, features, dHash) reads through this ONE
+    * helper so the corrupt-media policy cannot fork.
+    */
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  def decodeImage(r: MediaRow): DecodedMeta = readImage(r.payload) match {
+    case None => DecodedMeta(r.doc_id, r.payload.length.toLong, -1, -1, 0)
+    case Some(img) =>
+      DecodedMeta(r.doc_id, r.payload.length.toLong, img.getWidth, img.getHeight, 1)
   }
 
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
@@ -105,11 +112,7 @@ object Multimodal {
   def imageFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
-      if (img == null) None
-      else {
+      readImage(r.payload).map { img =>
         val (w, h) = (img.getWidth, img.getHeight)
         val feats = Array.tabulate(16) { i =>
           val (gx, gy) = (i % 4, i / 4)
@@ -118,7 +121,7 @@ object Multimodal {
           val rgb = img.getRGB(x, y)
           (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
         }
-        Some(MediaFeatures(r.doc_id, feats))
+        MediaFeatures(r.doc_id, feats)
       }
     })
   }
@@ -138,11 +141,7 @@ object Multimodal {
   def imageDHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
-      if (img == null) None
-      else {
+      readImage(r.payload).map { img =>
         val (w, h) = (img.getWidth, img.getHeight)
         def gray(gx: Int, gy: Int): Int = {
           val x = math.min(w - 1, gx * w / 9 + w / 18)
@@ -159,7 +158,7 @@ object Multimodal {
           }
           gy += 1
         }
-        Some(ImageHash(r.doc_id, bits))
+        ImageHash(r.doc_id, bits)
       }
     })
   }

@@ -283,11 +283,14 @@ object MultimodalQueries {
     // IMAGE NEAR-DUP DEDUP via perceptual dHash — the multimodal leg of
     // the dedup family: real ImageIO decode → 56-bit difference hash from
     // ACTUAL pixels (Multimodal.imageDHash) → banded candidate join
-    // (4 × 14-bit bands; pigeonhole guarantees any pair within the radius
-    // shares a band, the d5 SimHash scale discipline — never an all-pairs
-    // scan) → exact hamming via bit_count(xor) ≤ 14 (56-bit random pairs
-    // expect ~28, so the radius is ~4σ below chance) → per-image neighbor
-    // census. Synthetic same-dimension images differ by a constant gray
+    // (4 × 14-bit bands, the d5 SimHash scale discipline — never an
+    // all-pairs scan; pigeonhole makes band-sharing EXACT for distance
+    // ≤ 3, a recall-high heuristic beyond that, the standard LSH
+    // candidate contract) → exact hamming via bit_count(xor) ≤ 14 over
+    // the candidates (56-bit random pairs expect ~28) → per-image
+    // neighbor census. The census is over banded candidates BY CONTRACT,
+    // and the oracle replays band split and hamming identically, so both
+    // engines compute the same well-defined quantity. Synthetic same-dimension images differ by a constant gray
     // shift, so genuine near-pairs exist; every decoded gray is pure
     // arithmetic over doc_id, so DuckDB replays hash, bands, and hamming
     // integer-for-integer without touching image bytes.

@@ -38,18 +38,40 @@ object QualifyRewrite {
 
   private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
-  /** Index of the first depth-0, quote-free, word-bounded occurrence of
-    * `kw` (case-insensitive) at or after `from`, or -1.
+  /** Index of the first depth-0, quote-free, comment-free, word-bounded
+    * occurrence of `kw` (case-insensitive) at or after `from`, or -1.
+    * String literals honor BOTH of Spark's escape conventions (backslash
+    * and doubled quotes — a lone backslash always escapes the next char,
+    * which also covers `\\`); `--` line comments and nested bracketed
+    * comments are skipped entirely.
     */
   private def topLevelIndexOf(sql: String, kw: String, from: Int): Int = {
     var i = from
     var depth = 0
     val n = sql.length
+    def skipQuoted(q: Char): Unit = {
+      i += 1
+      while (i < n && sql.charAt(i) != q) {
+        if (sql.charAt(i) == '\\' && q != '`') i += 2 else i += 1
+      }
+    }
     while (i < n) {
       sql.charAt(i) match {
-        case '\'' => i += 1; while (i < n && sql.charAt(i) != '\'') i += 1
-        case '"' => i += 1; while (i < n && sql.charAt(i) != '"') i += 1
-        case '`' => i += 1; while (i < n && sql.charAt(i) != '`') i += 1
+        case '\'' => skipQuoted('\'')
+        case '"' => skipQuoted('"')
+        case '`' => skipQuoted('`')
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          while (i < n && sql.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          var nest = 1; i += 2
+          while (i < n && nest > 0) {
+            if (i + 1 < n && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') {
+              nest += 1; i += 2
+            } else if (i + 1 < n && sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') {
+              nest -= 1; i += 2
+            } else i += 1
+          }
+          i -= 1 // the loop's own increment lands just past the comment
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ if depth == 0 &&
@@ -73,9 +95,29 @@ object QualifyRewrite {
     val lead = sql.trim
     val isSelect = lead.regionMatches(true, 0, "SELECT", 0, 6) ||
       lead.regionMatches(true, 0, "WITH", 0, 4)
-    // a set operation beside the clause would need per-branch handling
-    val hasSetOp = Seq("UNION", "INTERSECT", "EXCEPT", "MINUS")
-      .exists(topLevelIndexOf(sql, _, 0) >= 0)
+    // a set operation beside the clause would need per-branch handling.
+    // EXCEPT alone doubles as the select-list star modifier
+    // (`* EXCEPT (col, …)`): that form's paren wraps a COLUMN list, a
+    // set-op EXCEPT is followed by a query (`SELECT`/`WITH`/`(`) — the
+    // first token inside/after the paren disambiguates
+    def isSetOp(kw: String): Boolean = {
+      var at = topLevelIndexOf(sql, kw, 0)
+      while (at >= 0) {
+        var j = at + kw.length
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (kw != "EXCEPT" || j >= sql.length || sql.charAt(j) != '(')
+          return true
+        var k = j + 1
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (k < sql.length && (sql.charAt(k) == '(' ||
+            sql.regionMatches(true, k, "SELECT", 0, 6) ||
+            sql.regionMatches(true, k, "WITH", 0, 4)))
+          return true // EXCEPT (SELECT …) — a set op after all
+        at = topLevelIndexOf(sql, kw, at + kw.length)
+      }
+      false
+    }
+    val hasSetOp = Seq("UNION", "INTERSECT", "EXCEPT", "MINUS").exists(isSetOp)
     if (!isSelect || hasSetOp) return None
 
     val head = sql.substring(0, q)

@@ -61,6 +61,26 @@ class LshMaintenanceSpec extends SparkSpec {
     assert(index.read(spark).count() == 0)
   }
 
+  test("update THEN delete collapsed into ONE batch still tears down") {
+    // the net image is the delete's post-update preimage (tA2), but the
+    // index is signed from tA — the observed-identities guard must cover
+    // every epoch the batch carried, or the rows strand forever
+    val index = new MergeTable(s"${scratch("lshm_updel")}/idx", Seq("band"))
+    LshMaintenance.applyBatch(batchOf((1L, tA, "insert", 1L)), 1L, index, "lshmtest")
+    LshMaintenance.applyBatch(batchOf(
+      (1L, tA, "update_preimage", 2L), (1L, tA2, "update_postimage", 2L),
+      (1L, tA2, "delete", 3L)), 2L, index, "lshmtest")
+    assert(index.read(spark).count() == 0,
+      "an update+delete batch must remove the doc signed under the OLD text")
+    // and the orphaned-preimage protection still holds: a lone preimage
+    // from a superseded epoch cannot tear down a newer registration
+    val idx2 = new MergeTable(s"${scratch("lshm_updel2")}/idx", Seq("band"))
+    LshMaintenance.applyBatch(batchOf((1L, tA, "insert", 1L)), 1L, idx2, "lshmtest")
+    LshMaintenance.applyBatch(batchOf((1L, tA2, "update_postimage", 2L)), 2L, idx2, "lshmtest")
+    LshMaintenance.applyBatch(batchOf((1L, tA, "update_preimage", 2L)), 3L, idx2, "lshmtest")
+    assertEquals(idx2, Seq(1L -> tA2), "orphan preimage after re-sign")
+  }
+
   test("split update pre/postimage batches converge in EITHER order") {
     for (postFirst <- Seq(true, false)) {
       val index = new MergeTable(s"${scratch(s"lshm_split_$postFirst")}/idx",

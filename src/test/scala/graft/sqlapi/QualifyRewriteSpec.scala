@@ -31,6 +31,32 @@ class QualifyRewriteSpec extends AnyFunSuite {
       "SELECT a FROM t QUALIFY rn = 1 UNION ALL SELECT a FROM u").isEmpty)
     assert(QualifyRewrite.rewrite(
       "INSERT INTO x SELECT a FROM t QUALIFY rn = 1").isEmpty)
+    // set-op EXCEPT refuses even in its parenthesized-query form …
+    assert(QualifyRewrite.rewrite(
+      "SELECT a FROM t QUALIFY rn = 1 EXCEPT (SELECT a FROM u)").isEmpty)
+    assert(QualifyRewrite.rewrite(
+      "SELECT a FROM t QUALIFY rn = 1 MINUS SELECT a FROM u").isEmpty)
+  }
+
+  test("star-EXCEPT is a select-list modifier, not a set op") {
+    val got = QualifyRewrite.rewrite(
+      "SELECT * EXCEPT (pad) FROM t QUALIFY row_number() OVER (ORDER BY a) = 1")
+    assert(got.isDefined,
+      "* EXCEPT (cols) must not be mistaken for a set operation")
+    assert(got.get.contains("(pad)"))
+  }
+
+  test("comments and escaped quotes never confuse the scanner") {
+    // the word in a -- comment is not a clause (and must not mangle the text)
+    assert(QualifyRewrite.rewrite("SELECT a FROM t -- qualify later\n").isEmpty)
+    assert(QualifyRewrite.rewrite("SELECT a FROM t /* qualify /* nested */ x */").isEmpty)
+    // a backslash-escaped quote keeps the literal closed where Spark does
+    assert(QualifyRewrite.rewrite(
+      "SELECT 'don\\'t qualify' AS s FROM t").isEmpty)
+    // and a REAL clause after a comment still rewrites
+    val got = QualifyRewrite.rewrite(
+      "SELECT a FROM t /* note */ QUALIFY row_number() OVER (ORDER BY a) = 1")
+    assert(got.isDefined)
   }
 
   test("CTE prefix: the main block's FROM is the insertion point") {
