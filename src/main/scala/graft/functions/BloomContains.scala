@@ -61,6 +61,27 @@ case class BloomContains(child: Expression, filter: BloomFilter)
   override def toString: String = s"bloom_might_contain($child)"
   override def sql: String = s"bloom_might_contain(${child.sql})"
 
+  /** Plan-identity digest of the sketch CONTENTS: two expressions built
+    * from equal (but distinct) filter objects must compare equal, or
+    * Catalyst's canonicalization-based sharing — common-subexpression
+    * elimination, cached-plan and exchange reuse — silently misses.
+    * Streamed through the digest (no serialized copy is materialized),
+    * computed lazily once per instance and only when a plan comparison
+    * actually asks.
+    */
+  @transient private lazy val sketchDigest: scala.collection.immutable.ArraySeq[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    filter.writeTo(new java.security.DigestOutputStream(
+      java.io.OutputStream.nullOutputStream(), md))
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(md.digest())
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomContains => child == b.child && sketchDigest == b.sketchDigest
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child, sketchDigest)
+
   override protected def withNewChildInternal(newChild: Expression): BloomContains =
     copy(child = newChild)
 }

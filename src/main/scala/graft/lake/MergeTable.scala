@@ -482,6 +482,15 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       colmapOf(version), dvsOf(version))
   }
 
+  /** Read an explicit SUBSET of `version`'s files — for callers that ran
+    * [[pruneFilesFor]] themselves (e.g. to observe the kept-file count)
+    * and must not pay the prune twice. `files` must come from that prune:
+    * dv masks and the column mapping still apply.
+    */
+  private[graft] def readVersionFiles(spark: SparkSession, version: Long,
+                                      files: Seq[String]): DataFrame =
+    readFiles(spark, files, schemaOf(version), colmapOf(version), dvsOf(version))
+
   /** The subset of `version`'s files that could hold a row satisfying the
     * conjunction of `filters` — the automatic-data-skipping core behind
     * [[readVersionWhere]]. Three sound-conservative prunes compose, each
@@ -1421,6 +1430,28 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   def lastTxnVersion(appId: String): Option[Long] =
     if (exists) readMeta(currentVersion).txns.get(appId) else None
 
+  /** The COMMIT VERSION that recorded transaction `(appId, txnVersion)` —
+    * the inverse of [[lastTxnVersion]], for consumers that must locate a
+    * replayed batch's own commit (e.g. to re-read its change feed during
+    * crash recovery). Txn markers carry forward cumulatively, so the
+    * recording commit is the EARLIEST version whose marker equals
+    * `txnVersion`; the walk is metadata-only and stops as soon as the
+    * marker drops below the target (markers never regress).
+    */
+  private[graft] def txnCommitVersion(appId: String, txnVersion: Long): Option[Long] = {
+    if (!exists) return None
+    val horizon = vacuumHorizon
+    var v = currentVersion
+    var found: Option[Long] = None
+    while (v >= horizon) {
+      val t = readMeta(v).txns.get(appId)
+      if (t.forall(_ < txnVersion)) return found
+      if (t.contains(txnVersion)) found = Some(v)
+      v -= 1
+    }
+    found
+  }
+
   /** Delta MERGE semantics (SURVEY.md §2.6): UPDATE-ALL / INSERT-ALL
     * equi-key upsert — "source wins":
     *  - target rows matching a source key are replaced by the source row
@@ -1606,7 +1637,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val newVersion = v + 1
       val (newDataIded, rowHwm) = assignRowIds(newData)
       val dataDir = newDataDir(newVersion)
-      writeData(newDataIded, dataDir, cmap)
+      writeData(optimizeWriteIfEnabled(newDataIded), dataDir, cmap)
       val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
 
       // Change data feed (Delta CDF analog): recorded AT WRITE TIME from the
@@ -2060,7 +2091,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val newVersion = v + 1
       val (newDataIded, rowHwm) = assignRowIds(newData)
       val dataDir = newDataDir(newVersion)
-      writeData(newDataIded, dataDir, cmap)
+      writeData(optimizeWriteIfEnabled(newDataIded), dataDir, cmap)
       val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
 
       // CDF at write time from the already-pruned frames (same discipline
@@ -4068,8 +4099,12 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * AQE splits skewed partition values across tasks
     * (optimizeSkewsInRebalancePartitions), so one hot partition can't
     * OOM a writer, which is exactly the failure mode of the naive
-    * repartition at 100 TB. Applies to append/overwrite only: compaction
-    * paths pack files themselves, and a rebalance would destroy
+    * repartition at 100 TB. Applies to append/overwrite AND the merge
+    * rewrites (Delta's optimized writes cover MERGE for the same reason:
+    * a merge's join output lands one sliver per shuffle task in every
+    * touched partition dir — a maintained state table would accumulate a
+    * micro-file per partition per batch without it). Compaction paths are
+    * excluded: they pack files themselves, and a rebalance would destroy
     * Z-order's in-file row ordering.
     */
   private def optimizeWriteIfEnabled(df: DataFrame): DataFrame =

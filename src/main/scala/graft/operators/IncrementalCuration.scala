@@ -51,12 +51,73 @@ import graft.lake.MergeTable
   * Scale: per-batch work is delta-sized end to end — the net-change
   * window, quality gates, and contamination probe run over the BATCH;
   * the fps and curated merges rewrite only files holding touched keys
-  * (pruned merge); the winner recompute scans fps restricted by a
-  * broadcast semi-join on the batch's hashes (at 100 TB, partition fps
-  * by a hash-prefix bucket and this restriction prunes to touched
-  * buckets' files). Nothing ever rescans the corpus.
+  * (pruned merge); the winner recompute reads fps THROUGH the manifest's
+  * partition pruning: [[fpsTable]] partitions the census by a hash-prefix
+  * bucket (`b = substring(h, 1, len)`, a GENERATED column), so the
+  * affected-hash probe first prunes fps FILES to the touched buckets
+  * ([[lastWinnerFilesRead]] / [[lastWinnerFilesTotal]] observe it) and
+  * only then applies the exact broadcast semi-join. The "which docs left
+  * fps" probe is not a table scan at all: the fps merge runs with a
+  * change feed on, and the batch's retractions are read back as that
+  * commit's own `delete` change rows — delta-sized by construction, and
+  * recoverable on crash replay via [[MergeTable.txnCommitVersion]].
+  * Nothing ever rescans the corpus, and nothing scans O(state) per batch.
   */
 object IncrementalCuration {
+
+  /** Hash-prefix bucket column of the fps census ([[fpsTable]]). */
+  val BucketCol = "b"
+  /** doc_id bucket column of the curated table ([[curatedTable]]). */
+  val CuratedBucketCol = "cb"
+
+  /** Files the last winner recompute actually opened vs the fps
+    * snapshot's total — observability for specs asserting that the
+    * affected-hash probe prunes to touched buckets (never read by the
+    * operator itself). On an unbucketed legacy table the two are equal.
+    */
+  @volatile var lastWinnerFilesRead: Int = -1
+  @volatile var lastWinnerFilesTotal: Int = -1
+
+  /** The fps census table, partitioned by a hash-prefix bucket so the
+    * per-batch winner recompute prunes to touched buckets' FILES instead
+    * of scanning the whole census. The bucket is a GENERATED column
+    * (`substring(h, 1, len)` — 16^len buckets over md5's lowercase hex),
+    * so every write path derives and validates it; prefix length comes
+    * from `spark.graft.curationHashPrefixLen` (default 1 = 16 buckets,
+    * sized for test scale — at 100 TB set 2–3 for 256–4096 buckets, which
+    * keeps each bucket's census in the tens of GB and a batch's touched
+    * set far below the bucket count). The length is baked into the
+    * table's generated-column expression at creation, so later sessions
+    * reopening the table need no conf agreement.
+    */
+  def fpsTable(spark: org.apache.spark.sql.SparkSession, root: String): MergeTable = {
+    val probe = new MergeTable(root)
+    if (probe.exists) MergeTable.open(root) // layout is TABLE state, not conf
+    else {
+      val len = spark.conf.get("spark.graft.curationHashPrefixLen", "1").toInt
+      require(len >= 1 && len <= 8,
+        s"spark.graft.curationHashPrefixLen must be in [1, 8], got $len")
+      new MergeTable(root, partitionCols = Seq(BucketCol),
+        generatedCols = Seq(BucketCol -> s"substring(h, 1, $len)"))
+    }
+  }
+
+  /** The curated table, partitioned by a doc_id bucket. doc_id — the
+    * merge key — functionally DETERMINES the bucket, so the curated merge
+    * opts into `keysDeterminePartitions`: its touched-file probe reads
+    * only the batch's buckets, never the whole table. Bucket count from
+    * `spark.graft.curationDocBuckets` (default 16; raise at 100 TB).
+    */
+  def curatedTable(spark: org.apache.spark.sql.SparkSession, root: String): MergeTable = {
+    val probe = new MergeTable(root)
+    if (probe.exists) MergeTable.open(root)
+    else {
+      val nb = spark.conf.get("spark.graft.curationDocBuckets", "16").toInt
+      require(nb >= 2, s"spark.graft.curationDocBuckets must be >= 2, got $nb")
+      new MergeTable(root, partitionCols = Seq(CuratedBucketCol),
+        generatedCols = Seq(CuratedBucketCol -> s"CAST(pmod(doc_id, $nb) AS INT)"))
+    }
+  }
 
   /** Word split + count, shared by every quality expression. */
   private def withWords(df: DataFrame): DataFrame = df
@@ -142,9 +203,12 @@ object IncrementalCuration {
     // groups whose canonical can have changed (batch-sized, broadcast)
     val affH = batch.select(md5(col("text")).as("h")).distinct()
 
-    // 2. delta-sized add-side gates
+    // 2. delta-sized add-side gates. qual is PERSISTED: the contamination
+    // probe, the fps merge source, and the rejected-adds retraction set
+    // all branch from it, and without the pin each consumer would re-run
+    // the gate's regex/array pipeline over the batch
     val adds = fin.filter(col("_is_add")).select("doc_id", "text", "source")
-    val qual = qualityGate(adds)
+    val qual = qualityGate(adds).persist()
     val contamIds = qual.select(col("doc_id"), explode(expr(gram8)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select("doc_id").distinct()
@@ -163,9 +227,31 @@ object IncrementalCuration {
         .join(qual.select("doc_id"), Seq("doc_id"), "left_anti")
         .withColumn("old_h", lit(null).cast("string")))
 
-    // 3. fps census merge — FIRST of the two commits
-    if (fps.lastTxnVersion(appF).forall(_ < batchId)) {
-      if (!fps.exists) fps.overwrite(addPut, txn = Some(appF -> batchId))
+    // 3. fps census merge — FIRST of the two commits, change feed ON: the
+    // commit's own `delete` change rows are the delta-sized answer to
+    // "which docs left fps this batch" (step 5's retraction set), so the
+    // operator never anti-joins the full census. A bucketed fps
+    // ([[fpsTable]]) must keep its GENERATED bucket consistent when an
+    // update moves a doc to a new hash — the update SET recomputes it
+    // (merge rows may move across partitions, the §2.6.5 quirk).
+    val fpsBucketGen: Option[String] =
+      if (fps.partitionCols == Seq(BucketCol))
+        fps.generatedCols.collectFirst { case (BucketCol, e) => e }
+      else None
+    // the change feed is only paid for when this batch can RETRACT
+    // something: insert-only batches (the steady-state ingest case) write
+    // no feed and skip the image passes entirely
+    val anyDel = !delIds.isEmpty
+    val fpsMergedNow = fps.lastTxnVersion(appF).forall(_ < batchId)
+    if (fpsMergedNow) {
+      if (!fps.exists) {
+        fps.overwrite(addPut, txn = Some(appF -> batchId))
+        // maintained-state write hygiene: every later merge pre-shuffles
+        // its output so each touched bucket receives packed files, not a
+        // sliver per task — without it the census accumulates a
+        // micro-file per bucket per micro-batch
+        fps.setProperties(Map(MergeTable.OptimizeWriteProp -> "true"))
+      }
       else fps.mergeClauses(sess,
         addPut.withColumn("action", lit("put"))
           .withColumn("old_h", lit(null).cast("string")).unionByName(
@@ -175,44 +261,99 @@ object IncrementalCuration {
               Some("s.action = 'del' AND (s.old_h IS NULL OR t.h = s.old_h)")),
             MergeTable.MatchedUpdate(Some("s.action = 'put'"),
               Seq("h" -> "s.h", "source" -> "s.source",
-                  "n_tok" -> "s.n_tok", "ok" -> "s.ok")),
+                  "n_tok" -> "s.n_tok", "ok" -> "s.ok") ++
+                fpsBucketGen.map(g =>
+                  BucketCol -> g.replaceFirst("\\bh\\b", "s.h")).toSeq),
             MergeTable.NotMatchedInsert(Some("s.action = 'put'"),
               Seq("doc_id" -> "s.doc_id", "h" -> "s.h", "source" -> "s.source",
                   "n_tok" -> "s.n_tok", "ok" -> "s.ok"))),
-        checkUniqueSource = false, txn = Some(appF -> batchId))
+        checkUniqueSource = false, changeFeed = anyDel,
+        txn = Some(appF -> batchId))
     }
-    if (!fps.exists) { fin.unpersist(); return processed } // nothing ever registered
+    if (!fps.exists) { // nothing ever registered
+      qual.unpersist(); fin.unpersist(); return processed
+    }
 
     // 4. winners for the affected hashes, from POST-batch fps state:
-    // min-doc_id per hash group, curated iff ok — t39's canonical rule
+    // min-doc_id per hash group, curated iff ok — t39's canonical rule.
+    // On a bucketed fps the read is partition-pruned FIRST: the batch's
+    // affected hashes map (through the table's own generated-column
+    // expression) to at most 16^len bucket values — a bounded collect —
+    // and the manifest prunes fps files to those buckets before any data
+    // file opens. The broadcast semi-join above the pruned scan is then
+    // the exact filter. Per-batch read cost: O(touched buckets), not
+    // O(state).
+    val fpsV = fps.currentVersion
+    lastWinnerFilesTotal = fps.filesOf(fpsV).size
+    val fpsAff = fpsBucketGen match {
+      case Some(gen) =>
+        val touched = affH.select(expr(gen).cast("string").as(BucketCol))
+          .distinct().collect().map(_.getString(0)).filter(_ != null)
+        val filters = Seq(org.apache.spark.sql.sources.In(
+          BucketCol, touched.map(x => x: Any).toArray))
+        val kept = fps.pruneFilesFor(sess, fpsV, filters)
+        lastWinnerFilesRead = kept.size
+        fps.readVersionFiles(sess, fpsV, kept)
+      case None =>
+        lastWinnerFilesRead = lastWinnerFilesTotal
+        fps.read(sess)
+    }
     val wH = Window.partitionBy("h").orderBy("doc_id")
-    val affRows = fps.read(sess).join(broadcast(affH), Seq("h"), "left_semi")
+    val affRows = fpsAff.join(broadcast(affH), Seq("h"), "left_semi")
       .withColumn("_rn", row_number().over(wH))
       .withColumn("is_winner", col("_rn") === 1 && col("ok"))
       .select(col("doc_id"), col("source"), col("n_tok"), col("is_winner"))
-    // a doc that LEFT fps leaves curated too. Post-merge fps is the
-    // truth: a delId whose conditional drop did NOT fire (its postimage
-    // was already applied) keeps its row and must NOT surface as a loser
-    val stillGone = delIds.select("doc_id")
-      .join(fps.read(sess).select("doc_id"), Seq("doc_id"), "left_anti")
+    // a doc that LEFT fps leaves curated too — read back as the fps
+    // commit's own `delete` change rows (delta-sized; a delId whose
+    // conditional drop did NOT fire emitted no delete row and correctly
+    // never surfaces as a loser). On crash replay the fps merge was
+    // skipped above, so the batch's commit — and its feed — is located
+    // by its txn marker. An overwrite bootstrap records no feed and can
+    // retract nothing (its batch registered the very first census rows).
+    val fpsCommitV: Option[Long] =
+      if (!anyDel) None
+      else if (fpsMergedNow) Some(fpsV)
+      else fps.txnCommitVersion(appF, batchId)
+    val stillGone = fpsCommitV
+      .flatMap(v => fps.changesWithVersion(sess, v, v))
+      .map(_.filter(col(MergeTable.ChangeType) === "delete")
+        .select("doc_id").distinct())
+      .getOrElse(addPut.select("doc_id").limit(0))
     val curSource = affRows.unionByName(
       stillGone.select(col("doc_id"), lit(null).cast("string").as("source"),
         lit(null).cast("long").as("n_tok"), lit(false).as("is_winner")))
 
-    // 5. curated merge — SECOND commit; losers delete, winners upsert
+    // 5. curated merge — SECOND commit; losers delete, winners upsert.
+    // On a bucketed curated table ([[curatedTable]]) the merge key
+    // doc_id DETERMINES the partition, so the touched-file probe prunes
+    // to the batch's buckets (`keysDeterminePartitions`); the source
+    // carries the bucket for the scope collection, inserts re-derive it.
+    val curBucketGen: Option[String] =
+      if (curated.partitionCols == Seq(CuratedBucketCol))
+        curated.generatedCols.collectFirst { case (CuratedBucketCol, e) => e }
+      else None
     if (curated.lastTxnVersion(appC).forall(_ < batchId)) {
-      if (!curated.exists) curated.overwrite(
-        curSource.filter(col("is_winner")).select("doc_id", "source", "n_tok"),
-        txn = Some(appC -> batchId))
-      else curated.mergeClauses(sess, curSource, Seq("doc_id"),
+      if (!curated.exists) {
+        curated.overwrite(
+          curSource.filter(col("is_winner")).select("doc_id", "source", "n_tok"),
+          txn = Some(appC -> batchId))
+        curated.setProperties(Map(MergeTable.OptimizeWriteProp -> "true"))
+      }
+      else curated.mergeClauses(sess,
+        curBucketGen.fold(curSource)(g =>
+          curSource.withColumn(CuratedBucketCol, expr(g))),
+        Seq("doc_id"),
         Seq(MergeTable.MatchedDelete(Some("NOT s.is_winner")),
             MergeTable.MatchedUpdate(Some("s.is_winner"),
               Seq("source" -> "s.source", "n_tok" -> "s.n_tok")),
             MergeTable.NotMatchedInsert(Some("s.is_winner"),
               Seq("doc_id" -> "s.doc_id", "source" -> "s.source",
                   "n_tok" -> "s.n_tok"))),
-        checkUniqueSource = false, txn = Some(appC -> batchId))
+        checkUniqueSource = false,
+        keysDeterminePartitions = curBucketGen.isDefined,
+        txn = Some(appC -> batchId))
     }
+    qual.unpersist()
     fin.unpersist()
     processed
   }

@@ -61,9 +61,12 @@ object LshMaintenance {
   def applyBatch(batch: DataFrame, batchId: Long, index: MergeTable,
                  appId: String): Long = {
     val sess = batch.sparkSession
-    if (index.lastTxnVersion(appId).exists(_ >= batchId)) return 0L
 
-    // 1. net image per doc — the IncrementalCuration window, verbatim
+    // 1. net image per doc — the IncrementalCuration window, verbatim.
+    // Counted BEFORE the replay gate below: the per-doc net count is the
+    // gate's delta-size OBSERVABLE, and a crash-replayed batch must
+    // report the same number it did the first time (the batch frame is
+    // deterministic) or the sum would under-count after recovery.
     val wDoc = Window.partitionBy("doc_id")
       .orderBy(col(MergeTable.CommitVersion).desc, col("_is_add").cast("int").desc)
     val fin = batch
@@ -73,6 +76,9 @@ object LshMaintenance {
       .select("doc_id", "text", "_is_add")
       .persist()
     val processed = fin.count()
+    if (index.lastTxnVersion(appId).exists(_ >= batchId)) {
+      fin.unpersist(); return processed // replayed batch: state already applied
+    }
     val allBands = sess.range(DedupQueries.Bands)
       .select(col("id").cast("int").as("band"))
 

@@ -562,5 +562,51 @@ object CoreQueries {
              |          ORDER BY o_totalprice DESC, o_orderkey) <= 2
              |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
       "QUALIFY clause via the parser extension: desugars to window + filter, DuckDB runs it natively"),
+
+    // QUALIFY in NESTED scopes — where real users put the clause: inside
+    // a CTE body (top-n-per-group as a reusable building block) and
+    // inside a derived table, composed under an outer aggregate. The
+    // rewrite recurses innermost-first, each block desugared in its own
+    // scope (its `* EXCEPT` drops the helper before the enclosing block
+    // sees the schema), so the SAME text runs natively in DuckDB. The
+    // derived table also exercises a window over an aggregate source.
+    "q30_qualify_nested" -> GraftQuery(
+      (s, dir) => {
+        val v = s"q30_orders_${Registry.sanitize(dir)}"
+        t(s, dir, "orders").createOrReplaceTempView(v)
+        s.sql(s"""WITH top2 AS (
+                 |  SELECT o_custkey, o_orderkey, o_totalprice
+                 |  FROM $v
+                 |  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                 |            ORDER BY o_totalprice DESC, o_orderkey) <= 2
+                 |)
+                 |SELECT p.o_orderpriority, count(*) AS n_top,
+                 |       CAST(sum(CASE WHEN t.o_orderkey IS NULL THEN 0 ELSE 1 END)
+                 |            AS BIGINT) AS n_in_top2
+                 |FROM (SELECT o_orderkey, o_orderpriority
+                 |      FROM $v
+                 |      QUALIFY rank() OVER (PARTITION BY o_orderpriority
+                 |                ORDER BY o_totalprice DESC) <= 5) p
+                 |LEFT JOIN top2 t ON p.o_orderkey = t.o_orderkey
+                 |GROUP BY p.o_orderpriority
+                 |ORDER BY p.o_orderpriority""".stripMargin)
+      },
+      Some("""WITH top2 AS (
+             |  SELECT o_custkey, o_orderkey, o_totalprice
+             |  FROM orders
+             |  QUALIFY row_number() OVER (PARTITION BY o_custkey
+             |            ORDER BY o_totalprice DESC, o_orderkey) <= 2
+             |)
+             |SELECT p.o_orderpriority, count(*) AS n_top,
+             |       CAST(sum(CASE WHEN t.o_orderkey IS NULL THEN 0 ELSE 1 END)
+             |            AS BIGINT) AS n_in_top2
+             |FROM (SELECT o_orderkey, o_orderpriority
+             |      FROM orders
+             |      QUALIFY rank() OVER (PARTITION BY o_orderpriority
+             |                ORDER BY o_totalprice DESC) <= 5) p
+             |LEFT JOIN top2 t ON p.o_orderkey = t.o_orderkey
+             |GROUP BY p.o_orderpriority
+             |ORDER BY p.o_orderpriority""".stripMargin),
+      "QUALIFY inside CTE bodies and derived tables: the rewrite recurses per block, DuckDB parity"),
   )
 }

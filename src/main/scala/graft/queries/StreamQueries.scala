@@ -1021,8 +1021,10 @@ object StreamQueries {
         val ss = streamSession(s)
         val id = runId.incrementAndGet()
         val corpus = new MergeTable(s"${Registry.scratchRoot}/st19_corpus_$id")
-        val fps = new MergeTable(s"${Registry.scratchRoot}/st19_fps_$id")
-        val curated = new MergeTable(s"${Registry.scratchRoot}/st19_curated_$id")
+        // bucketed state tables: the winner recompute partition-prunes fps
+        // to the batch's touched hash-prefix buckets (operator Scaladoc)
+        val fps = IncrementalCuration.fpsTable(s, s"${Registry.scratchRoot}/st19_fps_$id")
+        val curated = IncrementalCuration.curatedTable(s, s"${Registry.scratchRoot}/st19_curated_$id")
         val docs = Registry.t(s, dir, "documents")
         val evalGrams = IncrementalCuration.evalGramSet(docs).cache()
         val batchRows = scala.collection.concurrent.TrieMap.empty[Long, Long]
@@ -1365,8 +1367,8 @@ object StreamQueries {
         val ss = streamSession(s)
         val id = runId.incrementAndGet()
         val corpus = new MergeTable(s"${Registry.scratchRoot}/st23_corpus_$id")
-        val fps = new MergeTable(s"${Registry.scratchRoot}/st23_fps_$id")
-        val curated = new MergeTable(s"${Registry.scratchRoot}/st23_curated_$id")
+        val fps = IncrementalCuration.fpsTable(s, s"${Registry.scratchRoot}/st23_fps_$id")
+        val curated = IncrementalCuration.curatedTable(s, s"${Registry.scratchRoot}/st23_curated_$id")
         val docs = Registry.t(s, dir, "documents")
         val maxId = docs.agg(max("doc_id")).head.getLong(0)
         val m = maxId + 1000

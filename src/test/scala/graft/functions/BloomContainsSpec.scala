@@ -71,6 +71,28 @@ class BloomContainsSpec extends SparkSpec {
       s"cap error must direct users to the Column factory: ${e.getMessage}")
   }
 
+  test("equal sketch contents canonicalize: plan-level sharing across instances") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    def freshFilter(): org.apache.spark.util.sketch.BloomFilter = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+      Seq("a", "b", "c").foreach(bf.putString)
+      bf
+    }
+    val child = BoundReference(0, StringType, nullable = true)
+    val e1 = BloomContains(child, freshFilter())
+    val e2 = BloomContains(child, freshFilter())
+    // two DISTINCT filter objects with equal contents: the expressions
+    // must compare equal (digest identity), or subexpression elimination
+    // and exchange reuse silently miss across plans
+    assert(e1 == e2 && e1.hashCode == e2.hashCode,
+      "equal sketch contents must canonicalize")
+    val other = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+    other.putString("z")
+    assert(e1 != BloomContains(child, other),
+      "different sketch contents must NOT compare equal")
+  }
+
   test("registration rejects a non-literal sketch and a non-string column") {
     GraftFunctions.register(spark)
     val df = Seq(("a", 1)).toDF("s", "i")

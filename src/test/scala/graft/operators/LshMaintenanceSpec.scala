@@ -101,12 +101,15 @@ class LshMaintenanceSpec extends SparkSpec {
     }
   }
 
-  test("a replayed batch is skipped by the txn marker") {
+  test("a replayed batch is skipped by the txn marker, with a replay-stable count") {
     val index = new MergeTable(s"${scratch("lshm_replay")}/idx", Seq("band"))
-    LshMaintenance.applyBatch(batchOf((1L, tA, "insert", 1L)), 1L, index, "lshmtest")
+    val first = LshMaintenance.applyBatch(
+      batchOf((1L, tA, "insert", 1L)), 1L, index, "lshmtest")
     val v = index.currentVersion
+    // the net-change observable must NOT under-count on recovery: the
+    // replay reports the same delta it did the first time (gates sum it)
     assert(LshMaintenance.applyBatch(
-      batchOf((1L, tA, "insert", 1L)), 1L, index, "lshmtest") == 0L)
+      batchOf((1L, tA, "insert", 1L)), 1L, index, "lshmtest") == first)
     assert(index.currentVersion == v, "replay must not publish a new commit")
     assertEquals(index, Seq(1L -> tA), "after replay")
   }

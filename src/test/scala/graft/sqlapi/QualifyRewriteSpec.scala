@@ -18,24 +18,72 @@ class QualifyRewriteSpec extends AnyFunSuite {
         "__qualify_src WHERE __qualify ORDER BY a")
   }
 
-  test("no top-level QUALIFY -> untouched (subqueries and literals)") {
+  test("no QUALIFY (or no window) -> untouched (identifiers and literals)") {
     assert(QualifyRewrite.rewrite("SELECT a FROM t WHERE b = 1").isEmpty)
-    assert(QualifyRewrite.rewrite(
-      "SELECT a, (SELECT x FROM u QUALIFY x = 1) FROM t").isEmpty)
     assert(QualifyRewrite.rewrite("SELECT 'QUALIFY' AS s FROM t").isEmpty)
     assert(QualifyRewrite.rewrite("SELECT `QUALIFY` FROM t").isEmpty)
+    // Spark does not reserve `qualify`: without an OVER token the word is
+    // an identifier and the statement must keep parsing untouched
+    assert(QualifyRewrite.rewrite("SELECT a AS qualify FROM t").isEmpty)
+    assert(QualifyRewrite.rewrite(
+      "SELECT * FROM t qualify WHERE qualify.x > 0").isEmpty)
+    assert(QualifyRewrite.rewrite(
+      "SELECT a, (SELECT x FROM u QUALIFY x = 1) FROM t").isEmpty)
   }
 
   test("shapes the rewrite must refuse: set ops and non-SELECT statements") {
+    val over = "row_number() OVER (ORDER BY a) = 1"
     assert(QualifyRewrite.rewrite(
-      "SELECT a FROM t QUALIFY rn = 1 UNION ALL SELECT a FROM u").isEmpty)
+      s"SELECT a FROM t QUALIFY $over UNION ALL SELECT a FROM u").isEmpty)
     assert(QualifyRewrite.rewrite(
-      "INSERT INTO x SELECT a FROM t QUALIFY rn = 1").isEmpty)
+      s"INSERT INTO x SELECT a FROM t QUALIFY $over").isEmpty)
     // set-op EXCEPT refuses even in its parenthesized-query form …
     assert(QualifyRewrite.rewrite(
-      "SELECT a FROM t QUALIFY rn = 1 EXCEPT (SELECT a FROM u)").isEmpty)
+      s"SELECT a FROM t QUALIFY $over EXCEPT (SELECT a FROM u)").isEmpty)
     assert(QualifyRewrite.rewrite(
-      "SELECT a FROM t QUALIFY rn = 1 MINUS SELECT a FROM u").isEmpty)
+      s"SELECT a FROM t QUALIFY $over MINUS SELECT a FROM u").isEmpty)
+  }
+
+  test("set-op keywords as column names stay identifiers") {
+    // a column named `minus`/`union` is not a set operation: the keyword
+    // is only believed when a query head follows
+    val got = QualifyRewrite.rewrite(
+      "SELECT minus, union FROM t QUALIFY row_number() OVER (ORDER BY minus) = 1")
+    assert(got.isDefined, "columns named after set ops must not refuse the rewrite")
+  }
+
+  test("QUALIFY inside CTE bodies, derived tables, and INSERT subqueries") {
+    // CTE body: the block rewrites in place, the outer statement is intact
+    val cte = QualifyRewrite.rewrite(
+      "WITH top AS (SELECT a, b FROM t " +
+        "QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1) " +
+        "SELECT count(*) AS n FROM top").get
+    assert(cte.startsWith("WITH top AS (SELECT * EXCEPT (__qualify) FROM ("))
+    assert(cte.endsWith("SELECT count(*) AS n FROM top"))
+    // derived table
+    val dt = QualifyRewrite.rewrite(
+      "SELECT d.a FROM (SELECT a FROM t " +
+        "QUALIFY rank() OVER (ORDER BY a) <= 3) d").get
+    assert(dt.startsWith("SELECT d.a FROM (SELECT * EXCEPT (__qualify) FROM ("))
+    // INSERT's source subquery rewrites even though the statement head
+    // is not SELECT (the refusal is per BLOCK)
+    val ins = QualifyRewrite.rewrite(
+      "INSERT INTO x SELECT * FROM (SELECT a FROM t " +
+        "QUALIFY row_number() OVER (ORDER BY a) = 1) s").get
+    assert(ins.startsWith("INSERT INTO x SELECT * FROM (SELECT * EXCEPT"))
+    // nested: inner block AND the outer statement each carry a QUALIFY
+    val both = QualifyRewrite.rewrite(
+      "SELECT a FROM (SELECT a, b FROM t " +
+        "QUALIFY row_number() OVER (PARTITION BY a ORDER BY b) = 1) d " +
+        "QUALIFY rank() OVER (ORDER BY a) <= 2").get
+    assert(both.startsWith("SELECT * EXCEPT (__qualify) FROM ( SELECT a"))
+    assert(both.contains("FROM (SELECT * EXCEPT (__qualify) FROM ("))
+  }
+
+  test("leading comments do not hide the SELECT head") {
+    val got = QualifyRewrite.rewrite(
+      "-- top-2 per group\nSELECT a FROM t QUALIFY row_number() OVER (ORDER BY a) <= 2")
+    assert(got.isDefined, "a leading comment must not defeat the SELECT check")
   }
 
   test("star-EXCEPT is a select-list modifier, not a set op") {
@@ -61,8 +109,10 @@ class QualifyRewriteSpec extends AnyFunSuite {
 
   test("CTE prefix: the main block's FROM is the insertion point") {
     val got = QualifyRewrite.rewrite(
-      "WITH c AS (SELECT a, b FROM t) SELECT a FROM c QUALIFY a = 1").get
-    assert(got.contains("WITH c AS (SELECT a, b FROM t) SELECT a , (a = 1) AS __qualify FROM c"))
+      "WITH c AS (SELECT a, b FROM t) SELECT a FROM c " +
+        "QUALIFY row_number() OVER (ORDER BY a) = 1").get
+    assert(got.contains("WITH c AS (SELECT a, b FROM t) SELECT a , " +
+      "(row_number() OVER (ORDER BY a) = 1) AS __qualify FROM c"))
     assert(got.startsWith("SELECT * EXCEPT (__qualify) FROM ("))
   }
 }
