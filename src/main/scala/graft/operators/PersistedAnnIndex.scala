@@ -85,11 +85,96 @@ object PersistedAnnIndex {
     // cells stay bin-packed, cold cells are never rewritten, and a
     // long-running maintained index keeps bounded files-per-cell instead
     // of accumulating a micro-file per batch (spec-pinned: compaction
-    // changes file counts, never search results).
+    // changes file counts, never search results). The TRAINING corpus
+    // size is pinned alongside: [[maintain]]'s drift signal compares the
+    // live index against it.
     h.codesTable.setProperties(Map(
       MergeTable.AutoCompactProp -> "true",
-      MergeTable.AutoCompactMinFilesProp -> autoCompactMinFiles.toString))
+      MergeTable.AutoCompactMinFilesProp -> autoCompactMinFiles.toString,
+      TrainRowsProp -> assigned.count().toString))
     h
+  }
+
+  /** Table property recording how many vectors the centroids/codebooks
+    * were TRAINED on — the denominator of [[maintain]]'s growth signal.
+    * Set by [[build]] (so a retrain resets it automatically).
+    */
+  val TrainRowsProp = "graft.ann.trainRows"
+
+  /** One [[maintain]] pass's findings — returned, logged nowhere: the
+    * caller owns the alerting channel.
+    */
+  final case class MaintenanceReport(liveRows: Long, maskedRows: Long,
+                                     maskedFraction: Double,
+                                     foldedCells: Seq[Int],
+                                     trainRows: Option[Long],
+                                     growth: Option[Double],
+                                     retrainAdvised: Boolean,
+                                     reason: String)
+
+  /** Index REFRESH policy — closes the lifecycle gap between "deletes are
+    * masked" and "the index stays healthy under sustained mutation":
+    *
+    *  1. MASK FOLD — [[remove]] masks deleted code rows via deletion
+    *     vectors (zero rewrites), so under sustained delete load the
+    *     masked fraction of the codes table only grows: every probe reads
+    *     and dv-filters bytes that can never match. Past
+    *     `maxMaskedFraction`, the masked CELLS (parsed from the dv
+    *     bindings' partition dirs — metadata only) are compacted via the
+    *     partition-scoped OPTIMIZE, which materializes survivors
+    *     dv-masked and drops the sidecars. Folding changes file layout,
+    *     NEVER results (spec-pinned byte-identical search across the
+    *     fold); untouched cells are never rewritten.
+    *
+    *  2. DRIFT SIGNAL — centroids/codebooks were fit on [[build]]'s
+    *     corpus ([[TrainRowsProp]]); appends encode against them without
+    *     refit, so as the corpus grows (or shrinks) past `maxGrowth`×,
+    *     the coarse quantizer no longer represents the distribution and
+    *     recall decays with no error anywhere. The report then carries a
+    *     LOUD `retrainAdvised` with the numbers; the retrain itself is
+    *     [[build]] over the current corpus — an atomic overwrite of all
+    *     three versioned model tables (searches see old or new models,
+    *     never a mix), which also resets the training-size property.
+    *     Deliberately advice, not action: a retrain changes results by
+    *     design, so a maintenance daemon must never take it silently.
+    *
+    * Driver cost: dv bindings + one metadata-counted scan of the codes
+    * table — never the corpus.
+    */
+  def maintain(spark: SparkSession, h: Handle,
+               maxMaskedFraction: Double = 0.2,
+               maxGrowth: Double = 4.0): MaintenanceReport = {
+    require(maxMaskedFraction > 0 && maxGrowth > 1,
+      s"maintain: thresholds out of range ($maxMaskedFraction, $maxGrowth)")
+    val dvs = h.codesTable.deletionVectors
+    val masked = dvs.map(_._3).sum
+    val cells = dvs.flatMap { case (f, _, _) =>
+      "cell=(\\d+)/".r.findFirstMatchIn(f).map(_.group(1).toInt) }.distinct
+    val live = spark.read.format("graft").load(s"${h.root}/codes").count()
+    val frac = if (live + masked == 0) 0.0 else masked.toDouble / (live + masked)
+    val folded =
+      if (frac > maxMaskedFraction && cells.nonEmpty) {
+        h.codesTable.compactPartitions(spark,
+          col("cell").isin(cells.map(Int.box): _*))
+        cells.sorted
+      } else Nil
+    val trainRows = h.codesTable.properties.get(TrainRowsProp)
+      .flatMap(_.toLongOption).filter(_ > 0)
+    val growth = trainRows.map(live.toDouble / _)
+    val retrain = growth.exists(g => g > maxGrowth || g * maxGrowth < 1.0)
+    val reason =
+      if (retrain)
+        s"codes hold $live live vectors vs ${trainRows.get} trained on " +
+          f"(${growth.get}%.2fx, threshold ${maxGrowth}x): the coarse " +
+          "quantizer no longer represents the corpus and recall decays " +
+          "silently - retrain via PersistedAnnIndex.build over the " +
+          "current corpus (atomic model overwrite)"
+      else if (folded.nonEmpty)
+        f"masked fraction $frac%.3f exceeded $maxMaskedFraction%.3f: " +
+          s"folded deletion vectors on cells ${folded.mkString(",")}"
+      else "healthy"
+    MaintenanceReport(live, masked, frac, folded, trainRows, growth,
+      retrain, reason)
   }
 
   /** Centroids back from disk, ordered by cell id — metadata-sized
@@ -179,6 +264,14 @@ object PersistedAnnIndex {
     * so callers (and the v17 gate) tier their recall expectations by it.
     */
   @volatile private[graft] var lastSearchVia: String = ""
+
+  /** The cells the last [[searchAdaptive]] actually scanned — lets gates
+    * derive their recall expectation from an AVAILABILITY census (how
+    * many of the exact top-k live in these cells) instead of a
+    * data-coupled constant. Same observability-only contract as
+    * [[lastSearchVia]].
+    */
+  @volatile private[graft] var lastProbedCells: Seq[Int] = Nil
 
   /** Query-side derived state every search path needs: the query vector,
     * ALL cells ranked by centroid cosine, the per-subspace ADC lookup
@@ -321,6 +414,7 @@ object PersistedAnnIndex {
       eligible = eligibleScan(spark, h, qs.ranked.take(nProbe), queryId, filter)
       cnt = eligible.count()
     }
+    lastProbedCells = qs.ranked.take(nProbe)
     if (nProbe == nCells && cnt <= exactScanMax) {
       lastSearchVia = "exact-subset"
       exactRerank(eligible.select("vec_id", "label"), emb, queryId, k)

@@ -1577,6 +1577,7 @@ object StreamQueries {
             .select("vec_id").collect().map(_.getLong(0)).toSet
         }
         var out: DataFrame = null
+        var preFold: Seq[org.apache.spark.sql.Row] = Nil
         for (qid <- Seq(0L, maxId).filter(_ % 5 != 2)) {
           val got = PersistedAnnIndex.search(s, h, survivors, qid,
             k = 10, nProbe = 8, rerank = 100)
@@ -1587,11 +1588,30 @@ object StreamQueries {
           require(overlap >= 5,
             s"post-retraction recall for query $qid: $overlap/10 vs exact")
           out = got
+          preFold = got.collect().toSeq
         }
+        // LIFECYCLE CLOSE-OUT: the 20% corpus delete left the masked
+        // fraction past maintain's default threshold — the refresh policy
+        // must FOLD the deletion vectors (partition-scoped OPTIMIZE on the
+        // masked cells only) and folding must be invisible to search: the
+        // last query's rows byte-identical, recall re-proved post-fold
+        val rep = PersistedAnnIndex.maintain(s, h, maxMaskedFraction = 0.1)
+        require(rep.foldedCells.nonEmpty && h.codesTable.deletionVectors.isEmpty,
+          s"maintain must fold the masked cells' dvs, saw $rep")
+        require(!rep.retrainAdvised,
+          s"a shrink within threshold must not advise retrain: $rep")
+        val lastQid = Seq(0L, maxId).filter(_ % 5 != 2).last
+        val refold = PersistedAnnIndex.search(s, h, survivors, lastQid,
+          k = 10, nProbe = 8, rerank = 100)
+        require(refold.collect().toSeq == preFold,
+          "dv fold changed search results")
+        val postIds = refold.select("vec_id").collect().map(_.getLong(0)).toSet
+        require(postIds.intersect(exactTop(lastQid)).size >= 5,
+          "post-fold recall regressed")
         out.orderBy(col("cosine").desc, col("vec_id"))
       },
       None,
-      "retracting ANN maintenance: corpus deletes dv-mask their codes, search never returns them"),
+      "retracting ANN maintenance: corpus deletes dv-mask their codes, search never returns them, maintain folds the masks"),
 
     // RETRACTING LSH MAINTENANCE — closes the last insert-only maintenance
     // surface: d13's band-partitioned MinHash index kept equal to the

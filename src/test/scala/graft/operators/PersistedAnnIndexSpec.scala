@@ -80,6 +80,75 @@ class PersistedAnnIndexSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("maintain folds dv masks past the threshold; search is byte-identical across the fold") {
+    val e = emb.cache()
+    val root = scratch("annfold")
+    val h = PersistedAnnIndex.build(spark, e, root)
+    val victims = e.filter(col("vec_id") % 7 === 2)
+    PersistedAnnIndex.remove(spark, h, victims)
+    val before = PersistedAnnIndex.maintain(spark, h, maxMaskedFraction = 0.05)
+    assert(before.maskedRows > 0 && before.maskedFraction > 0.05,
+      s"precondition: the removes must mask past the threshold, saw $before")
+    assert(before.foldedCells.nonEmpty, "maintain must fold past the threshold")
+    // every sidecar is gone, live rows unchanged, and a fresh census is clean
+    assert(h.codesTable.deletionVectors.isEmpty,
+      "folding must materialize survivors and drop the dv sidecars")
+    val after = PersistedAnnIndex.maintain(spark, h, maxMaskedFraction = 0.05)
+    assert(after.maskedRows == 0L && after.foldedCells.isEmpty,
+      s"post-fold census must be clean, saw $after")
+    assert(after.liveRows == before.liveRows, "folding must not change live rows")
+    // the fold is invisible to search: rebuild an identical index WITHOUT
+    // folding and compare results row for row
+    val hU = PersistedAnnIndex.build(spark, e, scratch("annfoldu"))
+    PersistedAnnIndex.remove(spark, hU, victims)
+    for (qid <- Seq(0L, 7L, 123L)) {
+      val a = PersistedAnnIndex.search(spark, h, e, qid, k = 10).collect().toSeq
+      val b = PersistedAnnIndex.search(spark, hU, e, qid, k = 10).collect().toSeq
+      assert(a == b, s"dv fold changed search results for query $qid")
+    }
+    e.unpersist()
+  }
+
+  test("sustained delete load keeps the masked fraction bounded under maintain") {
+    val e = emb.cache()
+    val root = scratch("annsust")
+    val h = PersistedAnnIndex.build(spark, e, root)
+    val cap = 0.25
+    (0 until 4).foreach { i =>
+      PersistedAnnIndex.remove(spark, h, e.filter(col("vec_id") % 5 === i))
+      val r = PersistedAnnIndex.maintain(spark, h, maxMaskedFraction = cap)
+      // maintain either stayed under the cap or folded back to zero —
+      // the fraction never RATCHETS (the st24 failure mode it closes)
+      val now = PersistedAnnIndex.maintain(spark, h, maxMaskedFraction = 1.0)
+      assert(now.maskedFraction <= cap,
+        s"round $i: masked fraction must stay bounded, saw $now after $r")
+    }
+    assert(h.codesTable.read(spark).count() == e.filter(col("vec_id") % 5 === 4).count(),
+      "only the undeleted residue class remains live")
+    e.unpersist()
+  }
+
+  test("corpus growth past the threshold raises the retrain signal; a retrain clears it") {
+    val e = emb.cache()
+    val root = scratch("anngrow")
+    val seed = e.filter(col("vec_id") % 8 === 0)
+    val h = PersistedAnnIndex.build(spark, seed, root)
+    (1 to 7).foreach(i =>
+      PersistedAnnIndex.append(spark, h, e.filter(col("vec_id") % 8 === i)))
+    val drifted = PersistedAnnIndex.maintain(spark, h, maxGrowth = 4.0)
+    assert(drifted.retrainAdvised && drifted.growth.exists(_ > 4.0),
+      s"8x growth must advise a retrain, saw $drifted")
+    assert(drifted.reason.contains("retrain"),
+      s"the advice must be loud and actionable: ${drifted.reason}")
+    // the retrain IS build() over the current corpus: atomic model
+    // overwrite, training-size property reset, signal cleared
+    PersistedAnnIndex.build(spark, e, root)
+    val healthy = PersistedAnnIndex.maintain(spark, h, maxGrowth = 4.0)
+    assert(!healthy.retrainAdvised && healthy.reason == "healthy",
+      s"a retrain must clear the drift signal, saw $healthy")
+    e.unpersist()
+  }
+
   test("searchBatch fails fast on a query id absent from the corpus") {
     val e = emb
     val root = scratch("annm")
