@@ -1733,6 +1733,20 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                           addConflict: Option[Seq[String] => Boolean] = None,
                           op: String = "MERGE",
                           allowRowTracking: Boolean = false): Unit = {
+    // a REPLAYED BATCH is dropped before ANY conflict classification —
+    // including the read-set requirement below: if the tip already
+    // carries this merge's txn marker, the logical batch was fully
+    // applied by the race winner (two maintenance instances racing the
+    // same micro-batch), and this writer's output — change feed, ids and
+    // all — is discarded wholesale, so the stamped-version and id-range
+    // concerns never arise (the written dir is vacuum's orphan). For
+    // same-batch races this is deterministic: the loser only sees
+    // ConcurrentModificationException BECAUSE the winner's commit
+    // (marker included) already landed, and currentVersion fast-forwards
+    // over commit files whose _LATEST swap is still in flight.
+    txn.foreach { case (app, ver) =>
+      if (readCommit(currentVersion).txns.get(app).exists(_ >= ver)) return
+    }
     // does a winner's ADDED file set invalidate what this writer read?
     // Merges scope by partition DIRECTORIES (the source's partition set);
     // DELETE scopes by its own PREDICATE (an added file whose partition

@@ -17,9 +17,10 @@ import graft.lake.MergeTable
   * DuckDB replay).
   *
   * The mechanism that makes all of that one code path: fingerprint state
-  * is a CENSUS, not a set. `fps(doc_id, h, source, n_tok, ok)` holds one
-  * row per quality-passing document currently in the corpus (16-byte md5
-  * + 3 scalars per doc — the classic dedup state store), where
+  * is a CENSUS, not a set. `fps(doc_id, h, source, n_tok, ok, v)` holds
+  * one row per quality-passing document currently in the corpus (16-byte
+  * md5 + 4 scalars per doc — the classic dedup state store; `v` is the
+  * registering commit version, the same-commit drop guard), where
   * `ok` = curated-eligible (not an eval doc, not contaminated) is
   * evaluated ONCE at registration against the fixed benchmark gram set.
   * Curated membership is then a pure function of fps: the MIN-doc_id row
@@ -171,13 +172,32 @@ object IncrementalCuration {
     * the NET per-doc change count (the delta-size observable the gates
     * require on). `appId` prefixes the two txn markers (`<appId>f`,
     * `<appId>c`).
+    *
+    * `passthroughCols` names corpus columns to CARRY through the pipeline
+    * into fps and curated (beside the derived source/n_tok/ok) — the
+    * schema-evolution contract: a column that arrives MID-STREAM via
+    * `addColumns` (the change feed tracks the latest snapshot schema, so
+    * a restarted stream surfaces it) is picked up the first batch it
+    * appears in — the state merges evolve the state tables' schemas
+    * (`mergeClausesEvolve`), earlier state rows read as NULL until their
+    * doc re-registers, and batches staged BEFORE the evolution simply
+    * don't carry the column (it is filtered against the batch schema, so
+    * the same call site works across the evolution boundary).
     */
   def applyBatch(batch: DataFrame, batchId: Long, fps: MergeTable,
                  curated: MergeTable, evalGrams: DataFrame,
-                 appId: String): Long = {
+                 appId: String, passthroughCols: Seq[String] = Nil): Long = {
     val sess = batch.sparkSession
     val appF = appId + "f"
     val appC = appId + "c"
+    // only the passthrough columns THIS batch's schema actually carries:
+    // pre-evolution batches flow without them, post-evolution ones evolve
+    // the state tables below
+    val pt = passthroughCols.filter(batch.columns.contains)
+    require(!pt.exists(Seq("doc_id", "h", "source", "n_tok", "ok", "v",
+        "text", "old_h", "action", "is_winner",
+        BucketCol, CuratedBucketCol).contains),
+      s"passthroughCols collide with the operator's own columns: $pt")
 
     // 1. net change per doc: last commit version wins; within a version
     // an update's postimage outranks its preimage (insert/postimage =
@@ -190,12 +210,20 @@ object IncrementalCuration {
     // delete below is conditional on the stored hash still matching.
     val wDoc = Window.partitionBy("doc_id")
       .orderBy(col(MergeTable.CommitVersion).desc, col("_is_add").cast("int").desc)
+    // `v` = the net row's commit version, stored with every registration:
+    // the fps delete below must NOT fire when the drop comes from the
+    // registration's OWN commit (t.v = s.v) — an update whose text is
+    // UNCHANGED (a metadata-only backfill, st27's shape) has pre- and
+    // postimage hashes EQUAL, so when the postimage lands first and the
+    // preimage trails in a later micro-batch, the hash guard alone would
+    // wrongly retract the registration the same commit just made
     val fin = batch
       .withColumn("_is_add",
         col(MergeTable.ChangeType).isin("insert", "update_postimage"))
       .withColumn("_rn", row_number().over(wDoc)).filter(col("_rn") === 1)
-      .select(col("doc_id"), col("text"), col("source"), col("_is_add"),
-        when(!col("_is_add"), md5(col("text"))).as("old_h"))
+      .select(Seq(col("doc_id"), col("text"), col("source"), col("_is_add"),
+        when(!col("_is_add"), md5(col("text"))).as("old_h"),
+        col(MergeTable.CommitVersion).as("v")) ++ pt.map(col): _*)
       .persist()
     val processed = fin.count()
 
@@ -207,14 +235,15 @@ object IncrementalCuration {
     // probe, the fps merge source, and the rejected-adds retraction set
     // all branch from it, and without the pin each consumer would re-run
     // the gate's regex/array pipeline over the batch
-    val adds = fin.filter(col("_is_add")).select("doc_id", "text", "source")
+    val adds = fin.filter(col("_is_add"))
+      .select(("doc_id" +: "text" +: "source" +: "v" +: pt).map(col): _*)
     val qual = qualityGate(adds).persist()
     val contamIds = qual.select(col("doc_id"), explode(expr(gram8)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .select("doc_id").distinct()
     val addPut = qual
-      .select(col("doc_id"), md5(col("text")).as("h"), col("source"),
-        col("nw").cast("long").as("n_tok"))
+      .select(Seq(col("doc_id"), md5(col("text")).as("h"), col("source"),
+        col("nw").cast("long").as("n_tok"), col("v")) ++ pt.map(col): _*)
       .join(contamIds.withColumn("_contam", lit(true)), Seq("doc_id"), "left")
       .withColumn("ok", col("doc_id") % 97 =!= 0 && col("_contam").isNull)
       .drop("_contam")
@@ -222,8 +251,8 @@ object IncrementalCuration {
     // preimages (hash-conditionally, see above) plus adds the quality
     // gate rejected (an update below the bar retracts, unconditionally —
     // old_h null disables the hash guard)
-    val delIds = fin.filter(!col("_is_add")).select("doc_id", "old_h")
-      .unionByName(adds.select("doc_id")
+    val delIds = fin.filter(!col("_is_add")).select("doc_id", "old_h", "v")
+      .unionByName(adds.select("doc_id", "v")
         .join(qual.select("doc_id"), Seq("doc_id"), "left_anti")
         .withColumn("old_h", lit(null).cast("string")))
 
@@ -242,8 +271,21 @@ object IncrementalCuration {
     // something: insert-only batches (the steady-state ingest case) write
     // no feed and skip the image passes entirely
     val anyDel = !delIds.isEmpty
+    // schema evolution, scoped to the DECLARED passthrough columns only
+    // (mergeClausesEvolve would also absorb the merge's action/old_h
+    // helper columns): a passthrough column newly present in this batch
+    // widens the state table before its merge; existing rows read NULL
+    def evolveFor(t: MergeTable, src: DataFrame, cols: Seq[String]): Unit = {
+      if (t.exists && cols.nonEmpty) {
+        val have = t.schemaOf(t.currentVersion).fieldNames.toSet
+        val fresh = org.apache.spark.sql.types.StructType(
+          src.schema.fields.filter(f => cols.contains(f.name) && !have(f.name)))
+        if (fresh.nonEmpty) t.addColumns(fresh)
+      }
+    }
     val fpsMergedNow = fps.lastTxnVersion(appF).forall(_ < batchId)
     if (fpsMergedNow) {
+      evolveFor(fps, addPut, pt)
       if (!fps.exists) {
         fps.overwrite(addPut, txn = Some(appF -> batchId))
         // maintained-state write hygiene: every later merge pre-shuffles
@@ -258,15 +300,18 @@ object IncrementalCuration {
           delIds.withColumn("action", lit("del")), allowMissingColumns = true),
         Seq("doc_id"),
         Seq(MergeTable.MatchedDelete(
-              Some("s.action = 'del' AND (s.old_h IS NULL OR t.h = s.old_h)")),
+              Some("s.action = 'del' AND (s.old_h IS NULL OR t.h = s.old_h) " +
+                "AND t.v <> s.v")),
             MergeTable.MatchedUpdate(Some("s.action = 'put'"),
               Seq("h" -> "s.h", "source" -> "s.source",
-                  "n_tok" -> "s.n_tok", "ok" -> "s.ok") ++
+                  "n_tok" -> "s.n_tok", "ok" -> "s.ok", "v" -> "s.v") ++
+                pt.map(c => c -> s"s.$c") ++
                 fpsBucketGen.map(g =>
                   BucketCol -> g.replaceFirst("\\bh\\b", "s.h")).toSeq),
             MergeTable.NotMatchedInsert(Some("s.action = 'put'"),
               Seq("doc_id" -> "s.doc_id", "h" -> "s.h", "source" -> "s.source",
-                  "n_tok" -> "s.n_tok", "ok" -> "s.ok"))),
+                  "n_tok" -> "s.n_tok", "ok" -> "s.ok", "v" -> "s.v") ++
+                pt.map(c => c -> s"s.$c"))),
         checkUniqueSource = false, changeFeed = anyDel,
         txn = Some(appF -> batchId))
     }
@@ -298,11 +343,16 @@ object IncrementalCuration {
         lastWinnerFilesRead = lastWinnerFilesTotal
         fps.read(sess)
     }
+    // passthrough columns the STATE holds (an earlier batch may have
+    // evolved them even if this batch's schema predates the evolution)
+    val ptAll = passthroughCols.filter(fpsAff.columns.contains)
+    val ptTypes = ptAll.map(c => c -> fpsAff.schema(c).dataType).toMap
     val wH = Window.partitionBy("h").orderBy("doc_id")
     val affRows = fpsAff.join(broadcast(affH), Seq("h"), "left_semi")
       .withColumn("_rn", row_number().over(wH))
       .withColumn("is_winner", col("_rn") === 1 && col("ok"))
-      .select(col("doc_id"), col("source"), col("n_tok"), col("is_winner"))
+      .select(Seq(col("doc_id"), col("source"), col("n_tok"),
+        col("is_winner")) ++ ptAll.map(col): _*)
     // a doc that LEFT fps leaves curated too — read back as the fps
     // commit's own `delete` change rows (delta-sized; a delId whose
     // conditional drop did NOT fire emitted no delete row and correctly
@@ -320,8 +370,9 @@ object IncrementalCuration {
         .select("doc_id").distinct())
       .getOrElse(addPut.select("doc_id").limit(0))
     val curSource = affRows.unionByName(
-      stillGone.select(col("doc_id"), lit(null).cast("string").as("source"),
-        lit(null).cast("long").as("n_tok"), lit(false).as("is_winner")))
+      stillGone.select(Seq(col("doc_id"), lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("n_tok"), lit(false).as("is_winner")) ++
+        ptAll.map(c => lit(null).cast(ptTypes(c)).as(c)): _*))
 
     // 5. curated merge — SECOND commit; losers delete, winners upsert.
     // On a bucketed curated table ([[curatedTable]]) the merge key
@@ -335,23 +386,28 @@ object IncrementalCuration {
     if (curated.lastTxnVersion(appC).forall(_ < batchId)) {
       if (!curated.exists) {
         curated.overwrite(
-          curSource.filter(col("is_winner")).select("doc_id", "source", "n_tok"),
+          curSource.filter(col("is_winner"))
+            .select(("doc_id" +: "source" +: "n_tok" +: ptAll).map(col): _*),
           txn = Some(appC -> batchId))
         curated.setProperties(Map(MergeTable.OptimizeWriteProp -> "true"))
       }
-      else curated.mergeClauses(sess,
-        curBucketGen.fold(curSource)(g =>
-          curSource.withColumn(CuratedBucketCol, expr(g))),
-        Seq("doc_id"),
-        Seq(MergeTable.MatchedDelete(Some("NOT s.is_winner")),
-            MergeTable.MatchedUpdate(Some("s.is_winner"),
-              Seq("source" -> "s.source", "n_tok" -> "s.n_tok")),
-            MergeTable.NotMatchedInsert(Some("s.is_winner"),
-              Seq("doc_id" -> "s.doc_id", "source" -> "s.source",
-                  "n_tok" -> "s.n_tok"))),
-        checkUniqueSource = false,
-        keysDeterminePartitions = curBucketGen.isDefined,
-        txn = Some(appC -> batchId))
+      else {
+        evolveFor(curated, curSource, ptAll)
+        curated.mergeClauses(sess,
+          curBucketGen.fold(curSource)(g =>
+            curSource.withColumn(CuratedBucketCol, expr(g))),
+          Seq("doc_id"),
+          Seq(MergeTable.MatchedDelete(Some("NOT s.is_winner")),
+              MergeTable.MatchedUpdate(Some("s.is_winner"),
+                Seq("source" -> "s.source", "n_tok" -> "s.n_tok") ++
+                  ptAll.map(c => c -> s"s.$c")),
+              MergeTable.NotMatchedInsert(Some("s.is_winner"),
+                Seq("doc_id" -> "s.doc_id", "source" -> "s.source",
+                    "n_tok" -> "s.n_tok") ++ ptAll.map(c => c -> s"s.$c"))),
+          checkUniqueSource = false,
+          keysDeterminePartitions = curBucketGen.isDefined,
+          txn = Some(appC -> batchId))
+      }
     }
     qual.unpersist()
     fin.unpersist()

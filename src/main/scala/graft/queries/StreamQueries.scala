@@ -1737,5 +1737,272 @@ object StreamQueries {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
       "retracting LSH maintenance: corpus deletes/updates retract and re-sign the persisted MinHash index"),
+
+    // CONCURRENT WRITERS vs THE MAINTENANCE STREAM — the real deployment
+    // failure mode of any always-on pipeline, in two layers:
+    //  (1) a SECOND CORPUS WRITER lands a mutation commit (deletes +
+    //      re-hashing updates, CDF on) WHILE the maintenance foreachBatch
+    //      is mid-apply — after the stream latched its AvailableNow
+    //      offsets, before the state merges commit. Snapshot isolation
+    //      (the atomic _LATEST swap) keeps the in-flight batch consistent;
+    //      the commit is consumed INCREMENTALLY by the next maintenance
+    //      run over the same checkpoint (the periodic-job shape).
+    //  (2) a SECOND MAINTENANCE INSTANCE (fresh handles, same app id —
+    //      the accidental double-deployment) races EVERY batch right
+    //      behind the first: the per-sink txn markers must serialize it
+    //      to a pure no-op (no new commit on either state table; the
+    //      thread-level race of the same design is spec-pinned in
+    //      ConcurrentCurationSpec via mergeWithRetry's OCC).
+    // The answer hash-matches t39's batch replay over the FINAL corpus —
+    // proof the interleaved history converged exactly.
+    "st26_concurrent_writers" -> GraftQuery(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.IncrementalCuration
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val corpus = new MergeTable(s"${Registry.scratchRoot}/st26_corpus_$id")
+        val fpsRoot = s"${Registry.scratchRoot}/st26_fps_$id"
+        val curRoot = s"${Registry.scratchRoot}/st26_curated_$id"
+        val fps = IncrementalCuration.fpsTable(s, fpsRoot)
+        val curated = IncrementalCuration.curatedTable(s, curRoot)
+        val docs = Registry.t(s, dir, "documents")
+        val evalGrams = IncrementalCuration.evalGramSet(docs).cache()
+        val batchRows = scala.collection.concurrent.TrieMap.empty[Long, Long]
+        val dualNoop = new java.util.concurrent.atomic.AtomicBoolean(true)
+        @volatile var mutated = false
+        def curate(batch: DataFrame, batchId: Long): Unit = {
+          val sess = batch.sparkSession
+          if (!mutated) { // the second writer, racing this very batch
+            mutated = true
+            val mutSrc = docs.select("doc_id")
+              .filter(col("doc_id") % 20 === 7 || col("doc_id") % 20 === 11)
+              .withColumn("kind", when(col("doc_id") % 20 === 7, "del")
+                .otherwise("upd"))
+              .repartition(1)
+            corpus.mergeClauses(sess, mutSrc, Seq("doc_id"),
+              Seq(MergeTable.MatchedDelete(Some("s.kind = 'del'")),
+                  MergeTable.MatchedUpdate(Some("s.kind = 'upd'"),
+                    Seq("text" ->
+                      "concat(t.text, ' and the crew of the north')"))),
+              checkUniqueSource = false, changeFeed = true)
+          }
+          batchRows(batchId) = IncrementalCuration.applyBatch(
+            batch, batchId, fps, curated, evalGrams, "st26")
+          // the double-deployed instance: fresh handles, same markers
+          val fps2 = IncrementalCuration.fpsTable(sess, fpsRoot)
+          val cur2 = IncrementalCuration.curatedTable(sess, curRoot)
+          val (vF, vC) = (fps2.currentVersion, cur2.currentVersion)
+          IncrementalCuration.applyBatch(batch, batchId, fps2, cur2,
+            evalGrams, "st26")
+          if (fps2.currentVersion != vF || cur2.currentVersion != vC)
+            dualNoop.set(false)
+          ()
+        }
+        (0 to 1).foreach(i => corpus.merge(s,
+          docs.filter(col("doc_id") % 2 === i).repartition(1),
+          Seq("doc_id"), changeFeed = true))
+        def drain(): Unit = {
+          val q = corpus.changesStream(ss, maxFilesPerTrigger = Some(1))
+            .writeStream
+            .foreachBatch(curate _)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"${Registry.scratchRoot}/st26_ckpt_$id")
+            .start()
+          q.awaitTermination()
+        }
+        drain() // run 1: the concurrent commit lands mid-apply …
+        require(mutated, "the second writer must have committed mid-stream")
+        drain() // … run 2 consumes it incrementally over the same checkpoint
+        evalGrams.unpersist()
+        require(dualNoop.get,
+          "the racing maintenance instance must serialize to a no-op on both tables")
+        val nMut = docs
+          .filter(col("doc_id") % 20 === 7 || col("doc_id") % 20 === 11).count()
+        val nUpd = docs.filter(col("doc_id") % 20 === 11).count()
+        val net = batchRows.values.sum
+        require(net >= docs.count() + nMut && net <= docs.count() + nMut + nUpd,
+          s"net changes must be corpus + mutations (± split updates): $batchRows")
+        require(curated.read(s).filter(col("doc_id") % 20 === 7).count() == 0,
+          "a doc deleted by the concurrent writer stayed curated")
+        val w = Window.partitionBy("source").orderBy("doc_id")
+        curated.read(s)
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("pack_id", ((col("cum") - col("n_tok")) / 256).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            countDistinct(col("pack_id")).as("n_packs"))
+          .orderBy("source")
+      },
+      Some("""WITH corp AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 20 = 11
+             |              THEN text || ' and the crew of the north'
+             |              ELSE text END AS text,
+             |         source
+             |  FROM documents WHERE doc_id % 20 <> 7),
+             |m AS (
+             |  SELECT doc_id, text, source,
+             |         list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw
+             |  FROM corp),
+             |qual AS (
+             |  SELECT * FROM (
+             |    SELECT *, length(text) - (nw - 1) AS sum_wlen,
+             |           length(regexp_replace(text, '[a-z ]', '', 'g')) AS n_sym,
+             |           len(list_intersect(list_distinct(words),
+             |                              ['the','and','of','to','a'])) AS n_stop
+             |    FROM m)
+             |  WHERE nw BETWEEN 5 AND 1000
+             |    AND sum_wlen >= nw * 2 AND sum_wlen <= nw * 12
+             |    AND n_sym * 10 <= length(text) AND n_stop >= 2),
+             |rep AS (
+             |  SELECT * FROM (
+             |    SELECT *, list_transform(generate_series(1, nw - 2),
+             |             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS g3
+             |    FROM qual)
+             |  WHERE (len(g3) - len(list_distinct(g3))) * 5 < len(g3)),
+             |canon AS (SELECT min(doc_id) AS doc_id FROM rep GROUP BY md5(text)),
+             |k1 AS (SELECT rep.* FROM rep JOIN canon USING (doc_id)),
+             |morig AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw
+             |  FROM documents),
+             |eg AS (SELECT DISTINCT array_to_string(words[i: i+7], ' ') AS gram
+             |       FROM morig CROSS JOIN LATERAL
+             |         (SELECT unnest(generate_series(1, greatest(nw - 7, 0))) AS i) g
+             |       WHERE doc_id % 97 = 0),
+             |cont AS (SELECT DISTINCT k1.doc_id
+             |         FROM k1 CROSS JOIN LATERAL
+             |           (SELECT unnest(generate_series(1, greatest(nw - 7, 0))) AS i) g
+             |         WHERE array_to_string(words[i: i+7], ' ') IN
+             |               (SELECT gram FROM eg)),
+             |kept AS (SELECT * FROM k1
+             |         WHERE doc_id % 97 <> 0
+             |           AND doc_id NOT IN (SELECT doc_id FROM cont)),
+             |cums AS (SELECT source, doc_id, CAST(nw AS BIGINT) AS n_tok,
+             |                sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+             |                              ROWS UNBOUNDED PRECEDING) AS cum
+             |         FROM kept)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |       CAST(count(DISTINCT (cum - n_tok) // 256) AS BIGINT) AS n_packs
+             |FROM cums GROUP BY source ORDER BY source""".stripMargin),
+      "concurrent writers: a corpus commit mid-apply and a racing maintenance instance both converge"),
+
+    // SCHEMA EVOLUTION THROUGH THE CDF CONSUMER — a column arrives
+    // MID-STREAM: run 1 curates the pre-evolution corpus; then
+    // `addColumns` widens the corpus with `lang` and a backfill commit
+    // (an UPDATE that sets lang WITHOUT touching text — pre/postimage
+    // hashes are EQUAL, the shape that forced the same-commit drop guard)
+    // stamps doc_id % 9 == 0; run 2 restarts the change stream over the
+    // same checkpoint — changesStream tracks the LATEST snapshot schema —
+    // and the operator's passthroughCols contract picks the column up the
+    // first batch it appears in: the state tables' schemas evolve
+    // (addColumns on fps and curated), earlier rows read NULL, and the
+    // backfilled canonicals propagate lang into curated. The answer
+    // (t39's kept set + a lang census) hash-matches DuckDB's replay.
+    "st27_schema_evolution" -> GraftQuery(
+      (s, dir) => {
+        import graft.operators.IncrementalCuration
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val corpus = new MergeTable(s"${Registry.scratchRoot}/st27_corpus_$id")
+        val fps = IncrementalCuration.fpsTable(s, s"${Registry.scratchRoot}/st27_fps_$id")
+        val curated = IncrementalCuration.curatedTable(s, s"${Registry.scratchRoot}/st27_curated_$id")
+        // the raw table's OWN lang column is deliberately dropped: the
+        // gate is about a column that does not exist until mid-stream
+        val docs = Registry.t(s, dir, "documents")
+          .select("doc_id", "text", "source")
+        val evalGrams = IncrementalCuration.evalGramSet(docs).cache()
+        val batchRows = scala.collection.concurrent.TrieMap.empty[Long, Long]
+        def curate(batch: DataFrame, batchId: Long): Unit = {
+          batchRows(batchId) = IncrementalCuration.applyBatch(
+            batch, batchId, fps, curated, evalGrams, "st27",
+            passthroughCols = Seq("lang"))
+          ()
+        }
+        def drain(): Unit = {
+          val q = corpus.changesStream(ss, maxFilesPerTrigger = Some(1))
+            .writeStream
+            .foreachBatch(curate _)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"${Registry.scratchRoot}/st27_ckpt_$id")
+            .start()
+          q.awaitTermination()
+        }
+        (0 to 1).foreach(i => corpus.merge(s,
+          docs.filter(col("doc_id") % 2 === i).repartition(1),
+          Seq("doc_id"), changeFeed = true))
+        drain() // run 1: the pre-evolution schema
+        require(!curated.read(s).columns.contains("lang"),
+          "state must not anticipate a column the corpus does not have yet")
+        // mid-stream evolution: widen the corpus, backfill lang only
+        corpus.addColumns(StructType(Seq(StructField("lang", StringType))))
+        corpus.mergeClauses(s,
+          docs.select("doc_id").filter(col("doc_id") % 9 === 0).repartition(1),
+          Seq("doc_id"),
+          Seq(MergeTable.MatchedUpdate(None, Seq("lang" -> "'en'"))),
+          checkUniqueSource = false, changeFeed = true)
+        drain() // run 2: the widened change feed
+        evalGrams.unpersist()
+        require(fps.read(s).columns.contains("lang") &&
+            curated.read(s).columns.contains("lang"),
+          "the passthrough column must evolve BOTH state tables")
+        val nBack = docs.filter(col("doc_id") % 9 === 0).count()
+        val net = batchRows.values.sum
+        require(net >= docs.count() + nBack && net <= docs.count() + 2 * nBack,
+          s"net changes must be corpus + backfill (± split updates): $batchRows")
+        require(curated.read(s).filter(col("lang") === "en").count() >= 1,
+          "at least one backfilled canonical must propagate lang")
+        require(curated.read(s).filter(col("lang").isNull).count() >= 1,
+          "pre-evolution canonicals must read NULL, not vanish")
+        curated.read(s).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            count(col("lang")).as("n_lang"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, text, source,
+             |         list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS nw
+             |  FROM documents),
+             |qual AS (
+             |  SELECT * FROM (
+             |    SELECT *, length(text) - (nw - 1) AS sum_wlen,
+             |           length(regexp_replace(text, '[a-z ]', '', 'g')) AS n_sym,
+             |           len(list_intersect(list_distinct(words),
+             |                              ['the','and','of','to','a'])) AS n_stop
+             |    FROM m)
+             |  WHERE nw BETWEEN 5 AND 1000
+             |    AND sum_wlen >= nw * 2 AND sum_wlen <= nw * 12
+             |    AND n_sym * 10 <= length(text) AND n_stop >= 2),
+             |rep AS (
+             |  SELECT * FROM (
+             |    SELECT *, list_transform(generate_series(1, nw - 2),
+             |             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS g3
+             |    FROM qual)
+             |  WHERE (len(g3) - len(list_distinct(g3))) * 5 < len(g3)),
+             |canon AS (SELECT min(doc_id) AS doc_id FROM rep GROUP BY md5(text)),
+             |k1 AS (SELECT rep.* FROM rep JOIN canon USING (doc_id)),
+             |eg AS (SELECT DISTINCT array_to_string(words[i: i+7], ' ') AS gram
+             |       FROM m CROSS JOIN LATERAL
+             |         (SELECT unnest(generate_series(1, greatest(nw - 7, 0))) AS i) g
+             |       WHERE doc_id % 97 = 0),
+             |cont AS (SELECT DISTINCT k1.doc_id
+             |         FROM k1 CROSS JOIN LATERAL
+             |           (SELECT unnest(generate_series(1, greatest(nw - 7, 0))) AS i) g
+             |         WHERE array_to_string(words[i: i+7], ' ') IN
+             |               (SELECT gram FROM eg)),
+             |kept AS (SELECT * FROM k1
+             |         WHERE doc_id % 97 <> 0
+             |           AND doc_id NOT IN (SELECT doc_id FROM cont))
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(nw) AS BIGINT) AS n_tokens,
+             |       CAST(count(CASE WHEN doc_id % 9 = 0 THEN 1 END) AS BIGINT) AS n_lang
+             |FROM kept GROUP BY source ORDER BY source""".stripMargin),
+      "schema evolution through the CDF consumer: a mid-stream column evolves the maintained state and propagates"),
   )
 }

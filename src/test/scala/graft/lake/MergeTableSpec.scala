@@ -313,6 +313,24 @@ class MergeTableSpec extends SparkSpec {
     assert(fields.contains("extra"),
       "evolved column dropped — stream schema was pinned pre-evolution")
     assert(fields.contains(MergeTable.ChangeType) && fields.contains(MergeTable.CommitVersion))
+    // and the DATA honors it: feed files written BEFORE the evolution
+    // null-fill the evolved column (parquet projection), files written
+    // after surface their values — the consumer-side contract st27 builds on
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Int, Option[Long])]
+    val q = t.changesStream(spark).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.filter(col(MergeTable.ChangeType) === "insert").select("k", "extra")
+          .collect().foreach(r =>
+            got.synchronized { got += ((r.getInt(0),
+              if (r.isNullAt(1)) None else Some(r.getLong(1)))) })
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", scratch("mt_cdf_evo_ckpt"))
+      .start()
+    q.awaitTermination()
+    assert(got.toSet == Set(2 -> None, 3 -> Some(7L)),
+      s"pre-evolution rows must null-fill, post-evolution carry values: $got")
   }
 
   test("restore rolls back to an old snapshot as a metadata-only commit") {

@@ -87,6 +87,33 @@ class IncrementalCurationSpec extends SparkSpec {
     }
   }
 
+  test("UNCHANGED-text update (metadata-only backfill) split images converge in EITHER order") {
+    // pre- and postimage hashes are EQUAL here, so the hash guard alone
+    // cannot tell the trailing preimage from a genuine retraction — the
+    // registration's commit version (the same-commit drop guard) must
+    for (postFirst <- Seq(true, false)) {
+      val root = scratch(s"inccur_meta_$postFirst")
+      val fps = new MergeTable(s"$root/fps")
+      val curated = new MergeTable(s"$root/curated")
+      var b = 0L
+      def apply(rows: (Long, String, String, String, Long)*): Unit = {
+        b += 1
+        IncrementalCuration.applyBatch(batchOf(rows: _*), b, fps, curated,
+          emptyGrams, "ictest")
+      }
+      apply((1L, tA, "s", "insert", 1L))
+      // commit 2 "updates" doc 1 without changing its text (the lang-
+      // backfill shape); the two image files land in separate batches
+      val pre = (1L, tA, "s", "update_preimage", 2L)
+      val post = (1L, tA, "s", "update_postimage", 2L)
+      if (postFirst) { apply(post); apply(pre) } else { apply(pre); apply(post) }
+      assert(curatedIds(curated) == Set(1L),
+        s"postFirst=$postFirst: an unchanged-text update must never retract")
+      assert(fps.read(spark).count() == 1,
+        s"postFirst=$postFirst: the registration must survive its own commit's preimage")
+    }
+  }
+
   // -- crash-replay convergence -------------------------------------------
   // applyBatch's exactly-once story (scaladoc: "every crash point
   // converges") rests on fps committing FIRST under its own txn marker and
