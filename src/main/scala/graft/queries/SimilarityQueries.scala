@@ -755,17 +755,26 @@ object SimilarityQueries {
             k = 10, filter = Some(pred), oversample = 20, initProbe = 8,
             exactScanMax = math.max(100L, corpusN / 10))
           val eligible = e.filter(pred && col("vec_id") =!= 0).count()
-          require(got.filter(!pred).count() == 0,
+          // one k-sized collect serves EVERY verification below (hit-set,
+          // fill, overlap) — the gate must not re-run the search per check
+          val gotRows = got.collect()
+          val gotIds = gotRows.map(_.getLong(0)).toSet
+          require(e.filter(col("vec_id").isin(gotIds.toSeq.map(Long.box): _*))
+              .filter(!pred).count() == 0,
             s"$name: every filtered-search hit must satisfy the predicate")
-          require(got.count() == math.min(10L, eligible),
+          require(gotRows.length == math.min(10L, eligible),
             s"$name: pre-filtering must fill k (eligible=$eligible)")
           val q = e.filter(col("vec_id") === 0)
             .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
-          val exact = e.filter(pred && col("vec_id") =!= 0).crossJoin(broadcast(q))
+          // exact filtered top-10 ids, collected ONCE (k-sized): the
+          // overlap count and the availability census both reuse them
+          val exactIds = e.filter(pred && col("vec_id") =!= 0)
+            .crossJoin(broadcast(q))
             .withColumn("cosine",
               round(cosineFast("embedding", "q_emb", "norm", "q_norm"), 6))
-            .orderBy(col("cosine").desc, col("vec_id")).limit(10).select("vec_id")
-          val overlap = got.select("vec_id").join(exact, "vec_id").count()
+            .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+            .select("vec_id").collect().map(_.getLong(0))
+          val overlap = gotIds.intersect(exactIds.toSet).size.toLong
           // the floor TIERS by the regime the loop chose — exactness where
           // pruning failed (recall 1.0 by construction), near-exact where
           // widening reached full cell coverage, and — at PARTIAL coverage
@@ -788,11 +797,11 @@ object SimilarityQueries {
               if (p == n) math.min(8L, eligible)
               else {
                 val probed = PersistedAnnIndex.lastProbedCells.toSet
-                val topIds = exact.collect().map(_.getLong(0)) // ≤ 10 ids
                 val centers = h.centroidsTable.read(s).orderBy("cell")
                   .collect().map(_.getSeq[Double](1).toArray)
                 graft.operators.IvfIndex.assign(
-                    e.filter(col("vec_id").isin(topIds.map(Long.box): _*)), centers)
+                    e.filter(col("vec_id").isin(exactIds.map(Long.box): _*)),
+                    centers)
                   .filter(col("cell").isin(probed.toSeq.map(Int.box): _*))
                   .count()
               }
