@@ -78,6 +78,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_contains(filter, hash_long) takes exactly 2 arguments")
       }))
     e.injectOptimizerRule(_ => DotProductRewrite)
+    // materialized-view query rewrite: aggregates over a registered base
+    // re-point at the MV table (exact or rollup) while the base is fresh —
+    // constant-time no-op when the MvCatalog is empty
+    e.injectOptimizerRule(session => graft.plans.MvRewrite(session))
     // lake DML/metadata statements and versioned reads over LakeCatalog-
     // registered MergeTables, straight through spark.sql — the Delta-style
     // parser extension (unregistered names delegate untouched)

@@ -608,5 +608,98 @@ object CoreQueries {
              |GROUP BY p.o_orderpriority
              |ORDER BY p.o_orderpriority""".stripMargin),
       "QUALIFY inside CTE bodies and derived tables: the rewrite recurses per block, DuckDB parity"),
+
+    // MATERIALIZED-VIEW AUTO-REWRITE (graft.plans.MvRewrite, an injected
+    // Catalyst optimizer rule) — the full lifecycle in one gate:
+    //   fresh     — the exact-grain aggregate collapses to a Project over
+    //               the MV scan (plan-pinned: the optimized plan's only
+    //               leaf is the MV path; the base is never opened);
+    //   rollup    — a COARSER group-by re-aggregates the MV (sum of sums,
+    //               sum of counts) instead of the base — plan-pinned too;
+    //   stale     — ONE appended base file flips the fingerprint and the
+    //               rule DECLINES (plan-pinned to the base scan): staleness
+    //               costs speed, never correctness;
+    //   refreshed — MvRewrite.refresh rebuilds + re-fingerprints and the
+    //               rewrite resumes over the mutated base.
+    // Each phase materializes eagerly (a lazy plan would re-optimize after
+    // the mutation), and all four hash against DuckDB computing every
+    // phase straight from lineitem — rewritten plans must be
+    // answer-IDENTICAL to never-rewritten SQL. At 100 TB the fresh/rollup
+    // paths read MV-cardinality rows (dozens) instead of the corpus.
+    "q31_mv_rewrite" -> GraftQuery(
+      (s, dir) => {
+        import graft.plans.{MvAgg, MvCatalog, MvRewrite}
+        import org.apache.spark.sql.DataFrame
+        val tag = Registry.sanitize(dir)
+        val root = s"${Registry.scratchRoot}/q31_$tag"
+        Registry.cleanDir(root)
+        val basePath = s"$root/base"
+        val mvPath = s"$root/mv"
+        t(s, dir, "lineitem").write.parquet(basePath)
+        MvRewrite.buildAndRegister(s, s"q31_$tag", basePath,
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(MvAgg("sum", Some("l_quantity"), "sum_qty"),
+              MvAgg("count", None, "cnt")),
+          mvPath)
+        try {
+          val mvRoots = MvCatalog.rootPathsOf(
+            s.read.parquet(mvPath).queryExecution.analyzed)
+          val baseRoots = MvCatalog.rootPathsOf(
+            s.read.parquet(basePath).queryExecution.analyzed)
+          def exact = s.read.parquet(basePath)
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+          def rollup = s.read.parquet(basePath)
+            .groupBy("l_returnflag")
+            .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+          def phase(df: DataFrame, name: String, wantMv: Boolean): DataFrame = {
+            val leaves = MvCatalog.rootPathsOf(df.queryExecution.optimizedPlan)
+            val want = if (wantMv) mvRoots else baseRoots
+            require(leaves == want,
+              s"$name: expected scan of $want, optimizer chose $leaves")
+            val frozen = df.collect().toSeq // pin results BEFORE later mutations
+            s.createDataFrame(s.sparkContext.parallelize(frozen, 1), df.schema)
+              .withColumn("phase", lit(name))
+          }
+          val cols = Seq("phase", "l_returnflag", "l_linestatus", "sum_qty", "cnt")
+          val p1 = phase(exact, "fresh", wantMv = true)
+          val p2 = phase(rollup, "rollup", wantMv = true)
+            .withColumn("l_linestatus", lit("*"))
+          // ONE appended row — the oracle reproduces it in closed form
+          val extraRows = s.read.parquet(basePath).limit(1)
+            .withColumn("l_returnflag", lit("R"))
+            .withColumn("l_linestatus", lit("F"))
+            .withColumn("l_quantity", lit(1.0))
+          val pinned = extraRows.collect().toSeq
+          s.createDataFrame(s.sparkContext.parallelize(pinned, 1), extraRows.schema)
+            .write.mode("append").parquet(basePath)
+          val p3 = phase(exact, "stale", wantMv = false)
+          MvRewrite.refresh(s, s"q31_$tag")
+          val p4 = phase(exact, "refreshed", wantMv = true)
+          p1.select(cols.map(col): _*)
+            .unionByName(p2.select(cols.map(col): _*))
+            .unionByName(p3.select(cols.map(col): _*))
+            .unionByName(p4.select(cols.map(col): _*))
+        } finally MvCatalog.unregister(s"q31_$tag")
+      },
+      Some("""WITH base AS (
+             |  SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem),
+             |withx AS (
+             |  SELECT * FROM base UNION ALL SELECT 'R', 'F', 1.0)
+             |SELECT 'fresh' AS phase, l_returnflag, l_linestatus,
+             |       sum(l_quantity) AS sum_qty, count(*) AS cnt
+             |FROM base GROUP BY 2, 3
+             |UNION ALL
+             |SELECT 'rollup', l_returnflag, '*', sum(l_quantity), count(*)
+             |FROM base GROUP BY 2
+             |UNION ALL
+             |SELECT 'stale', l_returnflag, l_linestatus,
+             |       sum(l_quantity), count(*)
+             |FROM withx GROUP BY 2, 3
+             |UNION ALL
+             |SELECT 'refreshed', l_returnflag, l_linestatus,
+             |       sum(l_quantity), count(*)
+             |FROM withx GROUP BY 2, 3""".stripMargin),
+      "materialized-view rewrite: exact + rollup re-point at the MV, staleness declines, refresh resumes"),
   )
 }
