@@ -2004,5 +2004,229 @@ object StreamQueries {
              |       CAST(count(CASE WHEN doc_id % 9 = 0 THEN 1 END) AS BIGINT) AS n_lang
              |FROM kept GROUP BY source ORDER BY source""".stripMargin),
       "schema evolution through the CDF consumer: a mid-stream column evolves the maintained state and propagates"),
+
+    // RETRACTION-CORRECT INCREMENTAL CONNECTED COMPONENTS — the cluster
+    // ASSIGNMENT maintained under arbitrary edge mutation (st25 maintains
+    // the LSH candidate INDEX; this closes the remaining dedup-state gap).
+    // The staged edge table is a deterministic closed form over doc_ids —
+    // chains inside blocks of 8 (one component per block), staged across
+    // three insert commits — then ONE mutation commit both MERGES
+    // components (bridge edges between even/odd block pairs) and SPLITS
+    // them (a mid-chain edge deleted from every 4k+1 block, carving its
+    // 16-node merged component into 12 + 4). IncrementalCc.applyBatch
+    // consumes every micro-batch through the same code path; per batch it
+    // relabels ONLY the affected components (labels probed by id-bucket,
+    // their edges fetched by label-bucket — both file-pruned). The final
+    // labels table hash-matches DuckDB's recursive min-label walk over
+    // the net surviving edge set; requires prove delta-sized processing
+    // (each edge mutation nets exactly once) and that a merge AND a split
+    // actually happened.
+    "st28_incremental_cc" -> GraftQuery(
+      (s, dir) => {
+        import graft.operators.IncrementalCc
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val mut = new MergeTable(s"${Registry.scratchRoot}/st28_mut_$id")
+        val edges = IncrementalCc.edgesTable(s, s"${Registry.scratchRoot}/st28_edges_$id")
+        val labels = IncrementalCc.labelsTable(s, s"${Registry.scratchRoot}/st28_labels_$id")
+        val docs = Registry.t(s, dir, "documents").select("doc_id")
+        val maxId = docs.agg(max("doc_id")).head.getLong(0)
+        val chains = docs
+          .filter(col("doc_id") % 8 =!= 7 && col("doc_id") < maxId)
+          .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+        val bridges = docs
+          .filter(col("doc_id") % 8 === 7 && expr("(doc_id DIV 8) % 2") === 0 &&
+            col("doc_id") < maxId)
+          .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+        val splits = docs
+          .filter(col("doc_id") % 8 === 3 && expr("(doc_id DIV 8) % 4") === 1 &&
+            col("doc_id") < maxId)
+          .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+        val batchRows = scala.collection.concurrent.TrieMap.empty[Long, Long]
+        def relabel(batch: DataFrame, batchId: Long): Unit = {
+          batchRows(batchId) = IncrementalCc.applyBatch(
+            batch, batchId, edges, labels, "st28")
+          ()
+        }
+        (0 to 2).foreach(i => mut.merge(s,
+          chains.filter(col("src") % 3 === i).repartition(1),
+          Seq("src", "dst"), changeFeed = true))
+        // the mutation commit: component merges AND splits in one commit
+        mut.mergeClauses(s,
+          splits.withColumn("kind", lit("del"))
+            .unionByName(bridges.withColumn("kind", lit("add")))
+            .repartition(1),
+          Seq("src", "dst"),
+          Seq(MergeTable.MatchedDelete(Some("s.kind = 'del'")),
+              MergeTable.NotMatchedInsert(Some("s.kind = 'add'"),
+                Seq("src" -> "s.src", "dst" -> "s.dst"))),
+          checkUniqueSource = false, changeFeed = true)
+        val q = mut.changesStream(ss, maxFilesPerTrigger = Some(1))
+          .writeStream
+          .foreachBatch(relabel _)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st28_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        require(batchRows.values.count(_ > 0) >= 3,
+          s"expected >= 3 non-empty micro-batches, saw $batchRows")
+        // delta-sized: every edge mutation nets exactly once (inserts and
+        // deletes have single-image change rows — no split-update slack)
+        val expected = chains.count() + bridges.count() + splits.count()
+        require(batchRows.values.sum == expected,
+          s"net edge changes must equal staged mutations ($expected): $batchRows")
+        val lab = labels.read(s)
+        // a MERGE happened: some node sits >= 8 ids past its block-crossing
+        // label (bridged pair), and a SPLIT: some 8k+4 node in a 4k+1 block
+        // became its own component head
+        require(lab.filter(col("id") - col("label") >= 8).count() >= 1,
+          "expected at least one cross-block merged component")
+        require(lab.filter(col("id") === col("label") && col("id") % 8 === 4 &&
+            expr("(id DIV 8) % 4") === 1).count() >= 1,
+          "expected at least one split-off component head")
+        lab.select("id", "label").orderBy("id")
+      },
+      Some("""WITH RECURSIVE mx AS (SELECT max(doc_id) AS m FROM documents),
+             |ever AS (
+             |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents, mx
+             |  WHERE doc_id < m
+             |    AND (doc_id % 8 <> 7 OR (doc_id // 8) % 2 = 0)),
+             |fin AS (
+             |  SELECT a, b FROM ever
+             |  WHERE NOT (a % 8 = 3 AND (a // 8) % 4 = 1)),
+             |nodes AS (SELECT a AS id FROM ever UNION SELECT b FROM ever),
+             |e2 AS (SELECT a, b FROM fin UNION ALL SELECT b, a FROM fin),
+             |walk(node, lbl) AS (
+             |  SELECT id, id FROM nodes
+             |  UNION
+             |  SELECT e.b, w.lbl FROM walk w JOIN e2 e ON e.a = w.node)
+             |SELECT node AS id, min(lbl) AS label FROM walk
+             |GROUP BY node ORDER BY id""".stripMargin),
+      "incremental connected components: edge adds merge and deletes SPLIT maintained cluster labels"),
+
+    // END-TO-END INCREMENTAL FUZZY DEDUP — the composite: one corpus
+    // change feed drives LshMaintenance (signature index) → pair-delta
+    // derivation (time-travel-pinned to the LSH commit, delta-sized:
+    // only mutated docs' pairs can change) → IncrementalCc (edges +
+    // component labels). Staged like st25: three doc_id % 3 insert
+    // commits, then ONE mutation commit (DELETE % 7 == 2, UPDATE
+    // % 11 == 5 with a text suffix — deletions retract their pairs,
+    // re-signed docs move theirs). The answer is the maintained
+    // CLUSTERING — labels of every node with a surviving est ≥ 0.5
+    // pair — hash-matched against DuckDB replaying the entire MinHash
+    // chain over the post-mutation corpus plus a recursive min-label
+    // walk. Requires prove delta-sized processing, no deleted doc in any
+    // surviving edge, and the min-label invariant.
+    "st29_neardup_clusters" -> GraftQuery(
+      (s, dir) => {
+        import graft.operators.{IncrementalCc, IncrementalNearDup}
+        val ss = streamSession(s)
+        val id = runId.incrementAndGet()
+        val corpus = new MergeTable(s"${Registry.scratchRoot}/st29_corpus_$id")
+        val index = new MergeTable(s"${Registry.scratchRoot}/st29_idx_$id",
+          Seq("band"))
+        val edges = IncrementalCc.edgesTable(s, s"${Registry.scratchRoot}/st29_edges_$id")
+        val labels = IncrementalCc.labelsTable(s, s"${Registry.scratchRoot}/st29_labels_$id")
+        val docs = Registry.t(s, dir, "documents").select("doc_id", "text")
+        val batchRows = scala.collection.concurrent.TrieMap.empty[Long, Long]
+        def handle(batch: DataFrame, batchId: Long): Unit = {
+          batchRows(batchId) = IncrementalNearDup.applyBatch(
+            batch, batchId, index, edges, labels, "st29")
+          ()
+        }
+        // two insert commits + one mutation commit; the stream drains
+        // at TWO files per trigger — the composite pays three state
+        // stages per micro-batch (LSH merge, pair probes, CC merges), so
+        // the gate bounds the commit-overhead multiplier while still
+        // proving multi-batch incrementality
+        (0 to 1).foreach(i => corpus.merge(s,
+          docs.filter(col("doc_id") % 2 === i).repartition(1),
+          Seq("doc_id"), changeFeed = true))
+        val mutSrc = docs
+          .filter(col("doc_id") % 7 === 2 || col("doc_id") % 11 === 5)
+          .withColumn("kind", when(col("doc_id") % 7 === 2, "del")
+            .otherwise("upd"))
+          .withColumn("new_text",
+            concat(col("text"), lit(" revised edition of it")))
+          .select("doc_id", "kind", "new_text")
+          .repartition(1)
+        corpus.mergeClauses(s, mutSrc, Seq("doc_id"),
+          Seq(MergeTable.MatchedDelete(Some("s.kind = 'del'")),
+              MergeTable.MatchedUpdate(Some("s.kind = 'upd'"),
+                Seq("text" -> "s.new_text"))),
+          checkUniqueSource = false, changeFeed = true)
+        val q = corpus.changesStream(ss, maxFilesPerTrigger = Some(2))
+          .writeStream
+          .foreachBatch(handle _)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"${Registry.scratchRoot}/st29_ckpt_$id")
+          .start()
+        q.awaitTermination()
+        val nMut = mutSrc.count()
+        val nUpd = mutSrc.filter(col("kind") === "upd").count()
+        require(batchRows.values.count(_ > 0) >= 3,
+          s"expected >= 3 non-empty micro-batches, saw $batchRows")
+        val net = batchRows.values.sum
+        require(net >= docs.count() + nMut && net <= docs.count() + nMut + nUpd,
+          s"net doc changes must be corpus + mutations (± split updates): $batchRows")
+        val edg = edges.read(s)
+        require(edg.count() >= 1, "expected at least one surviving near-dup pair")
+        require(edg.filter(col("a") % 7 === 2 || col("b") % 7 === 2).count() == 0,
+          "a deleted doc survived in the maintained edge set")
+        val lab = labels.read(s)
+        // min-label invariant: every component's label IS its min member
+        require(lab.groupBy("label").agg(min("id").as("mn"))
+            .filter(col("label") =!= col("mn")).count() == 0,
+          "a component's label must be its minimum member id")
+        val nodes = edg.select(col("a").as("id"))
+          .unionByName(edg.select(col("b").as("id"))).distinct()
+        lab.join(nodes, Seq("id"), "left_semi")
+          .select("id", "label").orderBy("id")
+      },
+      Some {
+        val mins = DedupQueries.lshOracleMins
+        val bandSelects = DedupQueries.lshOracleBandSelects
+        val agree = DedupQueries.lshOracleAgree
+        s"""WITH RECURSIVE corp AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 7 <> 2 AND doc_id % 11 = 5
+           |              THEN text || ' revised edition of it'
+           |              ELSE text END AS text
+           |  FROM documents WHERE doc_id % 7 <> 2),
+           |d AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |           generate_series(1, len(words) - 2),
+           |           i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) AS shs
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM corp)
+           |  WHERE len(words) >= 3),
+           |sh AS (SELECT doc_id,
+           |              ('0x' || substring(md5(sh), 1, 15))::BIGINT % ${DedupQueries.MinhashPrime} AS h
+           |       FROM (SELECT doc_id, unnest(shs) AS sh FROM d)),
+           |mh AS (
+           |  SELECT doc_id,
+           |    $mins
+           |  FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  $bandSelects),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+           |  FROM banded x JOIN banded y
+           |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+           |pairs AS (
+           |  SELECT pa, pb FROM cand c
+           |  JOIN mh a ON a.doc_id = c.pa
+           |  JOIN mh b ON b.doc_id = c.pb
+           |  WHERE CAST($agree AS DOUBLE) / ${DedupQueries.NumHashes} >= 0.5),
+           |nodes AS (SELECT pa AS id FROM pairs UNION SELECT pb FROM pairs),
+           |e2 AS (SELECT pa AS a, pb AS b FROM pairs
+           |       UNION ALL SELECT pb, pa FROM pairs),
+           |walk(node, lbl) AS (
+           |  SELECT id, id FROM nodes
+           |  UNION
+           |  SELECT e.b, w.lbl FROM walk w JOIN e2 e ON e.a = w.node)
+           |SELECT node AS id, min(lbl) AS label FROM walk
+           |GROUP BY node ORDER BY id""".stripMargin
+      },
+      "end-to-end incremental fuzzy dedup: one corpus feed maintains LSH index, pair set, and cluster labels"),
   )
 }
