@@ -49,9 +49,11 @@ object IncrementalNearDup {
     (0 until DedupQueries.NumHashes).map(i => s"h$i")
 
   /** est ≥ `threshold` canonical pairs `(src < dst)` between `rows` (a
-    * batch-bounded subset of index rows) and `whole` (one index
-    * snapshot). Never all-pairs: candidates come from the (band, sig)
-    * equi-join, est from the stored minhash agreement.
+    * batch-bounded subset of index rows) and `whole` (a file-pruned
+    * slice of one index snapshot — sound, because the pruning keeps
+    * every file that could hold a matching sig). Never all-pairs:
+    * candidates come from the (band, sig) equi-join, est from the
+    * stored minhash agreement.
     */
   private def pairsOf(rows: DataFrame, whole: DataFrame,
                       threshold: Double): DataFrame = {
@@ -87,10 +89,19 @@ object IncrementalNearDup {
       throw new IllegalStateException(
         s"LSH maintenance left no commit for batch $batchId of $appId — " +
           "the pair delta cannot be pinned"))
-    val postIndex = index.readVersion(sess, v)
-    val preIndex =
-      if (v == 0) postIndex.limit(0) // overwrite bootstrap: empty pre-state
-      else index.readVersion(sess, v - 1)
+    // Both probe sides read the pinned snapshots THROUGH data skipping:
+    // the batch's doc ids (for the mutated docs' own rows) and their
+    // band signatures (for the collision partners) are batch-bounded
+    // driver lists, so every read below prunes the snapshot's files by
+    // min/max stats before scanning — at scale the index is opened only
+    // where a matching doc_id or sig could live, never end to end.
+    def sliceBy(ver: Long, col0: String, vals: Array[Any]): DataFrame = {
+      val kept = index.pruneFilesFor(sess, ver,
+        Seq(org.apache.spark.sql.sources.In(col0, vals)))
+      index.readVersionFiles(sess, ver, kept)
+    }
+    val emptyPairs = sess.range(0)
+      .select(col("id").as("src"), col("id").as("dst"))
 
     val wDoc = Window.partitionBy("doc_id")
       .orderBy(col(MergeTable.CommitVersion).desc, col("_is_add").cast("int").desc)
@@ -102,12 +113,23 @@ object IncrementalNearDup {
       .persist()
     val touched = fin.select("doc_id")
     val addIds = fin.filter(col("_is_add")).select("doc_id")
+    val touchedIds = touched.collect().map(r => r.getLong(0): Any)
+    val addIdSet = addIds.collect().map(r => r.getLong(0): Any).toSet
 
-    val preRows = preIndex.join(broadcast(touched), Seq("doc_id"), "left_semi")
-    val postRows = postIndex.join(broadcast(addIds), Seq("doc_id"), "left_semi")
-    val edgeMut = pairsOf(preRows, preIndex, threshold)
+    def pairDelta(ver: Long, ids: Array[Any]): DataFrame = {
+      if (ver < 0 || ids.isEmpty) return emptyPairs
+      // own rows: file-pruned by doc_id, exact-filtered above the scan
+      val rows = sliceBy(ver, "doc_id", ids).filter(col("doc_id").isin(ids: _*))
+      // collision partners: file-pruned by the rows' sig values (a
+      // 4-per-doc, batch-bounded driver list)
+      val sigs = rows.select("sig").distinct().collect()
+        .map(r => r.getString(0): Any)
+      if (sigs.isEmpty) return emptyPairs
+      pairsOf(rows, sliceBy(ver, "sig", sigs), threshold)
+    }
+    val edgeMut = pairDelta(v - 1, touchedIds)
       .withColumn(MergeTable.ChangeType, lit("delete"))
-      .unionByName(pairsOf(postRows, postIndex, threshold)
+      .unionByName(pairDelta(v, touchedIds.filter(addIdSet.contains))
         .withColumn(MergeTable.ChangeType, lit("insert")))
       .withColumn(MergeTable.CommitVersion, lit(batchId))
 
