@@ -2,14 +2,21 @@ package graft
 
 /** Benchmark main: every registry query against SPARK_GRAFT_SF_DIR — ONE
   * untimed warm-up execution (JIT/codegen/page-cache, the round-7 noise
-  * source), then SPARK_GRAFT_ITERS timed runs (default 3; the disk-bound
-  * m-family gets at least 5) reporting the per-query MEDIAN plus the MIN
-  * (`queries_min`/`min_total` — the least-noise statistic for
-  * round-over-round comparison). A query that throws is printed to stderr
-  * and surfaced in the JSON `failed` list — never silently counted as a
-  * fast success. The config actually used (master / shuffle partitions /
-  * iterations) is recorded in the output so BENCH numbers are attributable
-  * to one declared shape.
+  * source), then a COST-AWARE number of timed runs per query reporting the
+  * per-query MEDIAN plus the MIN (`queries_min`/`min_total` — the
+  * least-noise statistic for round-over-round comparison). The timed
+  * iteration count scales inversely with the measured warm-up cost so the
+  * whole suite stays inside the driver's wall budget (round 12 blew it:
+  * a blanket ≥5-iteration floor on the m/st families ran the nine heavy
+  * maintenance gates ~6× each — ~1,400 s of wall on verification-shaped
+  * queries whose lifecycle depth already lives in scalatest):
+  *   warm > 10 s → 1 timed iter;  > 3 s → ≤2;  > 1 s → ≤3;
+  *   sub-second m/st (the disk-commit noise floor) → ≥5;  else ITERS.
+  * A query that throws is printed to stderr and surfaced in the JSON
+  * `failed` list — never silently counted as a fast success. The config
+  * actually used (master / shuffle partitions / iterations / the policy)
+  * is recorded in the output so BENCH numbers are attributable to one
+  * declared shape.
   *
   * Bench MUST run alone — a concurrent JVM on the same box skews medians
   * (round 4: the driver measured m2 at 5.6 s where a solo run gives 2.1 s).
@@ -47,19 +54,18 @@ object Bench {
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.queries.Registry.cleanStaleScratch()
+    warmMediaCodecs()
     var failed = List.empty[String]
     // GRAFT_ONLY=a,b,c → bench a subset (local iteration; driver runs all)
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      // the m-family rewrites real files and the st-family pays stream
-      // startup + per-batch commits — the noisiest queries get ≥5 iters
-      // so median and min converge (round-8 verdict item 8)
-      val qIters = if (name.matches("^(m|st)\\d.*")) iters.max(5) else iters
       // untimed warm-up: the first execution pays JIT + codegen compilation
       // + page-cache fill that no steady-state iteration pays — two
-      // same-code full runs differed 1.2× round-7 purely on this noise
+      // same-code full runs differed 1.2× round-7 purely on this noise.
+      // Its duration is also the cost signal for the iteration policy.
+      val warmT0 = System.nanoTime()
       val warmOk =
         try { fn(spark, sfDir).count(); true }
         catch {
@@ -68,6 +74,17 @@ object Bench {
             if (!failed.contains(name)) failed ::= name
             false
         }
+      val warmSec = (System.nanoTime() - warmT0) / 1e9
+      // cost-aware iterations: heavy queries are dominated by their own
+      // deterministic work (stream drains, staged commits) — one warm
+      // timed run is representative; the sub-second m/st disk-commit
+      // queries are the noise floor and keep the ≥5 floor (round-8 item 8)
+      val qIters =
+        if (warmSec > 10.0) 1
+        else if (warmSec > 3.0) iters.min(2).max(1)
+        else if (warmSec > 1.0) iters.min(3).max(1)
+        else if (name.matches("^(m|st)\\d.*")) iters.max(5)
+        else iters
       val times = if (!warmOk) Seq.empty[Double] else (1 to qIters).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -91,7 +108,7 @@ object Bench {
     val totalMin = results.map(_._3).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val wall = (System.nanoTime() - wallT0) / 1e9
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","min_total":$totalMin,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","iters":$iters,"warmup":1,"master":"local[$cpus]","shuffle_partitions":$cpus,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","bench_wall_sec":$wall,"failed":$failedJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","min_total":$totalMin,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","iters":$iters,"iter_policy":"warm>10s:1, >3s:min(iters,2), >1s:min(iters,3), sub-second m/st:max(iters,5), else iters","warmup":1,"master":"local[$cpus]","shuffle_partitions":$cpus,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","bench_wall_sec":$wall,"failed":$failedJson}"""
     println(line)
     // the driver's BENCH record keeps only a 2000-char tail of stdout — the
     // per-query map loses its first ~57 entries. Persist the FULL line in
@@ -106,4 +123,33 @@ object Bench {
     // its fd, silently releasing the OS lock while the benchmark still runs)
     lockChannel.close()
   }
+
+  /** Warm the JDK media stacks ONCE before any query is timed. ImageIO's
+    * plugin scan + AWT raster init and javax.sound's provider lookup are
+    * process-global cold costs; local[32] runs tasks in this JVM, so one
+    * driver-side round-trip per codec family moves that init out of the
+    * first mm-query's timed region (round-12: mm6 3×, and ~24 s mm8/mm9
+    * outliers on the driver box, both consistent with cold codec init).
+    */
+  private def warmMediaCodecs(): Unit =
+    try {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      Seq("png", "jpg", "bmp", "gif").foreach { fmt =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](32)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray)).close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] media-codec warm-up failed (non-fatal): $e")
+    }
 }

@@ -1347,14 +1347,16 @@ object StreamQueries {
     // must still equal the batch recompute over the FINAL corpus. The
     // staged corpus is documents ∪ duplicate COPIES (same text, id + M —
     // the raw table is duplicate-free, so dup groups are constructed),
-    // inserted in three doc_id % 3 commits, then ONE mutation commit:
+    // inserted in two doc_id % 2 commits (the deeper multi-commit history
+    // lives in BucketedCurationSpec — the benched query keeps the
+    // steady-state shape), then ONE mutation commit:
     //   • DELETE originals with id % 20 ∈ {4, 9} — every %20==4 original
     //     has a surviving copy, so its hash's canonical must PROMOTE to
     //     the copy (re-gated for eval/contamination at promotion);
     //   • UPDATE originals with id % 20 == 13 to 'x x' — below the
     //     quality bar, so a curated doc RETRACTS and its fingerprint
     //     leaves the census (its hash is freed).
-    // The same IncrementalCuration.applyBatch consumes all four batches —
+    // The same IncrementalCuration.applyBatch consumes every batch —
     // retraction is not a special path. The oracle replays t39 over the
     // post-mutation corpus (copies built and mutations applied in SQL);
     // requires prove delta-sized processing (net changes sum to corpus +
@@ -1383,8 +1385,8 @@ object StreamQueries {
             batch, batchId, fps, curated, evalGrams, "st23")
           ()
         }
-        (0 to 2).foreach(i => corpus.merge(s,
-          corp0.filter(col("doc_id") % 3 === i).repartition(1),
+        (0 to 1).foreach(i => corpus.merge(s,
+          corp0.filter(col("doc_id") % 2 === i).repartition(1),
           Seq("doc_id"), changeFeed = true))
         // the mutation commit: deletes and a below-bar update in ONE
         // clause-merge, CDF on — originals only (copies stay)
@@ -1504,7 +1506,7 @@ object StreamQueries {
     // touched cells), and search NEVER returns a deleted id. Exactly-once
     // split: appends carry the txn marker; removes are idempotent
     // (re-masking masked positions is a no-op commit), so any replay
-    // order converges. The gate stages three insert commits, then deletes
+    // order converges. The gate stages two insert commits, then deletes
     // vec_id % 5 == 2 from the corpus (CDF on), maintains the index from
     // the feed, and REQUIREs: visible codes equal the post-deletion
     // corpus exactly (dv dir present — masked, not rewritten), zero
@@ -1542,8 +1544,8 @@ object StreamQueries {
           ()
         }
         val maxId = emb.agg(max("vec_id")).head.getLong(0)
-        (0 to 2).foreach(i => corpus.merge(s,
-          emb.filter(col("vec_id") % 3 === i).repartition(1),
+        (0 to 1).foreach(i => corpus.merge(s,
+          emb.filter(col("vec_id") % 2 === i).repartition(1),
           Seq("vec_id"), changeFeed = true))
         corpus.delete(s, col("vec_id") % 5 === 2, changeFeed = true)
         val q = corpus.changesStream(ss, maxFilesPerTrigger = Some(1))
@@ -1616,11 +1618,11 @@ object StreamQueries {
     // RETRACTING LSH MAINTENANCE — closes the last insert-only maintenance
     // surface: d13's band-partitioned MinHash index kept equal to the
     // batch build over the CURRENT corpus snapshot while the corpus
-    // mutates. Three doc_id % 3 insert commits, then ONE mutation commit:
+    // mutates. Two doc_id % 2 insert commits, then ONE mutation commit:
     // DELETE doc_id % 7 == 2 (their band rows leave the index) and UPDATE
     // doc_id % 11 == 5 with a text suffix (their signatures re-derive in
     // place — new shingles move minhash minima). LshMaintenance.applyBatch
-    // consumes all four batches through one code path; the answer is d13's
+    // consumes all three batches through one code path; the answer is d13's
     // candidate-pair query over the MAINTAINED index, hash-matched against
     // the DuckDB replay of the whole MinHash chain over the post-mutation
     // corpus. REQUIREs prove delta-sized processing, deleted-doc absence,
@@ -1640,8 +1642,8 @@ object StreamQueries {
             LshMaintenance.applyBatch(batch, batchId, index, "st25")
           ()
         }
-        (0 to 2).foreach(i => corpus.merge(s,
-          docs.filter(col("doc_id") % 3 === i).repartition(1),
+        (0 to 1).foreach(i => corpus.merge(s,
+          docs.filter(col("doc_id") % 2 === i).repartition(1),
           Seq("doc_id"), changeFeed = true))
         val mutSrc = docs
           .filter(col("doc_id") % 7 === 2 || col("doc_id") % 11 === 5)
@@ -2010,7 +2012,7 @@ object StreamQueries {
     // the LSH candidate INDEX; this closes the remaining dedup-state gap).
     // The staged edge table is a deterministic closed form over doc_ids —
     // chains inside blocks of 8 (one component per block), staged across
-    // three insert commits — then ONE mutation commit both MERGES
+    // two insert commits — then ONE mutation commit both MERGES
     // components (bridge edges between even/odd block pairs) and SPLITS
     // them (a mid-chain edge deleted from every 4k+1 block, carving its
     // 16-node merged component into 12 + 4). IncrementalCc.applyBatch
@@ -2048,8 +2050,8 @@ object StreamQueries {
             batch, batchId, edges, labels, "st28")
           ()
         }
-        (0 to 2).foreach(i => mut.merge(s,
-          chains.filter(col("src") % 3 === i).repartition(1),
+        (0 to 1).foreach(i => mut.merge(s,
+          chains.filter(col("src") % 2 === i).repartition(1),
           Seq("src", "dst"), changeFeed = true))
         // the mutation commit: component merges AND splits in one commit
         mut.mergeClauses(s,
@@ -2108,7 +2110,7 @@ object StreamQueries {
     // change feed drives LshMaintenance (signature index) → pair-delta
     // derivation (time-travel-pinned to the LSH commit, delta-sized:
     // only mutated docs' pairs can change) → IncrementalCc (edges +
-    // component labels). Staged like st25: three doc_id % 3 insert
+    // component labels). Staged like st25: two doc_id % 2 insert
     // commits, then ONE mutation commit (DELETE % 7 == 2, UPDATE
     // % 11 == 5 with a text suffix — deletions retract their pairs,
     // re-signed docs move theirs). The answer is the maintained
