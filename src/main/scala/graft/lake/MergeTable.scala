@@ -6383,6 +6383,27 @@ object MergeTable {
     }
   }
 
+  /** Re-bind every bare reference to column `from` inside the SQL
+    * expression `genExpr` to `to` (e.g. a generated-column expression
+    * `CAST(pmod(h, 16) AS INT)` rebased onto a merge source alias:
+    * h → s.h) by PARSING the expression and transforming its attribute
+    * nodes — never string surgery: a word-boundary regex would also
+    * rewrite occurrences inside string literals, or column names that
+    * merely contain the word. Resolution is the session resolver's
+    * (case-insensitive by default), matching how the expression would
+    * bind at evaluation time.
+    */
+  private[graft] def rebindExpr(spark: SparkSession, genExpr: String,
+                                from: String, to: String): String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val resolver = spark.sessionState.conf.resolver
+    spark.sessionState.sqlParser.parseExpression(genExpr).transform {
+      case a: UnresolvedAttribute
+          if a.nameParts.size == 1 && resolver(a.name, from) =>
+        UnresolvedAttribute(to.split('.').toSeq)
+    }.sql
+  }
+
   /** Top-level conjuncts of a pushed-filter array (Spark hands a scan the
     * predicate as an implicitly-ANDed array whose elements may themselves
     * be `And` trees).

@@ -272,7 +272,7 @@ object IncrementalCc {
             MergeTable.MatchedUpdate(Some("s.action = 'put'"),
               Seq("label" -> "s.label") ++
                 ebGen.map(g => EdgeBucketCol ->
-                  g.replaceFirst("\\blabel\\b", "s.label")).toSeq),
+                  MergeTable.rebindExpr(sess, g, "label", "s.label")).toSeq),
             MergeTable.NotMatchedInsert(Some("s.action = 'put'"),
               Seq("a" -> "s.a", "b" -> "s.b", "label" -> "s.label"))),
         checkUniqueSource = false, changeFeed = true,

@@ -307,7 +307,7 @@ object IncrementalCuration {
                   "n_tok" -> "s.n_tok", "ok" -> "s.ok", "v" -> "s.v") ++
                 pt.map(c => c -> s"s.$c") ++
                 fpsBucketGen.map(g =>
-                  BucketCol -> g.replaceFirst("\\bh\\b", "s.h")).toSeq),
+                  BucketCol -> MergeTable.rebindExpr(sess, g, "h", "s.h")).toSeq),
             MergeTable.NotMatchedInsert(Some("s.action = 'put'"),
               Seq("doc_id" -> "s.doc_id", "h" -> "s.h", "source" -> "s.source",
                   "n_tok" -> "s.n_tok", "ok" -> "s.ok", "v" -> "s.v") ++

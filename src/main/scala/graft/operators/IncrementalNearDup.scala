@@ -48,6 +48,13 @@ object IncrementalNearDup {
   private val hashCols: Seq[String] =
     (0 until DedupQueries.NumHashes).map(i => s"h$i")
 
+  /** Did the last [[applyBatch]]'s index probes ride the In()-list file
+    * pruning (batch under `spark.graft.pruneInMax`) or fall back to the
+    * unpruned snapshot read? Observability for the spec that pins both
+    * paths to identical state.
+    */
+  @volatile var lastProbePruned: Boolean = false
+
   /** est ≥ `threshold` canonical pairs `(src < dst)` between `rows` (a
     * batch-bounded subset of index rows) and `whole` (a file-pruned
     * slice of one index snapshot — sound, because the pruning keeps
@@ -89,12 +96,17 @@ object IncrementalNearDup {
       throw new IllegalStateException(
         s"LSH maintenance left no commit for batch $batchId of $appId — " +
           "the pair delta cannot be pinned"))
-    // Both probe sides read the pinned snapshots THROUGH data skipping:
-    // the batch's doc ids (for the mutated docs' own rows) and their
-    // band signatures (for the collision partners) are batch-bounded
-    // driver lists, so every read below prunes the snapshot's files by
-    // min/max stats before scanning — at scale the index is opened only
-    // where a matching doc_id or sig could live, never end to end.
+    // Both probe sides read the pinned snapshots THROUGH data skipping
+    // while the batch is small: the batch's doc ids (for the mutated
+    // docs' own rows) and their band signatures (for the collision
+    // partners) become In()-list FILE-pruning predicates — but only
+    // below `spark.graft.pruneInMax` values, because a driver list that
+    // grows with the micro-batch would bloat the plan itself (the r12
+    // verdict's st29 scale note). Past the cap the probe reads the
+    // snapshot unpruned — sound, pruning is an optimization — and the
+    // EXACT row filters are broadcast semi-joins in every case, so no
+    // plan ever embeds a row-count-sized literal list.
+    val pruneInMax = sess.conf.get("spark.graft.pruneInMax", "10000").toLong
     def sliceBy(ver: Long, col0: String, vals: Array[Any]): DataFrame = {
       val kept = index.pruneFilesFor(sess, ver,
         Seq(org.apache.spark.sql.sources.In(col0, vals)))
@@ -113,23 +125,33 @@ object IncrementalNearDup {
       .persist()
     val touched = fin.select("doc_id")
     val addIds = fin.filter(col("_is_add")).select("doc_id")
-    val touchedIds = touched.collect().map(r => r.getLong(0): Any)
-    val addIdSet = addIds.collect().map(r => r.getLong(0): Any).toSet
+    val (nTouched, nAdds) = (touched.count(), addIds.count())
+    lastProbePruned = nTouched <= pruneInMax
 
-    def pairDelta(ver: Long, ids: Array[Any]): DataFrame = {
-      if (ver < 0 || ids.isEmpty) return emptyPairs
-      // own rows: file-pruned by doc_id, exact-filtered above the scan
-      val rows = sliceBy(ver, "doc_id", ids).filter(col("doc_id").isin(ids: _*))
-      // collision partners: file-pruned by the rows' sig values (a
-      // 4-per-doc, batch-bounded driver list)
-      val sigs = rows.select("sig").distinct().collect()
-        .map(r => r.getString(0): Any)
-      if (sigs.isEmpty) return emptyPairs
-      pairsOf(rows, sliceBy(ver, "sig", sigs), threshold)
+    def pairDelta(ver: Long, idsDf: DataFrame, nIds: Long): DataFrame = {
+      if (ver < 0 || nIds == 0) return emptyPairs
+      // own rows: file-pruned by doc_id while the list is metadata-sized,
+      // exact-filtered by a broadcast semi-join above the scan
+      val scanned =
+        if (nIds <= pruneInMax)
+          sliceBy(ver, "doc_id", idsDf.collect().map(r => r.getLong(0): Any))
+        else index.readVersion(sess, ver)
+      val rows = scanned.join(broadcast(idsDf), Seq("doc_id"), "left_semi")
+      // collision partners: file-pruned by the rows' sig values (4 per
+      // doc) under the same cap; the (band, sig) equi-join in pairsOf is
+      // the exact filter, so an unpruned partner side stays correct
+      val sigsDf = rows.select("sig").distinct()
+      val nSigs = sigsDf.count()
+      if (nSigs == 0) return emptyPairs
+      val whole =
+        if (nSigs <= pruneInMax)
+          sliceBy(ver, "sig", sigsDf.collect().map(r => r.getString(0): Any))
+        else index.readVersion(sess, ver)
+      pairsOf(rows, whole, threshold)
     }
-    val edgeMut = pairDelta(v - 1, touchedIds)
+    val edgeMut = pairDelta(v - 1, touched, nTouched)
       .withColumn(MergeTable.ChangeType, lit("delete"))
-      .unionByName(pairDelta(v, touchedIds.filter(addIdSet.contains))
+      .unionByName(pairDelta(v, addIds, nAdds)
         .withColumn(MergeTable.ChangeType, lit("insert")))
       .withColumn(MergeTable.CommitVersion, lit(batchId))
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
+import graft.lake.MergeTable
 
 /** One aggregate column of a materialized-view definition.
   *
@@ -14,18 +15,21 @@ import org.apache.spark.sql.functions._
 final case class MvAgg(func: String, inputCol: Option[String], mvCol: String)
 
 /** A registered materialized view: a single-table GROUP BY aggregate over
-  * a parquet base, stored at `mvPath`, valid for automatic query rewrite
-  * while the base is byte-identical to the snapshot it was built from.
+  * a parquet directory OR a graft [[MergeTable]], stored at `mvPath`,
+  * valid for automatic query rewrite while the base is byte-identical to
+  * the snapshot it was built from.
   *
   *  - `baseRootPaths`: the base relation's resolved root paths, captured
   *    at registration — [[MvRewrite]] matches scan nodes against these
   *    (string equality on resolved paths, never prefix heuristics);
-  *  - `baseFingerprint`: a digest of the base directory's data-file
-  *    listing (relative path, length, mtime) at MV build time. The
-  *    rewrite consults it per query: ANY base mutation — append, delete,
-  *    rewrite — changes the listing and silently disables the rewrite
-  *    until [[MvRewrite.refresh]] rebuilds the view. Correctness never
-  *    depends on the refresh cadence; staleness only costs performance.
+  *  - `baseFingerprint`: the staleness anchor. For a graft-table base it
+  *    is `graft:v<commitVersion>` — ONE `_LATEST` read per freshness
+  *    consult, O(1) regardless of file count. For a plain directory it is
+  *    a digest of the data-file listing (relative path, length, mtime)
+  *    taken through the Hadoop FileSystem API (so it covers exactly the
+  *    paths Spark can read — object stores included). ANY base mutation
+  *    changes the fingerprint and silently disables the rewrite until
+  *    [[MvRewrite.refresh]]; correctness never depends on refresh cadence.
   */
 final case class MvDef(
     name: String,
@@ -37,24 +41,66 @@ final case class MvDef(
     baseFingerprint: String)
 
 /** Session-global registry of materialized views consulted by
-  * [[MvRewrite]]. Registration is driver-side metadata only — the
-  * catalog never holds data, and an empty catalog makes the optimizer
-  * rule a constant-time no-op (the common case: every query in a session
-  * with no MVs pays one volatile read).
+  * [[MvRewrite]], optionally BACKED BY A COMMIT LOG: [[attach]] binds the
+  * registry to a [[MergeTable]] of definitions, after which every
+  * register/unregister is an ACID upsert/delete and a fresh session
+  * recovers the full catalog with one attach — the same
+  * state-lives-in-the-log discipline as every other piece of engine
+  * state. Unattached, the registry is process-local (tests, throwaways).
+  * An empty catalog keeps the optimizer rule a constant-time no-op.
   */
 object MvCatalog {
 
   private val defs = scala.collection.concurrent.TrieMap.empty[String, MvDef]
+  @volatile private var store: Option[MergeTable] = None
+
+  /** Did the last [[fingerprint]] call pay a directory listing? Specs pin
+    * that graft-table bases never do (their freshness is one version read).
+    */
+  @volatile var lastFingerprintWalked: Boolean = false
 
   def isEmpty: Boolean = defs.isEmpty
   def all: Seq[MvDef] = defs.values.toSeq
   def get(name: String): Option[MvDef] = defs.get(name)
-  def unregister(name: String): Unit = defs.remove(name)
+
+  def unregister(name: String): Unit = {
+    defs.remove(name)
+    store.foreach { t =>
+      if (t.exists)
+        t.delete(SparkSession.active, col("name") === name)
+    }
+  }
+
   def clear(): Unit = defs.clear()
+
+  /** Bind the registry to a definitions table at `path` (created on the
+    * first persisted register) and load every definition already
+    * committed there — the fresh-session recovery path.
+    */
+  def attach(spark: SparkSession, path: String): Unit = synchronized {
+    val t = new MergeTable(path)
+    store = Some(t)
+    if (t.exists) t.read(spark).collect().foreach { r =>
+      val aggs = r.getAs[scala.collection.Seq[String]]("agg_funcs")
+        .zip(r.getAs[scala.collection.Seq[String]]("agg_inputs"))
+        .zip(r.getAs[scala.collection.Seq[String]]("agg_mvcols"))
+        .map { case ((f, in), m) => MvAgg(f, Option(in).filter(_.nonEmpty), m) }
+        .toSeq
+      defs.put(r.getAs[String]("name"), MvDef(
+        r.getAs[String]("name"), r.getAs[String]("base_path"),
+        r.getAs[scala.collection.Seq[String]]("base_root_paths").toSet,
+        r.getAs[scala.collection.Seq[String]]("group_cols").toSeq,
+        aggs, r.getAs[String]("mv_path"), r.getAs[String]("base_fingerprint")))
+    }
+  }
+
+  /** Unbind the definitions table (in-memory defs stay). */
+  def detach(): Unit = synchronized { store = None }
 
   /** Record a definition whose MV table ALREADY holds the aggregate of
     * the CURRENT base snapshot (the contract [[MvRewrite.buildAndRegister]]
-    * guarantees by construction — prefer it).
+    * guarantees by construction — prefer it). When a definitions table is
+    * attached, the definition is upserted there in the same call.
     */
   def register(spark: SparkSession, d: MvDef): MvDef = {
     require(d.aggs.forall(a => Set("sum", "count", "min", "max").contains(a.func)),
@@ -62,6 +108,16 @@ object MvCatalog {
     require(d.aggs.forall(a => (a.func == "count") == a.inputCol.isEmpty),
       "count takes no input column; sum/min/max require one")
     defs.put(d.name, d)
+    store.foreach { t =>
+      import spark.implicits._
+      val row = Seq((d.name, d.basePath, d.baseRootPaths.toSeq.sorted,
+        d.groupCols, d.aggs.map(_.func), d.aggs.map(_.inputCol.getOrElse("")),
+        d.aggs.map(_.mvCol), d.mvPath, d.baseFingerprint))
+        .toDF("name", "base_path", "base_root_paths", "group_cols",
+          "agg_funcs", "agg_inputs", "agg_mvcols", "mv_path", "base_fingerprint")
+      if (t.exists) t.merge(spark, row, Seq("name"))
+      else t.overwrite(row)
+    }
     d
   }
 
@@ -73,61 +129,115 @@ object MvCatalog {
       case _ => Nil
     }.toSet
 
-  /** Digest of a directory's data-file listing: relative path + length +
-    * mtime of every non-hidden file, sorted. Metadata-only (no data
-    * reads) — one `Files.walk` per consult, the price of a correct
-    * staleness answer without a commit log on plain parquet directories.
-    * Bases that ARE lake tables can use their version instead; plain
-    * directories get this.
+  /** Staleness anchor of a base path. A graft table answers with its
+    * commit version — one `_LATEST` read, O(1) at any file count, safe on
+    * any filesystem. A plain directory answers with a digest of its
+    * data-file listing (relative path + length + mtime of every
+    * non-hidden file, sorted) through the Hadoop FileSystem API —
+    * metadata-only, but O(files) per consult: the price of a correct
+    * staleness answer without a commit log. An unlistable or absent base
+    * returns "absent", which [[isFresh]] treats as NEVER fresh (a base we
+    * cannot see is a base we cannot prove unchanged).
     */
   def fingerprint(path: String): String = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(path)
-    if (!Files.exists(root)) return "absent"
-    val parts = Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .map(p => root.relativize(p).toString)
-      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
-      .toSeq.sorted
-      .map { n =>
-        val p = root.resolve(n)
-        s"$n:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    val t = new MergeTable(path)
+    if (t.exists) return s"graft:v${t.currentVersion}"
+    lastFingerprintWalked = true
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (!fs.exists(p)) return "absent"
+      val rootUri = fs.makeQualified(p).toUri
+      val it = fs.listFiles(p, true)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = rootUri.relativize(st.getPath.toUri).getPath
+        val hidden = rel.split('/').exists(s => s.startsWith(".") || s.startsWith("_"))
+        if (!hidden)
+          parts += s"$rel:${st.getLen}:${st.getModificationTime}"
       }
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(parts.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.sorted.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    } catch { case _: Exception => "absent" }
   }
 
   /** Is the MV still byte-exact — i.e. has the base not changed since
     * the build? Consulted once per candidate Aggregate by [[MvRewrite]],
-    * AFTER the structural match (listing a directory costs more than
-    * pattern-matching a plan).
+    * AFTER the structural match. "absent" on EITHER side declines: an
+    * unreadable base must fail stale, never fail wrong.
     */
-  def isFresh(d: MvDef): Boolean = fingerprint(d.basePath) == d.baseFingerprint
+  def isFresh(d: MvDef): Boolean = {
+    if (d.baseFingerprint == "absent") return false
+    val now = fingerprint(d.basePath)
+    now != "absent" && now == d.baseFingerprint
+  }
 
-  /** Build the MV table from the definition and register it — the only
-    * path that guarantees table-matches-definition. Returns the def.
+  /** Hidden MV bookkeeping columns (graft-table MVs only): `__rows` is
+    * the group's row count — it detects group disappearance under deletes;
+    * `__nn_<mvCol>` is a sum column's non-null input count — it decides
+    * when an incrementally-maintained sum must return to NULL. Invisible
+    * to the rewrite (it projects only referenced columns).
     */
-  private[plans] def build(spark: SparkSession, name: String, basePath: String,
-                           groupCols: Seq[String], aggs: Seq[MvAgg],
-                           mvPath: String): MvDef = {
-    val base = spark.read.parquet(basePath)
-    val aggCols = aggs.map {
+  private[plans] val RowsCol = "__rows"
+  private[plans] def nnColOf(mvCol: String): String = s"__nn_$mvCol"
+
+  /** The aggregate columns of one MV build over `base` — the visible agg
+    * columns plus (when `withHidden`) the bookkeeping columns above.
+    */
+  private[plans] def aggColsOf(aggs: Seq[MvAgg], withHidden: Boolean) = {
+    val visible = aggs.map {
       case MvAgg("sum", Some(c), m)   => sum(col(c)).as(m)
       case MvAgg("count", None, m)    => count(lit(1)).as(m)
       case MvAgg("min", Some(c), m)   => min(col(c)).as(m)
       case MvAgg("max", Some(c), m)   => max(col(c)).as(m)
       case a => throw new IllegalArgumentException(s"unsupported MV aggregate $a")
     }
-    // fingerprint BEFORE the aggregate runs: if a writer races the build
-    // and lands after this listing, the fingerprint mismatches and the
-    // rewrite correctly never fires (fail-stale, never fail-wrong)
-    val fp = fingerprint(basePath)
-    val rootPaths = rootPathsOf(base.queryExecution.analyzed)
-    base.groupBy(groupCols.map(col): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
-      .write.mode("overwrite").parquet(mvPath)
-    register(spark, MvDef(name, basePath, rootPaths, groupCols, aggs, mvPath, fp))
+    val hidden =
+      if (!withHidden) Nil
+      else count(lit(1)).as(RowsCol) +: aggs.collect {
+        case MvAgg("sum", Some(c), m) => count(col(c)).as(nnColOf(m))
+      }
+    visible ++ hidden
+  }
+
+  /** Build the MV table from the definition and register it — the only
+    * path that guarantees table-matches-definition. A graft-table base is
+    * read at a PINNED version (time travel), so the fingerprint and the
+    * aggregated snapshot are the same commit by construction — no
+    * append-between-listing-and-read race is possible. A plain-directory
+    * base takes the fingerprint BEFORE constructing the DataFrame: a file
+    * landing in between flips the fingerprint relative to the data
+    * aggregated, so the rewrite correctly never fires (fail-stale, never
+    * fail-wrong). Graft-table bases store the MV as a graft table too —
+    * the shape [[MvRewrite.refresh]] maintains incrementally.
+    */
+  private[plans] def build(spark: SparkSession, name: String, basePath: String,
+                           groupCols: Seq[String], aggs: Seq[MvAgg],
+                           mvPath: String): MvDef = {
+    val baseT = new MergeTable(basePath)
+    if (baseT.exists) {
+      val v = baseT.currentVersion
+      val base = baseT.readVersion(spark, v)
+      val aggCols = aggColsOf(aggs, withHidden = true)
+      val mv = new MergeTable(mvPath)
+      mv.overwrite(base.groupBy(groupCols.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*))
+      val rootPaths = rootPathsOf(base.queryExecution.analyzed)
+      register(spark, MvDef(name, basePath, rootPaths, groupCols, aggs,
+        mvPath, s"graft:v$v"))
+    } else {
+      // fingerprint FIRST: the listing the fingerprint digests must be no
+      // NEWER than the listing the DataFrame captures
+      val fp = fingerprint(basePath)
+      val base = spark.read.parquet(basePath)
+      val aggCols = aggColsOf(aggs, withHidden = false)
+      val rootPaths = rootPathsOf(base.queryExecution.analyzed)
+      base.groupBy(groupCols.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .write.mode("overwrite").parquet(mvPath)
+      register(spark, MvDef(name, basePath, rootPaths, groupCols, aggs, mvPath, fp))
+    }
   }
 }

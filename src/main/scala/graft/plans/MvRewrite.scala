@@ -1,12 +1,14 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.lake.MergeTable
 
 /** Materialized-view query rewrite — the optimizer half of the MV
   * lifecycle ([[MvCatalog]] is the metadata half). Injected via
@@ -25,15 +27,22 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    over MV-cardinality rows instead of base-cardinality.
   *
   * Soundness gates (ALL must hold, else the plan is left untouched):
-  *  - the Aggregate's child is the registered base scan itself, bar a
-  *    pure column-pruning Project — any Filter/Join/expression in
-  *    between declines (a filtered aggregate is NOT the MV's answer);
+  *  - the Aggregate's child is the registered base scan itself, bar pure
+  *    column-pruning Projects (self-aliases allowed — a graft-table read
+  *    projects physical→logical names) and the UNION a multi-data-dir
+  *    graft snapshot reads through — any Filter/Join/computed expression
+  *    in between declines (a filtered aggregate is NOT the MV's answer);
   *  - every output is a grouping attribute (possibly aliased) or a
   *    DISTINCT-free, FILTER-free sum/count(*)/min/max over a single base
   *    column with a registered MV column of the SAME data type;
+  *  - on the rollup path, the RE-AGGREGATED expression's type must also
+  *    equal the original aggregate's — `sum` over a decimal MV column
+  *    widens (decimal(p,s) → decimal(p+10,s)), and silently swapping a
+  *    child of a different type under the original exprId would corrupt
+  *    the resolved plan's schema. Type drift declines;
   *  - the base is FRESH ([[MvCatalog.isFresh]]): any base mutation since
   *    the build disables the rewrite — stale MVs cost speed, never
-  *    correctness.
+  *    correctness. For graft-table bases this is one O(1) version read.
   *
   * The rewrite preserves the Aggregate's exact output surface — names,
   * exprIds, data types, nullability (count's non-nullable contract is
@@ -53,10 +62,22 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** The base scan under an optional pure column-pruning Project. */
+  /** The base scan under optional pure column-pruning Projects (bare
+    * attributes or self-aliases — `col(x).as(x)`, the graft read's
+    * physical→logical projection) and/or the Union a multi-data-dir graft
+    * snapshot scans through. Returns the union of every leaf's root paths,
+    * or None on any node that could change rows or values.
+    */
   private def baseScanPaths(p: LogicalPlan): Option[Set[String]] = p match {
-    case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+    case Project(projList, child) if projList.forall {
+        case _: AttributeReference => true
+        case a @ Alias(ar: AttributeReference, _) => a.name == ar.name
+        case _ => false
+      } =>
       baseScanPaths(child)
+    case Union(children, _, _) =>
+      val sets = children.map(baseScanPaths)
+      if (sets.forall(_.isDefined)) Some(sets.flatMap(_.get).toSet) else None
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       Some(fs.location.rootPaths.map(_.toString).toSet)
     case _ => None
@@ -115,10 +136,11 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     if (gNames.length != agg.groupingExpressions.length) return None
     if (!gNames.toSet.subsetOf(d.groupCols.toSet)) return None
     val outs = classify(agg, d).getOrElse(return None)
-    // structural match done — only now pay the staleness listing
+    // structural match done — only now pay the staleness consult (one
+    // version read for graft bases, a listing for plain directories)
     if (!MvCatalog.isFresh(d)) return None
 
-    val mvPlan = session.read.parquet(d.mvPath).queryExecution.analyzed
+    val mvPlan = MvRewrite.mvFrame(session, d).queryExecution.analyzed
     val mvOut = mvPlan.output.map(a => a.name -> a).toMap
     // every referenced MV column must exist AND carry the exact data type
     // the original expression produced (a schema drift between definition
@@ -146,27 +168,48 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       def reAgg(f: AggregateFunction): Expression =
         AggregateExpression(f, Complete, isDistinct = false)
       val rolled = outs.map {
-        case GroupOut(c, name, id) => Alias(mvOut(c), name)(exprId = id)
-        case AggOut(m, _, name, id) => m.func match {
-          case "sum" => Alias(reAgg(Sum(mvOut(m.mvCol))), name)(exprId = id)
-          case "count" =>
-            Alias(Coalesce(Seq(reAgg(Sum(mvOut(m.mvCol))), Literal(0L))),
-              name)(exprId = id)
-          case "min" => Alias(reAgg(Min(mvOut(m.mvCol))), name)(exprId = id)
-          case "max" => Alias(reAgg(Max(mvOut(m.mvCol))), name)(exprId = id)
-        }
+        case GroupOut(c, name, id) => Some(Alias(mvOut(c), name)(exprId = id))
+        case AggOut(m, orig, name, id) =>
+          val e: Expression = m.func match {
+            case "sum"   => reAgg(Sum(mvOut(m.mvCol)))
+            case "count" => Coalesce(Seq(reAgg(Sum(mvOut(m.mvCol))), Literal(0L)))
+            case "min"   => reAgg(Min(mvOut(m.mvCol)))
+            case "max"   => reAgg(Max(mvOut(m.mvCol)))
+          }
+          // the re-aggregation must reproduce the original output type
+          // EXACTLY — Sum over a decimal MV column widens the precision,
+          // and an Alias keeping the original exprId over a differently-
+          // typed child breaks the resolved plan's schema. Decline.
+          if (e.dataType != orig.dataType) None
+          else Some(Alias(e, name)(exprId = id))
       }
+      if (rolled.exists(_.isEmpty)) return None
       // group on the QUERY's grouping set (not the output's — a grouping
       // column omitted from the SELECT list must still partition groups)
       val groupings = agg.groupingExpressions.collect {
         case a: AttributeReference => mvOut(a.name)
       }
-      Some(Aggregate(groupings, rolled, mvPlan))
+      Some(Aggregate(groupings, rolled.flatten, mvPlan))
     }
   }
 }
 
 object MvRewrite {
+  /** How the last [[refresh]] ran: "incremental" (MV ⊕ signed CDF delta —
+    * the base is never rescanned), "full" (rebuild from the base
+    * snapshot), or "noop" (base version unchanged). Observability for the
+    * q32 gate and MvIncrementalSpec.
+    */
+  @volatile var lastRefreshMode: String = ""
+
+  /** The MV's current contents: through the graft table when one lives at
+    * `mvPath` (the incremental-maintenance shape), else plain parquet.
+    */
+  private[plans] def mvFrame(spark: SparkSession, d: MvDef): DataFrame = {
+    val t = new MergeTable(d.mvPath)
+    if (t.exists) t.read(spark) else spark.read.parquet(d.mvPath)
+  }
+
   /** Build the MV table from the definition over the CURRENT base
     * snapshot and register it for rewrite — the one-call entry point.
     */
@@ -175,13 +218,112 @@ object MvRewrite {
                        mvPath: String): MvDef =
     MvCatalog.build(spark, name, basePath, groupCols, aggs, mvPath)
 
-  /** Rebuild a registered MV against the base's current snapshot and
+  /** Bring a registered MV up to the base's current snapshot and
     * re-fingerprint — the staleness exit. Queries between the base
     * mutation and the refresh simply ran unrewritten.
+    *
+    * When the base is a graft table with a change feed over the stale
+    * window and every aggregate is sum/count, the refresh is INCREMENTAL:
+    * the base's CDF rows between the registered version and the tip fold
+    * into signed per-group deltas (+1 for insert/update_postimage, −1 for
+    * delete/update_preimage — st7's IVM algebra), which merge with the
+    * CURRENT MV rows: `new_sum = old_sum + Δsum` (NULL when the non-null
+    * input count hits zero), `new_cnt = old_cnt + Δcnt`, and a group
+    * whose hidden `__rows` count reaches zero is DROPPED. Cost is
+    * O(MV + delta) — the base is never rescanned; at 100 TB that is the
+    * difference between touching dozens of grouped rows and re-reading
+    * the corpus. min/max MVs fold incrementally too when the stale
+    * window is PURE APPENDS (`new_min = least(old, Δmin)`); a window
+    * with any retraction can shrink an extremum the stored value cannot
+    * answer, so those — and plain-parquet bases — rebuild in full.
     */
   def refresh(spark: SparkSession, name: String): MvDef = {
     val d = MvCatalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"no registered MV named $name"))
-    MvCatalog.build(spark, d.name, d.basePath, d.groupCols, d.aggs, d.mvPath)
+    val baseT = new MergeTable(d.basePath)
+    val mvT = new MergeTable(d.mvPath)
+    val incrCapable = baseT.exists && mvT.exists &&
+      d.baseFingerprint.startsWith("graft:v")
+    if (!incrCapable) {
+      lastRefreshMode = "full"
+      return MvCatalog.build(spark, d.name, d.basePath, d.groupCols, d.aggs, d.mvPath)
+    }
+    val vOld = d.baseFingerprint.stripPrefix("graft:v").toLong
+    val vNow = baseT.currentVersion
+    if (vNow == vOld) { lastRefreshMode = "noop"; return d }
+    val ch =
+      try baseT.changes(spark, vOld + 1, vNow)
+      catch { case _: Exception =>
+        // a commit in the window has no change feed — fall back loudly-
+        // correct: rebuild from the snapshot
+        lastRefreshMode = "full"
+        return MvCatalog.build(spark, d.name, d.basePath, d.groupCols, d.aggs, d.mvPath)
+      }
+    // min/max fold ONLY under a pure-append window: a retraction can
+    // shrink a min/max and the stored extremum cannot answer what the
+    // new one is — those windows rebuild from the snapshot. sum/count
+    // stay incremental under arbitrary mutation (signed deltas).
+    val minMax = d.aggs.filter(a => a.func == "min" || a.func == "max")
+    if (minMax.nonEmpty &&
+        !ch.filter(col(MergeTable.ChangeType) =!= "insert").isEmpty) {
+      lastRefreshMode = "full"
+      return MvCatalog.build(spark, d.name, d.basePath, d.groupCols, d.aggs, d.mvPath)
+    }
+    lastRefreshMode = "incremental"
+    val sign = when(col(MergeTable.ChangeType).isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val sums = d.aggs.collect { case MvAgg("sum", Some(c), m) => (c, m) }
+    val deltaAggs =
+      sums.flatMap { case (c, m) => Seq(
+        sum(when(col(c).isNotNull, sign * col(c))).as(s"__d_$m"),
+        sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"__dnn_$m")) } ++
+      d.aggs.collect { case MvAgg("count", None, m) => sum(sign).as(s"__d_$m") } ++
+      d.aggs.collect { case MvAgg("min", Some(c), m) => min(col(c)).as(s"__d_$m") } ++
+      d.aggs.collect { case MvAgg("max", Some(c), m) => max(col(c)).as(s"__d_$m") } :+
+      sum(sign).as("__drows")
+    val delta = ch.groupBy(d.groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*).as("dl")
+    val old = mvT.read(spark)
+    val oldTypes = old.schema.fields.map(f => f.name -> f.dataType).toMap
+    // null-safe join: groupBy puts NULL keys in one group, so the merge
+    // must match them too (a plain equi-join would strand a NULL-keyed
+    // delta as a spurious new group next to the surviving old one)
+    val cond = d.groupCols.map(c => col(s"o.$c") <=> col(s"dl.$c")).reduce(_ && _)
+    var merged = old.as("o").join(delta, cond, "full_outer")
+    val newRows = coalesce(col(s"o.${MvCatalog.RowsCol}"), lit(0L)) +
+      coalesce(col("__drows"), lit(0L))
+    d.aggs.foreach {
+      case MvAgg("sum", Some(_), m) =>
+        val t = oldTypes(m)
+        val nn = coalesce(col(s"o.${MvCatalog.nnColOf(m)}"), lit(0L)) +
+          coalesce(col(s"__dnn_$m"), lit(0L))
+        merged = merged
+          .withColumn(s"__new_$m",
+            when(nn === 0, lit(null).cast(t))
+              .otherwise((coalesce(col(s"o.$m"), lit(0).cast(t)) +
+                coalesce(col(s"__d_$m"), lit(0).cast(t))).cast(t)))
+          .withColumn(s"__newnn_$m", nn)
+      case MvAgg("count", None, m) =>
+        merged = merged.withColumn(s"__new_$m",
+          coalesce(col(s"o.$m"), lit(0L)) + coalesce(col(s"__d_$m"), lit(0L)))
+      // append-only window (gated above): the fold is the extremum of the
+      // stored value and the inserts' — least/greatest skip NULL sides
+      case MvAgg("min", Some(_), m) =>
+        merged = merged.withColumn(s"__new_$m",
+          least(col(s"o.$m"), col(s"__d_$m")))
+      case MvAgg("max", Some(_), m) =>
+        merged = merged.withColumn(s"__new_$m",
+          greatest(col(s"o.$m"), col(s"__d_$m")))
+      case a => throw new IllegalStateException(s"unsupported MV aggregate $a")
+    }
+    val outCols = d.groupCols.map(c => coalesce(col(s"o.$c"), col(s"dl.$c")).as(c)) ++
+      d.aggs.map(a => col(s"__new_${a.mvCol}").as(a.mvCol)) ++
+      Seq(newRows.as(MvCatalog.RowsCol)) ++
+      sums.map { case (_, m) => col(s"__newnn_$m").as(MvCatalog.nnColOf(m)) }
+    mvT.overwrite(merged.filter(newRows > 0).select(outCols: _*))
+    val rootPaths = MvCatalog.rootPathsOf(
+      baseT.readVersion(spark, vNow).queryExecution.analyzed)
+    MvCatalog.register(spark, d.copy(baseRootPaths = rootPaths,
+      baseFingerprint = s"graft:v$vNow"))
   }
 }

@@ -701,5 +701,113 @@ object CoreQueries {
              |       sum(l_quantity), count(*)
              |FROM withx GROUP BY 2, 3""".stripMargin),
       "materialized-view rewrite: exact + rollup re-point at the MV, staleness declines, refresh resumes"),
+
+    // PERSISTED + INCREMENTALLY-MAINTAINED MVs — q31's missing lifecycle
+    // half. The definition lives in a COMMIT-LOG-BACKED catalog
+    // (MvCatalog.attach: register/unregister are ACID upserts on a graft
+    // table, so MVs survive the session like every other piece of engine
+    // state), freshness for a graft-table base is ONE O(1) version read
+    // (never a directory walk), and refresh is INCREMENTAL: the stale
+    // window's CDF rows fold into signed per-group deltas (st7's IVM
+    // algebra: +1 insert/update_postimage, −1 delete/update_preimage)
+    // merged with the CURRENT MV rows — O(MV + delta), the base is never
+    // rescanned. Four phases, all hash-matched against DuckDB recomputing
+    // straight from lineitem with the mutation applied in closed form:
+    //   fresh     — exact-grain aggregate over the graft base rewrites to
+    //               the MV (plan-pinned to the MV's files);
+    //   stale     — ONE mergeClauses commit (DELETE l_orderkey % 13 == 3,
+    //               quantity UPDATE % 13 == 7, CDF on) bumps the base
+    //               version; the freshness consult declines (plan-pinned
+    //               to the base) — stale costs speed, never correctness;
+    //   refreshed — MvRewrite.refresh folds the CDF delta into the MV
+    //               (REQUIRE: lastRefreshMode == "incremental") and the
+    //               rewrite resumes — the incremental arithmetic must
+    //               equal the full recompute bit-for-bit;
+    //   reloaded  — the in-memory catalog is CLEARED and re-attached from
+    //               the definitions table (the fresh-session recovery
+    //               path); the rewrite still fires.
+    "q32_mv_incremental" -> GraftQuery(
+      (s, dir) => {
+        import graft.plans.{MvAgg, MvCatalog, MvRewrite}
+        import graft.lake.MergeTable
+        import org.apache.spark.sql.DataFrame
+        val tag = Registry.sanitize(dir)
+        val root = s"${Registry.scratchRoot}/q32_$tag"
+        Registry.cleanDir(root)
+        val base = new MergeTable(s"$root/base")
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
+        // staged table carries a surrogate row id as the merge key; the
+        // mutation predicate itself is on l_orderkey alone, so the oracle
+        // never needs to see rid
+        base.overwrite(t(s, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity")
+          .withColumn("rid", monotonically_increasing_id()))
+        MvCatalog.attach(s, s"$root/catalog")
+        try {
+          MvRewrite.buildAndRegister(s, s"q32_$tag", s"$root/base",
+            Seq("l_returnflag", "l_linestatus"),
+            Seq(MvAgg("sum", Some("l_quantity"), "sum_qty"),
+                MvAgg("count", None, "cnt")),
+            s"$root/mv")
+          def q = base.read(s).groupBy("l_returnflag", "l_linestatus")
+            .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+          def phase(name: String, wantMv: Boolean): DataFrame = {
+            // the MV's file set moves on refresh — compare per phase
+            val mvRoots = MvCatalog.rootPathsOf(
+              MergeTable.open(s"$root/mv").read(s).queryExecution.analyzed)
+            val df = q
+            val leaves = MvCatalog.rootPathsOf(df.queryExecution.optimizedPlan)
+            require((leaves == mvRoots) == wantMv,
+              s"$name: rewrite fired=${leaves == mvRoots}, wanted fired=$wantMv")
+            val frozen = df.collect().toSeq // pin results BEFORE later mutations
+            s.createDataFrame(s.sparkContext.parallelize(frozen, 1), df.schema)
+              .withColumn("phase", lit(name))
+          }
+          val p1 = phase("fresh", wantMv = true)
+          val mutSrc = base.read(s)
+            .filter(col("l_orderkey") % 13 === 3 || col("l_orderkey") % 13 === 7)
+            .withColumn("kind",
+              when(col("l_orderkey") % 13 === 3, "del").otherwise("upd"))
+            .select("rid", "kind")
+          base.mergeClauses(s, mutSrc, Seq("rid"),
+            Seq(MergeTable.MatchedDelete(Some("s.kind = 'del'")),
+                MergeTable.MatchedUpdate(Some("s.kind = 'upd'"),
+                  Seq("l_quantity" -> "t.l_quantity + CAST(5 AS DOUBLE)"))),
+            changeFeed = true)
+          val p2 = phase("stale", wantMv = false)
+          MvRewrite.refresh(s, s"q32_$tag")
+          require(MvRewrite.lastRefreshMode == "incremental",
+            s"a graft-base sum/count refresh must fold the CDF delta, " +
+              s"ran '${MvRewrite.lastRefreshMode}'")
+          val p3 = phase("refreshed", wantMv = true)
+          // fresh-session recovery: the defs reload from the commit log alone
+          MvCatalog.clear()
+          MvCatalog.attach(s, s"$root/catalog")
+          val p4 = phase("reloaded", wantMv = true)
+          val cols = Seq("phase", "l_returnflag", "l_linestatus", "sum_qty", "cnt")
+          p1.select(cols.map(col): _*)
+            .unionByName(p2.select(cols.map(col): _*))
+            .unionByName(p3.select(cols.map(col): _*))
+            .unionByName(p4.select(cols.map(col): _*))
+        } finally { MvCatalog.unregister(s"q32_$tag"); MvCatalog.detach() }
+      },
+      Some("""WITH mut AS (
+             |  SELECT l_returnflag, l_linestatus,
+             |         CASE WHEN l_orderkey % 13 = 7 THEN l_quantity + 5
+             |              ELSE l_quantity END AS q
+             |  FROM lineitem WHERE l_orderkey % 13 <> 3)
+             |SELECT 'fresh' AS phase, l_returnflag, l_linestatus,
+             |       sum(l_quantity) AS sum_qty, count(*) AS cnt
+             |FROM lineitem GROUP BY 2, 3
+             |UNION ALL
+             |SELECT 'stale', l_returnflag, l_linestatus, sum(q), count(*)
+             |FROM mut GROUP BY 2, 3
+             |UNION ALL
+             |SELECT 'refreshed', l_returnflag, l_linestatus, sum(q), count(*)
+             |FROM mut GROUP BY 2, 3
+             |UNION ALL
+             |SELECT 'reloaded', l_returnflag, l_linestatus, sum(q), count(*)
+             |FROM mut GROUP BY 2, 3""".stripMargin),
+      "persisted MV catalog + incremental refresh: CDF deltas fold into the MV, definitions survive the session"),
   )
 }

@@ -102,6 +102,34 @@ class IncrementalCcSpec extends SparkSpec {
     assert(want == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 7L -> 3L, 8L -> 3L))
   }
 
+  test("distributed relabel (ccDriverRelabelMax=0) yields the union-find path's labels") {
+    // the giant-component path: force EVERY subgraph through the
+    // distributed min-label propagation and replay the first suite's
+    // merge/split/orphan history — labels must be identical
+    spark.conf.set("spark.graft.ccDriverRelabelMax", "0")
+    try {
+      val root = scratch("inccc_dist")
+      val edges = IncrementalCc.edgesTable(spark, s"$root/edges")
+      val labels = IncrementalCc.labelsTable(spark, s"$root/labels")
+      assert(IncrementalCc.applyBatch(batchOf(
+        (1L, 2L, "insert", 1L), (2L, 3L, "insert", 1L), (3L, 4L, "insert", 1L),
+        (5L, 6L, "insert", 1L)), 1L, edges, labels, "ct5") == 4L)
+      assert(labelMap(labels) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        5L -> 5L, 6L -> 5L))
+      IncrementalCc.applyBatch(batchOf((4L, 5L, "insert", 2L)),
+        2L, edges, labels, "ct5")
+      assert(labelMap(labels) == (1L to 6L).map(_ -> 1L).toMap)
+      IncrementalCc.applyBatch(batchOf((2L, 3L, "delete", 3L)),
+        3L, edges, labels, "ct5")
+      assert(labelMap(labels) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+        5L -> 3L, 6L -> 3L), "the LP path must split exactly like union-find")
+      IncrementalCc.applyBatch(batchOf(
+        (4L, 5L, "delete", 4L), (5L, 6L, "delete", 4L)), 4L, edges, labels, "ct5")
+      assert(labelMap(labels) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+        5L -> 5L, 6L -> 6L), "LP-path orphans must become singletons")
+    } finally spark.conf.unset("spark.graft.ccDriverRelabelMax")
+  }
+
   test("state probes prune files to touched buckets") {
     val root = scratch("inccc_prune")
     spark.conf.set("spark.graft.ccLabelBuckets", "4")

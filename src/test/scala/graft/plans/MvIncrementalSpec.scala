@@ -1,0 +1,194 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.lake.MergeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted/incremental MV lifecycle (q32's spec-level depth):
+  * signed-delta refresh across every mutation shape (update, group death,
+  * sum-to-NULL, new group), O(1) graft-base freshness (no directory
+  * walks), the rollup type-drift decline, absent-base staleness, and
+  * commit-log catalog recovery.
+  */
+class MvIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leaves(df: DataFrame): Set[String] =
+    MvCatalog.rootPathsOf(df.queryExecution.optimizedPlan)
+
+  test("incremental refresh equals the full recompute across update, group death, sum-to-NULL, new group") {
+    val root = scratch("mv_incr")
+    val base = new MergeTable(s"$root/base")
+    base.overwrite(Seq(
+      (1L, "a", Option(1.0)), (2L, "a", Option(2.0)),   // survives, id 1 updates
+      (3L, "b", Option(3.0)), (4L, "b", Option(4.0)),   // fully deleted → group dies
+      (5L, "c", Option(5.0)), (6L, "c", Option.empty[Double]) // id 5 → NULL: sum(c) must go NULL
+    ).toDF("id", "g", "x"))
+    MvRewrite.buildAndRegister(spark, "mv_incr", s"$root/base",
+      Seq("g"), Seq(MvAgg("sum", Some("x"), "sx"), MvAgg("count", None, "c")),
+      s"$root/mv")
+    try {
+      val mut = Seq(
+        (3L, "del", Option.empty[String], Option.empty[Double]),
+        (4L, "del", Option.empty[String], Option.empty[Double]),
+        (1L, "upd_add", Option.empty[String], Option.empty[Double]),
+        (5L, "upd_null", Option.empty[String], Option.empty[Double]),
+        (7L, "ins", Option("d"), Option(7.0))             // brand-new group
+      ).toDF("id", "kind", "g", "x")
+      base.mergeClauses(spark, mut, Seq("id"),
+        Seq(MergeTable.MatchedDelete(Some("s.kind = 'del'")),
+            MergeTable.MatchedUpdate(Some("s.kind = 'upd_add'"),
+              Seq("x" -> "t.x + CAST(10 AS DOUBLE)")),
+            MergeTable.MatchedUpdate(Some("s.kind = 'upd_null'"),
+              Seq("x" -> "CAST(NULL AS DOUBLE)")),
+            MergeTable.NotMatchedInsert(Some("s.kind = 'ins'"),
+              Seq("id" -> "s.id", "g" -> "s.g", "x" -> "s.x"))),
+        checkUniqueSource = false, changeFeed = true)
+      MvRewrite.refresh(spark, "mv_incr")
+      assert(MvRewrite.lastRefreshMode == "incremental",
+        s"expected the CDF fold, ran '${MvRewrite.lastRefreshMode}'")
+      val mv = MergeTable.open(s"$root/mv").read(spark)
+        .select("g", "sx", "c").collect()
+        .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2))).toSet
+      val full = base.read(spark).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("c")).collect()
+        .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2))).toSet
+      assert(mv == full, s"incremental $mv != recompute $full")
+      assert(!mv.exists(_._1 == "b"), "a fully-deleted group must leave the MV")
+      assert(mv.exists(t => t._1 == "c" && t._2.isEmpty && t._3 == 2L),
+        "an all-NULL group's sum must return to NULL while its count survives")
+      assert(mv.exists(t => t._1 == "d" && t._2.contains(7.0) && t._3 == 1L),
+        "a new group must appear")
+      // and the rewrite serves the refreshed MV
+      val q = base.read(spark).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+      val mvRoots = MvCatalog.rootPathsOf(
+        MergeTable.open(s"$root/mv").read(spark).queryExecution.analyzed)
+      assert(leaves(q) == mvRoots, "the rewrite must resume after refresh")
+      assert(q.collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(2)))
+        .toSet == full)
+    } finally MvCatalog.clear()
+  }
+
+  test("min/max fold incrementally under pure appends, rebuild under retraction") {
+    val root = scratch("mv_minmax")
+    val base = new MergeTable(s"$root/base")
+    base.overwrite(Seq((1L, "a", 5.0), (2L, "a", 9.0), (3L, "b", 4.0))
+      .toDF("id", "g", "x"))
+    MvRewrite.buildAndRegister(spark, "mv_minmax", s"$root/base",
+      Seq("g"), Seq(MvAgg("min", Some("x"), "mn"), MvAgg("max", Some("x"), "mx"),
+        MvAgg("count", None, "c")), s"$root/mv")
+    try {
+      def check(): Unit = {
+        val mv = MergeTable.open(s"$root/mv").read(spark)
+          .select("g", "mn", "mx", "c").collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+        val full = base.read(spark).groupBy("g")
+          .agg(min("x").as("mn"), max("x").as("mx"), count(lit(1)).as("c"))
+          .collect()
+          .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
+        assert(mv == full, s"MV $mv != recompute $full")
+      }
+      // append-only commit: new extremes + a new group → INCREMENTAL fold
+      base.merge(spark, Seq((4L, "a", 1.0), (5L, "b", 11.0), (6L, "cc", 7.0))
+        .toDF("id", "g", "x"), Seq("id"), changeFeed = true)
+      MvRewrite.refresh(spark, "mv_minmax")
+      assert(MvRewrite.lastRefreshMode == "incremental",
+        s"append-only min/max window must fold, ran '${MvRewrite.lastRefreshMode}'")
+      check()
+      // a retraction in the window: the deleted row held min(a) → REBUILD
+      base.delete(spark, col("id") === 4L, changeFeed = true)
+      MvRewrite.refresh(spark, "mv_minmax")
+      assert(MvRewrite.lastRefreshMode == "full",
+        "a retracting window must rebuild a min/max MV")
+      check()
+    } finally MvCatalog.clear()
+  }
+
+  test("graft-base freshness is one version read — never a directory walk") {
+    val root = scratch("mv_o1")
+    val base = new MergeTable(s"$root/base")
+    base.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "g", "x"))
+    MvRewrite.buildAndRegister(spark, "mv_o1", s"$root/base",
+      Seq("g"), Seq(MvAgg("sum", Some("x"), "sx")), s"$root/mv")
+    try {
+      MvCatalog.lastFingerprintWalked = false
+      val q = base.read(spark).groupBy("g").agg(sum("x").as("sx"))
+      val mvRoots = MvCatalog.rootPathsOf(
+        MergeTable.open(s"$root/mv").read(spark).queryExecution.analyzed)
+      assert(leaves(q) == mvRoots, "rewrite must fire on the graft base")
+      assert(!MvCatalog.lastFingerprintWalked,
+        "a graft-base freshness consult must not list the directory")
+    } finally MvCatalog.clear()
+  }
+
+  test("decimal-sum rollup declines: re-aggregation would widen the output type") {
+    val root = scratch("mv_dec")
+    val basePath = s"$root/base"
+    (1 to 100).map(i => (i.toLong, s"g${i % 4}", s"h${i % 2}", i))
+      .toDF("id", "ga", "gb", "xi")
+      .withColumn("x", col("xi").cast("decimal(10,2)")).drop("xi")
+      .write.parquet(basePath)
+    MvRewrite.buildAndRegister(spark, "mv_dec", basePath, Seq("ga", "gb"),
+      Seq(MvAgg("sum", Some("x"), "sum_x")), s"$root/mv")
+    try {
+      val mvRoots = MvCatalog.rootPathsOf(
+        spark.read.parquet(s"$root/mv").queryExecution.analyzed)
+      val baseRoots = MvCatalog.rootPathsOf(
+        spark.read.parquet(basePath).queryExecution.analyzed)
+      // exact grain: the stored column IS the original type → fires
+      val exact = spark.read.parquet(basePath).groupBy("ga", "gb")
+        .agg(sum("x").as("sx"))
+      assert(leaves(exact) == mvRoots, "exact decimal grain must still rewrite")
+      // rollup: Sum over the decimal(20,2) MV column yields decimal(30,2)
+      // ≠ the original decimal(20,2) → MUST decline, keeping the schema
+      val rollup = spark.read.parquet(basePath).groupBy("ga")
+        .agg(sum("x").as("sx"))
+      assert(leaves(rollup) == baseRoots,
+        "decimal-sum rollup must decline (type drift)")
+      val got = rollup.collect().map(r => (r.getString(0), r.getDecimal(1))).toSet
+      MvCatalog.clear()
+      val bare = spark.read.parquet(basePath).groupBy("ga")
+        .agg(sum("x").as("sx"))
+      assert(rollup.schema == bare.schema)
+      assert(bare.collect().map(r => (r.getString(0), r.getDecimal(1))).toSet == got)
+    } finally MvCatalog.clear()
+  }
+
+  test("absent or unlistable bases are never fresh") {
+    assert(MvCatalog.fingerprint("target/graft-tmp/does/not/exist") == "absent")
+    val d = MvDef("mv_absent", "target/graft-tmp/does/not/exist", Set.empty,
+      Seq("g"), Seq(MvAgg("count", None, "c")), "nowhere", "absent")
+    assert(!MvCatalog.isFresh(d),
+      "absent==absent must NOT read as fresh (the r12 advice hazard)")
+  }
+
+  test("definitions survive a fresh catalog via attach (commit-log recovery)") {
+    val root = scratch("mv_attach")
+    val base = new MergeTable(s"$root/base")
+    base.overwrite(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "g", "x"))
+    MvCatalog.attach(spark, s"$root/catalog")
+    try {
+      MvRewrite.buildAndRegister(spark, "mv_attach", s"$root/base",
+        Seq("g"), Seq(MvAgg("sum", Some("x"), "sx"), MvAgg("count", None, "c")),
+        s"$root/mv")
+      MvCatalog.clear()
+      assert(MvCatalog.get("mv_attach").isEmpty)
+      MvCatalog.attach(spark, s"$root/catalog")
+      val d = MvCatalog.get("mv_attach").getOrElse(fail("definition lost"))
+      assert(d.groupCols == Seq("g") && d.aggs ==
+        Seq(MvAgg("sum", Some("x"), "sx"), MvAgg("count", None, "c")))
+      val q = base.read(spark).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+      val mvRoots = MvCatalog.rootPathsOf(
+        MergeTable.open(s"$root/mv").read(spark).queryExecution.analyzed)
+      assert(leaves(q) == mvRoots, "a reloaded definition must still rewrite")
+      // unregister removes the persisted row too
+      MvCatalog.unregister("mv_attach")
+      MvCatalog.clear()
+      MvCatalog.attach(spark, s"$root/catalog")
+      assert(MvCatalog.get("mv_attach").isEmpty, "unregister must delete the row")
+    } finally { MvCatalog.clear(); MvCatalog.detach() }
+  }
+}

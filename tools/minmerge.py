@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Min-merge N solo Bench records into one definitive BENCH_full.json.
+
+Usage: python3 tools/minmerge.py OUT RUN1.json RUN2.json [RUN3.json ...]
+
+Per query, takes the MIN across every run's `queries_min` (the
+least-noise statistic on a shared sandbox) and the MEDIAN-of-medians for
+`queries`; totals are recomputed from the merged maps. Run markers
+(loadavg, wall, iters) of every input are kept under `run_markers` so
+the record stays attributable.
+"""
+import json, statistics, sys
+
+out, paths = sys.argv[1], sys.argv[2:]
+runs = [json.load(open(p)) for p in paths]
+names = sorted(set().union(*[r["queries"].keys() for r in runs]))
+qmed, qmin = {}, {}
+for n in names:
+    meds = [r["queries"][n] for r in runs if r["queries"].get(n, -1) >= 0]
+    mins = [r["queries_min"][n] for r in runs if r["queries_min"].get(n, -1) >= 0]
+    qmed[n] = statistics.median(meds) if meds else -1.0
+    qmin[n] = min(mins) if mins else -1.0
+failed = sorted(set().union(*[set(r.get("failed", [])) for r in runs]))
+rec = {
+    "metric": "total",
+    "value": sum(v for v in qmed.values() if v >= 0),
+    "unit": "sec",
+    "min_total": sum(v for v in qmin.values() if v >= 0),
+    "queries": qmed,
+    "queries_min": qmin,
+    "sf": runs[0]["sf"],
+    "iters": runs[0]["iters"],
+    "iter_policy": runs[0].get("iter_policy", ""),
+    "runs_merged": len(runs),
+    "master": runs[0]["master"],
+    "shuffle_partitions": runs[0]["shuffle_partitions"],
+    "failed": failed,
+    "run_markers": [
+        {k: r.get(k) for k in
+         ("loadavg_before", "loadavg_after", "bench_wall_sec", "iters")}
+        for r in runs],
+}
+json.dump(rec, open(out, "w"))
+print(f"merged {len(runs)} runs -> {out}: min_total="
+      f"{rec['min_total']:.1f}s median_total={rec['value']:.1f}s failed={failed}")
