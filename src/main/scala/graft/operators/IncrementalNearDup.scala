@@ -125,33 +125,37 @@ object IncrementalNearDup {
       .persist()
     val touched = fin.select("doc_id")
     val addIds = fin.filter(col("_is_add")).select("doc_id")
-    val (nTouched, nAdds) = (touched.count(), addIds.count())
-    lastProbePruned = nTouched <= pruneInMax
+    // cap + 1 as a LIMITed collect: one job answers "is it small enough?"
+    // and "what are the values?" together, and can never pull more than
+    // cap + 1 rows to the driver however large the batch is
+    val sampleN = (pruneInMax.min(Int.MaxValue - 1).toInt) + 1
 
-    def pairDelta(ver: Long, idsDf: DataFrame, nIds: Long): DataFrame = {
-      if (ver < 0 || nIds == 0) return emptyPairs
+    def pairDelta(ver: Long, idsDf: DataFrame): DataFrame = {
+      if (ver < 0) return emptyPairs
+      val idSample = idsDf.limit(sampleN).collect()
+      if (idSample.isEmpty) return emptyPairs
+      lastProbePruned = idSample.length <= pruneInMax
       // own rows: file-pruned by doc_id while the list is metadata-sized,
       // exact-filtered by a broadcast semi-join above the scan
       val scanned =
-        if (nIds <= pruneInMax)
-          sliceBy(ver, "doc_id", idsDf.collect().map(r => r.getLong(0): Any))
+        if (idSample.length <= pruneInMax)
+          sliceBy(ver, "doc_id", idSample.map(r => r.getLong(0): Any))
         else index.readVersion(sess, ver)
       val rows = scanned.join(broadcast(idsDf), Seq("doc_id"), "left_semi")
       // collision partners: file-pruned by the rows' sig values (4 per
       // doc) under the same cap; the (band, sig) equi-join in pairsOf is
       // the exact filter, so an unpruned partner side stays correct
-      val sigsDf = rows.select("sig").distinct()
-      val nSigs = sigsDf.count()
-      if (nSigs == 0) return emptyPairs
+      val sigSample = rows.select("sig").distinct().limit(sampleN).collect()
+      if (sigSample.isEmpty) return emptyPairs
       val whole =
-        if (nSigs <= pruneInMax)
-          sliceBy(ver, "sig", sigsDf.collect().map(r => r.getString(0): Any))
+        if (sigSample.length <= pruneInMax)
+          sliceBy(ver, "sig", sigSample.map(r => r.getString(0): Any))
         else index.readVersion(sess, ver)
       pairsOf(rows, whole, threshold)
     }
-    val edgeMut = pairDelta(v - 1, touched, nTouched)
+    val edgeMut = pairDelta(v - 1, touched)
       .withColumn(MergeTable.ChangeType, lit("delete"))
-      .unionByName(pairDelta(v, addIds, nAdds)
+      .unionByName(pairDelta(v, addIds)
         .withColumn(MergeTable.ChangeType, lit("insert")))
       .withColumn(MergeTable.CommitVersion, lit(batchId))
 
