@@ -226,6 +226,15 @@ object IncrementalCuration {
         col(MergeTable.CommitVersion).as("v")) ++ pt.map(col): _*)
       .persist()
     val processed = fin.count()
+    // fully applied already — BOTH commits carry this batch's txn marker
+    // (a crash replay past the second commit, or the double-deployed
+    // instance racing right behind the first): nothing left to converge,
+    // so skip the add-gate staging and the winner probe entirely. The
+    // net count was taken above, so the replay reports the same number.
+    if (fps.exists && fps.lastTxnVersion(appF).exists(_ >= batchId) &&
+        curated.exists && curated.lastTxnVersion(appC).exists(_ >= batchId)) {
+      fin.unpersist(); return processed
+    }
 
     // every hash the batch touched, pre- OR post-image — the only hash
     // groups whose canonical can have changed (batch-sized, broadcast)
