@@ -3,8 +3,10 @@ package graft
 /** Benchmark main: every registry query against SPARK_GRAFT_SF_DIR — ONE
   * untimed warm-up execution (JIT/codegen/page-cache, the round-7 noise
   * source), then a COST-AWARE number of timed runs per query reporting the
-  * per-query MEDIAN plus the MIN (`queries_min`/`min_total` — the
-  * least-noise statistic for round-over-round comparison). The timed
+  * per-query TRUE median (mean of the middle pair on even counts) plus the
+  * timed-only MIN (`queries_min`/`min_total` — the least-noise statistic
+  * for round-over-round comparison) and the warm-inclusive min under its
+  * own key (`queries_min_warm`/`min_total_warm`). The timed
   * iteration count scales inversely with the measured warm-up cost so the
   * whole suite stays inside the driver's wall budget (round 12 blew it:
   * a blanket ≥5-iteration floor on the m/st families ran the nine heavy
@@ -95,25 +97,33 @@ object Bench {
             None
         }
       }.sorted
-      // the MIN also considers the warm-up execution: it is a true run of
-      // the query (JIT/codegen make it pessimistic, so it can only ever
-      // LOWER the reported min when noise hit the timed iteration) — on
-      // the heavy 1-iter queries this doubles the sample count for free.
-      // The median stays timed-iterations-only.
-      (name,
-        if (times.isEmpty) -1.0 else times(times.size / 2),
+      // TRUE median (mean of the middle pair on even counts — the upper
+      // element alone reports the WORSE of two iterations and manufactured
+      // the r13 2-iter-tier "regressions"); timed-iterations-only.
+      // queries_min is likewise timed-iterations-only so round-over-round
+      // min comparisons stay apples-to-apples; the warm-inclusive min —
+      // the warm-up is a true (pessimistic) run, so it can only LOWER the
+      // min when noise hit a timed iteration — reports under its OWN key.
+      val median =
+        if (times.isEmpty) -1.0
+        else if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+      (name, median,
+        if (times.isEmpty) -1.0 else times.head,
         if (times.isEmpty) -1.0 else math.min(times.head, warmSec))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // min-of-N alongside the median: the min is the least-noise-contaminated
     // statistic on a shared sandbox, so round-over-round comparisons can
     // use it when the medians disagree within the noise band
-    val qsMin = results.map { case (k, _, m) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+    val qsMin = results.map { case (k, _, m, _) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+    val qsMinWarm = results.map { case (k, _, _, w) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = results.map(_._3).filter(_ >= 0).sum
+    val totalMinWarm = results.map(_._4).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val wall = (System.nanoTime() - wallT0) / 1e9
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","min_total":$totalMin,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","iters":$iters,"iter_policy":"warm>10s:1, >3s:min(iters,2), >1s:min(iters,3), sub-second m/st:max(iters,5), else iters","warmup":1,"master":"local[$cpus]","shuffle_partitions":$cpus,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","bench_wall_sec":$wall,"failed":$failedJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","min_total":$totalMin,"min_total_warm":$totalMinWarm,"queries":$qs,"queries_min":$qsMin,"queries_min_warm":$qsMinWarm,"sf":"$sfDir","iters":$iters,"iter_policy":"warm>10s:1, >3s:min(iters,2), >1s:min(iters,3), sub-second m/st:max(iters,5), else iters","warmup":1,"master":"local[$cpus]","shuffle_partitions":$cpus,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","bench_wall_sec":$wall,"failed":$failedJson}"""
     println(line)
     // the driver's BENCH record keeps only a 2000-char tail of stdout — the
     // per-query map loses its first ~57 entries. Persist the FULL line in

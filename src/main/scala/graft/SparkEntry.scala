@@ -37,12 +37,16 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only where the operator's values are
-    * engine-specific by nature — the HLL estimate (q13) and the k-means
-    * cells (v5) — which fall back to the driver's rows-only check plus
-    * dedicated scalatest invariants (error bounds, planted-dup recall).
-    * The hash sketches (d4, d5, v4) derive from md5 / deterministic ±1
-    * hyperplanes and ARE hash-checked.
+    * engine-specific by nature — the HLL estimate (q13) — which falls back
+    * to the driver's rows-only check plus dedicated scalatest invariants.
+    * The ANN family's oracles are DYNAMIC (`dynOracle`): Verify dumps
+    * oracle_sql.json AFTER the queries run, so each ANN query stashes a
+    * replay oracle built from its COMMITTED k-means models (centroid /
+    * codebook literals) — DuckDB replays cell assignment, PQ encode, probe
+    * ranking, ADC scoring, and the exact re-rank; only the Lloyd's fit
+    * itself stays engine-side (graft.queries.AnnOracle).
     */
   def oracleSql: Map[String, String] =
-    Registry.all.collect { case (name, q) if q.oracle.isDefined => name -> q.oracle.get }
+    Registry.all.flatMap { case (name, q) =>
+      q.dynOracle().orElse(q.oracle).map(name -> _) }
 }

@@ -117,8 +117,17 @@ object IvfIndex {
     */
   def topk(spark: SparkSession, emb: DataFrame, queryId: Long,
            nClusters: Int, nProbe: Int, k: Int): DataFrame = {
-    GraftFunctions.register(spark)
     val (assigned, centers) = fit(emb, nClusters)
+    topkAssigned(spark, emb, assigned, centers, queryId, nProbe, k)
+  }
+
+  /** [[topk]] over an ALREADY-fitted model — lets callers that need the
+    * centroid matrix (the v5 replay oracle) share one fit with the search.
+    */
+  def topkAssigned(spark: SparkSession, emb: DataFrame, assigned: DataFrame,
+                   centers: Array[Array[Double]], queryId: Long,
+                   nProbe: Int, k: Int): DataFrame = {
+    GraftFunctions.register(spark)
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb")).head.getSeq[Float](0).toArray.map(_.toDouble)
     val qNorm = math.sqrt(q.map(x => x * x).sum)

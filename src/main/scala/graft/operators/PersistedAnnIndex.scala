@@ -198,6 +198,15 @@ object PersistedAnnIndex {
       grouped(m).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)))
   }
 
+  /** The committed model matrices back from disk — what a replay oracle
+    * (graft.queries.AnnOracle) inlines as literals so DuckDB can re-derive
+    * assignment/encode/probe/ADC from the SAME values every search used.
+    * Metadata-sized collects (nClusters × dim + M × K × subdim doubles).
+    */
+  private[graft] def models(spark: SparkSession,
+                            h: Handle): (Array[Array[Double]], PqIndex.Codebook) =
+    (loadCentroids(spark, h), loadCodebook(spark, h))
+
   /** Encode a NEW batch against the PERSISTED models and append its codes —
     * O(batch) work, no refit, no touch of existing code files beyond the
     * appended partitions. Exactly d13's index-maintenance shape.

@@ -245,9 +245,17 @@ object PqIndex {
     */
   def search(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
              rerank: Int = 50, seed: Long = 42L,
-             kCentroids: Int = K): DataFrame = {
+             kCentroids: Int = K): DataFrame =
+    searchWith(spark, emb, fit(emb, seed, kCentroids = kCentroids),
+      queryId, k, rerank)
+
+  /** [[search]] over an ALREADY-fitted codebook — lets callers that need
+    * the codebook matrices (the v10 replay oracle) share one fit with the
+    * search.
+    */
+  def searchWith(spark: SparkSession, emb: DataFrame, cb: Codebook,
+                 queryId: Long, k: Int, rerank: Int = 50): DataFrame = {
     GraftFunctions.register(spark)
-    val cb = fit(emb, seed, kCentroids = kCentroids)
     val corpus = encode(emb.filter(col("vec_id") =!= queryId), cb)
     adcRerank(corpus, cb, queryVec(emb, queryId), emb, queryId, k, rerank)
   }
@@ -267,9 +275,20 @@ object PqIndex {
   def searchIvfPq(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
                   nClusters: Int = 16, nProbe: Int = 4,
                   rerank: Int = 50, seed: Long = 42L): DataFrame = {
-    GraftFunctions.register(spark)
     val (assigned, centers) = IvfIndex.fit(emb, nClusters, seed)
     val cb = fitResidual(assigned, centers, seed)
+    searchIvfPqWith(spark, emb, assigned, centers, cb, queryId, k, nProbe, rerank)
+  }
+
+  /** [[searchIvfPq]] over ALREADY-fitted models — lets callers that need
+    * the centroid/codebook matrices (the v12 replay oracle) share one fit
+    * with the search.
+    */
+  def searchIvfPqWith(spark: SparkSession, emb: DataFrame, assigned: DataFrame,
+                      centers: Array[Array[Double]], cb: Codebook,
+                      queryId: Long, k: Int, nProbe: Int = 4,
+                      rerank: Int = 50): DataFrame = {
+    GraftFunctions.register(spark)
     val q = queryVec(emb, queryId)
     val qNorm = math.sqrt(q.map(x => x * x).sum)
     val probes = centers.zipWithIndex.map { case (c, i) =>

@@ -63,7 +63,7 @@ object MvCatalog {
   def all: Seq[MvDef] = defs.values.toSeq
   def get(name: String): Option[MvDef] = defs.get(name)
 
-  def unregister(name: String): Unit = {
+  def unregister(name: String): Unit = synchronized {
     defs.remove(name)
     store.foreach { t =>
       if (t.exists)
@@ -80,6 +80,11 @@ object MvCatalog {
   def attach(spark: SparkSession, path: String): Unit = synchronized {
     val t = new MergeTable(path)
     store = Some(t)
+    // create the definitions table EAGERLY (one empty commit) so every
+    // register takes the merge (ACID-upsert) path — two first-time
+    // registers racing on a fresh catalog would otherwise both take an
+    // overwrite branch and one definition would be lost
+    if (!t.exists) t.overwrite(emptyDefs(spark))
     if (t.exists) t.read(spark).collect().foreach { r =>
       val aggs = r.getAs[scala.collection.Seq[String]]("agg_funcs")
         .zip(r.getAs[scala.collection.Seq[String]]("agg_inputs"))
@@ -97,12 +102,23 @@ object MvCatalog {
   /** Unbind the definitions table (in-memory defs stay). */
   def detach(): Unit = synchronized { store = None }
 
+  /** Zero-row definitions frame through the SAME encoder as [[register]]'s
+    * rows — eager creation and later merges must agree on the schema.
+    */
+  private def emptyDefs(spark: SparkSession) = {
+    import spark.implicits._
+    Seq.empty[(String, String, Seq[String], Seq[String], Seq[String],
+        Seq[String], Seq[String], String, String)]
+      .toDF("name", "base_path", "base_root_paths", "group_cols",
+        "agg_funcs", "agg_inputs", "agg_mvcols", "mv_path", "base_fingerprint")
+  }
+
   /** Record a definition whose MV table ALREADY holds the aggregate of
     * the CURRENT base snapshot (the contract [[MvRewrite.buildAndRegister]]
     * guarantees by construction — prefer it). When a definitions table is
     * attached, the definition is upserted there in the same call.
     */
-  def register(spark: SparkSession, d: MvDef): MvDef = {
+  def register(spark: SparkSession, d: MvDef): MvDef = synchronized {
     require(d.aggs.forall(a => Set("sum", "count", "min", "max").contains(a.func)),
       s"unsupported MV aggregate in ${d.aggs}")
     require(d.aggs.forall(a => (a.func == "count") == a.inputCol.isEmpty),
@@ -145,7 +161,14 @@ object MvCatalog {
     lastFingerprintWalked = true
     try {
       val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      // the SESSION's Hadoop conf, not a bare new Configuration(): plain-dir
+      // bases on object stores need spark.hadoop.* (credentials, fs impls)
+      // to resolve the FileSystem at all — a bare conf would throw, map to
+      // "absent", and leave such a base permanently never-fresh
+      val conf = SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) return "absent"
       val rootUri = fs.makeQualified(p).toUri
       val it = fs.listFiles(p, true)
@@ -160,8 +183,17 @@ object MvCatalog {
       java.security.MessageDigest.getInstance("MD5")
         .digest(parts.sorted.mkString("\n").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-    } catch { case _: Exception => "absent" }
+    } catch { case e: Exception =>
+      // fail-stale, but LOUDLY: an unlistable base disables the rewrite
+      // (never fresh), and silence here would read as "MV mysteriously
+      // stopped firing" to an operator
+      log.warn(s"MV base fingerprint failed for $path (treating as absent, " +
+        s"rewrite disabled): $e")
+      "absent"
+    }
   }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Is the MV still byte-exact — i.e. has the base not changed since
     * the build? Consulted once per candidate Aggregate by [[MvRewrite]],
@@ -182,6 +214,30 @@ object MvCatalog {
     */
   private[plans] val RowsCol = "__rows"
   private[plans] def nnColOf(mvCol: String): String = s"__nn_$mvCol"
+
+  /** The min/max VALUE CENSUS table of one MV input column: one row per
+    * (group, value) with the count of base rows holding it — what makes a
+    * min/max MV incremental under RETRACTION (a delete decrements its
+    * value's count; the new extremum is re-derived from the group's
+    * surviving census rows, never the base). Maintained by
+    * [[MvRewrite.refresh]] alongside the MV; sized by the per-group
+    * distinct-value count — the inherent price of exact extrema under
+    * deletes (second-extremum bookkeeping bounds memory but not
+    * worst-case correctness).
+    */
+  private[plans] def censusPath(mvPath: String, inputCol: String): String =
+    s"${mvPath}__census__$inputCol"
+
+  /** min/max input columns that NEED a census: a min/max over one of the
+    * GROUPING columns is the group key itself (uniform within the group),
+    * so it never needs recomputation.
+    */
+  private[plans] def censusCols(groupCols: Seq[String], aggs: Seq[MvAgg]): Seq[String] =
+    aggs.collect { case MvAgg("min" | "max", Some(c), _) => c }
+      .distinct.filterNot(groupCols.contains)
+
+  /** Census row count column. */
+  private[plans] val CensusCnt = "__cnt"
 
   /** The aggregate columns of one MV build over `base` — the visible agg
     * columns plus (when `withHidden`) the bookkeeping columns above.
@@ -224,6 +280,18 @@ object MvCatalog {
       val mv = new MergeTable(mvPath)
       mv.overwrite(base.groupBy(groupCols.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*))
+      // min/max value censuses, marked with the build's target version so
+      // a crashed build followed by an incremental refresh never folds the
+      // same window into an already-rebuilt census (each artifact is
+      // idempotent per target version independently)
+      censusCols(groupCols, aggs).foreach { c =>
+        val t = new MergeTable(censusPath(mvPath, c))
+        if (t.lastTxnVersion(s"mvc_$name").forall(_ < v))
+          t.overwrite(base.filter(col(c).isNotNull)
+            .groupBy((groupCols :+ c).map(col): _*)
+            .agg(count(lit(1)).as(CensusCnt)),
+            txn = Some(s"mvc_$name" -> v))
+      }
       val rootPaths = rootPathsOf(base.queryExecution.analyzed)
       register(spark, MvDef(name, basePath, rootPaths, groupCols, aggs,
         mvPath, s"graft:v$v"))

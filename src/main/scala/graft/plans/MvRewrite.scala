@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -29,9 +29,14 @@ import graft.lake.MergeTable
   * Soundness gates (ALL must hold, else the plan is left untouched):
   *  - the Aggregate's child is the registered base scan itself, bar pure
   *    column-pruning Projects (self-aliases allowed — a graft-table read
-  *    projects physical→logical names) and the UNION a multi-data-dir
-  *    graft snapshot reads through — any Filter/Join/computed expression
-  *    in between declines (a filtered aggregate is NOT the MV's answer);
+  *    projects physical→logical names), the UNION a multi-data-dir graft
+  *    snapshot reads through (children pairwise disjoint — a duplicating
+  *    self-union declines), and deterministic Filters whose every
+  *    reference is an MV GROUPING column (the single most common
+  *    production MV query: `WHERE grp = x GROUP BY grp`) — such a filter
+  *    is uniform within each MV row, so it transplants onto the MV scan,
+  *    on the exact grain and under a rollup alike. Any Join, computed
+  *    expression, or filter touching a non-grouping column declines;
   *  - every output is a grouping attribute (possibly aliased) or a
   *    DISTINCT-free, FILTER-free sum/count(*)/min/max over a single base
   *    column with a registered MV column of the SAME data type;
@@ -64,24 +69,53 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
   /** The base scan under optional pure column-pruning Projects (bare
     * attributes or self-aliases — `col(x).as(x)`, the graft read's
-    * physical→logical projection) and/or the Union a multi-data-dir graft
-    * snapshot scans through. Returns the union of every leaf's root paths,
-    * or None on any node that could change rows or values.
+    * physical→logical projection), deterministic Filters (collected —
+    * [[tryRewrite]] admits them only when every reference is an MV
+    * grouping column), and/or the Union a multi-data-dir graft snapshot
+    * scans through. Returns the union of every leaf's root paths plus the
+    * filter conditions met on the way down, or None on any node that
+    * could otherwise change rows or values.
     */
-  private def baseScanPaths(p: LogicalPlan): Option[Set[String]] = p match {
+  private def baseScanWithFilters(p: LogicalPlan): Option[(Set[String], Seq[Expression])] = p match {
     case Project(projList, child) if projList.forall {
         case _: AttributeReference => true
         case a @ Alias(ar: AttributeReference, _) => a.name == ar.name
         case _ => false
       } =>
-      baseScanPaths(child)
+      baseScanWithFilters(child)
+    case Filter(cond, child) if cond.deterministic =>
+      baseScanWithFilters(child).map { case (paths, conds) => (paths, cond +: conds) }
     case Union(children, _, _) =>
-      val sets = children.map(baseScanPaths)
-      if (sets.forall(_.isDefined)) Some(sets.flatMap(_.get).toSet) else None
+      val sets = children.map(baseScanWithFilters)
+      if (sets.forall(_.isDefined)) {
+        // children must be PAIRWISE DISJOINT: a multi-data-dir graft
+        // snapshot unions disjoint directory scans, while a duplicating
+        // union (`t UNION ALL t`) re-reads the same paths — its SET-union
+        // still equals the registered path set, but its rows are the base
+        // COUNTED TWICE, so rewriting it to the MV would silently halve
+        // every sum/count. Any overlap declines.
+        val flat = sets.flatMap(_.get._1)
+        // a filter PUSHED BELOW the union appears once per child with
+        // per-child attribute ids: admit only when every child carries the
+        // NAME-IDENTICAL condition list, and surface one copy
+        val condKeys = sets.map(_.get._2.map(canonicalByName))
+        if (flat.length == flat.toSet.size && condKeys.distinct.size == 1)
+          Some((flat.toSet, sets.head.get._2))
+        else None
+      } else None
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-      Some(fs.location.rootPaths.map(_.toString).toSet)
+      Some((fs.location.rootPaths.map(_.toString).toSet, Nil))
     case _ => None
   }
+
+  /** Name-keyed rendering of a condition — attribute ids differ across
+    * union children scanning different files, so equality of the pushed
+    * copies is judged on names.
+    */
+  private def canonicalByName(e: Expression): String =
+    e.transform { case a: AttributeReference =>
+      AttributeReference(a.name, a.dataType, a.nullable)(exprId = ExprId(0))
+    }.toString
 
   /** count(*) parses to Count(1) — match the literal in either width. */
   private def isCountStar(c: Count): Boolean = c.children match {
@@ -130,8 +164,16 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(agg: Aggregate, d: MvDef): Option[LogicalPlan] = {
-    val paths = baseScanPaths(agg.child).getOrElse(return None)
+    val (paths, conds) = baseScanWithFilters(agg.child).getOrElse(return None)
     if (paths != d.baseRootPaths) return None
+    // filtered aggregates are answerable from the MV exactly when every
+    // filter reference is an MV GROUPING column: each MV row is one group,
+    // all of whose base rows share those values, so the predicate is
+    // uniform within a row and filtering the MV == filtering the base —
+    // on the exact grain AND under a rollup (the filter may speak FINER
+    // grouping columns than the query groups by). Anything else declines.
+    if (!conds.forall(_.references.forall(a => d.groupCols.contains(a.name))))
+      return None
     val gNames = agg.groupingExpressions.collect { case a: AttributeReference => a.name }
     if (gNames.length != agg.groupingExpressions.length) return None
     if (!gNames.toSet.subsetOf(d.groupCols.toSet)) return None
@@ -140,8 +182,8 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // version read for graft bases, a listing for plain directories)
     if (!MvCatalog.isFresh(d)) return None
 
-    val mvPlan = MvRewrite.mvFrame(session, d).queryExecution.analyzed
-    val mvOut = mvPlan.output.map(a => a.name -> a).toMap
+    val mvScan = MvRewrite.mvFrame(session, d).queryExecution.analyzed
+    val mvOut = mvScan.output.map(a => a.name -> a).toMap
     // every referenced MV column must exist AND carry the exact data type
     // the original expression produced (a schema drift between definition
     // and table declines rather than miscasts)
@@ -150,6 +192,23 @@ case class MvRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case AggOut(m, e, _, _) => mvOut.get(m.mvCol).exists(_.dataType == e.dataType)
     }
     if (!typed) return None
+    // rebind the admitted filters onto the MV scan by NAME (their base
+    // attribute ids mean nothing over the MV relation); a name or type
+    // mismatch declines rather than miscasts
+    val rebound = conds.map { c =>
+      var ok = true
+      val r = c.transform { case a: AttributeReference =>
+        mvOut.get(a.name) match {
+          case Some(m) if m.dataType == a.dataType => m
+          case _ => ok = false; a
+        }
+      }
+      if (ok) Some(r) else None
+    }
+    if (rebound.exists(_.isEmpty)) return None
+    val mvPlan: LogicalPlan =
+      if (rebound.isEmpty) mvScan
+      else Filter(rebound.flatten.reduce(And), mvScan)
 
     if (gNames.toSet == d.groupCols.toSet) {
       // exact: Aggregate → Project over the MV scan
@@ -232,10 +291,14 @@ object MvRewrite {
     * whose hidden `__rows` count reaches zero is DROPPED. Cost is
     * O(MV + delta) — the base is never rescanned; at 100 TB that is the
     * difference between touching dozens of grouped rows and re-reading
-    * the corpus. min/max MVs fold incrementally too when the stale
-    * window is PURE APPENDS (`new_min = least(old, Δmin)`); a window
-    * with any retraction can shrink an extremum the stored value cannot
-    * answer, so those — and plain-parquet bases — rebuild in full.
+    * the corpus. min/max MVs stay incremental under RETRACTION too via
+    * their VALUE CENSUS ([[MvCatalog.censusPath]], built with the MV):
+    * the window's signed counts fold into the census and the touched
+    * groups' extrema re-derive from the surviving census rows —
+    * O(delta + touched groups' censuses). A pre-census (legacy) MV folds
+    * append-only windows with `least/greatest` and rebuilds in full on
+    * any retraction (the rebuild creates the census, so it heals);
+    * plain-parquet bases always rebuild in full.
     */
   def refresh(spark: SparkSession, name: String): MvDef = {
     val d = MvCatalog.get(name).getOrElse(
@@ -259,68 +322,135 @@ object MvRewrite {
         lastRefreshMode = "full"
         return MvCatalog.build(spark, d.name, d.basePath, d.groupCols, d.aggs, d.mvPath)
       }
-    // min/max fold ONLY under a pure-append window: a retraction can
-    // shrink a min/max and the stored extremum cannot answer what the
-    // new one is — those windows rebuild from the snapshot. sum/count
-    // stay incremental under arbitrary mutation (signed deltas).
+    // min/max under RETRACTION: the stored extremum alone cannot answer a
+    // shrink, but the MV's VALUE CENSUS (built alongside it — one
+    // (group, value, count) row per distinct value) can: fold the window's
+    // signed counts into the census, then re-derive the extremum of the
+    // AFFECTED groups from their surviving census rows. An MV built
+    // before censuses existed (no census table) still rebuilds in full on
+    // any retraction — and that rebuild creates the census, so it heals.
+    // A min/max over a GROUPING column needs no census at all (the value
+    // is the group key, uniform within the group).
     val minMax = d.aggs.filter(a => a.func == "min" || a.func == "max")
-    if (minMax.nonEmpty &&
-        !ch.filter(col(MergeTable.ChangeType) =!= "insert").isEmpty) {
+    val mmCols = MvCatalog.censusCols(d.groupCols, d.aggs)
+    val censusT = mmCols.map(c =>
+      c -> new MergeTable(MvCatalog.censusPath(d.mvPath, c))).toMap
+    val censusOk = mmCols.forall(c => censusT(c).exists)
+    val retraction = !ch.filter(col(MergeTable.ChangeType) =!= "insert").isEmpty
+    if (minMax.nonEmpty && retraction && !censusOk) {
       lastRefreshMode = "full"
       return MvCatalog.build(spark, d.name, d.basePath, d.groupCols, d.aggs, d.mvPath)
     }
     lastRefreshMode = "incremental"
+    val useCensus = mmCols.nonEmpty && censusOk
     val sign = when(col(MergeTable.ChangeType).isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
-    val sums = d.aggs.collect { case MvAgg("sum", Some(c), m) => (c, m) }
-    val deltaAggs =
-      sums.flatMap { case (c, m) => Seq(
-        sum(when(col(c).isNotNull, sign * col(c))).as(s"__d_$m"),
-        sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"__dnn_$m")) } ++
-      d.aggs.collect { case MvAgg("count", None, m) => sum(sign).as(s"__d_$m") } ++
-      d.aggs.collect { case MvAgg("min", Some(c), m) => min(col(c)).as(s"__d_$m") } ++
-      d.aggs.collect { case MvAgg("max", Some(c), m) => max(col(c)).as(s"__d_$m") } :+
-      sum(sign).as("__drows")
-    val delta = ch.groupBy(d.groupCols.map(col): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*).as("dl")
-    val old = mvT.read(spark)
-    val oldTypes = old.schema.fields.map(f => f.name -> f.dataType).toMap
-    // null-safe join: groupBy puts NULL keys in one group, so the merge
-    // must match them too (a plain equi-join would strand a NULL-keyed
-    // delta as a spurious new group next to the surviving old one)
-    val cond = d.groupCols.map(c => col(s"o.$c") <=> col(s"dl.$c")).reduce(_ && _)
-    var merged = old.as("o").join(delta, cond, "full_outer")
-    val newRows = coalesce(col(s"o.${MvCatalog.RowsCol}"), lit(0L)) +
-      coalesce(col("__drows"), lit(0L))
-    d.aggs.foreach {
-      case MvAgg("sum", Some(_), m) =>
-        val t = oldTypes(m)
-        val nn = coalesce(col(s"o.${MvCatalog.nnColOf(m)}"), lit(0L)) +
-          coalesce(col(s"__dnn_$m"), lit(0L))
-        merged = merged
-          .withColumn(s"__new_$m",
-            when(nn === 0, lit(null).cast(t))
-              .otherwise((coalesce(col(s"o.$m"), lit(0).cast(t)) +
-                coalesce(col(s"__d_$m"), lit(0).cast(t))).cast(t)))
-          .withColumn(s"__newnn_$m", nn)
-      case MvAgg("count", None, m) =>
-        merged = merged.withColumn(s"__new_$m",
-          coalesce(col(s"o.$m"), lit(0L)) + coalesce(col(s"__d_$m"), lit(0L)))
-      // append-only window (gated above): the fold is the extremum of the
-      // stored value and the inserts' — least/greatest skip NULL sides
-      case MvAgg("min", Some(_), m) =>
-        merged = merged.withColumn(s"__new_$m",
-          least(col(s"o.$m"), col(s"__d_$m")))
-      case MvAgg("max", Some(_), m) =>
-        merged = merged.withColumn(s"__new_$m",
-          greatest(col(s"o.$m"), col(s"__d_$m")))
-      case a => throw new IllegalStateException(s"unsupported MV aggregate $a")
+    // census maintenance FIRST (the extremum re-derivation below reads the
+    // post-fold state). Every artifact this refresh writes — censuses and
+    // the MV — carries a txn marker at the TARGET version, so a crash
+    // between any two commits replays idempotently: already-folded
+    // artifacts skip, the rest fold from their (unchanged) inputs.
+    if (useCensus) mmCols.foreach { c =>
+      val t = censusT(c)
+      if (t.lastTxnVersion(s"mvc_${d.name}").forall(_ < vNow)) {
+        val keyCols = d.groupCols :+ c
+        val cd = ch.filter(col(c).isNotNull)
+          .groupBy(keyCols.map(col): _*).agg(sum(sign).as("__dc")).as("cd")
+        val oldC = t.read(spark).as("co")
+        val ccond = keyCols.map(k => col(s"co.$k") <=> col(s"cd.$k")).reduce(_ && _)
+        val newCnt = coalesce(col(s"co.${MvCatalog.CensusCnt}"), lit(0L)) +
+          coalesce(col("__dc"), lit(0L))
+        t.overwrite(oldC.join(cd, ccond, "full_outer").filter(newCnt > 0)
+          .select(keyCols.map(k => coalesce(col(s"co.$k"), col(s"cd.$k")).as(k)) :+
+            newCnt.as(MvCatalog.CensusCnt): _*),
+          txn = Some(s"mvc_${d.name}" -> vNow))
+      }
     }
-    val outCols = d.groupCols.map(c => coalesce(col(s"o.$c"), col(s"dl.$c")).as(c)) ++
-      d.aggs.map(a => col(s"__new_${a.mvCol}").as(a.mvCol)) ++
-      Seq(newRows.as(MvCatalog.RowsCol)) ++
-      sums.map { case (_, m) => col(s"__newnn_$m").as(MvCatalog.nnColOf(m)) }
-    mvT.overwrite(merged.filter(newRows > 0).select(outCols: _*))
+    if (mvT.lastTxnVersion(s"mv_${d.name}").forall(_ < vNow)) {
+      val sums = d.aggs.collect { case MvAgg("sum", Some(c), m) => (c, m) }
+      val deltaAggs =
+        sums.flatMap { case (c, m) => Seq(
+          sum(when(col(c).isNotNull, sign * col(c))).as(s"__d_$m"),
+          sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"__dnn_$m")) } ++
+        d.aggs.collect { case MvAgg("count", None, m) => sum(sign).as(s"__d_$m") } ++
+        (if (useCensus) Nil else
+          d.aggs.collect { case MvAgg("min", Some(c), m) if mmCols.contains(c) =>
+            min(col(c)).as(s"__d_$m") } ++
+          d.aggs.collect { case MvAgg("max", Some(c), m) if mmCols.contains(c) =>
+            max(col(c)).as(s"__d_$m") }) :+
+        sum(sign).as("__drows")
+      val delta = ch.groupBy(d.groupCols.map(col): _*)
+        .agg(deltaAggs.head, deltaAggs.tail: _*).as("dl")
+      val old = mvT.read(spark)
+      val oldTypes = old.schema.fields.map(f => f.name -> f.dataType).toMap
+      // null-safe join: groupBy puts NULL keys in one group, so the merge
+      // must match them too (a plain equi-join would strand a NULL-keyed
+      // delta as a spurious new group next to the surviving old one)
+      val cond = d.groupCols.map(c => col(s"o.$c") <=> col(s"dl.$c")).reduce(_ && _)
+      var merged = old.as("o").join(delta, cond, "full_outer")
+      def grp(k: String) = coalesce(col(s"o.$k"), col(s"dl.$k"))
+      // per-census extremum of the groups the window TOUCHED, from the
+      // post-fold census: a LEFT join from the touched-group set keeps a
+      // group whose census emptied (all values retracted → extremum NULL);
+      // untouched groups never join and keep their stored extremum
+      if (useCensus) mmCols.zipWithIndex.foreach { case (c, i) =>
+        val touched = ch.select(d.groupCols.map(col): _*).distinct().as("g")
+        val cen = censusT(c).read(spark).as("cn")
+        val jc = d.groupCols.map(k => col(s"g.$k") <=> col(s"cn.$k")).reduce(_ && _)
+        val ext = touched.join(cen, jc, "left")
+          .groupBy(d.groupCols.map(k => col(s"g.$k").as(k)): _*)
+          .agg(min(col(s"cn.$c")).as(s"__ext_min_$c"),
+               max(col(s"cn.$c")).as(s"__ext_max_$c"))
+          .withColumn(s"__aff_$c", lit(true))
+          .as(s"e$i")
+        val ec = d.groupCols.map(k => grp(k) <=> col(s"e$i.$k")).reduce(_ && _)
+        merged = merged.join(ext, ec, "left")
+      }
+      val newRows = coalesce(col(s"o.${MvCatalog.RowsCol}"), lit(0L)) +
+        coalesce(col("__drows"), lit(0L))
+      d.aggs.foreach {
+        case MvAgg("sum", Some(_), m) =>
+          val t = oldTypes(m)
+          val nn = coalesce(col(s"o.${MvCatalog.nnColOf(m)}"), lit(0L)) +
+            coalesce(col(s"__dnn_$m"), lit(0L))
+          merged = merged
+            .withColumn(s"__new_$m",
+              when(nn === 0, lit(null).cast(t))
+                .otherwise((coalesce(col(s"o.$m"), lit(0).cast(t)) +
+                  coalesce(col(s"__d_$m"), lit(0).cast(t))).cast(t)))
+            .withColumn(s"__newnn_$m", nn)
+        case MvAgg("count", None, m) =>
+          merged = merged.withColumn(s"__new_$m",
+            coalesce(col(s"o.$m"), lit(0L)) + coalesce(col(s"__d_$m"), lit(0L)))
+        // a grouping column's extremum IS the group key
+        case MvAgg("min" | "max", Some(c), m) if d.groupCols.contains(c) =>
+          merged = merged.withColumn(s"__new_$m", grp(c))
+        // census path: touched groups take the re-derived extremum (NULL
+        // when the census emptied), untouched groups keep the stored one
+        case MvAgg("min", Some(c), m) if useCensus =>
+          merged = merged.withColumn(s"__new_$m",
+            when(col(s"__aff_$c"), col(s"__ext_min_$c")).otherwise(col(s"o.$m")))
+        case MvAgg("max", Some(c), m) if useCensus =>
+          merged = merged.withColumn(s"__new_$m",
+            when(col(s"__aff_$c"), col(s"__ext_max_$c")).otherwise(col(s"o.$m")))
+        // legacy MV without a census — the window is PURE APPENDS (gated
+        // above): the fold is the extremum of the stored value and the
+        // inserts' — least/greatest skip NULL sides
+        case MvAgg("min", Some(_), m) =>
+          merged = merged.withColumn(s"__new_$m",
+            least(col(s"o.$m"), col(s"__d_$m")))
+        case MvAgg("max", Some(_), m) =>
+          merged = merged.withColumn(s"__new_$m",
+            greatest(col(s"o.$m"), col(s"__d_$m")))
+        case a => throw new IllegalStateException(s"unsupported MV aggregate $a")
+      }
+      val outCols = d.groupCols.map(c => grp(c).as(c)) ++
+        d.aggs.map(a => col(s"__new_${a.mvCol}").as(a.mvCol)) ++
+        Seq(newRows.as(MvCatalog.RowsCol)) ++
+        sums.map { case (_, m) => col(s"__newnn_$m").as(MvCatalog.nnColOf(m)) }
+      mvT.overwrite(merged.filter(newRows > 0).select(outCols: _*),
+        txn = Some(s"mv_${d.name}" -> vNow))
+    }
     val rootPaths = MvCatalog.rootPathsOf(
       baseT.readVersion(spark, vNow).queryExecution.analyzed)
     MvCatalog.register(spark, d.copy(baseRootPaths = rootPaths,

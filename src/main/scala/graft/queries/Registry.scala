@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions.expr
 final case class GraftQuery(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    doc: String = "")
+    doc: String = "",
+    dynOracle: () => Option[String] = () => None)
 
 object Registry {
   /** `<sfDir>/<name>.parquet` reader used by every query.

@@ -392,15 +392,24 @@ object SimilarityQueries {
 
     // IVF coarse-quantizer ANN (graft.operators.IvfIndex): k-means cells +
     // probe-nearest-cells + exact re-rank — the data-adaptive scale path
-    // next to v4's data-oblivious LSH. k-means centroid values have no
-    // DuckDB twin → rows-only check; SketchSpec plants an identical-vector
-    // pair (recall at cosine 1.0 is exactly 1) and bounds recall vs the
-    // exact v1 baseline.
+    // next to v4's data-oblivious LSH. HASH-ORACLE-CHECKED via the replay
+    // discipline (AnnOracle): the fitted centroids inline into the oracle
+    // as literals and DuckDB replays assignment + probe ranking + the
+    // exact re-rank — only the Lloyd's fit stays engine-side. SketchSpec
+    // additionally plants an identical-vector pair (recall at cosine 1.0
+    // is exactly 1) and bounds recall vs the exact v1 baseline.
     "v5_ivf_topk" -> GraftQuery(
-      (s, dir) => graft.operators.IvfIndex.topk(
-        s, t(s, dir, "embeddings"), queryId = 0, nClusters = 16, nProbe = 4, k = 10),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val (assigned, centers) = graft.operators.IvfIndex.fit(e, nClusters = 16)
+        AnnOracle.stash.put("v5_ivf_topk",
+          AnnOracle.ivfFlatSql(centers, "vec_id = 0", nProbe = 4, k = 10))
+        graft.operators.IvfIndex.topkAssigned(s, e, assigned, centers,
+          queryId = 0, nProbe = 4, k = 10)
+      },
       None,
-      "IVF-Flat ANN: probe nearest k-means cells, exact-cosine re-rank"),
+      "IVF-Flat ANN: probe nearest k-means cells, exact-cosine re-rank",
+      dynOracle = AnnOracle.dyn("v5_ivf_topk")),
 
     // Embedding int8 quantization — the storage-scale path for ANN corpora
     // (4× smaller vectors, SIMD-friendly integer dot products): symmetric
@@ -538,26 +547,43 @@ object SimilarityQueries {
     // Product-quantization ANN (graft.operators.PqIndex): 8 subspace
     // codebooks (k-means, 16 centroids each), vectors encoded as 8 code
     // ids (32× bandwidth cut), queries scored by ADC table lookups, exact
-    // fp32 re-rank of 50 survivors. Codebook values are k-means output →
-    // rows-only check (like v5); SketchSpec pins the invariants (identical
-    // vectors share codes, planted twin found at rank 1, recall vs exact).
+    // fp32 re-rank of 50 survivors. HASH-ORACLE-CHECKED (AnnOracle): the
+    // fitted codebooks inline as literals and DuckDB replays PQ encode +
+    // ADC + re-rank; SketchSpec pins the invariants (identical vectors
+    // share codes, planted twin found at rank 1, recall vs exact).
     "v10_pq_search" -> GraftQuery(
-      (s, dir) => graft.operators.PqIndex.search(
-        s, emb(s, dir), queryId = 0, k = 10),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cb = graft.operators.PqIndex.fit(e)
+        AnnOracle.stash.put("v10_pq_search",
+          AnnOracle.pqSql(cb.centers, "vec_id = 0", rerank = 50, k = 10))
+        graft.operators.PqIndex.searchWith(s, e, cb, queryId = 0, k = 10)
+      },
       None,
-      "PQ ANN: per-subspace codebooks, ADC code scan, fp32 re-rank"),
+      "PQ ANN: per-subspace codebooks, ADC code scan, fp32 re-rank",
+      dynOracle = AnnOracle.dyn("v10_pq_search")),
 
     // IVF-PQ (graft.operators.PqIndex.searchIvfPq): coarse-quantizer cell
     // probe × PQ code scan × exact re-rank — cell pruning multiplies with
     // the 4× code bandwidth cut (~16× less scan work than brute force).
-    // k-means cells and codebooks → rows-only check (like v5/v10);
-    // SketchSpec pins full-probe equality with the exact ranking and the
-    // planted-twin invariant under real pruning.
+    // HASH-ORACLE-CHECKED (AnnOracle): DuckDB replays assignment, residual
+    // encode, probe ranking, biased ADC, and the re-rank from the fitted
+    // model literals; SketchSpec pins full-probe equality with the exact
+    // ranking and the planted-twin invariant under real pruning.
     "v12_ivfpq_search" -> GraftQuery(
-      (s, dir) => graft.operators.PqIndex.searchIvfPq(
-        s, emb(s, dir), queryId = 0, k = 10),
+      (s, dir) => {
+        import graft.operators.{IvfIndex, PqIndex}
+        val e = emb(s, dir)
+        val (assigned, centers) = IvfIndex.fit(e, nClusters = 16)
+        val cb = PqIndex.fitResidual(assigned, centers)
+        AnnOracle.stash.put("v12_ivfpq_search",
+          AnnOracle.ivfPqSql(centers, cb.centers, "vec_id = 0",
+            nProbe = 4, rerank = 50, k = 10))
+        PqIndex.searchIvfPqWith(s, e, assigned, centers, cb, queryId = 0, k = 10)
+      },
       None,
-      "IVF-PQ ANN: probed cells only, ADC code scan, fp32 re-rank"),
+      "IVF-PQ ANN: probed cells only, ADC code scan, fp32 re-rank",
+      dynOracle = AnnOracle.dyn("v12_ivfpq_search")),
 
     // Matryoshka-style prefix-dimension retrieval (Kusupati et al. '22:
     // MRL-trained embeddings keep their leading dims usable as a coarse
@@ -707,12 +733,18 @@ object SimilarityQueries {
         require(indexed == total,
           s"append must bring the index to full coverage ($indexed of $total)")
         // fresh handle = re-open from disk, no refit, no carried state
-        graft.operators.PersistedAnnIndex.search(
-          s, graft.operators.PersistedAnnIndex.Handle(root), e,
-          queryId = 0, k = 10)
+        val fresh = graft.operators.PersistedAnnIndex.Handle(root)
+        // replay oracle from the COMMITTED model tables — the literal
+        // "read the persisted centroids/codebooks and replay" discipline
+        val (centers, cb) = graft.operators.PersistedAnnIndex.models(s, fresh)
+        AnnOracle.stash.put("v16_persisted_ann",
+          AnnOracle.ivfPqSql(centers, cb.centers, "vec_id = 0",
+            nProbe = 4, rerank = 50, k = 10))
+        graft.operators.PersistedAnnIndex.search(s, fresh, e, queryId = 0, k = 10)
       },
       None,
-      "persisted IVF-PQ ANN index: train once, O(batch) append, partition-pruned probes"),
+      "persisted IVF-PQ ANN index: train once, O(batch) append, partition-pruned probes",
+      dynOracle = AnnOracle.dyn("v16_persisted_ann")),
 
     // FILTERED vector search over the persisted index — the production
     // pattern (RAG with tenant/source/label predicates): the predicate is
@@ -818,10 +850,21 @@ object SimilarityQueries {
         // once the predicate defeats pruning
         require(vias.exists(_.startsWith("adc")) && vias.contains("exact-subset"),
           s"adaptive paths not both exercised: $vias")
+        // the returned frame is the LAST rung (the bounded "tenant"
+        // predicate), which provably takes the exact-subset fallback at
+        // every scale (60 eligible < target 200 ⇒ widen to all cells;
+        // 60 ≤ exactScanMax ⇒ exact) — so its oracle is the model-free
+        // exact filtered top-k. Guarded: any other via stashes nothing
+        // and the driver falls back to the rows-only check.
+        if (PersistedAnnIndex.lastSearchVia == "exact-subset")
+          AnnOracle.stash.put("v17_filtered_ann",
+            AnnOracle.exactSubsetSql(0, "vec_id >= 1 AND vec_id <= 60", 10))
+        else AnnOracle.stash.remove("v17_filtered_ann")
         last
       },
       None,
-      "selectivity-adaptive filtered ANN: probe widening + exact-subset fallback, recall-floored"),
+      "selectivity-adaptive filtered ANN: probe widening + exact-subset fallback, recall-floored",
+      dynOracle = AnnOracle.dyn("v17_filtered_ann")),
 
     // BATCH ANN SEARCH over the persisted index — the production SERVING
     // shape (embedding-dedup and RAG answer batches of queries; FAISS's
@@ -856,9 +899,17 @@ object SimilarityQueries {
             s"batch vs single mismatch for query $qid: " +
               s"${batchQ.toSeq} vs ${single.toSeq}")
         }
+        // batch replay oracle from the committed models: the same
+        // assignment/encode/probe/ADC/re-rank chain, per-query windows
+        val (centers, cb) = PersistedAnnIndex.models(s, h)
+        AnnOracle.stash.put("v18_batch_ann",
+          AnnOracle.ivfPqSql(centers, cb.centers,
+            "vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)",
+            nProbe = 4, rerank = 50, k = 5, batch = true))
         got.orderBy("query_id", "rank")
       },
       None,
-      "batch ANN: Q queries in ONE index pass, row-identical to per-query search"),
+      "batch ANN: Q queries in ONE index pass, row-identical to per-query search",
+      dynOracle = AnnOracle.dyn("v18_batch_ann")),
   )
 }

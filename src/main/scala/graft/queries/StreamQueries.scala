@@ -1190,10 +1190,18 @@ object StreamQueries {
             s"streamed-index recall for query $qid: $overlap/10 vs exact")
           out = got
         }
+        // replay oracle from the COMMITTED model tables (trained on the
+        // first micro-batch; appends encoded against them, so one replay
+        // covers the whole corpus) — AnnOracle's v12 discipline
+        val (centers, cbk) = PersistedAnnIndex.models(s, h)
+        AnnOracle.stash.put("st20_streaming_ann_index",
+          AnnOracle.ivfPqSql(centers, cbk.centers, s"vec_id = $maxId",
+            nProbe = 8, rerank = 100, k = 10))
         out.orderBy(col("cosine").desc, col("vec_id"))
       },
       None,
-      "streaming ANN-index maintenance: first batch trains, later deltas append-encode, exactly-once"),
+      "streaming ANN-index maintenance: first batch trains, later deltas append-encode, exactly-once",
+      dynOracle = AnnOracle.dyn("st20_streaming_ann_index")),
 
     // Stream-stream LEFT OUTER interval join — st5's inner join plus the
     // semantics the outer variant actually adds: an unmatched left row
@@ -1610,10 +1618,19 @@ object StreamQueries {
         val postIds = refold.select("vec_id").collect().map(_.getLong(0)).toSet
         require(postIds.intersect(exactTop(lastQid)).size >= 5,
           "post-fold recall regressed")
+        // replay oracle over the SURVIVING corpus only (the dv-masked
+        // codes are exactly the vec_id % 5 = 2 rows — spec-pinned above),
+        // from the committed model tables
+        val (centers, cbk) = PersistedAnnIndex.models(s, h)
+        AnnOracle.stash.put("st24_retracting_ann_index",
+          AnnOracle.ivfPqSql(centers, cbk.centers, s"vec_id = $lastQid",
+            nProbe = 8, rerank = 100, k = 10,
+            corpusPred = "vec_id % 5 <> 2"))
         out.orderBy(col("cosine").desc, col("vec_id"))
       },
       None,
-      "retracting ANN maintenance: corpus deletes dv-mask their codes, search never returns them, maintain folds the masks"),
+      "retracting ANN maintenance: corpus deletes dv-mask their codes, search never returns them, maintain folds the masks",
+      dynOracle = AnnOracle.dyn("st24_retracting_ann_index")),
 
     // RETRACTING LSH MAINTENANCE — closes the last insert-only maintenance
     // surface: d13's band-partitioned MinHash index kept equal to the
@@ -1741,20 +1758,20 @@ object StreamQueries {
       "retracting LSH maintenance: corpus deletes/updates retract and re-sign the persisted MinHash index"),
 
     // CONCURRENT WRITERS vs THE MAINTENANCE STREAM — the real deployment
-    // failure mode of any always-on pipeline, in two layers:
-    //  (1) a SECOND CORPUS WRITER lands a mutation commit (deletes +
-    //      re-hashing updates, CDF on) WHILE the maintenance foreachBatch
-    //      is mid-apply — after the stream latched its AvailableNow
-    //      offsets, before the state merges commit. Snapshot isolation
-    //      (the atomic _LATEST swap) keeps the in-flight batch consistent;
-    //      the commit is consumed INCREMENTALLY by the next maintenance
-    //      run over the same checkpoint (the periodic-job shape).
-    //  (2) a SECOND MAINTENANCE INSTANCE (fresh handles, same app id —
-    //      the accidental double-deployment) races EVERY batch right
-    //      behind the first: the per-sink txn markers must serialize it
-    //      to a pure no-op (no new commit on either state table; the
-    //      thread-level race of the same design is spec-pinned in
-    //      ConcurrentCurationSpec via mergeWithRetry's OCC).
+    // failure mode of any always-on pipeline: a SECOND CORPUS WRITER lands
+    // a mutation commit (deletes + re-hashing updates, CDF on) WHILE the
+    // maintenance foreachBatch is mid-apply — after the stream latched its
+    // AvailableNow offsets, before the state merges commit. Snapshot
+    // isolation (the atomic _LATEST swap) keeps the in-flight batch
+    // consistent; the commit is consumed INCREMENTALLY by the next
+    // maintenance run over the same checkpoint (the periodic-job shape).
+    // The benched gate runs the STEADY-STATE shape (the r13-verdict trim
+    // st23/st25/st28 already got): one staging commit, one mid-apply
+    // mutation, one catch-up run. The ACCIDENTAL-DOUBLE-DEPLOYMENT layer
+    // it used to re-run per batch (a second instance with fresh handles
+    // must serialize to a txn-marker no-op) lives in the specs —
+    // IncrementalCurationSpec's fresh-handle replay no-op pins the
+    // sequential shape, ConcurrentCurationSpec the thread-level race.
     // The answer hash-matches t39's batch replay over the FINAL corpus —
     // proof the interleaved history converged exactly.
     "st26_concurrent_writers" -> GraftQuery(
@@ -1771,7 +1788,6 @@ object StreamQueries {
         val docs = Registry.t(s, dir, "documents")
         val evalGrams = IncrementalCuration.evalGramSet(docs).cache()
         val batchRows = scala.collection.concurrent.TrieMap.empty[Long, Long]
-        val dualNoop = new java.util.concurrent.atomic.AtomicBoolean(true)
         @volatile var mutated = false
         def curate(batch: DataFrame, batchId: Long): Unit = {
           val sess = batch.sparkSession
@@ -1791,19 +1807,9 @@ object StreamQueries {
           }
           batchRows(batchId) = IncrementalCuration.applyBatch(
             batch, batchId, fps, curated, evalGrams, "st26")
-          // the double-deployed instance: fresh handles, same markers
-          val fps2 = IncrementalCuration.fpsTable(sess, fpsRoot)
-          val cur2 = IncrementalCuration.curatedTable(sess, curRoot)
-          val (vF, vC) = (fps2.currentVersion, cur2.currentVersion)
-          IncrementalCuration.applyBatch(batch, batchId, fps2, cur2,
-            evalGrams, "st26")
-          if (fps2.currentVersion != vF || cur2.currentVersion != vC)
-            dualNoop.set(false)
           ()
         }
-        (0 to 1).foreach(i => corpus.merge(s,
-          docs.filter(col("doc_id") % 2 === i).repartition(1),
-          Seq("doc_id"), changeFeed = true))
+        corpus.merge(s, docs.repartition(1), Seq("doc_id"), changeFeed = true)
         def drain(): Unit = {
           val q = corpus.changesStream(ss, maxFilesPerTrigger = Some(1))
             .writeStream
@@ -1817,8 +1823,6 @@ object StreamQueries {
         require(mutated, "the second writer must have committed mid-stream")
         drain() // … run 2 consumes it incrementally over the same checkpoint
         evalGrams.unpersist()
-        require(dualNoop.get,
-          "the racing maintenance instance must serialize to a no-op on both tables")
         val nMut = docs
           .filter(col("doc_id") % 20 === 7 || col("doc_id") % 20 === 11).count()
         val nUpd = docs.filter(col("doc_id") % 20 === 11).count()
@@ -1935,9 +1939,11 @@ object StreamQueries {
             .start()
           q.awaitTermination()
         }
-        (0 to 1).foreach(i => corpus.merge(s,
-          docs.filter(col("doc_id") % 2 === i).repartition(1),
-          Seq("doc_id"), changeFeed = true))
+        // steady-state benched shape (the r13-verdict st23/st25/st28 trim):
+        // ONE pre-evolution staging commit — multi-commit increment depth
+        // is spec territory (IncrementalCurationSpec) and stays benched in
+        // st19/st23; this gate's subject is the mid-stream schema change
+        corpus.merge(s, docs.repartition(1), Seq("doc_id"), changeFeed = true)
         drain() // run 1: the pre-evolution schema
         require(!curated.read(s).columns.contains("lang"),
           "state must not anticipate a column the corpus does not have yet")

@@ -200,6 +200,16 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(fps.currentVersion == fv && cur.currentVersion == cv,
       "a replayed batch must not publish any new commit")
     assert(stateOf(fps, cur) == want)
+    // the ACCIDENTAL-DOUBLE-DEPLOYMENT shape (st26's former in-gate layer):
+    // a second maintenance instance with FRESH handles — no caches, no
+    // shared state — re-applies the same batch under the same app id and
+    // must serialize to a pure txn-marker no-op on both tables
+    val fps2 = new MergeTable(s"$root/fps")
+    val cur2 = new MergeTable(s"$root/cur")
+    IncrementalCuration.applyBatch(b1, 1L, fps2, cur2, emptyGrams, "icnoop")
+    assert(fps2.currentVersion == fv && cur2.currentVersion == cv,
+      "a double-deployed instance must not publish any new commit")
+    assert(stateOf(fps2, cur2) == want)
   }
 
   test("contaminated and eval canonicals take the hash without curating") {

@@ -71,38 +71,79 @@ class MvIncrementalSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
-  test("min/max fold incrementally under pure appends, rebuild under retraction") {
+  test("min/max stay incremental under retraction via the value census") {
     val root = scratch("mv_minmax")
     val base = new MergeTable(s"$root/base")
-    base.overwrite(Seq((1L, "a", 5.0), (2L, "a", 9.0), (3L, "b", 4.0))
+    base.overwrite(Seq(
+      (1L, "a", Option(5.0)), (2L, "a", Option(9.0)), (10L, "a", Option(5.0)),
+      (3L, "b", Option(4.0)), (11L, "b", Option.empty[Double]))
       .toDF("id", "g", "x"))
     MvRewrite.buildAndRegister(spark, "mv_minmax", s"$root/base",
       Seq("g"), Seq(MvAgg("min", Some("x"), "mn"), MvAgg("max", Some("x"), "mx"),
         MvAgg("count", None, "c")), s"$root/mv")
     try {
+      def state() = MergeTable.open(s"$root/mv").read(spark)
+        .select("g", "mn", "mx", "c").collect()
+        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+        .toSet
       def check(): Unit = {
-        val mv = MergeTable.open(s"$root/mv").read(spark)
-          .select("g", "mn", "mx", "c").collect()
-          .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
         val full = base.read(spark).groupBy("g")
           .agg(min("x").as("mn"), max("x").as("mx"), count(lit(1)).as("c"))
           .collect()
-          .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSet
-        assert(mv == full, s"MV $mv != recompute $full")
+          .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+          .toSet
+        assert(state() == full, s"MV ${state()} != recompute $full")
       }
-      // append-only commit: new extremes + a new group → INCREMENTAL fold
+      def refreshIncr(): Unit = {
+        MvRewrite.refresh(spark, "mv_minmax")
+        assert(MvRewrite.lastRefreshMode == "incremental",
+          s"min/max window must fold via the census, ran '${MvRewrite.lastRefreshMode}'")
+        check()
+      }
+      // append-only commit: new extremes + a new group
       base.merge(spark, Seq((4L, "a", 1.0), (5L, "b", 11.0), (6L, "cc", 7.0))
         .toDF("id", "g", "x"), Seq("id"), changeFeed = true)
-      MvRewrite.refresh(spark, "mv_minmax")
-      assert(MvRewrite.lastRefreshMode == "incremental",
-        s"append-only min/max window must fold, ran '${MvRewrite.lastRefreshMode}'")
-      check()
-      // a retraction in the window: the deleted row held min(a) → REBUILD
-      base.delete(spark, col("id") === 4L, changeFeed = true)
-      MvRewrite.refresh(spark, "mv_minmax")
-      assert(MvRewrite.lastRefreshMode == "full",
-        "a retracting window must rebuild a min/max MV")
-      check()
+      refreshIncr()
+      // RETRACTION mix in one commit, every census edge at once:
+      //  - id 4 deleted: a's min (1.0) leaves → min re-derives to 5.0;
+      //  - id 10 deleted: ONE of a's duplicate 5.0 rows — the census count
+      //    drops 2→1 and min must STAY 5.0 (a set, not a census, would
+      //    wrongly drop it);
+      //  - id 5 deleted and id 3's x → NULL: b's non-null values all gone
+      //    → min/max NULL while the group (2 rows) survives;
+      //  - id 6 deleted: group cc dies entirely.
+      base.mergeClauses(spark,
+        Seq((4L, "del"), (10L, "del"), (5L, "del"), (6L, "del"), (3L, "nul"))
+          .toDF("id", "kind"),
+        Seq("id"),
+        Seq(MergeTable.MatchedDelete(Some("s.kind = 'del'")),
+            MergeTable.MatchedUpdate(Some("s.kind = 'nul'"),
+              Seq("x" -> "CAST(NULL AS DOUBLE)"))),
+        checkUniqueSource = false, changeFeed = true)
+      refreshIncr()
+      val s1 = state()
+      assert(s1.exists(t => t._1 == "a" && t._2.contains(5.0)),
+        "a's min must re-derive to the surviving duplicate value")
+      assert(s1.exists(t => t._1 == "b" && t._2.isEmpty && t._3.isEmpty && t._4 == 2L),
+        "an all-NULL group's extrema must go NULL while its count survives")
+      assert(!s1.exists(_._1 == "cc"), "a fully-deleted group must leave the MV")
+      // values RETURN after emptying: b gets a non-null row again, and a
+      // loses its max — both re-derive from the census
+      base.mergeClauses(spark,
+        Seq((12L, "ins"), (2L, "del")).toDF("id", "kind"), Seq("id"),
+        Seq(MergeTable.MatchedDelete(Some("s.kind = 'del'")),
+            MergeTable.NotMatchedInsert(Some("s.kind = 'ins'"),
+              Seq("id" -> "s.id", "g" -> "'b'", "x" -> "CAST(2 AS DOUBLE)"))),
+        checkUniqueSource = false, changeFeed = true)
+      refreshIncr()
+      assert(state().exists(t => t._1 == "a" && t._3.contains(5.0)),
+        "a's max must shrink to the surviving value")
+      // the rewrite serves the maintained MV
+      val q = base.read(spark).groupBy("g")
+        .agg(min("x").as("mn"), max("x").as("mx"), count(lit(1)).as("c"))
+      val mvRoots = MvCatalog.rootPathsOf(
+        MergeTable.open(s"$root/mv").read(spark).queryExecution.analyzed)
+      assert(leaves(q) == mvRoots, "the rewrite must resume after refresh")
     } finally MvCatalog.clear()
   }
 

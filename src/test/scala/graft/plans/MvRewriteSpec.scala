@@ -84,6 +84,44 @@ class MvRewriteSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("filtered aggregates rewrite when every filter reference is a grouping column") {
+    val (basePath, _, mvRoots, _) = setup("mv_filtered")
+    try {
+      def base = spark.read.parquet(basePath)
+      def fExact = base.filter($"ga" === "g1").groupBy("ga", "gb")
+        .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+      // the filter may speak a FINER grouping column than the query groups
+      // by (gb is not in the rollup's keys) — each MV row is one (ga, gb)
+      // group, so the predicate is uniform within it and transplants
+      def fRoll = base.filter($"gb" === "h0" && $"ga" =!= "g2").groupBy("ga")
+        .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+      assert(leaves(fExact) == mvRoots, "grouping-column filter must scan the MV")
+      assert(leaves(fRoll) == mvRoots, "finer-grouping-column filter must roll up over the MV")
+      val got = (fExact.collect().toSet, fRoll.collect().toSet)
+      val schemas = (fExact.schema, fRoll.schema)
+      MvCatalog.clear()
+      assert(fExact.collect().toSet == got._1, "filtered exact answer drifted")
+      assert(fRoll.collect().toSet == got._2, "filtered rollup answer drifted")
+      assert(fExact.schema == schemas._1 && fRoll.schema == schemas._2)
+    } finally MvCatalog.clear()
+  }
+
+  test("a duplicating self-union of the base declines (its rows count twice)") {
+    val (basePath, _, _, baseRoots) = setup("mv_selfunion")
+    try {
+      def base = spark.read.parquet(basePath)
+      def u = base.union(base).groupBy("ga", "gb").agg(sum("x").as("sx"),
+        count(lit(1)).as("c"))
+      // the SET-union of the children's paths equals the registered set —
+      // only pairwise disjointness tells this apart from a legitimate
+      // multi-data-dir snapshot union
+      assert(leaves(u) == baseRoots, "self-union must keep scanning the base")
+      val got = u.collect().toSet
+      MvCatalog.clear()
+      assert(u.collect().toSet == got, "self-union answer drifted")
+    } finally MvCatalog.clear()
+  }
+
   test("staleness declines, refresh resumes, results track the mutated base") {
     val (basePath, _, mvRoots, baseRoots) = setup("mv_stale")
     try {
