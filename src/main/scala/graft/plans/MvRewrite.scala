@@ -314,14 +314,25 @@ object MvRewrite {
     val vOld = d.baseFingerprint.stripPrefix("graft:v").toLong
     val vNow = baseT.currentVersion
     if (vNow == vOld) { lastRefreshMode = "noop"; return d }
+    // the window is consumed up to four times below (retraction probe,
+    // census folds, group-delta aggregate, touched-group set) — pin it
+    // once instead of re-reading the feed files per consumer
     val ch =
-      try baseT.changes(spark, vOld + 1, vNow)
+      try baseT.changes(spark, vOld + 1, vNow).persist()
       catch { case _: Exception =>
         // a commit in the window has no change feed — fall back loudly-
         // correct: rebuild from the snapshot
         lastRefreshMode = "full"
         return MvCatalog.build(spark, d.name, d.basePath, d.groupCols, d.aggs, d.mvPath)
       }
+    try refreshIncrementalFrom(spark, d, baseT, mvT, ch, vNow)
+    finally ch.unpersist()
+  }
+
+  /** The incremental tail of [[refresh]] over a PINNED change window. */
+  private def refreshIncrementalFrom(spark: SparkSession, d: MvDef,
+                                     baseT: MergeTable, mvT: MergeTable,
+                                     ch: DataFrame, vNow: Long): MvDef = {
     // min/max under RETRACTION: the stored extremum alone cannot answer a
     // shrink, but the MV's VALUE CENSUS (built alongside it — one
     // (group, value, count) row per distinct value) can: fold the window's

@@ -15,11 +15,17 @@ out, paths = sys.argv[1], sys.argv[2:]
 runs = [json.load(open(p)) for p in paths]
 names = sorted(set().union(*[r["queries"].keys() for r in runs]))
 qmed, qmin = {}, {}
+qminw = {}
 for n in names:
     meds = [r["queries"][n] for r in runs if r["queries"].get(n, -1) >= 0]
     mins = [r["queries_min"][n] for r in runs if r["queries_min"].get(n, -1) >= 0]
+    # warm-inclusive mins (reported under their own key since r14 so the
+    # timed-only min stays comparable round over round)
+    warms = [r["queries_min_warm"][n] for r in runs
+             if r.get("queries_min_warm", {}).get(n, -1) >= 0]
     qmed[n] = statistics.median(meds) if meds else -1.0
     qmin[n] = min(mins) if mins else -1.0
+    qminw[n] = min(warms) if warms else -1.0
 failed = sorted(set().union(*[set(r.get("failed", [])) for r in runs]))
 rec = {
     "metric": "total",
@@ -28,6 +34,8 @@ rec = {
     "min_total": sum(v for v in qmin.values() if v >= 0),
     "queries": qmed,
     "queries_min": qmin,
+    "queries_min_warm": qminw,
+    "min_total_warm": sum(v for v in qminw.values() if v >= 0),
     "sf": runs[0]["sf"],
     "iters": runs[0]["iters"],
     "iter_policy": runs[0].get("iter_policy", ""),
