@@ -123,7 +123,11 @@ object Bench {
     val totalMinWarm = results.map(_._4).filter(_ >= 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val wall = (System.nanoTime() - wallT0) / 1e9
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","min_total":$totalMin,"min_total_warm":$totalMinWarm,"queries":$qs,"queries_min":$qsMin,"queries_min_warm":$qsMinWarm,"sf":"$sfDir","iters":$iters,"iter_policy":"warm>10s:1, >3s:min(iters,2), >1s:min(iters,3), sub-second m/st:max(iters,5), else iters","warmup":1,"master":"local[$cpus]","shuffle_partitions":$cpus,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","bench_wall_sec":$wall,"failed":$failedJson}"""
+    // min_basis flags the r14 semantic change: queries_min is now
+    // TIMED-ITERATIONS-ONLY (pre-r14 records folded the warm run in), so
+    // cross-round min comparisons against older records must use
+    // queries_min_warm on the new side to stay apples-to-apples.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","min_basis":"timed-only (pre-r14 records fold the warm run into queries_min; compare those against queries_min_warm)","min_total":$totalMin,"min_total_warm":$totalMinWarm,"queries":$qs,"queries_min":$qsMin,"queries_min_warm":$qsMinWarm,"sf":"$sfDir","iters":$iters,"iter_policy":"warm>10s:1, >3s:min(iters,2), >1s:min(iters,3), sub-second m/st:max(iters,5), else iters","warmup":1,"master":"local[$cpus]","shuffle_partitions":$cpus,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","bench_wall_sec":$wall,"failed":$failedJson}"""
     println(line)
     // the driver's BENCH record keeps only a 2000-char tail of stdout — the
     // per-query map loses its first ~57 entries. Persist the FULL line in

@@ -278,19 +278,26 @@ object MvCatalog {
       val base = baseT.readVersion(spark, v)
       val aggCols = aggColsOf(aggs, withHidden = true)
       val mv = new MergeTable(mvPath)
+      // the MV overwrite carries its marker at the snapshot version, like
+      // the censuses below: a build that crashes before register() leaves
+      // the fingerprint behind the rebuilt table, and the retrying
+      // refresh's fold anchor must see that the MV already reflects v —
+      // re-folding the window onto it would double-apply the deltas
       mv.overwrite(base.groupBy(groupCols.map(col): _*)
-        .agg(aggCols.head, aggCols.tail: _*))
-      // min/max value censuses, marked with the build's target version so
-      // a crashed build followed by an incremental refresh never folds the
-      // same window into an already-rebuilt census (each artifact is
-      // idempotent per target version independently)
+        .agg(aggCols.head, aggCols.tail: _*), txn = Some(s"mv_$name" -> v))
+      // min/max value censuses, UNCONDITIONALLY overwritten from the
+      // snapshot (a rebuild is deterministic, so re-running it is
+      // idempotent by construction — and a guard would let a leftover
+      // census from a PRIOR lifecycle at this path, carrying a higher
+      // marker, survive with stale contents). The marker records the base
+      // version the census reflects — the fold anchor MvRewrite.refresh
+      // resumes from.
       censusCols(groupCols, aggs).foreach { c =>
-        val t = new MergeTable(censusPath(mvPath, c))
-        if (t.lastTxnVersion(s"mvc_$name").forall(_ < v))
-          t.overwrite(base.filter(col(c).isNotNull)
+        new MergeTable(censusPath(mvPath, c)).overwrite(
+          base.filter(col(c).isNotNull)
             .groupBy((groupCols :+ c).map(col): _*)
             .agg(count(lit(1)).as(CensusCnt)),
-            txn = Some(s"mvc_$name" -> v))
+          txn = Some(s"mvc_$name" -> v))
       }
       val rootPaths = rootPathsOf(base.queryExecution.analyzed)
       register(spark, MvDef(name, basePath, rootPaths, groupCols, aggs,

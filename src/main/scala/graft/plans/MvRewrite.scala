@@ -325,14 +325,30 @@ object MvRewrite {
         lastRefreshMode = "full"
         return MvCatalog.build(spark, d.name, d.basePath, d.groupCols, d.aggs, d.mvPath)
       }
-    try refreshIncrementalFrom(spark, d, baseT, mvT, ch, vNow)
+    try refreshIncrementalFrom(spark, d, baseT, mvT, ch, vOld, vNow)
     finally ch.unpersist()
   }
 
   /** The incremental tail of [[refresh]] over a PINNED change window. */
   private def refreshIncrementalFrom(spark: SparkSession, d: MvDef,
                                      baseT: MergeTable, mvT: MergeTable,
-                                     ch: DataFrame, vNow: Long): MvDef = {
+                                     ch: DataFrame, vOld: Long, vNow: Long): MvDef = {
+    def full(): MvDef = {
+      lastRefreshMode = "full"
+      MvCatalog.build(spark, d.name, d.basePath, d.groupCols, d.aggs, d.mvPath)
+    }
+    // each artifact folds FROM ITS OWN txn marker (the base version its
+    // contents reflect), never merely "skip when marker >= vNow": a crashed
+    // refresh leaves the census at a marker BETWEEN the MV fingerprint and
+    // the tip, and a retry that re-folded from the fingerprint would apply
+    // the already-folded span twice — silent count corruption. The window
+    // each artifact needs is (its marker, vNow]; the shared pinned `ch` is
+    // that window exactly when the marker sits at the fingerprint (the
+    // no-crash case), and a sub-/super-window is re-read on demand.
+    def windowFrom(start: Long): Option[DataFrame] =
+      if (start == vOld) Some(ch)
+      else try Some(baseT.changes(spark, start + 1, vNow))
+      catch { case _: Exception => None }
     // min/max under RETRACTION: the stored extremum alone cannot answer a
     // shrink, but the MV's VALUE CENSUS (built alongside it — one
     // (group, value, count) row per distinct value) can: fold the window's
@@ -346,26 +362,31 @@ object MvRewrite {
     val mmCols = MvCatalog.censusCols(d.groupCols, d.aggs)
     val censusT = mmCols.map(c =>
       c -> new MergeTable(MvCatalog.censusPath(d.mvPath, c))).toMap
-    val censusOk = mmCols.forall(c => censusT(c).exists)
+    val mvMarker = mvT.lastTxnVersion(s"mv_${d.name}")
+    val cMarkers = mmCols.map(c =>
+      c -> censusT(c).lastTxnVersion(s"mvc_${d.name}")).toMap
+    // a marker BEYOND the tip means the base was recreated under this name
+    // (version numbers regressed) — no incremental state is trustworthy
+    if (mvMarker.exists(_ > vNow) || cMarkers.values.exists(_.exists(_ > vNow)))
+      return full()
+    // a census is usable only when MARKED (build always marks; an
+    // unmarked table is a leftover from some other lifecycle)
+    val censusOk = mmCols.forall(c => censusT(c).exists && cMarkers(c).isDefined)
     val retraction = !ch.filter(col(MergeTable.ChangeType) =!= "insert").isEmpty
-    if (minMax.nonEmpty && retraction && !censusOk) {
-      lastRefreshMode = "full"
-      return MvCatalog.build(spark, d.name, d.basePath, d.groupCols, d.aggs, d.mvPath)
-    }
+    if (minMax.nonEmpty && retraction && !censusOk) return full()
     lastRefreshMode = "incremental"
     val useCensus = mmCols.nonEmpty && censusOk
     val sign = when(col(MergeTable.ChangeType).isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     // census maintenance FIRST (the extremum re-derivation below reads the
-    // post-fold state). Every artifact this refresh writes — censuses and
-    // the MV — carries a txn marker at the TARGET version, so a crash
-    // between any two commits replays idempotently: already-folded
-    // artifacts skip, the rest fold from their (unchanged) inputs.
+    // post-fold state), each census folding from ITS marker
     if (useCensus) mmCols.foreach { c =>
       val t = censusT(c)
-      if (t.lastTxnVersion(s"mvc_${d.name}").forall(_ < vNow)) {
+      val cStart = cMarkers(c).get
+      if (cStart < vNow) {
+        val w = windowFrom(cStart).getOrElse(return full())
         val keyCols = d.groupCols :+ c
-        val cd = ch.filter(col(c).isNotNull)
+        val cd = w.filter(col(c).isNotNull)
           .groupBy(keyCols.map(col): _*).agg(sum(sign).as("__dc")).as("cd")
         val oldC = t.read(spark).as("co")
         val ccond = keyCols.map(k => col(s"co.$k") <=> col(s"cd.$k")).reduce(_ && _)
@@ -377,7 +398,12 @@ object MvRewrite {
           txn = Some(s"mvc_${d.name}" -> vNow))
       }
     }
-    if (mvT.lastTxnVersion(s"mv_${d.name}").forall(_ < vNow)) {
+    // the MV folds from the LATER of its fingerprint and its own marker: a
+    // crash after the MV overwrite but before register leaves marker=vNow
+    // over fingerprint=vOld, and the retry must not re-fold
+    val mStart = math.max(vOld, mvMarker.getOrElse(vOld))
+    if (mStart < vNow) {
+      val chMv = windowFrom(mStart).getOrElse(return full())
       val sums = d.aggs.collect { case MvAgg("sum", Some(c), m) => (c, m) }
       val deltaAggs =
         sums.flatMap { case (c, m) => Seq(
@@ -390,7 +416,7 @@ object MvRewrite {
           d.aggs.collect { case MvAgg("max", Some(c), m) if mmCols.contains(c) =>
             max(col(c)).as(s"__d_$m") }) :+
         sum(sign).as("__drows")
-      val delta = ch.groupBy(d.groupCols.map(col): _*)
+      val delta = chMv.groupBy(d.groupCols.map(col): _*)
         .agg(deltaAggs.head, deltaAggs.tail: _*).as("dl")
       val old = mvT.read(spark)
       val oldTypes = old.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -404,11 +430,11 @@ object MvRewrite {
       // post-fold census: a LEFT join from the touched-group set keeps a
       // group whose census emptied (all values retracted → extremum NULL);
       // untouched groups never join and keep their stored extremum
+      val touched = chMv.select(d.groupCols.map(col): _*).distinct()
       if (useCensus) mmCols.zipWithIndex.foreach { case (c, i) =>
-        val touched = ch.select(d.groupCols.map(col): _*).distinct().as("g")
         val cen = censusT(c).read(spark).as("cn")
         val jc = d.groupCols.map(k => col(s"g.$k") <=> col(s"cn.$k")).reduce(_ && _)
-        val ext = touched.join(cen, jc, "left")
+        val ext = touched.as("g").join(cen, jc, "left")
           .groupBy(d.groupCols.map(k => col(s"g.$k").as(k)): _*)
           .agg(min(col(s"cn.$c")).as(s"__ext_min_$c"),
                max(col(s"cn.$c")).as(s"__ext_max_$c"))

@@ -776,11 +776,14 @@ object SimilarityQueries {
         // unfiltered production probe, oversample 20); the exact-scan
         // ceiling DERIVES from corpus size (a fixed cap would flip
         // regimes as sf grows), staying a bounded fraction of N.
+        // ONE definition of the tenant rung, used by BOTH the search filter
+        // and the stashed replay oracle — the two can never drift
+        val tenantSql = "vec_id >= 1 AND vec_id <= 60"
         val preds = Seq(
           "p40" -> (col("label") % 3 === 0),
           "p10" -> (col("label") === 5),
           "p03" -> (col("label") === 5 && col("vec_id") % 3 === 1),
-          "tenant" -> (col("vec_id") >= 1 && col("vec_id") <= 60))
+          "tenant" -> expr(tenantSql))
         var last: org.apache.spark.sql.DataFrame = null
         val vias = preds.map { case (name, pred) =>
           val got = PersistedAnnIndex.searchAdaptive(s, h, e, queryId = 0,
@@ -858,7 +861,7 @@ object SimilarityQueries {
         // and the driver falls back to the rows-only check.
         if (PersistedAnnIndex.lastSearchVia == "exact-subset")
           AnnOracle.stash.put("v17_filtered_ann",
-            AnnOracle.exactSubsetSql(0, "vec_id >= 1 AND vec_id <= 60", 10))
+            AnnOracle.exactSubsetSql(0, tenantSql, 10))
         else AnnOracle.stash.remove("v17_filtered_ann")
         last
       },

@@ -147,6 +147,68 @@ class MvIncrementalSpec extends SparkSpec {
     } finally MvCatalog.clear()
   }
 
+  test("a crash-interrupted refresh retries without double-folding (markers anchor the windows)") {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    def copyDir(from: String, to: String): Unit =
+      Files.walk(Paths.get(from)).iterator().asScala.foreach { p =>
+        val t = Paths.get(to).resolve(Paths.get(from).relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      }
+    def deleteDir(dir: String): Unit =
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    val root = scratch("mv_crashfold")
+    val base = new MergeTable(s"$root/base")
+    base.overwrite(Seq((1L, "a", Option(5.0)), (2L, "a", Option(9.0)),
+      (3L, "b", Option(4.0))).toDF("id", "g", "x"))
+    MvRewrite.buildAndRegister(spark, "mv_crashfold", s"$root/base", Seq("g"),
+      Seq(MvAgg("min", Some("x"), "mn"), MvAgg("max", Some("x"), "mx"),
+          MvAgg("sum", Some("x"), "sx"), MvAgg("count", None, "c")),
+      s"$root/mv")
+    try {
+      val d0 = MvCatalog.get("mv_crashfold").get
+      copyDir(s"$root/mv", s"$root/mv_snap") // the pre-refresh MV bytes
+      // window 1: a retraction + an insert the census must track
+      base.mergeClauses(spark, Seq((2L, "del"), (4L, "ins")).toDF("id", "kind"),
+        Seq("id"),
+        Seq(MergeTable.MatchedDelete(Some("s.kind = 'del'")),
+            MergeTable.NotMatchedInsert(Some("s.kind = 'ins'"),
+              Seq("id" -> "s.id", "g" -> "'a'", "x" -> "CAST(7 AS DOUBLE)"))),
+        checkUniqueSource = false, changeFeed = true)
+      MvRewrite.refresh(spark, "mv_crashfold")
+      assert(MvRewrite.lastRefreshMode == "incremental")
+      // CRASH between the census commit and the MV commit, simulated by
+      // construction: roll the MV table back to its pre-refresh bytes and
+      // restore the old fingerprint — the census (and its marker) stay
+      // POST-fold. A retry that re-anchored the census fold on the
+      // fingerprint instead of the census's own marker would apply window
+      // 1 to it a second time (id 4's +1 lands twice), and the later
+      // delete of id 4 would leave a phantom census row keeping min(a) at
+      // a value absent from the base.
+      deleteDir(s"$root/mv"); copyDir(s"$root/mv_snap", s"$root/mv")
+      MvCatalog.register(spark, d0)
+      // window 2, then the RETRY refresh spanning both windows
+      base.delete(spark, col("id") === 4L, changeFeed = true)
+      MvRewrite.refresh(spark, "mv_crashfold")
+      assert(MvRewrite.lastRefreshMode == "incremental",
+        s"the retry must stay incremental, ran '${MvRewrite.lastRefreshMode}'")
+      val mv = MergeTable.open(s"$root/mv").read(spark)
+        .select("g", "mn", "mx", "sx", "c").collect()
+        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getLong(4))).toSet
+      val full = base.read(spark).groupBy("g")
+        .agg(min("x").as("mn"), max("x").as("mx"), sum("x").as("sx"),
+          count(lit(1)).as("c")).collect()
+        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getLong(4))).toSet
+      assert(mv == full, s"crash-retried refresh diverged: $mv != $full")
+      assert(mv.exists(t => t._1 == "a" && t._2.contains(5.0)),
+        "a double-folded census would pin min(a) to the deleted 7.0")
+    } finally MvCatalog.clear()
+  }
+
   test("graft-base freshness is one version read — never a directory walk") {
     val root = scratch("mv_o1")
     val base = new MergeTable(s"$root/base")

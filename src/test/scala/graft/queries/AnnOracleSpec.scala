@@ -19,7 +19,6 @@ import graft.operators.{IvfIndex, PqIndex}
   */
 class AnnOracleSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
   private val Safe = 1e-9 // decision margin floor; engines agree to ~1e-13
 
   private def l2(a: Array[Double], b: Array[Double]): Double = {
@@ -33,7 +32,8 @@ class AnnOracleSpec extends SparkSpec {
     s
   }
 
-  test("v12-shape replay decisions have cross-engine-safe margins (sf0.001)") {
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+  test(s"v12-shape replay decisions have cross-engine-safe margins ($dir)") {
     val e = Registry.t(spark, dir, "embeddings")
     val (assigned, centers) = IvfIndex.fit(e, 16)
     val cb = PqIndex.fitResidual(assigned, centers)
@@ -47,10 +47,15 @@ class AnnOracleSpec extends SparkSpec {
     val cellsOf = all.map { case (id, v) =>
       val ds = centers.map(c => l2(v, c))
       val best = ds.zipWithIndex.minBy { case (d, i) => (d, i) }
-      val second = ds.zipWithIndex.filter(_._2 != best._2).map(_._1).min
-      val margin = second - best._1
-      assert(margin > Safe || centers.exists(c =>
-          c.sameElements(centers(best._2)) && !(c eq centers(best._2))),
+      val second = ds.zipWithIndex.filter(_._2 != best._2)
+        .minBy { case (d, i) => (d, i) }
+      val margin = second._1 - best._1
+      // the only safe zero margin is a tie WITH a bit-identical duplicate
+      // of the winning centroid: both engines compute the two distances
+      // from identical inputs and break to the lowest id. A knife-edge
+      // margin against a DISTINCT centroid can flip cross-engine.
+      assert(margin > Safe ||
+          (margin == 0.0 && centers(second._2).sameElements(centers(best._2))),
         s"vec $id cell-assignment margin $margin is knife-edge")
       id -> best._2
     }.toMap
@@ -75,10 +80,12 @@ class AnnOracleSpec extends SparkSpec {
         val sv = r.slice(m * Sub, m * Sub + Sub)
         val ds = cb.centers(m).map(c => l2(sv, c))
         val best = ds.zipWithIndex.minBy { case (d, i) => (d, i) }
-        val second = ds.zipWithIndex.filter(_._2 != best._2).map(_._1).min
-        val margin = second - best._1
-        assert(margin > Safe || cb.centers(m).exists(c =>
-            c.sameElements(cb.centers(m)(best._2)) && !(c eq cb.centers(m)(best._2))),
+        val second = ds.zipWithIndex.filter(_._2 != best._2)
+          .minBy { case (d, i) => (d, i) }
+        val margin = second._1 - best._1
+        assert(margin > Safe ||
+            (margin == 0.0 &&
+              cb.centers(m)(second._2).sameElements(cb.centers(m)(best._2))),
           s"vec $id subspace $m code margin $margin is knife-edge")
       }
     }
@@ -90,22 +97,30 @@ class AnnOracleSpec extends SparkSpec {
         val cell = cellsOf(id)
         val bias = dot(centers(cell), q)
         val r = resOf(id)
-        val s = (0 until PqIndex.NumSub).map { m =>
+        val codes = (0 until PqIndex.NumSub).map { m =>
           val sv = r.slice(m * Sub, m * Sub + Sub)
-          val code = cb.centers(m).map(c => l2(sv, c)).zipWithIndex
+          cb.centers(m).map(c => l2(sv, c)).zipWithIndex
             .minBy { case (d, i) => (d, i) }._2
-          dot(cb.centers(m)(code), q.slice(m * Sub, m * Sub + Sub))
-        }.sum
-        (id, bias + s)
-      }.sortBy { case (id, s) => (-s, id) }
+        }
+        val s = codes.zipWithIndex.map { case (code, m) =>
+          dot(cb.centers(m)(code), q.slice(m * Sub, m * Sub + Sub)) }.sum
+        (id, bias + s, cell, codes)
+      }.sortBy { case (id, s, _, _) => (-s, id) }
     if (scores.length > 50) {
       val cutMargin = scores(49)._2 - scores(50)._2
-      assert(cutMargin > Safe || cutMargin == 0.0,
+      // a zero cut margin is safe only when the tied candidates carry
+      // IDENTICAL (cell, codes) — then both engines derive bit-identical
+      // scores and break the tie on vec_id; distinct inputs that tie in
+      // one engine's fold can split either way in the other's
+      assert(cutMargin > Safe ||
+          (cutMargin == 0.0 && scores(49)._3 == scores(50)._3 &&
+            scores(49)._4 == scores(50)._4),
         s"ADC rerank-cut margin $cutMargin is knife-edge")
     }
   }
 
   test("ANN queries stash replay oracles that oracleSql surfaces") {
+    val dir = "/root/testdata/sf0.001"
     AnnOracle.stash.clear()
     Registry.all("v5_ivf_topk").fn(spark, dir).collect()
     val sql = graft.SparkEntry.oracleSql

@@ -36,6 +36,7 @@ rec = {
     "queries_min": qmin,
     "queries_min_warm": qminw,
     "min_total_warm": sum(v for v in qminw.values() if v >= 0),
+    "min_basis": runs[0].get("min_basis", ""),
     "sf": runs[0]["sf"],
     "iters": runs[0]["iters"],
     "iter_policy": runs[0].get("iter_policy", ""),
