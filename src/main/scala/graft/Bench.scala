@@ -50,6 +50,24 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).trim.split(" ").take(3)
         .mkString(",")
       catch { case _: Exception => "" }
+    // LOAD GATE (r14 verdict item 3): the official record was repeatedly
+    // taken on a still-draining box (r14: 5-min loadavg 3.11 at start, a
+    // 2.6–3.1× heavy tail vs the solo record). Spin until the 1-min
+    // loadavg drops below GRAFT_LOAD_MAX (default 1.5) or GRAFT_LOAD_WAIT
+    // seconds (default 300) elapse — bounded, so an unattended driver run
+    // can never hang here — and record how long the gate waited so the
+    // record stays attributable either way.
+    val loadMax = sys.env.getOrElse("GRAFT_LOAD_MAX", "1.5").toDouble
+    val loadWaitMax = sys.env.getOrElse("GRAFT_LOAD_WAIT", "300").toInt
+    def load1(): Double =
+      try loadavg().split(",")(0).toDouble catch { case _: Exception => 0.0 }
+    val gateT0 = System.nanoTime()
+    while (load1() > loadMax && (System.nanoTime() - gateT0) / 1e9 < loadWaitMax) {
+      System.err.println(f"[bench] load gate: 1-min loadavg ${load1()}%.2f > " +
+        f"$loadMax%.2f — waiting (max ${loadWaitMax}s)")
+      Thread.sleep(10000)
+    }
+    val loadGateWait = (System.nanoTime() - gateT0) / 1e9
     val loadBefore = loadavg()
     val wallT0 = System.nanoTime()
 
@@ -127,7 +145,7 @@ object Bench {
     // TIMED-ITERATIONS-ONLY (pre-r14 records folded the warm run in), so
     // cross-round min comparisons against older records must use
     // queries_min_warm on the new side to stay apples-to-apples.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","min_basis":"timed-only (pre-r14 records fold the warm run into queries_min; compare those against queries_min_warm)","min_total":$totalMin,"min_total_warm":$totalMinWarm,"queries":$qs,"queries_min":$qsMin,"queries_min_warm":$qsMinWarm,"sf":"$sfDir","iters":$iters,"iter_policy":"warm>10s:1, >3s:min(iters,2), >1s:min(iters,3), sub-second m/st:max(iters,5), else iters","warmup":1,"master":"local[$cpus]","shuffle_partitions":$cpus,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","bench_wall_sec":$wall,"failed":$failedJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","min_basis":"timed-only (pre-r14 records fold the warm run into queries_min; compare those against queries_min_warm)","min_total":$totalMin,"min_total_warm":$totalMinWarm,"queries":$qs,"queries_min":$qsMin,"queries_min_warm":$qsMinWarm,"sf":"$sfDir","iters":$iters,"iter_policy":"warm>10s:1, >3s:min(iters,2), >1s:min(iters,3), sub-second m/st:max(iters,5), else iters","warmup":1,"master":"local[$cpus]","shuffle_partitions":$cpus,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","load_gate_wait_sec":${f"$loadGateWait%.1f"},"bench_wall_sec":$wall,"failed":$failedJson}"""
     println(line)
     // the driver's BENCH record keeps only a 2000-char tail of stdout — the
     // per-query map loses its first ~57 entries. Persist the FULL line in

@@ -16,6 +16,17 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // NOTE (measured, r15): spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
+      // was tried to get AQE coalescing/broadcast on persist() materializations —
+      // it cut task counts 3× but made the cache BUILDS themselves ~4× slower
+      // (st26 qual.count 2.1 s → 9 s), net-negative; left at the default.
+      // Write-commit hygiene for the many small maintained-state commits
+      // (guide §6): v2 renames task output directly at task commit (v1 adds
+      // a serial job-commit rename pass per write), and the _SUCCESS marker
+      // is pure overhead for MergeTable data dirs (the _graft_log commit is
+      // the real publish; readers never look at _SUCCESS)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       // engine extensions: float_dot registration + the DotProductRewrite
       // optimizer rule (graft.functions.GraftExtensions)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

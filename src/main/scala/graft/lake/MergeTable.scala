@@ -160,7 +160,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     resolved
   }
 
-  private def readCommitUncached(version: Long): Commit = {
+  private def readCommitUncached(version: Long): Commit = Timing.time("readCommit") {
     val lines = Files.readString(commitPath(version)).split("\n").toSeq
     // protocol guard (Delta's protocol action): a commit written by a
     // FUTURE format version must fail loudly here, not be half-read —
@@ -308,7 +308,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       opMetrics, features)
   }
 
-  private def readMeta(version: Long): CommitMeta = {
+  private def readMeta(version: Long): CommitMeta = Timing.time("readMeta") {
     val s = Files.lines(commitPath(version))
     try parseMeta(s.iterator().asScala) finally s.close()
   }
@@ -515,7 +515,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     */
   private[graft] def pruneFilesFor(spark: SparkSession, version: Long,
                                    filters: Seq[sources.Filter],
-                                   among: Option[Seq[String]] = None): Seq[String] = {
+                                   among: Option[Seq[String]] = None): Seq[String] = Timing.time("pruneFilesFor") {
     // `among` restricts pruning to a caller-supplied SUBSET of the
     // version's files (the streaming source prunes each micro-batch's
     // added files). Both engines compose soundly: the driver loop admits
@@ -760,7 +760,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     // handful of splits even at 100 TB file counts
     val parts = math.max(1, (files.size / 1000000.0).ceil.toInt)
     frame.repartition(parts)
-      .write.mode("overwrite").parquet(checkpointDir(version).toString)
+      .write
+      // the checkpoint's _SUCCESS IS its completeness marker
+      // ([[latestCheckpointAtOrBefore]] keys usability on it), so this one
+      // write opts back in — the session default suppresses the marker for
+      // plain data dirs, where the _graft_log commit is the real publish
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .mode("overwrite").parquet(checkpointDir(version).toString)
     val tmp = logDir.resolve(s"_last_checkpoint.tmp${System.nanoTime()}")
     Files.writeString(tmp, version.toString)
     Files.move(tmp, lastCheckpointPath, StandardCopyOption.ATOMIC_MOVE,
@@ -1475,6 +1481,81 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * definition). Incompatible with `mergeSchema` (a full sync dictates
     * the schema; evolve first with [[addColumns]]).
     */
+  /** Touched-file probe shared by [[merge]] / [[mergeClauses]]: which of
+    * `probeRel`'s data files hold at least one row whose key tuple appears
+    * in the source. Two engines (guide §2.4/§3.2/§6):
+    *
+    *  - BOUNDED source (≤ `spark.graft.mergeProbeInMax` non-null key rows,
+    *    simple key types): the collected keys become per-column `In`
+    *    filters that (a) prune candidate FILES through the manifest stats
+    *    and (b) push into the parquet scan for row-group skipping, and the
+    *    exact tuple match is a map-only semi-join against a BROADCAST
+    *    local relation of those keys — zero shuffles, and at 100 TB the
+    *    probe opens only the files whose min/max admit a source key
+    *    (Delta's data-skipping MERGE shape) instead of scanning the scope.
+    *  - UNBOUNDED source: the original shuffle semi-join over the full
+    *    scope — always correct, never collects more than cap + 1 rows to
+    *    decide.
+    *
+    * Either engine returns the identical touched set: the In filters are
+    * a sound superset (stats pruning + per-column membership) and the
+    * broadcast semi-join applies the exact tuple equality the legacy join
+    * applied. NULL source keys match nothing under `===` and are dropped
+    * before sampling.
+    */
+  private def probeTouchedFiles(spark: SparkSession, srcKeys: DataFrame,
+                                keys: Seq[String], version: Long,
+                                probeRel: Seq[String], schema: StructType,
+                                cmap: Map[String, String],
+                                dvs: Map[String, (String, Long)]): Set[String] =
+    Timing.time("merge.probe") {
+      import org.apache.spark.sql.types._
+      def simple(dt: DataType): Boolean = dt match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | StringType | BooleanType | DateType | TimestampType => true
+        case _ => false
+      }
+      val cap = spark.conf.get("spark.graft.mergeProbeInMax", "10000").toInt
+      val fastTypesOk = keys.forall(k => simple(schema(k).dataType))
+      val sample: Array[Row] =
+        if (!fastTypesOk) Array.empty
+        else srcKeys
+          .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+          .limit(cap + 1).collect()
+      if (fastTypesOk && sample.isEmpty) Set.empty
+      else if (fastTypesOk && sample.length <= cap) {
+        val tuples = sample.distinct
+        val colVals: Seq[Array[Any]] = keys.indices.map(i =>
+          tuples.map(_.get(i): Any).distinct.toArray)
+        val kept = pruneFilesFor(spark, version,
+          keys.zipWithIndex.map { case (k, i) => sources.In(k, colVals(i)) },
+          among = Some(probeRel))
+        if (kept.isEmpty) Set.empty
+        else {
+          val inFilter = keys.zipWithIndex
+            .map { case (k, i) => col(k).isin(colVals(i).toIndexedSeq: _*) }
+            .reduce(_ && _)
+          val scan = readFiles(spark, kept, schema, cmap, dvs,
+            fileCol = Some("_graft_file")).filter(inFilter)
+          val exact =
+            if (keys.size == 1) scan // single key: the In filter IS the tuple match
+            else {
+              val keyDf = spark.createDataFrame(
+                java.util.Arrays.asList(tuples: _*), srcKeys.schema)
+              scan.join(broadcast(keyDf), keys, "left_semi")
+            }
+          exact.agg(collect_set(col("_graft_file"))).head
+            .getSeq[String](0).map(normalize).toSet
+        }
+      } else {
+        readFiles(spark, probeRel, schema, cmap, dvs,
+            fileCol = Some("_graft_file"))
+          .join(srcKeys, keys, "left_semi")
+          .select("_graft_file").distinct()
+          .collect().map(r => normalize(r.getString(0))).toSet
+      }
+    }
+
   def merge(spark: SparkSession, source: DataFrame, keys: Seq[String],
             checkUniqueSource: Boolean = true,
             mergeSchema: Boolean = false,
@@ -1501,7 +1582,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val src = applyGenerated(source).cache()
     try {
       if (checkUniqueSource) {
-        val dup = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+        val dup = Timing.time("merge.dupCheck")(
+          src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count())
         require(dup == 0L,
           s"merge source has duplicate keys on (${keys.mkString(",")}) — Delta MERGE would fail (multiple source rows matched one target row)")
       }
@@ -1558,11 +1640,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           val scope = probeRel.toSet
           oldFiles.partition(scope.contains)
         } else {
-          val touched: Set[String] = readFiles(spark, probeRel, schemaOf(v), cmap, dvs,
-              fileCol = Some("_graft_file"))
-            .join(srcKeys, keys, "left_semi")
-            .select("_graft_file").distinct()
-            .collect().map(r => normalize(r.getString(0))).toSet
+          val touched: Set[String] = probeTouchedFiles(spark, srcKeys, keys,
+            v, probeRel, schemaOf(v), cmap, dvs)
           oldFiles.partition(f => touched.exists(t => t.endsWith("/" + f) || t == f))
         }
 
@@ -1637,8 +1716,6 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val newVersion = v + 1
       val (newDataIded, rowHwm) = assignRowIds(newData)
       val dataDir = newDataDir(newVersion)
-      writeData(optimizeWriteIfEnabled(newDataIded), dataDir, cmap)
-      val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
 
       // Change data feed (Delta CDF analog): recorded AT WRITE TIME from the
       // already-pruned touched-file rows, never by diffing full snapshots —
@@ -1648,8 +1725,11 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       // can never leave a committed version with silently-missing change
       // rows; the commit records the feed directory, and a losing/crashed
       // attempt's orphan dir is referenced by no commit (cleaned on commit
-      // conflict, reconciled by vacuum).
-      val cdfDir =
+      // conflict, reconciled by vacuum). The feed derives only from the
+      // OLD files and the cached source — independent of the data write —
+      // so it runs CONCURRENTLY with it (guide §2.6: overlap independent
+      // jobs; the two small writes back-fill each other's task tails).
+      val cdfTask: Option[java.util.concurrent.FutureTask[String]] =
         if (changeFeed) {
           import MergeTable.ChangeType
           val matchedKeys = touchedData.map(
@@ -1671,8 +1751,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           val all = (pre.toSeq ++ post.toSeq ++ del.toSeq :+ ins)
             .reduce(_.unionByName(_, allowMissingColumns = true))
             .drop(MergeTable.RowIdCol) // the feed speaks user columns only
-          Some(writeChanges(all, newVersion, dataDir))
+          Some(MergeTable.startAsync(() => writeChanges(all, newVersion, dataDir)))
         } else None
+      val cdfDir =
+        try {
+          writeData(optimizeWriteIfEnabled(newDataIded), dataDir, cmap)
+          cdfTask.map(MergeTable.awaitAsync)
+        } catch { case e: Throwable =>
+          cdfTask.foreach(_.cancel(false)); throw e
+        }
+      val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
 
       val commitSchema = StructType(
         newData.schema.fields.filterNot(_.name == MergeTable.RowIdCol))
@@ -1989,7 +2077,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val src = source.cache()
     try {
       if (checkUniqueSource) {
-        val dup = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+        val dup = Timing.time("merge.dupCheck")(
+          src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count())
         require(dup == 0L,
           s"merge source has duplicate keys on (${keys.mkString(",")}) — Delta MERGE would fail (multiple source rows matched one target row)")
       }
@@ -2023,11 +2112,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           val scope = probeRel.toSet
           oldFiles.partition(scope.contains)
         } else {
-          val touched: Set[String] = readFiles(spark, probeRel, schema, cmap, dvs,
-              fileCol = Some("_graft_file"))
-            .join(srcKeys, keys, "left_semi")
-            .select("_graft_file").distinct()
-            .collect().map(r => normalize(r.getString(0))).toSet
+          val touched: Set[String] = probeTouchedFiles(spark, srcKeys, keys,
+            v, probeRel, schema, cmap, dvs)
           oldFiles.partition(f => touched.exists(t => t.endsWith("/" + f) || t == f))
         }
 
@@ -2105,13 +2191,13 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
       val newVersion = v + 1
       val (newDataIded, rowHwm) = assignRowIds(newData)
       val dataDir = newDataDir(newVersion)
-      writeData(optimizeWriteIfEnabled(newDataIded), dataDir, cmap)
-      val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
 
       // CDF at write time from the already-pruned frames (same discipline
       // as [[merge]] — never a snapshot diff). Only when asked: the extra
       // passes below re-derive pre/post/delete images from touched rows.
-      val cdfDir =
+      // Independent of the data write (reads only OLD files + the cached
+      // source), so the two writes run CONCURRENTLY (guide §2.6).
+      val cdfTask: Option[java.util.concurrent.FutureTask[String]] =
         if (!changeFeed) None
         else {
           def images(td: DataFrame, cs: Seq[MergeClause], paired: Boolean): Seq[DataFrame] = {
@@ -2144,9 +2230,18 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
           val insertImgs = insertOut.map(_.withColumn(ChangeType, lit("insert")))
           val all = matchedImgs ++ bySourceImgs ++ insertImgs
           if (all.isEmpty) None
-          else Some(writeChanges(all.reduce(_.unionByName(_, allowMissingColumns = true))
-            .drop(MergeTable.RowIdCol), newVersion, dataDir))
+          else Some(MergeTable.startAsync(() =>
+            writeChanges(all.reduce(_.unionByName(_, allowMissingColumns = true))
+              .drop(MergeTable.RowIdCol), newVersion, dataDir)))
         }
+      val cdfDir =
+        try {
+          writeData(optimizeWriteIfEnabled(newDataIded), dataDir, cmap)
+          cdfTask.map(MergeTable.awaitAsync)
+        } catch { case e: Throwable =>
+          cdfTask.foreach(_.cancel(false)); throw e
+        }
+      val newFiles = listParquet(Paths.get(root, dataDir)).map(p => relativize(p))
 
       val newStats = collectStats(spark, newFiles, schema, cmap)
       lastMergeCommitVia = "commit"
@@ -2605,7 +2700,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     val src = applyGenerated(source).cache()
     try {
       if (checkUniqueSource) {
-        val dup = src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+        val dup = Timing.time("merge.dupCheck")(
+          src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).limit(1).count())
         require(dup == 0L,
           s"merge source has duplicate keys on (${keys.mkString(",")}) — Delta MERGE " +
             "would fail (multiple source rows matched one target row)")
@@ -5198,7 +5294,8 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
   private def collectStats(spark: SparkSession, relFiles: Seq[String],
                            schema: StructType,
                            colmap: Map[String, String]): Seq[String] =
-    collectStatsFor(spark, relFiles, schema, colmap, statsColsEffective(schema))
+    Timing.time("collectStats")(
+      collectStatsFor(spark, relFiles, schema, colmap, statsColsEffective(schema)))
 
   /** Stats columns IN FORCE for a write: the constructor's, else the
     * log-pinned `graft.statsCols` (bare-path reopens keep collecting —
@@ -5448,8 +5545,10 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * while the staged data survives for repair.
     */
   private def writeChanges(df: DataFrame, version: Long, attemptDir: String): String = {
-    df.withColumn(MergeTable.CommitVersion, lit(version))
-      .write.mode("overwrite").parquet(s"$root/${MergeTable.stagingOf(s"cdf/$attemptDir")}")
+    Timing.time("writeChanges") {
+      df.withColumn(MergeTable.CommitVersion, lit(version))
+        .write.mode("overwrite").parquet(s"$root/${MergeTable.stagingOf(s"cdf/$attemptDir")}")
+    }
     s"cdf/$attemptDir"
   }
 
@@ -5481,7 +5580,11 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
     * per row a second time on the hot write path for no added safety.
     */
   private def writeData(df0: DataFrame, dataDir: String,
-                        colmap: Map[String, String]): Unit = {
+                        colmap: Map[String, String]): Unit =
+    Timing.time("writeData")(writeData0(df0, dataDir, colmap))
+
+  private def writeData0(df0: DataFrame, dataDir: String,
+                         colmap: Map[String, String]): Unit = {
     // the hidden row-id column is RESERVED: only rowTracking tables may
     // store it (a user column under that name would silently vanish from
     // the committed schema)
@@ -5556,7 +5659,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                      retiredOverride: Option[Seq[String]] = None,
                      propsOverride: Option[Seq[(String, String)]] = None,
                      featuresOverride: Option[Seq[String]] = None,
-                     op: String = "WRITE"): Unit = {
+                     op: String = "WRITE"): Unit = Timing.time("commit") {
     Files.createDirectories(logDir)
     // CHECK constraints and txn versions carry forward automatically
     // (commits are never deleted, so version-1 is always readable). The
@@ -5811,6 +5914,36 @@ object MergeTable {
     * `update_postimage` / `delete` (the Delta CDF vocabulary).
     */
   val ChangeType = "_change_type"
+
+  /** Run `f` on a fresh daemon thread (guide §2.6 — overlap independent
+    * Spark jobs so one write's task tail back-fills the other's). A new
+    * thread per call (not a shared pool) so Spark's inheritable
+    * thread-local job properties are captured from the CALLING thread at
+    * the moment of submission; thread creation is microseconds against
+    * the hundreds of milliseconds a small write job costs.
+    */
+  private[lake] def startAsync[T](f: () => T): java.util.concurrent.FutureTask[T] = {
+    val task = new java.util.concurrent.FutureTask[T](() => f())
+    val th = new Thread(task, "graft-async-write")
+    th.setDaemon(true)
+    th.start()
+    task
+  }
+
+  /** Await [[startAsync]]'s result, unwrapping the ExecutionException so
+    * callers see the original failure.
+    */
+  private[lake] def awaitAsync[T](t: java.util.concurrent.FutureTask[T]): T =
+    try t.get()
+    catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+
+  /** [[startAsync]] / [[awaitAsync]] for engine callers outside this
+    * package (the MV build overlaps its census builds with the MV write).
+    */
+  private[graft] def startAsyncPublic[T](f: () => T): java.util.concurrent.FutureTask[T] =
+    startAsync(f)
+  private[graft] def awaitAsyncPublic[T](t: java.util.concurrent.FutureTask[T]): T =
+    awaitAsync(t)
 
   /** URL-decode of one log-line field (the static twin of the handle's
     * `dec`, for executor-side stat-line parsing).

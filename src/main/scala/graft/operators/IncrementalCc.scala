@@ -163,6 +163,10 @@ object IncrementalCc {
     * crash-replayed batch reports the same number.
     */
   def applyBatch(batch: DataFrame, batchId: Long, edges: MergeTable,
+                 labels: MergeTable, appId: String): Long =
+    graft.lake.Timing.time("cc.applyBatch")(applyBatch0(batch, batchId, edges, labels, appId))
+
+  private def applyBatch0(batch: DataFrame, batchId: Long, edges: MergeTable,
                  labels: MergeTable, appId: String): Long = {
     val sess = batch.sparkSession
     val appE = appId + "e"
@@ -180,7 +184,7 @@ object IncrementalCc {
       .withColumn("_rn", row_number().over(wKey)).filter(col("_rn") === 1)
       .select("a", "b", "_is_add")
       .persist()
-    val processed = fin.count()
+    val processed = graft.lake.Timing.time("cc.netCount")(fin.count())
     if (processed == 0) { fin.unpersist(); return 0L }
     if (labels.exists && labels.lastTxnVersion(appL).exists(_ >= batchId)) {
       fin.unpersist(); return processed // fully applied: replay no-op
@@ -225,11 +229,17 @@ object IncrementalCc {
       // propagation (large-star/small-star fallback) takes over — the
       // path a pathological giant component needs.
       val maxDriver = sess.conf.get("spark.graft.ccDriverRelabelMax", "100000").toLong
-      val nSubEdges = graphE.count()
+      // ONE capped collect decides the path AND delivers the edges: a
+      // LIMIT maxDriver+1 can never pull more than the cap to the driver,
+      // and when the subgraph fits (the overwhelmingly common dup-graph
+      // case) the previously separate count() job is gone (guide §1.2 —
+      // fewer passes). Only the oversized path pays a count no more.
+      val capped = graft.lake.Timing.time("cc.subgraphCollect")(
+        graphE.select("a", "b").limit((maxDriver + 1).min(Int.MaxValue).toInt)
+          .collect())
       val lp: DataFrame =
-        if (nSubEdges <= maxDriver) {
-          val pairs = graphE.select("a", "b").collect()
-            .map(r => (r.getLong(0), r.getLong(1)))
+        if (capped.length <= maxDriver) {
+          val pairs = capped.map(r => (r.getLong(0), r.getLong(1)))
           driverLabels(sess, pairs)
         } else {
           val sym = graphE.select(col("a").as("src"), col("b").as("dst"))

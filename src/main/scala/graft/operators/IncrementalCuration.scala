@@ -186,7 +186,13 @@ object IncrementalCuration {
     */
   def applyBatch(batch: DataFrame, batchId: Long, fps: MergeTable,
                  curated: MergeTable, evalGrams: DataFrame,
-                 appId: String, passthroughCols: Seq[String] = Nil): Long = {
+                 appId: String, passthroughCols: Seq[String] = Nil): Long =
+    graft.lake.Timing.time("cur.applyBatch")(
+      applyBatch0(batch, batchId, fps, curated, evalGrams, appId, passthroughCols))
+
+  private def applyBatch0(batch: DataFrame, batchId: Long, fps: MergeTable,
+                 curated: MergeTable, evalGrams: DataFrame,
+                 appId: String, passthroughCols: Seq[String]): Long = {
     val sess = batch.sparkSession
     val appF = appId + "f"
     val appC = appId + "c"
@@ -225,7 +231,17 @@ object IncrementalCuration {
         when(!col("_is_add"), md5(col("text"))).as("old_h"),
         col(MergeTable.CommitVersion).as("v")) ++ pt.map(col): _*)
       .persist()
-    val processed = fin.count()
+    // ONE job answers "how many net changes" (the gates' observable), "how
+    // many drops" and "how many adds" together — the drop/add counts feed
+    // the anyDel decision below without materializing the delIds frame
+    // (previously a whole extra pass: union + quality-gate anti-join +
+    // isEmpty per batch, ~25% of a batch's wall at gate scale)
+    val cnts = graft.lake.Timing.time("cur.netCount")(
+      fin.agg(count(lit(1)), count(when(!col("_is_add"), 1)),
+        count(when(col("_is_add"), 1))).head)
+    val processed = cnts.getLong(0)
+    val nDrops = cnts.getLong(1)
+    val nAdds = cnts.getLong(2)
     // fully applied already — BOTH commits carry this batch's txn marker
     // (a crash replay past the second commit, or the double-deployed
     // instance racing right behind the first): nothing left to converge,
@@ -278,8 +294,14 @@ object IncrementalCuration {
       else None
     // the change feed is only paid for when this batch can RETRACT
     // something: insert-only batches (the steady-state ingest case) write
-    // no feed and skip the image passes entirely
-    val anyDel = !delIds.isEmpty
+    // no feed and skip the image passes entirely. delIds is non-empty iff
+    // the batch carried a drop OR the quality gate rejected an add
+    // (qualityGate is a pure filter over adds, so |qual| < |adds| ⟺ some
+    // add was rejected) — both counts are already in hand, and qual is
+    // persisted anyway for the merge source, so this costs one count over
+    // the cached gate output instead of a union + anti-join + isEmpty pass
+    val anyDel = graft.lake.Timing.time("cur.anyDel")(
+      nDrops > 0 || qual.count() < nAdds)
     // schema evolution, scoped to the DECLARED passthrough columns only
     // (mergeClausesEvolve would also absorb the merge's action/old_h
     // helper columns): a passthrough column newly present in this batch

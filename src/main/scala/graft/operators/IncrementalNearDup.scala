@@ -153,11 +153,11 @@ object IncrementalNearDup {
         else index.readVersion(sess, ver)
       pairsOf(rows, whole, threshold)
     }
-    val edgeMut = pairDelta(v - 1, touched)
+    val edgeMut = graft.lake.Timing.time("nd.pairDelta")(pairDelta(v - 1, touched)
       .withColumn(MergeTable.ChangeType, lit("delete"))
       .unionByName(pairDelta(v, addIds)
         .withColumn(MergeTable.ChangeType, lit("insert")))
-      .withColumn(MergeTable.CommitVersion, lit(batchId))
+      .withColumn(MergeTable.CommitVersion, lit(batchId)))
 
     // stage 3: edges + labels (their own txn markers; replay converges)
     IncrementalCc.applyBatch(edgeMut, batchId, edges, labels, appId)

@@ -42,8 +42,12 @@ object IvfIndex {
     * centroid matrix).
     */
   def fit(emb: DataFrame, nClusters: Int, seed: Long = 42L,
-          maxTrainRows: Long = MaxTrainRows, maxIter: Int = 5): (DataFrame, Array[Array[Double]]) = {
-    val n = emb.count()
+          maxTrainRows: Long = MaxTrainRows, maxIter: Int = 5,
+          knownCount: Option[Long] = None): (DataFrame, Array[Array[Double]]) = {
+    // `knownCount` lets a caller that already counted the corpus (the
+    // persisted-index build counts it for its training-size property)
+    // skip the redundant count job — the fit is unchanged either way
+    val n = knownCount.getOrElse(emb.count())
     val train0 =
       if (n > maxTrainRows) {
         val s = emb.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)

@@ -59,6 +59,10 @@ object LshMaintenance {
     * change count (the delta-size observable st25's gate requires on).
     */
   def applyBatch(batch: DataFrame, batchId: Long, index: MergeTable,
+                 appId: String): Long =
+    graft.lake.Timing.time("lsh.applyBatch")(applyBatch0(batch, batchId, index, appId))
+
+  private def applyBatch0(batch: DataFrame, batchId: Long, index: MergeTable,
                  appId: String): Long = {
     val sess = batch.sparkSession
 
@@ -75,7 +79,7 @@ object LshMaintenance {
       .withColumn("_rn", row_number().over(wDoc)).filter(col("_rn") === 1)
       .select("doc_id", "text", "_is_add")
       .persist()
-    val processed = fin.count()
+    val processed = graft.lake.Timing.time("lsh.netCount")(fin.count())
     if (index.lastTxnVersion(appId).exists(_ >= batchId)) {
       fin.unpersist(); return processed // replayed batch: state already applied
     }

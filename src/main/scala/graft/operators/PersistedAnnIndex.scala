@@ -63,8 +63,15 @@ object PersistedAnnIndex {
             txn: Option[(String, Long)] = None,
             autoCompactMinFiles: Int = 16): Handle = {
     val h = Handle(root)
-    val (assigned, centers) = IvfIndex.fit(emb, nClusters, seed)
-    val cb = PqIndex.fitResidual(assigned, centers, seed)
+    // ONE corpus count serves the IVF fit, the PQ fit (assignment is
+    // map-only, so |assigned| == |emb|), and the training-size property —
+    // previously three separate count jobs, the PQ one re-running the
+    // whole assignment expression over the corpus (guide §1.2)
+    val corpusN = emb.count()
+    val (assigned, centers) = IvfIndex.fit(emb, nClusters, seed,
+      knownCount = Some(corpusN))
+    val cb = PqIndex.fitResidual(assigned, centers, seed,
+      knownCount = Some(corpusN))
     h.centroidsTable.overwrite(spark.createDataFrame(
       java.util.Arrays.asList(centers.zipWithIndex.map { case (c, i) =>
         Row(i, c.toSeq) }: _*), centroidSchema))
@@ -91,7 +98,7 @@ object PersistedAnnIndex {
     h.codesTable.setProperties(Map(
       MergeTable.AutoCompactProp -> "true",
       MergeTable.AutoCompactMinFilesProp -> autoCompactMinFiles.toString,
-      TrainRowsProp -> assigned.count().toString))
+      TrainRowsProp -> corpusN.toString))
     h
   }
 
@@ -177,14 +184,42 @@ object PersistedAnnIndex {
       retrain, reason)
   }
 
+  /** Model reads memoized per (index root, model-table commit versions):
+    * the centroid/codebook matrices are immutable per committed version —
+    * a retrain/rebuild overwrites the tables and bumps the version, so a
+    * stale entry can never be served — and every search path re-collects
+    * them otherwise (v18 alone pays 16 metadata collects for 8 searches
+    * of one index version). Version resolution is a driver-side log read;
+    * the cached value is nClusters × dim + M × K × SubDim doubles. Bounded:
+    * cleared wholesale past 64 entries (entries are a few KB each).
+    */
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), AnyRef]
+
+  private def cached[T <: AnyRef](kind: String, root: String, version: Long)
+                                 (load: => T): T = {
+    if (modelCache.size > 64) modelCache.clear()
+    modelCache.getOrElseUpdate((s"$kind:$root", version), load).asInstanceOf[T]
+  }
+
   /** Centroids back from disk, ordered by cell id — metadata-sized
     * (nClusters × dim doubles), the only index state a search collects.
     */
-  private def loadCentroids(spark: SparkSession, h: Handle): Array[Array[Double]] =
-    h.centroidsTable.read(spark).orderBy("cell")
-      .collect().map(_.getSeq[Double](1).toArray)
+  private def loadCentroids(spark: SparkSession, h: Handle): Array[Array[Double]] = {
+    val t = h.centroidsTable
+    val v = t.currentVersion
+    cached("cents", t.root, v) {
+      t.readVersion(spark, v).orderBy("cell")
+        .collect().map(_.getSeq[Double](1).toArray)
+    }
+  }
 
   private def loadCodebook(spark: SparkSession, h: Handle): PqIndex.Codebook = {
+    val t = h.codebookTable
+    cached("cb", t.root, t.currentVersion)(loadCodebook0(spark, h))
+  }
+
+  private def loadCodebook0(spark: SparkSession, h: Handle): PqIndex.Codebook = {
     val df = h.codebookTable.read(spark)
     require(df.columns.contains("residual"),
       s"ANN index at ${h.root} predates residual encoding (v1 global " +

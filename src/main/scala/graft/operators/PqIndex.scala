@@ -119,8 +119,13 @@ object PqIndex {
   def fitResidual(assigned: DataFrame, centers: Array[Array[Double]],
                   seed: Long = 42L,
                   maxTrainRows: Long = IvfIndex.MaxTrainRows,
-                  kCentroids: Int = K, maxIter: Int = 5): Codebook = {
-    val n = assigned.count()
+                  kCentroids: Int = K, maxIter: Int = 5,
+                  knownCount: Option[Long] = None): Codebook = {
+    // assignment is map-only over the corpus, so |assigned| == |corpus| —
+    // a caller that already counted the corpus passes it through and the
+    // redundant count job (a full re-run of the assignment expression at
+    // 100 TB) disappears; the fit is unchanged either way
+    val n = knownCount.getOrElse(assigned.count())
     val train0 =
       if (n > maxTrainRows) {
         val s = assigned.sample(withReplacement = false, maxTrainRows.toDouble / n, seed)

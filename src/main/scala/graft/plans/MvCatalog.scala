@@ -283,22 +283,30 @@ object MvCatalog {
       // the fingerprint behind the rebuilt table, and the retrying
       // refresh's fold anchor must see that the MV already reflects v —
       // re-folding the window onto it would double-apply the deltas
-      mv.overwrite(base.groupBy(groupCols.map(col): _*)
-        .agg(aggCols.head, aggCols.tail: _*), txn = Some(s"mv_$name" -> v))
       // min/max value censuses, UNCONDITIONALLY overwritten from the
       // snapshot (a rebuild is deterministic, so re-running it is
       // idempotent by construction — and a guard would let a leftover
       // census from a PRIOR lifecycle at this path, carrying a higher
       // marker, survive with stale contents). The marker records the base
       // version the census reflects — the fold anchor MvRewrite.refresh
-      // resumes from.
-      censusCols(groupCols, aggs).foreach { c =>
-        new MergeTable(censusPath(mvPath, c)).overwrite(
-          base.filter(col(c).isNotNull)
-            .groupBy((groupCols :+ c).map(col): _*)
-            .agg(count(lit(1)).as(CensusCnt)),
-          txn = Some(s"mvc_$name" -> v))
+      // resumes from. Census builds are INDEPENDENT of the MV overwrite
+      // (separate tables, both derived from the same pinned snapshot), so
+      // they run concurrently with it (guide §2.6) — each build scans the
+      // base once either way, the scans just overlap now. Any crash
+      // interleaving converges because refresh folds each artifact from
+      // ITS OWN txn marker.
+      val censusTasks = censusCols(groupCols, aggs).map { c =>
+        graft.lake.MergeTable.startAsyncPublic { () =>
+          new MergeTable(censusPath(mvPath, c)).overwrite(
+            base.filter(col(c).isNotNull)
+              .groupBy((groupCols :+ c).map(col): _*)
+              .agg(count(lit(1)).as(CensusCnt)),
+            txn = Some(s"mvc_$name" -> v))
+        }
       }
+      mv.overwrite(base.groupBy(groupCols.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*), txn = Some(s"mv_$name" -> v))
+      censusTasks.foreach(graft.lake.MergeTable.awaitAsyncPublic)
       val rootPaths = rootPathsOf(base.queryExecution.analyzed)
       register(spark, MvDef(name, basePath, rootPaths, groupCols, aggs,
         mvPath, s"graft:v$v"))

@@ -333,10 +333,6 @@ object MvRewrite {
   private def refreshIncrementalFrom(spark: SparkSession, d: MvDef,
                                      baseT: MergeTable, mvT: MergeTable,
                                      ch: DataFrame, vOld: Long, vNow: Long): MvDef = {
-    def full(): MvDef = {
-      lastRefreshMode = "full"
-      MvCatalog.build(spark, d.name, d.basePath, d.groupCols, d.aggs, d.mvPath)
-    }
     // each artifact folds FROM ITS OWN txn marker (the base version its
     // contents reflect), never merely "skip when marker >= vNow": a crashed
     // refresh leaves the census at a marker BETWEEN the MV fingerprint and
@@ -345,10 +341,25 @@ object MvRewrite {
     // each artifact needs is (its marker, vNow]; the shared pinned `ch` is
     // that window exactly when the marker sits at the fingerprint (the
     // no-crash case), and a sub-/super-window is re-read on demand.
+    // Re-read (crash-retry) windows are PERSISTED like the shared `ch`
+    // (ADVICE r14): the census fold and the MV fold each consume their
+    // window twice (delta aggregate + touched-group set), so an unpersisted
+    // re-read would re-scan the feed files per consumer. The pins are
+    // released in the cleanup loop at the end of the refresh.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def windowFrom(start: Long): Option[DataFrame] =
       if (start == vOld) Some(ch)
-      else try Some(baseT.changes(spark, start + 1, vNow))
-      catch { case _: Exception => None }
+      else try {
+        val w = baseT.changes(spark, start + 1, vNow).persist()
+        pinned += w
+        Some(w)
+      } catch { case _: Exception => None }
+    def unpinAll(): Unit = { pinned.foreach(_.unpersist()); pinned.clear() }
+    def full(): MvDef = {
+      lastRefreshMode = "full"
+      unpinAll()
+      MvCatalog.build(spark, d.name, d.basePath, d.groupCols, d.aggs, d.mvPath)
+    }
     // min/max under RETRACTION: the stored extremum alone cannot answer a
     // shrink, but the MV's VALUE CENSUS (built alongside it — one
     // (group, value, count) row per distinct value) can: fold the window's
@@ -488,6 +499,7 @@ object MvRewrite {
       mvT.overwrite(merged.filter(newRows > 0).select(outCols: _*),
         txn = Some(s"mv_${d.name}" -> vNow))
     }
+    unpinAll()
     val rootPaths = MvCatalog.rootPathsOf(
       baseT.readVersion(spark, vNow).queryExecution.analyzed)
     MvCatalog.register(spark, d.copy(baseRootPaths = rootPaths,

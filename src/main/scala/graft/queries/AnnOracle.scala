@@ -34,6 +34,14 @@ object AnnOracle {
 
   /** Query-name → oracle SQL, written by each ANN query's fn at run time
     * and read by `SparkEntry.oracleSql` at dump time.
+    *
+    * SINGLE-DATASET-PER-PROCESS assumption (ADVICE r14): the stash is
+    * process-global and keyed by query name only, so running the ANN
+    * queries against more than one dataset dir in one JVM leaves the LAST
+    * dir's model literals here. That is exactly the Verify/Bench mains'
+    * shape (one `SPARK_GRAFT_SF_DIR` per process); any future multi-dir
+    * caller must key its own stash by (dir, query) or dump oracle_sql.json
+    * between dirs.
     */
   val stash = scala.collection.concurrent.TrieMap.empty[String, String]
 

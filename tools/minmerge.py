@@ -13,6 +13,14 @@ import json, statistics, sys
 
 out, paths = sys.argv[1], sys.argv[2:]
 runs = [json.load(open(p)) for p in paths]
+# ADVICE r14: refuse to min-merge records with different `queries_min`
+# semantics (pre-r14 records fold the warm run into queries_min; r14+
+# records are timed-only) — a silent mix would produce a mixed-basis
+# min_total stamped with runs[0]'s basis.
+bases = {r.get("min_basis", "<pre-r14 warm-folded>") for r in runs}
+assert len(bases) == 1, (
+    f"refusing to merge mixed min_basis records: {sorted(bases)} — "
+    "normalize older records (use queries_min_warm) before merging")
 names = sorted(set().union(*[r["queries"].keys() for r in runs]))
 qmed, qmin = {}, {}
 qminw = {}
