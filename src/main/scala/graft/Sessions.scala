@@ -27,6 +27,17 @@ object Sessions {
       // the real publish; readers never look at _SUCCESS)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      // Status-store retention trimmed (UI is disabled anyway): the
+      // defaults retain 1 000 jobs/stages and 1 000 SQL executions WITH
+      // full plan graphs per JVM — a bench process runs 255 queries ×
+      // thousands of micro-jobs through one context, and the accumulated
+      // tracking measurably ages the JVM (profiler iterations slowed
+      // monotonically within one process). Pure observability trim;
+      // nothing reads these stores headless.
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "50")
       // engine extensions: float_dot registration + the DotProductRewrite
       // optimizer rule (graft.functions.GraftExtensions)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -1515,6 +1515,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
              DoubleType | StringType | BooleanType | DateType | TimestampType => true
         case _ => false
       }
+      // plan evidence for the optimization record: when graft.planDumpDir
+      // is set (graft.tools.Plans), the probe's physical plan is written
+      // beside the query plans so the fast-path claims are checkable
+      def dumpPlan(tag: String, df: DataFrame): Unit =
+        sys.props.get("graft.planDumpDir").foreach { dir =>
+          val p = Paths.get(dir, s"$tag.txt")
+          Files.createDirectories(p.getParent)
+          Files.writeString(p, df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
       val cap = spark.conf.get("spark.graft.mergeProbeInMax", "10000").toInt
       val fastTypesOk = keys.forall(k => simple(schema(k).dataType))
       val sample: Array[Row] =
@@ -1544,13 +1554,16 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
                 java.util.Arrays.asList(tuples: _*), srcKeys.schema)
               scan.join(broadcast(keyDf), keys, "left_semi")
             }
+          dumpPlan("merge_probe_fast", exact)
           exact.agg(collect_set(col("_graft_file"))).head
             .getSeq[String](0).map(normalize).toSet
         }
       } else {
-        readFiles(spark, probeRel, schema, cmap, dvs,
+        val legacy = readFiles(spark, probeRel, schema, cmap, dvs,
             fileCol = Some("_graft_file"))
           .join(srcKeys, keys, "left_semi")
+        dumpPlan("merge_probe_legacy", legacy)
+        legacy
           .select("_graft_file").distinct()
           .collect().map(r => normalize(r.getString(0))).toSet
       }
@@ -5610,7 +5623,7 @@ final class MergeTable(val root: String, val partitionCols: Seq[String] = Nil,
         col(c).as(colmap.getOrElse(c, c))): _*)
     val w = physical.write.mode("overwrite")
     val pw = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
-    pw.parquet(s"$root/$dataDir")
+    Timing.time("writeData.job")(pw.parquet(s"$root/$dataDir"))
     // Bloom index freshness: once an index exists for a column (the
     // bloomidx/<col> dir), every write builds sidecars for ITS new files
     // right here — one extra scan of just-written data, the price Delta

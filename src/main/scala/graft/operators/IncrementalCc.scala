@@ -112,10 +112,12 @@ object IncrementalCc {
     val df = gen match {
       case Some(g) =>
         // the generated expression references exactly the key column
-        // (pmod(id, n) / pmod(label, n)), so it evaluates over `keys` as-is;
-        // the touched-bucket collect is bounded by min(batch, bucket count)
-        val touched = keys.select(expr(g).as(bucketCol)).distinct()
-          .collect().map(_.get(0)).filter(_ != null)
+        // (pmod(id, n) / pmod(label, n)), so it evaluates over `keys` as-is.
+        // `keys` is batch-bounded by construction, so the collect is too —
+        // deduping DRIVER-side drops the distinct's shuffle exchange (one
+        // whole job wave per probe at micro-batch scale, guide §2.4)
+        val touched = keys.select(expr(g).as(bucketCol))
+          .collect().map(_.get(0)).filter(_ != null).distinct
         val kept = table.pruneFilesFor(sess, v,
           Seq(org.apache.spark.sql.sources.In(bucketCol, touched.map(x => x: Any))))
         lastOf(bucketCol, kept.size, total)
@@ -197,17 +199,21 @@ object IncrementalCc {
     val relab: DataFrame = if (!edgesDone) {
       // 2. endpoint labels (pruned by id bucket)
       val affN = fin.select(explode(array(col("a"), col("b"))).as("id")).distinct()
-      val endLabels =
+      // persisted: consumed by affL, the node universe, AND (via graphE)
+      // the relabel/merge subtrees — unpinned, each consumer re-ran the
+      // bucket-pruned probe (measured ~3× recompute per batch)
+      val endLabels = graft.lake.Timing.time("cc.endpointProbe") {
         if (!labels.exists)
           affN.limit(0).withColumn("label", lit(0L))
         else prunedSemiJoin(sess, labels, LabelBucketCol, "id", affN)
           .select("id", "label")
+      }.persist()
       // 3. affected components' full edge sets (pruned by label bucket)
       val affL = endLabels.select("label").distinct()
       val oldSub =
-        if (!edges.exists) adds.limit(0)
-        else prunedSemiJoin(sess, edges, EdgeBucketCol, "label", affL)
-          .select("a", "b")
+        (if (!edges.exists) adds.limit(0)
+         else prunedSemiJoin(sess, edges, EdgeBucketCol, "label", affL)
+           .select("a", "b")).persist()
       // 4. re-label the affected subgraph. Node universe: members of
       // affected components (old-subgraph endpoints — every multi-node
       // member has an edge there), newly added endpoints, and previously
@@ -254,9 +260,10 @@ object IncrementalCc {
       // still stringify) the exponential tree. Checkpointing cuts it to
       // the materialized partitions, and pins the relabel before the
       // merges below mutate the state it derives from.
-      val out = nodes.join(lp, Seq("id"), "left")
-        .select(col("id"), coalesce(col("lpl"), col("id")).as("label"))
-        .localCheckpoint()
+      val out = graft.lake.Timing.time("cc.relabelCheckpoint")(
+        nodes.join(lp, Seq("id"), "left")
+          .select(col("id"), coalesce(col("lpl"), col("id")).as("label"))
+          .localCheckpoint())
       // 5a. edges commit FIRST: every subgraph edge re-labels (rows may
       // move label-bucket partitions — the update recomputes the
       // generated bucket), deletes drop, change feed ON (the replay path
@@ -277,7 +284,8 @@ object IncrementalCc {
         edges.overwrite(edgeSrc.filter(col("action") === "put")
           .select("a", "b", "label"), txn = Some(appE -> batchId))
         edges.setProperties(Map(MergeTable.OptimizeWriteProp -> "true"))
-      } else edges.mergeClauses(sess, edgeSrc, Seq("a", "b"),
+      } else graft.lake.Timing.time("cc.edgesMerge")(
+        edges.mergeClauses(sess, edgeSrc, Seq("a", "b"),
         Seq(MergeTable.MatchedDelete(Some("s.action = 'del'")),
             MergeTable.MatchedUpdate(Some("s.action = 'put'"),
               Seq("label" -> "s.label") ++
@@ -286,8 +294,10 @@ object IncrementalCc {
             MergeTable.NotMatchedInsert(Some("s.action = 'put'"),
               Seq("a" -> "s.a", "b" -> "s.b", "label" -> "s.label"))),
         checkUniqueSource = false, changeFeed = true,
-        txn = Some(appE -> batchId))
+        txn = Some(appE -> batchId)))
       graphE.unpersist()
+      oldSub.unpersist()
+      endLabels.unpersist()
       out
     } else {
       // REPLAY with the edge commit already landed: the state no longer
@@ -327,6 +337,12 @@ object IncrementalCc {
     labels.merge(sess,
       lbGen.fold(labSrc)(g => labSrc.withColumn(LabelBucketCol, expr(g))),
       Seq("id"), keysDeterminePartitions = lbGen.isDefined,
+      // relab is id-unique by construction on BOTH paths (driverLabels
+      // emits one row per union-find key; the distributed LP groups by id;
+      // the replay path groups by id) — the defensive uniqueness probe
+      // would only burn a job per micro-batch (the applyGoldDelta
+      // discipline)
+      checkUniqueSource = false,
       txn = Some(appL -> batchId))
     if (labels.currentVersion == 0L)
       labels.setProperties(Map(MergeTable.OptimizeWriteProp -> "true"))

@@ -363,8 +363,12 @@ object IncrementalCuration {
     lastWinnerFilesTotal = fps.filesOf(fpsV).size
     val fpsAff = fpsBucketGen match {
       case Some(gen) =>
-        val touched = affH.select(expr(gen).cast("string").as(BucketCol))
-          .distinct().collect().map(_.getString(0)).filter(_ != null)
+        // bucket values derive from the BATCH directly (batch-bounded
+        // collect, deduped driver-side) — the affH distinct + a second
+        // distinct here were two shuffle exchanges for ≤ 16^len values
+        val touched = batch.select(md5(col("text")).as("h"))
+          .select(expr(gen).cast("string").as(BucketCol))
+          .collect().map(_.getString(0)).filter(_ != null).distinct
         val filters = Seq(org.apache.spark.sql.sources.In(
           BucketCol, touched.map(x => x: Any).toArray))
         val kept = fps.pruneFilesFor(sess, fpsV, filters)
